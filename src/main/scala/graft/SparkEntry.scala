@@ -1,13 +1,465 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.operators.{Dedup, Similarity, StreamSplitter}
+import graft.functions.{TextFunctions => T}
+import graft.multimodal.Multimodal
+
+/**
+ * Driver contract — one `queries` entry per implemented operator from
+ * SURVEY.md §2 (+ the training-data-pipeline extensions), each with a
+ * DuckDB-equivalent `oracleSql` where SQL-expressible.
+ *
+ * Cross-engine determinism rules used throughout:
+ *  - money/double aggregation goes through DECIMAL(18,2) (exact, order-
+ *    independent) and is cast back to double at the end — both engines
+ *    produce bit-identical results;
+ *  - every query ends in ORDER BY with a unique tiebreak;
+ *  - computed integer columns are cast so Spark and DuckDB dtypes agree
+ *    (DuckDB len()/year()/sum(int) default to BIGINT/HUGEINT).
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** exact decimal view of a double column (see determinism rules). */
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+  private def sumDec(c: Column): Column = sum(dec(c)).cast("double")
+  /** revenue term: extendedprice * (1 - discount), decimal-exact. */
+  private def revenue(price: Column, disc: Column): Column =
+    sum(dec(price) * (lit(1).cast("decimal(18,2)") - dec(disc))).cast("double")
+
+  /** Flagship: the reference's split pipeline (demux F1 + flatten P1) on
+    * sf0.001 envelopes synthesized from `customer`. Driver checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q27_split_person")(spark, "/root/testdata/sf0.001")
+
+  // ---- envelope synthesis for the split queries (shared by q27/entry) ----
+  private def customerEnvelopes(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    c.select(
+      when(col("c_custkey") % 17 === 0, lit(null))
+        .otherwise(struct(col("c_custkey"), col("c_name"), col("c_acctbal")))
+        .as("data"),
+      struct(
+        col("c_custkey").cast("string").as("timestamp"),
+        when(col("c_custkey") % 17 === 0, "control").otherwise("data").as("record-type"),
+        lit("load").as("operation"),
+        lit("primary-key").as("partition-key-type"),
+        lit("dms_sample").as("schema-name"),
+        when(col("c_custkey") % 10 === 0, "other").otherwise("person").as("table-name")
+      ).as("metadata"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---------------- core SQL surface (SURVEY §2.6/§2.7) ----------------
+
+    // Q1-style hash aggregate with decimal-exact money sums (partial agg
+    // map-side; one shuffle on the 2 group keys).
+    "q01_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sumDec(col("l_quantity")).as("sum_qty"),
+          sumDec(col("l_extendedprice")).as("sum_base_price"),
+          revenue(col("l_extendedprice"), col("l_discount")).as("sum_disc_price"),
+          (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // F1-analog selective filter + projection; predicate and the 5-column
+    // read schema both push into the parquet scan.
+    "q02_filter_project" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.filter(col("l_quantity") > 45 && col("l_discount") >= 0.05)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_quantity"),
+          (dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+            .cast("double").as("disc_price"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // multi-way join: fact lineitem ⋈ orders, dims customer/nation/region
+    // broadcast; one shuffle join on the fact keys only.
+    "q03_join_agg" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o  = t(s, dir, "orders")
+      val c  = t(s, dir, "customer")
+      val n  = t(s, dir, "nation")
+      val r  = t(s, dir, "region")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+                col("o_orderdate") < lit("1997-01-01").cast("timestamp_ntz"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(revenue(col("l_extendedprice"), col("l_discount")).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
+    // top-k: TakeOrderedAndProject, no full sort shuffle.
+    "q04_topk" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    // window function: rank orders per customer (unique tiebreak).
+    "q05_window" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rk"))
+        .orderBy(col("o_custkey"), col("rk"))
+    }),
+
+    // anti join (NOT EXISTS): customers without orders.
+    "q06_anti_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // semi join (EXISTS): customers having at least one urgent order.
+    "q06b_semi_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // set operation: INTERSECT of two order-derived key sets.
+    "q07_setop" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val hi = o.filter(col("o_totalprice") > 200000).select(col("o_custkey"))
+      val fin = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      hi.intersect(fin).orderBy(col("o_custkey"))
+    }),
+
+    // rollup aggregate over the region/nation hierarchy.
+    "q08_rollup" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"), sumDec(col("c_acctbal")).as("sum_bal"))
+        .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+    }),
+
+    // scalar function suite: string/math/date kernels, all codegen'd.
+    "q09_scalar" -> ((s, dir) => {
+      t(s, dir, "part")
+        .select(
+          col("p_partkey"),
+          upper(substring(col("p_name"), 1, 8)).as("name_prefix"),
+          length(col("p_name")).as("name_len"),
+          (dec(col("p_retailprice")) * lit(1.1).cast("decimal(3,1)"))
+            .cast("double").as("inflated"),
+          pmod(col("p_size"), lit(7)).as("size_mod"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // distinct aggregate (expand + two-phase agg).
+    "q10_distinct" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(col("l_partkey")).as("n_part"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // JSON payload extraction from the event stream table.
+    "q11_events_json" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_type"),
+          nullif(regexp_extract(col("props"), "([0-9]+)", 1), lit("")).cast("int").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))
+    }),
+
+    // the demux filter (F1) generalized to the events stream: route one
+    // "table" (event_type) out of the multiplexed stream, drop null
+    // payloads, project + derive the micro-batch minute bucket.
+    "q12_demux_events" -> ((s, dir) => {
+      StreamSplitter.demuxBy(t(s, dir, "events"), "event_type", "click", "props")
+        .select(col("event_id"), col("user_id"), col("value"),
+          expr("ts div 60000000000").as("minute_bucket"))
+        .orderBy(col("event_id"))
+    }),
+
+    // tumbling-window aggregation in batch form (streaming analog is
+    // StreamingDemux.opCountsByWindow).
+    "q13_minute_agg" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(expr("ts div 60000000000").as("minute_bucket"))
+        .agg(count(lit(1)).as("n"), sumDec(col("value")).as("sum_value"))
+        .orderBy(col("minute_bucket"))
+    }),
+
+    // ------------- training-data pipeline: dedup / text / ANN -------------
+
+    // exact dedup: hash-aggregate on the full text.
+    "q14_dedup_exact" -> ((s, dir) => {
+      Dedup.exact(t(s, dir, "documents"), "doc_id", Seq("text"))
+        .select(col("keep_id"), col("n_dups"), length(col("text")).as("text_len"))
+        .orderBy(col("keep_id"))
+    }),
+
+    // token counting: whitespace + BPE-ish subword proxy.
+    "q15_tokens" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          T.tokenCount(col("text")).cast("long").as("n_tokens"),
+          T.subwordCount(col("text")).cast("long").as("n_subwords"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // quality scoring: char/token stats + densities.
+    "q16_quality" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("len_chars"),
+          T.tokenCount(col("text")).cast("long").as("n_tokens"),
+          T.meanTokenLen(col("text")).as("mean_tok_len"),
+          T.digitRatio(col("text")).as("digit_ratio"),
+          T.upperRatio(col("text")).as("upper_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // language ID: stopword-hit heuristic (deterministic tie priority).
+    "q17_langid" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), T.langId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // corpus stats by the labeled lang column.
+    "q18_lang_stats" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"))
+        .orderBy(col("lang"))
+    }),
+
+    // document fingerprint (min-shingle-hash winnowing) — not SQL-oracle-
+    // expressible (xxhash64 seed semantics are Spark's); rows-only check.
+    "q19_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), T.fingerprint(col("text"), 3).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // MinHash+LSH near-dup candidate pairs (rows-only).
+    "q20_minhash" -> ((s, dir) => {
+      Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text",
+          numHashes = 64, bands = 16, shingleN = 5, threshold = 0.4)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // SimHash near-dup pairs (rows-only).
+    "q21_simhash" -> ((s, dir) => {
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 6)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // exact n-gram Jaccard pairs via inverted shingle index (rows-only).
+    "q22_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+          n = 5, threshold = 0.55)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // brute-force cosine top-k (exact ANN baseline).
+    "q23_ann_brute" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // LSH-bucketed ANN (approximate; rows-only).
+    "q24_ann_lsh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.lshTopK(e, e.filter(col("vec_id") < 10), k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // embedding near-dup pairs over LSH buckets (rows-only).
+    "q25_embed_neardup" -> ((s, dir) => {
+      Dedup.embeddingNearDup(t(s, dir, "embeddings"), "vec_id", "embedding",
+          threshold = 0.2, bits = 4, tables = 2)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // multimodal plumbing: binary payload → partition-batched stub decode.
+    "q26_multimodal" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val assets = Multimodal.assetsFromText(t(s, dir, "documents"), "doc_id", "text")
+      Multimodal.decodeAssets(assets).toDF()
+        .select(col("asset_id"), col("byte_len"), col("width"), col("height"),
+          col("n_frames"))
+        .orderBy(col("asset_id"))
+    }),
+
+    // the reference flagship: DMS envelope demux (F1) + flatten (P1).
+    "q27_split_person" -> ((s, dir) => {
+      StreamSplitter.flatten(
+        StreamSplitter.demux(customerEnvelopes(s, dir), "dms_sample", "person"))
+        .orderBy(col("c_custkey"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+         count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS disc_price
+         FROM lineitem WHERE l_quantity > 45 AND l_discount >= 0.05
+         ORDER BY l_orderkey, l_linenumber""",
+    "q03_join_agg" ->
+      """SELECT r_name, n_name,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+         count(*) AS n_items
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+         GROUP BY r_name, n_name ORDER BY r_name, n_name""",
+    "q04_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+    "q05_window" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+                  CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rk
+           FROM orders) WHERE rk <= 3 ORDER BY o_custkey, rk""",
+    "q06_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY c_custkey""",
+    "q06b_semi_join" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+         ORDER BY c_custkey""",
+    "q07_setop" ->
+      """SELECT o_custkey FROM orders WHERE o_totalprice > 200000
+         INTERSECT
+         SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+         ORDER BY o_custkey""",
+    "q08_rollup" ->
+      """SELECT r_name, n_name, count(*) AS n_cust,
+         CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY ROLLUP(r_name, n_name)
+         ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""",
+    "q09_scalar" ->
+      """SELECT p_partkey, upper(substr(p_name, 1, 8)) AS name_prefix,
+         CAST(length(p_name) AS INT) AS name_len,
+         CAST(CAST(p_retailprice AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(3,1)) AS DOUBLE) AS inflated,
+         CAST(p_size % 7 AS INT) AS size_mod
+         FROM part ORDER BY p_partkey""",
+    "q10_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
+         count(DISTINCT l_partkey) AS n_part, count(*) AS n_rows
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q11_events_json" ->
+      """SELECT event_type, count(*) AS n,
+         CAST(sum(CAST(NULLIF(regexp_extract(props, '([0-9]+)', 1), '') AS INT)) AS BIGINT) AS sum_k,
+         CAST(min(CAST(NULLIF(regexp_extract(props, '([0-9]+)', 1), '') AS INT)) AS INT) AS min_k,
+         CAST(max(CAST(NULLIF(regexp_extract(props, '([0-9]+)', 1), '') AS INT)) AS INT) AS max_k
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q12_demux_events" ->
+      """SELECT event_id, user_id, value,
+         CAST(floor(epoch(ts)/60) AS BIGINT) AS minute_bucket
+         FROM events WHERE event_type = 'click' AND props IS NOT NULL
+         ORDER BY event_id""",
+    "q13_minute_agg" ->
+      """SELECT CAST(floor(epoch(ts)/60) AS BIGINT) AS minute_bucket,
+         count(*) AS n,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1 ORDER BY minute_bucket""",
+    "q14_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_dups,
+         CAST(length(text) AS INT) AS text_len
+         FROM documents GROUP BY text ORDER BY keep_id""",
+    "q15_tokens" ->
+      """SELECT doc_id,
+         CAST(len(regexp_extract_all(trim(text), '\S+')) AS BIGINT) AS n_tokens,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_subwords
+         FROM documents ORDER BY doc_id""",
+    "q16_quality" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS len_chars,
+         CAST(len(regexp_extract_all(trim(text), '\S+')) AS BIGINT) AS n_tokens,
+         round(CAST(len(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+               / greatest(len(regexp_extract_all(trim(text), '\S+')), 1), 4) AS mean_tok_len,
+         round(CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+               / greatest(length(text), 1), 4) AS digit_ratio,
+         round(CAST(len(regexp_extract_all(text, '[A-Z]')) AS DOUBLE)
+               / greatest(length(text), 1), 4) AS upper_ratio
+         FROM documents ORDER BY doc_id""",
+    "q17_langid" ->
+      """WITH hits AS (SELECT doc_id,
+           len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|in|that|it|was|for)\b')) AS en,
+           len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|ein|eine|zu|mit)\b')) AS de,
+           len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|une|dans|que|pour|pas)\b')) AS fr,
+           len(regexp_extract_all(lower(text), '\b(el|la|los|las|es|una|para|con|por|del)\b')) AS es,
+           len(regexp_extract_all(lower(text), '\b(il|la|che|di|non|una|per|sono|con|del)\b')) AS it
+           FROM documents)
+         SELECT doc_id, CASE
+           WHEN en > 0 AND en >= de AND en >= fr AND en >= es AND en >= it THEN 'en'
+           WHEN de > 0 AND de >= fr AND de >= es AND de >= it THEN 'de'
+           WHEN fr > 0 AND fr >= es AND fr >= it THEN 'fr'
+           WHEN es > 0 AND es >= it THEN 'es'
+           WHEN it > 0 THEN 'it'
+           ELSE 'und' END AS lang_pred
+         FROM hits ORDER BY doc_id""",
+    "q18_lang_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars
+         FROM documents GROUP BY lang ORDER BY lang""",
+    "q26_multimodal" ->
+      """SELECT doc_id AS asset_id,
+         CAST(octet_length(CAST(text AS BLOB)) AS INT) AS byte_len,
+         CAST(64 + octet_length(CAST(text AS BLOB)) % 577 AS INT) AS width,
+         CAST(64 + (octet_length(CAST(text AS BLOB)) * 31) % 577 AS INT) AS height,
+         CAST(1 AS INT) AS n_frames
+         FROM documents ORDER BY asset_id""",
+    "q27_split_person" ->
+      """SELECT c_custkey, c_name, c_acctbal, CAST(c_custkey AS VARCHAR) AS timestamp
+         FROM customer WHERE c_custkey % 10 <> 0 AND c_custkey % 17 <> 0
+         ORDER BY c_custkey"""
+  )
 }

@@ -1,0 +1,111 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis primitives for a training-data pipeline, composed entirely
+ * from `org.apache.spark.sql.functions` so every operator stays inside
+ * whole-stage codegen — no UDFs, no JVM⇄interpreter boundaries (the exact
+ * failure mode of the reference's per-record Python lambda, SURVEY §3.1).
+ *
+ * ANSI-mode note (Spark 4 default): all hash arithmetic here is built from
+ * 32-bit `hash()` values widened to long before multiply/add, so no
+ * expression can overflow and throw.
+ */
+object TextFunctions {
+
+  /** Whitespace tokens, empty-safe: `""` and all-blank → empty array. */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => length(t) > 0)
+
+  /** Token count without materializing the token array. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /**
+   * BPE-ish subword count: word-pieces + digits + punctuation as separate
+   * tokens — a cheap deterministic proxy for a real tokenizer's token
+   * count (≈ GPT-style regex pre-tokenization).
+   */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Word n-gram shingles (n ≥ 1), joined with single spaces. */
+  def shingles(text: Column, n: Int): Column = {
+    val ts = tokens(text)
+    when(size(ts) < n, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(0), size(ts) - n),
+        i => concat_ws(" ", slice(ts, i + 1, lit(n)))))
+  }
+
+  /** Character n-gram shingles over the lowercased, space-normalized text. */
+  def charShingles(text: Column, n: Int): Column = {
+    val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
+    when(length(norm) < n, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(0), length(norm) - n),
+        i => substring(norm, lit(1) + i, lit(n)).cast("string")))
+  }
+
+  /**
+   * Document fingerprint: min-of-shingle-hashes (winnowing-style). Two
+   * documents sharing their rarest shingle collide — a cheap 1-long
+   * near-dup signal; the full MinHash signature lives in [[graft.operators.Dedup]].
+   */
+  def fingerprint(text: Column, n: Int = 3): Column = {
+    val hs = transform(shingles(text, n), s => xxhash64(s))
+    when(size(hs) === 0, xxhash64(trim(text))).otherwise(array_min(hs))
+  }
+
+  /**
+   * Quality signals (ratios rounded to 4 decimals for oracle stability):
+   * character/token counts, punctuation and digit and uppercase density,
+   * mean token length. All single-pass over the string.
+   */
+  def punctCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[\\p{Punct}]"), lit(0)))
+
+  def digitRatio(text: Column): Column =
+    round(size(regexp_extract_all(text, lit("[0-9]"), lit(0))) /
+      greatest(length(text), lit(1)).cast("double"), 4)
+
+  def upperRatio(text: Column): Column =
+    round(size(regexp_extract_all(text, lit("[A-Z]"), lit(0))) /
+      greatest(length(text), lit(1)).cast("double"), 4)
+
+  def meanTokenLen(text: Column): Column = {
+    val ts = tokens(text)
+    round(
+      aggregate(ts, lit(0L), (acc, t) => acc + length(t)) /
+        greatest(size(ts), lit(1)).cast("double"), 4)
+  }
+
+  /** Stopword-hit count for a language's function words (langid signal). */
+  def stopwordHits(text: Column, words: Seq[String]): Column =
+    size(regexp_extract_all(lower(text),
+      lit("\\b(" + words.mkString("|") + ")\\b"), lit(0)))
+
+  /**
+   * N-gram/function-word language ID over the langs the heuristic knows;
+   * ties broken by fixed priority order (en first). Returns the language
+   * code with the most stopword hits, or "und" when none hit.
+   */
+  val langStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it", "was", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "eine", "zu", "mit"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "dans", "que", "pour", "pas"),
+    "es" -> Seq("el", "la", "los", "las", "es", "una", "para", "con", "por", "del"),
+    "it" -> Seq("il", "la", "che", "di", "non", "una", "per", "sono", "con", "del")
+  )
+
+  def langId(text: Column): Column = {
+    val scored = langStopwords.map { case (code, words) =>
+      (code, stopwordHits(text, words))
+    }
+    val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
+    // fixed priority: first language reaching the max wins
+    val pick = scored.reverse.foldLeft(lit("und")) { case (acc, (code, hits)) =>
+      when(hits > 0 && hits === best, lit(code)).otherwise(acc)
+    }
+    pick
+  }
+}

@@ -1,0 +1,56 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Dense-vector math over `array<float>` embedding columns, composed from
+ * codegen'd higher-order functions (`zip_with`/`aggregate`/`transform`).
+ * Accumulation is in double regardless of storage type.
+ */
+object VectorFunctions {
+
+  private def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(asDouble(a), lit(0.0), (acc, x) => acc + x * x))
+
+  /** Cosine similarity in [-1, 1]; 0 when either vector has zero norm. */
+  def cosine(a: Column, b: Column): Column = {
+    val d  = dot(a, b)
+    val nn = norm(a) * norm(b)
+    when(nn === 0.0, lit(0.0)).otherwise(d / nn)
+  }
+
+  def l2Distance(a: Column, b: Column): Column =
+    sqrt(aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v))
+
+  /**
+   * Random-hyperplane (SimHash) LSH bucket id for a vector: `bits` sign
+   * bits against pseudo-random hyperplanes derived deterministically from
+   * (seed, bit, dim) via a hash — no stored model, identical on every
+   * executor. Cosine-similar vectors land in the same bucket with
+   * probability (1 - θ/π)^bits; use several tables (seeds) for recall.
+   *
+   * Scale path: bucketing turns the O(N²) all-pairs cosine join into a
+   * per-bucket join — the 100 TB-safe ANN pattern (bucket sizes bounded,
+   * shuffle keyed by bucket).
+   */
+  def lshBucket(v: Column, bits: Int, seed: Int): Column = {
+    val dv = asDouble(v)
+    val bitCols = (0 until bits).map { b =>
+      // hyperplane component for (seed,b,dim i): hash → [-0.5, 0.5)
+      val proj = aggregate(
+        zip_with(dv, sequence(lit(0), size(v) - 1),
+          (x, i) => x * (pmod(hash(lit(seed), lit(b), i), lit(1000003)).cast("double") / 1000003.0 - 0.5)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_.bitwiseOR(_))
+  }
+}

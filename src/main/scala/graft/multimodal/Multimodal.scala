@@ -1,0 +1,82 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Multimodal-column plumbing: image/audio/video payloads ride through the
+ * engine as opaque `binary` columns with a typed metadata struct, and
+ * decode/feature-extraction runs batched per partition.
+ *
+ * The actual codec step is a STUB (no image/audio libraries in this
+ * environment): [[StubCodec.decode]] produces a deterministic fake
+ * "decode" from the bytes. Everything around it — the asset schema, the
+ * partition-batched execution shape (one codec context per partition, not
+ * per row, exactly the shape a JNI/FFmpeg/Pillow binding needs), the
+ * metadata projection — is real and tested.
+ */
+object Multimodal {
+
+  /** Canonical asset schema: id + mime + opaque payload + source info. */
+  val assetSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("mime", StringType),
+    StructField("payload", BinaryType),
+    StructField("source", StringType)
+  ))
+
+  final case class Asset(asset_id: Long, mime: String, payload: Array[Byte], source: String)
+
+  /** Decoded features: dimensions/duration + a tiny feature vector. */
+  final case class DecodedAsset(
+      asset_id: Long, mime: String, byte_len: Int,
+      width: Int, height: Int, n_frames: Int,
+      features: Array[Float])
+
+  /**
+   * STUB CODEC — deterministic fake. A real deployment replaces this
+   * object only; the Spark plumbing in [[decodeAssets]] is unchanged.
+   * "Decode" derives dimensions from byte length and a feature vector
+   * from a rolling byte hash, so results are stable for tests/oracles.
+   */
+  object StubCodec {
+    def decode(a: Asset): DecodedAsset = {
+      val len = if (a.payload == null) 0 else a.payload.length
+      val w = 64 + (len % 577)          // fake width
+      val h = 64 + ((len * 31) % 577)   // fake height
+      val frames = if (a.mime != null && a.mime.startsWith("video")) 1 + len % 32 else 1
+      var acc = 1469598103934665603L    // FNV-1a over the payload
+      var i = 0
+      while (i < len) { acc ^= a.payload(i); acc *= 1099511628211L; i += 1 }
+      val feats = Array.tabulate(8)(j => ((acc >>> (j * 8)) & 0xFF).toFloat / 255f)
+      DecodedAsset(a.asset_id, a.mime, len, w, h, frames, feats)
+    }
+  }
+
+  /**
+   * Batched decode: `mapPartitions` so a real codec can amortize its
+   * init (library handles, GPU context) across a whole partition — the
+   * Scala-side analog of `mapInPandas` batch shape. Input partitioning is
+   * preserved; no shuffle.
+   */
+  def decodeAssets(assets: Dataset[Asset])(implicit spark: SparkSession): Dataset[DecodedAsset] = {
+    import spark.implicits._
+    assets.mapPartitions { it =>
+      // real impl: open codec context once here, close at iterator end
+      it.map(StubCodec.decode)
+    }
+  }
+
+  /** Wrap any table with an id + a string column as binary assets (the
+    * test-data path: documents.text bytes stand in for media payloads). */
+  def assetsFromText(df: DataFrame, idCol: String, textCol: String,
+      mime: String = "text/plain")(implicit spark: SparkSession): Dataset[Asset] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("asset_id"),
+        lit(mime).as("mime"),
+        col(textCol).cast("binary").as("payload"),
+        lit("testdata").as("source"))
+      .as[Asset]
+  }
+}

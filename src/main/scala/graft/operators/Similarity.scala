@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.{VectorFunctions => V}
+
+/**
+ * Approximate-nearest-neighbor search over an embedding column.
+ *
+ *  - [[bruteForceTopK]]: exact cosine top-k — broadcast the (small) query
+ *    set against the corpus, rank per query. The right baseline, and the
+ *    correct plan whenever |queries| is broadcastable: corpus is scanned
+ *    once, no shuffle of the corpus, top-k via window over (query, cos).
+ *  - [[lshTopK]]: the scale path — sign-bit LSH buckets (multi-probe)
+ *    restrict each query to its buckets' candidates, so the per-query cost
+ *    is bucket-sized, not corpus-sized. At 100 TB the corpus is bucketed
+ *    once (write-time partitioning by bucket) and queries shuffle to their
+ *    buckets — an IVF-style inverted-file layout expressed in Spark.
+ */
+object Similarity {
+
+  /** Exact top-k by cosine: one corpus scan, queries broadcast. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val c = corpus.select(col("vec_id").as("item_id"), col("embedding").as("item_vec"))
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val scored = c.join(broadcast(q))
+      .select(col("query_id"), col("item_id"),
+        V.cosine(col("query_vec"), col("item_vec")).as("cos"))
+      .filter(col("query_id") =!= col("item_id"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("item_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("item_id"), round(col("cos"), 4).as("cos"), col("rank"))
+  }
+
+  /** ANN top-k: candidates limited to shared LSH buckets across `tables`
+    * independent hash tables; exact cosine re-rank inside the candidates. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      bits: Int = 6, tables: Int = 4): DataFrame = {
+    def bucketize(df: DataFrame, idName: String, vecName: String): DataFrame =
+      df.select(col("vec_id").as(idName), col("embedding").as(vecName),
+        posexplode(array((0 until tables).map(t =>
+          V.lshBucket(col("embedding"), bits, seed = 977 + t)): _*))
+          .as(Seq("tbl", "bucket")))
+    val c = bucketize(corpus, "item_id", "item_vec")
+    val q = bucketize(queries, "query_id", "query_vec")
+    val cand = c.join(broadcast(q), Seq("tbl", "bucket"))
+      .filter(col("query_id") =!= col("item_id"))
+      .groupBy("query_id", "item_id")
+      .agg(first("query_vec").as("query_vec"), first("item_vec").as("item_vec"))
+      .select(col("query_id"), col("item_id"),
+        V.cosine(col("query_vec"), col("item_vec")).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("item_id"))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("item_id"), round(col("cos"), 4).as("cos"), col("rank"))
+  }
+}

@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.Row
+import graft.model.DmsEnvelope
+import graft.operators.StreamSplitter
+
+/**
+ * The reference's stream path rebuilt on Structured Streaming (SURVEY §3.2):
+ * Kinesis-shaped source → watermarked transforms → demux sink.
+ *
+ * Mapping of the managed pieces (reference README.md:59-174):
+ *  - Kinesis stream (2 shards)      → `readStream` source; shard ≙ partition
+ *  - Firehose 128 MB / 600 s buffer → `Trigger.ProcessingTime` micro-batch
+ *  - GZIP JSON landing w/ date dirs → `writeStream` json + compression +
+ *                                     `partitionBy(ingest_date)`
+ *  - Glue job per table             → one `foreachBatch` splitting ALL
+ *                                     tables per micro-batch (single pass)
+ */
+object StreamingDemux {
+
+  /** Parse a stream of raw JSON envelope lines (value: string) into the
+    * fixed envelope shape; `data` stays a JSON string for late binding. */
+  def parseEnvelopes(raw: DataFrame): DataFrame = {
+    val parsed = raw.select(
+      from_json(col("value"), DmsEnvelope.rawEnvelopeSchema).as("env"))
+    parsed.select(col("env.data").as("data"), col("env.metadata").as("metadata"))
+      .withColumn("event_ts", to_timestamp(col("metadata.timestamp")))
+  }
+
+  /** Firehose-analog lander: micro-batched, compressed, date-partitioned
+    * (reference README.md:76-82: 600 s buffer, GZIP, date-templated prefix). */
+  def landToJson(envelopes: DataFrame, landingDir: String, checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime("600 seconds")): DataStreamWriter[Row] =
+    envelopes
+      .withColumn("ingest_date", to_date(col("event_ts")))
+      .writeStream
+      .format("json")
+      .option("compression", "gzip")
+      .option("path", landingDir)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("ingest_date")
+      .trigger(trigger)
+
+  /**
+   * Single-pass streaming split: every micro-batch is demuxed to
+   * per-table parquet directories via [[StreamSplitter.splitAll]]
+   * (hive layout `schema_name=…/table_name=…/`). Append mode — CDC
+   * records accumulate with their `operation` column; upsert
+   * materialization is out of reference scope (SURVEY §7.3 item 3).
+   */
+  def splitStream(envelopes: DataFrame, outDir: String, checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime("600 seconds")): StreamingQuery =
+    envelopes.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        StreamSplitter.splitAll(batch.drop("event_ts"), outDir,
+          mode = org.apache.spark.sql.SaveMode.Append)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+
+  /**
+   * Operational monitoring analog of the DMS console counters
+   * (image/image3.png: per-table insert/update/delete counts): windowed
+   * per-table per-operation counts with a late-data watermark sized to
+   * the Firehose buffer interval (600 s, README.md:80).
+   */
+  def opCountsByWindow(envelopes: DataFrame,
+      windowDur: String = "10 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    envelopes
+      .withWatermark("event_ts", watermark)
+      .groupBy(
+        window(col("event_ts"), windowDur),
+        StreamSplitter.schemaNameCol.as("schema_name"),
+        StreamSplitter.tableNameCol.as("table_name"),
+        col("metadata.operation").as("operation"))
+      .agg(count(lit(1)).as("n"))
+}

@@ -1,0 +1,60 @@
+#!/usr/bin/env python3
+"""Dev-only oracle parity checker (mimics the driver's DuckDB compare).
+
+Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir>
+
+For each query dir under verifyOutDir: read the Spark parquet result,
+run the matching oracle SQL from oracle_sql.json in DuckDB over the
+sfDir parquet tables, sort columns by name + rows, and compare values
+exactly (with a float report if only floats differ).
+"""
+import sys, json, glob, os
+import duckdb
+import pandas as pd
+
+sf, out = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]:
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+
+oracle = json.load(open(f"{out}/oracle_sql.json"))
+fails = 0
+for name in sorted(os.listdir(out)):
+    d = os.path.join(out, name)
+    if not os.path.isdir(d):
+        continue
+    files = glob.glob(f"{d}/*.parquet")
+    got = con.sql(f"SELECT * FROM read_parquet({files!r})").df()
+    if name not in oracle:
+        print(f"{name:22s} rows-only: {len(got)} rows"
+              + ("  [EMPTY!]" if len(got) == 0 else ""))
+        continue
+    exp = con.sql(oracle[name]).df()
+    g = got.reindex(sorted(got.columns), axis=1)
+    e = exp.reindex(sorted(exp.columns), axis=1)
+    status = []
+    if list(g.columns) != list(e.columns):
+        status.append(f"COLS got={list(g.columns)} exp={list(e.columns)}")
+    elif len(g) != len(e):
+        status.append(f"ROWS got={len(g)} exp={len(e)}")
+    else:
+        gs = g.sort_values(by=list(g.columns)).reset_index(drop=True)
+        es = e.sort_values(by=list(e.columns)).reset_index(drop=True)
+        for c in g.columns:
+            if str(gs[c].dtype) != str(es[c].dtype):
+                status.append(f"DTYPE {c}: {gs[c].dtype} vs {es[c].dtype}")
+            if not gs[c].equals(es[c]):
+                try:
+                    diff = (gs[c].astype(float) - es[c].astype(float)).abs().max()
+                    status.append(f"VAL {c} maxdiff={diff}")
+                except Exception:
+                    ne = (gs[c].astype(str) != es[c].astype(str)).sum()
+                    status.append(f"VAL {c} ndiff={ne}")
+    if status:
+        fails += 1
+        print(f"{name:22s} FAIL  " + "; ".join(status))
+    else:
+        print(f"{name:22s} OK    ({len(g)} rows)")
+print(f"\n{fails} failures")
+sys.exit(1 if fails else 0)
