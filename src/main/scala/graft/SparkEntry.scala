@@ -268,14 +268,16 @@ object SparkEntry {
     // expressible (xxhash64 seed semantics are Spark's); rows-only check.
     "q19_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents")
-        .select(col("doc_id"), T.fingerprint(col("text"), 3).as("fp"))
+        .select(col("doc_id"), col("text"), T.tokens(col("text")).as("ts"))
+        .select(col("doc_id"),
+          T.fingerprintFromTokens(col("ts"), col("text"), 3).as("fp"))
         .orderBy(col("doc_id"))
     }),
 
     // MinHash+LSH near-dup candidate pairs (rows-only).
     "q20_minhash" -> ((s, dir) => {
       Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text",
-          numHashes = 64, bands = 16, shingleN = 5, threshold = 0.4)
+          numHashes = 64, bands = 8, shingleN = 5, threshold = 0.4)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -309,7 +311,7 @@ object SparkEntry {
     // embedding near-dup pairs over LSH buckets (rows-only).
     "q25_embed_neardup" -> ((s, dir) => {
       Dedup.embeddingNearDup(t(s, dir, "embeddings"), "vec_id", "embedding",
-          threshold = 0.2, bits = 4, tables = 2)
+          threshold = 0.2, bits = 6, tables = 2)
         .orderBy(col("id_a"), col("id_b"))
     }),
 

@@ -30,21 +30,38 @@ object TextFunctions {
   def subwordCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
 
-  /** Word n-gram shingles (n ≥ 1), joined with single spaces. */
-  def shingles(text: Column, n: Int): Column = {
-    val ts = tokens(text)
+  /**
+   * PERFORMANCE RULE for the shingle family: Spark evaluates higher-order
+   * -function lambdas interpreted, re-computing any non-attribute
+   * expression captured in the lambda body once PER ELEMENT. So the
+   * `*From*` variants below must be fed a *materialized column*
+   * (stage `tokens`/`normText` in a prior projection); the convenience
+   * text-input forms are for tests/small data only.
+   */
+
+  /** Word n-gram shingles from a materialized token-array column. */
+  def shinglesFromTokens(ts: Column, n: Int): Column =
     when(size(ts) < n, array().cast("array<string>")).otherwise(
       transform(sequence(lit(0), size(ts) - n),
         i => concat_ws(" ", slice(ts, i + 1, lit(n)))))
-  }
 
-  /** Character n-gram shingles over the lowercased, space-normalized text. */
-  def charShingles(text: Column, n: Int): Column = {
-    val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
+  /** Word n-gram shingles (n ≥ 1), joined with single spaces. */
+  def shingles(text: Column, n: Int): Column =
+    shinglesFromTokens(tokens(text), n)
+
+  /** Lowercased, whitespace-normalized text (stage before charShingles). */
+  def normText(text: Column): Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
+
+  /** Character n-gram shingles from a materialized normalized column. */
+  def charShinglesFromNorm(norm: Column, n: Int): Column =
     when(length(norm) < n, array().cast("array<string>")).otherwise(
       transform(sequence(lit(0), length(norm) - n),
         i => substring(norm, lit(1) + i, lit(n)).cast("string")))
-  }
+
+  /** Character n-gram shingles over the lowercased, space-normalized text. */
+  def charShingles(text: Column, n: Int): Column =
+    charShinglesFromNorm(normText(text), n)
 
   /**
    * Document fingerprint: min-of-shingle-hashes (winnowing-style). Two
@@ -53,6 +70,13 @@ object TextFunctions {
    */
   def fingerprint(text: Column, n: Int = 3): Column = {
     val hs = transform(shingles(text, n), s => xxhash64(s))
+    when(size(hs) === 0, xxhash64(trim(text))).otherwise(array_min(hs))
+  }
+
+  /** Fingerprint from materialized token-array + raw-text columns (the
+    * at-scale form; see the performance rule above). */
+  def fingerprintFromTokens(ts: Column, text: Column, n: Int = 3): Column = {
+    val hs = transform(shinglesFromTokens(ts, n), s => xxhash64(s))
     when(size(hs) === 0, xxhash64(trim(text))).otherwise(array_min(hs))
   }
 

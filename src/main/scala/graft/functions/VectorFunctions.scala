@@ -12,12 +12,17 @@ object VectorFunctions {
 
   private def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
-  def dot(a: Column, b: Column): Column =
+  /** Dot product via the native codegen'd kernel (ArrayKernels.scala);
+    * requires [[GraftFunctions.register]] on the session (all engine
+    * entry points do). [[dotHof]] is the dependency-free fallback. */
+  def dot(a: Column, b: Column): Column = GraftFunctions.graftDot(a, b)
+
+  /** Builtin-composed dot product (interpreted HOF; tests/reference). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
       lit(0.0), (acc, v) => acc + v)
 
-  def norm(a: Column): Column =
-    sqrt(aggregate(asDouble(a), lit(0.0), (acc, x) => acc + x * x))
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity in [-1, 1]; 0 when either vector has zero norm. */
   def cosine(a: Column, b: Column): Column = {
@@ -25,6 +30,17 @@ object VectorFunctions {
     val nn = norm(a) * norm(b)
     when(nn === 0.0, lit(0.0)).otherwise(d / nn)
   }
+
+  /**
+   * Unit-normalized copy of `v` given its *materialized* norm column
+   * (stage `norm(v)` in a prior projection — HOF lambdas re-evaluate
+   * captured non-attribute expressions per element). Zero vectors pass
+   * through unchanged. After normalization, cosine = [[dot]] — one array
+   * pass per pair instead of three.
+   */
+  def normalized(v: Column, nrm: Column): Column =
+    when(nrm === 0.0, transform(v, x => x.cast("double")))
+      .otherwise(transform(v, x => x.cast("double") / nrm))
 
   def l2Distance(a: Column, b: Column): Column =
     sqrt(aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => (x - y) * (x - y)),

@@ -27,22 +27,64 @@ object Dedup {
     df.groupBy(keyCols.map(col): _*)
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
+  private val P = 2147483647L // 2^31 - 1, Mersenne prime
+
   /**
-   * MinHash signature: `numHashes` permutations approximated by
-   * (a·h + b) mod p over 32-bit shingle hashes (h widened to long first —
-   * products stay < 2^62, no ANSI overflow). Returns array<long>.
+   * MinHash signature from a *materialized* shingle-hash array column:
+   * `numHashes` permutations approximated by (a·h + b) mod p over 32-bit
+   * shingle hashes (widened to long first — products stay < 2^62, no ANSI
+   * overflow).
+   *
+   * Two-stage on purpose: the shingle/regex work must be computed ONCE
+   * per row in its own projection (see [[shingleHashes]]); inlining it
+   * into all `numHashes` min-expressions blows the expression past
+   * codegen limits and re-evaluates the regex per hash per element —
+   * measured 100× slower.
    */
-  def minhashSignature(text: Column, numHashes: Int, shingleN: Int): Column = {
-    val p = 2147483647L // 2^31 - 1, Mersenne prime
-    val shingleHashes = transform(T.charShingles(text, shingleN),
-      s => pmod(hash(s), lit(p.toInt)).cast("long"))
+  def shingleHashes(text: Column, shingleN: Int): Column =
+    transform(T.charShingles(text, shingleN),
+      s => pmod(hash(s), lit(P.toInt)).cast("long"))
+
+  def minhashFromHashes(sh: Column, numHashes: Int): Column = {
     val sig = (0 until numHashes).map { i =>
-      val a = 1L + 2 * ((1103515245L * i + 12345) % 1073741823L) // odd, < 2^31
-      val b = (1103515245L * (i + 7919) + 12345) % p
-      val perm = transform(shingleHashes, h => (h * a + b) % p)
-      when(size(perm) === 0, lit(p)).otherwise(array_min(perm))
+      val (a, b) = permCoeffs(i)
+      when(size(sh) === 0, lit(P))
+        .otherwise(array_min(transform(sh, h => (h * a + b) % P)))
     }
     array(sig: _*)
+  }
+
+  private def permCoeffs(i: Int): (Long, Long) = {
+    val a = 1L + 2 * ((1103515245L * i + 12345) % 1073741823L) // odd, < 2^31
+    val b = (1103515245L * (i + 7919) + 12345) % P
+    (a, b)
+  }
+
+  /**
+   * Signature table (id, sig) computed the scale path: explode shingle
+   * hashes and run ONE codegen'd hash-aggregate with `numHashes` min()
+   * buffers. Higher-order-function lambdas are interpreted per element in
+   * Spark; at N docs × S shingles × H hashes that interpretation dominates
+   * — the explode+agg form keeps the whole computation in whole-stage
+   * codegen and map-side partial aggregation (measured ~5× faster than
+   * the HOF form, and it scales out: the only shuffle is keyed by id).
+   */
+  private def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, shingleN: Int): DataFrame = {
+    // normText staged as an attribute so the shingle lambda doesn't
+    // re-run the regex per element; the hash runs post-explode in
+    // whole-stage codegen.
+    val exploded = df
+      .select(col(idCol).as("id"), T.normText(col(textCol)).as("norm"))
+      .select(col("id"),
+        explode_outer(T.charShinglesFromNorm(col("norm"), shingleN)).as("s"))
+      .select(col("id"), pmod(hash(col("s")), lit(P.toInt)).cast("long").as("h"))
+    val mins = (0 until numHashes).map { i =>
+      val (a, b) = permCoeffs(i)
+      coalesce(min((col("h") * a + b) % P), lit(P)).as(s"c$i") // empty doc ⇒ P
+    }
+    exploded.groupBy(col("id")).agg(mins.head, mins.tail: _*)
+      .select(col("id"), array((0 until numHashes).map(i => col(s"c$i")): _*).as("sig"))
   }
 
   /**
@@ -53,41 +95,71 @@ object Dedup {
    */
   def minhashLsh(
       df: DataFrame, idCol: String, textCol: String,
-      numHashes: Int = 64, bands: Int = 16, shingleN: Int = 5,
+      numHashes: Int = 64, bands: Int = 8, shingleN: Int = 5,
       threshold: Double = 0.5): DataFrame = {
     val rows = numHashes / bands
-    val sigd = df.select(col(idCol).as("id"),
-      minhashSignature(col(textCol), numHashes, shingleN).as("sig"))
+    val sigd = minhashSignatures(df, idCol, textCol, numHashes, shingleN)
     // inverted index: (band, hash-of-band-slice) → ids
-    val banded = sigd.select(col("id"), col("sig"),
+    val banded = sigd.select(col("id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)), b)))
           .as(Seq("band", "bucket")))
-    val l = banded.select(col("band"), col("bucket"),
-      col("id").as("id_a"), col("sig").as("sig_a"))
-    val r = banded.select(col("band"), col("bucket"),
-      col("id").as("id_b"), col("sig").as("sig_b"))
-    l.join(r, Seq("band", "bucket"))
+    // distinct candidate pairs FIRST (a pair colliding in k bands must be
+    // verified once, not k times), then join signatures back to verify.
+    val cand = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+      .join(banded.select(col("band"), col("bucket"), col("id").as("id_b")),
+        Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(sigd.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigd.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
       .select(col("id_a"), col("id_b"),
-        (size(filter(zip_with(col("sig_a"), col("sig_b"),
-          (x, y) => x === y), b => b)) / numHashes.toDouble).as("est_jaccard"))
+        round(graft.functions.GraftFunctions.graftMatchCount(col("sig_a"), col("sig_b"))
+          / numHashes.toDouble, 4).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
-      .groupBy("id_a", "id_b").agg(round(max("est_jaccard"), 4).as("est_jaccard"))
   }
 
   /**
-   * 64-bit SimHash from token hashes: per bit, majority vote of token
-   * hash bits; assembled with shift/or (bitwise — overflow-free).
+   * 64-bit SimHash from a materialized token-hash array: per bit,
+   * majority vote of token hash bits; assembled with shift/or (bitwise —
+   * overflow-free). Same two-stage discipline as MinHash: tokenization
+   * runs once per row, the 64 bit-votes read the materialized array.
    */
-  def simhash(text: Column): Column = {
-    val th = transform(T.tokens(text), t => xxhash64(t))
+  def tokenHashes(text: Column): Column =
+    transform(T.tokens(text), t => xxhash64(t))
+
+  def simhashFromHashes(th: Column): Column = {
     val bits = (0 until 64).map { b =>
       val vote = aggregate(th, lit(0L),
         (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
       when(vote > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
     }
     bits.reduce(_.bitwiseOR(_))
+  }
+
+  /** Single-column convenience form (tests / small inputs). */
+  def simhash(text: Column): Column = simhashFromHashes(tokenHashes(text))
+
+  /**
+   * SimHash signature table via explode + one codegen'd aggregate with 64
+   * sum() vote buffers (same rationale as [[minhashSignatures]]). Empty
+   * documents get signature 0.
+   */
+  private def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val exploded = df
+      .select(col(idCol).as("id"), T.tokens(col(textCol)).as("ts"))
+      .select(col("id"), explode_outer(col("ts")).as("t"))
+      .select(col("id"), xxhash64(col("t")).as("h"))
+    val votes = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+        .as(s"v$b")
+    }
+    exploded.groupBy(col("id")).agg(votes.head, votes.tail: _*)
+      .select(col("id"),
+        (0 until 64).map(b =>
+          when(col(s"v$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
+          .reduce(_.bitwiseOR(_)).as("sig"))
   }
 
   /**
@@ -97,7 +169,7 @@ object Dedup {
    */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val sigd = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+    val sigd = simhashSignatures(df, idCol, textCol)
     val chunked = sigd.select(col("id"), col("sig"),
       posexplode(array((0 until 4).map(c =>
         shiftrightunsigned(col("sig"), c * 16).bitwiseAND(0xFFFFL)): _*))
@@ -118,15 +190,26 @@ object Dedup {
    * hash), count shared, Jaccard = shared / (|A| + |B| - shared).
    */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
-        array_distinct(T.shingles(col(textCol), n)).as("sh"))
-      .select(col("id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("s"))
-    val l = sh.select(col("s"), col("id").as("id_a"), col("n_sh").as("na"))
-    val r = sh.select(col("s"), col("id").as("id_b"), col("n_sh").as("nb"))
-    l.join(r, "s").filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b")
-      .agg(count(lit(1)).as("shared"), first("na").as("na"), first("nb").as("nb"))
+      n: Int = 3, threshold: Double = 0.8, dfCap: Int = 200): DataFrame = {
+    val base = df
+      .select(col(idCol).as("id"), T.tokens(col(textCol)).as("ts"))
+      .select(col("id"),
+        explode(array_distinct(T.shinglesFromTokens(col("ts"), n))).as("s"))
+    // stop-shingle guard: a shingle present in > dfCap docs contributes
+    // ~df² join rows but no discrimination — drop it from the index and
+    // compute Jaccard over the remaining shingle space. At 100 TB this
+    // cap is what keeps the inverted-index join bounded under skew.
+    val hot = base.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap).select("s")
+    val kept = base.join(broadcast(hot), Seq("s"), "left_anti")
+    val sizes = kept.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val shared = kept.select(col("s"), col("id").as("id_a"))
+      .join(kept.select(col("s"), col("id").as("id_b")), "s")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("na")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("nb")), "id_b")
       .select(col("id_a"), col("id_b"),
         round(col("shared") / (col("na") + col("nb") - col("shared")).cast("double"), 4)
           .as("jaccard"))
@@ -139,16 +222,27 @@ object Dedup {
    * recall survives unlucky hyperplanes).
    */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double = 0.95, bits: Int = 8, tables: Int = 2): DataFrame = {
-    val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      threshold: Double = 0.95, bits: Int = 6, tables: Int = 2): DataFrame = {
+    // unit-normalize once per vector (norm staged as attribute) so the
+    // per-pair verification is a single dot product.
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v0"),
+        V.norm(col(vecCol)).as("nrm"))
+      .select(col("id"), V.normalized(col("v0"), col("nrm")).as("v"))
+    val bucketed = vecs.select(col("id"),
       posexplode(array((0 until tables).map(t =>
-        V.lshBucket(col(vecCol), bits, seed = 58 + t)): _*)).as(Seq("tbl", "bucket")))
-    val l = bucketed.select(col("tbl"), col("bucket"), col("id").as("id_a"), col("v").as("va"))
-    val r = bucketed.select(col("tbl"), col("bucket"), col("id").as("id_b"), col("v").as("vb"))
-    l.join(r, Seq("tbl", "bucket"))
+        V.lshBucket(col("v"), bits, seed = 58 + t)): _*)).as(Seq("tbl", "bucket")))
+    // distinct pairs first (multi-table collisions dedup'd before the
+    // cosine), then join the vectors back for exact verification.
+    val cand = bucketed.select(col("tbl"), col("bucket"), col("id").as("id_a"))
+      .join(bucketed.select(col("tbl"), col("bucket"), col("id").as("id_b")),
+        Seq("tbl", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), V.cosine(col("va"), col("vb")).as("cos"))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(vecs.select(col("id").as("id_a"), col("v").as("va")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(V.dot(col("va"), col("vb")), 4).as("cos"))
       .filter(col("cos") >= threshold)
-      .groupBy("id_a", "id_b").agg(round(max("cos"), 4).as("cos"))
   }
 }

@@ -20,13 +20,20 @@ import graft.functions.{VectorFunctions => V}
  */
 object Similarity {
 
-  /** Exact top-k by cosine: one corpus scan, queries broadcast. */
+  /** (id, unit-normalized vector) — norms staged once per vector. */
+  private def unitVecs(df: DataFrame, idName: String, vecName: String): DataFrame =
+    df.select(col("vec_id").as(idName), col("embedding").as("v"),
+        V.norm(col("embedding")).as("nrm"))
+      .select(col(idName), V.normalized(col("v"), col("nrm")).as(vecName))
+
+  /** Exact top-k by cosine: one corpus scan, queries broadcast; cosine =
+    * one dot product over pre-normalized vectors. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val c = corpus.select(col("vec_id").as("item_id"), col("embedding").as("item_vec"))
-    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val c = unitVecs(corpus, "item_id", "item_vec")
+    val q = unitVecs(queries, "query_id", "query_vec")
     val scored = c.join(broadcast(q))
       .select(col("query_id"), col("item_id"),
-        V.cosine(col("query_vec"), col("item_vec")).as("cos"))
+        V.dot(col("query_vec"), col("item_vec")).as("cos"))
       .filter(col("query_id") =!= col("item_id"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("item_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -39,10 +46,11 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       bits: Int = 6, tables: Int = 4): DataFrame = {
     def bucketize(df: DataFrame, idName: String, vecName: String): DataFrame =
-      df.select(col("vec_id").as(idName), col("embedding").as(vecName),
-        posexplode(array((0 until tables).map(t =>
-          V.lshBucket(col("embedding"), bits, seed = 977 + t)): _*))
-          .as(Seq("tbl", "bucket")))
+      unitVecs(df, idName, vecName)
+        .select(col(idName), col(vecName),
+          posexplode(array((0 until tables).map(t =>
+            V.lshBucket(col(vecName), bits, seed = 977 + t)): _*))
+            .as(Seq("tbl", "bucket")))
     val c = bucketize(corpus, "item_id", "item_vec")
     val q = bucketize(queries, "query_id", "query_vec")
     val cand = c.join(broadcast(q), Seq("tbl", "bucket"))
@@ -50,7 +58,7 @@ object Similarity {
       .groupBy("query_id", "item_id")
       .agg(first("query_vec").as("query_vec"), first("item_vec").as("item_vec"))
       .select(col("query_id"), col("item_id"),
-        V.cosine(col("query_vec"), col("item_vec")).as("cos"))
+        V.dot(col("query_vec"), col("item_vec")).as("cos"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("item_id"))
     cand.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -1,0 +1,28 @@
+package graft
+
+import graft.SparkSpec
+
+/** Smoke: every declared query runs on sf0.001 and (except the genuinely
+  * sparse pair-finders at tiny scale) returns rows; entry() is non-empty. */
+class QueriesSpec extends SparkSpec {
+
+  // pair-finders may legitimately be empty at sf0.001 (50-500 rows)
+  private val mayBeEmpty = Set("q06_anti_join", "q20_minhash", "q21_simhash",
+    "q22_jaccard", "q25_embed_neardup")
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("oracleSql keys are a subset of queries keys") {
+    val unknown = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(unknown.isEmpty, s"oracleSql without query: $unknown")
+  }
+
+  SparkEntry.queries.foreach { case (name, fn) =>
+    test(s"$name runs at sf0.001") {
+      val n = fn(spark, sf0001).count()
+      if (!mayBeEmpty(name)) assert(n > 0, s"$name returned 0 rows")
+    }
+  }
+}

@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.functions.{TextFunctions => T, VectorFunctions => V}
+
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokens / tokenCount: empty-safe") {
+    val df = Seq("hello big world", "  ", "", "one").toDF("text")
+    val counts = df.select(T.tokenCount($"text")).as[Int].collect().toSeq
+    assert(counts === Seq(3, 0, 0, 1))
+  }
+
+  test("shingles: word n-grams") {
+    val df = Seq("a b c d").toDF("text")
+    val sh = df.select(T.shingles($"text", 2)).as[Seq[String]].head()
+    assert(sh === Seq("a b", "b c", "c d"))
+    val short = Seq("a").toDF("text")
+      .select(T.shingles($"text", 2)).as[Seq[String]].head()
+    assert(short === Seq.empty)
+  }
+
+  test("charShingles normalizes whitespace and case") {
+    val sh = Seq("Ab  cD").toDF("text")
+      .select(T.charShingles($"text", 3)).as[Seq[String]].head()
+    assert(sh === Seq("ab ", "b c", " cd"))
+  }
+
+  test("langId picks the dominant stopword language") {
+    val df = Seq(
+      "the cat and the dog of the house",
+      "der hund und die katze ist nicht da",
+      "xyzzy qwerty").toDF("text")
+    assert(df.select(T.langId($"text")).as[String].collect().toSeq ===
+      Seq("en", "de", "und"))
+  }
+
+  test("quality metrics") {
+    val df = Seq("Ab1 cd!").toDF("text")
+    val r = df.select(T.digitRatio($"text").as("d"), T.upperRatio($"text").as("u"),
+      T.meanTokenLen($"text").as("m"), T.punctCount($"text").as("p")).head()
+    assert(r.getAs[Double]("d") === 0.1429) // 1 digit / len 7, rounded to 4
+    assert(r.getAs[Double]("u") === 0.1429)
+    assert(r.getAs[Double]("m") === 3.0)
+    assert(r.getAs[Int]("p") === 1)
+  }
+
+  test("dot/norm kernels match the HOF reference implementation") {
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)))
+      .toDF("a", "b")
+    val r = df.select(
+      V.dot($"a", $"b").as("d"), V.dotHof($"a", $"b").as("dh"),
+      V.norm($"a").as("n")).head()
+    assert(r.getAs[Double]("d") === 32.0)
+    assert(r.getAs[Double]("dh") === 32.0)
+    assert(math.abs(r.getAs[Double]("n") - math.sqrt(14)) < 1e-12)
+  }
+
+  test("cosine: identical=1, orthogonal=0, zero-vector=0") {
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(1.0f, 0.0f)),
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f)),
+      (Array(0.0f, 0.0f), Array(1.0f, 1.0f))).toDF("a", "b")
+    val cs = df.select(V.cosine($"a", $"b")).as[Double].collect().toSeq
+    assert(math.abs(cs(0) - 1.0) < 1e-12)
+    assert(cs(1) === 0.0 && cs(2) === 0.0)
+  }
+
+  test("graftMatchCount counts agreeing positions") {
+    val df = Seq((Array(1L, 2L, 3L, 4L), Array(1L, 9L, 3L, 8L))).toDF("a", "b")
+    assert(df.select(GraftFunctions.graftMatchCount($"a", $"b")).as[Int].head() === 2)
+  }
+
+  test("fingerprint: near-identical docs share min-shingle fingerprints") {
+    val df = Seq("a b c d e f g", "a b c d e f g", "totally different words here")
+      .toDF("text")
+    val fps = df.select(T.fingerprint($"text", 3)).as[Long].collect()
+    assert(fps(0) === fps(1))
+    assert(fps(0) !== fps(2))
+  }
+}

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog and runs far away home"),
+    (1L, "the quick brown fox jumps over the lazy dog and runs far away home"), // exact dup
+    (2L, "the quick brown fox jumps over the lazy cat and runs far away home"), // near dup
+    (3L, "completely unrelated text about spark catalyst optimizer internals"),
+    (4L, "")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts") {
+    val out = Dedup.exact(docs, "doc_id", Seq("text"))
+    assert(out.count() === 4) // 0+1 collapse
+    val dup = out.filter(col("n_dups") === 2).head()
+    assert(dup.getAs[Long]("keep_id") === 0L)
+  }
+
+  test("minhashLsh finds exact and near duplicates, not unrelated") {
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
+        numHashes = 64, bands = 16, shingleN = 5, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((0L, 2L)) || pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("exact-dup pair has est_jaccard 1.0") {
+    val j = Dedup.minhashLsh(docs, "doc_id", "text", 64, 16, 5, 0.5)
+      .filter(col("id_a") === 0 && col("id_b") === 1)
+      .select("est_jaccard").as[Double].head()
+    assert(j === 1.0)
+  }
+
+  test("simhashPairs: identical docs at hamming 0; unrelated not paired") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 10)
+    val h01 = pairs.filter(col("id_a") === 0 && col("id_b") === 1)
+      .select("hamming").as[Int].collect()
+    assert(h01.toSeq === Seq(0))
+    assert(pairs.filter(col("id_a") === 3 || col("id_b") === 3).count() === 0)
+  }
+
+  test("ngramJaccardPairs computes exact jaccard") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+    val j01 = pairs.filter(col("id_a") === 0 && col("id_b") === 1)
+      .select("jaccard").as[Double].head()
+    assert(j01 === 1.0)
+    // near-dup 0~2: 13 tokens, one word differs → shared 3-gram shingles
+    val j02 = pairs.filter(col("id_a") === 0 && col("id_b") === 2)
+      .select("jaccard").as[Double].head()
+    assert(j02 > 0.5 && j02 < 1.0)
+  }
+
+  test("embeddingNearDup pairs near-identical vectors") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.99f, 0.01f, 0.0f, 0.0f)), // ≈ same direction
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f))    // orthogonal
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDup(vecs, "vec_id", "embedding",
+        threshold = 0.95, bits = 2, tables = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+}
