@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
-import graft.operators.{Dedup, Similarity, StreamSplitter}
+import graft.operators.{AsOfJoin, ChoiceResolver, Dedup, Similarity, StreamSplitter}
 import graft.functions.{TextFunctions => T}
 import graft.multimodal.Multimodal
 
@@ -126,10 +126,10 @@ object SparkEntry {
         .orderBy(col("o_custkey"), col("rk"))
     }),
 
-    // anti join (NOT EXISTS): customers without orders.
+    // anti join (NOT EXISTS): customers with no urgent order.
     "q06_anti_join" -> ((s, dir) => {
       val c = t(s, dir, "customer")
-      val o = t(s, dir, "orders")
+      val o = t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
       c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"))
         .orderBy(col("c_custkey"))
@@ -330,6 +330,72 @@ object SparkEntry {
       StreamSplitter.flatten(
         StreamSplitter.demux(customerEnvelopes(s, dir), "dms_sample", "person"))
         .orderBy(col("c_custkey"))
+    }),
+
+    // as-of join (operator Spark's DataFrame API lacks): each click gets
+    // the user's most recent prior purchase. One shuffle + sort.
+    "q28_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), expr("ts div 1000").as("t_us"),
+          col("event_id").as("click_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), expr("ts div 1000").as("t_us"),
+          col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+      AsOfJoin.backward(clicks, purchases, Seq("user_id"), "t_us",
+          Seq("purchase_id", "purchase_value"))
+        .orderBy(col("click_id"))
+    }),
+
+    // the ad-hoc SQL surface (S7/Q2): catalog-registered views + SQL text
+    // through the full parser/analyzer/optimizer path.
+    "q29_sql_catalog" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""SELECT c_mktsegment, CAST(year(o_orderdate) AS INT) AS yr,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+               FROM orders JOIN customer ON o_custkey = c_custkey
+               GROUP BY c_mktsegment, year(o_orderdate)
+               ORDER BY c_mktsegment, yr""")
+    }),
+
+    // choice-type resolution (SURVEY §2.8): conflicting per-source
+    // schemas (long/int ids, double/int prices, string/int info) merge
+    // to the widest union schema and union cleanly.
+    "q30_choice_union" -> ((s, dir) => {
+      val a = t(s, dir, "part").select(
+        col("p_partkey").as("id"), col("p_retailprice").as("price"),
+        col("p_name").as("info"), lit("part").as("src"))
+      val b = t(s, dir, "supplier").select(
+        col("s_suppkey").cast("int").as("id"),
+        floor(col("s_acctbal")).cast("int").as("price"),
+        col("s_nationkey").as("info"), lit("supplier").as("src"))
+      val target = ChoiceResolver.mergeSchemas(Seq(a.schema, b.schema))
+      ChoiceResolver.resolveTo(a, target)
+        .unionByName(ChoiceResolver.resolveTo(b, target))
+        .orderBy(col("src"), col("id"))
+    }),
+
+    // approximate distinct-count sketch (HLL++); no cross-engine oracle
+    // (sketch estimates are engine-specific) — rows-only.
+    "q31_approx_distinct" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // running/offset window functions: lag + running sum per customer.
+    "q32_window_running" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+          sum(dec(col("o_totalprice"))).over(wRun).cast("double").as("running_total"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
     })
   )
 
@@ -368,7 +434,8 @@ object SparkEntry {
            FROM orders) WHERE rk <= 3 ORDER BY o_custkey, rk""",
     "q06_anti_join" ->
       """SELECT c_custkey, c_name FROM customer
-         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
          ORDER BY c_custkey""",
     "q06b_semi_join" ->
       """SELECT c_custkey, c_mktsegment FROM customer
@@ -462,6 +529,41 @@ object SparkEntry {
     "q27_split_person" ->
       """SELECT c_custkey, c_name, c_acctbal, CAST(c_custkey AS VARCHAR) AS timestamp
          FROM customer WHERE c_custkey % 10 <> 0 AND c_custkey % 17 <> 0
-         ORDER BY c_custkey"""
+         ORDER BY c_custkey""",
+    "q28_asof_join" ->
+      """WITH clicks AS (
+           SELECT user_id, epoch_us(ts) AS t_us, event_id AS click_id
+           FROM events WHERE event_type = 'click'),
+         purchases AS (
+           SELECT user_id, epoch_us(ts) AS t_us, event_id AS purchase_id,
+                  value AS purchase_value
+           FROM events WHERE event_type = 'purchase')
+         SELECT c.user_id, c.t_us, c.click_id, p.purchase_id, p.purchase_value
+         FROM clicks c ASOF LEFT JOIN purchases p
+           ON c.user_id = p.user_id AND p.t_us <= c.t_us
+         ORDER BY c.click_id""",
+    "q29_sql_catalog" ->
+      """SELECT c_mktsegment, CAST(year(o_orderdate) AS INT) AS yr,
+         count(*) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment, year(o_orderdate)
+         ORDER BY c_mktsegment, yr""",
+    "q30_choice_union" ->
+      """SELECT CAST(p_partkey AS BIGINT) AS id, CAST(p_retailprice AS DOUBLE) AS price,
+                CAST(p_name AS VARCHAR) AS info, 'part' AS src FROM part
+         UNION ALL
+         SELECT CAST(s_suppkey AS BIGINT), CAST(CAST(floor(s_acctbal) AS INT) AS DOUBLE),
+                CAST(s_nationkey AS VARCHAR), 'supplier' FROM supplier
+         ORDER BY src, id""",
+    "q32_window_running" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+         lag(o_totalprice, 1) OVER w AS prev_price,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+           (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         ORDER BY o_custkey, o_orderkey"""
   )
 }

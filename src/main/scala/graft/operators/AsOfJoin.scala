@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * As-of join: for every left row, attach the most recent right row of the
+ * same key with `right.time <= left.time` (backward direction; the
+ * standard CDC/event-enrichment primitive Spark's DataFrame API lacks).
+ *
+ * Implemented the scale path, not the nested-loop one: tag and union the
+ * two sides, then one `Window.partitionBy(key).orderBy(time, side)` with
+ * `last(col, ignoreNulls)` carries the latest right payload forward onto
+ * each left row. Cost = ONE shuffle on the key + a sort within
+ * partitions — the same plan shape as a sort-merge join, so it survives
+ * 100 TB (no per-row lookups, no broadcast requirement, skew behaves
+ * like any keyed sort). Right rows sort before left rows at equal time
+ * (side 0 < 1), giving inclusive `<=` semantics like DuckDB's ASOF JOIN.
+ */
+object AsOfJoin {
+
+  /**
+   * @param left      probe side
+   * @param right     reference side (its `valueCols` are carried over)
+   * @param keyCols   equality key columns (same names on both sides)
+   * @param timeCol   ordering column name (same name on both sides; any
+   *                  orderable type)
+   * @param valueCols right columns to attach (null when no match yet)
+   */
+  def backward(
+      left: DataFrame, right: DataFrame,
+      keyCols: Seq[String], timeCol: String,
+      valueCols: Seq[String]): DataFrame = {
+
+    val leftCols = left.columns.toSeq
+    // tag sides; align schemas: left gets null value-cols, right gets
+    // null left-only cols
+    val rightOnly = valueCols
+    val leftOnly = leftCols.filterNot(c => keyCols.contains(c) || c == timeCol)
+
+    val lTagged = left
+      .withColumn("__side", lit(1))
+      .select(
+        (keyCols :+ timeCol).map(col) ++
+          leftOnly.map(col) ++
+          rightOnly.map(c => lit(null).cast(right.schema(c).dataType).as(c)) :+
+          col("__side"): _*)
+    val rTagged = right
+      .withColumn("__side", lit(0))
+      .select(
+        (keyCols :+ timeCol).map(col) ++
+          leftOnly.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+          rightOnly.map(col) :+
+          col("__side"): _*)
+
+    val w = Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col(timeCol).asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    // carry the whole right payload as ONE struct so every attached
+    // column comes from the SAME right row even when some are null
+    val unioned = lTagged.unionByName(rTagged)
+      .withColumn("__payload",
+        when(col("__side") === 0, struct(rightOnly.map(col): _*)))
+
+    unioned
+      .withColumn("__asof", last(col("__payload"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1) // keep left rows only
+      .select(
+        (keyCols :+ timeCol).map(col) ++
+          leftOnly.map(col) ++
+          rightOnly.map(c => col(s"__asof.$c").as(c)): _*)
+  }
+}

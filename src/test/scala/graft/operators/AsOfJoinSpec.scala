@@ -1,0 +1,34 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("backward as-of join: latest right row at or before left time") {
+    val left = Seq(
+      (1L, 10L, "c1"), (1L, 25L, "c2"), (1L, 5L, "c0"),
+      (2L, 50L, "c3")).toDF("k", "t", "tag")
+    val right = Seq(
+      (1L, 10L, 100.0), (1L, 20L, 200.0), (2L, 60L, 300.0))
+      .toDF("k", "t", "price")
+
+    val out = AsOfJoin.backward(left, right, Seq("k"), "t", Seq("price"))
+      .orderBy("k", "t")
+      .as[(Long, Long, String, Option[Double])].collect().toSeq
+
+    assert(out === Seq(
+      (1L, 5L, "c0", None),         // before any right row
+      (1L, 10L, "c1", Some(100.0)), // inclusive: t == right.t matches
+      (1L, 25L, "c2", Some(200.0)), // latest prior (20), not first (10)
+      (2L, 50L, "c3", None)))       // right row for k=2 is later (60)
+  }
+
+  test("left columns and row count are preserved") {
+    val left = Seq((1L, 1L, "a"), (1L, 2L, "b")).toDF("k", "t", "tag")
+    val right = Seq((9L, 1L, 1.0)).toDF("k", "t", "price")
+    val out = AsOfJoin.backward(left, right, Seq("k"), "t", Seq("price"))
+    assert(out.count() === 2)
+    assert(out.columns.toSeq === Seq("k", "t", "tag", "price"))
+  }
+}
