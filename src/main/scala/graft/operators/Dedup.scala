@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import graft.functions.{TextFunctions => T, VectorFunctions => V}
 
 /**
@@ -98,7 +99,12 @@ object Dedup {
       numHashes: Int = 64, bands: Int = 8, shingleN: Int = 5,
       threshold: Double = 0.5): DataFrame = {
     val rows = numHashes / bands
+    // the signature table is referenced 3× in the plan (banding + both
+    // sides of the verify join); persist it so the explode+agg subtree
+    // runs once. At production scale the signatures would be written to
+    // a table instead (see SCALING.md) — spill-safe either way.
     val sigd = minhashSignatures(df, idCol, textCol, numHashes, shingleN)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // inverted index: (band, hash-of-band-slice) → ids
     val banded = sigd.select(col("id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
@@ -170,6 +176,7 @@ object Dedup {
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
     val sigd = simhashSignatures(df, idCol, textCol)
+      .persist(StorageLevel.MEMORY_AND_DISK) // referenced via both join sides
     val chunked = sigd.select(col("id"), col("sig"),
       posexplode(array((0 until 4).map(c =>
         shiftrightunsigned(col("sig"), c * 16).bitwiseAND(0xFFFFL)): _*))
@@ -202,6 +209,7 @@ object Dedup {
     val hot = base.groupBy("s").agg(count(lit(1)).as("df"))
       .filter(col("df") > dfCap).select("s")
     val kept = base.join(broadcast(hot), Seq("s"), "left_anti")
+      .persist(StorageLevel.MEMORY_AND_DISK) // used by sizes + both join sides
     val sizes = kept.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val shared = kept.select(col("s"), col("id").as("id_a"))
       .join(kept.select(col("s"), col("id").as("id_b")), "s")
