@@ -396,6 +396,24 @@ object SparkEntry {
           lag(col("o_totalprice"), 1).over(w).as("prev_price"),
           sum(dec(col("o_totalprice"))).over(wRun).cast("double").as("running_total"))
         .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // correlated scalar subquery (Catalyst decorrelates to a left outer
+    // aggregate join).
+    "q33_scalar_subquery" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""SELECT c_custkey,
+                 (SELECT max(o_totalprice) FROM orders
+                  WHERE o_custkey = c_custkey) AS max_price
+               FROM customer ORDER BY c_custkey""")
+    }),
+
+    // generator / table function: token explosion (UDTF-shape).
+    "q34_explode_tokens" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), T.tokens(col("text")).as("ts"))
+        .select(col("doc_id"), explode(col("ts")).as("tok"))
+        .orderBy(col("doc_id"), col("tok"))
     })
   )
 
@@ -564,6 +582,13 @@ object SparkEntry {
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
          FROM orders
          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-         ORDER BY o_custkey, o_orderkey"""
+         ORDER BY o_custkey, o_orderkey""",
+    "q33_scalar_subquery" ->
+      """SELECT c_custkey,
+         (SELECT max(o_totalprice) FROM orders WHERE o_custkey = c_custkey) AS max_price
+         FROM customer ORDER BY c_custkey""",
+    "q34_explode_tokens" ->
+      """SELECT doc_id, unnest(regexp_extract_all(trim(text), '\S+')) AS tok
+         FROM documents ORDER BY doc_id, tok"""
   )
 }
