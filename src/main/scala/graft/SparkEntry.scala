@@ -408,6 +408,20 @@ object SparkEntry {
                FROM customer ORDER BY c_custkey""")
     }),
 
+    // PII/URL scrub (training-data hygiene): inject a deterministic
+    // url+email per doc, scrub, measure removed span.
+    "q35_scrub" -> ((s, dir) => {
+      val dirty = concat(col("text"),
+        lit(" contact admin@example.com or visit https://ex.io/p/"),
+        col("doc_id").cast("string"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), dirty.as("dirty"))
+        .select(col("doc_id"),
+          length(col("dirty")).cast("long").as("dirty_len"),
+          length(T.scrubUrlsEmails(col("dirty"))).cast("long").as("clean_len"))
+        .orderBy(col("doc_id"))
+    }),
+
     // generator / table function: token explosion (UDTF-shape).
     "q34_explode_tokens" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -589,6 +603,15 @@ object SparkEntry {
          FROM customer ORDER BY c_custkey""",
     "q34_explode_tokens" ->
       """SELECT doc_id, unnest(regexp_extract_all(trim(text), '\S+')) AS tok
-         FROM documents ORDER BY doc_id, tok"""
+         FROM documents ORDER BY doc_id, tok""",
+    "q35_scrub" ->
+      """WITH d AS (SELECT doc_id,
+           text || ' contact admin@example.com or visit https://ex.io/p/'
+                || CAST(doc_id AS VARCHAR) AS dirty
+         FROM documents)
+         SELECT doc_id, CAST(length(dirty) AS BIGINT) AS dirty_len,
+           CAST(length(regexp_replace(regexp_replace(dirty, 'https?://\S+', '', 'g'),
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '', 'g')) AS BIGINT) AS clean_len
+         FROM d ORDER BY doc_id"""
   )
 }

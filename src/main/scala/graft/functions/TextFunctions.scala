@@ -103,6 +103,14 @@ object TextFunctions {
         greatest(size(ts), lit(1)).cast("double"), 4)
   }
 
+  /** Scrub URLs and email addresses (training-data hygiene). Patterns
+    * are valid and identical in Java regex and RE2 (no backreferences,
+    * no lookaround) so the oracle can mirror them. */
+  def scrubUrlsEmails(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, "https?://\\S+", ""),
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", "")
+
   /** Stopword-hit count for a language's function words (langid signal). */
   def stopwordHits(text: Column, words: Seq[String]): Column =
     size(regexp_extract_all(lower(text),

@@ -56,6 +56,32 @@ class StreamSplitterSpec extends SparkSpec {
     assert(new java.io.File(s"$dir/schema_name=dms_sample/table_name=person").exists())
   }
 
+  test("landing JSON → schema inference → split (S4/S5, crawler analog)") {
+    // two tables' payloads in one landing file: inference produces the
+    // union-of-tables data struct, exactly the crawler's view
+    // (reference image/image2.png)
+    val lines = Seq(
+      """{"data": {"ID": 1, "full_name": "A B"}, "metadata": {"timestamp": "t1", "record-type": "data", "operation": "load", "partition-key-type": "primary-key", "schema-name": "dms_sample", "table-name": "person"}}""",
+      """{"data": {"id": 7, "ticket_price": 46.57}, "metadata": {"timestamp": "t2", "record-type": "data", "operation": "load", "partition-key-type": "primary-key", "schema-name": "dms_sample", "table-name": "sporting_event_ticket"}}""",
+      """{"data": null, "metadata": {"timestamp": "t0", "record-type": "control", "operation": "create-table", "partition-key-type": "schema-table", "schema-name": "dms_sample", "table-name": "person"}}""")
+    val f = java.nio.file.Files.createTempFile("landing", ".json")
+    java.nio.file.Files.write(f, lines.mkString("\n").getBytes("UTF-8"))
+    // the union schema case-collides (`id` ticket vs `ID` person,
+    // reference image/image2.png) — landing reads need case-sensitive
+    // resolution (SURVEY §7.3 risk #2); this IS the documented policy
+    spark.conf.set("spark.sql.caseSensitive", "true")
+    try {
+      val env = spark.read.json(f.toString)
+      val dataFields = env.schema("data").dataType
+        .asInstanceOf[StructType].fieldNames.toSet
+      assert(dataFields === Set("ID", "full_name", "id", "ticket_price"))
+      val person = StreamSplitter.flatten(
+        StreamSplitter.demux(env, "dms_sample", "person"))
+      assert(person.count() === 1)
+      assert(person.select("full_name").head().getString(0) === "A B")
+    } finally spark.conf.set("spark.sql.caseSensitive", "false")
+  }
+
   test("splitOne writes hive-partitioned parquet (R1+S6)") {
     val dir = java.nio.file.Files.createTempDirectory("splitone").toString
     StreamSplitter.splitOne(fixture, "dms_sample", "person", dir,

@@ -56,4 +56,51 @@ class StreamingDemuxSpec extends SparkSpec {
       .select("table_name", "n").as[(String, Long)].collect().toMap
     assert(res === Map("person" -> 2L, "seat" -> 1L))
   }
+
+  test("Firehose-analog lander: gzip json, date-partitioned (S3)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    mem.addData(
+      envJson("person", 1, "2019-11-13T09:59:08.000000Z"),
+      envJson("person", 2, "2019-11-14T10:00:00.000000Z"))
+    val landing = java.nio.file.Files.createTempDirectory("landing").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("landckpt").toString
+    val q = StreamingDemux.landToJson(
+      StreamingDemux.parseEnvelopes(mem.toDF()), landing, ckpt,
+      trigger = Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    // date-templated prefix (reference README.md:76) + gzip (README.md:82)
+    assert(new java.io.File(s"$landing/ingest_date=2019-11-13").exists())
+    assert(new java.io.File(s"$landing/ingest_date=2019-11-14").exists())
+    val files = new java.io.File(s"$landing/ingest_date=2019-11-13")
+      .listFiles().filter(_.getName.endsWith(".json.gz"))
+    assert(files.nonEmpty)
+    val back = spark.read.json(landing)
+    assert(back.count() === 2)
+  }
+
+  test("streaming windowed counts match the equivalent batch aggregation") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val data = (0 until 50).map(i =>
+      envJson(if (i % 3 == 0) "seat" else "person", i % 10,
+        f"2019-11-13T09:${10 + i % 40}%02d:00.000000Z"))
+    mem.addData(data: _*)
+    val q = StreamingDemux.opCountsByWindow(
+        StreamingDemux.parseEnvelopes(mem.toDF()), "10 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("parity")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("parity")
+      .select(col("window.start").cast("string"), col("table_name"), col("n"))
+      .as[(String, String, Long)].collect().toSet
+    val batch = StreamingDemux.parseEnvelopes(
+        spark.createDataset(data).toDF("value"))
+      .groupBy(window(col("event_ts"), "10 minutes"),
+        col("metadata.`table-name`").as("table_name"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").cast("string"), col("table_name"), col("n"))
+      .as[(String, String, Long)].collect().toSet
+    assert(streamed === batch)
+  }
 }
