@@ -428,6 +428,24 @@ object SparkEntry {
         .select(col("doc_id"), T.tokens(col("text")).as("ts"))
         .select(col("doc_id"), explode(col("ts")).as("tok"))
         .orderBy(col("doc_id"), col("tok"))
+    }),
+
+    // cube: all grouping-set combinations over two dimensions.
+    "q36_cube" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sumDec(col("l_quantity")).as("qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }),
+
+    // pivot: one row per returnflag, one column per linestatus.
+    "q37_pivot" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sumDec(col("l_quantity")))
+        .orderBy(col("l_returnflag"))
     })
   )
 
@@ -612,6 +630,16 @@ object SparkEntry {
          SELECT doc_id, CAST(length(dirty) AS BIGINT) AS dirty_len,
            CAST(length(regexp_replace(regexp_replace(dirty, 'https?://\S+', '', 'g'),
              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '', 'g')) AS BIGINT) AS clean_len
-         FROM d ORDER BY doc_id"""
+         FROM d ORDER BY doc_id""",
+    "q36_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "q37_pivot" ->
+      """SELECT l_returnflag,
+         CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "F",
+         CAST(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "O"
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
   )
 }

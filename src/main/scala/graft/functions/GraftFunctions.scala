@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions.call_function
-import graft.functions.expressions.{DotProduct, LongArrayMatchCount}
+import graft.functions.expressions.{DotProduct, LongArrayMatchCount, MinHashSigAgg}
 
 /**
  * Registration of the engine's native Catalyst expressions as SQL
@@ -15,8 +15,9 @@ import graft.functions.expressions.{DotProduct, LongArrayMatchCount}
  */
 object GraftFunctions {
 
-  val DotName   = "graft_dot"
-  val MatchName = "graft_match_count"
+  val DotName     = "graft_dot"
+  val MatchName   = "graft_match_count"
+  val MinHashName = "graft_minhash_sig"
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -24,6 +25,9 @@ object GraftFunctions {
       exprs => DotProduct(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(MatchName,
       exprs => LongArrayMatchCount(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(MinHashName,
+      exprs => MinHashSigAgg(exprs(0),
+        exprs(1).eval().asInstanceOf[Int]).toAggregateExpression(), "built-in")
   }
 
   /** Codegen'd dot product (double) of two float/double arrays. */
@@ -31,4 +35,9 @@ object GraftFunctions {
 
   /** Codegen'd count of agreeing positions in two long arrays. */
   def graftMatchCount(a: Column, b: Column): Column = call_function(MatchName, a, b)
+
+  /** MinHash signature aggregate over a long-hash column (one buffer,
+    * tight-loop update; see MinHashSigAgg). */
+  def graftMinhashSig(h: Column, numHashes: Int): Column =
+    call_function(MinHashName, h, org.apache.spark.sql.functions.lit(numHashes))
 }

@@ -80,6 +80,12 @@ object Dedup {
       .select(col("id"),
         explode_outer(T.charShinglesFromNorm(col("norm"), shingleN)).as("s"))
       .select(col("id"), pmod(hash(col("s")), lit(P.toInt)).cast("long").as("h"))
+    // NOTE: measured against the MinHashSigAgg TypedImperativeAggregate
+    // (one object buffer, tight-loop update): the 64 codegen'd min()
+    // buffers below are equal-or-faster because TypedImperativeAggregate
+    // plans as ObjectHashAggregate and exits whole-stage codegen. The
+    // aggregate kernel stays available as `graft_minhash_sig` for SQL
+    // users; this path keeps HashAggregate + codegen.
     val mins = (0 until numHashes).map { i =>
       val (a, b) = permCoeffs(i)
       coalesce(min((col("h") * a + b) % P), lit(P)).as(s"c$i") // empty doc ⇒ P

@@ -73,6 +73,19 @@ class FunctionsSpec extends SparkSpec {
     assert(df.select(GraftFunctions.graftMatchCount($"a", $"b")).as[Int].head() === 2)
   }
 
+  test("graft_minhash_sig aggregate agrees with the Column-API minhash") {
+    import graft.operators.Dedup
+    val sh = Seq("hello world foo bar baz qux example text")
+      .toDF("text")
+      .select(Dedup.shingleHashes($"text", 5).as("sh"))
+    val viaColumn = sh.select(Dedup.minhashFromHashes($"sh", 16))
+      .as[Seq[Long]].head()
+    val viaAgg = sh.select(explode($"sh").as("h"))
+      .agg(GraftFunctions.graftMinhashSig($"h", 16))
+      .as[Seq[Long]].head()
+    assert(viaColumn === viaAgg)
+  }
+
   test("fingerprint: near-identical docs share min-shingle fingerprints") {
     val df = Seq("a b c d e f g", "a b c d e f g", "totally different words here")
       .toDF("text")
