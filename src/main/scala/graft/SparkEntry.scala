@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
-import graft.operators.{AsOfJoin, ChoiceResolver, Dedup, Similarity, StreamSplitter}
+import graft.operators.{AsOfJoin, CdcMaterializer, ChoiceResolver, Dedup, Similarity, StreamSplitter}
 import graft.functions.{TextFunctions => T}
 import graft.multimodal.Multimodal
 
@@ -446,6 +446,20 @@ object SparkEntry {
         .pivot("l_linestatus", Seq("F", "O"))
         .agg(sumDec(col("l_quantity")))
         .orderBy(col("l_returnflag"))
+    }),
+
+    // CDC snapshot materialization: events as a change log (insert/
+    // update/delete per user), collapsed to latest surviving state.
+    "q38_cdc_snapshot" -> ((s, dir) => {
+      val log = t(s, dir, "events").select(
+        col("user_id"), expr("ts div 1000").as("t_us"),
+        col("event_id"), col("value"),
+        when(col("event_type").isin("view", "signup"), "insert")
+          .when(col("event_type") === "error", "delete")
+          .otherwise("update").as("op"))
+      CdcMaterializer.latestSnapshot(log, Seq("user_id"),
+          Seq(col("t_us"), col("event_id")), "op")
+        .orderBy(col("user_id"))
     })
   )
 
@@ -640,6 +654,17 @@ object SparkEntry {
       """SELECT l_returnflag,
          CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "F",
          CAST(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "O"
-         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q38_cdc_snapshot" ->
+      """WITH log AS (SELECT user_id, epoch_us(ts) AS t_us, event_id, value,
+           CASE WHEN event_type IN ('view','signup') THEN 'insert'
+                WHEN event_type = 'error' THEN 'delete'
+                ELSE 'update' END AS op
+         FROM events),
+         r AS (SELECT *, row_number() OVER
+                 (PARTITION BY user_id ORDER BY t_us DESC, event_id DESC) AS rn
+               FROM log)
+         SELECT user_id, t_us, event_id, value, op
+         FROM r WHERE rn = 1 AND op <> 'delete' ORDER BY user_id"""
   )
 }

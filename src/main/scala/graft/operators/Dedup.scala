@@ -208,6 +208,7 @@ object Dedup {
       .select(col(idCol).as("id"), T.tokens(col(textCol)).as("ts"))
       .select(col("id"),
         explode(array_distinct(T.shinglesFromTokens(col("ts"), n))).as("s"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // feeds df-cap AND the index
     // stop-shingle guard: a shingle present in > dfCap docs contributes
     // ~df² join rows but no discrimination — drop it from the index and
     // compute Jaccard over the remaining shingle space. At 100 TB this

@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class ScaleToolingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedJoin equals the plain join (order-insensitive)") {
+    // skewed: 90% of left rows share key 1
+    val large = (0 until 1000).map(i => (if (i < 900) 1L else i.toLong, i))
+      .toDF("k", "payload")
+    val small = Seq((1L, "hot"), (950L, "cold"), (999L, "cold2")).toDF("k", "tag")
+    val salted = Skew.saltedJoin(large, small, "k", salt = 4)
+      .select("k", "payload", "tag").as[(Long, Int, String)].collect().sorted
+    val plain = large.join(small, "k")
+      .select("k", "payload", "tag").as[(Long, Int, String)].collect().sorted
+    assert(salted.toSeq === plain.toSeq)
+    assert(salted.length === 902) // 900 hot + 2 cold
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      spark.sql("DROP TABLE IF EXISTS bkt_a")
+      spark.sql("DROP TABLE IF EXISTS bkt_b")
+      spark.range(0, 1000).withColumn("v", col("id") * 2)
+        .write.bucketBy(8, "id").sortBy("id").saveAsTable("bkt_a")
+      spark.range(0, 1000).withColumn("w", col("id") + 5)
+        .write.bucketBy(8, "id").sortBy("id").saveAsTable("bkt_b")
+      val joined = spark.table("bkt_a").join(spark.table("bkt_b"), "id")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join should be co-located, got:\n$plan")
+      assert(joined.count() === 1000)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.sql("DROP TABLE IF EXISTS bkt_a")
+      spark.sql("DROP TABLE IF EXISTS bkt_b")
+    }
+  }
+}
