@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
-import graft.operators.{AsOfJoin, CdcMaterializer, ChoiceResolver, Dedup, Similarity, StreamSplitter}
+import graft.operators.{AsOfJoin, CdcMaterializer, ChoiceResolver, Dedup, RangeJoin, Similarity, StreamSplitter}
 import graft.functions.{TextFunctions => T}
 import graft.multimodal.Multimodal
 
@@ -460,6 +460,38 @@ object SparkEntry {
       CdcMaterializer.latestSnapshot(log, Seq("user_id"),
           Seq(col("t_us"), col("event_id")), "op")
         .orderBy(col("user_id"))
+    }),
+
+    // range join (no equi key): event values into overlapping numeric
+    // intervals via the bucketed interval-index rewrite.
+    "q39_range_join" -> ((s, dir) => {
+      val points = t(s, dir, "events").select(col("event_id"), col("value"))
+      val intervals = t(s, dir, "nation").select(col("n_nationkey"),
+        (col("n_nationkey") * 4.0).as("lo"),
+        (col("n_nationkey") * 4.0 + 6.0).as("hi"))
+      RangeJoin.pointInInterval(points, "value", intervals, "lo", "hi",
+          bucketWidth = 4.0)
+        .select(col("event_id"), col("n_nationkey"), col("value"))
+        .orderBy(col("event_id"), col("n_nationkey"))
+    }),
+
+    // sessionization: gap-based session ids per user (30-minute gap),
+    // lag + cumulative-sum windows.
+    "q40_sessionize" -> ((s, dir) => {
+      val gapUs = 30L * 60 * 1000000
+      val wOrd = Window.partitionBy(col("user_id"))
+        .orderBy(col("t_us"), col("event_id"))
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), expr("ts div 1000").as("t_us"), col("event_id"))
+        .withColumn("new_sess",
+          when(col("t_us") - lag(col("t_us"), 1).over(wOrd) > gapUs, 1L)
+            .otherwise(lit(0L)))
+        .withColumn("session_id", sum(col("new_sess"))
+          .over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      ev.groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("t_us")).as("t_start"), max(col("t_us")).as("t_end"))
+        .orderBy(col("user_id"), col("session_id"))
     })
   )
 
@@ -665,6 +697,28 @@ object SparkEntry {
                  (PARTITION BY user_id ORDER BY t_us DESC, event_id DESC) AS rn
                FROM log)
          SELECT user_id, t_us, event_id, value, op
-         FROM r WHERE rn = 1 AND op <> 'delete' ORDER BY user_id"""
+         FROM r WHERE rn = 1 AND op <> 'delete' ORDER BY user_id""",
+    "q39_range_join" ->
+      """SELECT e.event_id, n.n_nationkey, e.value
+         FROM events e JOIN nation n
+           ON e.value >= n.n_nationkey * 4.0
+          AND e.value <  n.n_nationkey * 4.0 + 6.0
+         ORDER BY e.event_id, n.n_nationkey""",
+    "q40_sessionize" ->
+      """WITH ev AS (
+           SELECT user_id, epoch_us(ts) AS t_us, event_id FROM events),
+         g AS (
+           SELECT user_id, t_us, event_id,
+             CASE WHEN t_us - lag(t_us, 1) OVER w > 30*60*1000000 THEN 1 ELSE 0 END AS new_sess
+           FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)),
+         s AS (
+           SELECT user_id, t_us, event_id,
+             CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY t_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+           FROM g)
+         SELECT user_id, session_id, count(*) AS n_events,
+           min(t_us) AS t_start, max(t_us) AS t_end
+         FROM s GROUP BY user_id, session_id
+         ORDER BY user_id, session_id"""
   )
 }
