@@ -492,6 +492,17 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"),
           min(col("t_us")).as("t_start"), max(col("t_us")).as("t_end"))
         .orderBy(col("user_id"), col("session_id"))
+    }),
+
+    // exact interpolated percentiles (continuous quantile semantics
+    // shared by Spark `percentile` and DuckDB `quantile_cont`).
+    "q41_percentile" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_quantity, 0.5)").as("p50"),
+          expr("percentile(l_quantity, 0.9)").as("p90"),
+          expr("percentile(l_extendedprice, 0.25)").as("price_p25"))
+        .orderBy(col("l_returnflag"))
     })
   )
 
@@ -719,6 +730,12 @@ object SparkEntry {
          SELECT user_id, session_id, count(*) AS n_events,
            min(t_us) AS t_start, max(t_us) AS t_end
          FROM s GROUP BY user_id, session_id
-         ORDER BY user_id, session_id"""
+         ORDER BY user_id, session_id""",
+    "q41_percentile" ->
+      """SELECT l_returnflag,
+         quantile_cont(l_quantity, 0.5) AS p50,
+         quantile_cont(l_quantity, 0.9) AS p90,
+         quantile_cont(l_extendedprice, 0.25) AS price_p25
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
   )
 }

@@ -79,4 +79,20 @@ object StreamingDemux {
         StreamSplitter.tableNameCol.as("table_name"),
         col("metadata.operation").as("operation"))
       .agg(count(lit(1)).as("n"))
+
+  /**
+   * Gap-based session windows per table over the stream — Structured
+   * Streaming's native `session_window` (dynamic-gap state merged by
+   * the state store), the streaming twin of the batch sessionization
+   * in SparkEntry q40.
+   */
+  def sessionsByTable(envelopes: DataFrame,
+      gap: String = "30 minutes",
+      watermark: String = "30 minutes"): DataFrame =
+    envelopes
+      .withWatermark("event_ts", watermark)
+      .groupBy(
+        session_window(col("event_ts"), gap),
+        StreamSplitter.tableNameCol.as("table_name"))
+      .agg(count(lit(1)).as("n"))
 }

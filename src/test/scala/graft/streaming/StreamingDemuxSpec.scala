@@ -57,6 +57,26 @@ class StreamingDemuxSpec extends SparkSpec {
     assert(res === Map("person" -> 2L, "seat" -> 1L))
   }
 
+  test("streaming session windows merge events within the gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    // person: two bursts 2h apart → 2 sessions; seat: one event
+    mem.addData(
+      envJson("person", 1, "2019-11-13T09:00:00.000000Z"),
+      envJson("person", 2, "2019-11-13T09:10:00.000000Z"),
+      envJson("person", 3, "2019-11-13T11:30:00.000000Z"),
+      envJson("seat", 4, "2019-11-13T09:05:00.000000Z"))
+    val q = StreamingDemux.sessionsByTable(
+        StreamingDemux.parseEnvelopes(mem.toDF()), gap = "30 minutes")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val sessions = spark.table("sessions")
+      .select("table_name", "n").as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(sessions === Map("person" -> Seq(1L, 2L), "seat" -> Seq(1L)))
+  }
+
   test("Firehose-analog lander: gzip json, date-partitioned (S3)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[String]
