@@ -503,6 +503,15 @@ object SparkEntry {
           expr("percentile(l_quantity, 0.9)").as("p90"),
           expr("percentile(l_extendedprice, 0.25)").as("price_p25"))
         .orderBy(col("l_returnflag"))
+    }),
+
+    // JSON path extraction (get_json_object / json_extract_string).
+    "q42_json_path" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .filter(col("k").isNotNull)
+        .orderBy(col("event_id"))
     })
   )
 
@@ -736,6 +745,11 @@ object SparkEntry {
          quantile_cont(l_quantity, 0.5) AS p50,
          quantile_cont(l_quantity, 0.9) AS p90,
          quantile_cont(l_extendedprice, 0.25) AS price_p25
-         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q42_json_path" ->
+      """SELECT event_id,
+         CAST(json_extract_string(props, '$.k') AS INT) AS k
+         FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
+         ORDER BY event_id"""
   )
 }

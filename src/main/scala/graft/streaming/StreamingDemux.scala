@@ -30,6 +30,36 @@ object StreamingDemux {
       .withColumn("event_ts", to_timestamp(col("metadata.timestamp")))
   }
 
+  /**
+   * Error-routing variant of the Firehose `ErrorOutputPrefix`
+   * (reference README.md:76-78): records whose envelope fails to parse
+   * (malformed JSON / missing metadata) are diverted to `errorDir` as
+   * raw lines instead of poisoning the split; good records are split
+   * per table as in [[splitStream]].
+   */
+  def splitStreamWithErrors(raw: DataFrame, outDir: String, errorDir: String,
+      checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime("600 seconds")): StreamingQuery = {
+    val parsed = raw.select(col("value"),
+      from_json(col("value"), DmsEnvelope.rawEnvelopeSchema).as("env"))
+    parsed.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val bad = batch.filter(col("env").isNull || col("env.metadata").isNull ||
+          col("env.metadata.`table-name`").isNull)
+        bad.select(col("value")).write
+          .mode(org.apache.spark.sql.SaveMode.Append).text(errorDir)
+        val good = batch.filter(col("env").isNotNull &&
+            col("env.metadata").isNotNull &&
+            col("env.metadata.`table-name`").isNotNull)
+          .select(col("env.data").as("data"), col("env.metadata").as("metadata"))
+        StreamSplitter.splitAll(good, outDir,
+          mode = org.apache.spark.sql.SaveMode.Append)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+  }
+
   /** Firehose-analog lander: micro-batched, compressed, date-partitioned
     * (reference README.md:76-82: 600 s buffer, GZIP, date-templated prefix). */
   def landToJson(envelopes: DataFrame, landingDir: String, checkpoint: String,

@@ -57,6 +57,25 @@ class StreamingDemuxSpec extends SparkSpec {
     assert(res === Map("person" -> 2L, "seat" -> 1L))
   }
 
+  test("error routing: malformed records divert to the error prefix") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    mem.addData(
+      envJson("person", 1, "2019-11-13T09:59:08.000000Z"),
+      """{"this is": "not an envelope"}""",
+      "total garbage {{{",
+      envJson("seat", 2, "2019-11-13T09:59:09.000000Z"))
+    val out = java.nio.file.Files.createTempDirectory("goodout").toString
+    val err = java.nio.file.Files.createTempDirectory("errout").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("errckpt").toString
+    val q = StreamingDemux.splitStreamWithErrors(mem.toDF(), out, err, ckpt,
+      trigger = Trigger.AvailableNow())
+    q.awaitTermination(60000)
+    assert(spark.read.parquet(out).count() === 2)
+    val errors = spark.read.text(err).collect().map(_.getString(0)).toSet
+    assert(errors === Set("""{"this is": "not an envelope"}""", "total garbage {{{"))
+  }
+
   test("streaming session windows merge events within the gap") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[String]
