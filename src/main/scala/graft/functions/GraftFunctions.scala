@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions.call_function
-import graft.functions.expressions.{DotProduct, LongArrayMatchCount, MinHashSigAgg}
+import graft.functions.expressions.{DotProduct, LongArrayMatchCount, MinHashSigAgg, SimHashSigAgg}
 
 /**
  * Registration of the engine's native Catalyst expressions as SQL
@@ -18,6 +18,7 @@ object GraftFunctions {
   val DotName     = "graft_dot"
   val MatchName   = "graft_match_count"
   val MinHashName = "graft_minhash_sig"
+  val SimHashName = "graft_simhash_sig"
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -28,6 +29,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(MinHashName,
       exprs => MinHashSigAgg(exprs(0),
         exprs(1).eval().asInstanceOf[Int]).toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction(SimHashName,
+      exprs => SimHashSigAgg(exprs(0)).toAggregateExpression(), "built-in")
   }
 
   /** Codegen'd dot product (double) of two float/double arrays. */
@@ -40,4 +43,7 @@ object GraftFunctions {
     * tight-loop update; see MinHashSigAgg). */
   def graftMinhashSig(h: Column, numHashes: Int): Column =
     call_function(MinHashName, h, org.apache.spark.sql.functions.lit(numHashes))
+
+  /** 64-bit SimHash signature aggregate over a token-hash column. */
+  def graftSimhashSig(h: Column): Column = call_function(SimHashName, h)
 }

@@ -163,15 +163,12 @@ object Dedup {
       .select(col(idCol).as("id"), T.tokens(col(textCol)).as("ts"))
       .select(col("id"), explode_outer(col("ts")).as("t"))
       .select(col("id"), xxhash64(col("t")).as("h"))
-    val votes = (0 until 64).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
-        .as(s"v$b")
-    }
-    exploded.groupBy(col("id")).agg(votes.head, votes.tail: _*)
-      .select(col("id"),
-        (0 until 64).map(b =>
-          when(col(s"v$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
-          .reduce(_.bitwiseOR(_)).as("sig"))
+    // SimHashSigAgg (object aggregate) rather than 64 codegen'd sum()
+    // buffers: here janino compilation of the wide aggregate + 192-node
+    // bit assembly (~5 s) dwarfed execution (~1 s) — opposite tradeoff
+    // to MinHash; see SimHashSigAgg scaladoc.
+    exploded.groupBy(col("id"))
+      .agg(graft.functions.GraftFunctions.graftSimhashSig(col("h")).as("sig"))
   }
 
   /**

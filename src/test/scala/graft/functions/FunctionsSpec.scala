@@ -86,6 +86,15 @@ class FunctionsSpec extends SparkSpec {
     assert(viaColumn === viaAgg)
   }
 
+  test("graft_simhash_sig aggregate agrees with the Column-API simhash") {
+    import graft.operators.Dedup
+    val df = Seq("the quick brown fox jumps over lazy dogs").toDF("text")
+    val viaColumn = df.select(Dedup.simhash($"text")).as[Long].head()
+    val viaAgg = df.select(explode(Dedup.tokenHashes($"text")).as("h"))
+      .agg(GraftFunctions.graftSimhashSig($"h")).as[Long].head()
+    assert(viaColumn === viaAgg)
+  }
+
   test("fingerprint: near-identical docs share min-shingle fingerprints") {
     val df = Seq("a b c d e f g", "a b c d e f g", "totally different words here")
       .toDF("text")
