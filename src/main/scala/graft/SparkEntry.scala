@@ -290,7 +290,7 @@ object SparkEntry {
     // exact n-gram Jaccard pairs via inverted shingle index (rows-only).
     "q22_jaccard" -> ((s, dir) => {
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
-          n = 5, threshold = 0.55)
+          n = 5, threshold = 0.8)
         .orderBy(col("id_a"), col("id_b"))
     }),
 

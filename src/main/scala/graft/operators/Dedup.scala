@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 import graft.functions.{TextFunctions => T, VectorFunctions => V}
@@ -199,31 +200,50 @@ object Dedup {
    * shingles, self-join on shingle (the only shuffle, keyed by shingle
    * hash), count shared, Jaccard = shared / (|A| + |B| - shared).
    */
+  /**
+   * Exact n-gram Jaccard ≥ threshold pairs via PREFIX FILTERING
+   * (PPJoin-style): two docs with Jaccard ≥ t must share at least one of
+   * either doc's ⌊(1−t)·n⌋+1 globally-rarest shingles. Only that prefix
+   * enters the inverted-index join — the frequent shingles that would
+   * dominate a full index self-join (df² rows each) never join at all —
+   * and the (small) candidate set is verified exactly with one
+   * `array_intersect` per pair over the full shingle sets.
+   *
+   * Shuffles: shingle-df count, per-doc re-sort, prefix index join,
+   * pair verify join — all keyed, all bounded; the prefix theorem is
+   * what keeps this exact AND skew-safe at 100 TB.
+   */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, threshold: Double = 0.8, dfCap: Int = 200): DataFrame = {
-    val base = df
+      n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    // (id, full shingle set, size) — built once, reused for the index
+    // AND the verification join (no collect_list reconstruction)
+    val sets = df
       .select(col(idCol).as("id"), T.tokens(col(textCol)).as("ts"))
       .select(col("id"),
-        explode(array_distinct(T.shinglesFromTokens(col("ts"), n))).as("s"))
-      .persist(StorageLevel.MEMORY_AND_DISK) // feeds df-cap AND the index
-    // stop-shingle guard: a shingle present in > dfCap docs contributes
-    // ~df² join rows but no discrimination — drop it from the index and
-    // compute Jaccard over the remaining shingle space. At 100 TB this
-    // cap is what keeps the inverted-index join bounded under skew.
-    val hot = base.groupBy("s").agg(count(lit(1)).as("df"))
-      .filter(col("df") > dfCap).select("s")
-    val kept = base.join(broadcast(hot), Seq("s"), "left_anti")
-      .persist(StorageLevel.MEMORY_AND_DISK) // used by sizes + both join sides
-    val sizes = kept.groupBy("id").agg(count(lit(1)).as("n_sh"))
-    val shared = kept.select(col("s"), col("id").as("id_a"))
-      .join(kept.select(col("s"), col("id").as("id_b")), "s")
+        array_distinct(T.shinglesFromTokens(col("ts"), n)).as("set"))
+      .withColumn("n_sh", size(col("set")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val base = sets.select(col("id"), col("n_sh"), explode(col("set")).as("s"))
+    // global rarity order (document frequency, shingle as tiebreak)
+    val dfc = base.groupBy("s").agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy("id").orderBy(col("df"), col("s"))
+    // prefix length ⌊(1−t)·n⌋+1 of each doc's rarest shingles
+    val prefix = base.join(dfc, "s")
+      .withColumn("rank", row_number().over(wDoc))
+      .filter(col("rank") <= floor(lit(1.0 - threshold) * col("n_sh")) + 1)
+    val cand = prefix.select(col("s"), col("id").as("id_a"))
+      .join(prefix.select(col("s"), col("id").as("id_b")), "s")
       .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
-    shared
-      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("na")), "id_a")
-      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("nb")), "id_b")
+      .select("id_a", "id_b").distinct()
+    // exact verification on candidates only
+    cand
+      .join(sets.select(col("id").as("id_a"), col("set").as("sa"), col("n_sh").as("na")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("set").as("sb"), col("n_sh").as("nb")), "id_b")
       .select(col("id_a"), col("id_b"),
-        round(col("shared") / (col("na") + col("nb") - col("shared")).cast("double"), 4)
+        size(array_intersect(col("sa"), col("sb"))).as("inter"),
+        col("na"), col("nb"))
+      .select(col("id_a"), col("id_b"),
+        round(col("inter") / (col("na") + col("nb") - col("inter")).cast("double"), 4)
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
