@@ -505,6 +505,32 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     }),
 
+    // map type: JSON payload as map<string,int>, exploded to entries.
+    "q43_map_explode" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_id"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.DataType.fromDDL("map<string,int>")).as("m"))
+        .select(col("event_id"), explode(col("m")).as(Seq("key", "val")))
+        .orderBy(col("event_id"), col("key"))
+    }),
+
+    // typed Dataset Aggregator: quantity-weighted mean price per flag
+    // (BigDecimal buffer → order-independent, oracle-exact).
+    "q44_typed_agg" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          col("l_quantity"), col("l_extendedprice"))
+        .as[(String, Double, Double)]
+      li.groupByKey(_._1)
+        .agg(graft.functions.typed.WeightedMean
+          .of[(String, Double, Double)](_._2, _._3)
+          .toColumn.name("wavg_price"))
+        .toDF("l_returnflag", "wavg_price")
+        .orderBy(col("l_returnflag"))
+    }),
+
     // JSON path extraction (get_json_object / json_extract_string).
     "q42_json_path" -> ((s, dir) => {
       t(s, dir, "events")
@@ -750,6 +776,16 @@ object SparkEntry {
       """SELECT event_id,
          CAST(json_extract_string(props, '$.k') AS INT) AS k
          FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
-         ORDER BY event_id"""
+         ORDER BY event_id""",
+    "q43_map_explode" ->
+      """SELECT event_id, 'k' AS key,
+         CAST(json_extract_string(props, '$.k') AS INT) AS val
+         FROM events WHERE props IS NOT NULL
+         ORDER BY event_id, key""",
+    "q44_typed_agg" ->
+      """SELECT l_returnflag,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+           / CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS wavg_price
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
   )
 }
