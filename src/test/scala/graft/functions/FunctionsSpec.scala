@@ -73,6 +73,20 @@ class FunctionsSpec extends SparkSpec {
     assert(df.select(GraftFunctions.graftMatchCount($"a", $"b")).as[Int].head() === 2)
   }
 
+  test("kernels are callable from SQL text") {
+    val r = spark.sql(
+      "SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d, " +
+      "graft_match_count(array(1L, 2L), array(1L, 9L)) AS m").head()
+    assert(r.getAs[Double]("d") === 11.0)
+    assert(r.getAs[Int]("m") === 1)
+  }
+
+  test("GraftExtensions installs into a SparkSessionExtensions instance") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.GraftExtensions().apply(ext) // must not throw; functional
+    // behavior is covered by the register()-based tests above
+  }
+
   test("graft_minhash_sig aggregate agrees with the Column-API minhash") {
     import graft.operators.Dedup
     val sh = Seq("hello world foo bar baz qux example text")
