@@ -15,12 +15,12 @@ import graft.functions.{TextFunctions => T, VectorFunctions => V}
  *                    candidate pairs come from an inverted index on band
  *                    hashes, never an all-pairs product
  *  - SimHash:        64-bit signature + hamming verify on banded candidates
- *  - n-gram Jaccard: exact, via an inverted shingle index join
+ *  - n-gram Jaccard: exact, via prefix filtering (PPJoin-style)
  *  - embedding near-dup: cosine over LSH buckets
  *
- * All pair generators emit (id_a < id_b) canonical pairs and are safe to
- * scale: the only shuffles are keyed by band/bucket/shingle hash, and
- * frequent (stop-)shingles can be dropped before the join (df cap).
+ * All pair generators emit (id_a < id_b) canonical pairs, dedupe
+ * candidates before verification, and shuffle only on band/bucket/
+ * prefix-shingle keys — never an all-pairs product.
  */
 object Dedup {
 
@@ -196,11 +196,6 @@ object Dedup {
   }
 
   /**
-   * Exact n-gram Jaccard over an inverted shingle index: explode distinct
-   * shingles, self-join on shingle (the only shuffle, keyed by shingle
-   * hash), count shared, Jaccard = shared / (|A| + |B| - shared).
-   */
-  /**
    * Exact n-gram Jaccard ≥ threshold pairs via PREFIX FILTERING
    * (PPJoin-style): two docs with Jaccard ≥ t must share at least one of
    * either doc's ⌊(1−t)·n⌋+1 globally-rarest shingles. Only that prefix
@@ -260,6 +255,7 @@ object Dedup {
     val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v0"),
         V.norm(col(vecCol)).as("nrm"))
       .select(col("id"), V.normalized(col("v0"), col("nrm")).as("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // bucketing + both verify sides
     val bucketed = vecs.select(col("id"),
       posexplode(array((0 until tables).map(t =>
         V.lshBucket(col("v"), bits, seed = 58 + t)): _*)).as(Seq("tbl", "bucket")))
