@@ -152,6 +152,29 @@ object SparkEntry {
       hi.intersect(fin).orderBy(col("o_custkey"))
     }),
 
+    // set operation: EXCEPT (urgent customers minus F-status customers).
+    "q45_except" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
+      val fin = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      urgent.except(fin).orderBy(col("o_custkey"))
+    }),
+
+    // moments/statistics as explicit decimal-exact formulas (var_pop =
+    // E[x²] − E[x]² over exact sums → identical doubles cross-engine).
+    "q46_stats" -> ((s, dir) => {
+      val x  = dec(col("l_quantity"))
+      val n  = count(lit(1))
+      val ex  = sum(x).cast("double") / n
+      val ex2 = sum(x * x).cast("double") / n
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(n.as("n"), round(ex2 - ex * ex, 6).as("var_pop"),
+          round(sqrt(ex2 - ex * ex), 6).as("stddev_pop"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // rollup aggregate over the region/nation hierarchy.
     "q08_rollup" -> ((s, dir) => {
       val c = t(s, dir, "customer")
@@ -588,6 +611,20 @@ object SparkEntry {
          INTERSECT
          SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
          ORDER BY o_custkey""",
+    "q45_except" ->
+      """SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+         EXCEPT
+         SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+         ORDER BY o_custkey""",
+    "q46_stats" ->
+      """SELECT l_returnflag, count(*) AS n,
+         round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+             - (CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*))
+             * (CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*)), 6) AS var_pop,
+         round(sqrt(CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+             - (CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*))
+             * (CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*))), 6) AS stddev_pop
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q08_rollup" ->
       """SELECT r_name, n_name, count(*) AS n_cust,
          CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
