@@ -175,6 +175,52 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     }),
 
+    // explicit GROUPING SETS (the general form under rollup/cube): per-
+    // region totals, per-nation totals, and the grand total in one pass.
+    "q47_grouping_sets" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""SELECT r_name, n_name, count(*) AS n_cust,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+               FROM customer JOIN nation ON c_nationkey = n_nationkey
+               JOIN region ON n_regionkey = r_regionkey
+               GROUP BY GROUPING SETS ((r_name), (n_name), ())
+               ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""")
+    }),
+
+    // full outer join: nations with few-customer vs high-balance-supplier
+    // presence — unmatched rows survive from BOTH sides (post-aggregation
+    // join, so each side is small and the join is broadcast-able).
+    "q48_full_outer" -> ((s, dir) => {
+      val c = t(s, dir, "customer").filter(col("c_acctbal") < 0)
+        .groupBy(col("c_nationkey").as("nationkey"))
+        .agg(count(lit(1)).as("n_cust"))
+      val su = t(s, dir, "supplier").filter(col("s_acctbal") > 5000)
+        .groupBy(col("s_nationkey").as("nationkey"))
+        .agg(count(lit(1)).as("n_supp"))
+      c.join(su, Seq("nationkey"), "full_outer")
+        .orderBy(col("nationkey"))
+    }),
+
+    // frame-based windows: ntile/percent_rank over a unique total order,
+    // plus a value-RANGE frame (trailing-30-day spend per customer).
+    "q49_window_frames" -> ((s, dir) => {
+      val wTile = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      val wTrail = Window.partitionBy(col("o_custkey")).orderBy(col("day"))
+        .rangeBetween(-30, 0)
+      t(s, dir, "orders")
+        .withColumn("day",
+          datediff(col("o_orderdate"), lit("1992-01-01").cast("timestamp_ntz"))
+            .cast("int"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("day"),
+          ntile(4).over(wTile).as("quartile"),
+          round(percent_rank().over(wTile), 6).as("pct_rank"),
+          sum(dec(col("o_totalprice"))).over(wTrail).cast("double")
+            .as("trail30_spend"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // rollup aggregate over the region/nation hierarchy.
     "q08_rollup" -> ((s, dir) => {
       val c = t(s, dir, "customer")
@@ -328,6 +374,15 @@ object SparkEntry {
     "q24_ann_lsh" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       Similarity.lshTopK(e, e.filter(col("vec_id") < 10), k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // IVF-bucketed ANN: centroid inverted lists, nprobe probing
+    // (approximate; rows-only).
+    "q50_ann_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), k = 5,
+          nlist = 8, nprobe = 3)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -625,6 +680,34 @@ object SparkEntry {
              - (CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*))
              * (CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*))), 6) AS stddev_pop
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q47_grouping_sets" ->
+      """SELECT r_name, n_name, count(*) AS n_cust,
+         CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY GROUPING SETS ((r_name), (n_name), ())
+         ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""",
+    "q48_full_outer" ->
+      """SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey, n_cust, n_supp
+         FROM (SELECT c_nationkey AS nationkey, count(*) AS n_cust
+               FROM customer WHERE c_acctbal < 0 GROUP BY 1) c
+         FULL OUTER JOIN
+              (SELECT s_nationkey AS nationkey, count(*) AS n_supp
+               FROM supplier WHERE s_acctbal > 5000 GROUP BY 1) s
+           ON c.nationkey = s.nationkey
+         ORDER BY nationkey""",
+    "q49_window_frames" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+         CAST(datediff('day', TIMESTAMP '1992-01-01', o_orderdate) AS INT) AS day,
+         CAST(ntile(4) OVER wt AS INT) AS quartile,
+         round(percent_rank() OVER wt, 6) AS pct_rank,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+           (PARTITION BY o_custkey
+            ORDER BY datediff('day', TIMESTAMP '1992-01-01', o_orderdate)
+            RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trail30_spend
+         FROM orders
+         WINDOW wt AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+         ORDER BY o_orderkey""",
     "q08_rollup" ->
       """SELECT r_name, n_name, count(*) AS n_cust,
          CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal

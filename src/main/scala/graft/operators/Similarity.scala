@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{VectorFunctions => V}
@@ -17,6 +17,9 @@ import graft.functions.{VectorFunctions => V}
  *    is bucket-sized, not corpus-sized. At 100 TB the corpus is bucketed
  *    once (write-time partitioning by bucket) and queries shuffle to their
  *    buckets — an IVF-style inverted-file layout expressed in Spark.
+ *  - [[ivfTopK]]: the same inverted-file idea with a data-dependent
+ *    coarse quantizer (centroid lists) instead of data-independent
+ *    hyperplanes — better list balance on clustered corpora.
  */
 object Similarity {
 
@@ -37,6 +40,49 @@ object Similarity {
       .filter(col("query_id") =!= col("item_id"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("item_id"))
     scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("item_id"), round(col("cos"), 4).as("cos"), col("rank"))
+  }
+
+  /**
+   * IVF-style ANN: a deterministic coarse quantizer (the `nlist`
+   * hash-first corpus vectors, picked by a distributed top-k scan — no
+   * shuffle) partitions the corpus into inverted lists; each query probes
+   * its `nprobe` nearest centroids and re-ranks exactly within those
+   * lists only, so recall/cost is tunable by nprobe/nlist.
+   *
+   * Scale shape: the centers are the one legitimate driver collect
+   * (bounded: nlist × dim doubles — the k-means pattern) and ship to
+   * every task as literals, making list assignment a pure codegen'd map
+   * over the corpus with ZERO shuffle; at 100 TB the assignment is a
+   * write-time `partitionBy(list_id)` so a query touches nprobe/nlist of
+   * the data. Each item lands in exactly one list, so probe fan-out
+   * never duplicates a (query, item) candidate — no dedup stage (unlike
+   * multi-table LSH).
+   */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val c = unitVecs(corpus, "item_id", "item_vec")
+    val q = unitVecs(queries, "query_id", "query_vec")
+    val centers = c.orderBy(xxhash64(col("item_id"))).limit(nlist)
+      .select(col("item_vec")).collect()
+      .toSeq.zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](0)) }
+    // (cos-to-centroid, list_id) per centroid; array_max = argmax by cos
+    // (list_id tiebreak) — struct comparison is field-ordered.
+    def centScores(vec: Column): Column = array(centers.map { case (lid, cv) =>
+      struct(V.dot(vec, typedlit(cv)).as("d"), lit(lid).as("lid")) }: _*)
+    val assigned = c.withColumn("list_id",
+      array_max(centScores(col("item_vec"))).getField("lid"))
+    val probes = q.select(col("query_id"), col("query_vec"),
+        explode(slice(reverse(array_sort(centScores(col("query_vec")))), 1, nprobe))
+          .as("probe"))
+      .select(col("query_id"), col("query_vec"), col("probe.lid").as("list_id"))
+    val cand = assigned.join(broadcast(probes), Seq("list_id"))
+      .filter(col("query_id") =!= col("item_id"))
+      .select(col("query_id"), col("item_id"),
+        V.dot(col("query_vec"), col("item_vec")).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("item_id"))
+    cand.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("item_id"), round(col("cos"), 4).as("cos"), col("rank"))
   }

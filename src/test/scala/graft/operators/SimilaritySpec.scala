@@ -20,6 +20,20 @@ class SimilaritySpec extends SparkSpec {
     assert(q0.sliding(2).forall(w => w(0) >= w(1)))
   }
 
+  test("ivfTopK: one list per item (no duplicate candidates), sane recall") {
+    val queries = emb.filter(col("vec_id") < 3)
+    val out = Similarity.ivfTopK(emb, queries, k = 5, nlist = 4, nprobe = 4)
+    // nprobe = nlist ⇒ exhaustive probing ⇒ identical to brute force
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .select("query_id", "item_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val got = out.select("query_id", "item_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got === exact)
+    // pairs are unique even with multi-probe
+    val pairs = out.select("query_id", "item_id").as[(Long, Long)].collect()
+    assert(pairs.length === pairs.distinct.length)
+  }
+
   test("lshTopK recall: approximate top-1 appears in exact top-5") {
     val queries = emb.filter(col("vec_id") < 3)
     val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
