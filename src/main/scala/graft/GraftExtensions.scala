@@ -5,17 +5,24 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
 import graft.functions.expressions.{DotProduct, LongArrayMatchCount, MinHashSigAgg, SimHashSigAgg}
+import graft.plans.{RankLimitRewrite, TopKPerGroupStrategy}
 
 /**
  * Session-extension entry point: registers the engine's native
  * expressions for pure-SQL users via
- * `spark.sql.extensions=graft.GraftExtensions` (no code access needed).
- * Programmatic sessions can use [[graft.functions.GraftFunctions.register]]
- * instead — both expose the same functions.
+ * `spark.sql.extensions=graft.GraftExtensions` (no code access needed),
+ * plus the whole-operator top-k-per-group extension: the
+ * [[graft.plans.RankLimitRewrite]] optimizer rule turns
+ * `Filter(row_number <= k, Window)` into [[graft.plans.TopKPerGroupNode]]
+ * and the injected strategy plans it. Programmatic sessions can use
+ * [[graft.functions.GraftFunctions.register]] / [[graft.operators.TopK]]
+ * instead — same functions, same operator.
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => RankLimitRewrite)
+    e.injectPlannerStrategy(_ => TopKPerGroupStrategy)
     e.injectFunction((FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>

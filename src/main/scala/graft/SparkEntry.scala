@@ -126,6 +126,19 @@ object SparkEntry {
         .orderBy(col("o_custkey"), col("rk"))
     }),
 
+    // q05's semantics through the engine's whole-operator Catalyst
+    // extension (custom LogicalPlan + Strategy + bounded-heap SparkPlan):
+    // top-3 orders per customer with NO per-partition sort.
+    "q51_topk_group" -> ((s, dir) => {
+      graft.operators.TopK.perGroup(
+          t(s, dir, "orders")
+            .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice")),
+          groupCols = Seq("o_custkey"),
+          orderBy = Seq(("o_totalprice", false), ("o_orderkey", true)),
+          k = 3, rankName = "rk")
+        .orderBy(col("o_custkey"), col("rk"))
+    }),
+
     // anti join (NOT EXISTS): customers with no urgent order.
     "q06_anti_join" -> ((s, dir) => {
       val c = t(s, dir, "customer")
@@ -648,6 +661,11 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
          ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
     "q05_window" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+                  CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rk
+           FROM orders) WHERE rk <= 3 ORDER BY o_custkey, rk""",
+    "q51_topk_group" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
            SELECT o_custkey, o_orderkey, o_totalprice,
                   CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rk
