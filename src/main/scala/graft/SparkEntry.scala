@@ -629,6 +629,66 @@ object SparkEntry {
           get_json_object(col("props"), "$.k").cast("int").as("k"))
         .filter(col("k").isNotNull)
         .orderBy(col("event_id"))
+    }),
+
+    // multiset set operation: EXCEPT ALL keeps duplicate cardinality
+    // (urgent orders per customer minus one occurrence per F-status order).
+    "q52_except_all" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
+      val fin = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      urgent.exceptAll(fin)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+        .orderBy(col("o_custkey"))
+    }),
+
+    // wide→long reshape: unpivot two part measures into (attr, val) rows
+    // — a Catalyst Expand node, one scan, no join/shuffle.
+    "q53_unpivot" -> ((s, dir) => {
+      t(s, dir, "part")
+        .select(col("p_partkey"), col("p_size").cast("double").as("p_size"),
+          col("p_retailprice"))
+        .unpivot(Array(col("p_partkey")), Array(col("p_size"), col("p_retailprice")),
+          "attr", "val")
+        .orderBy(col("p_partkey"), col("attr"))
+    }),
+
+    // correlated LATERAL subquery join: each nation's top-2 customers by
+    // balance (planner decorrelates to a ranked join, no N-times re-scan).
+    "q54_lateral" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""SELECT n_name, c_name, bal FROM nation,
+               LATERAL (SELECT c_name, c_acctbal AS bal FROM customer
+                        WHERE c_nationkey = n_nationkey
+                        ORDER BY c_acctbal DESC, c_name LIMIT 2)
+               ORDER BY n_name, bal DESC, c_name""")
+    }),
+
+    // navigation window functions: first/nth value and cume_dist over a
+    // unique total order per priority class.
+    "q55_window_nav" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+          first(col("o_orderkey")).over(wFull).as("cheapest"),
+          nth_value(col("o_orderkey"), 2).over(wFull).as("second_cheapest"),
+          round(cume_dist().over(w), 6).as("cume"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // higher-order array functions: per-embedding L2 norm via
+    // transform+aggregate (codegen'd lambda fold, no explode/shuffle).
+    "q56_hof_norm" -> ((s, dir) => {
+      t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          round(sqrt(aggregate(col("embedding"), lit(0.0),
+            (acc, x) => acc + x.cast("double") * x.cast("double"))), 4)
+            .as("l2_norm"),
+          size(col("embedding")).as("dim"))
+        .orderBy(col("vec_id"))
     })
   )
 
@@ -924,6 +984,40 @@ object SparkEntry {
       """SELECT l_returnflag,
          CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
            / CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS wavg_price
-         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q52_except_all" ->
+      """SELECT o_custkey, count(*) AS n FROM (
+           SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+           EXCEPT ALL
+           SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+         GROUP BY o_custkey ORDER BY o_custkey""",
+    "q53_unpivot" ->
+      """SELECT p_partkey, attr, val FROM (
+           SELECT p_partkey, 'p_size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part
+           UNION ALL
+           SELECT p_partkey, 'p_retailprice' AS attr, p_retailprice AS val FROM part)
+         ORDER BY p_partkey, attr""",
+    "q54_lateral" ->
+      """SELECT n_name, c_name, bal FROM nation,
+         LATERAL (SELECT c_name, c_acctbal AS bal FROM customer
+                  WHERE c_nationkey = n_nationkey
+                  ORDER BY c_acctbal DESC, c_name LIMIT 2)
+         ORDER BY n_name, bal DESC, c_name""",
+    "q55_window_nav" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+         first_value(o_orderkey) OVER wf AS cheapest,
+         nth_value(o_orderkey, 2) OVER wf AS second_cheapest,
+         round(cume_dist() OVER w, 6) AS cume
+         FROM orders
+         WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey),
+                wf AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         ORDER BY o_orderkey""",
+    "q56_hof_norm" ->
+      """SELECT vec_id,
+         round(sqrt(list_sum(list_transform(embedding,
+           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm,
+         CAST(len(embedding) AS INT) AS dim
+         FROM embeddings ORDER BY vec_id"""
   )
 }
