@@ -325,7 +325,8 @@ object SparkEntry {
           T.tokenCount(col("text")).cast("long").as("n_tokens"),
           T.meanTokenLen(col("text")).as("mean_tok_len"),
           T.digitRatio(col("text")).as("digit_ratio"),
-          T.upperRatio(col("text")).as("upper_ratio"))
+          T.upperRatio(col("text")).as("upper_ratio"),
+          T.stopwordRatio(col("text")).as("stopword_ratio"))
         .orderBy(col("doc_id"))
     }),
 
@@ -679,6 +680,18 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // seeded Bernoulli sampling (TABLESAMPLE analog) feeding a count +
+    // approx-percentile sketch — both sampling and the KLL-style sketch
+    // are engine-specific, so the driver records a rows-only check.
+    "q57_sample_sketch" -> ((s, dir) => {
+      t(s, dir, "lineitem").sample(0.1, seed = 42)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          round(percentile_approx(col("l_quantity"), lit(0.5), lit(1000)), 2)
+            .as("p50_approx"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // higher-order array functions: per-embedding L2 norm via
     // transform+aggregate (codegen'd lambda fold, no explode/shuffle).
     "q56_hof_norm" -> ((s, dir) => {
@@ -836,7 +849,9 @@ object SparkEntry {
          round(CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
                / greatest(length(text), 1), 4) AS digit_ratio,
          round(CAST(len(regexp_extract_all(text, '[A-Z]')) AS DOUBLE)
-               / greatest(length(text), 1), 4) AS upper_ratio
+               / greatest(length(text), 1), 4) AS upper_ratio,
+         round(CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|in|that|it|was|for)\b')) AS DOUBLE)
+               / greatest(len(regexp_extract_all(trim(text), '\S+')), 1), 4) AS stopword_ratio
          FROM documents ORDER BY doc_id""",
     "q17_langid" ->
       """WITH hits AS (SELECT doc_id,

@@ -103,6 +103,13 @@ object TextFunctions {
         greatest(size(ts), lit(1)).cast("double"), 4)
   }
 
+  /** Stopword density: hits on the English function-word list per token
+    * — the classic boilerplate/gibberish discriminator (near 0 for code
+    * or keyword-stuffed spam, ~0.3-0.5 for running prose). */
+  def stopwordRatio(text: Column): Column =
+    round(stopwordHits(text, langStopwords.head._2) /
+      greatest(tokenCount(text), lit(1)).cast("double"), 4)
+
   /** Scrub URLs and email addresses (training-data hygiene). Patterns
     * are valid and identical in Java regex and RE2 (no backreferences,
     * no lookaround) so the oracle can mirror them. */

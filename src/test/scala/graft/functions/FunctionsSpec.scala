@@ -47,6 +47,12 @@ class FunctionsSpec extends SparkSpec {
     assert(r.getAs[Int]("p") === 1)
   }
 
+  test("stopwordRatio counts English function words per token") {
+    val df = Seq("the cat and the dog", "xyzzy qwerty").toDF("text")
+    assert(df.select(T.stopwordRatio($"text")).as[Double].collect().toSeq ===
+      Seq(0.6, 0.0)) // 3 stopword hits / 5 tokens; 0 / 2
+  }
+
   test("dot/norm kernels match the HOF reference implementation") {
     val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)))
       .toDF("a", "b")
