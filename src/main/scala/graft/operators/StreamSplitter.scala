@@ -85,6 +85,72 @@ object StreamSplitter {
       .parquet(outDir)
 
   /**
+   * Idempotent replay of part of the stream (backfill story): with
+   * dynamic partition overwrite, `Overwrite` + `partitionBy` replaces
+   * ONLY the hive partitions present in this batch — re-running one
+   * day's landing rewrites that day's (schema_name, table_name, …)
+   * directories and leaves every other partition untouched. Without
+   * `dynamic`, Overwrite truncates the whole table — the difference
+   * between replaying 100 GB and rewriting 100 TB.
+   */
+  def replayAll(env: DataFrame, outDir: String): Unit = {
+    val spark = env.sparkSession
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      env.filter(col("data").isNotNull)
+        .withColumn("schema_name", schemaNameCol)
+        .withColumn("table_name", tableNameCol)
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("schema_name", "table_name")
+        .parquet(outDir)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
+  /**
+   * [[splitAll]] with pipeline observability: an `Observation` collects
+   * rows-kept / controls-dropped / distinct-tables counters ON the write
+   * pass itself (accumulator-backed — zero extra scans, exactly the
+   * counters the reference reads off the DMS console, image/image3.png).
+   */
+  def splitAllObserved(env: DataFrame, outDir: String,
+      mode: SaveMode = SaveMode.Overwrite): Map[String, Any] = {
+    val obs = org.apache.spark.sql.Observation("split_metrics")
+    val observed = env.observe(obs,
+      count(lit(1)).as("n_input"),
+      count(col("data")).as("n_kept"),
+      sum(when(col("data").isNull, 1L).otherwise(0L)).as("n_controls_dropped"),
+      approx_count_distinct(tableNameCol).as("n_tables"))
+    observed.filter(col("data").isNotNull)
+      .withColumn("schema_name", schemaNameCol)
+      .withColumn("table_name", tableNameCol)
+      .write.mode(mode)
+      .partitionBy("schema_name", "table_name")
+      .parquet(outDir)
+    obs.get
+  }
+
+  /**
+   * Drift-tolerant read of a split table (SURVEY §7.3 risk 4): appended
+   * micro-batches carry Parquet footers whose flattened schemas grow as
+   * the source table gains columns. `mergeSchema` unions every footer's
+   * schema (rows from before a column existed read as NULL) — the
+   * re-crawl the reference needs (README.md:314) happens implicitly at
+   * read time. Same-name *type* conflicts are the choice-type case:
+   * read batches separately and settle with [[ChoiceResolver.resolveTo]].
+   *
+   * Scale note: schema merging reads footers only (not data), in a
+   * distributed job; partition pruning on the split layout still applies.
+   */
+  def readSplit(spark: org.apache.spark.sql.SparkSession, outDir: String,
+      schemaName: String, tableName: String): DataFrame =
+    spark.read.option("mergeSchema", "true")
+      .parquet(s"$outDir/$schemaName/$tableName")
+
+  /**
    * Demux as a pure DataFrame operator keyed on any routing column —
    * the envelope pattern generalized to the `events` stream table
    * (routing column = `event_type`, payload = `props`).

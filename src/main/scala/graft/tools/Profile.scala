@@ -14,12 +14,16 @@ object Profile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // PROFILE_FRESH=1 rebuilds the DataFrame each run (Bench's shape —
+    // exercises CacheManager plan-match reuse rather than same-object reuse).
+    val fresh = sys.env.contains("PROFILE_FRESH")
     args.foreach { name =>
       val df = SparkEntry.queries(name)(spark, dir)
       if (sys.env.contains("PROFILE_EXPLAIN")) df.explain("formatted")
       (1 to 2).foreach { i =>
         val t0 = System.nanoTime()
-        df.write.format("noop").mode("overwrite").save()
+        val d = if (fresh) SparkEntry.queries(name)(spark, dir) else df
+        d.write.format("noop").mode("overwrite").save()
         println(f"$name run$i: ${(System.nanoTime() - t0) / 1e9}%8.2f s")
       }
     }

@@ -90,4 +90,56 @@ class StreamSplitterSpec extends SparkSpec {
     val back = spark.read.parquet(s"$dir/dms_sample/person")
     assert(back.count() === 2)
   }
+
+  test("readSplit merges drifted schemas across appended micro-batches (risk #4)") {
+    val dir = java.nio.file.Files.createTempDirectory("drift").toString
+    // batch 1: the original 4-column person schema
+    StreamSplitter.splitOne(fixture, "dms_sample", "person", dir)
+    // batch 2: source table gained an `email` column mid-stream
+    val personV2 = StructType(personData.fields :+ StructField("email", StringType))
+    val batch2 = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(Row(3410179, "Cara Cee", "Cee", "Cara", "cc@example.com"),
+          meta("person", op = "insert", ts = "2019-11-13T10:00:00.000000Z")))),
+      DmsEnvelope.envelopeSchema(personV2))
+    StreamSplitter.splitOne(batch2, "dms_sample", "person", dir,
+      mode = org.apache.spark.sql.SaveMode.Append)
+    val merged = StreamSplitter.readSplit(spark, dir, "dms_sample", "person")
+    // union schema: new column present; pre-drift rows read it as NULL
+    assert(merged.columns.contains("email"))
+    assert(merged.count() === 3)
+    assert(merged.filter(col("email").isNull).count() === 2)
+    assert(merged.filter(col("email") === "cc@example.com").count() === 1)
+    // a plain read (no mergeSchema) picks ONE footer and may miss the
+    // column — the helper exists precisely because of this
+  }
+
+  test("replayAll overwrites only the partitions present in the batch") {
+    val dir = java.nio.file.Files.createTempDirectory("replay").toString
+    StreamSplitter.splitAll(fixture, dir) // person(2 rows) + seat(1 row)
+    // replay touches ONLY person, with corrected contents (1 row)
+    val replay = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(Row(3410177, "Anderson Aaron FIXED", "Aaron", "Anderson"),
+          meta("person")))), schema)
+    StreamSplitter.replayAll(replay, dir)
+    val back = spark.read.parquet(dir)
+    // person replaced (2 → 1 rows), seat untouched
+    assert(back.filter(col("table_name") === "person").count() === 1)
+    assert(back.filter(col("table_name") === "seat").count() === 1)
+    assert(back.filter(col("data.full_name") === "Anderson Aaron FIXED").count() === 1)
+    // conf restored: session default is static again
+    assert(!spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+      .equalsIgnoreCase("dynamic"))
+  }
+
+  test("splitAllObserved reports routing counters from the write pass") {
+    val dir = java.nio.file.Files.createTempDirectory("observed").toString
+    val m = StreamSplitter.splitAllObserved(fixture, dir)
+    assert(m("n_input") === 4L)
+    assert(m("n_kept") === 3L)
+    assert(m("n_controls_dropped") === 1L)
+    assert(m("n_tables").asInstanceOf[Long] >= 2L)
+    assert(spark.read.parquet(dir).count() === 3)
+  }
 }
