@@ -68,6 +68,58 @@ object Multimodal {
     }
   }
 
+  /** Resized asset: target dims + the (stub-)transcoded payload. */
+  final case class ResizedAsset(
+      asset_id: Long, mime: String, width: Int, height: Int,
+      payload: Array[Byte])
+
+  /**
+   * Batched resize — same partition-batched shape as [[decodeAssets]]
+   * (real impl: one scaler context per partition). The stub "transcode"
+   * is a deterministic byte-fold so output size tracks target area;
+   * partitioning is preserved, no shuffle.
+   */
+  def resizeAssets(assets: Dataset[Asset], width: Int, height: Int)(
+      implicit spark: SparkSession): Dataset[ResizedAsset] = {
+    import spark.implicits._
+    assets.mapPartitions { it =>
+      // real impl: init scaler (e.g. libswscale) once here
+      it.map { a =>
+        val src = if (a.payload == null) Array.emptyByteArray else a.payload
+        val outLen = math.min(math.max(1, width * height / 64), math.max(1, src.length))
+        val out = Array.tabulate[Byte](outLen)(i => src(i * src.length / outLen))
+        ResizedAsset(a.asset_id, a.mime, width, height, out)
+      }
+    }
+  }
+
+  /** One sampled frame of a (video) asset. */
+  final case class Frame(
+      asset_id: Long, frame_index: Int, features: Array[Float])
+
+  /**
+   * Frame sampling: every `everyN`-th frame of each decoded asset,
+   * emitted as its own row (1:N via the partition iterator — the
+   * Scala-side `flatMap` analog of a Pandas-UDF iterator; no shuffle,
+   * output rows carry per-frame features derived from the asset's).
+   * Non-video assets (n_frames = 1) emit exactly frame 0.
+   */
+  def sampleFrames(decoded: Dataset[DecodedAsset], everyN: Int)(
+      implicit spark: SparkSession): Dataset[Frame] = {
+    require(everyN >= 1, s"everyN must be >= 1, got $everyN")
+    import spark.implicits._
+    decoded.mapPartitions { it =>
+      it.flatMap { d =>
+        (0 until d.n_frames by everyN).iterator.map { f =>
+          // real impl: seek + decode frame f; stub perturbs the asset
+          // features deterministically per frame index
+          Frame(d.asset_id, f,
+            d.features.map(v => (v + f.toFloat / 100f) % 1f))
+        }
+      }
+    }
+  }
+
   /** Wrap any table with an id + a string column as binary assets (the
     * test-data path: documents.text bytes stand in for media payloads). */
   def assetsFromText(df: DataFrame, idCol: String, textCol: String,

@@ -26,4 +26,38 @@ class MultimodalSpec extends SparkSpec {
     // no shuffle: decode preserves input partitioning
     assert(decoded.rdd.getNumPartitions === assets.rdd.getNumPartitions)
   }
+
+  test("resize keeps ids, sets target dims, bounds payload by target area") {
+    implicit val s = spark
+    val docs = Tables.load(spark, sf0001, "documents").limit(20)
+    val assets = Multimodal.assetsFromText(docs, "doc_id", "text")
+    val resized = Multimodal.resizeAssets(assets, 32, 32).collect()
+    assert(resized.length === 20)
+    resized.foreach { r =>
+      assert(r.width === 32 && r.height === 32)
+      assert(r.payload.length <= math.max(1, 32 * 32 / 64))
+    }
+    // deterministic
+    val again = Multimodal.resizeAssets(assets, 32, 32).collect()
+    assert(resized.map(_.payload.toSeq).toSeq === again.map(_.payload.toSeq).toSeq)
+  }
+
+  test("sampleFrames emits every Nth frame; non-video emits frame 0 only") {
+    implicit val s = spark
+    val docs = Tables.load(spark, sf0001, "documents").limit(30)
+    val vids = Multimodal.assetsFromText(docs, "doc_id", "text", mime = "video/mp4")
+    val decoded = Multimodal.decodeAssets(vids)
+    val frames = Multimodal.sampleFrames(decoded, everyN = 4)
+    val byAsset = frames.collect().groupBy(_.asset_id)
+    decoded.collect().foreach { d =>
+      val expected = (0 until d.n_frames by 4).toSeq
+      assert(byAsset(d.asset_id).map(_.frame_index).toSeq.sorted === expected)
+    }
+    // text mime ⇒ n_frames = 1 ⇒ exactly one frame per asset
+    val texts = Multimodal.decodeAssets(
+      Multimodal.assetsFromText(docs, "doc_id", "text"))
+    val tf = Multimodal.sampleFrames(texts, everyN = 4)
+    assert(tf.collect().forall(_.frame_index === 0))
+    assert(tf.count() === 30)
+  }
 }
