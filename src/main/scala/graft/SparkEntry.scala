@@ -680,6 +680,23 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // runtime bloom-filter pre-join: lineitem pre-filtered by a bloom
+    // over the selective dim's keys BEFORE the join shuffle; exact — the
+    // join drops bloom false positives, so the oracle is the plain join.
+    "q58_bloom_join" -> ((s, dir) => {
+      val fact = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"))
+      val dim = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 150000)
+        .select(col("o_orderkey"), col("o_orderdate"))
+      graft.operators.BloomJoin.prefilteredJoin(fact, dim, "o_orderkey",
+          expectedItems = 100000L)
+        .groupBy(year(col("o_orderdate")).as("yr"))
+        .agg(count(lit(1)).cast("long").as("n_lines"),
+          sumDec(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("yr"))
+    }),
+
     // seeded Bernoulli sampling (TABLESAMPLE analog) feeding a count +
     // approx-percentile sketch — both sampling and the KLL-style sketch
     // are engine-specific, so the driver records a rows-only check.
@@ -1028,6 +1045,14 @@ object SparkEntry {
                 wf AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
                        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
          ORDER BY o_orderkey""",
+    "q58_bloom_join" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS yr, count(*) AS n_lines,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem JOIN (
+           SELECT o_orderkey, o_orderdate FROM orders
+           WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000)
+         ON l_orderkey = o_orderkey
+         GROUP BY 1 ORDER BY yr""",
     "q56_hof_norm" ->
       """SELECT vec_id,
          round(sqrt(list_sum(list_transform(embedding,

@@ -2,6 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import graft.functions.expressions.{DotProduct, LongArrayMatchCount, MinHashSigAgg, SimHashSigAgg}
 
 /**
@@ -19,6 +21,8 @@ object GraftFunctions {
   val MatchName   = "graft_match_count"
   val MinHashName = "graft_minhash_sig"
   val SimHashName = "graft_simhash_sig"
+  val BloomAggName   = "graft_bloom_agg"
+  val MightContainName = "graft_might_contain"
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -31,6 +35,13 @@ object GraftFunctions {
         exprs(1).eval().asInstanceOf[Int]).toAggregateExpression(), "built-in")
     reg.createOrReplaceTempFunction(SimHashName,
       exprs => SimHashSigAgg(exprs(0)).toAggregateExpression(), "built-in")
+    // Spark's internal runtime-filter expressions, surfaced for the
+    // explicit BloomJoin operator (and SQL users via GraftExtensions).
+    reg.createOrReplaceTempFunction(BloomAggName,
+      exprs => new BloomFilterAggregate(exprs(0),
+        exprs(1).eval().asInstanceOf[Long]).toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction(MightContainName,
+      exprs => BloomFilterMightContain(exprs(0), exprs(1)), "built-in")
   }
 
   /** Codegen'd dot product (double) of two float/double arrays. */
@@ -46,4 +57,12 @@ object GraftFunctions {
 
   /** 64-bit SimHash signature aggregate over a token-hash column. */
   def graftSimhashSig(h: Column): Column = call_function(SimHashName, h)
+
+  /** Bloom filter (binary) aggregate over a long-hash column. */
+  def graftBloomAgg(h: Column, expectedItems: Long): Column =
+    call_function(BloomAggName, h, org.apache.spark.sql.functions.lit(expectedItems))
+
+  /** Membership probe of a long hash against a bloom binary. */
+  def graftMightContain(bloom: Column, h: Column): Column =
+    call_function(MightContainName, bloom, h)
 }
