@@ -74,7 +74,10 @@ object TextFunctions {
   }
 
   /** Fingerprint from materialized token-array + raw-text columns (the
-    * at-scale form; see the performance rule above). */
+    * at-scale form; see the performance rule above). Measured at sf0.1:
+    * this doc-local HOF form beats the explode+min-agg form 2× (2.0s vs
+    * 3.9s) — one hash per shingle means the agg's shuffle dominates,
+    * the opposite tradeoff to MinHash's 64-hashes-per-shingle. */
   def fingerprintFromTokens(ts: Column, text: Column, n: Int = 3): Column = {
     val hs = transform(shinglesFromTokens(ts, n), s => xxhash64(s))
     when(size(hs) === 0, xxhash64(trim(text))).otherwise(array_min(hs))
