@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.graft.PlanBridge
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end `spark.sql.extensions=graft.GraftExtensions` behavior on a
+  * real (extension-loaded) session: SQL kernel resolution and the
+  * RankLimitRewrite → TopKPerGroupExec whole-operator swap. */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  private lazy val ext = {
+    val s = PlanBridge.sessionWithExtensions(SparkSpec.spark,
+      new GraftExtensions().apply(_))
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s
+  }
+  private val sf0001 = "/root/testdata/sf0.001"
+
+  test("SQL-only kernels resolve through the extension") {
+    val r = ext.sql(
+      """SELECT graft_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+                          array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d,
+                graft_might_contain(
+                  (SELECT graft_bloom_agg(xxhash64(col), 100L)
+                   FROM VALUES ('a'), ('b') AS t(col)),
+                  xxhash64('a')) AS mc""").head()
+    assert(r.getAs[Double]("d") === 11.0)
+    assert(r.getAs[Boolean]("mc"))
+  }
+
+  test("row_number<=k SQL idiom plans as TopKPerGroupExec, no Sort/Window") {
+    graft.sources.Tables.load(ext, sf0001, "orders").createOrReplaceTempView("o")
+    val df = ext.sql(
+      """SELECT * FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+                  row_number() OVER (PARTITION BY o_custkey
+                                     ORDER BY o_totalprice DESC, o_orderkey) AS rk
+           FROM o) WHERE rk <= 3""")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerGroup"), plan)
+    assert(!plan.contains("WindowExec"), plan)
+    assert(!plan.toLowerCase.contains("sort"), plan)
+    // and it computes the same rows as the un-extended session
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val want = SparkSpec.spark.sql(
+      """SELECT * FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+                  row_number() OVER (PARTITION BY o_custkey
+                                     ORDER BY o_totalprice DESC, o_orderkey) AS rk
+           FROM oref) WHERE rk <= 3""")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(got === want)
+  }
+
+  // register the reference view on the shared session before the test runs
+  graft.sources.Tables.load(SparkSpec.spark, sf0001, "orders")
+    .createOrReplaceTempView("oref")
+}
