@@ -47,4 +47,31 @@ class SchemaRegistrySpec extends SparkSpec {
       reg.bindTable(raw, "dms_sample", "person")
     }
   }
+
+  test("bindTable works identically on a streaming DataFrame") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // registry populated from the batch crawl (the reference's
+    // crawler-then-job order); the stream late-binds with it
+    val reg = new SchemaRegistry
+    reg.infer(spark, raw, "dms_sample", "person")
+    val mem = MemoryStream[String]
+    mem.addData(
+      """{"data": "{\"ID\": 5, \"full_name\": \"E F\"}", "metadata": {"timestamp": "2019-11-13T09:59:11.000000Z", "record-type": "data", "operation": "insert", "partition-key-type": "primary-key", "schema-name": "dms_sample", "table-name": "person"}}""",
+      """{"data": "{\"id\": 9}", "metadata": {"timestamp": "2019-11-13T09:59:12.000000Z", "record-type": "data", "operation": "insert", "partition-key-type": "primary-key", "schema-name": "dms_sample", "table-name": "sporting_event_ticket"}}""")
+    val parsed = mem.toDF().select(
+      from_json(col("value"), DmsEnvelope.rawEnvelopeSchema).as("env"))
+      .select(col("env.data").as("data"), col("env.metadata").as("metadata"))
+    val bound = reg.bindTable(parsed, "dms_sample", "person")
+    assert(bound.isStreaming)
+    val q = bound.writeStream.format("memory").queryName("bound_person")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val rows = spark.table("bound_person").collect()
+    assert(rows.length === 1) // ticket record demuxed away
+    assert(rows.head.getAs[Long]("ID") === 5L)
+    assert(rows.head.getAs[String]("full_name") === "E F")
+  }
 }
