@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{VectorFunctions => V}
 
@@ -29,6 +28,16 @@ object Similarity {
         V.norm(col("embedding")).as("nrm"))
       .select(col(idName), V.normalized(col("v"), col("nrm")).as(vecName))
 
+  /** Per-query top-k re-rank of a scored candidate set, via the engine's
+    * whole-operator TopKPerGroup (bounded heap per query — never a full
+    * sort of a query's candidate list; row_number-identical ranks, so
+    * the oracle stays the window form). */
+  private def topKRerank(scored: DataFrame, k: Int): DataFrame =
+    TopK.perGroup(scored, Seq("query_id"),
+        Seq(("cos", false), ("item_id", true)), k, "rank")
+      .select(col("query_id"), col("item_id"),
+        round(col("cos"), 4).as("cos"), col("rank"))
+
   /** Exact top-k by cosine: one corpus scan, queries broadcast; cosine =
     * one dot product over pre-normalized vectors. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
@@ -38,10 +47,7 @@ object Similarity {
       .select(col("query_id"), col("item_id"),
         V.dot(col("query_vec"), col("item_vec")).as("cos"))
       .filter(col("query_id") =!= col("item_id"))
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("item_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("item_id"), round(col("cos"), 4).as("cos"), col("rank"))
+    topKRerank(scored, k)
   }
 
   /**
@@ -81,10 +87,7 @@ object Similarity {
       .filter(col("query_id") =!= col("item_id"))
       .select(col("query_id"), col("item_id"),
         V.dot(col("query_vec"), col("item_vec")).as("cos"))
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("item_id"))
-    cand.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("item_id"), round(col("cos"), 4).as("cos"), col("rank"))
+    topKRerank(cand, k)
   }
 
   /** ANN top-k: candidates limited to shared LSH buckets across `tables`
@@ -105,9 +108,6 @@ object Similarity {
       .agg(first("query_vec").as("query_vec"), first("item_vec").as("item_vec"))
       .select(col("query_id"), col("item_id"),
         V.dot(col("query_vec"), col("item_vec")).as("cos"))
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("item_id"))
-    cand.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("item_id"), round(col("cos"), 4).as("cos"), col("rank"))
+    topKRerank(cand, k)
   }
 }
