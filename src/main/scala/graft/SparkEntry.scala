@@ -680,6 +680,33 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // FILTER-clause (conditional) aggregation: per-flag totals with
+    // selective sub-aggregates in ONE pass — no self-joins, no CASE
+    // pyramid; each agg carries its own predicate.
+    "q59_agg_filter" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""SELECT l_returnflag,
+               count(*) AS n_all,
+               count(*) FILTER (WHERE l_quantity > 30) AS n_bulk,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                    FILTER (WHERE l_discount >= 0.05) AS DOUBLE) AS rev_discounted,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                    FILTER (WHERE l_discount < 0.05) AS DOUBLE) AS rev_full
+               FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+    }),
+
+    // ordered string aggregation (listagg/string_agg): per-region nation
+    // roster — deterministic via sorted collect.
+    "q60_string_agg" -> ((s, dir) => {
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      n.join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(array_join(array_sort(collect_list(col("n_name"))), ",")
+          .as("nations"))
+        .orderBy(col("r_name"))
+    }),
+
     // runtime bloom-filter pre-join: lineitem pre-filtered by a bloom
     // over the selective dim's keys BEFORE the join shuffle; exact — the
     // join drops bloom false positives, so the oracle is the plain join.
@@ -1045,6 +1072,20 @@ object SparkEntry {
                 wf AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
                        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
          ORDER BY o_orderkey""",
+    "q59_agg_filter" ->
+      """SELECT l_returnflag,
+         count(*) AS n_all,
+         count(*) FILTER (WHERE l_quantity > 30) AS n_bulk,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+              FILTER (WHERE l_discount >= 0.05) AS DOUBLE) AS rev_discounted,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+              FILTER (WHERE l_discount < 0.05) AS DOUBLE) AS rev_full
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q60_string_agg" ->
+      """SELECT r_name,
+         string_agg(n_name, ',' ORDER BY n_name) AS nations
+         FROM nation JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name ORDER BY r_name""",
     "q58_bloom_join" ->
       """SELECT CAST(year(o_orderdate) AS INT) AS yr, count(*) AS n_lines,
          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
