@@ -680,6 +680,24 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // recursive CTE (Spark 4 UnionLoop): generate the full 1992-1998
+    // month series and zero-fill months with no orders — the series
+    // must be generated, not derived, which is what recursion is for.
+    "q61_recursive_cte" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""WITH RECURSIVE midx(m) AS (
+                 SELECT 0 UNION ALL SELECT m + 1 FROM midx WHERE m < 83),
+               om AS (SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+                             count(*) AS n
+                      FROM orders GROUP BY 1, 2)
+               SELECT CAST(1992 + m div 12 AS INT) AS yr,
+                      CAST(1 + m % 12 AS INT) AS mo,
+                      CAST(coalesce(n, 0) AS BIGINT) AS n_orders
+               FROM midx LEFT JOIN om
+                 ON om.yr = 1992 + m div 12 AND om.mo = 1 + m % 12
+               ORDER BY yr, mo""")
+    }),
+
     // FILTER-clause (conditional) aggregation: per-flag totals with
     // selective sub-aggregates in ONE pass — no self-joins, no CASE
     // pyramid; each agg carries its own predicate.
@@ -1072,6 +1090,18 @@ object SparkEntry {
                 wf AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
                        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
          ORDER BY o_orderkey""",
+    "q61_recursive_cte" ->
+      """WITH RECURSIVE midx(m) AS (
+           SELECT 0 UNION ALL SELECT m + 1 FROM midx WHERE m < 83),
+         om AS (SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+                       count(*) AS n
+                FROM orders GROUP BY 1, 2)
+         SELECT CAST(1992 + m // 12 AS INT) AS yr,
+                CAST(1 + m % 12 AS INT) AS mo,
+                CAST(coalesce(n, 0) AS BIGINT) AS n_orders
+         FROM midx LEFT JOIN om
+           ON om.yr = 1992 + m // 12 AND om.mo = 1 + m % 12
+         ORDER BY yr, mo""",
     "q59_agg_filter" ->
       """SELECT l_returnflag,
          count(*) AS n_all,
