@@ -680,6 +680,20 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // VARIANT semi-structured path (Spark 4): parse once into the binary
+    // variant encoding, then typed variant_get extraction — the
+    // schema-on-read successor to per-key get_json_object re-parsing
+    // (one parse per row regardless of how many fields are read).
+    "q62_variant" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(parse_json(col("props")).as("v"))
+        .select(variant_get(col("v"), "$.k", "int").as("k"))
+        .filter(col("k").isNotNull)
+        .groupBy((col("k") % 10).cast("int").as("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).cast("long").as("sum_k"))
+        .orderBy(col("bucket"))
+    }),
+
     // recursive CTE (Spark 4 UnionLoop): generate the full 1992-1998
     // month series and zero-fill months with no orders — the series
     // must be generated, not derived, which is what recursion is for.
@@ -1090,6 +1104,13 @@ object SparkEntry {
                 wf AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
                        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
          ORDER BY o_orderkey""",
+    "q62_variant" ->
+      """SELECT CAST(k % 10 AS INT) AS bucket, count(*) AS n,
+         CAST(sum(k) AS BIGINT) AS sum_k
+         FROM (SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k
+               FROM events
+               WHERE json_extract_string(props, '$.k') IS NOT NULL)
+         GROUP BY 1 ORDER BY bucket""",
     "q61_recursive_cte" ->
       """WITH RECURSIVE midx(m) AS (
            SELECT 0 UNION ALL SELECT m + 1 FROM midx WHERE m < 83),
