@@ -100,16 +100,48 @@ object ChoiceProperties extends Properties("choice") {
       }
     }
 
-  property("mergeStructs unions field names") = {
-    val fieldGen = for {
-      n <- Gen.oneOf("a", "b", "c", "d")
-      t <- primGen
-    } yield StructField(n, t)
-    val structGen = Gen.listOfN(3, fieldGen)
-      .map(fs => StructType(fs.distinctBy(_.name)))
-    Prop.forAll(structGen, structGen) { (s1, s2) =>
+  property("widest is associative") =
+    Prop.forAll(primGen, primGen, primGen) { (a, b, c) =>
+      widest(widest(a, b), c) == widest(a, widest(b, c))
+    }
+
+  /** Nested generator: structs containing structs/arrays — the shape the
+    * real crawler union produces (image/image2.png). */
+  private def structGen(depth: Int): Gen[StructType] = for {
+    n <- Gen.chooseNum(1, 4)
+    names <- Gen.pick(n, Seq("a", "b", "c", "id", "ID", "price"))
+    types <- Gen.listOfN(n,
+      if (depth > 0) Gen.frequency(
+        4 -> primGen,
+        1 -> structGen(depth - 1).map(s => s: DataType),
+        1 -> primGen.map(t => ArrayType(t): DataType))
+      else primGen)
+  } yield StructType(names.toSeq.zip(types).map { case (nm, t) => StructField(nm, t) })
+
+  property("mergeStructs unions field names (nested)") =
+    Prop.forAll(structGen(2), structGen(2)) { (s1, s2) =>
       mergeStructs(s1, s2).fieldNames.toSet ==
         s1.fieldNames.toSet ++ s2.fieldNames.toSet
     }
-  }
+
+  property("merge is batch-arrival-order insensitive (up to field order)") =
+    Prop.forAll(structGen(2), structGen(2), structGen(2)) { (a, b, c) =>
+      // arrival order permutes field ORDER (first-seen-first, like
+      // unionByName) but never names or resolved types — normalize
+      // order recursively before comparing
+      def norm(t: DataType): DataType = t match {
+        case s: StructType => StructType(
+          s.fields.map(f => f.copy(dataType = norm(f.dataType), nullable = true))
+            .sortBy(_.name))
+        case ArrayType(e, _) => ArrayType(norm(e))
+        case other => other
+      }
+      norm(mergeSchemas(Seq(a, b, c))) == norm(mergeSchemas(Seq(c, b, a)))
+    }
+
+  property("self-merge changes no names or types") =
+    Prop.forAll(structGen(2)) { a =>
+      mergeStructs(a, a).fields.map(f => (f.name, f.dataType)).toSeq ==
+        a.fields.map(f => (f.name, f.dataType)).toSeq
+    }
 }
