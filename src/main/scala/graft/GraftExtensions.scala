@@ -46,7 +46,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_bloom_agg"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
-          exprs(0), exprs(1).eval().asInstanceOf[Long]).toAggregateExpression()))
+          exprs(0), exprs(1).eval().asInstanceOf[Number].longValue).toAggregateExpression()))
     e.injectFunction((FunctionIdentifier("graft_might_contain"),
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,

@@ -39,7 +39,8 @@ object GraftFunctions {
     // explicit BloomJoin operator (and SQL users via GraftExtensions).
     reg.createOrReplaceTempFunction(BloomAggName,
       exprs => new BloomFilterAggregate(exprs(0),
-        exprs(1).eval().asInstanceOf[Long]).toAggregateExpression(), "built-in")
+        // Number: SQL callers naturally write INT literals
+        exprs(1).eval().asInstanceOf[Number].longValue).toAggregateExpression(), "built-in")
     reg.createOrReplaceTempFunction(MightContainName,
       exprs => BloomFilterMightContain(exprs(0), exprs(1)), "built-in")
   }

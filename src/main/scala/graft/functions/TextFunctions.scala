@@ -110,7 +110,7 @@ object TextFunctions {
     * — the classic boilerplate/gibberish discriminator (near 0 for code
     * or keyword-stuffed spam, ~0.3-0.5 for running prose). */
   def stopwordRatio(text: Column): Column =
-    round(stopwordHits(text, langStopwords.head._2) /
+    round(stopwordHits(text, englishStopwords) /
       greatest(tokenCount(text), lit(1)).cast("double"), 4)
 
   /** Scrub URLs and email addresses (training-data hygiene). Patterns
@@ -131,6 +131,11 @@ object TextFunctions {
    * ties broken by fixed priority order (en first). Returns the language
    * code with the most stopword hits, or "und" when none hit.
    */
+  /** Bound by key, not position — [[stopwordRatio]]'s oracle hardcodes
+    * this list; reordering langStopwords must not change it. */
+  lazy val englishStopwords: Seq[String] =
+    langStopwords.collectFirst { case ("en", ws) => ws }.get
+
   val langStopwords: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it", "was", "for"),
     "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "eine", "zu", "mit"),

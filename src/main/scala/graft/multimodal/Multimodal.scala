@@ -86,8 +86,11 @@ object Multimodal {
       // real impl: init scaler (e.g. libswscale) once here
       it.map { a =>
         val src = if (a.payload == null) Array.emptyByteArray else a.payload
-        val outLen = math.min(math.max(1, width * height / 64), math.max(1, src.length))
-        val out = Array.tabulate[Byte](outLen)(i => src(i * src.length / outLen))
+        val out = if (src.isEmpty) Array.emptyByteArray else {
+          val outLen = math.min(math.max(1, width * height / 64), src.length)
+          // long math: i * src.length overflows Int at video-sized payloads
+          Array.tabulate[Byte](outLen)(i => src((i.toLong * src.length / outLen).toInt))
+        }
         ResizedAsset(a.asset_id, a.mime, width, height, out)
       }
     }

@@ -45,7 +45,11 @@ object BloomJoin {
    */
   def prefilteredJoin(fact: DataFrame, dim: DataFrame, key: String,
       expectedItems: Long = 1000000L): DataFrame = {
-    val bloom = keyBloom(dim, key, expectedItems)
-    fact.filter(mightContain(bloom, col(key))).join(dim, key)
+    // dim is read twice (bloom-build job now + the join later) — persist
+    // so the second use is a cache read, not a re-scan (same discipline
+    // as the dedup operators' signature tables; spill-safe).
+    val d = dim.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bloom = keyBloom(d, key, expectedItems)
+    fact.filter(mightContain(bloom, col(key))).join(d, key)
   }
 }

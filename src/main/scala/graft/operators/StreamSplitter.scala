@@ -93,22 +93,16 @@ object StreamSplitter {
    * `dynamic`, Overwrite truncates the whole table — the difference
    * between replaying 100 GB and rewriting 100 TB.
    */
-  def replayAll(env: DataFrame, outDir: String): Unit = {
-    val spark = env.sparkSession
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try {
-      env.filter(col("data").isNotNull)
-        .withColumn("schema_name", schemaNameCol)
-        .withColumn("table_name", tableNameCol)
-        .write.mode(SaveMode.Overwrite)
-        .partitionBy("schema_name", "table_name")
-        .parquet(outDir)
-    } finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
-  }
+  def replayAll(env: DataFrame, outDir: String): Unit =
+    env.filter(col("data").isNotNull)
+      .withColumn("schema_name", schemaNameCol)
+      .withColumn("table_name", tableNameCol)
+      .write.mode(SaveMode.Overwrite)
+      // per-write option, NOT the session conf: concurrent writers on
+      // the same session must not inherit dynamic-overwrite semantics
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("schema_name", "table_name")
+      .parquet(outDir)
 
   /**
    * [[splitAll]] with pipeline observability: an `Observation` collects

@@ -21,7 +21,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
       """SELECT graft_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
                           array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d,
                 graft_might_contain(
-                  (SELECT graft_bloom_agg(xxhash64(col), 100L)
+                  (SELECT graft_bloom_agg(xxhash64(col), 100)
                    FROM VALUES ('a'), ('b') AS t(col)),
                   xxhash64('a')) AS mc""").head()
     assert(r.getAs[Double]("d") === 11.0)

@@ -42,6 +42,21 @@ class MultimodalSpec extends SparkSpec {
     assert(resized.map(_.payload.toSeq).toSeq === again.map(_.payload.toSeq).toSeq)
   }
 
+  test("resize survives null/empty payloads and video-scale targets") {
+    implicit val s = spark
+    import spark.implicits._
+    val assets = Seq(
+      Multimodal.Asset(1L, "image/png", null, "t"),
+      Multimodal.Asset(2L, "image/png", Array.emptyByteArray, "t"),
+      Multimodal.Asset(3L, "video/mp4", Array.fill[Byte](100000)(7), "t")
+    ).toDS()
+    // 1920x1080: outLen up to 32400 — the i*srcLen product needs long math
+    val r = Multimodal.resizeAssets(assets, 1920, 1080).collect()
+      .sortBy(_.asset_id)
+    assert(r(0).payload.isEmpty && r(1).payload.isEmpty)
+    assert(r(2).payload.nonEmpty && r(2).payload.forall(_ === 7.toByte))
+  }
+
   test("sampleFrames emits every Nth frame; non-video emits frame 0 only") {
     implicit val s = spark
     val docs = Tables.load(spark, sf0001, "documents").limit(30)
