@@ -1,0 +1,65 @@
+package graft
+
+/** Plan-shape regression tests: the 100 TB properties PLANS.md/SCALING.md
+  * argue from, enforced on the actual physical plans so a refactor can't
+  * silently lose a pushdown, a broadcast, or partial aggregation. */
+class PlanShapeSpec extends SparkSpec {
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf0001)
+    df.queryExecution.executedPlan.toString
+  }
+  private def formatted(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf0001)
+    df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+  }
+
+  test("q02: predicate and projection reach the parquet scan") {
+    val p = formatted("q02_filter_project")
+    assert(p.contains("PushedFilters: [IsNotNull"), p)
+    assert(p.contains("GreaterThan(l_quantity"), p)
+    // pruned read schema — nowhere near all 16 lineitem columns
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(read.count(_ == ',') <= 6, read)
+  }
+
+  test("q03: all dimension joins broadcast; fact side never shuffles pre-agg") {
+    val p = plan("q03_join_agg")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // exactly one hash exchange: the aggregation's (plus the final sort's
+    // range exchange) — the fact scan feeds broadcasts directly
+    val hashExchanges = p.linesIterator.count(l => l.contains("Exchange hashpartitioning"))
+    assert(hashExchanges === 1, p)
+  }
+
+  test("q01: aggregation is partial before the exchange, final after") {
+    val p = plan("q01_agg")
+    val idxPartial = p.indexOf("partial_sum")
+    val idxExchange = p.indexOf("Exchange hashpartitioning")
+    val idxFinal = p.indexOf("HashAggregate")
+    assert(idxPartial >= 0 && idxExchange >= 0, p)
+    assert(idxFinal >= 0, p)
+  }
+
+  test("q58: bloom membership filter sits on the fact side before the join") {
+    val p = plan("q58_bloom_join")
+    val idxFilter = p.indexOf("might_contain")
+    val idxJoin = math.max(p.indexOf("BroadcastHashJoin"), p.indexOf("SortMergeJoin"))
+    assert(idxFilter >= 0, p)
+    assert(idxJoin >= 0, p)
+    // plan prints top-down: the join appears above (before) its child filter
+    assert(idxJoin < idxFilter, p)
+  }
+
+  test("q51: custom operator replaces Sort+Window entirely") {
+    val p = plan("q51_topk_group")
+    assert(p.contains("TopKPerGroup"), p)
+    assert(!p.contains("WindowExec"), p)
+  }
+
+  test("q04: global top-k is TakeOrderedAndProject, not a global sort") {
+    val p = plan("q04_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+}
