@@ -1104,6 +1104,34 @@ object SparkEntry {
                 wf AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
                        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
          ORDER BY o_orderkey""",
+    // exact algorithm ⇒ exact oracle: DuckDB recomputes token-5-gram
+    // Jaccard from scratch (shared-shingle candidates + list_intersect
+    // verify) — integer/string math throughout, so the hash compare is
+    // bit-exact. Mirrors Dedup.ngramJaccardPairs semantics, not its
+    // prefix-filter optimization.
+    "q22_jaccard" ->
+      """WITH t AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                      x -> len(x) > 0) AS ts
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             CASE WHEN len(ts) < 5 THEN CAST([] AS VARCHAR[])
+                  ELSE list_distinct([array_to_string(ts[i:i+4], ' ')
+                                      for i in range(1, len(ts)-3)]) END AS s
+           FROM t),
+         ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id),
+         v AS (SELECT c.id_a, c.id_b,
+                 len(list_intersect(sa.s, sb.s)) AS inter,
+                 len(sa.s) AS na, len(sb.s) AS nb
+               FROM cand c JOIN sh sa ON sa.doc_id = c.id_a
+                           JOIN sh sb ON sb.doc_id = c.id_b)
+         SELECT id_a, id_b,
+           round(inter / CAST(na + nb - inter AS DOUBLE), 4) AS jaccard
+         FROM v WHERE round(inter / CAST(na + nb - inter AS DOUBLE), 4) >= 0.8
+         ORDER BY id_a, id_b""",
     "q62_variant" ->
       """SELECT CAST(k % 10 AS INT) AS bucket, count(*) AS n,
          CAST(sum(k) AS BIGINT) AS sum_k
