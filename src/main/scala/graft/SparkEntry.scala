@@ -1104,6 +1104,22 @@ object SparkEntry {
                 wf AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
                        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
          ORDER BY o_orderkey""",
+    // exact cosine top-k, independently recomputed: DuckDB's
+    // list_cosine_similarity over DOUBLE[] agrees with the engine's
+    // normalize-then-dot to ~1e-15 — far below the 1e-4 rounding and any
+    // realistic rank gap on non-identical vectors.
+    "q23_ann_brute" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+         s AS (SELECT query_id, e.vec_id AS item_id,
+                 list_cosine_similarity(qv, e.v) AS cos
+               FROM q, e WHERE e.vec_id != query_id),
+         r AS (SELECT query_id, item_id, round(cos, 4) AS cos,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                      ORDER BY s.cos DESC, item_id) AS INT) AS rank
+               FROM s)
+         SELECT query_id, item_id, cos, rank FROM r
+         WHERE rank <= 5 ORDER BY query_id, rank""",
     // exact algorithm ⇒ exact oracle: DuckDB recomputes token-5-gram
     // Jaccard from scratch (shared-shingle candidates + list_intersect
     // verify) — integer/string math throughout, so the hash compare is
