@@ -680,6 +680,38 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // arbitrary per-group computation via typed mapGroups (the Scala
+    // analog of applyInPandas): OLS slope of order price over time per
+    // priority class. BigDecimal accumulation ⇒ result independent of
+    // the iterator's (arbitrary) row order, so the oracle can mirror the
+    // closed form exactly.
+    "q63_mapgroups_slope" -> ((s, dir) => {
+      import s.implicits._
+      val rows = t(s, dir, "orders")
+        .select(col("o_orderpriority"),
+          datediff(col("o_orderdate"), lit("1992-01-01").cast("timestamp_ntz"))
+            .cast("long").as("x"),
+          col("o_totalprice").as("y"))
+        .as[(String, Long, Double)]
+      rows.groupByKey(_._1)
+        .mapGroups { (prio, it) =>
+          var n = 0L
+          var sx, sy, sxy, sxx = BigDecimal(0)
+          it.foreach { case (_, x, y) =>
+            val xb = BigDecimal(x); val yb = BigDecimal(y).setScale(2)
+            n += 1; sx += xb; sy += yb; sxy += xb * yb; sxx += xb * xb
+          }
+          val nb = BigDecimal(n)
+          // exact decimal numerator/denominator; final division in
+          // double so the oracle's CAST-to-double form is bit-identical
+          val slope = (nb * sxy - sx * sy).toDouble / (nb * sxx - sx * sx).toDouble
+          (prio, n,
+            BigDecimal(slope).setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+        .toDF("o_orderpriority", "n", "slope")
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // VARIANT semi-structured path (Spark 4): parse once into the binary
     // variant encoding, then typed variant_get extraction — the
     // schema-on-read successor to per-key get_json_object re-parsing
@@ -1104,6 +1136,15 @@ object SparkEntry {
                 wf AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
                        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
          ORDER BY o_orderkey""",
+    "q63_mapgroups_slope" ->
+      """WITH b AS (SELECT o_orderpriority,
+             CAST(datediff('day', TIMESTAMP '1992-01-01', o_orderdate) AS BIGINT) AS x,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS y
+           FROM orders)
+         SELECT o_orderpriority, count(*) AS n,
+           round(CAST(count(*)*sum(x*y) - sum(x)*sum(y) AS DOUBLE)
+                 / CAST(count(*)*sum(x*x) - sum(x)*sum(x) AS DOUBLE), 8) AS slope
+         FROM b GROUP BY 1 ORDER BY 1""",
     // exact cosine top-k, independently recomputed: DuckDB's
     // list_cosine_similarity over DOUBLE[] agrees with the engine's
     // normalize-then-dot to ~1e-15 — far below the 1e-4 rounding and any
