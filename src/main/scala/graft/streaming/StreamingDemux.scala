@@ -60,6 +60,30 @@ object StreamingDemux {
       .start()
   }
 
+  /**
+   * Idempotent `foreachBatch` wrapper — sink-level exactly-once for
+   * non-transactional targets. Structured Streaming re-delivers a
+   * micro-batch (same batchId) after a failure between the sink write
+   * and the checkpoint commit; for an append sink that means duplicate
+   * output. This wrapper keeps a tiny commit log (one marker file per
+   * batchId, written AFTER the body succeeds): a re-delivered batchId
+   * is skipped, so body side effects happen exactly once per batch.
+   * The marker write is a driver-side metadata op (the same batchId is
+   * never processed concurrently), not a data-volume cost.
+   */
+  def idempotentBatch(commitDir: String)(
+      body: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit = {
+    val dir = new java.io.File(commitDir)
+    dir.mkdirs()
+    (batch: DataFrame, batchId: Long) => {
+      val marker = new java.io.File(dir, batchId.toString)
+      if (!marker.exists()) {
+        body(batch, batchId)
+        marker.createNewFile()
+      }
+    }
+  }
+
   /** Firehose-analog lander: micro-batched, compressed, date-partitioned
     * (reference README.md:76-82: 600 s buffer, GZIP, date-templated prefix). */
   def landToJson(envelopes: DataFrame, landingDir: String, checkpoint: String,

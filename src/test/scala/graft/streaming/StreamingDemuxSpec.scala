@@ -142,4 +142,23 @@ class StreamingDemuxSpec extends SparkSpec {
       .as[(String, String, Long)].collect().toSet
     assert(streamed === batch)
   }
+
+  test("idempotentBatch runs each batchId's side effects exactly once") {
+    val commits = java.nio.file.Files.createTempDirectory("commits").toString
+    var calls = List.empty[Long]
+    val body = StreamingDemux.idempotentBatch(commits) { (_, id) =>
+      calls = id :: calls
+    }
+    val df = spark.range(1).toDF()
+    body(df, 0L); body(df, 1L)
+    body(df, 0L) // re-delivery after a simulated sink/checkpoint crash
+    body(df, 1L); body(df, 2L)
+    assert(calls.reverse === List(0L, 1L, 2L))
+    // a fresh wrapper over the SAME commit log stays idempotent (driver restart)
+    val body2 = StreamingDemux.idempotentBatch(commits) { (_, id) =>
+      calls = id :: calls
+    }
+    body2(df, 2L); body2(df, 3L)
+    assert(calls.reverse === List(0L, 1L, 2L, 3L))
+  }
 }
