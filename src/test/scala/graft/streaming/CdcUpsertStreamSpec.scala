@@ -83,6 +83,61 @@ class CdcUpsertStreamSpec extends SparkSpec {
     assert(rows === Seq((false, "a"), (true, "a"), (false, "b")))
   }
 
+  private val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
+  private val RocksDb =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** transformWithState needs RocksDB (column families); scope the
+    * provider switch to the block so v1/other tests keep the default. */
+  private def withRocksDb[A](f: => A): A = {
+    val prev = spark.conf.getOption(ProviderKey)
+    spark.conf.set(ProviderKey, RocksDb)
+    try f finally prev match {
+      case Some(v) => spark.conf.set(ProviderKey, v)
+      case None => spark.conf.unset(ProviderKey)
+    }
+  }
+
+  test("v2 transformWithState materializer matches v1 and the batch form") { withRocksDb {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[CdcRecord]
+    mem.addData(log: _*)
+    val q = CdcUpsertStream.latestByKeyV2(mem.toDS(), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("upserts_v2")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val v2Final = spark.table("upserts_v2")
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("key")
+          .orderBy(col("ts").desc)))
+      .filter(col("__rn") === 1 && !col("deleted"))
+      .select("key", "payload").as[(String, String)].collect().toMap
+    assert(v2Final === Map(
+      "person/1" -> """{"v":2}""", "seat/7" -> """{"v":5}"""))
+    val batchFinal = CdcMaterializer.latestSnapshot(
+        log.toDF(), Seq("key"), Seq(col("ts"), col("seq")), "op")
+      .select("key", "payload").as[(String, String)].collect().toMap
+    assert(v2Final === batchFinal)
+  }}
+
+  test("v2: delete tombstone then newer re-insert revives the key") { withRocksDb {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[CdcRecord]
+    val q = CdcUpsertStream.latestByKeyV2(mem.toDS(), watermark = "0 seconds")
+      .writeStream.format("memory").queryName("revive_v2")
+      .outputMode("update").start()
+    mem.addData(CdcRecord("k", ts("2019-11-13 09:00:00"), 1, "insert", "a"))
+    q.processAllAvailable()
+    mem.addData(CdcRecord("k", ts("2019-11-13 09:01:00"), 2, "delete", "a"))
+    q.processAllAvailable()
+    mem.addData(CdcRecord("k", ts("2019-11-13 09:02:00"), 3, "insert", "b"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("revive_v2").orderBy("ts")
+      .select("deleted", "payload").as[(Boolean, String)].collect().toSeq
+    assert(rows === Seq((false, "a"), (true, "a"), (false, "b")))
+  }}
+
   test("cdcRecords keys envelopes by schema/table/pk and keeps the op") {
     val env = Seq(
       ("""{"ID": 42, "x": 1}""", "insert", "person", "2019-11-13T09:00:00Z"),
