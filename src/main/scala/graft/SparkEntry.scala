@@ -698,13 +698,18 @@ object SparkEntry {
           var n = 0L
           var sx, sy, sxy, sxx = BigDecimal(0)
           it.foreach { case (_, x, y) =>
-            val xb = BigDecimal(x); val yb = BigDecimal(y).setScale(2)
+            val xb = BigDecimal(x)
+            val yb = BigDecimal(y).setScale(2, BigDecimal.RoundingMode.HALF_UP)
             n += 1; sx += xb; sy += yb; sxy += xb * yb; sxx += xb * xb
           }
           val nb = BigDecimal(n)
           // exact decimal numerator/denominator; final division in
-          // double so the oracle's CAST-to-double form is bit-identical
-          val slope = (nb * sxy - sx * sy).toDouble / (nb * sxx - sx * sx).toDouble
+          // double so the oracle's CAST-to-double form is bit-identical.
+          // Degenerate group (all x equal ⇒ zero variance) → slope 0,
+          // mirrored in the oracle's CASE.
+          val den = nb * sxx - sx * sx
+          val slope =
+            if (den == 0) 0.0 else (nb * sxy - sx * sy).toDouble / den.toDouble
           (prio, n,
             BigDecimal(slope).setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble)
         }
@@ -1142,8 +1147,10 @@ object SparkEntry {
              CAST(o_totalprice AS DECIMAL(18,2)) AS y
            FROM orders)
          SELECT o_orderpriority, count(*) AS n,
-           round(CAST(count(*)*sum(x*y) - sum(x)*sum(y) AS DOUBLE)
-                 / CAST(count(*)*sum(x*x) - sum(x)*sum(x) AS DOUBLE), 8) AS slope
+           CASE WHEN count(*)*sum(x*x) - sum(x)*sum(x) = 0 THEN 0.0
+                ELSE round(CAST(count(*)*sum(x*y) - sum(x)*sum(y) AS DOUBLE)
+                     / CAST(count(*)*sum(x*x) - sum(x)*sum(x) AS DOUBLE), 8)
+           END AS slope
          FROM b GROUP BY 1 ORDER BY 1""",
     // exact cosine top-k, independently recomputed: DuckDB's
     // list_cosine_similarity over DOUBLE[] agrees with the engine's
@@ -1187,7 +1194,7 @@ object SparkEntry {
                            JOIN sh sb ON sb.doc_id = c.id_b)
          SELECT id_a, id_b,
            round(inter / CAST(na + nb - inter AS DOUBLE), 4) AS jaccard
-         FROM v WHERE round(inter / CAST(na + nb - inter AS DOUBLE), 4) >= 0.8
+         FROM v WHERE inter / CAST(na + nb - inter AS DOUBLE) >= 0.8
          ORDER BY id_a, id_b""",
     "q62_variant" ->
       """SELECT CAST(k % 10 AS INT) AS bucket, count(*) AS n,

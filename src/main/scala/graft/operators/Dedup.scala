@@ -237,10 +237,15 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         size(array_intersect(col("sa"), col("sb"))).as("inter"),
         col("na"), col("nb"))
+      // threshold on the UNROUNDED ratio: the prefix theorem guarantees
+      // candidates only for true Jaccard >= t, so filtering on the
+      // rounded value would admit pairs in [t - 5e-5, t) that the
+      // candidate stage structurally cannot produce
+      .filter(col("inter") / (col("na") + col("nb") - col("inter")).cast("double")
+        >= threshold)
       .select(col("id_a"), col("id_b"),
         round(col("inter") / (col("na") + col("nb") - col("inter")).cast("double"), 4)
           .as("jaccard"))
-      .filter(col("jaccard") >= threshold)
   }
 
   /**

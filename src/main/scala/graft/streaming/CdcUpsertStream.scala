@@ -129,14 +129,13 @@ object CdcUpsertStream {
       .withWatermark("ts", watermark)
       .groupByKey(_.key)
       .transformWithState(new UpsertProcessor(retMs),
-        org.apache.spark.sql.streaming.TimeMode.EventTime(),
-        OutputMode.Update)
+        org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Update)
   }
 
   private class UpsertProcessor(retMs: Long)
       extends org.apache.spark.sql.streaming.StatefulProcessor[String, CdcRecord, CdcUpsert] {
     import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimerValues, TimeMode, TTLConfig, ValueState}
-    import org.apache.spark.sql.{Encoders, streaming => ss}
+    import org.apache.spark.sql.Encoders
 
     @transient private var latest: ValueState[CdcLatest] = _
 
@@ -168,7 +167,11 @@ object CdcUpsertStream {
 
     override def handleExpiredTimer(key: String, tv: TimerValues,
         info: ExpiredTimerInfo): Iterator[CdcUpsert] = {
-      latest.clear()
+      // the timer may be stale: a revive (newer insert) after the delete
+      // leaves the delete's timer armed — only evict keys still deleted,
+      // or a live record would be wiped and a straggler could resurrect
+      // stale state
+      if (latest.exists() && latest.get().op == "delete") latest.clear()
       Iterator.empty
     }
   }

@@ -61,25 +61,33 @@ object StreamingDemux {
   }
 
   /**
-   * Idempotent `foreachBatch` wrapper — sink-level exactly-once for
-   * non-transactional targets. Structured Streaming re-delivers a
-   * micro-batch (same batchId) after a failure between the sink write
-   * and the checkpoint commit; for an append sink that means duplicate
-   * output. This wrapper keeps a tiny commit log (one marker file per
-   * batchId, written AFTER the body succeeds): a re-delivered batchId
-   * is skipped, so body side effects happen exactly once per batch.
-   * The marker write is a driver-side metadata op (the same batchId is
-   * never processed concurrently), not a data-volume cost.
+   * Idempotent `foreachBatch` wrapper for non-transactional sinks.
+   * Structured Streaming re-delivers a micro-batch (same batchId) after
+   * a failure between the sink write and the checkpoint commit; for an
+   * append sink that means duplicate output. This wrapper keeps a tiny
+   * commit log (one marker file per batchId, written AFTER the body
+   * succeeds): a re-delivered batchId whose marker exists is skipped.
+   *
+   * Guarantee, precisely: duplicates are prevented for every re-delivery
+   * after a successful marker write. A crash BETWEEN body success and
+   * the marker write still re-runs that one batch (at-least-once for
+   * exactly that window) — closing it needs a sink-transactional commit,
+   * which no file-marker scheme can provide. The marker is a driver-side
+   * metadata op on the checkpoint's filesystem (any Hadoop FS URI —
+   * s3a://, hdfs://, file:// — so a driver failover to another node
+   * still sees it), not a data-volume cost.
    */
   def idempotentBatch(commitDir: String)(
       body: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit = {
-    val dir = new java.io.File(commitDir)
-    dir.mkdirs()
     (batch: DataFrame, batchId: Long) => {
-      val marker = new java.io.File(dir, batchId.toString)
-      if (!marker.exists()) {
+      val hconf = batch.sparkSession.sparkContext.hadoopConfiguration
+      val dir = new org.apache.hadoop.fs.Path(commitDir)
+      val fs = dir.getFileSystem(hconf)
+      fs.mkdirs(dir)
+      val marker = new org.apache.hadoop.fs.Path(dir, batchId.toString)
+      if (!fs.exists(marker)) {
         body(batch, batchId)
-        marker.createNewFile()
+        fs.create(marker, true).close()
       }
     }
   }

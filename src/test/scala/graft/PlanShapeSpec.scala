@@ -38,8 +38,9 @@ class PlanShapeSpec extends SparkSpec {
     val idxPartial = p.indexOf("partial_sum")
     val idxExchange = p.indexOf("Exchange hashpartitioning")
     val idxFinal = p.indexOf("HashAggregate")
-    assert(idxPartial >= 0 && idxExchange >= 0, p)
-    assert(idxFinal >= 0, p)
+    assert(idxPartial >= 0 && idxExchange >= 0 && idxFinal >= 0, p)
+    // plan prints top-down: final agg above the exchange, partial below
+    assert(idxFinal < idxExchange && idxExchange < idxPartial, p)
   }
 
   test("q58: bloom membership filter sits on the fact side before the join") {
