@@ -138,6 +138,40 @@ class CdcUpsertStreamSpec extends SparkSpec {
     assert(rows === Seq((false, "a"), (true, "a"), (false, "b")))
   }}
 
+  test("v2: a revive disarms the delete's eviction — straggler cannot resurrect stale state") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[CdcRecord]
+      val q = CdcUpsertStream.latestByKeyV2(mem.toDS(),
+          watermark = "10 minutes", retention = "1 second")
+        .writeStream.format("memory").queryName("stale_timer")
+        .outputMode("update").start()
+      mem.addData(CdcRecord("k", ts("2019-11-13 09:00:00"), 1, "insert", "a"))
+      q.processAllAvailable()
+      // delete arms an eviction timer at ~09:01:01
+      mem.addData(CdcRecord("k", ts("2019-11-13 09:01:00"), 2, "delete", "a"))
+      q.processAllAvailable()
+      // revive BEFORE the timer can fire (watermark still behind it)
+      mem.addData(CdcRecord("k", ts("2019-11-13 09:10:00"), 3, "insert", "b"))
+      q.processAllAvailable()
+      // other-key records push the watermark past the timer → it fires;
+      // the guard must keep the revived state alive
+      mem.addData(CdcRecord("w", ts("2019-11-13 09:12:00"), 4, "insert", "w"))
+      q.processAllAvailable()
+      mem.addData(CdcRecord("w", ts("2019-11-13 09:12:30"), 5, "insert", "w"))
+      q.processAllAvailable()
+      // straggler above the watermark but older than the revive: must be
+      // absorbed (if the timer had wiped state, this would re-emit "stale")
+      mem.addData(CdcRecord("k", ts("2019-11-13 09:05:00"), 6, "update", "stale"))
+      q.processAllAvailable()
+      q.stop()
+      val kEmissions = spark.table("stale_timer").filter(col("key") === "k")
+        .orderBy("ts").select("deleted", "payload")
+        .as[(Boolean, String)].collect().toSeq
+      assert(kEmissions === Seq((false, "a"), (true, "a"), (false, "b")))
+    }
+  }
+
   test("cdcRecords keys envelopes by schema/table/pk and keeps the op") {
     val env = Seq(
       ("""{"ID": 42, "x": 1}""", "insert", "person", "2019-11-13T09:00:00Z"),
