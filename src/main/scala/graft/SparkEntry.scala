@@ -680,6 +680,18 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // dedup clusters: connected components over the exact-Jaccard pair
+    // list (min-label propagation) — pairwise matches → per-document
+    // cluster labels, keep min(doc_id) per component to dedup.
+    "q64_dedup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.ngramJaccardPairs(t(s, dir, "documents"),
+        "doc_id", "text", n = 5, threshold = 0.8)
+      Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .select(col("id").cast("long").as("doc_id"),
+          col("comp").cast("long").as("component"))
+        .orderBy(col("doc_id"))
+    }),
+
     // arbitrary per-group computation via typed mapGroups (the Scala
     // analog of applyInPandas): OLS slope of order price over time per
     // priority class. BigDecimal accumulation ⇒ result independent of
@@ -1141,6 +1153,33 @@ object SparkEntry {
                 wf AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
                        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
          ORDER BY o_orderkey""",
+    // the q22 pair pipeline extended with a recursive transitive closure:
+    // component label = min id reachable (matches min-label propagation).
+    "q64_dedup_clusters" ->
+      """WITH RECURSIVE t AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                      x -> len(x) > 0) AS ts
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             CASE WHEN len(ts) < 5 THEN CAST([] AS VARCHAR[])
+                  ELSE list_distinct([array_to_string(ts[i:i+4], ' ')
+                                      for i in range(1, len(ts)-3)]) END AS s
+           FROM t),
+         ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id),
+         p AS (SELECT c.id_a, c.id_b
+               FROM cand c JOIN sh sa ON sa.doc_id = c.id_a
+                           JOIN sh sb ON sb.doc_id = c.id_b
+               WHERE len(list_intersect(sa.s, sb.s))
+                     / CAST(len(sa.s) + len(sb.s)
+                            - len(list_intersect(sa.s, sb.s)) AS DOUBLE) >= 0.8),
+         e AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+         r(src, dst) AS (SELECT a, b FROM e
+                         UNION SELECT r.src, e.b FROM r JOIN e ON r.dst = e.a)
+         SELECT src AS doc_id, least(src, min(dst)) AS component
+         FROM r GROUP BY src ORDER BY doc_id""",
     "q63_mapgroups_slope" ->
       """WITH b AS (SELECT o_orderpriority,
              CAST(datediff('day', TIMESTAMP '1992-01-01', o_orderdate) AS BIGINT) AS x,

@@ -249,6 +249,49 @@ object Dedup {
   }
 
   /**
+   * Connected components over a near-dup pair list — the step that turns
+   * pairwise matches into DEDUP CLUSTERS (keep min-id per component,
+   * drop the rest). Min-label propagation: every vertex starts labeled
+   * with itself; each round every vertex takes the min label among
+   * itself and its neighbors; fixpoint in O(component diameter) rounds —
+   * near-dup clusters are shallow (stars/chains of a few hops), so this
+   * converges in a handful of rounds.
+   *
+   * Scale shape: each round is ONE shuffle join (edges ⋈ labels, both
+   * hash-partitioned on the same key) + ONE min-aggregate; intermediates
+   * are persisted and the previous round's unpersisted, so lineage stays
+   * flat. The convergence check is a count per round (cheap, and what
+   * bounds the loop). For graphs with giant high-diameter components
+   * (not the dedup case) the two-phase large-star/small-star algorithm
+   * halves rounds to O(log n) — same join primitive, noted in SCALING.md.
+   */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("comp"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val neighborMin = edges.join(labels, col("dst") === col("id"))
+        .select(col("src").as("id"), col("comp"))
+      val next = labels.union(neighborMin)
+        .groupBy("id").agg(min("comp").as("comp"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      changed = next.join(labels.withColumnRenamed("comp", "old"), "id")
+        .filter(col("comp") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /**
    * Embedding near-dup: cosine ≥ threshold pairs, candidate-limited to
    * shared LSH buckets (multi-probe over `tables` independent tables so
    * recall survives unlucky hyperplanes).
