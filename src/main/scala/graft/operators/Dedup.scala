@@ -270,21 +270,28 @@ object Dedup {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct().persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("id")).distinct()
+    var persisted = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("comp"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = persisted
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
       val neighborMin = edges.join(labels, col("dst") === col("id"))
-        .select(col("src").as("id"), col("comp"))
-      val next = labels.union(neighborMin)
-        .groupBy("id").agg(min("comp").as("comp"))
+        .select(col("src").as("id"), col("comp"),
+          lit(Long.MaxValue).as("old"))
+      // carry the previous label through the same aggregation (labels
+      // contributes exactly one row per id, neighbors carry MaxValue ⇒
+      // min(old) = previous label) so convergence needs NO second job:
+      // one join + one aggregate + one count action per round.
+      val next = labels.select(col("id"), col("comp"), col("comp").as("old"))
+        .union(neighborMin)
+        .groupBy("id").agg(min("comp").as("comp"), min("old").as("old"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      changed = next.join(labels.withColumnRenamed("comp", "old"), "id")
-        .filter(col("comp") =!= col("old")).count()
-      labels.unpersist()
-      labels = next
+      changed = next.filter(col("comp") < col("old")).count()
+      persisted.unpersist() // labels may be a projection; unpersist the handle
+      persisted = next
+      labels = next.select("id", "comp")
       i += 1
     }
     edges.unpersist()
