@@ -270,10 +270,15 @@ object Dedup {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct().persist(StorageLevel.MEMORY_AND_DISK)
-    var persisted = edges.select(col("src").as("id")).distinct()
+    // localCheckpoint per round: persist alone caches DATA but the
+    // LOGICAL plan still nests every previous round — by round ~15 the
+    // driver OOMs re-analyzing an exponentially growing tree (found by
+    // the path-graph property test). Checkpointing truncates lineage;
+    // production runs on a reliable checkpoint dir instead of the
+    // block-manager-local variant.
+    var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("comp"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = persisted
+      .localCheckpoint(true)
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
@@ -287,15 +292,78 @@ object Dedup {
       val next = labels.select(col("id"), col("comp"), col("comp").as("old"))
         .union(neighborMin)
         .groupBy("id").agg(min("comp").as("comp"), min("old").as("old"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       changed = next.filter(col("comp") < col("old")).count()
-      persisted.unpersist() // labels may be a projection; unpersist the handle
-      persisted = next
       labels = next.select("id", "comp")
       i += 1
     }
     edges.unpersist()
     labels
+  }
+
+  /**
+   * The O(log n)-round connected components: the alternating
+   * large-star/small-star algorithm (Kiveris et al., "Connected
+   * Components in MapReduce and Beyond", SOCC'14 — public literature).
+   * Each phase attaches nodes directly to the minimum of their
+   * neighborhood, halving tree heights per round — so convergence is
+   * O(log n) even for a path graph, where plain min-label propagation
+   * ([[connectedComponents]]) needs O(n) rounds. Same per-round
+   * primitive: one per-node min (aggregate) + one join; use this
+   * variant when components may be deep (long duplicate chains),
+   * the propagation variant when they are shallow stars.
+   *
+   *  - large-star(u): m = min(Γ(u) ∪ u); emit (v, m) for v ∈ Γ(u), v > u
+   *  - small-star(u): m = min(Γ(u) ∪ u); emit (v, m) for v ∈ Γ(u), v ≤ u,
+   *    plus (u, m)
+   *
+   * At fixpoint every edge points a vertex at its component's minimum.
+   */
+  def connectedComponentsStar(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 30): DataFrame = {
+    val spark = pairs.sparkSession
+    var edges = pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint(true) // lineage truncation — see connectedComponents
+    var stable = false
+    var i = 0
+    def checksum(e: DataFrame): (Long, String) = {
+      // decimal sum: ANSI mode overflows a long sum of 64-bit hashes
+      val r = e.agg(count(lit(1)).as("n"),
+        coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)")).as("h")).head()
+      (r.getLong(0), r.getDecimal(1).toString)
+    }
+    var sig = checksum(edges)
+    while (!stable && i < maxIter) {
+      // symmetric neighborhood view: Γ(u) from both directions
+      val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u").agg(least(min(col("v")), first(col("u"))).as("m"))
+      val large = sym.join(mins, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+      val afterLarge = large.filter(col("u") =!= col("v")).distinct()
+        .localCheckpoint(true)
+      val sym2 = afterLarge.union(afterLarge.select(col("v").as("u"), col("u").as("v")))
+      val mins2 = sym2.groupBy("u").agg(least(min(col("v")), first(col("u"))).as("m"))
+      val small = sym2.join(mins2, "u").filter(col("v") <= col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(mins2.select(col("u"), col("m").as("v")))
+      val next = small.filter(col("u") =!= col("v")).distinct()
+        .localCheckpoint(true)
+      val nextSig = checksum(next)
+      edges = next
+      stable = nextSig == sig
+      sig = nextSig
+      i += 1
+    }
+    // fixpoint: every edge is (vertex, componentMin); roots self-label
+    val nonRoots = edges.select(col("u").as("id"), col("v").as("comp"))
+    val roots = edges.select(col("v").as("id")).distinct()
+      .join(nonRoots.select(col("id")), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("comp"))
+    val out = nonRoots.union(roots).distinct()
+    edges.unpersist()
+    out
   }
 
   /**

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.scalacheck.{Gen, Prop, Properties, Test}
+import graft.SparkSpec
+
+/** The two connected-components algorithms must agree with each other
+  * and with a driver-side union-find oracle on random graphs — including
+  * the path graphs that stress large-star/small-star's O(log n) claim. */
+object ComponentsProperties extends Properties("components") {
+
+  private lazy val spark = SparkSpec.spark
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(5)
+
+  private val edgeGen: Gen[(Long, Long)] = for {
+    a <- Gen.chooseNum(0L, 30L)
+    b <- Gen.chooseNum(0L, 30L) if a != b
+  } yield (a, b)
+
+  /** Driver-side union-find ground truth. */
+  private def oracle(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  private def run(f: (org.apache.spark.sql.DataFrame, String, String) => org.apache.spark.sql.DataFrame,
+      edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    f(edges.toDF("id_a", "id_b"), "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+  }
+
+  property("label propagation matches union-find on random graphs") =
+    Prop.forAll(Gen.listOfN(25, edgeGen)) { edges =>
+      edges.isEmpty || run(Dedup.connectedComponents(_, _, _), edges) == oracle(edges)
+    }
+
+  property("large-star/small-star matches union-find on random graphs") =
+    Prop.forAll(Gen.listOfN(25, edgeGen)) { edges =>
+      edges.isEmpty || run(Dedup.connectedComponentsStar(_, _, _), edges) == oracle(edges)
+    }
+
+  property("both algorithms agree on a path graph (the worst case for propagation)") = {
+    val path = (0L until 16L).map(i => (i, i + 1)).toSeq
+    val want = (0L to 16L).map(_ -> 0L).toMap
+    Prop(run(Dedup.connectedComponents(_, _, _), path) == want &&
+      run(Dedup.connectedComponentsStar(_, _, _), path) == want)
+  }
+}
