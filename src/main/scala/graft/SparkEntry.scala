@@ -680,6 +680,32 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // SQL PIVOT clause (the parser path, vs q37's DataFrame pivot).
+    "q65_pivot_sql" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""SELECT * FROM (
+                 SELECT l_returnflag, l_linestatus,
+                        CAST(l_quantity AS DECIMAL(18,2)) AS qty
+                 FROM lineitem)
+               PIVOT (CAST(sum(qty) AS DOUBLE) FOR l_linestatus IN ('F' AS f, 'O' AS o))
+               ORDER BY l_returnflag""")
+    }),
+
+    // case-insensitive collation (Spark 4 COLLATE): grouping normalizes
+    // case without rewriting the data — mixed-case source values of the
+    // documents' source column group as one key.
+    "q66_collation" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          when(col("doc_id") % 3 === 0, upper(col("source")))
+            .otherwise(col("source")).as("src")) // synthesize mixed case
+        .select(col("doc_id"), collate(col("src"), "UTF8_LCASE").as("src"))
+        .groupBy(col("src"))
+        .agg(count(lit(1)).as("n"))
+        .select(lower(col("src")).as("source"), col("n")) // stable display form
+        .orderBy(col("source"))
+    }),
+
     // dedup clusters: connected components over the exact-Jaccard pair
     // list (min-label propagation) — pairwise matches → per-document
     // cluster labels, keep min(doc_id) per component to dedup.
@@ -1153,6 +1179,16 @@ object SparkEntry {
                 wf AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
                        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
          ORDER BY o_orderkey""",
+    "q65_pivot_sql" ->
+      """SELECT l_returnflag,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS f,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS o
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q66_collation" ->
+      """SELECT lower(CASE WHEN doc_id % 3 = 0 THEN upper(source) ELSE source END) AS source,
+         count(*) AS n
+         FROM documents
+         GROUP BY 1 ORDER BY source""",
     // the q22 pair pipeline extended with a recursive transitive closure:
     // component label = min id reachable (matches min-label propagation).
     "q64_dedup_clusters" ->
