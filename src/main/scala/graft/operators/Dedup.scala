@@ -258,12 +258,15 @@ object Dedup {
    * converges in a handful of rounds.
    *
    * Scale shape: each round is ONE shuffle join (edges ⋈ labels, both
-   * hash-partitioned on the same key) + ONE min-aggregate; intermediates
-   * are persisted and the previous round's unpersisted, so lineage stays
-   * flat. The convergence check is a count per round (cheap, and what
-   * bounds the loop). For graphs with giant high-diameter components
-   * (not the dedup case) the two-phase large-star/small-star algorithm
-   * halves rounds to O(log n) — same join primitive, noted in SCALING.md.
+   * hash-partitioned on the same key) + ONE min-aggregate, checkpointed
+   * so lineage stays flat (prior rounds' checkpoint blocks are reclaimed
+   * by the ContextCleaner once their Datasets go unreachable — rounds
+   * are O(diameter), so at most a handful of label-table snapshots
+   * coexist). The convergence check is a count per round (cheap, and
+   * what bounds the loop); non-convergence within maxIter THROWS rather
+   * than returning silently split clusters. For graphs with giant
+   * high-diameter components (not the dedup case) use
+   * [[connectedComponentsStar]] — O(log n) rounds, same join primitive.
    */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 20): DataFrame = {
@@ -282,13 +285,15 @@ object Dedup {
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
+      // null sentinel, not a typed MAX constant: min() ignores nulls and
+      // every id has exactly one labels row, so min(old) = previous
+      // label for ANY orderable id type (a Long.MaxValue sentinel would
+      // coerce to string for string ids and break the comparison)
       val neighborMin = edges.join(labels, col("dst") === col("id"))
-        .select(col("src").as("id"), col("comp"),
-          lit(Long.MaxValue).as("old"))
-      // carry the previous label through the same aggregation (labels
-      // contributes exactly one row per id, neighbors carry MaxValue ⇒
-      // min(old) = previous label) so convergence needs NO second job:
-      // one join + one aggregate + one count action per round.
+        .select(col("src").as("id"), col("comp"), lit(null).as("old"))
+      // carrying the previous label through the same aggregation means
+      // convergence needs NO second job: one join + one aggregate + one
+      // count action per round.
       val next = labels.select(col("id"), col("comp"), col("comp").as("old"))
         .union(neighborMin)
         .groupBy("id").agg(min("comp").as("comp"), min("old").as("old"))
@@ -297,6 +302,9 @@ object Dedup {
       labels = next.select("id", "comp")
       i += 1
     }
+    require(changed == 0,
+      s"connectedComponents did not converge in $maxIter rounds (component " +
+        s"diameter exceeds maxIter) — raise maxIter or use connectedComponentsStar")
     edges.unpersist()
     labels
   }
@@ -321,8 +329,7 @@ object Dedup {
    */
   def connectedComponentsStar(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 30): DataFrame = {
-    val spark = pairs.sparkSession
-    var edges = pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+    var edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .filter(col("u") =!= col("v")).distinct()
       .localCheckpoint(true) // lineage truncation — see connectedComponents
     var stable = false
@@ -356,14 +363,14 @@ object Dedup {
       sig = nextSig
       i += 1
     }
+    require(stable,
+      s"connectedComponentsStar did not converge in $maxIter rounds — raise maxIter")
     // fixpoint: every edge is (vertex, componentMin); roots self-label
     val nonRoots = edges.select(col("u").as("id"), col("v").as("comp"))
     val roots = edges.select(col("v").as("id")).distinct()
       .join(nonRoots.select(col("id")), Seq("id"), "left_anti")
       .select(col("id"), col("id").as("comp"))
-    val out = nonRoots.union(roots).distinct()
-    edges.unpersist()
-    out
+    nonRoots.union(roots).distinct()
   }
 
   /**

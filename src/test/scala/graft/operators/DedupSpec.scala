@@ -69,6 +69,17 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("both components variants are id-type generic: string-keyed chain") {
+    // 'z' > Long.MaxValue's decimal string — catches a typed sentinel
+    // coercing to string and breaking the convergence comparison
+    val pairs = Seq(("za", "zb"), ("zb", "zc"), ("x", "y")).toDF("id_a", "id_b")
+    val want = Map("za" -> "za", "zb" -> "za", "zc" -> "za", "x" -> "x", "y" -> "x")
+    assert(Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .as[(String, String)].collect().toMap === want)
+    assert(Dedup.connectedComponentsStar(pairs, "id_a", "id_b")
+      .as[(String, String)].collect().toMap === want)
+  }
+
   test("connectedComponents: chain, triangle, and pair resolve to min-id labels") {
     // chain 1-2-3-4 (diameter 3), triangle 10-11-12, pair 20-21
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L),
