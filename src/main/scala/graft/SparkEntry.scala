@@ -680,6 +680,33 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // fact⋈fact join strategies, forced via hints: at 100 TB
+    // lineitem⋈orders cannot broadcast — these exercise the shuffle
+    // paths the small-scale optimizer would otherwise never pick.
+    // Sort-merge: both sides exchange + sort on the key; robust default
+    // for large⋈large (spillable, no build-side memory cliff).
+    "q67_sortmerge_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"))
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"))
+      li.hint("merge").join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_lines"), sumDec(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // Shuffle-hash: same exchanges, hash table instead of sorts — wins
+    // when one side is much smaller per partition (no sort cost), loses
+    // the spill-safety of sort-merge; kept as the explicit alternative.
+    "q68_shuffle_hash_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_extendedprice"),
+        col("l_discount"))
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"))
+      li.join(o.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(revenue(col("l_extendedprice"), col("l_discount")).as("rev"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // SQL PIVOT clause (the parser path, vs q37's DataFrame pivot).
     "q65_pivot_sql" -> ((s, dir) => {
       Tables.registerAll(s, dir)
@@ -1179,6 +1206,17 @@ object SparkEntry {
                 wf AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
                        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
          ORDER BY o_orderkey""",
+    "q67_sortmerge_join" ->
+      """SELECT o_orderstatus, count(*) AS n_lines,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY 1 ORDER BY o_orderstatus""",
+    "q68_shuffle_hash_join" ->
+      """SELECT o_orderpriority,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS rev
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY 1 ORDER BY o_orderpriority""",
     "q65_pivot_sql" ->
       """SELECT l_returnflag,
          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS f,

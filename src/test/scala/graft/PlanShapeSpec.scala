@@ -63,4 +63,13 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("q04_topk")
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  test("q67/q68: hints force the large-join shuffle strategies") {
+    val smj = plan("q67_sortmerge_join")
+    assert(smj.contains("SortMergeJoin"), smj)
+    assert(!smj.contains("BroadcastHashJoin"), smj)
+    val shj = plan("q68_shuffle_hash_join")
+    assert(shj.contains("ShuffledHashJoin"), shj)
+    assert(!shj.contains("BroadcastHashJoin"), shj)
+  }
 }
