@@ -680,6 +680,16 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // character-entropy quality signal (bits/char): exact char
+    // frequencies folded over sorted distinct chars — deterministic
+    // float order, so DuckDB mirrors it bit-for-bit at 4 decimals.
+    "q69_char_entropy" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), "").as("cs"))
+        .select(col("doc_id"), T.charEntropyFromChars(col("cs")).as("entropy"))
+        .orderBy(col("doc_id"))
+    }),
+
     // fact⋈fact join strategies, forced via hints: at 100 TB
     // lineitem⋈orders cannot broadcast — these exercise the shuffle
     // paths the small-scale optimizer would otherwise never pick.
@@ -1206,6 +1216,17 @@ object SparkEntry {
                 wf AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
                        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
          ORDER BY o_orderkey""",
+    "q69_char_entropy" ->
+      """WITH c AS (SELECT doc_id, string_split(text, '') AS cs FROM documents),
+         e AS (SELECT doc_id, len(cs) AS n,
+                 list_sum(list_transform(list_sort(list_distinct(cs)),
+                   ch -> CAST(len(list_filter(cs, x -> x = ch)) AS DOUBLE)
+                         * log2(CAST(len(list_filter(cs, x -> x = ch)) AS DOUBLE)))) AS s
+               FROM c)
+         SELECT doc_id,
+           CASE WHEN n <= 0 THEN 0.0
+                ELSE round(log2(CAST(n AS DOUBLE)) - s / n, 4) END AS entropy
+         FROM e ORDER BY doc_id""",
     "q67_sortmerge_join" ->
       """SELECT o_orderstatus, count(*) AS n_lines,
          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty

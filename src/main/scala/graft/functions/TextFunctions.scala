@@ -106,6 +106,29 @@ object TextFunctions {
         greatest(size(ts), lit(1)).cast("double"), 4)
   }
 
+  /**
+   * Shannon entropy of the character distribution (bits/char) — the
+   * classic gibberish/boilerplate signal (~4.1 for English prose, ≪ for
+   * repeated padding, ≫ for random bytes). Exact frequencies via
+   * entropy = log2(n) − (Σ cnt·log2 cnt)/n, folded over the SORTED
+   * distinct characters so the float accumulation order is deterministic
+   * and oracle-mirrorable. Two-stage (pass the materialized char array)
+   * per the shingle-family performance rule.
+   */
+  def charEntropyFromChars(cs: Column): Column = {
+    val n = size(cs)
+    val sumClogC = aggregate(
+      transform(array_sort(array_distinct(cs)),
+        c => size(filter(cs, x => x === c)).cast("double")),
+      lit(0.0), (acc, cnt) => acc + cnt * log2(cnt))
+    when(n <= 0, lit(0.0))
+      .otherwise(round(log2(n.cast("double")) - sumClogC / n, 4))
+  }
+
+  /** Convenience form (tests / small inputs). */
+  def charEntropy(text: Column): Column =
+    charEntropyFromChars(split(text, ""))
+
   /** Stopword density: hits on the English function-word list per token
     * — the classic boilerplate/gibberish discriminator (near 0 for code
     * or keyword-stuffed spam, ~0.3-0.5 for running prose). */

@@ -47,6 +47,12 @@ class FunctionsSpec extends SparkSpec {
     assert(r.getAs[Int]("p") === 1)
   }
 
+  test("charEntropy: uniform chars = log2(k); constant = 0; empty = 0") {
+    val df = Seq("abcd", "aaaa", "").toDF("text")
+    val r = df.select(T.charEntropy($"text")).as[Double].collect().toSeq
+    assert(r === Seq(2.0, 0.0, 0.0)) // 4 distinct uniform → log2(4)=2
+  }
+
   test("stopwordRatio counts English function words per token") {
     val df = Seq("the cat and the dog", "xyzzy qwerty").toDF("text")
     assert(df.select(T.stopwordRatio($"text")).as[Double].collect().toSeq ===
