@@ -683,10 +683,28 @@ object SparkEntry {
     // character-entropy quality signal (bits/char): exact char
     // frequencies folded over sorted distinct chars — deterministic
     // float order, so DuckDB mirrors it bit-for-bit at 4 decimals.
+    // Scale path: explode → codegen'd (doc,char) count → per-doc sorted
+    // struct fold (≤ alphabet-size elements). The all-HOF form
+    // (TextFunctions.charEntropyFromChars) is O(distinct×len)
+    // interpreted per row — measured 5.5s vs 1s at sf0.1.
     "q69_char_entropy" -> ((s, dir) => {
-      t(s, dir, "documents")
-        .select(col("doc_id"), split(col("text"), "").as("cs"))
-        .select(col("doc_id"), T.charEntropyFromChars(col("cs")).as("entropy"))
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val counts = docs
+        .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+        .groupBy("doc_id", "ch").agg(count(lit(1)).as("cnt"))
+      val folded = counts.groupBy("doc_id")
+        .agg(sort_array(collect_list(struct(col("ch"), col("cnt")))).as("cc"))
+        .select(col("doc_id"),
+          aggregate(col("cc"), lit(0L), (a, x) => a + x.getField("cnt")).as("n"),
+          aggregate(col("cc"), lit(0.0), (a, x) =>
+            a + x.getField("cnt").cast("double")
+              * log2(x.getField("cnt").cast("double"))).as("s"))
+        .select(col("doc_id"),
+          when(col("n") <= 0, lit(0.0))
+            .otherwise(round(log2(col("n").cast("double")) - col("s") / col("n"), 4))
+            .as("entropy"))
+      docs.select("doc_id").join(folded, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("entropy"), lit(0.0)).as("entropy"))
         .orderBy(col("doc_id"))
     }),
 
