@@ -680,6 +680,19 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // stratified sampling (sampleBy): per-language balanced draw — the
+    // training-mix rebalancing op (downsample the dominant language,
+    // keep the rest). Seeded Bernoulli per stratum; engine-specific
+    // randomness ⇒ rows-only driver check, invariants tested in-suite.
+    "q70_stratified_sample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val fractions = Map("en" -> 0.2, "de" -> 1.0, "fr" -> 1.0,
+        "es" -> 1.0, "zh" -> 1.0)
+      docs.stat.sampleBy("lang", fractions, seed = 42L)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"))
+    }),
+
     // character-entropy quality signal (bits/char): exact char
     // frequencies folded over sorted distinct chars — deterministic
     // float order, so DuckDB mirrors it bit-for-bit at 4 decimals.

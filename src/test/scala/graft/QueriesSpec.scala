@@ -26,4 +26,15 @@ class QueriesSpec extends SparkSpec {
       if (!mayBeEmpty(name)) assert(n > 0, s"$name returned 0 rows")
     }
   }
+
+  test("q70 stratified sample keeps 1.0-fraction strata whole, shrinks en") {
+    import org.apache.spark.sql.functions.col
+    val got = SparkEntry.queries("q70_stratified_sample")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = graft.sources.Tables.load(spark, sf0001, "documents")
+      .groupBy(col("lang")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    Seq("de", "es", "fr", "zh").foreach(l => assert(got(l) === full(l), l))
+    assert(got("en") < full("en") && got("en") > 0)
+  }
 }
