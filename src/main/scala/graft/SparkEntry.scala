@@ -686,8 +686,11 @@ object SparkEntry {
     // randomness ⇒ rows-only driver check, invariants tested in-suite.
     "q70_stratified_sample" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val fractions = Map("en" -> 0.2, "de" -> 1.0, "fr" -> 1.0,
-        "es" -> 1.0, "zh" -> 1.0)
+      // fractions from the OBSERVED strata (sampleBy drops strata absent
+      // from the map — a hardcoded list would silently lose a new
+      // language); the lang list is driver-side catalog-scale metadata.
+      val langs = docs.select("lang").distinct().collect().map(_.getString(0))
+      val fractions = langs.map(l => l -> (if (l == "en") 0.2 else 1.0)).toMap
       docs.stat.sampleBy("lang", fractions, seed = 42L)
         .groupBy(col("lang")).agg(count(lit(1)).as("n"))
         .orderBy(col("lang"))
@@ -716,6 +719,8 @@ object SparkEntry {
           when(col("n") <= 0, lit(0.0))
             .otherwise(round(log2(col("n").cast("double")) - col("s") / col("n"), 4))
             .as("entropy"))
+      // left join: docs whose text is NULL produce no exploded rows but
+      // must still appear (entropy 0.0 — the oracle's NULL case mirrors this)
       docs.select("doc_id").join(folded, Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("entropy"), lit(0.0)).as("entropy"))
         .orderBy(col("doc_id"))
@@ -1255,7 +1260,7 @@ object SparkEntry {
                          * log2(CAST(len(list_filter(cs, x -> x = ch)) AS DOUBLE)))) AS s
                FROM c)
          SELECT doc_id,
-           CASE WHEN n <= 0 THEN 0.0
+           CASE WHEN n IS NULL OR n <= 0 THEN 0.0
                 ELSE round(log2(CAST(n AS DOUBLE)) - s / n, 4) END AS entropy
          FROM e ORDER BY doc_id""",
     "q67_sortmerge_join" ->

@@ -34,7 +34,9 @@ class QueriesSpec extends SparkSpec {
     val full = graft.sources.Tables.load(spark, sf0001, "documents")
       .groupBy(col("lang")).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    Seq("de", "es", "fr", "zh").foreach(l => assert(got(l) === full(l), l))
+    // every observed stratum survives (nothing silently dropped)
+    assert(got.keySet === full.keySet)
+    (full.keySet - "en").foreach(l => assert(got(l) === full(l), l))
     assert(got("en") < full("en") && got("en") > 0)
   }
 }
