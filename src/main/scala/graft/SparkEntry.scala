@@ -347,13 +347,15 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
-    // document fingerprint (min-shingle-hash winnowing) — not SQL-oracle-
-    // expressible (xxhash64 seed semantics are Spark's); rows-only check.
+    // document fingerprint (min-shingle-hash): the portable md5-derived
+    // hash makes the fingerprint cross-engine deterministic, so the
+    // DuckDB oracle recomputes it from scratch — hash-green, not
+    // rows-only (round-1 gap #1).
     "q19_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"), col("text"), T.tokens(col("text")).as("ts"))
         .select(col("doc_id"),
-          T.fingerprintFromTokens(col("ts"), col("text"), 3).as("fp"))
+          T.fingerprintPortableFromTokens(col("ts"), col("text"), 3).as("fp"))
         .orderBy(col("doc_id"))
     }),
 
@@ -1338,6 +1340,24 @@ object SparkEntry {
                FROM s)
          SELECT query_id, item_id, cos, rank FROM r
          WHERE rank <= 5 ORDER BY query_id, rank""",
+    // portable fingerprint ⇒ exact oracle: DuckDB rebuilds the token
+    // 3-gram shingles and the md5-derived 60-bit hash (PortableHash
+    // parity) and takes the same min — bit-exact.
+    "q19_fingerprint" ->
+      s"""WITH t AS (
+           SELECT doc_id, text, list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                            x -> len(x) > 0) AS ts
+           FROM documents),
+         sh AS (
+           SELECT doc_id, text,
+             CASE WHEN len(ts) < 3 THEN CAST([] AS VARCHAR[])
+                  ELSE [array_to_string(ts[i:i+2], ' ')
+                        for i in range(1, len(ts)-1)] END AS s
+           FROM t)
+         SELECT doc_id,
+           CASE WHEN len(s) = 0 THEN ${graft.functions.PortableHash.sqlH60("trim(text)")}
+                ELSE list_min(list_transform(s, g -> ${graft.functions.PortableHash.sqlH60("g")})) END AS fp
+         FROM sh ORDER BY doc_id""",
     // exact algorithm ⇒ exact oracle: DuckDB recomputes token-5-gram
     // Jaccard from scratch (shared-shingle candidates + list_intersect
     // verify) — integer/string math throughout, so the hash compare is

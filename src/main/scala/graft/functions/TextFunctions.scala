@@ -83,6 +83,16 @@ object TextFunctions {
     when(size(hs) === 0, xxhash64(trim(text))).otherwise(array_min(hs))
   }
 
+  /** [[fingerprintFromTokens]] with the portable md5-derived hash, so the
+    * driver's DuckDB oracle can recompute the identical fingerprint
+    * (same shingles, same 60-bit hash, same min). Semantics otherwise
+    * identical; use the xxhash64 form when no cross-engine replay is
+    * needed (md5 costs ~3× murmur). */
+  def fingerprintPortableFromTokens(ts: Column, text: Column, n: Int = 3): Column = {
+    val hs = transform(shinglesFromTokens(ts, n), s => PortableHash.h60(s))
+    when(size(hs) === 0, PortableHash.h60(trim(text))).otherwise(array_min(hs))
+  }
+
   /**
    * Quality signals (ratios rounded to 4 decimals for oracle stability):
    * character/token counts, punctuation and digit and uppercase density,
