@@ -359,16 +359,23 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
-    // MinHash+LSH near-dup candidate pairs (rows-only).
+    // MinHash+LSH near-dup pairs — portable signatures + raw-slice band
+    // keys make the whole pipeline (shingle→64 permutations→banding→
+    // est-jaccard verify) cross-engine deterministic; the DuckDB oracle
+    // replays it from scratch.
     "q20_minhash" -> ((s, dir) => {
       Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text",
-          numHashes = 64, bands = 8, shingleN = 5, threshold = 0.4)
+          numHashes = 64, bands = 8, shingleN = 5, threshold = 0.4,
+          portable = true)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // SimHash near-dup pairs (rows-only).
+    // SimHash near-dup pairs — portable 60-bit signature, banded into
+    // maxHamming+1 chunks (recall-complete for the radius; round-1 bug
+    // fixed), fully replayed by the DuckDB oracle.
     "q21_simhash" -> ((s, dir) => {
-      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 6)
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
+          maxHamming = 6, portable = true)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -1340,6 +1347,75 @@ object SparkEntry {
                FROM s)
          SELECT query_id, item_id, cos, rank FROM r
          WHERE rank <= 5 ORDER BY query_id, rank""",
+    // portable MinHash+LSH ⇒ exact oracle: DuckDB rebuilds the char-5-
+    // gram shingles, all 64 (a·h+b) mod p permutation minima, the
+    // 8-band raw-slice inverted index, and the match-count verify —
+    // integer math throughout, bit-exact.
+    "q20_minhash" -> {
+      val minExprs = (0 until 64).map { i =>
+        val (a, b) = Dedup.permCoeffs(i)
+        s"min((h * $a + $b) % 2147483647) AS c$i"
+      }.mkString(",\n                  ")
+      val sigArr = (0 until 64).map(i => s"c$i").mkString("[", ", ", "]")
+      s"""WITH d AS (
+           SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+           FROM documents),
+         shl AS (
+           SELECT doc_id,
+             CASE WHEN len(norm) < 5 THEN CAST([] AS VARCHAR[])
+                  ELSE list_transform(range(0, len(norm) - 4), i -> substr(norm, i + 1, 5))
+             END AS sh
+           FROM d),
+         ex AS (SELECT doc_id, unnest(sh) AS s FROM shl),
+         hs AS (SELECT DISTINCT doc_id,
+                  ${graft.functions.PortableHash.sqlHmodP("s")} AS h FROM ex),
+         agg AS (SELECT doc_id,
+                  $minExprs
+                FROM hs GROUP BY doc_id),
+         sg AS (SELECT doc_id, $sigArr AS sig FROM agg),
+         bd AS (SELECT doc_id, b, list_slice(sig, b * 8 + 1, b * 8 + 8) AS bucket
+                FROM sg, (SELECT unnest(range(0, 8)) AS b) bands),
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                  FROM bd a JOIN bd b
+                    ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         v AS (SELECT id_a, id_b,
+                 len(list_filter(range(1, 65), i -> sa.sig[i] = sb.sig[i])) AS nm
+               FROM cand JOIN sg sa ON sa.doc_id = id_a
+                         JOIN sg sb ON sb.doc_id = id_b)
+         SELECT id_a, id_b, round(nm / 64.0, 4) AS est_jaccard
+         FROM v WHERE round(nm / 64.0, 4) >= 0.4
+         ORDER BY id_a, id_b"""
+    },
+    // portable SimHash ⇒ exact oracle: DuckDB rebuilds the 60-bit
+    // signature (per-bit majority votes over md5-derived token hashes),
+    // the 7-chunk banding, and the hamming verify — integer math
+    // throughout, bit-exact.
+    "q21_simhash" -> {
+      val chunkCase = Dedup.simhashChunkBounds(60, 6).zipWithIndex.map {
+        case ((start, width), c) => s"WHEN $c THEN (sig >> $start) & ${(1L << width) - 1}"
+      }.mkString(" ")
+      s"""WITH t AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                      x -> len(x) > 0) AS ts
+           FROM documents),
+         tok AS (SELECT doc_id, unnest(ts) AS tk FROM t),
+         hs AS (SELECT doc_id, ${graft.functions.PortableHash.sqlH60("tk")} AS h FROM tok),
+         vt AS (SELECT doc_id, b,
+                  sum(CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END) AS v
+                FROM hs, (SELECT unnest(range(0, 60)) AS b) bits
+                GROUP BY doc_id, b),
+         sg AS (SELECT doc_id,
+                  CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS sig
+                FROM vt GROUP BY doc_id),
+         ck AS (SELECT doc_id, sig, c, CASE c $chunkCase END AS key
+                FROM sg, (SELECT unnest(range(0, 7)) AS c) cs),
+         p AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+               FROM ck a JOIN ck b
+                 ON a.c = b.c AND a.key = b.key AND a.doc_id < b.doc_id)
+         SELECT id_a, id_b, hamming FROM p WHERE hamming <= 6
+         ORDER BY id_a, id_b"""
+    },
     // portable fingerprint ⇒ exact oracle: DuckDB rebuilds the token
     // 3-gram shingles and the md5-derived 60-bit hash (PortableHash
     // parity) and takes the same min — bit-exact.

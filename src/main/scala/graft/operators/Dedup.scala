@@ -56,7 +56,7 @@ object Dedup {
     array(sig: _*)
   }
 
-  private def permCoeffs(i: Int): (Long, Long) = {
+  private[graft] def permCoeffs(i: Int): (Long, Long) = {
     val a = 1L + 2 * ((1103515245L * i + 12345) % 1073741823L) // odd, < 2^31
     val b = (1103515245L * (i + 7919) + 12345) % P
     (a, b)
@@ -72,15 +72,24 @@ object Dedup {
    * the HOF form, and it scales out: the only shuffle is keyed by id).
    */
   private def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-      numHashes: Int, shingleN: Int): DataFrame = {
+      numHashes: Int, shingleN: Int, portable: Boolean): DataFrame = {
     // normText staged as an attribute so the shingle lambda doesn't
     // re-run the regex per element; the hash runs post-explode in
-    // whole-stage codegen.
-    val exploded = df
+    // whole-stage codegen. Portable mode swaps in the md5-derived
+    // oracle-replayable hash and drops shingle-less docs (inner explode)
+    // so the DuckDB mirror — which can't see them — agrees.
+    val shingled = df
       .select(col(idCol).as("id"), T.normText(col(textCol)).as("norm"))
-      .select(col("id"),
-        explode_outer(T.charShinglesFromNorm(col("norm"), shingleN)).as("s"))
-      .select(col("id"), pmod(hash(col("s")), lit(P.toInt)).cast("long").as("h"))
+    val exploded = (
+      if (portable)
+        shingled.select(col("id"),
+            explode(T.charShinglesFromNorm(col("norm"), shingleN)).as("s"))
+          .select(col("id"), graft.functions.PortableHash.hmodP(col("s")).as("h"))
+      else
+        shingled.select(col("id"),
+            explode_outer(T.charShinglesFromNorm(col("norm"), shingleN)).as("s"))
+          .select(col("id"), pmod(hash(col("s")), lit(P.toInt)).cast("long").as("h"))
+    )
     // NOTE: measured against the MinHashSigAgg TypedImperativeAggregate
     // (one object buffer, tight-loop update): the 64 codegen'd min()
     // buffers below are equal-or-faster because TypedImperativeAggregate
@@ -104,19 +113,28 @@ object Dedup {
   def minhashLsh(
       df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 8, shingleN: Int = 5,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, portable: Boolean = false): DataFrame = {
     val rows = numHashes / bands
     // the signature table is referenced 3× in the plan (banding + both
     // sides of the verify join); persist it so the explode+agg subtree
     // runs once. At production scale the signatures would be written to
     // a table instead (see SCALING.md) — spill-safe either way.
-    val sigd = minhashSignatures(df, idCol, textCol, numHashes, shingleN)
+    val sigd = minhashSignatures(df, idCol, textCol, numHashes, shingleN, portable)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // inverted index: (band, hash-of-band-slice) → ids
-    val banded = sigd.select(col("id"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)), b)))
-          .as(Seq("band", "bucket")))
+    // inverted index: (band, band-slice key) → ids. The default keys by
+    // xxhash64 of the slice (8 bytes on the wire); portable mode keys by
+    // the raw slice array — wider, but an equality the oracle replays.
+    val banded =
+      if (portable)
+        sigd.select(col("id"),
+          posexplode(transform(sequence(lit(0), lit(bands - 1)),
+            b => slice(col("sig"), b * rows + 1, lit(rows))))
+            .as(Seq("band", "bucket")))
+      else
+        sigd.select(col("id"),
+          posexplode(transform(sequence(lit(0), lit(bands - 1)),
+            b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)), b)))
+            .as(Seq("band", "bucket")))
     // distinct candidate pairs FIRST (a pair colliding in k bands must be
     // verified once, not k times), then join signatures back to verify.
     val cand = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
@@ -155,42 +173,71 @@ object Dedup {
   def simhash(text: Column): Column = simhashFromHashes(tokenHashes(text))
 
   /**
-   * SimHash signature table via explode + one codegen'd aggregate with 64
-   * sum() vote buffers (same rationale as [[minhashSignatures]]). Empty
-   * documents get signature 0.
+   * SimHash signature table via explode + one object aggregate (see
+   * SimHashSigAgg scaladoc for why the object aggregate beats 64
+   * codegen'd sum() buffers here — janino compile time of the 192-node
+   * bit assembly dwarfed execution, the opposite tradeoff to MinHash).
+   *
+   * Portable mode hashes tokens with [[graft.functions.PortableHash]]
+   * (60 effective bits — the top 4 vote negative and stay 0) and drops
+   * token-less documents (inner explode), so the oracle can rebuild the
+   * identical signature; the default keeps xxhash64 (64 bits, empty docs
+   * get the signature of the null-token hash — unchanged behavior).
    */
-  private def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val exploded = df
-      .select(col(idCol).as("id"), T.tokens(col(textCol)).as("ts"))
-      .select(col("id"), explode_outer(col("ts")).as("t"))
-      .select(col("id"), xxhash64(col("t")).as("h"))
-    // SimHashSigAgg (object aggregate) rather than 64 codegen'd sum()
-    // buffers: here janino compilation of the wide aggregate + 192-node
-    // bit assembly (~5 s) dwarfed execution (~1 s) — opposite tradeoff
-    // to MinHash; see SimHashSigAgg scaladoc.
+  private def simhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      portable: Boolean): DataFrame = {
+    val toks = df.select(col(idCol).as("id"), T.tokens(col(textCol)).as("ts"))
+    val exploded =
+      if (portable)
+        toks.select(col("id"), explode(col("ts")).as("t"))
+          .select(col("id"), graft.functions.PortableHash.h60(col("t")).as("h"))
+      else
+        toks.select(col("id"), explode_outer(col("ts")).as("t"))
+          .select(col("id"), xxhash64(col("t")).as("h"))
     exploded.groupBy(col("id"))
       .agg(graft.functions.GraftFunctions.graftSimhashSig(col("h")).as("sig"))
   }
 
+  /** Chunk boundaries for signature banding: `maxHamming + 1` chunks over
+    * `sigWidth` bits — pigeonhole guarantees any pair at hamming ≤
+    * maxHamming shares at least one untouched chunk. (Round-1 bug: a
+    * fixed 4-chunk split only guarantees recall for hamming ≤ 3, so
+    * maxHamming = 6 silently missed pairs whose diffs spread across all
+    * 4 chunks.) */
+  private[graft] def simhashChunkBounds(sigWidth: Int, maxHamming: Int): Seq[(Int, Int)] = {
+    val chunks = maxHamming + 1
+    require(chunks >= 1 && chunks <= sigWidth,
+      s"need 1..$sigWidth chunks, got $chunks (maxHamming=$maxHamming)")
+    (0 until chunks).map { c =>
+      val start = c * sigWidth / chunks
+      val end = (c + 1) * sigWidth / chunks
+      (start, end - start)
+    }
+  }
+
   /**
-   * SimHash near-dup pairs: candidates share one of 4 16-bit chunks
-   * (pigeonhole: hamming ≤ 3 ⇒ some chunk equal), verified by
-   * `bit_count(xor) <= maxHamming`.
+   * SimHash near-dup pairs: candidates share one of `maxHamming + 1`
+   * signature chunks (pigeonhole-complete for the requested radius —
+   * see [[simhashChunkBounds]]), verified by `bit_count(xor) <=
+   * maxHamming`. Portable mode (60-bit md5-derived signature) is
+   * oracle-replayable cross-engine.
    */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    val sigd = simhashSignatures(df, idCol, textCol)
+      maxHamming: Int = 3, portable: Boolean = false): DataFrame = {
+    val sigWidth = if (portable) 60 else 64
+    val sigd = simhashSignatures(df, idCol, textCol, portable)
       .persist(StorageLevel.MEMORY_AND_DISK) // referenced via both join sides
+    val chunkExprs = simhashChunkBounds(sigWidth, maxHamming).map { case (start, width) =>
+      shiftrightunsigned(col("sig"), start).bitwiseAND((1L << width) - 1L)
+    }
     val chunked = sigd.select(col("id"), col("sig"),
-      posexplode(array((0 until 4).map(c =>
-        shiftrightunsigned(col("sig"), c * 16).bitwiseAND(0xFFFFL)): _*))
-        .as(Seq("chunk", "key")))
+      posexplode(array(chunkExprs: _*)).as(Seq("chunk", "key")))
     val l = chunked.select(col("chunk"), col("key"), col("id").as("id_a"), col("sig").as("sig_a"))
     val r = chunked.select(col("chunk"), col("key"), col("id").as("id_b"), col("sig").as("sig_b"))
     l.join(r, Seq("chunk", "key"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("int").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .groupBy("id_a", "id_b").agg(min("hamming").as("hamming"))
   }
