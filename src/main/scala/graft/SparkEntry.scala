@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
 import graft.operators.{AsOfJoin, CdcMaterializer, ChoiceResolver, Dedup, RangeJoin, Similarity, StreamSplitter}
-import graft.functions.{TextFunctions => T}
+import graft.functions.{PortableHash, TextFunctions => T}
 import graft.multimodal.Multimodal
 
 /**
@@ -393,15 +393,17 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
-    // LSH-bucketed ANN (approximate; rows-only).
+    // LSH-bucketed ANN with plan-time hyperplane literals — the oracle
+    // replays bucketing, candidate generation, and the cosine re-rank.
     "q24_ann_lsh" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      Similarity.lshTopK(e, e.filter(col("vec_id") < 10), k = 5)
+      Similarity.lshTopK(e, e.filter(col("vec_id") < 10), k = 5,
+          portableDim = 64)
         .orderBy(col("query_id"), col("rank"))
     }),
 
-    // IVF-bucketed ANN: centroid inverted lists, nprobe probing
-    // (approximate; rows-only).
+    // IVF-bucketed ANN: md5-picked centroid inverted lists, nprobe
+    // probing — deterministic cross-engine, oracle replays end to end.
     "q50_ann_ivf" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), k = 5,
@@ -409,10 +411,11 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
-    // embedding near-dup pairs over LSH buckets (rows-only).
+    // embedding near-dup pairs over literal-plane LSH buckets — oracle
+    // replays the bucketing + cosine verify.
     "q25_embed_neardup" -> ((s, dir) => {
       Dedup.embeddingNearDup(t(s, dir, "embeddings"), "vec_id", "embedding",
-          threshold = 0.2, bits = 6, tables = 2)
+          threshold = 0.2, bits = 6, tables = 2, portableDim = 64)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -938,6 +941,20 @@ object SparkEntry {
     })
   )
 
+  /** DuckDB mirror of `VectorFunctions.lshBucketPlanes` over `tables`
+    * hash tables: a UNION ALL of per-table sign-bit bucket computations
+    * on the same plan-time hyperplane literals the Spark side embeds. */
+  private def lshBucketUnion(src: String, seed0: Int, tables: Int, bits: Int,
+      dim: Int): String =
+    (0 until tables).map { tb =>
+      val bucket = PortableHash.planes(seed0 + tb, bits, dim).zipWithIndex.map {
+        case (w, b) =>
+          s"(CASE WHEN list_inner_product(v, ${PortableHash.sqlPlane(w)}) >= 0" +
+            s" THEN ${1L << b} ELSE 0 END)"
+      }.mkString("(", " + ", ")")
+      s"SELECT vec_id, $tb AS tbl, $bucket AS bucket FROM $src"
+    }.mkString(" UNION ALL ")
+
   def oracleSql: Map[String, String] = Map(
     "q01_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -1341,6 +1358,79 @@ object SparkEntry {
          s AS (SELECT query_id, e.vec_id AS item_id,
                  list_cosine_similarity(qv, e.v) AS cos
                FROM q, e WHERE e.vec_id != query_id),
+         r AS (SELECT query_id, item_id, round(cos, 4) AS cos,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                      ORDER BY s.cos DESC, item_id) AS INT) AS rank
+               FROM s)
+         SELECT query_id, item_id, cos, rank FROM r
+         WHERE rank <= 5 ORDER BY query_id, rank""",
+    // portable sign-bit LSH ⇒ exact oracles for the embedding family:
+    // the hyperplanes are plan-time literals generated from the shared
+    // md5-derived formula, so DuckDB buckets on the identical constants
+    // and replays candidates + cosine verify/re-rank (list_cosine_
+    // similarity parity established by q23).
+    "q25_embed_neardup" -> {
+      val bk = lshBucketUnion("e", 58, tables = 2, bits = 6, dim = 64)
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         bk AS ($bk),
+         cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+                  FROM bk a JOIN bk b
+                    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         p AS (SELECT id_a, id_b, round(list_cosine_similarity(ea.v, eb.v), 4) AS cos
+               FROM cand JOIN e ea ON ea.vec_id = id_a
+                         JOIN e eb ON eb.vec_id = id_b)
+         SELECT id_a, id_b, cos FROM p WHERE cos >= 0.2
+         ORDER BY id_a, id_b"""
+    },
+    "q24_ann_lsh" -> {
+      val bk = lshBucketUnion("e", 977, tables = 4, bits = 6, dim = 64)
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         bk AS ($bk),
+         cand AS (SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS item_id
+                  FROM bk a JOIN bk b ON a.tbl = b.tbl AND a.bucket = b.bucket
+                  WHERE a.vec_id < 10 AND b.vec_id != a.vec_id),
+         s AS (SELECT cand.query_id, cand.item_id,
+                 list_cosine_similarity(eq.v, ei.v) AS cos
+               FROM cand JOIN e eq ON eq.vec_id = cand.query_id
+                         JOIN e ei ON ei.vec_id = cand.item_id),
+         r AS (SELECT query_id, item_id, round(cos, 4) AS cos,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                      ORDER BY s.cos DESC, item_id) AS INT) AS rank
+               FROM s)
+         SELECT query_id, item_id, cos, rank FROM r
+         WHERE rank <= 5 ORDER BY query_id, rank"""
+    },
+    // portable IVF ⇒ exact oracle: DuckDB re-picks the same 8 centroids
+    // (md5-of-id order), re-assigns every item to its argmax list,
+    // probes the query's top-3 lists, and re-ranks — mirroring
+    // Similarity.ivfTopK decision for decision (ties broken by list id
+    // in both engines).
+    "q50_ann_ivf" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         en AS (SELECT vec_id,
+                  CASE WHEN list_inner_product(v, v) = 0 THEN v
+                       ELSE list_transform(v, x -> x / sqrt(list_inner_product(v, v)))
+                  END AS nv
+                FROM e),
+         cent AS (SELECT nv AS cv, CAST(rn - 1 AS INT) AS lid FROM (
+                    SELECT nv, row_number() OVER
+                      (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+                    FROM en) WHERE rn <= 8),
+         asn AS (SELECT item_id, lid FROM (
+                   SELECT en.vec_id AS item_id, cent.lid,
+                     row_number() OVER (PARTITION BY en.vec_id
+                       ORDER BY list_inner_product(en.nv, cent.cv) DESC, cent.lid DESC) AS rn
+                   FROM en, cent) WHERE rn = 1),
+         qn AS (SELECT vec_id AS query_id, nv AS qv FROM en WHERE vec_id < 10),
+         pr AS (SELECT query_id, qv, lid FROM (
+                  SELECT qn.query_id, qn.qv, cent.lid,
+                    row_number() OVER (PARTITION BY qn.query_id
+                      ORDER BY list_inner_product(qn.qv, cent.cv) DESC, cent.lid DESC) AS rn
+                  FROM qn, cent) WHERE rn <= 3),
+         s AS (SELECT pr.query_id, asn.item_id, list_inner_product(pr.qv, en2.nv) AS cos
+               FROM pr JOIN asn ON asn.lid = pr.lid
+                       JOIN en en2 ON en2.vec_id = asn.item_id
+               WHERE asn.item_id != pr.query_id),
          r AS (SELECT query_id, item_id, round(cos, 4) AS cos,
                  CAST(row_number() OVER (PARTITION BY query_id
                       ORDER BY s.cos DESC, item_id) AS INT) AS rank

@@ -69,4 +69,22 @@ object VectorFunctions {
     }
     bitCols.reduce(_.bitwiseOR(_))
   }
+
+  /**
+   * [[lshBucket]] with plan-time hyperplane LITERALS
+   * ([[PortableHash.planes]]) instead of per-row hash-derived
+   * components: the same constants embed in the generated oracle SQL, so
+   * bucket assignment is cross-engine replayable. Feed the RAW vector —
+   * sign bits are scale-invariant, so bucketing before normalization
+   * saves a pass AND spares the oracle from mirroring fp normalization.
+   */
+  def lshBucketPlanes(v: Column, planes: Seq[Seq[Double]]): Column = {
+    val dv = asDouble(v)
+    val bitCols = planes.zipWithIndex.map { case (w, b) =>
+      val proj = aggregate(zip_with(dv, typedlit(w), (x, wc) => x * wc),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_.bitwiseOR(_))
+  }
 }

@@ -423,19 +423,28 @@ object Dedup {
   /**
    * Embedding near-dup: cosine ≥ threshold pairs, candidate-limited to
    * shared LSH buckets (multi-probe over `tables` independent tables so
-   * recall survives unlucky hyperplanes).
+   * recall survives unlucky hyperplanes). `portableDim > 0` switches to
+   * plan-time hyperplane literals over that dimensionality
+   * ([[graft.functions.PortableHash.planes]]) so the DuckDB oracle can
+   * replay the bucketing on the identical constants.
    */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double = 0.95, bits: Int = 6, tables: Int = 2): DataFrame = {
+      threshold: Double = 0.95, bits: Int = 6, tables: Int = 2,
+      portableDim: Int = 0): DataFrame = {
     // unit-normalize once per vector (norm staged as attribute) so the
-    // per-pair verification is a single dot product.
+    // per-pair verification is a single dot product. Buckets hash the
+    // RAW vector (sign bits are scale-invariant — same bucket either way).
     val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v0"),
         V.norm(col(vecCol)).as("nrm"))
-      .select(col("id"), V.normalized(col("v0"), col("nrm")).as("v"))
+      .select(col("id"), col("v0"), V.normalized(col("v0"), col("nrm")).as("v"))
       .persist(StorageLevel.MEMORY_AND_DISK) // bucketing + both verify sides
+    val bucketExprs =
+      if (portableDim > 0) (0 until tables).map(t =>
+        V.lshBucketPlanes(col("v0"),
+          graft.functions.PortableHash.planes(58 + t, bits, portableDim)))
+      else (0 until tables).map(t => V.lshBucket(col("v0"), bits, seed = 58 + t))
     val bucketed = vecs.select(col("id"),
-      posexplode(array((0 until tables).map(t =>
-        V.lshBucket(col("v"), bits, seed = 58 + t)): _*)).as(Seq("tbl", "bucket")))
+      posexplode(array(bucketExprs: _*)).as(Seq("tbl", "bucket")))
     // distinct pairs first (multi-table collisions dedup'd before the
     // cosine), then join the vectors back for exact verification.
     val cand = bucketed.select(col("tbl"), col("bucket"), col("id").as("id_a"))

@@ -70,7 +70,11 @@ object Similarity {
       nlist: Int = 16, nprobe: Int = 4): DataFrame = {
     val c = unitVecs(corpus, "item_id", "item_vec")
     val q = unitVecs(queries, "query_id", "query_vec")
-    val centers = c.orderBy(xxhash64(col("item_id"))).limit(nlist)
+    // deterministic "hash-first" pick, keyed by md5 of the id so the
+    // DuckDB oracle selects the identical nlist centroids in the
+    // identical list order (md5 hex sorts the same in both engines).
+    val centers = c.orderBy(md5(col("item_id").cast("string")), col("item_id"))
+      .limit(nlist)
       .select(col("item_vec")).collect()
       .toSeq.zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](0)) }
     // (cos-to-centroid, list_id) per centroid; array_max = argmax by cos
@@ -91,23 +95,35 @@ object Similarity {
   }
 
   /** ANN top-k: candidates limited to shared LSH buckets across `tables`
-    * independent hash tables; exact cosine re-rank inside the candidates. */
+    * independent hash tables; exact cosine re-rank inside the candidates.
+    *
+    * The candidate-dedup exchange carries ONLY (query_id, item_id) —
+    * vectors join back after the distinct (round-1 finding: the old
+    * `groupBy.agg(first(vec))` shuffled dim-sized arrays per candidate;
+    * this is the same distinct-ids-then-join shape as
+    * [[Dedup.embeddingNearDup]]). Buckets hash the RAW vectors (sign
+    * bits are scale-invariant). `portableDim > 0` uses plan-time
+    * hyperplane literals so the oracle replays the bucketing. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      bits: Int = 6, tables: Int = 4): DataFrame = {
-    def bucketize(df: DataFrame, idName: String, vecName: String): DataFrame =
-      unitVecs(df, idName, vecName)
-        .select(col(idName), col(vecName),
-          posexplode(array((0 until tables).map(t =>
-            V.lshBucket(col(vecName), bits, seed = 977 + t)): _*))
-            .as(Seq("tbl", "bucket")))
-    val c = bucketize(corpus, "item_id", "item_vec")
-    val q = bucketize(queries, "query_id", "query_vec")
-    val cand = c.join(broadcast(q), Seq("tbl", "bucket"))
+      bits: Int = 6, tables: Int = 4, portableDim: Int = 0): DataFrame = {
+    def buckets(df: DataFrame, idName: String): DataFrame = {
+      val bucketExprs =
+        if (portableDim > 0) (0 until tables).map(t =>
+          V.lshBucketPlanes(col("embedding"),
+            graft.functions.PortableHash.planes(977 + t, bits, portableDim)))
+        else (0 until tables).map(t => V.lshBucket(col("embedding"), bits, seed = 977 + t))
+      df.select(col("vec_id").as(idName),
+        posexplode(array(bucketExprs: _*)).as(Seq("tbl", "bucket")))
+    }
+    val cand = buckets(corpus, "item_id")
+      .join(broadcast(buckets(queries, "query_id")), Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("item_id"))
-      .groupBy("query_id", "item_id")
-      .agg(first("query_vec").as("query_vec"), first("item_vec").as("item_vec"))
+      .select("query_id", "item_id").distinct()
+    val scored = cand
+      .join(unitVecs(corpus, "item_id", "item_vec"), "item_id")
+      .join(broadcast(unitVecs(queries, "query_id", "query_vec")), "query_id")
       .select(col("query_id"), col("item_id"),
         V.dot(col("query_vec"), col("item_vec")).as("cos"))
-    topKRerank(cand, k)
+    topKRerank(scored, k)
   }
 }
