@@ -725,6 +725,29 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // trained-quantizer IVF (k-means-refined centroids): recall vs the
+    // exact brute-force top-k computed IN the query becomes a hard
+    // invariant the oracle asserts. The trained centroids are fp-
+    // aggregation-order dependent (so unlike q50 the full result set is
+    // not mirrorable), and per-query recall legitimately varies on this
+    // clusterless synthetic corpus — the robust cross-engine contract
+    // is aggregate recall: ≥ half the 50 exact neighbors recovered
+    // (observed 29–39; a broken quantizer/probe path scores ~0).
+    "q71_ann_ivf_trained" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 10)
+      val approx = Similarity.ivfTopKTrained(e, q, k = 5, nlist = 8,
+        nprobe = 3, iters = 3)
+      val exact = Similarity.bruteForceTopK(e, q, k = 5)
+      val hits = approx.select(col("query_id"), col("item_id"))
+        .join(exact.select(col("query_id"), col("item_id")),
+          Seq("query_id", "item_id"))
+        .agg(count(lit(1)).as("n_hit"))
+      q.agg(count(lit(1)).as("n_queries")).crossJoin(hits)
+        .select(col("n_queries"), (col("n_queries") * 5).as("total_possible"),
+          (col("n_hit") >= col("n_queries") * 5 / 2).as("recall_ok"))
+    }),
+
     // character-entropy quality signal (bits/char): exact char
     // frequencies folded over sorted distinct chars — deterministic
     // float order, so DuckDB mirrors it bit-for-bit at 4 decimals.
@@ -1638,6 +1661,10 @@ object SparkEntry {
     "q70_stratified_sample" ->
       """SELECT lang, count(*) AS n_pop, TRUE AS sample_ok
          FROM documents GROUP BY lang ORDER BY lang""",
+    "q71_ann_ivf_trained" ->
+      """SELECT count(*) AS n_queries, count(*) * 5 AS total_possible,
+         TRUE AS recall_ok
+         FROM embeddings WHERE vec_id < 10""",
     "q56_hof_norm" ->
       """SELECT vec_id,
          round(sqrt(list_sum(list_transform(embedding,

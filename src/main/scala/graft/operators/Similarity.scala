@@ -70,21 +70,33 @@ object Similarity {
       nlist: Int = 16, nprobe: Int = 4): DataFrame = {
     val c = unitVecs(corpus, "item_id", "item_vec")
     val q = unitVecs(queries, "query_id", "query_vec")
-    // deterministic "hash-first" pick, keyed by md5 of the id so the
-    // DuckDB oracle selects the identical nlist centroids in the
-    // identical list order (md5 hex sorts the same in both engines).
-    val centers = c.orderBy(md5(col("item_id").cast("string")), col("item_id"))
+    ivfSearch(c, q, hashPickCentroids(c, nlist), k, nprobe)
+  }
+
+  /** Deterministic "hash-first" centroid pick, keyed by md5 of the id so
+    * the DuckDB oracle selects the identical nlist centroids in the
+    * identical list order (md5 hex sorts the same in both engines). */
+  private def hashPickCentroids(c: DataFrame, nlist: Int): Seq[(Int, Seq[Double])] =
+    c.orderBy(md5(col("item_id").cast("string")), col("item_id"))
       .limit(nlist)
       .select(col("item_vec")).collect()
       .toSeq.zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](0)) }
-    // (cos-to-centroid, list_id) per centroid; array_max = argmax by cos
-    // (list_id tiebreak) — struct comparison is field-ordered.
-    def centScores(vec: Column): Column = array(centers.map { case (lid, cv) =>
+
+  /** (cos-to-centroid, list_id) per centroid; array_max = argmax by cos
+    * (list_id tiebreak) — struct comparison is field-ordered. Centroids
+    * ship as literals: assignment is a pure codegen'd map, ZERO shuffle. */
+  private def centScores(centers: Seq[(Int, Seq[Double])], vec: Column): Column =
+    array(centers.map { case (lid, cv) =>
       struct(V.dot(vec, typedlit(cv)).as("d"), lit(lid).as("lid")) }: _*)
+
+  /** The shared IVF tail: argmax list assignment, nprobe probing, exact
+    * re-rank within the probed lists only. */
+  private def ivfSearch(c: DataFrame, q: DataFrame,
+      centers: Seq[(Int, Seq[Double])], k: Int, nprobe: Int): DataFrame = {
     val assigned = c.withColumn("list_id",
-      array_max(centScores(col("item_vec"))).getField("lid"))
+      array_max(centScores(centers, col("item_vec"))).getField("lid"))
     val probes = q.select(col("query_id"), col("query_vec"),
-        explode(slice(reverse(array_sort(centScores(col("query_vec")))), 1, nprobe))
+        explode(slice(reverse(array_sort(centScores(centers, col("query_vec")))), 1, nprobe))
           .as("probe"))
       .select(col("query_id"), col("query_vec"), col("probe.lid").as("list_id"))
     val cand = assigned.join(broadcast(probes), Seq("list_id"))
@@ -92,6 +104,51 @@ object Similarity {
       .select(col("query_id"), col("item_id"),
         V.dot(col("query_vec"), col("item_vec")).as("cos"))
     topKRerank(cand, k)
+  }
+
+  /**
+   * Spherical k-means (Lloyd) refinement of the coarse quantizer —
+   * round-1 gap: hash-picked centroids give poor list balance on
+   * clustered real corpora. Each iteration is one zero-shuffle
+   * assignment map + one (list, dim)-keyed sum aggregate whose result —
+   * nlist × dim rows — is the same bounded driver collect as the
+   * initial pick (the k-means pattern); means are renormalized to unit
+   * length (cosine geometry), and empty lists keep their centroid.
+   */
+  private[graft] def trainCentroids(c: DataFrame, init: Seq[(Int, Seq[Double])],
+      iters: Int): Seq[(Int, Seq[Double])] = {
+    var centers = init
+    for (_ <- 0 until iters) {
+      val sums = c
+        .withColumn("list_id",
+          array_max(centScores(centers, col("item_vec"))).getField("lid"))
+        .select(col("list_id"), posexplode(col("item_vec")).as(Seq("d", "x")))
+        .groupBy("list_id", "d").agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+        .collect()
+      val byList = sums.groupBy(_.getInt(0))
+      centers = centers.map { case (lid, old) =>
+        byList.get(lid).fold((lid, old)) { rows =>
+          val mean = new Array[Double](old.size)
+          rows.foreach(r => mean(r.getInt(1)) = r.getDouble(2) / r.getLong(3))
+          val nrm = math.sqrt(mean.map(x => x * x).sum)
+          if (nrm > 0) (lid, mean.map(_ / nrm).toSeq) else (lid, old)
+        }
+      }
+    }
+    centers
+  }
+
+  /** IVF with the TRAINED coarse quantizer: k-means-refined centroids
+    * (deterministic md5-picked init), then the same search tail. */
+  def ivfTopKTrained(corpus: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, iters: Int = 3): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    // scanned once per training iteration + twice in the search tail
+    val c = unitVecs(corpus, "item_id", "item_vec")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val q = unitVecs(queries, "query_id", "query_vec")
+    val centers = trainCentroids(c, hashPickCentroids(c, nlist), iters)
+    ivfSearch(c, q, centers, k, nprobe)
   }
 
   /** ANN top-k: candidates limited to shared LSH buckets across `tables`

@@ -34,6 +34,32 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.length === pairs.distinct.length)
   }
 
+  test("k-means training improves recall over hash-picked centroids on a clustered corpus") {
+    // 4 tight clusters around near-orthogonal 16-dim directions — the
+    // corpus shape where a blind hash pick lands multiple centroids in
+    // one cluster and leaves another unrepresented.
+    val rnd = new scala.util.Random(11)
+    val dirs = Seq.tabulate(4) { c =>
+      Array.tabulate(16)(d => if (d % 4 == c) 1.0 else 0.05 * rnd.nextGaussian())
+    }
+    val rows = (0 until 200).map { i =>
+      val c = i % 4
+      (i.toLong, dirs(c).map(x => x + 0.08 * rnd.nextGaussian()).toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") < 8)
+    val exact = Similarity.bruteForceTopK(df, queries, k = 5)
+      .select("query_id", "item_id").as[(Long, Long)].collect().toSet
+    def recall(out: org.apache.spark.sql.DataFrame): Double = {
+      val got = out.select("query_id", "item_id").as[(Long, Long)].collect().toSet
+      got.intersect(exact).size.toDouble / exact.size
+    }
+    val rHash = recall(Similarity.ivfTopK(df, queries, k = 5, nlist = 4, nprobe = 1))
+    val rKm = recall(Similarity.ivfTopKTrained(df, queries, k = 5, nlist = 4, nprobe = 1, iters = 5))
+    assert(rKm >= rHash, s"trained=$rKm hash=$rHash")
+    assert(rKm >= 0.9, s"trained centroids should align with the 4 clusters: $rKm")
+  }
+
   test("lshTopK recall: approximate top-1 appears in exact top-5") {
     val queries = emb.filter(col("vec_id") < 3)
     val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
