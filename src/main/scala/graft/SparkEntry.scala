@@ -370,6 +370,19 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // the collapse→match→expand composition as a declared operator:
+    // candidates generate over DISTINCT texts only (kills the hot-bucket
+    // m² of exact-duplicate clusters); output contract = the uncollapsed
+    // run (property-tested), so the q20 oracle replays it unchanged.
+    "q72_neardup_collapsed" -> ((s, dir) => {
+      Dedup.nearDupCollapsed(t(s, dir, "documents"), "doc_id", "text",
+          lit(1.0), "est_jaccard")(reps =>
+        Dedup.minhashLsh(reps, "doc_id", "text",
+          numHashes = 64, bands = 8, shingleN = 5, threshold = 0.4,
+          portable = true))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // SimHash near-dup pairs — portable 60-bit signature, banded into
     // maxHamming+1 chunks (recall-complete for the radius; round-1 bug
     // fixed), fully replayed by the DuckDB oracle.
@@ -994,6 +1007,40 @@ object SparkEntry {
     })
   )
 
+  /** The shared DuckDB MinHash pipeline (q20 params: 64 hashes, 8
+    * bands, 5-gram shingles): CTEs from a `d(doc_id, norm)` relation to
+    * `v(id_a, id_b, nm)` — signature minima, raw-slice banding,
+    * distinct candidates, match-count verify. */
+  private def minhashPipelineSql: String = {
+    val minExprs = (0 until 64).map { i =>
+      val (a, b) = Dedup.permCoeffs(i)
+      s"min((h * $a + $b) % 2147483647) AS c$i"
+    }.mkString(",\n                  ")
+    val sigArr = (0 until 64).map(i => s"c$i").mkString("[", ", ", "]")
+    s"""shl AS (
+           SELECT doc_id,
+             CASE WHEN len(norm) < 5 THEN CAST([] AS VARCHAR[])
+                  ELSE list_transform(range(0, len(norm) - 4), i -> substr(norm, i + 1, 5))
+             END AS sh
+           FROM d),
+         ex AS (SELECT doc_id, unnest(sh) AS s FROM shl),
+         hs AS (SELECT DISTINCT doc_id,
+                  ${PortableHash.sqlHmodP("s")} AS h FROM ex),
+         agg AS (SELECT doc_id,
+                  $minExprs
+                FROM hs GROUP BY doc_id),
+         sg AS (SELECT doc_id, $sigArr AS sig FROM agg),
+         bd AS (SELECT doc_id, b, list_slice(sig, b * 8 + 1, b * 8 + 8) AS bucket
+                FROM sg, (SELECT unnest(range(0, 8)) AS b) bands),
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                  FROM bd a JOIN bd b
+                    ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         v AS (SELECT id_a, id_b,
+                 len(list_filter(range(1, 65), i -> sa.sig[i] = sb.sig[i])) AS nm
+               FROM cand JOIN sg sa ON sa.doc_id = id_a
+                         JOIN sg sb ON sb.doc_id = id_b)"""
+  }
+
   /** DuckDB mirror of `VectorFunctions.lshBucketPlanes` over `tables`
     * hash tables: a UNION ALL of per-table sign-bit bucket computations
     * on the same plan-time hyperplane literals the Spark side embeds. */
@@ -1494,41 +1541,37 @@ object SparkEntry {
     // gram shingles, all 64 (a·h+b) mod p permutation minima, the
     // 8-band raw-slice inverted index, and the match-count verify —
     // integer math throughout, bit-exact.
-    "q20_minhash" -> {
-      val minExprs = (0 until 64).map { i =>
-        val (a, b) = Dedup.permCoeffs(i)
-        s"min((h * $a + $b) % 2147483647) AS c$i"
-      }.mkString(",\n                  ")
-      val sigArr = (0 until 64).map(i => s"c$i").mkString("[", ", ", "]")
+    "q20_minhash" ->
       s"""WITH d AS (
            SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
            FROM documents),
-         shl AS (
-           SELECT doc_id,
-             CASE WHEN len(norm) < 5 THEN CAST([] AS VARCHAR[])
-                  ELSE list_transform(range(0, len(norm) - 4), i -> substr(norm, i + 1, 5))
-             END AS sh
-           FROM d),
-         ex AS (SELECT doc_id, unnest(sh) AS s FROM shl),
-         hs AS (SELECT DISTINCT doc_id,
-                  ${graft.functions.PortableHash.sqlHmodP("s")} AS h FROM ex),
-         agg AS (SELECT doc_id,
-                  $minExprs
-                FROM hs GROUP BY doc_id),
-         sg AS (SELECT doc_id, $sigArr AS sig FROM agg),
-         bd AS (SELECT doc_id, b, list_slice(sig, b * 8 + 1, b * 8 + 8) AS bucket
-                FROM sg, (SELECT unnest(range(0, 8)) AS b) bands),
-         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-                  FROM bd a JOIN bd b
-                    ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
-         v AS (SELECT id_a, id_b,
-                 len(list_filter(range(1, 65), i -> sa.sig[i] = sb.sig[i])) AS nm
-               FROM cand JOIN sg sa ON sa.doc_id = id_a
-                         JOIN sg sb ON sb.doc_id = id_b)
+         $minhashPipelineSql
          SELECT id_a, id_b, round(nm / 64.0, 4) AS est_jaccard
          FROM v WHERE round(nm / 64.0, 4) >= 0.4
-         ORDER BY id_a, id_b"""
-    },
+         ORDER BY id_a, id_b""",
+    // nearDupCollapsed mirror: reps = min-id per distinct text run the
+    // same q20 pipeline; rep pairs expand to all member combinations
+    // (re-canonicalized), within-group member pairs join at score 1.0.
+    "q72_neardup_collapsed" ->
+      s"""WITH m AS (
+           SELECT doc_id, text, min(doc_id) OVER (PARTITION BY text) AS rep_id
+           FROM documents),
+         d AS (
+           SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+           FROM m WHERE doc_id = rep_id),
+         $minhashPipelineSql,
+         rp AS (SELECT id_a, id_b, round(nm / 64.0, 4) AS est_jaccard
+                FROM v WHERE round(nm / 64.0, 4) >= 0.4),
+         cx AS (SELECT least(ma.doc_id, mb.doc_id) AS id_a,
+                  greatest(ma.doc_id, mb.doc_id) AS id_b, est_jaccard
+                FROM rp JOIN m ma ON ma.rep_id = rp.id_a
+                        JOIN m mb ON mb.rep_id = rp.id_b),
+         wi AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, 1.0 AS est_jaccard
+                FROM m a JOIN m b
+                  ON a.rep_id = b.rep_id AND a.doc_id < b.doc_id)
+         SELECT id_a, id_b, est_jaccard FROM cx
+         UNION ALL SELECT id_a, id_b, est_jaccard FROM wi
+         ORDER BY id_a, id_b""",
     // portable SimHash ⇒ exact oracle: DuckDB rebuilds the 60-bit
     // signature (per-bit majority votes over md5-derived token hashes),
     // the 7-chunk banding, and the hamming verify — integer math

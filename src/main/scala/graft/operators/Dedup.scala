@@ -421,6 +421,56 @@ object Dedup {
   }
 
   /**
+   * Exact-dup pre-collapse composition for the near-dup pipelines — the
+   * round-1 scale-risk fix. A corpus with m exact copies of one
+   * document puts all m in the same LSH band/chunk/prefix bucket, and
+   * the candidate self-join emits m² rows BEFORE any distinct. This
+   * wrapper collapses identical `textCol` values to one representative
+   * (min id), runs the pairwise matcher over representatives only, then
+   * re-expands:
+   *
+   *  - cross-group: each rep pair fans out to all member combinations
+   *    (identical texts have identical signatures, so every member pair
+   *    matches exactly when its rep pair does — same score);
+   *  - within-group: all member pairs at `selfScore` (identical texts
+   *    are near-dups by definition — this also covers shingle-less
+   *    duplicate groups the signature pipelines cannot see).
+   *
+   * The m² member pairs still appear in the OUTPUT (they are the
+   * answer), but they are generated by a join keyed on rep_id — the
+   * candidate-generation stage, where the blowup actually hurts (m²
+   * rows × band fan-out through a shuffle), now costs m. Output equals
+   * the uncollapsed run whenever every doc yields ≥ 1 shingle/token
+   * (property-tested); shingle-less dup groups gain their within-group
+   * pairs, which the uncollapsed run silently missed.
+   */
+  def nearDupCollapsed(df: DataFrame, idCol: String, textCol: String,
+      selfScore: Column, scoreCol: String)
+      (pairFn: DataFrame => DataFrame): DataFrame = {
+    val members = df.select(col(idCol).as("member_id"), col(textCol).as("__t"))
+    val groups = members.groupBy(col("__t"))
+      .agg(min(col("member_id")).as("rep_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // reps + membership expansion
+    val reps = groups.select(col("rep_id").as(idCol), col("__t").as(textCol))
+    val mem = members.join(groups, "__t")
+      .select(col("member_id"), col("rep_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // 3 expansion joins
+    val repPairs = pairFn(reps).select(col("id_a"), col("id_b"), col(scoreCol))
+    // rep ordering does not survive expansion (a member of the smaller
+    // rep's group can outnumber the other side) — re-canonicalize.
+    val cross = repPairs
+      .join(mem.select(col("rep_id").as("id_a"), col("member_id").as("ma")), "id_a")
+      .join(mem.select(col("rep_id").as("id_b"), col("member_id").as("mb")), "id_b")
+      .select(least(col("ma"), col("mb")).as("id_a"),
+        greatest(col("ma"), col("mb")).as("id_b"), col(scoreCol))
+    val within = mem.as("x").join(mem.as("y"), Seq("rep_id"))
+      .filter(col("x.member_id") < col("y.member_id"))
+      .select(col("x.member_id").as("id_a"), col("y.member_id").as("id_b"),
+        selfScore.as(scoreCol))
+    cross.unionByName(within)
+  }
+
+  /**
    * Embedding near-dup: cosine ≥ threshold pairs, candidate-limited to
    * shared LSH buckets (multi-probe over `tables` independent tables so
    * recall survives unlucky hyperplanes). `portableDim > 0` switches to

@@ -95,6 +95,36 @@ class DedupSpec extends SparkSpec {
     assert(j02 > 0.5 && j02 < 1.0)
   }
 
+  // The pre-collapse composition must be output-equivalent to running
+  // the matcher on the raw corpus — same pairs, same scores — while
+  // generating candidates only over distinct texts. Exercised with
+  // duplicate multiplicities 1–4 over a colliding vocab, for both the
+  // minhash and exact-jaccard matchers.
+  test("nearDupCollapsed equals the uncollapsed run (minhash + jaccard)") {
+    val rnd = new scala.util.Random(13)
+    val vocab = Vector("red", "blue", "green", "fast", "slow", "car", "tree", "lake")
+    val base = (0 until 25).map(_ => (0 until 10).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    val flat = rnd.shuffle(base.flatMap(tx => Seq.fill(1 + rnd.nextInt(4))(tx)))
+      .zipWithIndex.map { case (tx, i) => (i.toLong, tx) }
+    val df = flat.toDF("doc_id", "text")
+
+    val unMh = Dedup.minhashLsh(df, "doc_id", "text", 64, 16, 5, 0.5, portable = true)
+      .as[(Long, Long, Double)].collect().toSet
+    val coMh = Dedup.nearDupCollapsed(df, "doc_id", "text", lit(1.0), "est_jaccard")(
+        reps => Dedup.minhashLsh(reps, "doc_id", "text", 64, 16, 5, 0.5, portable = true))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(coMh === unMh,
+      s"minhash: missing=${unMh -- coMh} extra=${coMh -- unMh}")
+
+    val unJc = Dedup.ngramJaccardPairs(df, "doc_id", "text", n = 3, threshold = 0.6)
+      .as[(Long, Long, Double)].collect().toSet
+    val coJc = Dedup.nearDupCollapsed(df, "doc_id", "text", lit(1.0), "jaccard")(
+        reps => Dedup.ngramJaccardPairs(reps, "doc_id", "text", n = 3, threshold = 0.6))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(coJc === unJc,
+      s"jaccard: missing=${unJc -- coJc} extra=${coJc -- unJc}")
+  }
+
   test("embeddingNearDup pairs near-identical vectors") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
