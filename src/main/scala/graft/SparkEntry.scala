@@ -464,14 +464,16 @@ object SparkEntry {
         .orderBy(col("click_id"))
     }),
 
-    // the ad-hoc SQL surface (S7/Q2): catalog-registered views + SQL text
-    // through the full parser/analyzer/optimizer path.
+    // the ad-hoc SQL surface (S7/Q2): PERSISTED catalog tables (external
+    // parquet locations in the `graft` database — the metastore path,
+    // not session views) + SQL text through the full parser/analyzer/
+    // optimizer path.
     "q29_sql_catalog" -> ((s, dir) => {
-      Tables.registerAll(s, dir)
+      Tables.registerAllAsTables(s, dir)
       s.sql("""SELECT c_mktsegment, CAST(year(o_orderdate) AS INT) AS yr,
                count(*) AS n_orders,
                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
-               FROM orders JOIN customer ON o_custkey = c_custkey
+               FROM graft.orders JOIN graft.customer ON o_custkey = c_custkey
                GROUP BY c_mktsegment, year(o_orderdate)
                ORDER BY c_mktsegment, yr""")
     }),

@@ -145,6 +145,24 @@ object StreamSplitter {
       .parquet(s"$outDir/$schemaName/$tableName")
 
   /**
+   * S7 — target catalog registration of the split output: an external
+   * partitioned table over the hive layout [[splitAll]] writes, with
+   * partitions recovered from the directory structure — the crawler-
+   * into-target-catalog step of the reference (README.md:314), done as
+   * catalog DDL instead of a crawler job. After this, `SELECT ...
+   * WHERE table_name = 'person'` partition-prunes to one directory.
+   */
+  def registerSplitTable(spark: org.apache.spark.sql.SparkSession,
+      outDir: String, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    // schema (incl. the two partition columns) inferred from the layout;
+    // recoverPartitions registers each discovered (schema_name,
+    // table_name) directory in the catalog (MSCK REPAIR analog).
+    spark.sql(s"CREATE TABLE $table USING PARQUET LOCATION '$outDir'")
+    spark.catalog.recoverPartitions(table)
+  }
+
+  /**
    * Demux as a pure DataFrame operator keyed on any routing column —
    * the envelope pattern generalized to the `events` stream table
    * (routing column = `event_type`, payload = `props`).

@@ -56,6 +56,27 @@ class StreamSplitterSpec extends SparkSpec {
     assert(new java.io.File(s"$dir/schema_name=dms_sample/table_name=person").exists())
   }
 
+  test("registerSplitTable: persisted partitioned catalog table over the split (S7)") {
+    val dir = java.nio.file.Files.createTempDirectory("splitcat").toString
+    StreamSplitter.splitAll(fixture, dir)
+    StreamSplitter.registerSplitTable(spark, dir, "cdc_split")
+    assert(spark.catalog.tableExists("cdc_split"))
+    // partitions recovered from the hive layout into the catalog
+    val parts = spark.sql("SHOW PARTITIONS cdc_split").collect().map(_.getString(0))
+    assert(parts.toSet === Set(
+      "schema_name=dms_sample/table_name=person",
+      "schema_name=dms_sample/table_name=seat"))
+    // resolution + partition pruning through the catalog entry
+    assert(spark.sql(
+      "SELECT count(*) FROM cdc_split WHERE table_name = 'person'").head().getLong(0) === 2L)
+    // catalog-backed scaled tables (the Glue-catalog analog for S4 reads)
+    graft.sources.Tables.registerAllAsTables(spark, sf0001)
+    assert(spark.catalog.tableExists("graft.orders"))
+    val n = spark.sql("SELECT count(*) FROM graft.orders").head().getLong(0)
+    assert(n > 0)
+    spark.sql("DROP TABLE cdc_split")
+  }
+
   test("landing JSON → schema inference → split (S4/S5, crawler analog)") {
     // two tables' payloads in one landing file: inference produces the
     // union-of-tables data struct, exactly the crawler's view
