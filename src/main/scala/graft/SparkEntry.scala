@@ -34,10 +34,12 @@ object SparkEntry {
   private def revenue(price: Column, disc: Column): Column =
     sum(dec(price) * (lit(1).cast("decimal(18,2)") - dec(disc))).cast("double")
 
-  /** Flagship: the reference's split pipeline (demux F1 + flatten P1) on
-    * sf0.001 envelopes synthesized from `customer`. Driver checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    queries("q27_split_person")(spark, "/root/testdata/sf0.001")
+  /** Flagship: the reference's split pipeline (demux F1 + flatten P1)
+    * on envelopes synthesized from `customer`. Driver checks rows>0 via
+    * the one-arg form; `dir` is overridable like every query closure. */
+  def entry(spark: SparkSession,
+      dir: String = "/root/testdata/sf0.001"): DataFrame =
+    queries("q27_split_person")(spark, dir)
 
   // ---- envelope synthesis for the split queries (shared by q27/entry) ----
   private def customerEnvelopes(s: SparkSession, dir: String): DataFrame = {
@@ -493,6 +495,22 @@ object SparkEntry {
       ChoiceResolver.resolveTo(a, target)
         .unionByName(ChoiceResolver.resolveTo(b, target))
         .orderBy(col("src"), col("id"))
+    }),
+
+    // ResolveChoice make_cols policy (Glue's second resolution mode):
+    // each conflicting field splits into one column per concrete type —
+    // id{bigint,int}, price{double,int}, info{string,int} over the q30
+    // fixture frames.
+    "q73_choice_make_cols" -> ((s, dir) => {
+      val a = t(s, dir, "part").select(
+        col("p_partkey").as("id"), col("p_retailprice").as("price"),
+        col("p_name").as("info"), lit("part").as("src"))
+      val b = t(s, dir, "supplier").select(
+        col("s_suppkey").cast("int").as("id"),
+        floor(col("s_acctbal")).cast("int").as("price"),
+        col("s_nationkey").as("info"), lit("supplier").as("src"))
+      ChoiceResolver.resolveUnion(Seq(a, b), ChoiceResolver.ChoicePolicy.MakeCols)
+        .orderBy(col("src"), coalesce(col("id_bigint"), col("id_int")))
     }),
 
     // approximate distinct-count sketch (HLL++). The estimate itself is
@@ -1691,6 +1709,16 @@ object SparkEntry {
            WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000)
          ON l_orderkey = o_orderkey
          GROUP BY 1 ORDER BY yr""",
+    "q73_choice_make_cols" ->
+      """SELECT p_partkey AS id_bigint, CAST(NULL AS INT) AS id_int,
+           p_retailprice AS price_double, CAST(NULL AS INT) AS price_int,
+           p_name AS info_string, CAST(NULL AS INT) AS info_int,
+           'part' AS src FROM part
+         UNION ALL
+         SELECT CAST(NULL AS BIGINT), CAST(s_suppkey AS INT),
+           CAST(NULL AS DOUBLE), CAST(floor(s_acctbal) AS INT),
+           CAST(NULL AS VARCHAR), s_nationkey, 'supplier' FROM supplier
+         ORDER BY src, coalesce(id_bigint, id_int)""",
     // invariant oracles for the engine-specific randomness family: the
     // oracle recomputes the exact population side and asserts the
     // statistical flags as literal TRUE — any sketch/sampler drift

@@ -74,4 +74,79 @@ object ChoiceResolver {
     }
     df.select(cols: _*)
   }
+
+  /**
+   * The full Glue `ResolveChoice` policy set (reference image/image2.png
+   * shows `ticket_price: choice{double,int}`; Glue offers cast /
+   * make_cols / make_struct / project). Our frames carry one concrete
+   * type each, so a "choice" manifests ACROSS frames: the policies
+   * below resolve each conflicting field at union time.
+   */
+  sealed trait ChoicePolicy
+  object ChoicePolicy {
+    /** Widen to the common type ([[widest]]) and `try_cast` — the
+      * round-1 policy, lossless for numeric widenings. */
+    case object Cast extends ChoicePolicy
+    /** `f` → one column per concrete type (`f_bigint`, `f_int`, …);
+      * each row fills the column of its source type, others NULL. */
+    case object MakeCols extends ChoicePolicy
+    /** `f` → struct with one member per concrete type — the closest
+      * Spark shape to Glue's union value. */
+    case object MakeStruct extends ChoicePolicy
+    /** Keep only values already of type `t` (no casting — rows of the
+      * other types become NULL), column typed `t`. */
+    final case class Project(t: DataType) extends ChoicePolicy
+  }
+
+  /**
+   * Resolve conflicting per-frame schemas under `policy` and union.
+   * Field order = first appearance across frames; a field's "choice"
+   * is its ordered set of distinct concrete types. Top-level fields
+   * (the crawler's payload view); all policies are pure projections —
+   * whole-stage codegen, no shuffle beyond the union.
+   */
+  def resolveUnion(frames: Seq[DataFrame], policy: ChoicePolicy): DataFrame = {
+    import scala.collection.mutable
+    val fieldTypes = mutable.LinkedHashMap.empty[String, mutable.LinkedHashSet[DataType]]
+    frames.foreach(_.schema.fields.foreach { f =>
+      fieldTypes.getOrElseUpdate(f.name, mutable.LinkedHashSet.empty) += f.dataType
+    })
+    def typed(df: DataFrame, name: String, t: DataType): Column =
+      df.schema.find(_.name == name) match {
+        case Some(f) if f.dataType == t => col(s"`$name`")
+        case _ => lit(null).cast(t)
+      }
+    policy match {
+      case ChoicePolicy.Cast =>
+        val target = mergeSchemas(frames.map(_.schema))
+        frames.map(resolveTo(_, target)).reduce(_.unionByName(_))
+      case ChoicePolicy.MakeCols =>
+        frames.map { df =>
+          val cols = fieldTypes.toSeq.flatMap { case (name, types) =>
+            if (types.size == 1)
+              Seq(typed(df, name, types.head).as(name))
+            else types.toSeq.map(t =>
+              typed(df, name, t).as(s"${name}_${t.simpleString}"))
+          }
+          df.select(cols: _*)
+        }.reduce(_.unionByName(_))
+      case ChoicePolicy.MakeStruct =>
+        frames.map { df =>
+          val cols = fieldTypes.toSeq.map { case (name, types) =>
+            if (types.size == 1) typed(df, name, types.head).as(name)
+            else struct(types.toSeq.map(t =>
+              typed(df, name, t).as(t.simpleString)): _*).as(name)
+          }
+          df.select(cols: _*)
+        }.reduce(_.unionByName(_))
+      case ChoicePolicy.Project(t) =>
+        frames.map { df =>
+          val cols = fieldTypes.toSeq.map { case (name, types) =>
+            if (types.size == 1) typed(df, name, types.head).as(name)
+            else typed(df, name, t).as(name)
+          }
+          df.select(cols: _*)
+        }.reduce(_.unionByName(_))
+    }
+  }
 }

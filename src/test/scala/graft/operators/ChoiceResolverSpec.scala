@@ -46,4 +46,42 @@ class ChoiceResolverSpec extends SparkSpec {
       StructType(Seq(StructField("v", IntegerType))))
     assert(out.collect().map(r => Option(r.get(0))).toSet === Set(None, Some(42)))
   }
+
+  // the remaining Glue ResolveChoice policies (image/image2.png's
+  // ticket_price: choice{double,int}) over two concrete-typed frames
+  private def choiceFrames = {
+    val a = Seq((1, 46.57, "row1")).toDF("id", "ticket_price", "tag")
+    val b = Seq((2L, 20, "row2")).toDF("id", "ticket_price", "tag")
+    Seq(a, b)
+  }
+
+  test("resolveUnion make_cols: one column per concrete type") {
+    val out = ChoiceResolver.resolveUnion(choiceFrames, ChoiceResolver.ChoicePolicy.MakeCols)
+    assert(out.columns.toSeq ===
+      Seq("id_int", "id_bigint", "ticket_price_double", "ticket_price_int", "tag"))
+    val rows = out.orderBy("tag").collect()
+    assert(rows(0).getInt(0) === 1 && rows(0).isNullAt(1)
+      && rows(0).getDouble(2) === 46.57 && rows(0).isNullAt(3))
+    assert(rows(1).isNullAt(0) && rows(1).getLong(1) === 2L
+      && rows(1).isNullAt(2) && rows(1).getInt(3) === 20)
+  }
+
+  test("resolveUnion make_struct: union value as a typed struct") {
+    val out = ChoiceResolver.resolveUnion(choiceFrames, ChoiceResolver.ChoicePolicy.MakeStruct)
+    assert(out.schema("ticket_price").dataType.isInstanceOf[StructType])
+    val rows = out.orderBy("tag").collect()
+    val p0 = rows(0).getStruct(rows(0).fieldIndex("ticket_price"))
+    assert(p0.getDouble(p0.fieldIndex("double")) === 46.57 && p0.isNullAt(p0.fieldIndex("int")))
+    val p1 = rows(1).getStruct(rows(1).fieldIndex("ticket_price"))
+    assert(p1.isNullAt(p1.fieldIndex("double")) && p1.getInt(p1.fieldIndex("int")) === 20)
+  }
+
+  test("resolveUnion project: keeps only the requested concrete type, no casting") {
+    val out = ChoiceResolver.resolveUnion(choiceFrames,
+      ChoiceResolver.ChoicePolicy.Project(DoubleType))
+    assert(out.schema("ticket_price").dataType === DoubleType)
+    val rows = out.orderBy("tag").collect()
+    assert(rows(0).getDouble(rows(0).fieldIndex("ticket_price")) === 46.57)
+    assert(rows(1).isNullAt(rows(1).fieldIndex("ticket_price"))) // int row dropped, not cast
+  }
 }
