@@ -1710,14 +1710,15 @@ object SparkEntry {
          ON l_orderkey = o_orderkey
          GROUP BY 1 ORDER BY yr""",
     "q73_choice_make_cols" ->
-      """SELECT p_partkey AS id_bigint, CAST(NULL AS INT) AS id_int,
-           p_retailprice AS price_double, CAST(NULL AS INT) AS price_int,
-           p_name AS info_string, CAST(NULL AS INT) AS info_int,
-           'part' AS src FROM part
-         UNION ALL
-         SELECT CAST(NULL AS BIGINT), CAST(s_suppkey AS INT),
-           CAST(NULL AS DOUBLE), CAST(floor(s_acctbal) AS INT),
-           CAST(NULL AS VARCHAR), s_nationkey, 'supplier' FROM supplier
+      """SELECT * FROM (
+           SELECT p_partkey AS id_bigint, CAST(NULL AS INT) AS id_int,
+             p_retailprice AS price_double, CAST(NULL AS INT) AS price_int,
+             p_name AS info_string, CAST(NULL AS INT) AS info_int,
+             'part' AS src FROM part
+           UNION ALL
+           SELECT CAST(NULL AS BIGINT), CAST(s_suppkey AS INT),
+             CAST(NULL AS DOUBLE), CAST(floor(s_acctbal) AS INT),
+             CAST(NULL AS VARCHAR), s_nationkey, 'supplier' FROM supplier)
          ORDER BY src, coalesce(id_bigint, id_int)""",
     // invariant oracles for the engine-specific randomness family: the
     // oracle recomputes the exact population side and asserts the
