@@ -34,7 +34,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("graft_minhash_sig"),
       new ExpressionInfo(classOf[MinHashSigAgg].getName, "graft_minhash_sig"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        MinHashSigAgg(exprs(0), exprs(1).eval().asInstanceOf[Int])
+        MinHashSigAgg(exprs(0),
+          GraftExtensions.foldableIntArg("graft_minhash_sig", exprs, 1).intValue)
           .toAggregateExpression()))
     e.injectFunction((FunctionIdentifier("graft_simhash_sig"),
       new ExpressionInfo(classOf[SimHashSigAgg].getName, "graft_simhash_sig"),
@@ -46,7 +47,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_bloom_agg"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
-          exprs(0), exprs(1).eval().asInstanceOf[Number].longValue).toAggregateExpression()))
+          exprs(0),
+          GraftExtensions.foldableIntArg("graft_bloom_agg", exprs, 1).longValue)
+          .toAggregateExpression()))
     e.injectFunction((FunctionIdentifier("graft_might_contain"),
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
@@ -54,5 +57,38 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
           exprs(0), exprs(1))))
+  }
+}
+
+object GraftExtensions {
+  /** Validated size/count argument for the SQL-registered aggregates
+    * (round-2 advice): a non-foldable or non-integral argument used to
+    * surface as a ClassCastException/NPE from inside the extension —
+    * check up front and fail analysis with the function named, using
+    * the same error conditions Spark's own bloom_filter_agg checks do. */
+  private[graft] def foldableIntArg(fn: String,
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+      pos: Int): Number = {
+    import org.apache.spark.sql.AnalysisException
+    if (exprs.size <= pos)
+      throw new AnalysisException("WRONG_NUM_ARGS.WITHOUT_SUGGESTION", Map(
+        "functionName" -> fn, "expectedNum" -> (pos + 1).toString,
+        "actualNum" -> exprs.size.toString,
+        "docroot" -> "https://spark.apache.org/docs/latest"))
+    val e = exprs(pos)
+    if (!e.foldable)
+      throw new AnalysisException("NON_FOLDABLE_ARGUMENT", Map(
+        "funcName" -> fn, "paramName" -> s"argument ${pos + 1}",
+        "paramType" -> "integer"))
+    e.eval() match {
+      case n: java.lang.Number => n
+      case null =>
+        throw new AnalysisException("INVALID_PARAMETER_VALUE.NULL", Map(
+          "parameter" -> s"argument ${pos + 1}", "functionName" -> fn))
+      case _ =>
+        throw new AnalysisException("INVALID_PARAMETER_VALUE.INTEGER", Map(
+          "parameter" -> s"argument ${pos + 1}", "functionName" -> fn,
+          "invalidValue" -> e.sql))
+    }
   }
 }

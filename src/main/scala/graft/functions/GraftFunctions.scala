@@ -32,15 +32,17 @@ object GraftFunctions {
       exprs => LongArrayMatchCount(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(MinHashName,
       exprs => MinHashSigAgg(exprs(0),
-        exprs(1).eval().asInstanceOf[Int]).toAggregateExpression(), "built-in")
+        graft.GraftExtensions.foldableIntArg(MinHashName, exprs, 1).intValue)
+        .toAggregateExpression(), "built-in")
     reg.createOrReplaceTempFunction(SimHashName,
       exprs => SimHashSigAgg(exprs(0)).toAggregateExpression(), "built-in")
     // Spark's internal runtime-filter expressions, surfaced for the
     // explicit BloomJoin operator (and SQL users via GraftExtensions).
+    // Number (not Int): SQL callers naturally write INT literals.
     reg.createOrReplaceTempFunction(BloomAggName,
       exprs => new BloomFilterAggregate(exprs(0),
-        // Number: SQL callers naturally write INT literals
-        exprs(1).eval().asInstanceOf[Number].longValue).toAggregateExpression(), "built-in")
+        graft.GraftExtensions.foldableIntArg(BloomAggName, exprs, 1).longValue)
+        .toAggregateExpression(), "built-in")
     reg.createOrReplaceTempFunction(MightContainName,
       exprs => BloomFilterMightContain(exprs(0), exprs(1)), "built-in")
   }

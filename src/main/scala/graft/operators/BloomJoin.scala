@@ -42,14 +42,22 @@ object BloomJoin {
    * Inner equi-join `fact ⋈ dim` on `key`, with the fact side
    * bloom-pre-filtered. Exact: bloom false positives are eliminated by
    * the join itself.
+   *
+   * `dim` is scanned twice (bloom-build action now, join later) and
+   * deliberately NOT persisted here: an operator-owned persist has no
+   * unpersist point (the join is lazy), so it leaked cached blocks
+   * across calls in a long-lived session (round-2 advice). The dim side
+   * is small by contract; callers who still want the cache own its
+   * lifecycle and pass a persisted frame.
+   *
+   * An EMPTY dim yields a null bloom (aggregate over zero rows) — short-
+   * circuited to `false`, so the join is correctly empty instead of
+   * failing analysis on a NullType literal.
    */
   def prefilteredJoin(fact: DataFrame, dim: DataFrame, key: String,
       expectedItems: Long = 1000000L): DataFrame = {
-    // dim is read twice (bloom-build job now + the join later) — persist
-    // so the second use is a cache read, not a re-scan (same discipline
-    // as the dedup operators' signature tables; spill-safe).
-    val d = dim.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bloom = keyBloom(d, key, expectedItems)
-    fact.filter(mightContain(bloom, col(key))).join(d, key)
+    val bloom = keyBloom(dim, key, expectedItems)
+    val pred = if (bloom == null) lit(false) else mightContain(bloom, col(key))
+    fact.filter(pred).join(dim, key)
   }
 }

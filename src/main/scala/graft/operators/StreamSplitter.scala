@@ -140,9 +140,20 @@ object StreamSplitter {
    * distributed job; partition pruning on the split layout still applies.
    */
   def readSplit(spark: org.apache.spark.sql.SparkSession, outDir: String,
-      schemaName: String, tableName: String): DataFrame =
-    spark.read.option("mergeSchema", "true")
-      .parquet(s"$outDir/$schemaName/$tableName")
+      schemaName: String, tableName: String): DataFrame = {
+    // the engine writes two layouts: splitOne's explicit
+    // `schema/table` directories and splitAll/replayAll's hive-style
+    // `schema_name=…/table_name=…` partitions — probe for whichever
+    // exists (round-2 advice: this read must cover both, not just
+    // splitOne's). Hadoop FS, not java.io — outDir may be s3://.
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    val explicit = new org.apache.hadoop.fs.Path(s"$outDir/$schemaName/$tableName")
+    val hive = new org.apache.hadoop.fs.Path(
+      s"$outDir/schema_name=$schemaName/table_name=$tableName")
+    val fs = explicit.getFileSystem(hadoopConf)
+    val path = if (fs.exists(explicit)) explicit else hive
+    spark.read.option("mergeSchema", "true").parquet(path.toString)
+  }
 
   /**
    * S7 — target catalog registration of the split output: an external

@@ -95,6 +95,11 @@ case class TopKPerGroupExec(
       // compare(a,b) < 0 ⇔ a ranks before b; heap head = worst kept row
       val ord = RowOrdering.create(oExprs, childOutput)
         .asInstanceOf[Ordering[InternalRow]]
+      // buffered state (groups × k rows) is ACCOUNTED with the task
+      // memory manager (round-2 advice): Spark asks other consumers to
+      // spill before granting, and refusal surfaces as a clean error
+      // naming the escape hatch instead of a silent executor OOM.
+      val acct = TopKMemoryAccounting.forCurrentTask()
       val heaps = new java.util.LinkedHashMap[UnsafeRow, mutable.PriorityQueue[InternalRow]]()
       while (iter.hasNext) {
         val row = iter.next()
@@ -102,11 +107,20 @@ case class TopKPerGroupExec(
         var heap = heaps.get(key)
         if (heap == null) {
           heap = mutable.PriorityQueue.empty[InternalRow](ord)
-          heaps.put(key.copy(), heap)
+          val keyCopy = key.copy()
+          acct.acquireFor(TopKMemoryAccounting.sizeOf(keyCopy) + 96L)
+          heaps.put(keyCopy, heap)
         }
-        if (heap.size < kLoc) heap.enqueue(row.copy())
-        else if (ord.compare(row, heap.head) < 0) {
-          heap.dequeue(); heap.enqueue(row.copy())
+        if (heap.size < kLoc) {
+          val copy = row.copy()
+          acct.acquireFor(TopKMemoryAccounting.sizeOf(copy) + 48L)
+          heap.enqueue(copy)
+        } else if (ord.compare(row, heap.head) < 0) {
+          val evicted = heap.dequeue()
+          val copy = row.copy()
+          acct.exchangeFor(TopKMemoryAccounting.sizeOf(evicted),
+            TopKMemoryAccounting.sizeOf(copy))
+          heap.enqueue(copy)
         }
       }
       val rankRow = new GenericInternalRow(1)
@@ -126,6 +140,61 @@ case class TopKPerGroupExec(
 
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerGroupExec =
     copy(child = newChild)
+}
+
+/**
+ * Execution-memory accounting for [[TopKPerGroupExec]]'s per-group
+ * heaps: a [[org.apache.spark.memory.MemoryConsumer]] that acquires
+ * from the task memory manager as rows are retained. It cannot spill
+ * (the heaps must stay addressable), so under pressure the manager
+ * spills OTHER consumers first; if the grant is still refused, the
+ * task fails with a message naming the conf escape hatch — the honest
+ * failure mode, vs. the silent heap OOM the round-2 advice flagged.
+ */
+private[plans] final class TopKMemoryAccounting(
+    tmm: org.apache.spark.memory.TaskMemoryManager)
+  extends org.apache.spark.memory.MemoryConsumer(
+    tmm, tmm.pageSizeBytes(), org.apache.spark.memory.MemoryMode.ON_HEAP) {
+
+  override def spill(size: Long, trigger: org.apache.spark.memory.MemoryConsumer): Long = 0L
+
+  def acquireFor(bytes: Long): Unit = {
+    val got = acquireMemory(bytes)
+    if (got < bytes) {
+      freeMemory(got)
+      throw new org.apache.spark.SparkException(
+        "TopKPerGroup buffered state (groups × k rows) exhausted execution " +
+          "memory in this task. Reduce group cardinality per partition, or set " +
+          s"${TopKMemoryAccounting.rewriteConfKey}=false to keep Spark's " +
+          "spillable Sort+Window path for row_number()<=k queries.")
+    }
+  }
+
+  /** Net accounting for a replace: release the evicted row, acquire the new. */
+  def exchangeFor(oldBytes: Long, newBytes: Long): Unit =
+    if (newBytes > oldBytes) acquireFor(newBytes - oldBytes)
+    else if (oldBytes > newBytes) freeMemory(oldBytes - newBytes)
+
+  def releaseAll(): Unit = if (getUsed > 0) freeMemory(getUsed)
+}
+
+private[plans] object TopKMemoryAccounting {
+  val rewriteConfKey = "spark.graft.topk.rewrite.enabled"
+
+  def sizeOf(row: InternalRow): Long = row match {
+    case u: UnsafeRow => u.getSizeInBytes.toLong
+    case r => 64L + 16L * r.numFields
+  }
+
+  /** Accounting bound to the running task, released on task completion
+    * (covers early-terminated iterators, e.g. a downstream LIMIT). */
+  def forCurrentTask(): TopKMemoryAccounting = {
+    val tc = org.apache.spark.TaskContext.get()
+    val acct = new TopKMemoryAccounting(
+      org.apache.spark.graft.TaskMemoryBridge.taskMemoryManager(tc))
+    tc.addTaskCompletionListener[Unit](_ => acct.releaseAll())
+    acct
+  }
 }
 
 /**
@@ -164,7 +233,16 @@ object RankLimitRewrite extends Rule[LogicalPlan] {
     (cur, outer)
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // session-level gate (round-2 advice): the rewrite trades Spark's
+    // spillable Sort+Window for bounded-heap state, which is the wrong
+    // trade when per-partition group cardinality is extreme — let users
+    // keep the built-in path without uninstalling the extension.
+    if (!conf.getConfString(TopKMemoryAccounting.rewriteConfKey, "true").toBoolean) plan
+    else applyRewrite(plan)
+  }
+
+  private def applyRewrite(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case f @ Filter(cond, fChild) =>
       val (core, outerProj) = stripAttrProjects(fChild)
       core match {

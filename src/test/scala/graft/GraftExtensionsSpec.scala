@@ -52,6 +52,37 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("graft_bloom_agg rejects a non-foldable size argument at analysis, naming the function") {
+    // the AnalysisException may arrive wrapped depending on which
+    // analyzer phase resolves the function — assert on the chain
+    val e = intercept[Exception] {
+      ext.sql("""SELECT graft_bloom_agg(xxhash64(col), xxhash64(col))
+                 FROM VALUES ('a') AS t(col)""").collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => s"${t.getClass.getName}: ${t.getMessage}").mkString("\n")
+    assert(msgs.contains("AnalysisException"), msgs)
+    assert(msgs.contains("graft_bloom_agg") && msgs.contains("NON_FOLDABLE_ARGUMENT"), msgs)
+  }
+
+  test("the rank-limit rewrite honors its conf gate") {
+    graft.sources.Tables.load(ext, sf0001, "orders").createOrReplaceTempView("og")
+    val sql =
+      """SELECT * FROM (
+           SELECT o_custkey, o_orderkey,
+                  row_number() OVER (PARTITION BY o_custkey
+                                     ORDER BY o_totalprice DESC, o_orderkey) AS rk
+           FROM og) WHERE rk <= 3"""
+    ext.conf.set("spark.graft.topk.rewrite.enabled", "false")
+    try {
+      val off = ext.sql(sql).queryExecution.executedPlan.toString
+      assert(!off.contains("TopKPerGroup"), off)
+      assert(off.contains("Window"), off)
+    } finally ext.conf.unset("spark.graft.topk.rewrite.enabled")
+    val on = ext.sql(sql).queryExecution.executedPlan.toString
+    assert(on.contains("TopKPerGroup"), on)
+  }
+
   // register the reference view on the shared session before the test runs
   graft.sources.Tables.load(SparkSpec.spark, sf0001, "orders")
     .createOrReplaceTempView("oref")

@@ -14,6 +14,11 @@ class BloomJoinSpec extends SparkSpec {
     .filter(col("o_orderpriority") === "1-URGENT")
     .select(col("o_orderkey"), col("o_orderdate"))
 
+  test("empty dim: null bloom short-circuits to an empty join, not an analysis error") {
+    val emptyDim = dim.filter(col("o_orderkey") < 0)
+    assert(BloomJoin.prefilteredJoin(fact, emptyDim, "o_orderkey", 100L).count() === 0L)
+  }
+
   test("prefilteredJoin is exact: same rows as the plain join") {
     val got = BloomJoin.prefilteredJoin(fact, dim, "o_orderkey", 10000L)
       .groupBy("o_orderkey").count()

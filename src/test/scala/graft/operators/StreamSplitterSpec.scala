@@ -56,6 +56,16 @@ class StreamSplitterSpec extends SparkSpec {
     assert(new java.io.File(s"$dir/schema_name=dms_sample/table_name=person").exists())
   }
 
+  test("readSplit reads both layouts: splitOne's explicit dirs and splitAll's hive dirs") {
+    val d1 = java.nio.file.Files.createTempDirectory("rs-explicit").toString
+    StreamSplitter.splitOne(fixture, "dms_sample", "person", d1)
+    assert(StreamSplitter.readSplit(spark, d1, "dms_sample", "person").count() === 2)
+    val d2 = java.nio.file.Files.createTempDirectory("rs-hive").toString
+    StreamSplitter.splitAll(fixture, d2)
+    val hive = StreamSplitter.readSplit(spark, d2, "dms_sample", "person")
+    assert(hive.count() === 2) // was path-not-found before the layout probe
+  }
+
   test("registerSplitTable: persisted partitioned catalog table over the split (S7)") {
     val dir = java.nio.file.Files.createTempDirectory("splitcat").toString
     StreamSplitter.splitAll(fixture, dir)
