@@ -781,6 +781,34 @@ object SparkEntry {
           (col("n_hit") >= col("n_queries") * 5 / 2).as("recall_ok"))
     }),
 
+    // sequence packing for pretraining batches: documents laid on a
+    // contiguous token tape, cut into budget-sized sequences — computed
+    // with the two-pass distributed prefix sum (range-partitioned local
+    // cumsums + bounded offset collect), NOT a one-task global window;
+    // the oracle recomputes it with a plain window, which is the same
+    // function of the total id order.
+    "q74_pack_sequences" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), T.tokenCount(col("text")).cast("long").as("n_tok"))
+      operators.Packing.packContiguous(docs, "doc_id", "n_tok",
+          budget = 1024L, shards = 16)
+        .orderBy(col("doc_id"))
+    }),
+
+    // end-to-end dedup keep-list: near-dup pairs → connected components
+    // → drop every member but the min id — the materialized "training
+    // set after dedup" that q22/q64 build toward.
+    "q75_dedup_keep" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 5, threshold = 0.8)
+      val comps = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      val drop = comps.filter(col("comp") < col("id"))
+        .select(col("id").as("doc_id"))
+      docs.select("doc_id").join(drop, Seq("doc_id"), "left_anti")
+        .orderBy("doc_id")
+    }),
+
     // character-entropy quality signal (bits/char): exact char
     // frequencies folded over sorted distinct chars — deterministic
     // float order, so DuckDB mirrors it bit-for-bit at 4 decimals.
@@ -1739,6 +1767,50 @@ object SparkEntry {
       """SELECT count(*) AS n_queries, count(*) * 5 AS total_possible,
          TRUE AS recall_ok
          FROM embeddings WHERE vec_id < 10""",
+    "q74_pack_sequences" ->
+      """WITH t AS (
+           SELECT doc_id,
+             CAST(len(regexp_extract_all(trim(text), '\S+')) AS BIGINT) AS n_tokens
+           FROM documents),
+         c AS (
+           SELECT doc_id, n_tokens,
+             CAST(sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               - n_tokens AS s
+           FROM t)
+         SELECT doc_id, n_tokens, s // 1024 AS seq_id, s % 1024 AS seq_offset
+         FROM c ORDER BY doc_id""",
+    // the q64 component pipeline, finished into the keep-list: drop
+    // every clustered doc except the component minimum.
+    "q75_dedup_keep" ->
+      """WITH RECURSIVE t AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                      x -> len(x) > 0) AS ts
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             CASE WHEN len(ts) < 5 THEN CAST([] AS VARCHAR[])
+                  ELSE list_distinct([array_to_string(ts[i:i+4], ' ')
+                                      for i in range(1, len(ts)-3)]) END AS s
+           FROM t),
+         ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id),
+         p AS (SELECT c.id_a, c.id_b
+               FROM cand c JOIN sh sa ON sa.doc_id = c.id_a
+                           JOIN sh sb ON sb.doc_id = c.id_b
+               WHERE len(list_intersect(sa.s, sb.s))
+                     / CAST(len(sa.s) + len(sb.s)
+                            - len(list_intersect(sa.s, sb.s)) AS DOUBLE) >= 0.8),
+         e AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+         r(src, dst) AS (SELECT a, b FROM e
+                         UNION SELECT r.src, e.b FROM r JOIN e ON r.dst = e.a),
+         comps AS (SELECT src AS doc_id, least(src, min(dst)) AS component
+                   FROM r GROUP BY src)
+         SELECT d.doc_id FROM documents d
+         WHERE NOT EXISTS (SELECT 1 FROM comps c
+                           WHERE c.doc_id = d.doc_id AND c.component < c.doc_id)
+         ORDER BY d.doc_id""",
     "q56_hof_norm" ->
       """SELECT vec_id,
          round(sqrt(list_sum(list_transform(embedding,

@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** The two-pass distributed prefix sum must equal the single-window
+  * reference exactly — packing is a pure function of the total id
+  * order, so range-boundary placement must not show through. */
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("packContiguous equals the global-window reference (shards > 1, shuffled input)") {
+    val rnd = new scala.util.Random(17)
+    // non-contiguous ids, shuffled arrival order, varied token counts
+    val rows = rnd.shuffle((0 until 300).map(i => (i.toLong * 7 + 3, 1L + rnd.nextInt(200))))
+    val df = rows.toDF("id", "n")
+    val got = Packing.packContiguous(df, "id", "n", budget = 512L, shards = 8)
+      .select("id", "n_tokens", "seq_id", "seq_offset")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = df
+      .withColumn("start", sum(col("n")).over(w) - col("n"))
+      .select(col("id"), col("n").as("n_tokens"),
+        expr("start div 512L").as("seq_id"), (col("start") % 512).as("seq_offset"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === want)
+  }
+
+  test("packing invariants: offsets in [0, budget), tape is gapless") {
+    val df = (1 to 50).map(i => (i.toLong, (i % 7 + 1).toLong)).toDF("id", "n")
+    val out = Packing.packContiguous(df, "id", "n", budget = 16L, shards = 4)
+      .orderBy("id").collect()
+    assert(out.forall { r =>
+      val off = r.getAs[Long]("seq_offset"); off >= 0 && off < 16
+    })
+    // consecutive docs: start(next) = start(prev) + n(prev) on the tape
+    val starts = out.map(r => r.getAs[Long]("seq_id") * 16 + r.getAs[Long]("seq_offset"))
+    val ns = out.map(_.getAs[Long]("n_tokens"))
+    starts.indices.tail.foreach { i =>
+      assert(starts(i) === starts(i - 1) + ns(i - 1), s"gap at $i")
+    }
+    assert(starts.head === 0L)
+  }
+}
