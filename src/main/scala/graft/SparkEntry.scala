@@ -781,6 +781,57 @@ object SparkEntry {
           (col("n_hit") >= col("n_queries") * 5 / 2).as("recall_ok"))
     }),
 
+    // decontamination: fraction of each doc's distinct token-5-gram
+    // shingles that appear in the held-out "benchmark" set (doc_id <
+    // 10) — the train/test overlap check every pretraining pipeline
+    // runs before training. Bench shingle set broadcasts; the only
+    // fact-side shuffle is keyed by doc_id.
+    "q76_contamination" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          array_distinct(T.shinglesFromTokens(T.tokens(col("text")), 5)).as("sh"))
+      val ex = docs.select(col("doc_id"), explode(col("sh")).as("g"))
+      val benchSh = ex.filter(col("doc_id") < 10).select("g").distinct()
+      val hits = ex.join(broadcast(benchSh), Seq("g"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+      docs.select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"))
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_sh"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          when(col("n_sh") === 0, lit(0.0))
+            .otherwise(round(coalesce(col("n_hit"), lit(0L))
+              / col("n_sh").cast("double"), 4)).as("contamination"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // unigram-LM quality score: mean surprisal (bits/token) of each doc
+    // under the corpus unigram distribution — the cheap perplexity
+    // proxy for gibberish/boilerplate filtering. Same deterministic
+    // sorted-fold discipline as q69 so the float accumulation order is
+    // oracle-mirrorable; corpus total is one bounded count.
+    "q77_unigram_surprisal" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toks = docs.select(col("doc_id"), explode(T.tokens(col("text"))).as("tok"))
+      val dc = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+      val gc = toks.groupBy("tok").agg(count(lit(1)).as("gcnt"))
+      val total = toks.count().toDouble
+      val folded = dc.join(gc, "tok")
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(struct(col("tok"), col("cnt"), col("gcnt"))))
+          .as("cc"))
+        .select(col("doc_id"),
+          aggregate(col("cc"), lit(0L), (a, x) => a + x.getField("cnt")).as("n"),
+          aggregate(col("cc"), lit(0.0), (a, x) =>
+            a + x.getField("cnt").cast("double")
+              * (log2(lit(total)) - log2(x.getField("gcnt").cast("double")))).as("s"))
+      docs.select("doc_id").join(folded, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n"), lit(0L)).as("n_tokens"),
+          when(col("n").isNull || col("n") <= 0, lit(0.0))
+            .otherwise(round(col("s") / col("n"), 4)).as("bits_per_token"))
+        .orderBy(col("doc_id"))
+    }),
+
     // sequence packing for pretraining batches: documents laid on a
     // contiguous token tape, cut into budget-sized sequences — computed
     // with the two-pass distributed prefix sum (range-partitioned local
@@ -1767,6 +1818,50 @@ object SparkEntry {
       """SELECT count(*) AS n_queries, count(*) * 5 AS total_possible,
          TRUE AS recall_ok
          FROM embeddings WHERE vec_id < 10""",
+    "q76_contamination" ->
+      """WITH t AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                      x -> len(x) > 0) AS ts
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             CASE WHEN len(ts) < 5 THEN CAST([] AS VARCHAR[])
+                  ELSE list_distinct([array_to_string(ts[i:i+4], ' ')
+                                      for i in range(1, len(ts)-3)]) END AS s
+           FROM t),
+         ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         b AS (SELECT DISTINCT g FROM ex WHERE doc_id < 10),
+         h AS (SELECT doc_id, count(*) AS n_hit FROM ex
+               WHERE g IN (SELECT g FROM b) GROUP BY doc_id)
+         SELECT sh.doc_id, CAST(len(sh.s) AS BIGINT) AS n_sh,
+           CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+           CASE WHEN len(sh.s) = 0 THEN 0.0
+                ELSE round(coalesce(h.n_hit, 0) / CAST(len(sh.s) AS DOUBLE), 4)
+           END AS contamination
+         FROM sh LEFT JOIN h ON h.doc_id = sh.doc_id
+         ORDER BY sh.doc_id""",
+    "q77_unigram_surprisal" ->
+      """WITH tk AS (
+           SELECT doc_id, unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                             x -> len(x) > 0)) AS tok
+           FROM documents),
+         dc AS (SELECT doc_id, tok, count(*) AS cnt FROM tk GROUP BY 1, 2),
+         gc AS (SELECT tok, count(*) AS gcnt FROM tk GROUP BY 1),
+         tt AS (SELECT count(*) AS total FROM tk),
+         l AS (SELECT doc_id,
+                 list_sort(list(struct_pack(tok := tok, cnt := cnt, gcnt := gcnt))) AS cc
+               FROM dc JOIN gc USING (tok) GROUP BY doc_id),
+         f AS (SELECT doc_id,
+                 CAST(list_sum(list_transform(cc, x -> x.cnt)) AS BIGINT) AS n,
+                 list_sum(list_transform(cc, x ->
+                   CAST(x.cnt AS DOUBLE)
+                     * (log2(CAST(tt.total AS DOUBLE)) - log2(CAST(x.gcnt AS DOUBLE))))) AS s
+               FROM l, tt)
+         SELECT d.doc_id, CAST(coalesce(f.n, 0) AS BIGINT) AS n_tokens,
+           CASE WHEN f.n IS NULL OR f.n <= 0 THEN 0.0
+                ELSE round(f.s / f.n, 4) END AS bits_per_token
+         FROM documents d LEFT JOIN f ON f.doc_id = d.doc_id
+         ORDER BY d.doc_id""",
     "q74_pack_sequences" ->
       """WITH t AS (
            SELECT doc_id,
