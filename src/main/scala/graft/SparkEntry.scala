@@ -781,6 +781,21 @@ object SparkEntry {
           (col("n_hit") >= col("n_queries") * 5 / 2).as("recall_ok"))
     }),
 
+    // context-window chunking with overlap (RAG/training prep): fixed
+    // 200-char windows every 150 chars — generator + substring, zero
+    // shuffle, fully scan-parallel.
+    "q78_chunk_overlap" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0), greatest(length(col("text")) - 1, lit(0)),
+            lit(150))).as("cs"))
+        .select(col("doc_id"),
+          expr("cs div 150").cast("int").as("chunk_id"),
+          col("text").substr(col("cs") + 1, lit(200)).as("chunk"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
     // decontamination: fraction of each doc's distinct token-5-gram
     // shingles that appear in the held-out "benchmark" set (doc_id <
     // 10) — the train/test overlap check every pretraining pipeline
@@ -1818,6 +1833,14 @@ object SparkEntry {
       """SELECT count(*) AS n_queries, count(*) * 5 AS total_possible,
          TRUE AS recall_ok
          FROM embeddings WHERE vec_id < 10""",
+    "q78_chunk_overlap" ->
+      """WITH c AS (
+           SELECT doc_id, text,
+             unnest(range(0, greatest(len(text), 1), 150)) AS cs
+           FROM documents WHERE text IS NOT NULL)
+         SELECT doc_id, CAST(cs // 150 AS INT) AS chunk_id,
+           substr(text, CAST(cs AS INT) + 1, 200) AS chunk
+         FROM c ORDER BY doc_id, chunk_id""",
     "q76_contamination" ->
       """WITH t AS (
            SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),
