@@ -72,4 +72,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(shj.contains("ShuffledHashJoin"), shj)
     assert(!shj.contains("BroadcastHashJoin"), shj)
   }
+
+  test("q74: prefix sum is the two-pass shape — range exchange + per-pid window, no global window") {
+    val p = formatted("q74_pack_sequences")
+    assert(p.contains("rangepartitioning"), p)
+    // the cumsum window is grouped by the partition id, never a
+    // partition-less ORDER BY over everything (the one-task bottleneck)
+    assert(p.contains("__pid"), p)
+  }
+
+  test("q76: benchmark membership is a broadcast semi-join on the fact side") {
+    val p = plan("q76_contamination")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+  }
 }
