@@ -781,6 +781,32 @@ object SparkEntry {
           (col("n_hit") >= col("n_queries") * 5 / 2).as("recall_ok"))
     }),
 
+    // repetition metrics (Gopher-style quality filters): duplicate
+    // token-3-gram fraction and the top bigram's share — the classic
+    // boilerplate/spam discriminators. Row-local array math for the
+    // 3-gram side; one (doc, gram)-keyed aggregate for the bigram mode.
+    "q79_repetition" -> ((s, dir) => {
+      val base = t(s, dir, "documents")
+        .select(col("doc_id"), T.tokens(col("text")).as("ts"))
+        .select(col("doc_id"), size(col("ts")).cast("long").as("n_tokens"),
+          T.shinglesFromTokens(col("ts"), 3).as("s3"),
+          T.shinglesFromTokens(col("ts"), 2).as("s2"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val dup3 = base.select(col("doc_id"), col("n_tokens"),
+        when(size(col("s3")) <= 0, lit(0.0)).otherwise(
+          round(lit(1.0) - size(array_distinct(col("s3")))
+            / size(col("s3")).cast("double"), 4)).as("dup3_frac"))
+      val top2 = base.select(col("doc_id"), explode(col("s2")).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max("c").as("top_c"), sum("c").as("n2"))
+      dup3.join(top2, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"), col("dup3_frac"),
+          when(col("n2").isNull || col("n2") <= 0, lit(0.0))
+            .otherwise(round(col("top_c") / col("n2").cast("double"), 4))
+            .as("top2_share"))
+        .orderBy(col("doc_id"))
+    }),
+
     // context-window chunking with overlap (RAG/training prep): fixed
     // 200-char windows every 150 chars — generator + substring, zero
     // shuffle, fully scan-parallel.
@@ -1840,6 +1866,33 @@ object SparkEntry {
       """SELECT count(*) AS n_queries, count(*) * 5 AS total_possible,
          TRUE AS recall_ok
          FROM embeddings WHERE vec_id < 10""",
+    "q79_repetition" ->
+      """WITH t AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                      x -> len(x) > 0) AS ts
+           FROM documents),
+         b AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+                 CASE WHEN len(ts) < 3 THEN CAST([] AS VARCHAR[])
+                      ELSE [array_to_string(ts[i:i+2], ' ')
+                            for i in range(1, len(ts)-1)] END AS s3,
+                 CASE WHEN len(ts) < 2 THEN CAST([] AS VARCHAR[])
+                      ELSE [array_to_string(ts[i:i+1], ' ')
+                            for i in range(1, len(ts))] END AS s2
+               FROM t),
+         d3 AS (SELECT doc_id, n_tokens,
+                  CASE WHEN len(s3) <= 0 THEN 0.0
+                       ELSE round(1.0 - len(list_distinct(s3))
+                                  / CAST(len(s3) AS DOUBLE), 4) END AS dup3_frac
+                FROM b),
+         e2 AS (SELECT doc_id, unnest(s2) AS g FROM b),
+         c2 AS (SELECT doc_id, g, count(*) AS c FROM e2 GROUP BY 1, 2),
+         t2 AS (SELECT doc_id, max(c) AS top_c, CAST(sum(c) AS BIGINT) AS n2
+                FROM c2 GROUP BY 1)
+         SELECT d3.doc_id, d3.n_tokens, d3.dup3_frac,
+           CASE WHEN t2.n2 IS NULL OR t2.n2 <= 0 THEN 0.0
+                ELSE round(t2.top_c / CAST(t2.n2 AS DOUBLE), 4) END AS top2_share
+         FROM d3 LEFT JOIN t2 ON t2.doc_id = d3.doc_id
+         ORDER BY d3.doc_id""",
     "q78_chunk_overlap" ->
       """WITH c AS (
            SELECT doc_id, text,
