@@ -81,7 +81,11 @@ object GraftExtensions {
         "funcName" -> fn, "paramName" -> s"argument ${pos + 1}",
         "paramType" -> "integer"))
     e.eval() match {
-      case n: java.lang.Number => n
+      // integral types ONLY — a Double/Decimal is also a Number and
+      // would silently truncate (2.9 → 2; review finding)
+      case n @ (_: java.lang.Byte | _: java.lang.Short |
+                _: java.lang.Integer | _: java.lang.Long) =>
+        n.asInstanceOf[java.lang.Number]
       case null =>
         throw new AnalysisException("INVALID_PARAMETER_VALUE.NULL", Map(
           "parameter" -> s"argument ${pos + 1}", "functionName" -> fn))

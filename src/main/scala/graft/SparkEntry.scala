@@ -1137,7 +1137,10 @@ object SparkEntry {
         .select(col("l_returnflag"), col("n_pop"),
           (abs(coalesce(col("n_smp"), lit(0L)) - col("n_pop") * 0.1)
             <= lit(6.0) * sqrt(col("n_pop") * 0.09) + 3.0).as("sample_ok"),
-          (col("p50s").between(col("p40"), col("p60"))).as("p50_ok"))
+          // empty-sample stratum ⇒ vacuously true (p50s null would
+          // otherwise propagate NULL into the boolean — review finding)
+          coalesce(col("p50s").between(col("p40"), col("p60")), lit(true))
+            .as("p50_ok"))
         .orderBy(col("l_returnflag"))
     }),
 

@@ -80,11 +80,17 @@ object VectorFunctions {
    */
   def lshBucketPlanes(v: Column, planes: Seq[Seq[Double]]): Column = {
     val dv = asDouble(v)
+    val dim = planes.head.size
     val bitCols = planes.zipWithIndex.map { case (w, b) =>
       val proj = aggregate(zip_with(dv, typedlit(w), (x, wc) => x * wc),
         lit(0.0), (acc, x) => acc + x)
       when(proj >= 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
     }
-    bitCols.reduce(_.bitwiseOR(_))
+    // dimension guard: zip_with null-pads a length mismatch, which
+    // would silently send EVERY vector to bucket 0 and turn the bucket
+    // join into an all-pairs product (review finding) — fail loudly.
+    when(size(v) === dim, bitCols.reduce(_.bitwiseOR(_)))
+      .otherwise(raise_error(concat(
+        lit(s"lshBucketPlanes: plane dim $dim != vector dim "), size(v).cast("string"))))
   }
 }

@@ -228,7 +228,11 @@ object Dedup {
     val sigd = simhashSignatures(df, idCol, textCol, portable)
       .persist(StorageLevel.MEMORY_AND_DISK) // referenced via both join sides
     val chunkExprs = simhashChunkBounds(sigWidth, maxHamming).map { case (start, width) =>
-      shiftrightunsigned(col("sig"), start).bitwiseAND((1L << width) - 1L)
+      // width can be 64 (maxHamming = 0, one chunk = whole signature):
+      // (1L << 64) wraps to 1L on the JVM, which would mask every key
+      // to 0 and cross-join the whole corpus (review finding)
+      val mask = if (width >= 64) -1L else (1L << width) - 1L
+      shiftrightunsigned(col("sig"), start).bitwiseAND(mask)
     }
     val chunked = sigd.select(col("id"), col("sig"),
       posexplode(array(chunkExprs: _*)).as(Seq("chunk", "key")))
@@ -452,7 +456,11 @@ object Dedup {
       .agg(min(col("member_id")).as("rep_id"))
       .persist(StorageLevel.MEMORY_AND_DISK) // reps + membership expansion
     val reps = groups.select(col("rep_id").as(idCol), col("__t").as(textCol))
-    val mem = members.join(groups, "__t")
+    // NULL-SAFE join: groupBy puts null-text docs in one group, and a
+    // plain equi-join would silently drop them from the membership
+    // table — losing their within-group pairs (review finding; the
+    // oracle's PARTITION BY text does group nulls together).
+    val mem = members.join(groups, members("__t") <=> groups("__t"))
       .select(col("member_id"), col("rep_id"))
       .persist(StorageLevel.MEMORY_AND_DISK) // 3 expansion joins
     val repPairs = pairFn(reps).select(col("id_a"), col("id_b"), col(scoreCol))

@@ -37,10 +37,17 @@ object Packing {
       .repartitionByRange(shards, col(idCol))
       .withColumn("__pid", F.spark_partition_id())
     // parallel per-partition cumsum (the window's hash exchange on __pid
-    // preserves whole range-buckets — still `shards`-way parallel)
+    // preserves whole range-buckets — still `shards`-way parallel).
+    // PERSISTED before the totals action: the totals collect and the
+    // final projection are two separate jobs, and an unpersisted plan
+    // would re-run repartitionByRange with a fresh reservoir sample —
+    // re-drawn boundaries would shift rows between __pids and make the
+    // collected offsets lie (review finding; latent at test sizes where
+    // sampling is exhaustive). The cache pins one partitioning for both.
     val wLocal = Window.partitionBy("__pid").orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = ranged.withColumn("__cum", sum(col(tokensCol)).over(wLocal))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // pass 2: bounded collect of per-partition totals → exclusive prefix
     // offsets, shipped back as a literal map (empty partitions absent)
     val totals = local.groupBy("__pid").agg(max("__cum").as("__tot"))

@@ -158,22 +158,37 @@ private[plans] final class TopKMemoryAccounting(
 
   override def spill(size: Long, trigger: org.apache.spark.memory.MemoryConsumer): Long = 0L
 
+  // CHUNKED reservation (review finding): acquireMemory synchronizes on
+  // the shared TaskMemoryManager, so a per-retained-row call would put
+  // a cross-task lock in the hot loop. Track usage locally and go to
+  // the manager only when the current reservation runs out — accounting
+  // accuracy stays within one chunk of truth.
+  private[this] var usedLocal = 0L
+  private[this] var reservedLocal = 0L
+  private val chunk = 1L << 20
+
   def acquireFor(bytes: Long): Unit = {
-    val got = acquireMemory(bytes)
-    if (got < bytes) {
-      freeMemory(got)
-      throw new org.apache.spark.SparkException(
-        "TopKPerGroup buffered state (groups × k rows) exhausted execution " +
-          "memory in this task. Reduce group cardinality per partition, or set " +
-          s"${TopKMemoryAccounting.rewriteConfKey}=false to keep Spark's " +
-          "spillable Sort+Window path for row_number()<=k queries.")
+    usedLocal += bytes
+    if (usedLocal > reservedLocal) {
+      val want = math.max(usedLocal - reservedLocal, chunk)
+      val got = acquireMemory(want)
+      reservedLocal += got
+      if (usedLocal > reservedLocal) {
+        throw new org.apache.spark.SparkException(
+          "TopKPerGroup buffered state (groups × k rows) exhausted execution " +
+            "memory in this task. Reduce group cardinality per partition, or set " +
+            s"${TopKMemoryAccounting.rewriteConfKey}=false to keep Spark's " +
+            "spillable Sort+Window path for row_number()<=k queries.")
+      }
     }
   }
 
-  /** Net accounting for a replace: release the evicted row, acquire the new. */
-  def exchangeFor(oldBytes: Long, newBytes: Long): Unit =
-    if (newBytes > oldBytes) acquireFor(newBytes - oldBytes)
-    else if (oldBytes > newBytes) freeMemory(oldBytes - newBytes)
+  /** Net accounting for a replace: evicted bytes return to the local
+    * reservation (never to the manager mid-stream — bounded by peak). */
+  def exchangeFor(oldBytes: Long, newBytes: Long): Unit = {
+    usedLocal -= oldBytes
+    acquireFor(newBytes)
+  }
 
   def releaseAll(): Unit = if (getUsed > 0) freeMemory(getUsed)
 }

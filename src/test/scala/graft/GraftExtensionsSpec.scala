@@ -65,6 +65,16 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(msgs.contains("graft_bloom_agg") && msgs.contains("NON_FOLDABLE_ARGUMENT"), msgs)
   }
 
+  test("graft_bloom_agg rejects a fractional size literal (no silent truncation)") {
+    val e = intercept[Exception] {
+      ext.sql("""SELECT graft_bloom_agg(xxhash64(col), 2.9)
+                 FROM VALUES ('a') AS t(col)""").collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString("\n")
+    assert(msgs.contains("graft_bloom_agg"), msgs)
+  }
+
   test("the rank-limit rewrite honors its conf gate") {
     graft.sources.Tables.load(ext, sf0001, "orders").createOrReplaceTempView("og")
     val sql =

@@ -84,6 +84,27 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("simhashPairs maxHamming=0: exact-signature pairs only (64-bit mask edge)") {
+    // one chunk of width 64 — (1L << 64) wraps to 1 on the JVM; the
+    // mask must special-case to -1L or every key collapses to 0
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))             // identical docs
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("nearDupCollapsed pairs null-text duplicates (null-safe membership join)") {
+    val withNulls = Seq(
+      (0L, "alpha beta gamma delta"), (1L, null), (2L, null),
+      (3L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val out = Dedup.nearDupCollapsed(withNulls, "doc_id", "text",
+        lit(1.0), "est_jaccard")(reps =>
+      Dedup.minhashLsh(reps, "doc_id", "text", 64, 16, 3, 0.5, portable = true))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(out.contains((1L, 2L)), s"null-text dup pair missing: $out")
+    assert(out.contains((0L, 3L)))
+  }
+
   test("ngramJaccardPairs computes exact jaccard") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
     val j01 = pairs.filter(col("id_a") === 0 && col("id_b") === 1)
