@@ -466,6 +466,38 @@ object SparkEntry {
         .orderBy(col("click_id"))
     }),
 
+    // forward as-of: each click attaches the user's NEXT purchase at or
+    // after it (lead-time enrichment) — same one-shuffle union+window
+    // plan as q28 with the scan reversed.
+    "q81_asof_forward" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), expr("ts div 1000").as("t_us"),
+          col("event_id").as("click_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), expr("ts div 1000").as("t_us"),
+          col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+      AsOfJoin.forward(clicks, purchases, Seq("user_id"), "t_us",
+          Seq("purchase_id", "purchase_value"))
+        .orderBy(col("click_id"))
+    }),
+
+    // salted equi-join (explicit hot-key spreading): output must be
+    // IDENTICAL to the plain join — the salt is internal — so the
+    // oracle is the plain-join aggregate.
+    "q80_salted_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"))
+      val dim = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      operators.Skew.saltedJoin(li, dim, "o_orderkey", salt = 8)
+        .groupBy(year(col("o_orderdate")).as("yr"))
+        .agg(count(lit(1)).cast("long").as("n_lines"),
+          sumDec(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("yr"))
+    }),
+
     // the ad-hoc SQL surface (S7/Q2): PERSISTED catalog tables (external
     // parquet locations in the `graft` database — the metastore path,
     // not session views) + SQL text through the full parser/analyzer/
@@ -1397,6 +1429,26 @@ object SparkEntry {
          FROM clicks c ASOF LEFT JOIN purchases p
            ON c.user_id = p.user_id AND p.t_us <= c.t_us
          ORDER BY c.click_id""",
+    "q81_asof_forward" ->
+      """WITH clicks AS (
+           SELECT user_id, epoch_us(ts) AS t_us, event_id AS click_id
+           FROM events WHERE event_type = 'click'),
+         purchases AS (
+           SELECT user_id, epoch_us(ts) AS t_us, event_id AS purchase_id,
+                  value AS purchase_value
+           FROM events WHERE event_type = 'purchase')
+         SELECT c.user_id, c.t_us, c.click_id, p.purchase_id, p.purchase_value
+         FROM clicks c ASOF LEFT JOIN purchases p
+           ON c.user_id = p.user_id AND p.t_us >= c.t_us
+         ORDER BY c.click_id""",
+    "q80_salted_join" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS yr, count(*) AS n_lines,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem JOIN (
+           SELECT o_orderkey, o_orderdate FROM orders
+           WHERE o_orderpriority = '1-URGENT')
+         ON l_orderkey = o_orderkey
+         GROUP BY 1 ORDER BY yr""",
     "q29_sql_catalog" ->
       """SELECT c_mktsegment, CAST(year(o_orderdate) AS INT) AS yr,
          count(*) AS n_orders,

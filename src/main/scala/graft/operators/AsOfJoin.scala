@@ -31,7 +31,23 @@ object AsOfJoin {
   def backward(
       left: DataFrame, right: DataFrame,
       keyCols: Seq[String], timeCol: String,
-      valueCols: Seq[String]): DataFrame = {
+      valueCols: Seq[String]): DataFrame =
+    asof(left, right, keyCols, timeCol, valueCols, forwardDir = false)
+
+  /** Forward as-of: the EARLIEST right row with `right.time >=
+    * left.time` per key — the "next event at or after" primitive
+    * (lead-time enrichment). Same one-shuffle union+window plan, with
+    * the scan direction reversed. */
+  def forward(
+      left: DataFrame, right: DataFrame,
+      keyCols: Seq[String], timeCol: String,
+      valueCols: Seq[String]): DataFrame =
+    asof(left, right, keyCols, timeCol, valueCols, forwardDir = true)
+
+  private def asof(
+      left: DataFrame, right: DataFrame,
+      keyCols: Seq[String], timeCol: String,
+      valueCols: Seq[String], forwardDir: Boolean): DataFrame = {
 
     val leftCols = left.columns.toSeq
     // tag sides; align schemas: left gets null value-cols, right gets
@@ -54,9 +70,13 @@ object AsOfJoin {
           rightOnly.map(col) :+
           col("__side"): _*)
 
+    // forward scans time DESCENDING, so "last right seen" = the nearest
+    // right at-or-after the left row; __side asc in both directions
+    // keeps equal-time right rows ahead of left rows ⇒ inclusive bound.
+    val timeOrder = if (forwardDir) col(timeCol).desc else col(timeCol).asc
     val w = Window
       .partitionBy(keyCols.map(col): _*)
-      .orderBy(col(timeCol).asc, col("__side").asc)
+      .orderBy(timeOrder, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     // carry the whole right payload as ONE struct so every attached
