@@ -50,6 +50,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           exprs(0),
           GraftExtensions.foldableIntArg("graft_bloom_agg", exprs, 1).longValue)
           .toAggregateExpression()))
+    e.injectFunction((FunctionIdentifier("graft_freq_items"),
+      new ExpressionInfo(classOf[graft.functions.expressions.FreqItemsAgg].getName,
+        "graft_freq_items"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.expressions.FreqItemsAgg(exprs(0),
+          GraftExtensions.foldableIntArg("graft_freq_items", exprs, 1).intValue)
+          .toAggregateExpression()))
     e.injectFunction((FunctionIdentifier("graft_might_contain"),
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,

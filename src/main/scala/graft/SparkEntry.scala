@@ -813,6 +813,24 @@ object SparkEntry {
           (col("n_hit") >= col("n_queries") * 5 / 2).as("recall_ok"))
     }),
 
+    // vocabulary / heavy hitters: top tokens via the Misra–Gries
+    // mergeable summary (custom object aggregate — k-bounded state per
+    // partition, associative merge; the 100 TB substitute for an exact
+    // all-tokens groupBy). At k=64 > the 31-token vocabulary the
+    // summary is provably exact, so the oracle recomputes it with a
+    // plain GROUP BY — a hash check of the whole aggregate path
+    // (update, partial serialization, merge, eval).
+    "q82_heavy_hitters" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(explode(T.tokens(col("text"))).as("tok"))
+      toks.agg(graft.functions.GraftFunctions.graftFreqItems(col("tok"), 64)
+          .as("summary"))
+        .select(explode(col("summary")).as("e"))
+        .select(col("e.item").as("tok"), col("e.cnt").as("cnt"))
+        .orderBy(col("cnt").desc, col("tok"))
+        .limit(10)
+    }),
+
     // repetition metrics (Gopher-style quality filters): duplicate
     // token-3-gram fraction and the top bigram's share — the classic
     // boilerplate/spam discriminators. Row-local array math for the
@@ -1921,6 +1939,13 @@ object SparkEntry {
       """SELECT count(*) AS n_queries, count(*) * 5 AS total_possible,
          TRUE AS recall_ok
          FROM embeddings WHERE vec_id < 10""",
+    "q82_heavy_hitters" ->
+      """WITH tk AS (
+           SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                     x -> len(x) > 0)) AS tok
+           FROM documents)
+         SELECT tok, count(*) AS cnt FROM tk
+         GROUP BY tok ORDER BY cnt DESC, tok LIMIT 10""",
     "q79_repetition" ->
       """WITH t AS (
            SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-import graft.functions.expressions.{DotProduct, LongArrayMatchCount, MinHashSigAgg, SimHashSigAgg}
+import graft.functions.expressions.{DotProduct, FreqItemsAgg, LongArrayMatchCount, MinHashSigAgg, SimHashSigAgg}
 
 /**
  * Registration of the engine's native Catalyst expressions as SQL
@@ -23,6 +23,7 @@ object GraftFunctions {
   val SimHashName = "graft_simhash_sig"
   val BloomAggName   = "graft_bloom_agg"
   val MightContainName = "graft_might_contain"
+  val FreqItemsName = "graft_freq_items"
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -45,6 +46,10 @@ object GraftFunctions {
         .toAggregateExpression(), "built-in")
     reg.createOrReplaceTempFunction(MightContainName,
       exprs => BloomFilterMightContain(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(FreqItemsName,
+      exprs => FreqItemsAgg(exprs(0),
+        graft.GraftExtensions.foldableIntArg(FreqItemsName, exprs, 1).intValue)
+        .toAggregateExpression(), "built-in")
   }
 
   /** Codegen'd dot product (double) of two float/double arrays. */
@@ -60,6 +65,10 @@ object GraftFunctions {
 
   /** 64-bit SimHash signature aggregate over a token-hash column. */
   def graftSimhashSig(h: Column): Column = call_function(SimHashName, h)
+
+  /** Misra-Gries frequent-items summary aggregate (see FreqItemsAgg). */
+  def graftFreqItems(item: Column, k: Int): Column =
+    call_function(FreqItemsName, item, org.apache.spark.sql.functions.lit(k))
 
   /** Bloom filter (binary) aggregate over a long-hash column. */
   def graftBloomAgg(h: Column, expectedItems: Long): Column =
