@@ -813,6 +813,29 @@ object SparkEntry {
           (col("n_hit") >= col("n_queries") * 5 / 2).as("recall_ok"))
     }),
 
+    // TF-IDF salient term per document (feature extraction): exact
+    // corpus document frequencies + smoothed idf, top-1 by score via
+    // the custom TopKPerGroup operator (bounded heap, no per-doc sort).
+    // All-rational inputs to ln keep both engines bit-aligned at the
+    // 6-decimal round.
+    "q83_tfidf_top_term" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toks = docs.select(col("doc_id"), explode(T.tokens(col("text"))).as("tok"))
+      val dtf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+      val dlen = toks.groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
+      val dfT = dtf.groupBy("tok").agg(count(lit(1)).as("df"))
+      val nDocs = docs.count().toDouble
+      val scored = dtf.join(dlen, "doc_id").join(dfT, "tok")
+        .select(col("doc_id"), col("tok"),
+          (col("cnt") / col("n_tok") * log((lit(nDocs) + 1.0)
+            / (col("df") + lit(1.0)))).as("score"))
+      operators.TopK.perGroup(scored, Seq("doc_id"),
+          Seq(("score", false), ("tok", true)), 1, "rk")
+        .select(col("doc_id"), col("tok").as("term"),
+          round(col("score"), 6).as("tfidf"))
+        .orderBy(col("doc_id"))
+    }),
+
     // vocabulary / heavy hitters: top tokens via the Misra–Gries
     // mergeable summary (custom object aggregate — k-bounded state per
     // partition, associative merge; the 100 TB substitute for an exact
@@ -1939,6 +1962,25 @@ object SparkEntry {
       """SELECT count(*) AS n_queries, count(*) * 5 AS total_possible,
          TRUE AS recall_ok
          FROM embeddings WHERE vec_id < 10""",
+    "q83_tfidf_top_term" ->
+      """WITH tk AS (
+           SELECT doc_id, unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                             x -> len(x) > 0)) AS tok
+           FROM documents),
+         dtf AS (SELECT doc_id, tok, count(*) AS cnt FROM tk GROUP BY 1, 2),
+         dl AS (SELECT doc_id, count(*) AS n_tok FROM tk GROUP BY 1),
+         dft AS (SELECT tok, count(*) AS df FROM dtf GROUP BY 1),
+         nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+         sc AS (SELECT dtf.doc_id, dtf.tok,
+                  dtf.cnt / CAST(dl.n_tok AS DOUBLE)
+                    * ln((nd.n + 1.0) / (dft.df + 1.0)) AS score
+                FROM dtf JOIN dl USING (doc_id) JOIN dft USING (tok), nd),
+         r AS (SELECT doc_id, tok, score,
+                 row_number() OVER (PARTITION BY doc_id
+                   ORDER BY score DESC, tok) AS rk
+               FROM sc)
+         SELECT doc_id, tok AS term, round(score, 6) AS tfidf
+         FROM r WHERE rk = 1 ORDER BY doc_id""",
     "q82_heavy_hitters" ->
       """WITH tk AS (
            SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
