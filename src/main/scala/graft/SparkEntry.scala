@@ -813,6 +813,40 @@ object SparkEntry {
           (col("n_hit") >= col("n_queries") * 5 / 2).as("recall_ok"))
     }),
 
+    // bigram-LM surprisal (the step past q77's unigram score): mean
+    // −log2 p(cur | prev) with add-one smoothing over exact corpus
+    // bigram counts — q69/q77's sorted-fold discipline keeps the float
+    // accumulation deterministic and oracle-mirrorable.
+    "q84_bigram_surprisal" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val base = docs.select(col("doc_id"), T.tokens(col("text")).as("ts"))
+      val bg = base
+        .select(col("doc_id"), explode(T.shinglesFromTokens(col("ts"), 2)).as("b"))
+        .select(col("doc_id"),
+          substring_index(col("b"), " ", 1).as("prev"),
+          substring_index(col("b"), " ", -1).as("cur"))
+      val dcnt = bg.groupBy("doc_id", "prev", "cur").agg(count(lit(1)).as("cnt"))
+      val cab = bg.groupBy("prev", "cur").agg(count(lit(1)).as("cab"))
+      val ca = cab.groupBy("prev").agg(sum("cab").as("ca"))
+      val vocab = base.select(explode(col("ts")).as("tok"))
+        .agg(countDistinct(col("tok"))).head().getLong(0).toDouble
+      val folded = dcnt.join(cab, Seq("prev", "cur")).join(ca, Seq("prev"))
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(struct(col("prev"), col("cur"),
+          col("cnt"), col("cab"), col("ca")))).as("cc"))
+        .select(col("doc_id"),
+          aggregate(col("cc"), lit(0L), (a, x) => a + x.getField("cnt")).as("n"),
+          aggregate(col("cc"), lit(0.0), (a, x) =>
+            a + x.getField("cnt").cast("double")
+              * (log2(x.getField("ca").cast("double") + vocab)
+                - log2(x.getField("cab").cast("double") + 1.0))).as("ssum"))
+      docs.select("doc_id").join(folded, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("n"), lit(0L)).as("n_bigrams"),
+          when(col("n").isNull || col("n") <= 0, lit(0.0))
+            .otherwise(round(col("ssum") / col("n"), 4)).as("bits_per_bigram"))
+        .orderBy(col("doc_id"))
+    }),
+
     // TF-IDF salient term per document (feature extraction): exact
     // corpus document frequencies + smoothed idf, top-1 by score via
     // the custom TopKPerGroup operator (bounded heap, no per-doc sort).
@@ -1962,6 +1996,41 @@ object SparkEntry {
       """SELECT count(*) AS n_queries, count(*) * 5 AS total_possible,
          TRUE AS recall_ok
          FROM embeddings WHERE vec_id < 10""",
+    "q84_bigram_surprisal" ->
+      """WITH t AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                      x -> len(x) > 0) AS ts
+           FROM documents),
+         bg AS (
+           SELECT doc_id, unnest(
+             CASE WHEN len(ts) < 2 THEN CAST([] AS VARCHAR[])
+                  ELSE [array_to_string(ts[i:i+1], ' ')
+                        for i in range(1, len(ts))] END) AS b
+           FROM t),
+         pc AS (SELECT doc_id, split_part(b, ' ', 1) AS prev,
+                  split_part(b, ' ', 2) AS cur FROM bg),
+         dcnt AS (SELECT doc_id, prev, cur, count(*) AS cnt FROM pc GROUP BY 1, 2, 3),
+         cab AS (SELECT prev, cur, count(*) AS cab FROM pc GROUP BY 1, 2),
+         ca AS (SELECT prev, CAST(sum(cab) AS BIGINT) AS ca FROM cab GROUP BY 1),
+         vv AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v FROM
+                  (SELECT unnest(ts) AS tok FROM t)),
+         l AS (SELECT doc_id, list_sort(list(struct_pack(
+                  prev := dcnt.prev, cur := dcnt.cur, cnt := cnt,
+                  cab := cab.cab, ca := ca.ca))) AS cc
+               FROM dcnt JOIN cab USING (prev, cur) JOIN ca USING (prev)
+               GROUP BY doc_id),
+         f AS (SELECT doc_id,
+                 CAST(list_sum(list_transform(cc, x -> x.cnt)) AS BIGINT) AS n,
+                 list_sum(list_transform(cc, x ->
+                   CAST(x.cnt AS DOUBLE)
+                     * (log2(CAST(x.ca AS DOUBLE) + vv.v)
+                        - log2(CAST(x.cab AS DOUBLE) + 1.0)))) AS ssum
+               FROM l, vv)
+         SELECT d.doc_id, CAST(coalesce(f.n, 0) AS BIGINT) AS n_bigrams,
+           CASE WHEN f.n IS NULL OR f.n <= 0 THEN 0.0
+                ELSE round(f.ssum / f.n, 4) END AS bits_per_bigram
+         FROM documents d LEFT JOIN f ON f.doc_id = d.doc_id
+         ORDER BY d.doc_id""",
     "q83_tfidf_top_term" ->
       """WITH tk AS (
            SELECT doc_id, unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
