@@ -826,7 +826,9 @@ object SparkEntry {
           substring_index(col("b"), " ", 1).as("prev"),
           substring_index(col("b"), " ", -1).as("cur"))
       val dcnt = bg.groupBy("doc_id", "prev", "cur").agg(count(lit(1)).as("cnt"))
-      val cab = bg.groupBy("prev", "cur").agg(count(lit(1)).as("cab"))
+      // corpus counts ROLL UP from the per-doc counts (bit-identical
+      // sums) — one tokenize+explode scan instead of two (review finding)
+      val cab = dcnt.groupBy("prev", "cur").agg(sum("cnt").as("cab"))
       val ca = cab.groupBy("prev").agg(sum("cab").as("ca"))
       val vocab = base.select(explode(col("ts")).as("tok"))
         .agg(countDistinct(col("tok"))).head().getLong(0).toDouble
@@ -856,17 +858,23 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val toks = docs.select(col("doc_id"), explode(T.tokens(col("text"))).as("tok"))
       val dtf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
-      val dlen = toks.groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
+      // doc lengths roll up from dtf — one explode scan, not two
+      val dlen = dtf.groupBy("doc_id").agg(sum("cnt").as("n_tok"))
       val dfT = dtf.groupBy("tok").agg(count(lit(1)).as("df"))
       val nDocs = docs.count().toDouble
+      // rank on the ROUNDED score (both engines): the raw argmax would
+      // compare unrounded doubles whose last ulp can differ between
+      // Spark's StrictMath.log and DuckDB's libm ln — rounding first
+      // turns near-ties into exact ties that the tok tiebreak resolves
+      // identically (review finding; same class as the unrounded-
+      // threshold rule).
       val scored = dtf.join(dlen, "doc_id").join(dfT, "tok")
         .select(col("doc_id"), col("tok"),
-          (col("cnt") / col("n_tok") * log((lit(nDocs) + 1.0)
-            / (col("df") + lit(1.0)))).as("score"))
+          round(col("cnt") / col("n_tok") * log((lit(nDocs) + 1.0)
+            / (col("df") + lit(1.0))), 6).as("score"))
       operators.TopK.perGroup(scored, Seq("doc_id"),
           Seq(("score", false), ("tok", true)), 1, "rk")
-        .select(col("doc_id"), col("tok").as("term"),
-          round(col("score"), 6).as("tfidf"))
+        .select(col("doc_id"), col("tok").as("term"), col("score").as("tfidf"))
         .orderBy(col("doc_id"))
     }),
 
@@ -2041,14 +2049,14 @@ object SparkEntry {
          dft AS (SELECT tok, count(*) AS df FROM dtf GROUP BY 1),
          nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
          sc AS (SELECT dtf.doc_id, dtf.tok,
-                  dtf.cnt / CAST(dl.n_tok AS DOUBLE)
-                    * ln((nd.n + 1.0) / (dft.df + 1.0)) AS score
+                  round(dtf.cnt / CAST(dl.n_tok AS DOUBLE)
+                    * ln((nd.n + 1.0) / (dft.df + 1.0)), 6) AS score
                 FROM dtf JOIN dl USING (doc_id) JOIN dft USING (tok), nd),
          r AS (SELECT doc_id, tok, score,
                  row_number() OVER (PARTITION BY doc_id
                    ORDER BY score DESC, tok) AS rk
                FROM sc)
-         SELECT doc_id, tok AS term, round(score, 6) AS tfidf
+         SELECT doc_id, tok AS term, score AS tfidf
          FROM r WHERE rk = 1 ORDER BY doc_id""",
     "q82_heavy_hitters" ->
       """WITH tk AS (

@@ -22,15 +22,20 @@ import org.apache.spark.unsafe.types.UTF8String
  *  - update: increment a tracked item / claim a free slot (< k−1
  *    tracked) / decrement every counter (the MG step);
  *  - merge: sum counters, then subtract the k-th largest combined
- *    count and drop non-positives (ties broken by item bytes so merge
- *    order cannot change the result);
+ *    count and drop non-positives (each merge call is deterministic —
+ *    ties broken by item bytes);
  *  - eval: array of (item, count) structs, count desc then item asc.
  *
  * Guarantees: any item with true frequency > n/k is present; reported
- * counts are lower bounds undercounting by at most n/k. When k−1 ≥ the
- * true distinct count, no decrement ever fires and the summary is
- * EXACT — the regime the driver query runs in (31-token vocabulary,
- * k = 64), which is what makes it hash-verifiable cross-engine.
+ * counts are lower bounds undercounting by at most n/k. These hold
+ * regardless of partial-merge ORDER, but in the lossy regime the
+ * summary CONTENTS below the n/k line are merge-order dependent (the
+ * cut step is not associative) — like any composed MG sketch, do not
+ * hash-compare lossy output. When k−1 ≥ the true distinct count, no
+ * decrement or cut ever fires and the summary is EXACT and fully
+ * deterministic — the regime the driver query runs in (31-token
+ * vocabulary, k = 64), which is what makes it hash-verifiable
+ * cross-engine.
  */
 case class FreqItemsAgg(
     child: Expression,

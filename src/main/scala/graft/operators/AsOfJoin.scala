@@ -63,6 +63,7 @@ object AsOfJoin {
           rightOnly.map(c => lit(null).cast(right.schema(c).dataType).as(c)) :+
           col("__side"): _*)
     val rTagged = right
+      .filter(col(timeCol).isNotNull) // null time can never match (see below)
       .withColumn("__side", lit(0))
       .select(
         (keyCols :+ timeCol).map(col) ++
@@ -73,7 +74,13 @@ object AsOfJoin {
     // forward scans time DESCENDING, so "last right seen" = the nearest
     // right at-or-after the left row; __side asc in both directions
     // keeps equal-time right rows ahead of left rows ⇒ inclusive bound.
-    val timeOrder = if (forwardDir) col(timeCol).desc else col(timeCol).asc
+    // NULL-time semantics mirror SQL inequalities (review finding):
+    // null-time LEFT rows sort before every right row (nulls-first in
+    // both directions) so they match nothing, and null-time RIGHT rows
+    // are dropped above — a NULL can never satisfy <= or >=.
+    val timeOrder =
+      if (forwardDir) col(timeCol).desc_nulls_first
+      else col(timeCol).asc_nulls_first
     val w = Window
       .partitionBy(keyCols.map(col): _*)
       .orderBy(timeOrder, col("__side").asc)
