@@ -849,6 +849,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // corpus length histogram per language (the dataset-report op):
+    // fixed 50-char buckets over doc length — one hash aggregate on
+    // (lang, bucket), integer arithmetic both engines share.
+    "q85_length_histogram" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(col("lang"),
+          floor(col("n_chars") / 50).cast("int").as("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+        .orderBy(col("lang"), col("bucket"))
+    }),
+
     // TF-IDF salient term per document (feature extraction): exact
     // corpus document frequencies + smoothed idf, top-1 by score via
     // the custom TopKPerGroup operator (bounded heap, no per-doc sort).
@@ -2004,6 +2017,10 @@ object SparkEntry {
       """SELECT count(*) AS n_queries, count(*) * 5 AS total_possible,
          TRUE AS recall_ok
          FROM embeddings WHERE vec_id < 10""",
+    "q85_length_histogram" ->
+      """SELECT lang, CAST(n_chars // 50 AS INT) AS bucket,
+         count(*) AS n_docs, min(n_chars) AS min_chars, max(n_chars) AS max_chars
+         FROM documents GROUP BY 1, 2 ORDER BY lang, bucket""",
     "q84_bigram_surprisal" ->
       """WITH t AS (
            SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),
