@@ -849,6 +849,49 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // the training-data funnel END TO END — quality gate → exact dedup
+    // → decontamination → per-language report. Every stage compares in
+    // exact integer arithmetic (10·digits ≤ 3·chars; 2·hits < shingles)
+    // so the whole composed pipeline hash-verifies cross-engine; this
+    // is the query a user of the library actually ships.
+    "q86_pipeline_report" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"), T.tokens(col("text")).as("ts"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // stage 1: quality gate (length + digit-density), integer-exact
+      val quality = docs.filter(size(col("ts")) >= 20 &&
+        lit(10) * size(regexp_extract_all(col("text"), lit("[0-9]"), lit(0)))
+          <= lit(3) * greatest(length(col("text")), lit(1)))
+      // stage 2: exact dedup — keep min doc_id per text
+      val keepIds = quality.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+      val deduped = quality.join(keepIds.select("doc_id"), Seq("doc_id"), "left_semi")
+      // stage 3: decontamination — distinct 5-gram containment vs the
+      // held-out bench set (doc_id < 10), integer compare 2·hits < n_sh
+      val sh = docs.select(col("doc_id"),
+          array_distinct(T.shinglesFromTokens(col("ts"), 5)).as("sh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val ex = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+      val bench = ex.filter(col("doc_id") < 10).select("g").distinct()
+      val hits = ex.join(broadcast(bench), Seq("g"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+      val clean = deduped
+        .join(sh.select(col("doc_id"), size(col("sh")).cast("long").as("n_sh")), "doc_id")
+        .join(hits, Seq("doc_id"), "left")
+        .filter(coalesce(col("n_hit"), lit(0L)) * 2 < col("n_sh"))
+      // per-language funnel report
+      def cnt(df: DataFrame, name: String): DataFrame =
+        df.groupBy("lang").agg(count(lit(1)).as(name))
+      cnt(docs, "n_raw")
+        .join(cnt(quality, "n_quality"), Seq("lang"), "left")
+        .join(cnt(deduped, "n_dedup"), Seq("lang"), "left")
+        .join(cnt(clean, "n_clean"), Seq("lang"), "left")
+        .select(col("lang"), col("n_raw"),
+          coalesce(col("n_quality"), lit(0L)).as("n_quality"),
+          coalesce(col("n_dedup"), lit(0L)).as("n_dedup"),
+          coalesce(col("n_clean"), lit(0L)).as("n_clean"))
+        .orderBy(col("lang"))
+    }),
+
     // corpus length histogram per language (the dataset-report op):
     // fixed 50-char buckets over doc length — one hash aggregate on
     // (lang, bucket), integer arithmetic both engines share.
@@ -2017,6 +2060,42 @@ object SparkEntry {
       """SELECT count(*) AS n_queries, count(*) * 5 AS total_possible,
          TRUE AS recall_ok
          FROM embeddings WHERE vec_id < 10""",
+    "q86_pipeline_report" ->
+      """WITH d AS (
+           SELECT doc_id, lang, text,
+             list_filter(regexp_split_to_array(trim(text), '\s+'),
+                         x -> len(x) > 0) AS ts
+           FROM documents),
+         q AS (SELECT * FROM d
+               WHERE len(ts) >= 20
+                 AND 10 * len(regexp_extract_all(text, '[0-9]'))
+                     <= 3 * greatest(length(text), 1)),
+         k AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY text),
+         dd AS (SELECT q.* FROM q JOIN k USING (doc_id)),
+         sh AS (SELECT doc_id,
+             CASE WHEN len(ts) < 5 THEN CAST([] AS VARCHAR[])
+                  ELSE list_distinct([array_to_string(ts[i:i+4], ' ')
+                                      for i in range(1, len(ts)-3)]) END AS s
+           FROM d),
+         ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         b AS (SELECT DISTINCT g FROM ex WHERE doc_id < 10),
+         h AS (SELECT doc_id, count(*) AS n_hit FROM ex
+               WHERE g IN (SELECT g FROM b) GROUP BY doc_id),
+         cl AS (SELECT dd.lang, dd.doc_id FROM dd
+                JOIN sh ON sh.doc_id = dd.doc_id
+                LEFT JOIN h ON h.doc_id = dd.doc_id
+                WHERE coalesce(h.n_hit, 0) * 2 < len(sh.s)),
+         r AS (SELECT lang, count(*) AS n_raw FROM d GROUP BY 1),
+         rq AS (SELECT lang, count(*) AS n_quality FROM q GROUP BY 1),
+         rd AS (SELECT lang, count(*) AS n_dedup FROM dd GROUP BY 1),
+         rc AS (SELECT lang, count(*) AS n_clean FROM cl GROUP BY 1)
+         SELECT r.lang, r.n_raw,
+           CAST(coalesce(rq.n_quality, 0) AS BIGINT) AS n_quality,
+           CAST(coalesce(rd.n_dedup, 0) AS BIGINT) AS n_dedup,
+           CAST(coalesce(rc.n_clean, 0) AS BIGINT) AS n_clean
+         FROM r LEFT JOIN rq USING (lang) LEFT JOIN rd USING (lang)
+                LEFT JOIN rc USING (lang)
+         ORDER BY lang""",
     "q85_length_histogram" ->
       """SELECT lang, CAST(n_chars // 50 AS INT) AS bucket,
          count(*) AS n_docs, min(n_chars) AS min_chars, max(n_chars) AS max_chars
