@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.functions.col
 import graft.SparkSpec
 
 class AsOfJoinSpec extends SparkSpec {
@@ -22,6 +23,42 @@ class AsOfJoinSpec extends SparkSpec {
       (1L, 10L, "c1", Some(100.0)), // inclusive: t == right.t matches
       (1L, 25L, "c2", Some(200.0)), // latest prior (20), not first (10)
       (2L, 50L, "c3", None)))       // right row for k=2 is later (60)
+  }
+
+  test("forward as-of join: earliest right row at or after left time") {
+    val left = Seq(
+      (1L, 10L, "c1"), (1L, 25L, "c2"), (1L, 5L, "c0"),
+      (2L, 70L, "c3")).toDF("k", "t", "tag")
+    val right = Seq(
+      (1L, 10L, 100.0), (1L, 20L, 200.0), (2L, 60L, 300.0))
+      .toDF("k", "t", "price")
+    val out = AsOfJoin.forward(left, right, Seq("k"), "t", Seq("price"))
+      .orderBy("k", "t")
+      .as[(Long, Long, String, Option[Double])].collect().toSeq
+    assert(out === Seq(
+      (1L, 5L, "c0", Some(100.0)),  // earliest following (10)
+      (1L, 10L, "c1", Some(100.0)), // inclusive: t == right.t matches
+      (1L, 25L, "c2", None),        // nothing after 25 for k=1
+      (2L, 70L, "c3", None)))       // right row for k=2 is earlier (60)
+  }
+
+  test("NULL times follow SQL inequality semantics: no match either side, both directions") {
+    val left = Seq(
+      (1L, Option(10L), "a"), (1L, Option.empty[Long], "b")).toDF("k", "t", "tag")
+    val right = Seq(
+      (1L, Option(5L), 1.0), (1L, Option.empty[Long], 99.0)).toDF("k", "t", "price")
+    val back = AsOfJoin.backward(left, right, Seq("k"), "t", Seq("price"))
+      .orderBy(col("t").asc_nulls_last)
+      .as[(Long, Option[Long], String, Option[Double])].collect().toSeq
+    assert(back === Seq(
+      (1L, Some(10L), "a", Some(1.0)),
+      (1L, None, "b", None)))       // NULL <= anything is never true
+    val fwd = AsOfJoin.forward(left, right, Seq("k"), "t", Seq("price"))
+      .orderBy(col("t").asc_nulls_last)
+      .as[(Long, Option[Long], String, Option[Double])].collect().toSeq
+    assert(fwd === Seq(
+      (1L, Some(10L), "a", None),   // no right row at/after 10
+      (1L, None, "b", None)))       // NULL >= anything is never true
   }
 
   test("left columns and row count are preserved") {
