@@ -819,7 +819,10 @@ object SparkEntry {
     // accumulation deterministic and oracle-mirrorable.
     "q84_bigram_surprisal" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
+      // tokenized once for BOTH the plan-time vocab count and the main
+      // job (two actions — unpersisted, the tokenize would run twice)
       val base = docs.select(col("doc_id"), T.tokens(col("text")).as("ts"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val bg = base
         .select(col("doc_id"), explode(T.shinglesFromTokens(col("ts"), 2)).as("b"))
         .select(col("doc_id"),
