@@ -895,6 +895,26 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // SCD Type-2 history materialization: the other half of the CDC
+    // story (q38 keeps only the latest state; warehouses also need the
+    // full versioned history). Each change opens [valid_from,
+    // valid_to); the next change to the key closes it; deletes close
+    // without emitting. One window shuffle — minimal, since output
+    // cardinality equals input.
+    "q87_scd2_history" -> ((s, dir) => {
+      val log = t(s, dir, "events").select(
+        col("user_id"), expr("ts div 1000").as("t_us"),
+        col("event_id"), col("value"),
+        when(col("event_type").isin("view", "signup"), "insert")
+          .when(col("event_type") === "error", "delete")
+          .otherwise("update").as("op"))
+      CdcMaterializer.scd2History(log, Seq("user_id"), "t_us",
+          Seq("event_id"), "op")
+        .select(col("user_id"), col("event_id"), col("value"), col("op"),
+          col("valid_from"), col("valid_to"), col("is_current"))
+        .orderBy(col("user_id"), col("valid_from"), col("event_id"))
+    }),
+
     // corpus length histogram per language (the dataset-report op):
     // fixed 50-char buckets over doc length — one hash aggregate on
     // (lang, bucket), integer arithmetic both engines share.
@@ -2099,6 +2119,21 @@ object SparkEntry {
          FROM r LEFT JOIN rq USING (lang) LEFT JOIN rd USING (lang)
                 LEFT JOIN rc USING (lang)
          ORDER BY lang""",
+    "q87_scd2_history" ->
+      """WITH log AS (SELECT user_id, epoch_us(ts) AS t_us, event_id, value,
+           CASE WHEN event_type IN ('view','signup') THEN 'insert'
+                WHEN event_type = 'error' THEN 'delete'
+                ELSE 'update' END AS op
+         FROM events),
+         v AS (SELECT user_id, event_id, value, op,
+             t_us AS valid_from,
+             lead(t_us, 1) OVER
+               (PARTITION BY user_id ORDER BY t_us, event_id) AS valid_to
+           FROM log)
+         SELECT user_id, event_id, value, op, valid_from, valid_to,
+           (valid_to IS NULL) AS is_current
+         FROM v WHERE op <> 'delete'
+         ORDER BY user_id, valid_from, event_id""",
     "q85_length_histogram" ->
       """SELECT lang, CAST(n_chars // 50 AS INT) AS bucket,
          count(*) AS n_docs, min(n_chars) AS min_chars, max(n_chars) AS max_chars

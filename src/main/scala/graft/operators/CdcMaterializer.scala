@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -42,5 +43,39 @@ object CdcMaterializer {
       .select(keyCols.map(col) ++
         payload.map(c => col(s"__latest.`$c`").as(c)): _*)
     latest.filter(col(opCol) =!= deleteOp)
+  }
+
+  /**
+   * SCD Type-2 history: every change event opens a version interval
+   * `[valid_from, valid_to)`; the NEXT change to the same key (any op,
+   * including a delete) closes it. Delete events close the prior
+   * version but are not themselves emitted, so a key whose last op is
+   * a delete has no `is_current` row.
+   *
+   * Plan shape: one window (`lead` over key, ordered by time+tiebreak)
+   * = ONE shuffle on the key. Unlike [[latestSnapshot]] there is no
+   * partial reduction to exploit — the output is the same cardinality
+   * as the input (every version survives), so the window IS the
+   * minimal shape. At 100 TB the shuffle is sized by history volume,
+   * not key count; a hot key concentrates its history in one task,
+   * which is inherent to emitting its chained intervals (the sort
+   * within the task is spillable).
+   *
+   * @param log     change log (append-only)
+   * @param keyCols primary-key columns
+   * @param tsCol   event-time column — becomes `valid_from`
+   * @param tieCols unique tiebreak for same-timestamp changes
+   * @param opCol   operation column; `deleteOp` rows close but don't emit
+   */
+  def scd2History(log: DataFrame, keyCols: Seq[String], tsCol: String,
+      tieCols: Seq[String], opCol: String,
+      deleteOp: String = "delete"): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy((tsCol +: tieCols).map(col(_).asc): _*)
+    log
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .filter(col(opCol) =!= deleteOp)
+      .withColumn("is_current", col("valid_to").isNull)
   }
 }

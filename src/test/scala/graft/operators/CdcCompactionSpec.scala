@@ -22,6 +22,31 @@ class CdcCompactionSpec extends SparkSpec {
     assert(snap === Map(1L -> "b", 3L -> "e"))
   }
 
+  test("scd2History: intervals chain gaplessly; deletes close without emitting") {
+    val log = Seq(
+      (1L, 10L, 0L, "insert", "a"),
+      (1L, 20L, 1L, "update", "b"),
+      (1L, 30L, 2L, "update", "c"),   // key 1: three versions, c current
+      (2L, 10L, 3L, "insert", "d"),
+      (2L, 30L, 4L, "delete", "d"),   // key 2: version closed at 30, none current
+      (3L, 5L, 5L, "insert", "e"),
+      (3L, 5L, 6L, "update", "f")     // same ts → seq tiebreak orders versions
+    ).toDF("k", "t", "seq", "op", "v")
+    val hist = CdcMaterializer.scd2History(log, Seq("k"), "t", Seq("seq"), "op")
+      .select("k", "v", "valid_from", "valid_to", "is_current")
+      .as[(Long, String, Long, Option[Long], Boolean)].collect().toSet
+    assert(hist === Set(
+      (1L, "a", 10L, Some(20L), false),
+      (1L, "b", 20L, Some(30L), false),
+      (1L, "c", 30L, None, true),
+      (2L, "d", 10L, Some(30L), false),  // closed by the delete, not current
+      (3L, "e", 5L, Some(5L), false),
+      (3L, "f", 5L, None, true)))
+    // exactly one current version per surviving key
+    val current = hist.filter(_._5).map(_._1)
+    assert(current === Set(1L, 3L))
+  }
+
   test("compactParquet shrinks many small files to a size-targeted few") {
     val dir = java.nio.file.Files.createTempDirectory("compact").toString + "/t"
     // 16 tiny files
