@@ -915,6 +915,29 @@ object SparkEntry {
         .orderBy(col("user_id"), col("valid_from"), col("event_id"))
     }),
 
+    // z-order layout statistics: normalize (l_partkey, l_suppkey) to a
+    // 64×64 integer grid (exact int arithmetic — scale-independent, so
+    // the tiling is meaningful at every SF), Morton-interleave, tile
+    // by the top 6 z bits (= recursive quadrants), emit per-tile
+    // min/max of both dims — the file-skipping metadata a 100 TB scan
+    // planner prunes on. The oracle replays the interleave bit for bit.
+    "q88_zorder_layout" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_partkey"), col("l_suppkey"))
+      val bounds = li.agg(
+        min("l_partkey").as("pmin"), max("l_partkey").as("pmax"),
+        min("l_suppkey").as("smin"), max("l_suppkey").as("smax"))
+      val norm = li.crossJoin(broadcast(bounds)).select(
+        col("l_partkey"), col("l_suppkey"),
+        expr("((l_partkey - pmin) * 64) div (pmax - pmin + 1)").as("na"),
+        expr("((l_suppkey - smin) * 64) div (smax - smin + 1)").as("nb"))
+      norm.groupBy(shiftright(
+            operators.Layout.zValue(col("na"), col("nb"), 6), 6).as("tile_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          min("l_partkey").as("min_a"), max("l_partkey").as("max_a"),
+          min("l_suppkey").as("min_b"), max("l_suppkey").as("max_b"))
+        .orderBy(col("tile_id"))
+    }),
+
     // corpus length histogram per language (the dataset-report op):
     // fixed 50-char buckets over doc length — one hash aggregate on
     // (lang, bucket), integer arithmetic both engines share.
@@ -2134,6 +2157,20 @@ object SparkEntry {
            (valid_to IS NULL) AS is_current
          FROM v WHERE op <> 'delete'
          ORDER BY user_id, valid_from, event_id""",
+    "q88_zorder_layout" -> {
+      val z = operators.Layout.zSql("na", "nb", 6)
+      s"""WITH m AS (SELECT min(l_partkey) AS pmin, max(l_partkey) AS pmax,
+                min(l_suppkey) AS smin, max(l_suppkey) AS smax FROM lineitem),
+         n AS (SELECT l_partkey, l_suppkey,
+             ((l_partkey - pmin) * 64) // (pmax - pmin + 1) AS na,
+             ((l_suppkey - smin) * 64) // (smax - smin + 1) AS nb
+           FROM lineitem, m),
+         z AS (SELECT l_partkey, l_suppkey, ($z) AS z FROM n)
+         SELECT z >> 6 AS tile_id, count(*) AS n_rows,
+           min(l_partkey) AS min_a, max(l_partkey) AS max_a,
+           min(l_suppkey) AS min_b, max(l_suppkey) AS max_b
+         FROM z GROUP BY 1 ORDER BY tile_id"""
+    },
     "q85_length_histogram" ->
       """SELECT lang, CAST(n_chars // 50 AS INT) AS bucket,
          count(*) AS n_docs, min(n_chars) AS min_chars, max(n_chars) AS max_chars
