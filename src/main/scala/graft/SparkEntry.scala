@@ -426,6 +426,18 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // product-quantization ANN (ADC scan): codes-only candidate join,
+    // md5-picked sub-codebooks, exact re-rank of the shortlist — the
+    // compressed-embedding-store scan shape. Deterministic end to end;
+    // the oracle re-derives the codebooks and replays encoding, ADC
+    // scoring, and both rankings.
+    "q89_ann_pq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.pqTopK(e, e.filter(col("vec_id") < 10), k = 5,
+          m = 4, ksub = 8, candN = 20, dim = 64)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // embedding near-dup pairs over literal-plane LSH buckets — oracle
     // replays the bucketing + cosine verify.
     "q25_embed_neardup" -> ((s, dir) => {
@@ -1924,6 +1936,64 @@ object SparkEntry {
                FROM s)
          SELECT query_id, item_id, cos, rank FROM r
          WHERE rank <= 5 ORDER BY query_id, rank""",
+    // PQ/ADC replay: DuckDB re-derives the md5-first-8 codebooks,
+    // re-encodes every vector (argmin |c|²−2·x·c per subspace),
+    // re-scores every (query, item) pair with the identical
+    // left-associated four-term ADC sum, and replays both rankings.
+    // Every float op mirrors the Spark plan's shape bit for bit.
+    "q89_ann_pq" -> {
+      val (m, subdim, ksub, candN, k) = (4, 16, 8, 20, 5)
+      def sl(v: String, j: Int) = s"$v[${j * subdim + 1}:${(j + 1) * subdim}]"
+      val adc = (0 until m).map(j =>
+          s"list_inner_product(${sl("q.qv", j)}, b$j.cw)")
+        .reduceLeft((a, b) => s"($a + $b)")
+      val bJoins = (0 until m).map(j =>
+        s"JOIN cbs b$j ON b$j.j = $j AND b$j.c = ec.c$j").mkString(" ")
+      val cWide = (0 until m).map(j =>
+        s"max(CASE WHEN j = $j THEN c END) AS c$j").mkString(", ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         en AS (SELECT vec_id,
+                  CASE WHEN list_inner_product(v, v) = 0 THEN v
+                       ELSE list_transform(v, x -> x / sqrt(list_inner_product(v, v)))
+                  END AS nv
+                FROM e),
+         cb AS (SELECT CAST(rn - 1 AS INT) AS code, nv FROM (
+                  SELECT nv, row_number() OVER
+                    (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+                  FROM en) WHERE rn <= $ksub),
+         js AS (SELECT unnest(${(0 until m).mkString("[", ", ", "]")}) AS j),
+         cbs AS (SELECT code AS c, j, nv[(j*$subdim+1):((j+1)*$subdim)] AS cw,
+                   list_inner_product(nv[(j*$subdim+1):((j+1)*$subdim)],
+                                      nv[(j*$subdim+1):((j+1)*$subdim)]) AS cc
+                 FROM cb CROSS JOIN js),
+         enc AS (SELECT vec_id, j, c FROM (
+                   SELECT en.vec_id, cbs.j, cbs.c,
+                     row_number() OVER (PARTITION BY en.vec_id, cbs.j
+                       ORDER BY cbs.cc - 2 * list_inner_product(
+                         en.nv[(cbs.j*$subdim+1):((cbs.j+1)*$subdim)], cbs.cw) ASC,
+                       cbs.c ASC) AS rn
+                   FROM en CROSS JOIN cbs) WHERE rn = 1),
+         ec AS (SELECT vec_id AS item_id, $cWide FROM enc GROUP BY vec_id),
+         qn AS (SELECT vec_id AS query_id, nv AS qv FROM en WHERE vec_id < 10),
+         ad AS (SELECT q.query_id, ec.item_id, $adc AS approx
+                FROM qn q CROSS JOIN ec $bJoins
+                WHERE ec.item_id != q.query_id),
+         sl AS (SELECT query_id, item_id, approx FROM (
+                  SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY approx DESC, item_id ASC) AS cr
+                  FROM ad) WHERE cr <= $candN),
+         ex AS (SELECT s.query_id, s.item_id, s.approx,
+                  list_inner_product(q.qv, en2.nv) AS cos
+                FROM sl s JOIN en en2 ON en2.vec_id = s.item_id
+                          JOIN qn q ON q.query_id = s.query_id),
+         r AS (SELECT query_id, item_id, round(approx, 4) AS approx_pq,
+                 round(cos, 4) AS cos,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY ex.cos DESC, item_id) AS INT) AS rank
+               FROM ex)
+         SELECT query_id, item_id, approx_pq, cos, rank FROM r
+         WHERE rank <= $k ORDER BY query_id, rank"""
+    },
     // portable MinHash+LSH ⇒ exact oracle: DuckDB rebuilds the char-5-
     // gram shingles, all 64 (a·h+b) mod p permutation minima, the
     // 8-band raw-slice inverted index, and the match-count verify —

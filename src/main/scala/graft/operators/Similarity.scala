@@ -151,6 +151,79 @@ object Similarity {
     ivfSearch(c, q, centers, k, nprobe)
   }
 
+  /**
+   * Product-quantization ANN with an ADC (asymmetric distance
+   * computation) scan — the 100 TB embedding-store shape: the corpus
+   * is stored as `m` small codes per vector (here 4 bytes vs 512 for
+   * dim=64 doubles, a 128× scan-IO reduction), queries precompute one
+   * `m × ksub` dot-product table, and scoring an item is `m` array
+   * lookups + adds instead of a dim-wide dot. The approximate top
+   * `candN` per query then re-rank EXACTLY on the real vectors, so
+   * the code path touches full vectors only for candN rows per query.
+   * (Composing this with [[ivfTopK]]'s inverted lists — probe, then
+   * ADC within the probed lists — is the classic IVF-PQ layout; the
+   * pieces here are that composition's building blocks.)
+   *
+   * Determinism: codebooks are the md5-first `ksub` normalized corpus
+   * vectors, sliced per subspace — the same bounded collect as
+   * [[ivfTopK]]'s centroids, so a SQL oracle re-derives them and
+   * replays encoding, table build, ADC scoring and both rankings
+   * decision-for-decision (every float expression here is shaped to
+   * be bit-reproducible: sequential-fold dots, left-associated adds,
+   * plan-time `|c|²` literals).
+   *
+   * Encoding minimizes true L2 over each subspace: argmin_c |x−c|² =
+   * argmin_c (|c|² − 2·x·c), the `|x|²` term being constant per slice.
+   */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      m: Int = 4, ksub: Int = 8, candN: Int = 20, dim: Int = 64): DataFrame = {
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m")
+    val subdim = dim / m
+    val c = unitVecs(corpus, "item_id", "item_vec")
+    val q = unitVecs(queries, "query_id", "query_vec")
+    // books(j)(code) = codeword vector for subspace j
+    val seeds = hashPickCentroids(c, ksub).map(_._2)
+    require(seeds.nonEmpty, "empty corpus")
+    val books: Seq[Seq[Seq[Double]]] =
+      (0 until m).map(j => seeds.map(_.slice(j * subdim, (j + 1) * subdim)))
+
+    def sub(vec: Column, j: Int): Column = slice(vec, j * subdim + 1, subdim)
+    // corpus encode: argmin struct-compare — ZERO shuffle, codegen'd
+    def codeExpr(vec: Column, j: Int): Column =
+      array_min(array(books(j).zipWithIndex.map { case (cw, ci) =>
+        val cc = cw.map(x => x * x).sum // plan-time |c|², sequential fold
+        struct((lit(cc) - lit(2.0) * V.dot(sub(vec, j), typedlit(cw))).as("d"),
+          lit(ci).as("c"))
+      }: _*)).getField("c")
+    // codes ONLY cross the ADC join — never the vectors
+    val encoded = c.select(col("item_id") +:
+      (0 until m).map(j => codeExpr(col("item_vec"), j).as(s"code$j")): _*)
+    // query-side ADC tables: qtab_j[c] = q_j · books(j)(c)
+    val qTabs = q.select(col("query_id") +: col("query_vec") +:
+      (0 until m).map(j => array(books(j).map(cw =>
+        V.dot(sub(col("query_vec"), j), typedlit(cw))): _*).as(s"qtab$j")): _*)
+    // per-item score = m lookups, left-associated adds
+    val approx = (0 until m)
+      .map(j => element_at(col(s"qtab$j"), col(s"code$j") + 1))
+      .reduceLeft(_ + _)
+    val cand = encoded.join(broadcast(qTabs))
+      .filter(col("query_id") =!= col("item_id"))
+      .select(col("query_id"), col("item_id"), approx.as("approx"))
+    val shortlist = TopK.perGroup(cand, Seq("query_id"),
+      Seq(("approx", false), ("item_id", true)), candN, "cand_rank")
+    // exact re-rank: full vectors only for candN rows per query
+    val exact = shortlist
+      .join(c, "item_id")
+      .join(broadcast(q), "query_id")
+      .select(col("query_id"), col("item_id"), col("approx"),
+        V.dot(col("query_vec"), col("item_vec")).as("cos"))
+    TopK.perGroup(exact, Seq("query_id"),
+        Seq(("cos", false), ("item_id", true)), k, "rank")
+      .select(col("query_id"), col("item_id"),
+        round(col("approx"), 4).as("approx_pq"),
+        round(col("cos"), 4).as("cos"), col("rank"))
+  }
+
   /** ANN top-k: candidates limited to shared LSH buckets across `tables`
     * independent hash tables; exact cosine re-rank inside the candidates.
     *

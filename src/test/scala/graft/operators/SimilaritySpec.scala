@@ -60,6 +60,54 @@ class SimilaritySpec extends SparkSpec {
     assert(rKm >= 0.9, s"trained centroids should align with the 4 clusters: $rKm")
   }
 
+  test("pqTopK with an exhaustive shortlist equals brute force exactly") {
+    // candN >= |corpus| means every item reaches the exact re-rank, so
+    // PQ error cannot change the result — the tail must be bit-equal.
+    val queries = emb.filter(col("vec_id") < 3)
+    val n = emb.count().toInt
+    val pq = Similarity.pqTopK(emb, queries, k = 5, m = 4, ksub = 8,
+        candN = n, dim = 64)
+      .select("query_id", "item_id", "cos", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(pq === exact)
+  }
+
+  test("pqTopK ADC shortlist carries real recall on a clustered corpus") {
+    // PQ's contract is on structured data (codewords are corpus
+    // members, so they capture cluster geometry); on uniform-random
+    // vectors no 4-byte code can — that case is covered by the
+    // exhaustive-shortlist equality test above.
+    val rnd = new scala.util.Random(23)
+    val dirs = Seq.tabulate(4) { c =>
+      Array.tabulate(16)(d => if (d % 4 == c) 1.0 else 0.05 * rnd.nextGaussian())
+    }
+    val rows = (0 until 200).map { i =>
+      val c = i % 4
+      (i.toLong, dirs(c).map(x => x + 0.08 * rnd.nextGaussian()).toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") < 8)
+    val exact = Similarity.bruteForceTopK(df, queries, k = 5)
+      .select("query_id", "item_id").as[(Long, Long)].collect().toSet
+    // candN = cluster size: ADC must route the shortlist to the right
+    // 50-member cluster (eliminating 75% of the corpus); the exact
+    // re-rank then resolves the near-tie within-cluster ordering.
+    // Chance baseline for a 50-item shortlist of 200 is 0.25.
+    val out = Similarity.pqTopK(df, queries, k = 5, m = 4, ksub = 8,
+      candN = 50, dim = 16)
+    val pq = out.select("query_id", "item_id").as[(Long, Long)].collect().toSet
+    val recall = pq.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall=$recall")
+    // approx scores obey the Cauchy-Schwarz bound (each subspace term
+    // <= |q_j||c_j| <= |q_j|, summing <= sqrt(m)) and ranks are 1..5
+    val bound = math.sqrt(4) + 0.001
+    assert(out.filter(col("approx_pq") < -bound || col("approx_pq") > bound).isEmpty)
+    val byQ = out.groupBy("query_id").agg(max("rank")).as[(Long, Int)].collect()
+    assert(byQ.forall(_._2 === 5))
+  }
+
   test("lshTopK recall: approximate top-1 appears in exact top-5") {
     val queries = emb.filter(col("vec_id") < 3)
     val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
