@@ -35,7 +35,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinHashSigAgg].getName, "graft_minhash_sig"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         MinHashSigAgg(exprs(0),
-          GraftExtensions.foldableIntArg("graft_minhash_sig", exprs, 1).intValue)
+          GraftExtensions.foldableIntArgExact("graft_minhash_sig", exprs, 1))
           .toAggregateExpression()))
     e.injectFunction((FunctionIdentifier("graft_simhash_sig"),
       new ExpressionInfo(classOf[SimHashSigAgg].getName, "graft_simhash_sig"),
@@ -55,7 +55,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_freq_items"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.expressions.FreqItemsAgg(exprs(0),
-          GraftExtensions.foldableIntArg("graft_freq_items", exprs, 1).intValue)
+          GraftExtensions.foldableIntArgExact("graft_freq_items", exprs, 1))
           .toAggregateExpression()))
     e.injectFunction((FunctionIdentifier("graft_might_contain"),
       new ExpressionInfo(
@@ -101,5 +101,21 @@ object GraftExtensions {
           "parameter" -> s"argument ${pos + 1}", "functionName" -> fn,
           "invalidValue" -> e.sql))
     }
+  }
+
+  /** [[foldableIntArg]] for Int-typed parameters: a BIGINT literal
+    * outside Int range used to silently truncate through `.intValue` —
+    * the same silent-coercion class the fractional check already rejects
+    * (round-2 advice). Range-check before narrowing. */
+  private[graft] def foldableIntArgExact(fn: String,
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+      pos: Int): Int = {
+    import org.apache.spark.sql.AnalysisException
+    val l = foldableIntArg(fn, exprs, pos).longValue
+    if (l < Int.MinValue || l > Int.MaxValue)
+      throw new AnalysisException("INVALID_PARAMETER_VALUE.INTEGER", Map(
+        "parameter" -> s"argument ${pos + 1}", "functionName" -> fn,
+        "invalidValue" -> l.toString))
+    l.toInt
   }
 }

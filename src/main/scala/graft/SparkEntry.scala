@@ -473,8 +473,11 @@ object SparkEntry {
       val purchases = ev.filter(col("event_type") === "purchase")
         .select(col("user_id"), expr("ts div 1000").as("t_us"),
           col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+      // tiebreak = purchase_id: equal-(user, ts) purchases resolve to the
+      // greatest event id on BOTH engines, so the hash compare is stable
+      // even if the fixture ever grows duplicate timestamps (r2 advice).
       AsOfJoin.backward(clicks, purchases, Seq("user_id"), "t_us",
-          Seq("purchase_id", "purchase_value"))
+          Seq("purchase_id", "purchase_value"), tiebreak = Some("purchase_id"))
         .orderBy(col("click_id"))
     }),
 
@@ -490,7 +493,7 @@ object SparkEntry {
         .select(col("user_id"), expr("ts div 1000").as("t_us"),
           col("event_id").as("purchase_id"), col("value").as("purchase_value"))
       AsOfJoin.forward(clicks, purchases, Seq("user_id"), "t_us",
-          Seq("purchase_id", "purchase_value"))
+          Seq("purchase_id", "purchase_value"), tiebreak = Some("purchase_id"))
         .orderBy(col("click_id"))
     }),
 
@@ -808,8 +811,12 @@ object SparkEntry {
     // aggregation-order dependent (so unlike q50 the full result set is
     // not mirrorable), and per-query recall legitimately varies on this
     // clusterless synthetic corpus — the robust cross-engine contract
-    // is aggregate recall: ≥ half the 50 exact neighbors recovered
-    // (observed 29–39; a broken quantizer/probe path scores ~0).
+    // is aggregate recall — and because the trained centroids inherit
+    // fp accumulation ORDER from partitioning, recall itself drifts a
+    // few hits between machines (observed 29–39 of 50). The threshold
+    // is 2 hits/query (20 of 50), far below every observed run but far
+    // above a broken quantizer/probe path (~0) — wide enough that the
+    // oracle hash can't flip on a different core count (r2 advice).
     "q71_ann_ivf_trained" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val q = e.filter(col("vec_id") < 10)
@@ -822,7 +829,7 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_hit"))
       q.agg(count(lit(1)).as("n_queries")).crossJoin(hits)
         .select(col("n_queries"), (col("n_queries") * 5).as("total_possible"),
-          (col("n_hit") >= col("n_queries") * 5 / 2).as("recall_ok"))
+          (col("n_hit") >= col("n_queries") * 2).as("recall_ok"))
     }),
 
     // bigram-LM surprisal (the step past q77's unigram score): mean
@@ -1619,9 +1626,12 @@ object SparkEntry {
            SELECT user_id, epoch_us(ts) AS t_us, event_id AS click_id
            FROM events WHERE event_type = 'click'),
          purchases AS (
-           SELECT user_id, epoch_us(ts) AS t_us, event_id AS purchase_id,
-                  value AS purchase_value
-           FROM events WHERE event_type = 'purchase')
+           SELECT user_id, t_us, purchase_id, purchase_value FROM (
+             SELECT user_id, epoch_us(ts) AS t_us, event_id AS purchase_id,
+                    value AS purchase_value,
+                    row_number() OVER (PARTITION BY user_id, epoch_us(ts)
+                      ORDER BY event_id DESC) AS rn
+             FROM events WHERE event_type = 'purchase') WHERE rn = 1)
          SELECT c.user_id, c.t_us, c.click_id, p.purchase_id, p.purchase_value
          FROM clicks c ASOF LEFT JOIN purchases p
            ON c.user_id = p.user_id AND p.t_us <= c.t_us
@@ -1631,9 +1641,12 @@ object SparkEntry {
            SELECT user_id, epoch_us(ts) AS t_us, event_id AS click_id
            FROM events WHERE event_type = 'click'),
          purchases AS (
-           SELECT user_id, epoch_us(ts) AS t_us, event_id AS purchase_id,
-                  value AS purchase_value
-           FROM events WHERE event_type = 'purchase')
+           SELECT user_id, t_us, purchase_id, purchase_value FROM (
+             SELECT user_id, epoch_us(ts) AS t_us, event_id AS purchase_id,
+                    value AS purchase_value,
+                    row_number() OVER (PARTITION BY user_id, epoch_us(ts)
+                      ORDER BY event_id DESC) AS rn
+             FROM events WHERE event_type = 'purchase') WHERE rn = 1)
          SELECT c.user_id, c.t_us, c.click_id, p.purchase_id, p.purchase_value
          FROM clicks c ASOF LEFT JOIN purchases p
            ON c.user_id = p.user_id AND p.t_us >= c.t_us

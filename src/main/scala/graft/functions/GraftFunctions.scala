@@ -33,7 +33,7 @@ object GraftFunctions {
       exprs => LongArrayMatchCount(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(MinHashName,
       exprs => MinHashSigAgg(exprs(0),
-        graft.GraftExtensions.foldableIntArg(MinHashName, exprs, 1).intValue)
+        graft.GraftExtensions.foldableIntArgExact(MinHashName, exprs, 1))
         .toAggregateExpression(), "built-in")
     reg.createOrReplaceTempFunction(SimHashName,
       exprs => SimHashSigAgg(exprs(0)).toAggregateExpression(), "built-in")
@@ -48,7 +48,7 @@ object GraftFunctions {
       exprs => BloomFilterMightContain(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(FreqItemsName,
       exprs => FreqItemsAgg(exprs(0),
-        graft.GraftExtensions.foldableIntArg(FreqItemsName, exprs, 1).intValue)
+        graft.GraftExtensions.foldableIntArgExact(FreqItemsName, exprs, 1))
         .toAggregateExpression(), "built-in")
   }
 

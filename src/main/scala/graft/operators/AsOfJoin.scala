@@ -27,12 +27,19 @@ object AsOfJoin {
    * @param timeCol   ordering column name (same name on both sides; any
    *                  orderable type)
    * @param valueCols right columns to attach (null when no match yet)
+   * @param tiebreak  right column resolving equal-(key, time) right rows:
+   *                  the row with the GREATEST tiebreak value wins. With
+   *                  duplicates and no tiebreak, which payload attaches is
+   *                  partition-order nondeterministic — and an external
+   *                  oracle (DuckDB ASOF) picks its own arbitrary row, so
+   *                  results can't be compared (round-2 advice). Pass a
+   *                  column unique within (key, time), e.g. an event id.
    */
   def backward(
       left: DataFrame, right: DataFrame,
       keyCols: Seq[String], timeCol: String,
-      valueCols: Seq[String]): DataFrame =
-    asof(left, right, keyCols, timeCol, valueCols, forwardDir = false)
+      valueCols: Seq[String], tiebreak: Option[String] = None): DataFrame =
+    asof(left, right, keyCols, timeCol, valueCols, tiebreak, forwardDir = false)
 
   /** Forward as-of: the EARLIEST right row with `right.time >=
     * left.time` per key — the "next event at or after" primitive
@@ -41,13 +48,14 @@ object AsOfJoin {
   def forward(
       left: DataFrame, right: DataFrame,
       keyCols: Seq[String], timeCol: String,
-      valueCols: Seq[String]): DataFrame =
-    asof(left, right, keyCols, timeCol, valueCols, forwardDir = true)
+      valueCols: Seq[String], tiebreak: Option[String] = None): DataFrame =
+    asof(left, right, keyCols, timeCol, valueCols, tiebreak, forwardDir = true)
 
   private def asof(
       left: DataFrame, right: DataFrame,
       keyCols: Seq[String], timeCol: String,
-      valueCols: Seq[String], forwardDir: Boolean): DataFrame = {
+      valueCols: Seq[String], tiebreak: Option[String],
+      forwardDir: Boolean): DataFrame = {
 
     val leftCols = left.columns.toSeq
     // tag sides; align schemas: left gets null value-cols, right gets
@@ -62,7 +70,19 @@ object AsOfJoin {
           leftOnly.map(col) ++
           rightOnly.map(c => lit(null).cast(right.schema(c).dataType).as(c)) :+
           col("__side"): _*)
-    val rTagged = right
+    // tiebreak: collapse equal-(key, time) right rows to the one with
+    // the greatest tiebreak BEFORE the union — one partial-aggregable
+    // max_by keyed on (key, time), skew-proof, and the window below
+    // then never sees a tie. The whole payload travels as one struct so
+    // all attached columns come from the same winning row.
+    val rDedup = tiebreak.fold(right) { tb =>
+      right
+        .groupBy((keyCols :+ timeCol).map(col): _*)
+        .agg(max_by(struct(rightOnly.map(col): _*), col(tb)).as("__p"))
+        .select((keyCols :+ timeCol).map(col) ++
+          rightOnly.map(c => col(s"__p.$c").as(c)): _*)
+    }
+    val rTagged = rDedup
       .filter(col(timeCol).isNotNull) // null time can never match (see below)
       .withColumn("__side", lit(0))
       .select(

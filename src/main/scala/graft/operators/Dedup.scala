@@ -452,17 +452,20 @@ object Dedup {
       selfScore: Column, scoreCol: String)
       (pairFn: DataFrame => DataFrame): DataFrame = {
     val members = df.select(col(idCol).as("member_id"), col(textCol).as("__t"))
-    val groups = members.groupBy(col("__t"))
-      .agg(min(col("member_id")).as("rep_id"))
-      .persist(StorageLevel.MEMORY_AND_DISK) // reps + membership expansion
-    val reps = groups.select(col("rep_id").as(idCol), col("__t").as(textCol))
-    // NULL-SAFE join: groupBy puts null-text docs in one group, and a
-    // plain equi-join would silently drop them from the membership
-    // table — losing their within-group pairs (review finding; the
-    // oracle's PARTITION BY text does group nulls together).
-    val mem = members.join(groups, members("__t") <=> groups("__t"))
-      .select(col("member_id"), col("rep_id"))
-      .persist(StorageLevel.MEMORY_AND_DISK) // 3 expansion joins
+    // ONE window over the text partition tags every member with its
+    // group representative — reps and membership both derive from this
+    // subplan, so the single wide-text exchange below it is shared (and
+    // reused by Catalyst) across all four consumers. The former shape —
+    // a groupBy-by-text persisted plus a null-safe join back — needed
+    // two operator-owned persists with no unpersist point, leaking
+    // cached blocks across calls in a long-lived session (round-2
+    // advice). Window partitioning groups NULL texts together exactly
+    // like groupBy did, so null-text docs keep their within-group pairs.
+    val tagged = members.withColumn("rep_id",
+      min(col("member_id")).over(Window.partitionBy(col("__t"))))
+    val reps = tagged.filter(col("member_id") === col("rep_id"))
+      .select(col("rep_id").as(idCol), col("__t").as(textCol))
+    val mem = tagged.select(col("member_id"), col("rep_id"))
     val repPairs = pairFn(reps).select(col("id_a"), col("id_b"), col(scoreCol))
     // rep ordering does not survive expansion (a member of the smaller
     // rep's group can outnumber the other side) — re-canonicalize.

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -16,50 +16,64 @@ import org.apache.spark.sql.functions._
  * driver-shaped bottleneck at 100 TB. [[packContiguous]] runs the
  * textbook two-pass distributed prefix sum instead:
  *
- *  1. range-repartition by id (total order across partitions, ~equal
- *     sizes from sampling) and cumsum WITHIN each partition — `shards`
+ *  1. shard by id range and cumsum WITHIN each shard — `shards`
  *     parallel windows, never one big one;
- *  2. per-partition totals (≤ `shards` rows — a bounded driver collect,
- *     the k-means pattern) prefix-summed on the driver and added back
- *     as a literal-map offset.
+ *  2. per-shard totals (≤ `shards` rows) prefix-summed by a bounded
+ *     single-task window and broadcast-joined back as offsets.
  *
- * Range boundaries come from sampling, but the result only depends on
- * the TOTAL ORDER of ids — boundary placement cannot change any doc's
- * (seq_id, seq_offset), so output is deterministic and the oracle can
- * recompute it with a plain window.
+ * Shard fences are DETERMINISTIC literals, not `repartitionByRange`'s
+ * run-scoped reservoir sample (round-2 advice: the sampled variant
+ * needed an operator-owned `persist` with no unpersist point to pin one
+ * boundary draw across jobs — a cache leak in a long-lived session).
+ * Fences come from an md5-keyed top-`32·shards` id sample (a bounded
+ * driver collect, the k-means/centroid pattern) thinned to `shards-1`
+ * cut points, so `__pid` is a pure codegen'd function of the id: every
+ * recomputation of any plan branch agrees by construction, nothing
+ * needs pinning, and no cache outlives the call. Fence quality only
+ * affects balance, never the answer — packing is a pure function of
+ * the TOTAL ORDER of ids.
+ *
+ * Per-shard totals use `max_by(__cum, id)` (the cumsum at the LAST id),
+ * not `max(__cum)` — the two agree only for non-negative token counts,
+ * and a negative count would have silently corrupted every downstream
+ * offset instead of being carried correctly (round-2 advice).
  */
 object Packing {
 
   def packContiguous(df: DataFrame, idCol: String, tokensCol: String,
       budget: Long, shards: Int = 64): DataFrame = {
     require(budget >= 1, s"budget must be >= 1, got $budget")
-    val ranged = df.select(col(idCol), col(tokensCol))
-      .repartitionByRange(shards, col(idCol))
-      .withColumn("__pid", F.spark_partition_id())
-    // parallel per-partition cumsum (the window's hash exchange on __pid
-    // preserves whole range-buckets — still `shards`-way parallel).
-    // PERSISTED before the totals action: the totals collect and the
-    // final projection are two separate jobs, and an unpersisted plan
-    // would re-run repartitionByRange with a fresh reservoir sample —
-    // re-drawn boundaries would shift rows between __pids and make the
-    // collected offsets lie (review finding; latent at test sizes where
-    // sampling is exhaustive). The cache pins one partitioning for both.
+    // deterministic fences: the 32·shards md5-first ids (same bounded
+    // TakeOrdered collect as IVF centroid picking), sorted, every
+    // 32nd value — a uniform random-but-reproducible quantile sketch.
+    val sampleN = shards * 32
+    val sampled = df.select(col(idCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .limit(sampleN).collect().map(_.get(0))
+    implicit val anyOrd: Ordering[Any] =
+      (a: Any, b: Any) => a.asInstanceOf[Comparable[Any]].compareTo(b)
+    val sorted = sampled.distinct.sorted
+    val step = math.max(1, math.ceil(sorted.length.toDouble / shards).toInt)
+    val fences = sorted.grouped(step).map(_.head).drop(1).toSeq
+    val pidExpr: Column = fences
+      .map(b => when(col(idCol) >= lit(b), 1).otherwise(0))
+      .reduceOption(_ + _).getOrElse(lit(0))
+
+    val staged = df.select(col(idCol), col(tokensCol))
+      .withColumn("__pid", pidExpr)
     val wLocal = Window.partitionBy("__pid").orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = ranged.withColumn("__cum", sum(col(tokensCol)).over(wLocal))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // pass 2: bounded collect of per-partition totals → exclusive prefix
-    // offsets, shipped back as a literal map (empty partitions absent)
-    val totals = local.groupBy("__pid").agg(max("__cum").as("__tot"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    val offsets = {
-      var acc = 0L
-      totals.map { case (pid, tot) => val o = (pid, acc); acc += tot; o }.toMap
-    }
-    val offsetExpr = coalesce(
-      element_at(typedlit(offsets), col("__pid")), lit(0L))
-    local
-      .withColumn("__start", col("__cum") + offsetExpr - col(tokensCol))
+    val local = staged.withColumn("__cum", sum(col(tokensCol)).over(wLocal))
+    // pass 2, in-plan: ≤ `shards` total rows, so the unpartitioned
+    // exclusive-prefix window is one task over a handful of rows.
+    val wPrefix = Window.orderBy("__pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy("__pid")
+      .agg(max_by(col("__cum"), col(idCol)).as("__tot"))
+      .withColumn("__off", coalesce(sum("__tot").over(wPrefix), lit(0L)))
+      .select(col("__pid"), col("__off"))
+    local.join(broadcast(offsets), Seq("__pid"))
+      .withColumn("__start", col("__cum") + col("__off") - col(tokensCol))
       .select(col(idCol), col(tokensCol).cast("long").as("n_tokens"),
         expr(s"__start div ${budget}L").as("seq_id"),
         (col("__start") % budget).as("seq_offset"))

@@ -143,12 +143,20 @@ object Similarity {
   def ivfTopKTrained(corpus: DataFrame, queries: DataFrame, k: Int,
       nlist: Int = 16, nprobe: Int = 4, iters: Int = 3): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    // scanned once per training iteration + twice in the search tail
+    // persisted across the training actions ONLY (one scan per Lloyd
+    // iteration + the centroid pick), and released as soon as training
+    // returns — the operator owns the persist exactly while it runs
+    // actions of its own, so no cached blocks outlive the call (round-2
+    // advice: an unreleased operator persist leaks across calls in a
+    // long-lived session). The lazy search tail recomputes unitVecs —
+    // a deterministic columnar projection, two cheap scans.
     val c = unitVecs(corpus, "item_id", "item_vec")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val q = unitVecs(queries, "query_id", "query_vec")
-    val centers = trainCentroids(c, hashPickCentroids(c, nlist), iters)
-    ivfSearch(c, q, centers, k, nprobe)
+    val centers =
+      try trainCentroids(c, hashPickCentroids(c, nlist), iters)
+      finally c.unpersist(blocking = false)
+    ivfSearch(unitVecs(corpus, "item_id", "item_vec"), q, centers, k, nprobe)
   }
 
   /**

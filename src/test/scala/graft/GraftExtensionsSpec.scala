@@ -75,6 +75,17 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(msgs.contains("graft_bloom_agg"), msgs)
   }
 
+  test("graft_minhash_sig rejects a BIGINT literal beyond Int range (no silent narrowing)") {
+    val e = intercept[Exception] {
+      ext.sql("""SELECT graft_minhash_sig(xxhash64(col), 4294967296)
+                 FROM VALUES ('a') AS t(col)""").collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString("\n")
+    assert(msgs.contains("graft_minhash_sig") &&
+      msgs.contains("INVALID_PARAMETER_VALUE"), msgs)
+  }
+
   test("the rank-limit rewrite honors its conf gate") {
     graft.sources.Tables.load(ext, sf0001, "orders").createOrReplaceTempView("og")
     val sql =

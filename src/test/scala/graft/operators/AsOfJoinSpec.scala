@@ -61,6 +61,29 @@ class AsOfJoinSpec extends SparkSpec {
       (1L, None, "b", None)))       // NULL >= anything is never true
   }
 
+  test("tiebreak resolves equal-(key, time) right rows to the greatest value, both directions") {
+    val left = Seq((1L, 10L, "a"), (1L, 3L, "b")).toDF("k", "t", "tag")
+    // two right rows at the SAME (k, t): without a tiebreak which payload
+    // attaches is partition-order luck; with one it's the max event id
+    val right = Seq(
+      (1L, 5L, 100L, 1.0), (1L, 5L, 200L, 2.0), (1L, 5L, 150L, 1.5))
+      .toDF("k", "t", "eid", "price")
+    val back = AsOfJoin.backward(left, right, Seq("k"), "t",
+        Seq("eid", "price"), tiebreak = Some("eid"))
+      .orderBy("t")
+      .as[(Long, Long, String, Option[Long], Option[Double])].collect().toSeq
+    assert(back === Seq(
+      (1L, 3L, "b", None, None),
+      (1L, 10L, "a", Some(200L), Some(2.0))))
+    val fwd = AsOfJoin.forward(left, right, Seq("k"), "t",
+        Seq("eid", "price"), tiebreak = Some("eid"))
+      .orderBy("t")
+      .as[(Long, Long, String, Option[Long], Option[Double])].collect().toSeq
+    assert(fwd === Seq(
+      (1L, 3L, "b", Some(200L), Some(2.0)),
+      (1L, 10L, "a", None, None)))
+  }
+
   test("left columns and row count are preserved") {
     val left = Seq((1L, 1L, "a"), (1L, 2L, "b")).toDF("k", "t", "tag")
     val right = Seq((9L, 1L, 1.0)).toDF("k", "t", "price")

@@ -27,6 +27,23 @@ class PackingSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("per-shard totals are last-by-id, not max: negative counts still sum correctly") {
+    // a negative token count makes max(__cum) != total; max_by(__cum, id)
+    // must keep every downstream offset exact (round-2 advice)
+    val rows = Seq((1L, 10L), (2L, -4L), (3L, 7L), (4L, -1L), (5L, 20L), (6L, 3L))
+    val df = rows.toDF("id", "n")
+    val got = Packing.packContiguous(df, "id", "n", budget = 8L, shards = 3)
+      .select("id", "n_tokens", "seq_id", "seq_offset")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = df
+      .withColumn("start", sum(col("n")).over(w) - col("n"))
+      .select(col("id"), col("n").as("n_tokens"),
+        expr("start div 8L").as("seq_id"), (col("start") % 8).as("seq_offset"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === want)
+  }
+
   test("packing invariants: offsets in [0, budget), tape is gapless") {
     val df = (1 to 50).map(i => (i.toLong, (i % 7 + 1).toLong)).toDF("id", "n")
     val out = Packing.packContiguous(df, "id", "n", budget = 16L, shards = 4)
