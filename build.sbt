@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// pass the forked run's stdout straight through instead of re-logging
+// it with an "[info] " prefix: the bench/verify contract is ONE
+// machine-parseable JSON line, and the prefix breaks a plain
+// json.loads of that line on the consumer side.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

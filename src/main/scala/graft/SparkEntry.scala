@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
-import graft.operators.{AsOfJoin, CdcMaterializer, ChoiceResolver, Dedup, RangeJoin, Similarity, StreamSplitter}
+import graft.operators.{AsOfJoin, CdcMaterializer, ChoiceResolver, Clustering, Dedup, Merge, PassageDedup, RangeJoin, Similarity, StreamSplitter}
 import graft.functions.{PortableHash, TextFunctions => T}
 import graft.multimodal.Multimodal
 
@@ -1390,6 +1390,139 @@ object SparkEntry {
             .as("l2_norm"),
           size(col("embedding")).as("dim"))
         .orderBy(col("vec_id"))
+    }),
+
+    // passage-level exact substring dedup (within-doc granularity the
+    // whole-doc signatures can't see): non-overlapping 8-token windows,
+    // corpus multiplicity via one window count, per-doc dup fraction.
+    "q90_passage_dedup" -> ((s, dir) => {
+      PassageDedup.stats(t(s, dir, "documents"), "doc_id", "text", w = 8)
+        .orderBy(col("doc_id"))
+    }),
+
+    // incremental corpus ingest: the new batch (doc_id % 3 = 0) dedups
+    // against the standing corpus's fingerprint index AND within itself
+    // (first-in-batch wins) — the daily-crawl admission check. History
+    // fingerprints shuffle once on the narrow fp key; the within-batch
+    // check is one window over the same key.
+    "q91_incremental_dedup" -> ((s, dir) => {
+      val fp = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), T.tokens(col("text")).as("ts"))
+        .select(col("doc_id"),
+          T.fingerprintPortableFromTokens(col("ts"), col("text"), 3).as("fp"))
+      val hist = fp.filter(col("doc_id") % 3 =!= 0)
+      val batch = fp.filter(col("doc_id") % 3 === 0)
+      val histFps = hist.select("fp").distinct().withColumn("__h", lit(true))
+      batch.join(histFps, Seq("fp"), "left")
+        .withColumn("first_in_batch",
+          min(col("doc_id")).over(Window.partitionBy("fp")))
+        .select(col("doc_id"), col("fp"),
+          coalesce(col("__h"), lit(false)).as("dup_of_history"),
+          (col("doc_id") =!= col("first_in_batch")).as("dup_in_batch"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // model-shaped quality gate: a fixed-weight linear classifier over
+    // the q16/q69 feature family — the fastText-style keep/drop filter
+    // pretraining pipelines run, minus the (environment-absent) learned
+    // weights. Every feature is 4-dp-rounded and the combination is
+    // rational arithmetic in a fixed association order, so the score is
+    // bit-identical cross-engine (no sigmoid: exp() is the one libm
+    // call the two engines may round differently).
+    "q92_quality_classifier" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val counts = docs
+        .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+        .groupBy("doc_id", "ch").agg(count(lit(1)).as("cnt"))
+      val ent = counts.groupBy("doc_id")
+        .agg(sort_array(collect_list(struct(col("ch"), col("cnt")))).as("cc"))
+        .select(col("doc_id"),
+          aggregate(col("cc"), lit(0L), (a, x) => a + x.getField("cnt")).as("n"),
+          aggregate(col("cc"), lit(0.0), (a, x) =>
+            a + x.getField("cnt").cast("double")
+              * log2(x.getField("cnt").cast("double"))).as("sc"))
+        .select(col("doc_id"),
+          when(col("n") <= 0, lit(0.0))
+            .otherwise(round(log2(col("n").cast("double")) - col("sc") / col("n"), 4))
+            .as("entropy"))
+      docs.select(col("doc_id"),
+          T.stopwordRatio(col("text")).as("stop_r"),
+          T.digitRatio(col("text")).as("digit_r"),
+          T.upperRatio(col("text")).as("upper_r"),
+          T.meanTokenLen(col("text")).as("mtl"))
+        .join(ent, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          round(lit(0.2) + lit(1.2) * col("stop_r") - lit(2.0) * col("digit_r")
+            - lit(1.5) * col("upper_r") + lit(0.02) * col("mtl")
+            + lit(0.06) * coalesce(col("entropy"), lit(0.0)), 4).as("score"))
+        .withColumn("keep", col("score") >= 0.5)
+        .orderBy(col("doc_id"))
+    }),
+
+    // training-mix rebalancing: temperature-scaled source weights
+    // w_s ∝ c_s^0.5 (α = 0.5 ⇒ sqrt — correctly rounded IEEE in both
+    // engines, unlike pow) and the implied epochs-per-source at those
+    // weights. The normalizer folds over sources SORTED BY NAME (q77
+    // discipline) so the float sum is order-deterministic.
+    "q93_domain_mix" -> ((s, dir) => {
+      val counts = t(s, dir, "documents")
+        .select(col("source"), explode(T.tokens(col("text"))).as("tok"))
+        .groupBy("source").agg(count(lit(1)).as("n_tokens"))
+      val tot = counts.agg(
+        sum(col("n_tokens")).as("t_total"),
+        aggregate(sort_array(collect_list(struct(col("source"), col("n_tokens")))),
+          lit(0.0), (a, x) => a + sqrt(x.getField("n_tokens").cast("double")))
+          .as("z"))
+      counts.crossJoin(tot)
+        .select(col("source"), col("n_tokens"),
+          round(sqrt(col("n_tokens").cast("double")) / col("z"), 6).as("weight"),
+          round(sqrt(col("n_tokens").cast("double")) / col("z")
+            * col("t_total").cast("double") / col("n_tokens").cast("double"), 4)
+            .as("epochs"))
+        .orderBy(col("source"))
+    }),
+
+    // batch MERGE (update + delete + insert in one full-outer pass):
+    // the change set derives deterministically from customer so the
+    // oracle replays application row for row.
+    "q94_merge_upsert" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val base = cust.select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      val changes = cust
+        .filter(col("c_custkey") % 7 === 0 || col("c_custkey") % 11 === 0)
+        .select(col("c_custkey"),
+          when(col("c_custkey") % 11 === 0, "D").otherwise("U").as("op"),
+          concat(col("c_name"), lit("_v2")).as("c_name"),
+          (col("c_acctbal") + 100.0).as("c_acctbal"))
+        .unionByName(cust.filter(col("c_custkey") % 13 === 0)
+          .select((col("c_custkey") + 1000000L).as("c_custkey"),
+            lit("I").as("op"),
+            concat(col("c_name"), lit("_new")).as("c_name"),
+            lit(0.0).as("c_acctbal")))
+      Merge.mergeBatch(base, changes, "c_custkey", "op")
+        .orderBy(col("c_custkey"))
+    }),
+
+    // ORC sink + source round trip with Hive-partitioned layout: write
+    // documents partitioned by lang, read back with a partition filter
+    // (pruned scan — only the lang=en directory lists), aggregate. The
+    // oracle aggregates the original parquet — format fidelity check.
+    "q95_orc_roundtrip" -> ((s, dir) => {
+      val out = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_orc_documents_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+      t(s, dir, "documents").write.mode("overwrite").partitionBy("lang").orc(out)
+      s.read.orc(out).filter(col("lang") === "en")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("source"))
+    }),
+
+    // corpus clustering profile: nearest-centroid assignment (zero-
+    // shuffle literal-centroid map, the IVF quantizer reused as a
+    // clusterer) → k-row profile with an exact-decimal cohesion mean.
+    "q96_kmeans_profile" -> ((s, dir) => {
+      Clustering.profile(t(s, dir, "embeddings"), k = 8)
+        .orderBy(col("cluster_id"))
     })
   )
 
@@ -2447,6 +2580,157 @@ object SparkEntry {
          round(sqrt(list_sum(list_transform(embedding,
            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm,
          CAST(len(embedding) AS INT) AS dim
-         FROM embeddings ORDER BY vec_id"""
+         FROM embeddings ORDER BY vec_id""",
+    // passage-level dedup: replay the non-overlapping 8-token windows,
+    // corpus multiplicity, per-doc rollup — integer math, bit-exact.
+    "q90_passage_dedup" ->
+      """WITH t AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                      x -> len(x) > 0) AS ts
+           FROM documents),
+         pl AS (
+           SELECT doc_id,
+             CASE WHEN len(ts) >= 8
+                  THEN [array_to_string(ts[i*8+1 : i*8+8], ' ')
+                        for i in range(0, len(ts)//8)]
+                  ELSE CAST([] AS VARCHAR[]) END AS ps
+           FROM t),
+         ex AS (SELECT doc_id, unnest(ps) AS p FROM pl),
+         oc AS (SELECT doc_id, count(*) OVER (PARTITION BY p) AS occ FROM ex),
+         pd AS (SELECT doc_id, count(*) AS n_passages,
+                  sum(CASE WHEN occ >= 2 THEN 1 ELSE 0 END) AS n_dup
+                FROM oc GROUP BY doc_id)
+         SELECT d.doc_id,
+           CAST(coalesce(pd.n_passages, 0) AS BIGINT) AS n_passages,
+           CAST(coalesce(pd.n_dup, 0) AS BIGINT) AS n_dup,
+           CASE WHEN coalesce(pd.n_passages, 0) = 0 THEN 0.0
+                ELSE round(pd.n_dup / CAST(pd.n_passages AS DOUBLE), 4)
+           END AS dup_fraction
+         FROM documents d LEFT JOIN pd USING (doc_id) ORDER BY d.doc_id""",
+    // incremental ingest: q19's portable fingerprint, split history vs
+    // batch, history-index hit + within-batch first-wins flags.
+    "q91_incremental_dedup" ->
+      s"""WITH t AS (
+           SELECT doc_id, text, list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                            x -> len(x) > 0) AS ts
+           FROM documents),
+         sh AS (
+           SELECT doc_id, text,
+             CASE WHEN len(ts) < 3 THEN CAST([] AS VARCHAR[])
+                  ELSE [array_to_string(ts[i:i+2], ' ')
+                        for i in range(1, len(ts)-1)] END AS s
+           FROM t),
+         fp AS (
+           SELECT doc_id,
+             CASE WHEN len(s) = 0 THEN ${graft.functions.PortableHash.sqlH60("trim(text)")}
+                  ELSE list_min(list_transform(s, g -> ${graft.functions.PortableHash.sqlH60("g")})) END AS fp
+           FROM sh),
+         h AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 3 <> 0),
+         b AS (SELECT doc_id, fp FROM fp WHERE doc_id % 3 = 0)
+         SELECT b.doc_id, b.fp,
+           (b.fp IN (SELECT fp FROM h)) AS dup_of_history,
+           (b.doc_id <> min(b.doc_id) OVER (PARTITION BY b.fp)) AS dup_in_batch
+         FROM b ORDER BY b.doc_id""",
+    // fixed-weight linear quality gate over the q16/q69 features —
+    // every feature pre-rounded, combination in the same association
+    // order as the Spark expression.
+    "q92_quality_classifier" ->
+      """WITH f AS (
+           SELECT doc_id,
+             round(CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|in|that|it|was|for)\b')) AS DOUBLE)
+                   / greatest(len(regexp_extract_all(trim(text), '\S+')), 1), 4) AS stop_r,
+             round(CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+                   / greatest(length(text), 1), 4) AS digit_r,
+             round(CAST(len(regexp_extract_all(text, '[A-Z]')) AS DOUBLE)
+                   / greatest(length(text), 1), 4) AS upper_r,
+             round(CAST(len(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+                   / greatest(len(regexp_extract_all(trim(text), '\S+')), 1), 4) AS mtl
+           FROM documents),
+         c AS (SELECT doc_id, string_split(text, '') AS cs FROM documents),
+         e AS (SELECT doc_id, len(cs) AS n,
+                 list_sum(list_transform(list_sort(list_distinct(cs)),
+                   ch -> CAST(len(list_filter(cs, x -> x = ch)) AS DOUBLE)
+                         * log2(CAST(len(list_filter(cs, x -> x = ch)) AS DOUBLE)))) AS sc
+               FROM c),
+         ent AS (SELECT doc_id,
+                   CASE WHEN n IS NULL OR n <= 0 THEN 0.0
+                        ELSE round(log2(CAST(n AS DOUBLE)) - sc / n, 4) END AS entropy
+                 FROM e)
+         SELECT f.doc_id,
+           round(0.2 + 1.2 * f.stop_r - 2.0 * f.digit_r - 1.5 * f.upper_r
+                 + 0.02 * f.mtl + 0.06 * coalesce(ent.entropy, 0.0), 4) AS score,
+           (round(0.2 + 1.2 * f.stop_r - 2.0 * f.digit_r - 1.5 * f.upper_r
+                  + 0.02 * f.mtl + 0.06 * coalesce(ent.entropy, 0.0), 4) >= 0.5) AS keep
+         FROM f LEFT JOIN ent ON ent.doc_id = f.doc_id
+         ORDER BY f.doc_id""",
+    // temperature-scaled mix weights: sqrt fold over name-sorted sources.
+    "q93_domain_mix" ->
+      """WITH c AS (
+           SELECT source, count(*) AS n_tokens FROM (
+             SELECT source, unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                               x -> len(x) > 0)) AS tok
+             FROM documents) GROUP BY source),
+         z AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t_total,
+                 list_sum(list_transform(
+                   list_sort(list(struct_pack(source := source, n_tokens := n_tokens))),
+                   x -> sqrt(CAST(x.n_tokens AS DOUBLE)))) AS z
+               FROM c)
+         SELECT c.source, c.n_tokens,
+           round(sqrt(CAST(c.n_tokens AS DOUBLE)) / z.z, 6) AS weight,
+           round(sqrt(CAST(c.n_tokens AS DOUBLE)) / z.z
+                 * CAST(z.t_total AS DOUBLE) / CAST(c.n_tokens AS DOUBLE), 4) AS epochs
+         FROM c, z ORDER BY c.source""",
+    // MERGE application replay: same derived change set, same
+    // matched/unmatched/delete arbitration.
+    "q94_merge_upsert" ->
+      """WITH base AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+         ch AS (
+           SELECT c_custkey,
+             CASE WHEN c_custkey % 11 = 0 THEN 'D' ELSE 'U' END AS op,
+             c_name || '_v2' AS c_name, c_acctbal + 100.0 AS c_acctbal
+           FROM customer WHERE c_custkey % 7 = 0 OR c_custkey % 11 = 0
+           UNION ALL
+           SELECT c_custkey + 1000000, 'I', c_name || '_new', 0.0
+           FROM customer WHERE c_custkey % 13 = 0)
+         SELECT coalesce(ch.c_custkey, base.c_custkey) AS c_custkey,
+           CASE WHEN ch.op IS NOT NULL THEN ch.c_name ELSE base.c_name END AS c_name,
+           CASE WHEN ch.op IS NOT NULL THEN ch.c_acctbal ELSE base.c_acctbal END AS c_acctbal
+         FROM base FULL JOIN ch ON base.c_custkey = ch.c_custkey
+         WHERE ch.op IS NULL OR ch.op <> 'D'
+         ORDER BY c_custkey""",
+    // the round trip must preserve values exactly, so the oracle is the
+    // same aggregate over the ORIGINAL parquet.
+    "q95_orc_roundtrip" ->
+      """SELECT source, count(*) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars
+         FROM documents WHERE lang = 'en'
+         GROUP BY source ORDER BY source""",
+    // clustering profile: q50's centroid/assignment replay (k = 8,
+    // nearest center by dot desc, lid desc) + exact-decimal cohesion.
+    "q96_kmeans_profile" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         en AS (SELECT vec_id,
+                  CASE WHEN list_inner_product(v, v) = 0 THEN v
+                       ELSE list_transform(v, x -> x / sqrt(list_inner_product(v, v)))
+                  END AS nv
+                FROM e),
+         cent AS (SELECT nv AS cv, CAST(rn - 1 AS INT) AS lid FROM (
+                    SELECT nv, row_number() OVER
+                      (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+                    FROM en) WHERE rn <= 8),
+         asn AS (SELECT item_id, lid, d FROM (
+                   SELECT en.vec_id AS item_id, cent.lid,
+                     list_inner_product(en.nv, cent.cv) AS d,
+                     row_number() OVER (PARTITION BY en.vec_id
+                       ORDER BY list_inner_product(en.nv, cent.cv) DESC, cent.lid DESC) AS rn
+                   FROM en, cent) WHERE rn = 1),
+         g AS (SELECT lid AS cluster_id, count(*) AS n,
+                 sum(CAST(round(d, 4) AS DECIMAL(18,6))) AS sd
+               FROM asn GROUP BY lid),
+         t AS (SELECT sum(n) AS tot FROM g)
+         SELECT g.cluster_id, g.n,
+           round(g.n / CAST(t.tot AS DOUBLE), 4) AS share,
+           round(CAST(g.sd AS DOUBLE) / g.n, 4) AS avg_cos
+         FROM g, t ORDER BY g.cluster_id"""
   )
 }

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => T}
+
+/**
+ * Passage-level exact substring dedup — the within-document granularity
+ * the whole-doc pipelines ([[Dedup.exact]], MinHash) cannot see: a
+ * boilerplate paragraph pasted into thousands of otherwise-unique pages
+ * never trips a document-level signature, but dominates the token
+ * budget. (Suffix-array substring dedup à la Lee et al. 2022,
+ * "Deduplicating Training Data Makes Language Models Better", is the
+ * exact form; fixed token windows are its standard distributed
+ * approximation — window hits are verbatim repeats by construction.)
+ *
+ * A document's token stream is cut into NON-overlapping `w`-token
+ * passages (full windows only — the sub-`w` tail can't be a `w`-token
+ * repeat). A passage occurrence is duplicated when its text occurs ≥ 2
+ * times corpus-wide (within- or cross-document).
+ *
+ * Scale shape: tokens staged as an attribute (shingle-family rule),
+ * passages via one doc-local codegen'd `transform` (no explode of
+ * overlapping shingles — exactly n/w rows emitted per doc), corpus
+ * multiplicity via ONE window count over the passage key (one shuffle;
+ * the count-then-join-back form pays that shuffle twice), per-doc
+ * rollup via one more keyed aggregate. At 100 TB swap the passage
+ * STRING key for its 64-bit hash — same plan, 8× narrower exchange —
+ * the string key here keeps the DuckDB oracle bit-exact.
+ */
+object PassageDedup {
+
+  /** (id, passage) occurrences: non-overlapping `w`-token windows. */
+  def passages(df: DataFrame, idCol: String, textCol: String, w: Int): DataFrame = {
+    require(w >= 1, s"passage width must be >= 1, got $w")
+    df.select(col(idCol).as("id"), T.tokens(col(textCol)).as("ts"))
+      .select(col("id"), expr(s"size(ts) div $w").cast("int").as("nw"), col("ts"))
+      .select(col("id"), explode(
+        when(col("nw") >= 1, transform(sequence(lit(0), col("nw") - 1),
+          i => concat_ws(" ", slice(col("ts"), i * w + 1, lit(w)))))
+          .otherwise(array().cast("array<string>"))).as("p"))
+  }
+
+  /** Per-doc duplicated-passage stats: every input doc appears once,
+    * zero-passage docs included (n_passages = 0, dup_fraction = 0). */
+  def stats(df: DataFrame, idCol: String, textCol: String, w: Int): DataFrame = {
+    val occ = passages(df, idCol, textCol, w)
+      .withColumn("occ", count(lit(1)).over(Window.partitionBy("p")))
+    val perDoc = occ.groupBy("id")
+      .agg(count(lit(1)).as("n_passages"),
+        sum(when(col("occ") >= 2, 1L).otherwise(0L)).as("n_dup"))
+    df.select(col(idCol).as("id")).join(perDoc, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_passages"), lit(0L)).as("n_passages"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        when(coalesce(col("n_passages"), lit(0L)) === 0, lit(0.0))
+          .otherwise(round(col("n_dup") / col("n_passages").cast("double"), 4))
+          .as("dup_fraction"))
+  }
+}

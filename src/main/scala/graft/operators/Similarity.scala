@@ -23,7 +23,7 @@ import graft.functions.{VectorFunctions => V}
 object Similarity {
 
   /** (id, unit-normalized vector) — norms staged once per vector. */
-  private def unitVecs(df: DataFrame, idName: String, vecName: String): DataFrame =
+  private[operators] def unitVecs(df: DataFrame, idName: String, vecName: String): DataFrame =
     df.select(col("vec_id").as(idName), col("embedding").as("v"),
         V.norm(col("embedding")).as("nrm"))
       .select(col(idName), V.normalized(col("v"), col("nrm")).as(vecName))
@@ -76,7 +76,7 @@ object Similarity {
   /** Deterministic "hash-first" centroid pick, keyed by md5 of the id so
     * the DuckDB oracle selects the identical nlist centroids in the
     * identical list order (md5 hex sorts the same in both engines). */
-  private def hashPickCentroids(c: DataFrame, nlist: Int): Seq[(Int, Seq[Double])] =
+  private[operators] def hashPickCentroids(c: DataFrame, nlist: Int): Seq[(Int, Seq[Double])] =
     c.orderBy(md5(col("item_id").cast("string")), col("item_id"))
       .limit(nlist)
       .select(col("item_vec")).collect()
@@ -85,7 +85,7 @@ object Similarity {
   /** (cos-to-centroid, list_id) per centroid; array_max = argmax by cos
     * (list_id tiebreak) — struct comparison is field-ordered. Centroids
     * ship as literals: assignment is a pure codegen'd map, ZERO shuffle. */
-  private def centScores(centers: Seq[(Int, Seq[Double])], vec: Column): Column =
+  private[operators] def centScores(centers: Seq[(Int, Seq[Double])], vec: Column): Column =
     array(centers.map { case (lid, cv) =>
       struct(V.dot(vec, typedlit(cv)).as("d"), lit(lid).as("lid")) }: _*)
 

@@ -1,0 +1,47 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** MERGE arbitration: update wins over snapshot, delete removes, insert
+  * appends, delete-of-absent is a no-op, untouched rows pass through. */
+class MergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val target = Seq(
+    (1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+    .toDF("k", "name", "bal")
+
+  test("update, delete, insert, and delete-of-absent in one pass") {
+    val changes = Seq(
+      (2L, "U", "b2", 22.0),  // matched update
+      (3L, "D", "c", 0.0),    // matched delete
+      (4L, "I", "d", 40.0),   // unmatched insert
+      (9L, "D", "z", 0.0))    // delete of absent key: no-op
+      .toDF("k", "op", "name", "bal")
+    val got = Merge.mergeBatch(target, changes, "k")
+      .orderBy("k").as[(Long, String, Double)].collect().toSeq
+    assert(got === Seq(
+      (1L, "a", 10.0),   // untouched passthrough
+      (2L, "b2", 22.0),
+      (4L, "d", 40.0)))
+  }
+
+  test("unmatched U behaves as upsert; empty change set is identity") {
+    val changes = Seq((5L, "U", "e", 50.0)).toDF("k", "op", "name", "bal")
+    val got = Merge.mergeBatch(target, changes, "k")
+      .orderBy("k").as[(Long, String, Double)].collect().toSeq
+    assert(got.map(_._1) === Seq(1L, 2L, 3L, 5L))
+    val empty = Seq.empty[(Long, String, String, Double)]
+      .toDF("k", "op", "name", "bal")
+    val same = Merge.mergeBatch(target, empty, "k")
+      .orderBy("k").as[(Long, String, Double)].collect().toSeq
+    assert(same === Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)))
+  }
+
+  test("a changes frame without the op column is rejected") {
+    val bad = Seq((1L, "x", 1.0)).toDF("k", "name", "bal")
+    intercept[IllegalArgumentException] {
+      Merge.mergeBatch(target, bad, "k")
+    }
+  }
+}
