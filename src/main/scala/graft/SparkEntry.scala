@@ -1523,6 +1523,30 @@ object SparkEntry {
     "q96_kmeans_profile" -> ((s, dir) => {
       Clustering.profile(t(s, dir, "embeddings"), k = 8)
         .orderBy(col("cluster_id"))
+    }),
+
+    // deterministic per-group subsample (reproducible "reservoir"): the
+    // md5-first 5 docs per language via the whole-operator TopKPerGroup
+    // — bounded heap per group, no per-partition sort, and the same
+    // sample on every run/engine (seeded-rand samples are not).
+    "q97_group_sample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("lang"), col("doc_id"),
+          md5(col("doc_id").cast("string")).as("h"))
+      operators.TopK.perGroup(docs, Seq("lang"),
+          Seq(("h", true), ("doc_id", true)), 5, "rk")
+        .select(col("lang"), col("doc_id"), col("rk"))
+        .orderBy(col("lang"), col("rk"))
+    }),
+
+    // padding-aware packing (the scheme where docs never straddle a
+    // sequence): length-binned fill, one parallel window per length
+    // group — the companion to q74's concat-then-chunk tape.
+    "q98_pack_binned" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), T.tokenCount(col("text")).cast("long").as("n_tok"))
+      operators.Packing.packBinned(docs, "doc_id", "n_tok", budget = 256L)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -2731,6 +2755,30 @@ object SparkEntry {
          SELECT g.cluster_id, g.n,
            round(g.n / CAST(t.tot AS DOUBLE), 4) AS share,
            round(CAST(g.sd AS DOUBLE) / g.n, 4) AS avg_cos
-         FROM g, t ORDER BY g.cluster_id"""
+         FROM g, t ORDER BY g.cluster_id""",
+    // md5 hex strings sort identically in both engines (q50 precedent).
+    "q97_group_sample" ->
+      """SELECT lang, doc_id, rk FROM (
+           SELECT lang, doc_id,
+             CAST(row_number() OVER (PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS rk
+           FROM documents) WHERE rk <= 5
+         ORDER BY lang, rk""",
+    // length-binned packing replay: cap = budget div len (min 1), fill
+    // in doc-id order within each length group.
+    "q98_pack_binned" ->
+      """WITH d AS (
+           SELECT doc_id,
+             CAST(len(regexp_extract_all(trim(text), '\S+')) AS BIGINT) AS n_tokens
+           FROM documents),
+         r AS (
+           SELECT doc_id, n_tokens,
+             greatest(1, 256 // greatest(n_tokens, 1)) AS cap,
+             row_number() OVER (PARTITION BY n_tokens ORDER BY doc_id) - 1 AS rn
+           FROM d)
+         SELECT doc_id, n_tokens,
+           CAST(rn // cap AS BIGINT) AS bin_seq,
+           CAST(rn % cap AS BIGINT) AS slot
+         FROM r ORDER BY doc_id"""
   )
 }

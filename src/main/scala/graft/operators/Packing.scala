@@ -78,4 +78,35 @@ object Packing {
         expr(s"__start div ${budget}L").as("seq_id"),
         (col("__start") % budget).as("seq_offset"))
   }
+
+  /**
+   * Padding-aware packing, the OTHER standard pretraining batch scheme:
+   * documents never straddle a sequence boundary (no attention across a
+   * cut), so sequences pad up to `budget`. Globally-optimal bin packing
+   * is inherently sequential (NP-hard even offline); the distributed
+   * scheme every large pipeline actually runs is LENGTH-BINNED packing:
+   * group docs by exact token length, fill each sequence with
+   * `budget div len` same-length docs — zero search, one window per
+   * length group (parallel across lengths), deterministic, and padding
+   * is bounded by `budget mod len` per sequence.
+   *
+   * Output keys a sequence by (n_tokens, bin_seq) — globally unique
+   * without any cross-group coordination (a global dense id would need
+   * exactly the prefix-sum machinery of [[packContiguous]] for no
+   * modeling benefit). Docs longer than `budget` get a singleton
+   * sequence (cap clamps to 1) — the caller chunks those with the
+   * q78-style splitter first if truncation isn't acceptable.
+   */
+  def packBinned(df: DataFrame, idCol: String, tokensCol: String,
+      budget: Long): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    val w = Window.partitionBy("n_tokens").orderBy(col(idCol))
+    df.select(col(idCol), col(tokensCol).cast("long").as("n_tokens"))
+      .withColumn("__cap",
+        greatest(lit(1L), expr(s"${budget}L div greatest(n_tokens, 1L)")))
+      .withColumn("__rn", row_number().over(w).cast("long") - 1L)
+      .select(col(idCol), col("n_tokens"),
+        expr("__rn div __cap").as("bin_seq"),
+        (col("__rn") % col("__cap")).as("slot"))
+  }
 }

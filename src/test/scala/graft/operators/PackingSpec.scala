@@ -44,6 +44,32 @@ class PackingSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("packBinned: bins never exceed budget, every doc packed once, deterministic fill") {
+    val rnd = new scala.util.Random(23)
+    val rows = (0 until 200).map(i => (i.toLong, 1L + rnd.nextInt(40)))
+    val df = rows.toDF("id", "n")
+    val out = Packing.packBinned(df, "id", "n", budget = 64L)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out.map(_._1).sorted === (0L until 200L)) // exactly once each
+    // per (len, bin_seq) sequence: total tokens <= budget, slots dense from 0
+    out.groupBy(r => (r._2, r._3)).foreach { case ((len, seq), docs) =>
+      assert(docs.map(_._2).sum <= 64L, s"bin ($len,$seq) overflows")
+      assert(docs.map(_._4).sorted === (0L until docs.size.toLong),
+        s"bin ($len,$seq) slots not dense")
+    }
+    // deterministic: same input, same assignment
+    val again = Packing.packBinned(df, "id", "n", budget = 64L)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out.toSet === again.toSet)
+  }
+
+  test("packBinned: docs longer than the budget get singleton bins") {
+    val df = Seq((1L, 100L), (2L, 100L), (3L, 5L)).toDF("id", "n")
+    val out = Packing.packBinned(df, "id", "n", budget = 64L)
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(out === Seq((1L, 100L, 0L, 0L), (2L, 100L, 1L, 0L), (3L, 5L, 0L, 0L)))
+  }
+
   test("packing invariants: offsets in [0, budget), tape is gapless") {
     val df = (1 to 50).map(i => (i.toLong, (i % 7 + 1).toLong)).toDF("id", "n")
     val out = Packing.packContiguous(df, "id", "n", budget = 16L, shards = 4)

@@ -1,0 +1,67 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+
+/** The maintained snapshot must equal "apply every change in seq order"
+  * after any batch arrival pattern, and re-applying a batch must be a
+  * no-op (foreachBatch re-delivery safety). */
+class MergeSinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String) =
+    Files.createTempDirectory(prefix).toString
+
+  test("streaming upsert maintains latest-by-key across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String, Double, Long)]
+    val changes = mem.toDF().toDF("k", "op", "name", "bal", "seq")
+    val dir = tmp("mergesink") + "/snap"
+    val q = MergeSink.mergeInto(changes, dir, "k", "op", "seq",
+      checkpoint = tmp("mergesink-ckpt"),
+      trigger = Trigger.ProcessingTime(0))
+    // batch 1: two inserts + an intra-batch update (seq order wins)
+    mem.addData((1L, "I", "a", 1.0, 1L), (2L, "I", "b", 2.0, 2L),
+      (2L, "U", "b2", 2.5, 3L))
+    q.processAllAvailable()
+    val s1 = spark.read.parquet(dir).orderBy("k")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(s1 === Seq((1L, "a", 1.0), (2L, "b2", 2.5)))
+    // batch 2: delete one key, update the other, insert a third
+    mem.addData((1L, "D", "a", 0.0, 4L), (2L, "U", "b3", 3.0, 5L),
+      (3L, "I", "c", 9.0, 6L))
+    q.processAllAvailable()
+    q.stop()
+    val s2 = spark.read.parquet(dir).orderBy("k")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(s2 === Seq((2L, "b3", 3.0), (3L, "c", 9.0)))
+  }
+
+  test("re-applying the same batch is idempotent (re-delivery safety)") {
+    val dir = tmp("mergesink-idem") + "/snap"
+    val batch = Seq((1L, "I", "a", 1.0, 1L), (2L, "I", "b", 2.0, 2L))
+      .toDF("k", "op", "name", "bal", "seq")
+    MergeSink.applyBatch(spark, batch, dir, "k", "op", "seq")
+    val once = spark.read.parquet(dir).orderBy("k").collect().toSeq
+    MergeSink.applyBatch(spark, batch, dir, "k", "op", "seq")
+    val twice = spark.read.parquet(dir).orderBy("k").collect().toSeq
+    assert(once === twice)
+  }
+
+  test("intra-batch multi-versions compact by seq before merging") {
+    val dir = tmp("mergesink-seq") + "/snap"
+    // same key three times in one batch; highest seq (a delete) wins
+    val batch = Seq((1L, "I", "a", 1.0, 10L), (1L, "U", "a2", 2.0, 11L),
+      (1L, "D", "a2", 0.0, 12L), (2L, "I", "b", 5.0, 1L))
+      .toDF("k", "op", "name", "bal", "seq")
+    MergeSink.applyBatch(spark, batch, dir, "k", "op", "seq")
+    val got = spark.read.parquet(dir).orderBy("k")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(got === Seq((2L, "b", 5.0)))
+  }
+}
