@@ -27,6 +27,44 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Per-JVM scratch token + exit cleanup for queries that write local
+    * scratch data (q95): concurrent driver processes get disjoint dirs. */
+  private lazy val jvmToken: String = {
+    val tok = java.util.UUID.randomUUID().toString.take(8)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+      Option(tmp.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(s"_$tok"))
+        .foreach(deleteRecursively)
+    }))
+    tok
+  }
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete(); ()
+  }
+
+  /** (doc_id, entropy): exact char-frequency entropy — explode →
+    * (doc, char) count → bounded sorted fold. The one definition behind
+    * q69 AND q92's entropy feature (and their oracles' shared CTE shape),
+    * so a semantics fix propagates to both. */
+  private def charEntropyPerDoc(docs: DataFrame): DataFrame = {
+    val counts = docs
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .groupBy("doc_id", "ch").agg(count(lit(1)).as("cnt"))
+    counts.groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("ch"), col("cnt")))).as("cc"))
+      .select(col("doc_id"),
+        aggregate(col("cc"), lit(0L), (a, x) => a + x.getField("cnt")).as("n"),
+        aggregate(col("cc"), lit(0.0), (a, x) =>
+          a + x.getField("cnt").cast("double")
+            * log2(x.getField("cnt").cast("double"))).as("s"))
+      .select(col("doc_id"),
+        when(col("n") <= 0, lit(0.0))
+          .otherwise(round(log2(col("n").cast("double")) - col("s") / col("n"), 4))
+          .as("entropy"))
+  }
+
   /** exact decimal view of a double column (see determinism rules). */
   private def dec(c: Column): Column = c.cast("decimal(18,2)")
   private def sumDec(c: Column): Column = sum(dec(c)).cast("double")
@@ -1153,20 +1191,7 @@ object SparkEntry {
     // interpreted per row — measured 5.5s vs 1s at sf0.1.
     "q69_char_entropy" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val counts = docs
-        .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
-        .groupBy("doc_id", "ch").agg(count(lit(1)).as("cnt"))
-      val folded = counts.groupBy("doc_id")
-        .agg(sort_array(collect_list(struct(col("ch"), col("cnt")))).as("cc"))
-        .select(col("doc_id"),
-          aggregate(col("cc"), lit(0L), (a, x) => a + x.getField("cnt")).as("n"),
-          aggregate(col("cc"), lit(0.0), (a, x) =>
-            a + x.getField("cnt").cast("double")
-              * log2(x.getField("cnt").cast("double"))).as("s"))
-        .select(col("doc_id"),
-          when(col("n") <= 0, lit(0.0))
-            .otherwise(round(log2(col("n").cast("double")) - col("s") / col("n"), 4))
-            .as("entropy"))
+      val folded = charEntropyPerDoc(docs)
       // left join: docs whose text is NULL produce no exploded rows but
       // must still appear (entropy 0.0 — the oracle's NULL case mirrors this)
       docs.select("doc_id").join(folded, Seq("doc_id"), "left")
@@ -1431,20 +1456,7 @@ object SparkEntry {
     // call the two engines may round differently).
     "q92_quality_classifier" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val counts = docs
-        .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
-        .groupBy("doc_id", "ch").agg(count(lit(1)).as("cnt"))
-      val ent = counts.groupBy("doc_id")
-        .agg(sort_array(collect_list(struct(col("ch"), col("cnt")))).as("cc"))
-        .select(col("doc_id"),
-          aggregate(col("cc"), lit(0L), (a, x) => a + x.getField("cnt")).as("n"),
-          aggregate(col("cc"), lit(0.0), (a, x) =>
-            a + x.getField("cnt").cast("double")
-              * log2(x.getField("cnt").cast("double"))).as("sc"))
-        .select(col("doc_id"),
-          when(col("n") <= 0, lit(0.0))
-            .otherwise(round(log2(col("n").cast("double")) - col("sc") / col("n"), 4))
-            .as("entropy"))
+      val ent = charEntropyPerDoc(docs)
       docs.select(col("doc_id"),
           T.stopwordRatio(col("text")).as("stop_r"),
           T.digitRatio(col("text")).as("digit_r"),
@@ -1508,8 +1520,13 @@ object SparkEntry {
     // (pruned scan — only the lang=en directory lists), aggregate. The
     // oracle aggregates the original parquet — format fidelity check.
     "q95_orc_roundtrip" -> ((s, dir) => {
+      // scratch dir keyed by sfDir AND a per-JVM token: two driver
+      // processes on the same sfDir must not race each other's
+      // overwrite/read (review finding); the JVM's own re-runs (bench
+      // min-of-2) deliberately share and overwrite. Cleaned on exit.
       val out = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_orc_documents_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+        s"graft_orc_documents_${Integer.toHexString(dir.hashCode)}_$jvmToken")
+        .getAbsolutePath
       t(s, dir, "documents").write.mode("overwrite").partitionBy("lang").orc(out)
       s.read.orc(out).filter(col("lang") === "en")
         .groupBy(col("source"))
@@ -2652,7 +2669,7 @@ object SparkEntry {
          h AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 3 <> 0),
          b AS (SELECT doc_id, fp FROM fp WHERE doc_id % 3 = 0)
          SELECT b.doc_id, b.fp,
-           (b.fp IN (SELECT fp FROM h)) AS dup_of_history,
+           coalesce(b.fp IN (SELECT fp FROM h), FALSE) AS dup_of_history,
            (b.doc_id <> min(b.doc_id) OVER (PARTITION BY b.fp)) AS dup_in_batch
          FROM b ORDER BY b.doc_id""",
     // fixed-weight linear quality gate over the q16/q69 features —

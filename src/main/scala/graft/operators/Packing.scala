@@ -47,9 +47,17 @@ object Packing {
     // TakeOrdered collect as IVF centroid picking), sorted, every
     // 32nd value — a uniform random-but-reproducible quantile sketch.
     val sampleN = shards * 32
-    val sampled = df.select(col(idCol))
+    // null ids sort before every fence under `>=` (pid 0, nulls-first —
+    // the same total order the window gives them) but must not BECOME a
+    // fence: a null is not Comparable and `>= NULL` is never true
+    // (review finding).
+    val sampled = df.select(col(idCol)).filter(col(idCol).isNotNull)
       .orderBy(md5(col(idCol).cast("string")), col(idCol))
       .limit(sampleN).collect().map(_.get(0))
+    require(sampled.isEmpty || sampled.head.isInstanceOf[Comparable[_]],
+      s"$idCol values must be Comparable (got " +
+        s"${sampled.headOption.map(_.getClass.getName).orNull}); " +
+        "struct/array ids are not supported")
     implicit val anyOrd: Ordering[Any] =
       (a: Any, b: Any) => a.asInstanceOf[Comparable[Any]].compareTo(b)
     val sorted = sampled.distinct.sorted

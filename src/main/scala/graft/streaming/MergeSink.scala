@@ -15,8 +15,11 @@ import graft.operators.Merge
  *  1. compacts intra-batch multi-versions to one change per key
  *     ([[CdcMaterializer.latestSnapshot]]'s max_by shape, delete-aware);
  *  2. merges them into the current snapshot in one full-outer pass;
- *  3. atomically swaps the snapshot directory (write to `.next`, rename
- *     over — readers see the old or the new snapshot, never a partial).
+ *  3. swaps the snapshot directory by renames only (park `.old`,
+ *     promote `.next`) — readers see a complete snapshot or, for the
+ *     instant between the two renames, none; never a partial one. A
+ *     crash in that instant is repaired by the recovery step on the
+ *     next application ([[applyBatch]] scaladoc).
  *
  * vs [[CdcUpsertStream.latestByKey]]: that operator keeps latest-by-key
  * INSIDE the state store and emits a changelog; this one materializes
@@ -52,10 +55,33 @@ object MergeSink {
       .start()
   }
 
-  /** One batch application (factored out for direct batch use/tests). */
+  /** One batch application (factored out for direct batch use/tests).
+    *
+    * Swap protocol (each step is one HDFS-atomic rename, never a
+    * delete-then-rename gap): write `.next`, park the live snapshot as
+    * `.old`, promote `.next`, drop `.old`. A crash between the two
+    * renames leaves `.old` behind with no live dir — the recovery step
+    * at the top of the NEXT application (or restart re-delivery)
+    * restores it before merging, so the table is never lost and the
+    * re-delivered batch re-applies idempotently. */
   def applyBatch(spark: SparkSession, batch: DataFrame, snapshotDir: String,
       key: String, opCol: String, seqCol: String): Unit = {
     if (batch.isEmpty) return
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sessionState.newHadoopConf()
+    val cur = new Path(snapshotDir)
+    // the PATH's filesystem, not the default one — snapshotDir may live
+    // on a different scheme than fs.defaultFS (review finding)
+    val fs = cur.getFileSystem(conf)
+    // siblings of cur, never children: a string-concat ".next" under a
+    // trailing-slash dir would be deleted along with it (review finding)
+    val next = new Path(cur.getParent, cur.getName + ".next")
+    val old = new Path(cur.getParent, cur.getName + ".old")
+    def renameOrDie(a: Path, b: Path): Unit =
+      require(fs.rename(a, b), s"rename $a -> $b failed")
+    // crash recovery: a previous run parked the snapshot and died before
+    // promoting .next — restore it (the batch re-delivery re-applies)
+    if (!fs.exists(cur) && fs.exists(old)) renameOrDie(old, cur)
     // 1. intra-batch compaction: latest (by seq) change per key survives
     val dataCols = batch.columns.toSeq.filterNot(c => c == key || c == seqCol)
     val compacted = batch
@@ -63,17 +89,15 @@ object MergeSink {
       .agg(max_by(struct(dataCols.map(col): _*), col(seqCol)).as("__p"))
       .select(col(key) +: dataCols.map(c => col(s"__p.$c").as(c)): _*)
     // 2. merge with the existing snapshot (empty on first batch)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sessionState.newHadoopConf())
-    val cur = new org.apache.hadoop.fs.Path(snapshotDir)
     val target =
-      if (fs.exists(cur)) spark.read.parquet(snapshotDir)
+      if (fs.exists(cur)) spark.read.parquet(cur.toString)
       else compacted.filter(lit(false)).drop(opCol) // empty, right schema
     val merged = Merge.mergeBatch(target, compacted, key, opCol)
-    // 3. write-then-swap: readers never observe a partial snapshot
-    val next = new org.apache.hadoop.fs.Path(snapshotDir + ".next")
+    // 3. write, park, promote, drop
     merged.write.mode("overwrite").parquet(next.toString)
-    if (fs.exists(cur)) fs.delete(cur, true)
-    fs.rename(next, cur)
+    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(cur)) renameOrDie(cur, old)
+    renameOrDie(next, cur)
+    fs.delete(old, true)
   }
 }

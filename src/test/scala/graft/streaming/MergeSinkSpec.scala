@@ -53,6 +53,28 @@ class MergeSinkSpec extends SparkSpec {
     assert(once === twice)
   }
 
+  test("crash between the two swap renames is recovered: parked snapshot restored, batch re-applied") {
+    val dir = tmp("mergesink-crash") + "/snap"
+    val b1 = Seq((1L, "I", "a", 1.0, 1L), (2L, "I", "b", 2.0, 2L))
+      .toDF("k", "op", "name", "bal", "seq")
+    MergeSink.applyBatch(spark, b1, dir, "k", "op", "seq")
+    // simulate dying after `rename(cur, old)` and before `rename(next, cur)`:
+    // the live dir is gone, only the parked copy exists
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val cur = new org.apache.hadoop.fs.Path(dir)
+    val old = new org.apache.hadoop.fs.Path(cur.getParent, cur.getName + ".old")
+    assert(fs.rename(cur, old))
+    // restart: the batch is re-delivered; recovery must restore the
+    // snapshot first, then the merge applies on top of it
+    val b2 = Seq((2L, "U", "b2", 3.0, 3L)).toDF("k", "op", "name", "bal", "seq")
+    MergeSink.applyBatch(spark, b2, dir, "k", "op", "seq")
+    val got = spark.read.parquet(dir).orderBy("k")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(got === Seq((1L, "a", 1.0), (2L, "b2", 3.0)))
+    assert(!fs.exists(old))
+  }
+
   test("intra-batch multi-versions compact by seq before merging") {
     val dir = tmp("mergesink-seq") + "/snap"
     // same key three times in one batch; highest seq (a delete) wins
