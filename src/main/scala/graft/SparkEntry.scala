@@ -1431,18 +1431,28 @@ object SparkEntry {
     // fingerprints shuffle once on the narrow fp key; the within-batch
     // check is one window over the same key.
     "q91_incremental_dedup" -> ((s, dir) => {
+      // ONE fingerprint scan + ONE fp-keyed shuffle: both flags are
+      // window aggregates over the fp partition (history presence =
+      // conditional count, within-batch winner = conditional min). The
+      // first cut split history/batch into two branches of the same
+      // expensive fp projection — two full scans, measured 7.6 s vs
+      // 3.9 s at sf0.1. At 100 TB the history side is a standing
+      // fingerprint INDEX, not a recompute: this query models the
+      // admission semantics; the index swap keeps the same window/join
+      // shape over (fp) with the batch as the small side.
       val fp = t(s, dir, "documents")
         .select(col("doc_id"), col("text"), T.tokens(col("text")).as("ts"))
         .select(col("doc_id"),
-          T.fingerprintPortableFromTokens(col("ts"), col("text"), 3).as("fp"))
-      val hist = fp.filter(col("doc_id") % 3 =!= 0)
-      val batch = fp.filter(col("doc_id") % 3 === 0)
-      val histFps = hist.select("fp").distinct().withColumn("__h", lit(true))
-      batch.join(histFps, Seq("fp"), "left")
+          T.fingerprintPortableFromTokens(col("ts"), col("text"), 3).as("fp"),
+          (col("doc_id") % 3 === 0).as("is_batch"))
+      val w = Window.partitionBy("fp")
+      fp.withColumn("hist_hits",
+          sum(when(!col("is_batch"), 1L).otherwise(0L)).over(w))
         .withColumn("first_in_batch",
-          min(col("doc_id")).over(Window.partitionBy("fp")))
+          min(when(col("is_batch"), col("doc_id"))).over(w))
+        .filter(col("is_batch"))
         .select(col("doc_id"), col("fp"),
-          coalesce(col("__h"), lit(false)).as("dup_of_history"),
+          (col("hist_hits") > 0).as("dup_of_history"),
           (col("doc_id") =!= col("first_in_batch")).as("dup_in_batch"))
         .orderBy(col("doc_id"))
     }),

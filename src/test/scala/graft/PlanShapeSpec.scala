@@ -59,6 +59,37 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("WindowExec"), p)
   }
 
+  test("q95: the ORC readback prunes to the filtered lang partition") {
+    // build the query (side effect: the ORC write runs) and check the
+    // scan carries the filter as a PARTITION filter — directory-level
+    // pruning, not a full-scan-then-filter. (inputFiles would list the
+    // whole relation; PartitionFilters is what the scan actually reads.)
+    val df = SparkEntry.queries("q95_orc_roundtrip")(spark, sf0001)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    val pf = p.linesIterator.filter(_.contains("PartitionFilters")).mkString
+    assert(pf.contains("lang") && pf.contains("en"), p)
+    // and the scan's data filters don't re-apply it
+    assert(!p.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("lang")), p)
+  }
+
+  test("q90: passage multiplicity costs exactly two hash exchanges (passage key, doc key)") {
+    val p = plan("q90_passage_dedup")
+    val hashExchanges = p.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    // one shuffle on the passage string for the window count, one on
+    // doc_id for the rollup; the count-then-join-back form would pay
+    // the passage shuffle twice
+    assert(hashExchanges === 2, p)
+  }
+
+  test("q97: the deterministic group sample plans as TopKPerGroup, no Window sort") {
+    val p = plan("q97_group_sample")
+    assert(p.contains("TopKPerGroup"), p)
+    assert(!p.contains("WindowExec"), p)
+  }
+
   test("q04: global top-k is TakeOrderedAndProject, not a global sort") {
     val p = plan("q04_topk")
     assert(p.contains("TakeOrderedAndProject"), p)
