@@ -1574,6 +1574,50 @@ object SparkEntry {
         .select(col("doc_id"), T.tokenCount(col("text")).cast("long").as("n_tok"))
       operators.Packing.packBinned(docs, "doc_id", "n_tok", budget = 256L)
         .orderBy(col("doc_id"))
+    }),
+
+    // deterministic stratified train/val/test split: the portable
+    // 60-bit hash of the doc id buckets 80/10/10 — reproducible across
+    // runs, engines, and re-ingestions (the property rand-based splits
+    // lose the moment data re-partitions), leakage-free by id. Zero
+    // shuffle until the count rollup.
+    "q99_dataset_split" -> ((s, dir) => {
+      val bucket = PortableHash.h60(col("doc_id")) % 100
+      val split = when(bucket < 80, "train")
+        .when(bucket < 90, "val").otherwise("test")
+      val counts = t(s, dir, "documents")
+        .select(col("lang"), split.as("split"))
+        .groupBy("lang", "split").agg(count(lit(1)).as("n_docs"))
+      counts
+        .withColumn("share", round(col("n_docs")
+          / sum(col("n_docs")).over(Window.partitionBy("lang")).cast("double"), 4))
+        .orderBy(col("lang"), col("split"))
+    }),
+
+    // winsorized robust stats: clip the value column at its per-group
+    // exact [p1, p99] (q41's interpolated percentile — bit-identical
+    // cross-engine) and aggregate the clipped values in exact decimal —
+    // the outlier-capped corpus statistics step of a data-prep report.
+    "q100_winsorize" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val pcts = li.groupBy("l_returnflag").agg(
+        expr("percentile(l_extendedprice, 0.01)").as("p01"),
+        expr("percentile(l_extendedprice, 0.99)").as("p99"))
+      li.select(col("l_returnflag"), col("l_extendedprice"))
+        .join(broadcast(pcts), Seq("l_returnflag"))
+        .select(col("l_returnflag"),
+          least(greatest(col("l_extendedprice"), col("p01")), col("p99")).as("v"),
+          col("p01"), col("p99"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          // decimal sum (exact, order-free) → double BEFORE the divide:
+          // decimal/size division scale rules differ between engines
+          (sum(dec(col("v"))).cast("double") / count(lit(1))).as("mean_w"),
+          round(min(col("p01")), 4).as("p01"),
+          round(min(col("p99")), 4).as("p99"))
+        .select(col("l_returnflag"), col("n"), round(col("mean_w"), 4).as("mean_w"),
+          col("p01"), col("p99"))
+        .orderBy(col("l_returnflag"))
     })
   )
 
@@ -2806,6 +2850,34 @@ object SparkEntry {
          SELECT doc_id, n_tokens,
            CAST(rn // cap AS BIGINT) AS bin_seq,
            CAST(rn % cap AS BIGINT) AS slot
-         FROM r ORDER BY doc_id"""
+         FROM r ORDER BY doc_id""",
+    // portable-hash split replay; share = within-lang fraction.
+    "q99_dataset_split" ->
+      s"""WITH s AS (
+           SELECT lang,
+             CASE WHEN ${graft.functions.PortableHash.sqlH60("CAST(doc_id AS VARCHAR)")} % 100 < 80 THEN 'train'
+                  WHEN ${graft.functions.PortableHash.sqlH60("CAST(doc_id AS VARCHAR)")} % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split
+           FROM documents),
+         c AS (SELECT lang, split, count(*) AS n_docs FROM s GROUP BY 1, 2)
+         SELECT lang, split, n_docs,
+           round(n_docs / CAST(sum(n_docs) OVER (PARTITION BY lang) AS DOUBLE), 4) AS share
+         FROM c ORDER BY lang, split""",
+    // winsorized stats replay: quantile_cont == Spark's interpolated
+    // percentile bit-for-bit (q41 precedent), decimal mean exact.
+    "q100_winsorize" ->
+      """WITH p AS (
+           SELECT l_returnflag,
+             quantile_cont(l_extendedprice, 0.01) AS p01,
+             quantile_cont(l_extendedprice, 0.99) AS p99
+           FROM lineitem GROUP BY l_returnflag),
+         v AS (SELECT li.l_returnflag,
+                 least(greatest(li.l_extendedprice, p.p01), p.p99) AS v,
+                 p.p01, p.p99
+               FROM lineitem li JOIN p USING (l_returnflag))
+         SELECT l_returnflag, count(*) AS n,
+           round(CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS mean_w,
+           round(min(p01), 4) AS p01, round(min(p99), 4) AS p99
+         FROM v GROUP BY l_returnflag ORDER BY l_returnflag"""
   )
 }
