@@ -29,14 +29,19 @@ object Bench {
     // state (warm persists kept across the two runs). Cache is cleared
     // BETWEEN queries so one query's persisted intermediates don't
     // squeeze the next one's memory. Background load on this machine
-    // swings single-shot numbers 3× — min-of-2 is the stable statistic.
+    // swings single-shot numbers 3× — min-of-2 was not always enough
+    // (round 3 showed 4-6× phantom regressions on untouched plans), so
+    // when the two samples disagree by >1.5× we take a third: the extra
+    // pass goes only to measurements the noise actually hit.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      def once(): Double = {
         val t0 = System.nanoTime()
         try run(fn(spark, sfDir))
         catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9
       }
+      val times = scala.collection.mutable.ArrayBuffer(once(), once())
+      if (times.max / times.min > 1.5) times += once()
       spark.catalog.clearCache()
       name -> times.min
     }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
-import graft.operators.{AsOfJoin, CdcMaterializer, ChoiceResolver, Clustering, Dedup, Merge, PassageDedup, RangeJoin, Similarity, StreamSplitter}
+import graft.operators.{AsOfJoin, CdcMaterializer, ChoiceResolver, Clustering, Dedup, FingerprintIndex, Merge, PassageDedup, RangeJoin, Similarity, StreamSplitter}
 import graft.functions.{PortableHash, TextFunctions => T}
 import graft.multimodal.Multimodal
 
@@ -1582,11 +1582,11 @@ object SparkEntry {
     // lose the moment data re-partitions), leakage-free by id. Zero
     // shuffle until the count rollup.
     "q99_dataset_split" -> ((s, dir) => {
-      val bucket = PortableHash.h60(col("doc_id")) % 100
-      val split = when(bucket < 80, "train")
-        .when(bucket < 90, "val").otherwise("test")
+      // DatasetSplit.splitCol's default (empty) seed hashes the bare id
+      // — assignments here are stable against the pre-seed operator; a
+      // caller re-draw passes a seed (DatasetSplitSpec covers both).
       val counts = t(s, dir, "documents")
-        .select(col("lang"), split.as("split"))
+        .select(col("lang"), operators.DatasetSplit.splitCol(col("doc_id")).as("split"))
         .groupBy("lang", "split").agg(count(lit(1)).as("n_docs"))
       counts
         .withColumn("share", round(col("n_docs")
@@ -1600,9 +1600,15 @@ object SparkEntry {
     // the outlier-capped corpus statistics step of a data-prep report.
     "q100_winsorize" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
+      // bounds cast to DECIMAL(18,2) ONCE here (round-3 advice): the
+      // interpolated percentiles are generally not 2-decimal, and
+      // clipping against raw doubles made every clipped row's dec(v)
+      // lean on both engines agreeing about double→decimal tie-breaks;
+      // rounding the three bounds per group confines that cast to six
+      // values, and the clip then compares identically-rounded numbers.
       val pcts = li.groupBy("l_returnflag").agg(
-        expr("percentile(l_extendedprice, 0.01)").as("p01"),
-        expr("percentile(l_extendedprice, 0.99)").as("p99"))
+        dec(expr("percentile(l_extendedprice, 0.01)")).as("p01"),
+        dec(expr("percentile(l_extendedprice, 0.99)")).as("p99"))
       li.select(col("l_returnflag"), col("l_extendedprice"))
         .join(broadcast(pcts), Seq("l_returnflag"))
         .select(col("l_returnflag"),
@@ -1613,11 +1619,65 @@ object SparkEntry {
           // decimal sum (exact, order-free) → double BEFORE the divide:
           // decimal/size division scale rules differ between engines
           (sum(dec(col("v"))).cast("double") / count(lit(1))).as("mean_w"),
-          round(min(col("p01")), 4).as("p01"),
-          round(min(col("p99")), 4).as("p99"))
+          round(min(col("p01")).cast("double"), 4).as("p01"),
+          round(min(col("p99")).cast("double"), 4).as("p99"))
         .select(col("l_returnflag"), col("n"), round(col("mean_w"), 4).as("mean_w"),
           col("p01"), col("p99"))
         .orderBy(col("l_returnflag"))
+    }),
+
+    // partition-scoped MERGE: build a lang-partitioned documents
+    // snapshot, apply a derived I/U/D change set through
+    // Merge.mergePartitioned — only the touched lang partitions are
+    // read and swapped (untouched dirs never open; MergeSinkSpec
+    // asserts their files byte-identical) — then read the snapshot
+    // back. The oracle replays the merge arbitration over the original
+    // parquet, so the result checks BOTH merge semantics AND the
+    // partitioned write/swap/read round trip. text travels as md5:
+    // content fidelity at hash size.
+    "q101_merge_partitioned" -> ((s, dir) => {
+      val snap = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_merge_docs_${Integer.toHexString(dir.hashCode)}_$jvmToken")
+        .getAbsolutePath
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+      docs.write.mode("overwrite").partitionBy("lang").parquet(snap)
+      val changes = docs
+        .filter(col("doc_id") % 7 === 0 || col("doc_id") % 11 === 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 11 === 0, "D").otherwise("U").as("op"),
+          concat(col("text"), lit(" [rev2]")).as("text"),
+          col("lang"), col("source"),
+          (col("n_chars") + lit(7L)).as("n_chars"))
+        .unionByName(docs.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+            lit("I").as("op"), col("text"), lit("xx").as("lang"),
+            lit("synthetic").as("source"), col("n_chars")))
+      Merge.mergePartitioned(s, snap, changes, "doc_id", "lang", "op")
+      s.read.parquet(snap)
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("n_chars").cast("long").as("n_chars"),
+          md5(col("text")).as("text_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // q91's production form: the history side is a MATERIALIZED
+    // fingerprint index (built here from the standing corpus, then
+    // treated as read-only), and admission joins the daily batch
+    // against that narrow parquet — one scan of the batch text, one
+    // scan of the 8-byte-per-doc index, NO history text rescan
+    // (plan-asserted in PlanShapeSpec). Same flags, same oracle shape
+    // as q91 — the equivalence of the two is itself the check that the
+    // index swap preserves admission semantics.
+    "q102_indexed_dedup" -> ((s, dir) => {
+      val idxDir = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_fpindex_${Integer.toHexString(dir.hashCode)}_$jvmToken")
+        .getAbsolutePath
+      val docs = t(s, dir, "documents")
+      FingerprintIndex.build(docs.filter(col("doc_id") % 3 =!= 0), idxDir)
+      FingerprintIndex.admit(s, docs.filter(col("doc_id") % 3 === 0), idxDir)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -2851,14 +2911,20 @@ object SparkEntry {
            CAST(rn // cap AS BIGINT) AS bin_seq,
            CAST(rn % cap AS BIGINT) AS slot
          FROM r ORDER BY doc_id""",
-    // portable-hash split replay; share = within-lang fraction.
+    // portable-hash split replay; share = within-lang fraction. The
+    // bucket is hashed ONCE in its own CTE (mirroring the Spark plan's
+    // single h60 evaluation) and the CASE branches on it.
     "q99_dataset_split" ->
-      s"""WITH s AS (
+      s"""WITH bk AS (
            SELECT lang,
-             CASE WHEN ${graft.functions.PortableHash.sqlH60("CAST(doc_id AS VARCHAR)")} % 100 < 80 THEN 'train'
-                  WHEN ${graft.functions.PortableHash.sqlH60("CAST(doc_id AS VARCHAR)")} % 100 < 90 THEN 'val'
-                  ELSE 'test' END AS split
+             ${graft.functions.PortableHash.sqlH60("CAST(doc_id AS VARCHAR)")} % 100 AS bucket
            FROM documents),
+         s AS (
+           SELECT lang,
+             CASE WHEN bucket < 80 THEN 'train'
+                  WHEN bucket < 90 THEN 'val'
+                  ELSE 'test' END AS split
+           FROM bk),
          c AS (SELECT lang, split, count(*) AS n_docs FROM s GROUP BY 1, 2)
          SELECT lang, split, n_docs,
            round(n_docs / CAST(sum(n_docs) OVER (PARTITION BY lang) AS DOUBLE), 4) AS share
@@ -2868,16 +2934,64 @@ object SparkEntry {
     "q100_winsorize" ->
       """WITH p AS (
            SELECT l_returnflag,
-             quantile_cont(l_extendedprice, 0.01) AS p01,
-             quantile_cont(l_extendedprice, 0.99) AS p99
+             CAST(quantile_cont(l_extendedprice, 0.01) AS DECIMAL(18,2)) AS p01,
+             CAST(quantile_cont(l_extendedprice, 0.99) AS DECIMAL(18,2)) AS p99
            FROM lineitem GROUP BY l_returnflag),
          v AS (SELECT li.l_returnflag,
-                 least(greatest(li.l_extendedprice, p.p01), p.p99) AS v,
+                 least(greatest(li.l_extendedprice, CAST(p.p01 AS DOUBLE)), CAST(p.p99 AS DOUBLE)) AS v,
                  p.p01, p.p99
                FROM lineitem li JOIN p USING (l_returnflag))
          SELECT l_returnflag, count(*) AS n,
            round(CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS mean_w,
-           round(min(p01), 4) AS p01, round(min(p99), 4) AS p99
-         FROM v GROUP BY l_returnflag ORDER BY l_returnflag"""
+           round(CAST(min(p01) AS DOUBLE), 4) AS p01,
+           round(CAST(min(p99) AS DOUBLE), 4) AS p99
+         FROM v GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // partitioned-MERGE replay: same derived change set, same
+    // matched/unmatched/delete arbitration as q94, over documents; the
+    // Spark side additionally proves the partition-scoped write/swap
+    // round trip (the oracle never touches the snapshot directory).
+    "q101_merge_partitioned" ->
+      """WITH base AS (SELECT doc_id, text, lang, source, n_chars FROM documents),
+         ch AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 11 = 0 THEN 'D' ELSE 'U' END AS op,
+             text || ' [rev2]' AS text, lang, source, n_chars + 7 AS n_chars
+           FROM documents WHERE doc_id % 7 = 0 OR doc_id % 11 = 0
+           UNION ALL
+           SELECT doc_id + 1000000, 'I', text, 'xx', 'synthetic', n_chars
+           FROM documents WHERE doc_id % 13 = 0)
+         SELECT coalesce(ch.doc_id, base.doc_id) AS doc_id,
+           CASE WHEN ch.op IS NOT NULL THEN ch.lang ELSE base.lang END AS lang,
+           CASE WHEN ch.op IS NOT NULL THEN ch.source ELSE base.source END AS source,
+           CAST(CASE WHEN ch.op IS NOT NULL THEN ch.n_chars ELSE base.n_chars END AS BIGINT) AS n_chars,
+           md5(CASE WHEN ch.op IS NOT NULL THEN ch.text ELSE base.text END) AS text_md5
+         FROM base FULL JOIN ch ON base.doc_id = ch.doc_id
+         WHERE ch.op IS NULL OR ch.op <> 'D'
+         ORDER BY doc_id""",
+    // indexed admission replays exactly like q91 — the oracle cannot
+    // (and must not) see the materialized index; identical output is
+    // the proof the index swap preserved admission semantics.
+    "q102_indexed_dedup" ->
+      s"""WITH t AS (
+           SELECT doc_id, text, list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                            x -> len(x) > 0) AS ts
+           FROM documents),
+         sh AS (
+           SELECT doc_id, text,
+             CASE WHEN len(ts) < 3 THEN CAST([] AS VARCHAR[])
+                  ELSE [array_to_string(ts[i:i+2], ' ')
+                        for i in range(1, len(ts)-1)] END AS s
+           FROM t),
+         fp AS (
+           SELECT doc_id,
+             CASE WHEN len(s) = 0 THEN ${graft.functions.PortableHash.sqlH60("trim(text)")}
+                  ELSE list_min(list_transform(s, g -> ${graft.functions.PortableHash.sqlH60("g")})) END AS fp
+           FROM sh),
+         h AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 3 <> 0),
+         b AS (SELECT doc_id, fp FROM fp WHERE doc_id % 3 = 0)
+         SELECT b.doc_id, b.fp,
+           coalesce(b.fp IN (SELECT fp FROM h), FALSE) AS dup_of_history,
+           (b.doc_id <> min(b.doc_id) OVER (PARTITION BY b.fp)) AS dup_in_batch
+         FROM b ORDER BY b.doc_id"""
   )
 }

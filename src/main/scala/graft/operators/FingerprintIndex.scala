@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => T}
+
+/**
+ * Standing fingerprint index for incremental (daily-crawl) corpus
+ * ingest — the production form of q91's admission check. q91 models the
+ * semantics but recomputes history fingerprints from raw TEXT every
+ * run; at 100 TB the history side must be a materialized INDEX: the
+ * narrow (fp) column persisted once at corpus-build time, so a daily
+ * batch pays one scan of ITSELF plus one scan of an 8-byte-per-doc
+ * parquet — not a re-read of 100 TB of text. (Reference analog: the
+ * split tables' catalog is built once by the crawler and then only
+ * queried — `/root/reference/README.md:314`; the index here plays the
+ * same build-once role for admission.)
+ *
+ * Scale shape: [[build]] is one text scan → distinct on the fp key →
+ * narrow write (distinct because presence is the admission question —
+ * which historical doc owns the fp stays in the corpus table).
+ * [[admit]] is one batch scan, one index scan, a join + window both on
+ * the fp key — the batch shuffles once, the index side is
+ * broadcast-able whenever a day's distinct-fp count fits (it usually
+ * does not — the INDEX is table-sized — so the planner's shuffle join
+ * on fp is the expected 100 TB plan; either way history text is never
+ * touched). Daily maintenance: append the admitted batch's new
+ * distinct fps ([[append]]) — no rebuild.
+ */
+object FingerprintIndex {
+
+  /** (idCol, fp): the q19/q91 portable n-gram min-hash fingerprint,
+    * computed in ONE projection over one scan of the text. */
+  def fingerprints(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", ngram: Int = 3): DataFrame =
+    docs.select(col(idCol), col(textCol), T.tokens(col(textCol)).as("__ts"))
+      .select(col(idCol),
+        T.fingerprintPortableFromTokens(col("__ts"), col(textCol), ngram).as("fp"))
+
+  /** Build/refresh the standing index: corpus text → distinct narrow
+    * (fp) parquet at `indexDir`. Run once per corpus build, not per
+    * batch. */
+  def build(docs: DataFrame, indexDir: String, idCol: String = "doc_id",
+      textCol: String = "text", ngram: Int = 3): Unit =
+    fingerprints(docs, idCol, textCol, ngram)
+      .select("fp").distinct()
+      .write.mode("overwrite").parquet(indexDir)
+
+  /** Fold a day's admitted batch into the index: append its fps that
+    * are not already present (one anti join on the narrow key). */
+  def append(spark: SparkSession, admitted: DataFrame, indexDir: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      ngram: Int = 3): Unit =
+    fingerprints(admitted, idCol, textCol, ngram)
+      .select("fp").distinct()
+      .join(spark.read.parquet(indexDir), Seq("fp"), "left_anti")
+      .write.mode("append").parquet(indexDir)
+
+  /** Admission check of a new batch against the standing index: each
+    * batch row flagged `dup_of_history` (fp already indexed) and
+    * `dup_in_batch` (not the first batch doc carrying its fp). The plan
+    * reads the batch text ONCE and the narrow index ONCE — no history
+    * text rescan (plan-asserted in PlanShapeSpec). */
+  def admit(spark: SparkSession, batch: DataFrame, indexDir: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      ngram: Int = 3): DataFrame = {
+    val bfp = fingerprints(batch, idCol, textCol, ngram)
+    val idx = spark.read.parquet(indexDir)
+      .select(col("fp"), lit(true).as("__hit"))
+    val w = Window.partitionBy("fp")
+    bfp.join(idx, Seq("fp"), "left")
+      .withColumn("__first", min(col(idCol)).over(w))
+      .select(col(idCol), col("fp"),
+        coalesce(col("__hit"), lit(false)).as("dup_of_history"),
+        (col(idCol) =!= col("__first")).as("dup_in_batch"))
+  }
+}

@@ -1,6 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
 import org.apache.spark.sql.functions._
 
 /**
@@ -40,5 +42,92 @@ object Merge {
       .select(col(key) +: dataCols.map(cn =>
         when(col(s"c.$opCol").isNotNull, col(s"c.$cn"))
           .otherwise(col(s"t.$cn")).as(cn)): _*)
+  }
+
+  /**
+   * Partition-scoped MERGE onto a Hive-partitioned parquet snapshot:
+   * apply a change set touching only SOME partitions without reading or
+   * rewriting the rest. This is the 100 TB form the [[mergeBatch]]
+   * scaladoc promises: a daily CDC batch with 0.1% changed keys costs a
+   * read+write of the touched partitions only — cost ∝ changes' partition
+   * footprint, not ∝ table size. Untouched partition directories are
+   * never opened: their files stay byte-identical at the same paths
+   * (asserted in MergeSinkSpec).
+   *
+   * Plan shape: one bounded collect of the DISTINCT changed partition
+   * values (catalog-scale metadata, like replayAll's partition list), a
+   * partition-PRUNED scan of the snapshot (`partCol IN touched` reaches
+   * the file index — only touched directories list), one full-outer
+   * merge, one staged partitioned write, then per-partition rename swaps.
+   *
+   * Contract (on top of [[mergeBatch]]'s one-change-per-key):
+   *  - `partCol` is stable per key (the usual date/lang/tenant layout
+   *    column). A partition-moving update must be sent as D (old
+   *    partition) + I (new partition) — the same contract Hive's dynamic
+   *    partition overwrite imposes.
+   *  - every change row — D included — carries a non-null `partCol`
+   *    (a D must say which partition its key lives in; that is what
+   *    makes pruning sound).
+   *
+   * Swap protocol mirrors [[graft.streaming.MergeSink.applyBatch]], but
+   * per partition: park the live dir under a dot-prefixed (hidden, so
+   * partition discovery never sees it) sibling, promote the staged dir,
+   * drop the parked one. A crash mid-swap leaves a parked dir with no
+   * live dir; the recovery preamble of the NEXT application restores it,
+   * and the re-delivered batch re-applies idempotently (I/U collapse to
+   * upsert; D of an absent key is a no-op).
+   */
+  def mergePartitioned(spark: SparkSession, snapshotDir: String,
+      changes: DataFrame, key: String, partCol: String,
+      opCol: String = "op"): Seq[String] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val dir = new Path(snapshotDir)
+    val fs = dir.getFileSystem(conf)
+    def renameOrDie(a: Path, b: Path): Unit =
+      require(fs.rename(a, b), s"rename $a -> $b failed")
+    def leafName(v: String): String =
+      ExternalCatalogUtils.escapePathName(partCol) + "=" +
+        ExternalCatalogUtils.escapePathName(v)
+    def parkedName(v: String): String = ".merge_old_" + leafName(v)
+    // recovery: restore any partition parked by a crashed previous swap
+    if (fs.exists(dir)) fs.listStatus(dir).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith(".merge_old_")) {
+        val live = new Path(dir, n.stripPrefix(".merge_old_"))
+        if (!fs.exists(live)) renameOrDie(st.getPath, live)
+        else fs.delete(st.getPath, true) // stale park: crash after promote
+      }
+    }
+    // the changed-partition list: bounded, catalog-scale metadata
+    val touched = changes.select(col(partCol).cast("string")).na.drop()
+      .distinct().collect().map(_.getString(0)).toSeq.sorted
+    require(touched.nonEmpty, "changes carry no non-null partition values")
+    val dataSchema = changes.drop(opCol)
+    val hasLive = fs.exists(dir) &&
+      fs.listStatus(dir).exists(st => st.isDirectory &&
+        !st.getPath.getName.startsWith(".") && !st.getPath.getName.startsWith("_"))
+    // pruned scan: only the touched directories are listed/read
+    val target =
+      if (hasLive)
+        spark.read.schema(dataSchema.schema).parquet(snapshotDir)
+          .filter(col(partCol).isin(touched: _*))
+          .select(dataSchema.columns.map(col): _*)
+      else dataSchema.filter(lit(false))
+    val merged = mergeBatch(target, changes, key, opCol)
+    val stage = new Path(dir.getParent, dir.getName + ".stage")
+    fs.delete(stage, true)
+    merged.write.mode("overwrite").partitionBy(partCol).parquet(stage.toString)
+    if (!fs.exists(dir)) fs.mkdirs(dir)
+    touched.foreach { v =>
+      val live = new Path(dir, leafName(v))
+      val parked = new Path(dir, parkedName(v))
+      val staged = new Path(stage, leafName(v))
+      if (fs.exists(live)) renameOrDie(live, parked)
+      // absent staged dir = every row of this partition was deleted
+      if (fs.exists(staged)) renameOrDie(staged, live)
+      fs.delete(parked, true)
+    }
+    fs.delete(stage, true)
+    touched
   }
 }

@@ -37,15 +37,32 @@ object Tables {
    * entry, and the table survives view-less sessions against the same
    * warehouse. Re-registration against a different sfDir replaces the
    * entry (external: DROP removes only metadata, never data).
+   *
+   * Idempotent, like the reference's run-once crawler
+   * (`/root/reference/README.md:314` — crawl once, query many): a table
+   * already registered at the SAME location is left untouched, so repeat
+   * calls (every q29 run) cost ten metastore lookups, not ten rounds of
+   * serial Hive/Derby DROP+CREATE DDL on the driver. Only a location
+   * change (new sfDir) pays the DDL to swap the entry.
    */
   def registerAllAsTables(spark: SparkSession, sfDir: String,
       db: String = "graft"): Unit = {
     graft.functions.GraftFunctions.register(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    val catalog = spark.sessionState.catalog
+    if (!catalog.databaseExists(db)) spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
     all.foreach { n =>
-      spark.sql(s"DROP TABLE IF EXISTS $db.$n")
-      spark.sql(s"CREATE TABLE $db.$n USING PARQUET LOCATION '$sfDir/$n.parquet'")
+      val id = org.apache.spark.sql.catalyst.TableIdentifier(n, Some(db))
+      val want = new java.io.File(s"$sfDir/$n.parquet").getCanonicalPath
+      val current =
+        if (catalog.tableExists(id))
+          Option(catalog.getTableMetadata(id).location.getPath)
+            .map(p => new java.io.File(p).getCanonicalPath)
+        else None
+      if (!current.contains(want)) {
+        spark.sql(s"DROP TABLE IF EXISTS $db.$n")
+        spark.sql(s"CREATE TABLE $db.$n USING PARQUET LOCATION '$sfDir/$n.parquet'")
+      }
     }
   }
 }

@@ -25,9 +25,11 @@ import graft.operators.Merge
  * INSIDE the state store and emits a changelog; this one materializes
  * the full table each batch. State-store upsert wins at high change
  * rates; snapshot-merge wins when batches are small relative to the
- * table and downstream wants plain parquet. At 100 TB the swap step
- * becomes partition-scoped (merge only partitions containing changed
- * keys — see `Merge` scaladoc); whole-snapshot swap is the local form.
+ * table and downstream wants plain parquet. At 100 TB pass
+ * `partitionCol`: the batch then routes through
+ * [[Merge.mergePartitioned]], which merges and swaps ONLY the
+ * partitions containing changed keys — per-batch cost ∝ changes, not
+ * ∝ table size. Whole-snapshot swap remains the unpartitioned fallback.
  *
  * Exactly-once: foreachBatch re-delivers a batch after failure; the
  * merge is idempotent for U/D (same change twice = same snapshot), and
@@ -43,14 +45,15 @@ object MergeSink {
    */
   def mergeInto(changes: DataFrame, snapshotDir: String, key: String,
       opCol: String, seqCol: String, checkpoint: String,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      partitionCol: Option[String] = None): StreamingQuery = {
     val spark = changes.sparkSession
     changes.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        applyBatch(spark, batch, snapshotDir, key, opCol, seqCol)
+        applyBatch(spark, batch, snapshotDir, key, opCol, seqCol, partitionCol)
       }
       .start()
   }
@@ -65,9 +68,25 @@ object MergeSink {
     * restores it before merging, so the table is never lost and the
     * re-delivered batch re-applies idempotently. */
   def applyBatch(spark: SparkSession, batch: DataFrame, snapshotDir: String,
-      key: String, opCol: String, seqCol: String): Unit = {
+      key: String, opCol: String, seqCol: String,
+      partitionCol: Option[String] = None): Unit = {
     if (batch.isEmpty) return
     import org.apache.hadoop.fs.Path
+    // 1. intra-batch compaction: latest (by seq) change per key survives
+    val dataCols = batch.columns.toSeq.filterNot(c => c == key || c == seqCol)
+    val compacted = batch
+      .groupBy(col(key))
+      .agg(max_by(struct(dataCols.map(col): _*), col(seqCol)).as("__p"))
+      .select(col(key) +: dataCols.map(c => col(s"__p.$c").as(c)): _*)
+    // partition-scoped path (the 100 TB form): merge + rewrite ONLY the
+    // partitions the batch touches; untouched partition dirs are never
+    // read or written — per-batch cost ∝ changes, not ∝ table size
+    partitionCol match {
+      case Some(pc) =>
+        Merge.mergePartitioned(spark, snapshotDir, compacted, key, pc, opCol)
+        return
+      case None => ()
+    }
     val conf = spark.sessionState.newHadoopConf()
     val cur = new Path(snapshotDir)
     // the PATH's filesystem, not the default one — snapshotDir may live
@@ -82,12 +101,6 @@ object MergeSink {
     // crash recovery: a previous run parked the snapshot and died before
     // promoting .next — restore it (the batch re-delivery re-applies)
     if (!fs.exists(cur) && fs.exists(old)) renameOrDie(old, cur)
-    // 1. intra-batch compaction: latest (by seq) change per key survives
-    val dataCols = batch.columns.toSeq.filterNot(c => c == key || c == seqCol)
-    val compacted = batch
-      .groupBy(col(key))
-      .agg(max_by(struct(dataCols.map(col): _*), col(seqCol)).as("__p"))
-      .select(col(key) +: dataCols.map(c => col(s"__p.$c").as(c)): _*)
     // 2. merge with the existing snapshot (empty on first batch)
     val target =
       if (fs.exists(cur)) spark.read.parquet(cur.toString)

@@ -84,6 +84,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(hashExchanges === 2, p)
   }
 
+  test("q102: indexed admission scans the batch once and the narrow index once — no history text rescan") {
+    val df = SparkEntry.queries("q102_indexed_dedup")(spark, sf0001)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    // exactly two parquet scans: the batch (documents) + the fp index
+    // (count the detail headers "(N) Scan parquet" — the tree section
+    // prints each scan a second time)
+    val scans = p.linesIterator
+      .filter(_.trim.matches("""\(\d+\) Scan parquet\s*""")).toSeq
+    assert(scans.size === 2, p)
+    // the index side reads ONLY the 8-byte fp column (narrow scan), and
+    // the one documents scan is the batch — nothing re-reads history text
+    val reads = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(reads.exists(r => r.contains("fp:bigint") && !r.contains("text")), p)
+    assert(reads.count(_.contains("text")) === 1, p)
+  }
+
   test("q97: the deterministic group sample plans as TopKPerGroup, no Window sort") {
     val p = plan("q97_group_sample")
     assert(p.contains("TopKPerGroup"), p)

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The split must be a pure function of (id, seed): stable under
+  * re-partitioning, different per seed, and ~80/10/10 in proportion. */
+class DatasetSplitSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val ids = (1L to 2000L).toDF("id")
+
+  test("assignment is deterministic and re-partition stable") {
+    val a = ids.select(col("id"), DatasetSplit.splitCol(col("id")).as("s"))
+      .as[(Long, String)].collect().toMap
+    val b = ids.repartition(13, col("id") % 7)
+      .select(col("id"), DatasetSplit.splitCol(col("id")).as("s"))
+      .as[(Long, String)].collect().toMap
+    assert(a === b)
+  }
+
+  test("default seed hashes the bare id (pre-seed assignments stable)") {
+    val withDefault = ids
+      .select(DatasetSplit.bucket(col("id")).as("b")).as[Long].collect()
+    val bare = ids
+      .select((graft.functions.PortableHash.h60(col("id")) % 100).as("b"))
+      .as[Long].collect()
+    assert(withDefault.toSeq === bare.toSeq)
+  }
+
+  test("a seed re-draws the fold without touching ids") {
+    val base = ids.select(col("id"), DatasetSplit.splitCol(col("id")).as("s"))
+      .as[(Long, String)].collect().toMap
+    val redraw = ids.select(col("id"),
+        DatasetSplit.splitCol(col("id"), seed = "fold2").as("s"))
+      .as[(Long, String)].collect().toMap
+    // a different deterministic fold: many ids move split…
+    val moved = base.keys.count(k => base(k) != redraw(k))
+    assert(moved > 200, s"only $moved ids changed split under the seed")
+    // …and the seeded draw is itself stable
+    val redraw2 = ids.select(col("id"),
+        DatasetSplit.splitCol(col("id"), seed = "fold2").as("s"))
+      .as[(Long, String)].collect().toMap
+    assert(redraw === redraw2)
+  }
+
+  test("proportions are ~80/10/10 for either seed") {
+    for (seed <- Seq("", "fold2")) {
+      val counts = ids.select(DatasetSplit.splitCol(col("id"), seed).as("s"))
+        .groupBy("s").count().as[(String, Long)].collect().toMap
+      assert(counts("train") > 1500 && counts("train") < 1700, counts)
+      assert(counts("val") > 120 && counts("val") < 280, counts)
+      assert(counts("test") > 120 && counts("test") < 280, counts)
+    }
+  }
+}

@@ -84,6 +84,12 @@ class StreamSplitterSpec extends SparkSpec {
     assert(spark.catalog.tableExists("graft.orders"))
     val n = spark.sql("SELECT count(*) FROM graft.orders").head().getLong(0)
     assert(n > 0)
+    // idempotent re-registration: same sfDir → no DROP+CREATE, the catalog
+    // entry (createTime identity) survives the second call untouched
+    val id = org.apache.spark.sql.catalyst.TableIdentifier("orders", Some("graft"))
+    val created = spark.sessionState.catalog.getTableMetadata(id).createTime
+    graft.sources.Tables.registerAllAsTables(spark, sf0001)
+    assert(spark.sessionState.catalog.getTableMetadata(id).createTime === created)
     spark.sql("DROP TABLE cdc_split")
   }
 

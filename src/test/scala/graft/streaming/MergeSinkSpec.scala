@@ -75,6 +75,78 @@ class MergeSinkSpec extends SparkSpec {
     assert(!fs.exists(old))
   }
 
+  /** (path, mtime, size) of every data file under a partition dir —
+    * byte-identity evidence that the dir was never rewritten. */
+  private def fileSig(dir: String): Seq[(String, Long, Long)] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(p).toSeq.filterNot(_.getPath.getName.startsWith("_"))
+      .map(st => (st.getPath.toString, st.getModificationTime, st.getLen))
+      .sortBy(_._1)
+  }
+
+  test("partition-scoped merge touches only the changed partitions; untouched files byte-identical") {
+    val dir = tmp("mergesink-part") + "/snap"
+    // first batch through the partitioned path: creates the snapshot
+    val b1 = Seq(
+      (1L, "I", "a", "en", 1L), (2L, "I", "b", "en", 2L),
+      (3L, "I", "c", "de", 3L), (4L, "I", "d", "fr", 4L))
+      .toDF("k", "op", "name", "lang", "seq")
+    MergeSink.applyBatch(spark, b1, dir, "k", "op", "seq", Some("lang"))
+    val deBefore = fileSig(s"$dir/lang=de")
+    val frBefore = fileSig(s"$dir/lang=fr")
+    // second batch touches ONLY lang=en: update, delete, insert
+    val b2 = Seq(
+      (1L, "U", "a2", "en", 5L), (2L, "D", "b", "en", 6L),
+      (9L, "I", "z", "en", 7L))
+      .toDF("k", "op", "name", "lang", "seq")
+    MergeSink.applyBatch(spark, b2, dir, "k", "op", "seq", Some("lang"))
+    val got = spark.read.parquet(dir)
+      .select("k", "name", "lang").orderBy("k")
+      .as[(Long, String, String)].collect().toSeq
+    assert(got === Seq((1L, "a2", "en"), (3L, "c", "de"),
+      (4L, "d", "fr"), (9L, "z", "en")))
+    // de/fr were neither read nor written: same files, same mtimes/sizes
+    assert(fileSig(s"$dir/lang=de") === deBefore)
+    assert(fileSig(s"$dir/lang=fr") === frBefore)
+  }
+
+  test("partition-scoped merge: deleting every row of a partition removes its directory") {
+    val dir = tmp("mergesink-partdel") + "/snap"
+    val b1 = Seq((1L, "I", "a", "en", 1L), (2L, "I", "b", "de", 2L))
+      .toDF("k", "op", "name", "lang", "seq")
+    MergeSink.applyBatch(spark, b1, dir, "k", "op", "seq", Some("lang"))
+    val b2 = Seq((2L, "D", "b", "de", 3L)).toDF("k", "op", "name", "lang", "seq")
+    MergeSink.applyBatch(spark, b2, dir, "k", "op", "seq", Some("lang"))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/lang=de")))
+    val got = spark.read.parquet(dir).select("k").as[Long].collect().toSeq
+    assert(got === Seq(1L))
+  }
+
+  test("partition-scoped crash between park and promote is recovered") {
+    val dir = tmp("mergesink-partcrash") + "/snap"
+    val b1 = Seq((1L, "I", "a", "en", 1L), (2L, "I", "b", "de", 2L))
+      .toDF("k", "op", "name", "lang", "seq")
+    MergeSink.applyBatch(spark, b1, dir, "k", "op", "seq", Some("lang"))
+    // simulate dying after parking lang=en and before promoting staged:
+    // live dir gone, hidden parked dir present (invisible to readers)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val live = new org.apache.hadoop.fs.Path(s"$dir/lang=en")
+    val parked = new org.apache.hadoop.fs.Path(s"$dir/.merge_old_lang=en")
+    assert(fs.rename(live, parked))
+    assert(spark.read.parquet(dir).count() === 1) // reader sees de only
+    // restart: re-delivered batch recovers the parked partition first
+    val b2 = Seq((1L, "U", "a2", "en", 3L)).toDF("k", "op", "name", "lang", "seq")
+    MergeSink.applyBatch(spark, b2, dir, "k", "op", "seq", Some("lang"))
+    val got = spark.read.parquet(dir)
+      .select("k", "name").orderBy("k").as[(Long, String)].collect().toSeq
+    assert(got === Seq((1L, "a2"), (2L, "b")))
+    assert(!fs.exists(parked))
+  }
+
   test("intra-batch multi-versions compact by seq before merging") {
     val dir = tmp("mergesink-seq") + "/snap"
     // same key three times in one batch; highest seq (a delete) wins
