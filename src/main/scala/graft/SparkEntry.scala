@@ -876,10 +876,14 @@ object SparkEntry {
     // accumulation deterministic and oracle-mirrorable.
     "q84_bigram_surprisal" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      // tokenized once for BOTH the plan-time vocab count and the main
-      // job (two actions — unpersisted, the tokenize would run twice)
-      val base = docs.select(col("doc_id"), T.tokens(col("text")).as("ts"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // tokenized once for the vocab count AND the main job — both live
+      // in ONE returned plan now (vocab is a 1-row crossJoin scalar, not
+      // a construction-time head(): no driver sync, and the persist can
+      // use the Caches one-shot release, which needs the caller's action
+      // to be the first one touching the cache)
+      val base = operators.Caches.releaseAfterUse(
+        docs.select(col("doc_id"), T.tokens(col("text")).as("ts"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val bg = base
         .select(col("doc_id"), explode(T.shinglesFromTokens(col("ts"), 2)).as("b"))
         .select(col("doc_id"),
@@ -891,16 +895,17 @@ object SparkEntry {
       val cab = dcnt.groupBy("prev", "cur").agg(sum("cnt").as("cab"))
       val ca = cab.groupBy("prev").agg(sum("cab").as("ca"))
       val vocab = base.select(explode(col("ts")).as("tok"))
-        .agg(countDistinct(col("tok"))).head().getLong(0).toDouble
+        .agg(countDistinct(col("tok")).cast("double").as("vocab"))
       val folded = dcnt.join(cab, Seq("prev", "cur")).join(ca, Seq("prev"))
         .groupBy("doc_id")
         .agg(sort_array(collect_list(struct(col("prev"), col("cur"),
           col("cnt"), col("cab"), col("ca")))).as("cc"))
+        .crossJoin(broadcast(vocab))
         .select(col("doc_id"),
           aggregate(col("cc"), lit(0L), (a, x) => a + x.getField("cnt")).as("n"),
           aggregate(col("cc"), lit(0.0), (a, x) =>
             a + x.getField("cnt").cast("double")
-              * (log2(x.getField("ca").cast("double") + vocab)
+              * (log2(x.getField("ca").cast("double") + col("vocab"))
                 - log2(x.getField("cab").cast("double") + 1.0))).as("ssum"))
       docs.select("doc_id").join(folded, Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("n"), lit(0L)).as("n_bigrams"),
@@ -915,9 +920,9 @@ object SparkEntry {
     // so the whole composed pipeline hash-verifies cross-engine; this
     // is the query a user of the library actually ships.
     "q86_pipeline_report" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = operators.Caches.releaseAfterUse(t(s, dir, "documents")
         .select(col("doc_id"), col("lang"), col("text"), T.tokens(col("text")).as("ts"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       // stage 1: quality gate (length + digit-density), integer-exact
       val quality = docs.filter(size(col("ts")) >= 20 &&
         lit(10) * size(regexp_extract_all(col("text"), lit("[0-9]"), lit(0)))
@@ -927,9 +932,9 @@ object SparkEntry {
       val deduped = quality.join(keepIds.select("doc_id"), Seq("doc_id"), "left_semi")
       // stage 3: decontamination — distinct 5-gram containment vs the
       // held-out bench set (doc_id < 10), integer compare 2·hits < n_sh
-      val sh = docs.select(col("doc_id"),
+      val sh = operators.Caches.releaseAfterUse(docs.select(col("doc_id"),
           array_distinct(T.shinglesFromTokens(col("ts"), 5)).as("sh"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val ex = sh.select(col("doc_id"), explode(col("sh")).as("g"))
       val bench = ex.filter(col("doc_id") < 10).select("g").distinct()
       val hits = ex.join(broadcast(bench), Seq("g"), "left_semi")
@@ -1060,12 +1065,12 @@ object SparkEntry {
     // boilerplate/spam discriminators. Row-local array math for the
     // 3-gram side; one (doc, gram)-keyed aggregate for the bigram mode.
     "q79_repetition" -> ((s, dir) => {
-      val base = t(s, dir, "documents")
+      val base = operators.Caches.releaseAfterUse(t(s, dir, "documents")
         .select(col("doc_id"), T.tokens(col("text")).as("ts"))
         .select(col("doc_id"), size(col("ts")).cast("long").as("n_tokens"),
           T.shinglesFromTokens(col("ts"), 3).as("s3"),
           T.shinglesFromTokens(col("ts"), 2).as("s2"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val dup3 = base.select(col("doc_id"), col("n_tokens"),
         when(size(col("s3")) <= 0, lit(0.0)).otherwise(
           round(lit(1.0) - size(array_distinct(col("s3")))
@@ -1106,12 +1111,12 @@ object SparkEntry {
       // shingle-family performance rule: a non-attribute expression in
       // the HOF body re-evaluates per element — measured 17 s vs 1 s
       // at sf0.1 for exactly this query).
-      val docs = t(s, dir, "documents")
+      val docs = operators.Caches.releaseAfterUse(t(s, dir, "documents")
         .select(col("doc_id"), T.tokens(col("text")).as("ts"))
         .select(col("doc_id"),
           array_distinct(T.shinglesFromTokens(col("ts"), 5)).as("sh"))
         // referenced 3× (bench set, hit count, totals) — shingle once
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val ex = docs.select(col("doc_id"), explode(col("sh")).as("g"))
       val benchSh = ex.filter(col("doc_id") < 10).select("g").distinct()
       val hits = ex.join(broadcast(benchSh), Seq("g"), "left_semi")

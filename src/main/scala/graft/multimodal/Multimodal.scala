@@ -9,12 +9,15 @@ import org.apache.spark.sql.types._
  * engine as opaque `binary` columns with a typed metadata struct, and
  * decode/feature-extraction runs batched per partition.
  *
- * The actual codec step is a STUB (no image/audio libraries in this
- * environment): [[StubCodec.decode]] produces a deterministic fake
- * "decode" from the bytes. Everything around it — the asset schema, the
- * partition-batched execution shape (one codec context per partition, not
- * per row, exactly the shape a JNI/FFmpeg/Pillow binding needs), the
- * metadata projection — is real and tested.
+ * Codec routing: image-mime payloads decode for REAL via the JDK's
+ * `javax.imageio` ([[ImageCodec]] — actual PNG/JPEG/GIF/BMP byte
+ * parsing: dimensions + a sampled-luminance feature grid). Audio/video
+ * still go through [[StubCodec]] (no media libraries beyond the JDK in
+ * this environment): a deterministic fake "decode" from the bytes.
+ * Everything around both — the asset schema, the partition-batched
+ * execution shape (one codec context per partition, not per row,
+ * exactly the shape a JNI/FFmpeg/Pillow binding needs), the metadata
+ * projection — is real and tested.
  */
 object Multimodal {
 
@@ -55,16 +58,67 @@ object Multimodal {
   }
 
   /**
+   * REAL image decode via the JDK's `javax.imageio` — parses the actual
+   * payload bytes (PNG/JPEG/GIF/BMP): true pixel dimensions plus an
+   * 8-float feature vector of mean luminances over a 4×2 grid (strided
+   * sampling, so a 4k image costs ~thousands of pixel reads, not
+   * millions). Unreadable bytes yield the (-1, -1, 0 frames, empty
+   * features) error row — decode failures are DATA at 100 TB (a few
+   * per million crawled images), never exceptions that kill the task.
+   */
+  object ImageCodec {
+    def decode(a: Asset): DecodedAsset = {
+      val len = if (a.payload == null) 0 else a.payload.length
+      try {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(a.payload))
+        if (img == null) throw new java.io.IOException("unrecognized format")
+        val w = img.getWidth
+        val h = img.getHeight
+        val stride = math.max(1, math.min(w, h) / 64)
+        val feats = Array.tabulate(8) { j =>
+          val gx = j % 4
+          val gy = j / 4
+          val x1 = math.max(gx * w / 4 + 1, (gx + 1) * w / 4)
+          val y1 = math.max(gy * h / 2 + 1, (gy + 1) * h / 2)
+          var s = 0L
+          var n = 0
+          var y = gy * h / 2
+          while (y < y1) {
+            var x = gx * w / 4
+            while (x < x1) {
+              val rgb = img.getRGB(x, y)
+              s += ((rgb >> 16 & 0xFF) + (rgb >> 8 & 0xFF) + (rgb & 0xFF)) / 3
+              n += 1
+              x += stride
+            }
+            y += stride
+          }
+          (s.toFloat / math.max(n, 1)) / 255f
+        }
+        DecodedAsset(a.asset_id, a.mime, len, w, h, 1, feats)
+      } catch {
+        case _: Exception =>
+          DecodedAsset(a.asset_id, a.mime, len, -1, -1, 0, Array.empty)
+      }
+    }
+  }
+
+  /**
    * Batched decode: `mapPartitions` so a real codec can amortize its
    * init (library handles, GPU context) across a whole partition — the
    * Scala-side analog of `mapInPandas` batch shape. Input partitioning is
-   * preserved; no shuffle.
+   * preserved; no shuffle. Image-mime rows hit the real [[ImageCodec]];
+   * everything else the deterministic stub.
    */
   def decodeAssets(assets: Dataset[Asset])(implicit spark: SparkSession): Dataset[DecodedAsset] = {
     import spark.implicits._
     assets.mapPartitions { it =>
       // real impl: open codec context once here, close at iterator end
-      it.map(StubCodec.decode)
+      it.map { a =>
+        if (a.mime != null && a.mime.startsWith("image")) ImageCodec.decode(a)
+        else StubCodec.decode(a)
+      }
     }
   }
 

@@ -1,0 +1,57 @@
+package graft.operators
+
+import java.util.concurrent.atomic.AtomicBoolean
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
+
+/**
+ * Query-scoped lifetime for operator-owned persists. Several operators
+ * persist an intermediate because the RETURNED (lazy) plan references
+ * it 2-3× — the signature/shingle/vector table feeding both an index
+ * build and a verification join. The operator cannot unpersist before
+ * returning (nothing has run yet), and leaving it cached leaks blocks
+ * into a long-lived session (round-2/3 review finding; Bench masks it
+ * with clearCache between queries, real sessions don't).
+ *
+ * [[releaseAfterUse]] closes the lifecycle: a one-shot
+ * `QueryExecutionListener` watches for the first completed action
+ * (success OR failure) whose analyzed plan contains the cached subtree
+ * — i.e. the caller actually ran the query — then unpersists and
+ * unregisters itself. Within that one action the cache still does its
+ * job (the N references hit the block store); after it, the session
+ * holds no operator-owned blocks (asserted by CacheLifecycleSpec).
+ *
+ * Contract: the caller runs ONE action over the returned plan (the
+ * Verify/Bench/foreachBatch shape). A second action recomputes the
+ * intermediate — correct, just uncached; callers wanting multi-action
+ * reuse own the persist themselves. Operators that run INTERNAL
+ * actions (trainCentroids/trainBooks) release with try/finally
+ * instead — a listener registered before construction-time actions
+ * would fire on them.
+ */
+object Caches {
+
+  /** Register the one-shot release listener for `cached` (already
+    * persisted by the caller); returns `cached` for chaining. */
+  def releaseAfterUse(cached: DataFrame): DataFrame = {
+    val spark = cached.sparkSession
+    val target = cached.queryExecution.analyzed
+    val listener = new QueryExecutionListener {
+      private val done = new AtomicBoolean(false)
+      private def maybe(qe: QueryExecution): Unit =
+        if (qe.analyzed.exists(_.sameResult(target)) &&
+            done.compareAndSet(false, true)) {
+          cached.unpersist(blocking = false)
+          spark.listenerManager.unregister(this)
+        }
+      override def onSuccess(funcName: String, qe: QueryExecution,
+          durationNs: Long): Unit = maybe(qe)
+      override def onFailure(funcName: String, qe: QueryExecution,
+          exception: Exception): Unit = maybe(qe)
+    }
+    spark.listenerManager.register(listener)
+    cached
+  }
+}

@@ -117,10 +117,12 @@ object Dedup {
     val rows = numHashes / bands
     // the signature table is referenced 3× in the plan (banding + both
     // sides of the verify join); persist it so the explode+agg subtree
-    // runs once. At production scale the signatures would be written to
-    // a table instead (see SCALING.md) — spill-safe either way.
-    val sigd = minhashSignatures(df, idCol, textCol, numHashes, shingleN, portable)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // runs once, released after the caller's action (Caches). At
+    // production scale the signatures would be written to a table
+    // instead (see SCALING.md) — spill-safe either way.
+    val sigd = Caches.releaseAfterUse(
+      minhashSignatures(df, idCol, textCol, numHashes, shingleN, portable)
+        .persist(StorageLevel.MEMORY_AND_DISK))
     // inverted index: (band, band-slice key) → ids. The default keys by
     // xxhash64 of the slice (8 bytes on the wire); portable mode keys by
     // the raw slice array — wider, but an equality the oracle replays.
@@ -225,8 +227,9 @@ object Dedup {
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, portable: Boolean = false): DataFrame = {
     val sigWidth = if (portable) 60 else 64
-    val sigd = simhashSignatures(df, idCol, textCol, portable)
-      .persist(StorageLevel.MEMORY_AND_DISK) // referenced via both join sides
+    val sigd = Caches.releaseAfterUse( // released after the caller's action
+      simhashSignatures(df, idCol, textCol, portable)
+        .persist(StorageLevel.MEMORY_AND_DISK)) // referenced via both join sides
     val chunkExprs = simhashChunkBounds(sigWidth, maxHamming).map { case (start, width) =>
       // width can be 64 (maxHamming = 0, one chunk = whole signature):
       // (1L << 64) wraps to 1L on the JVM, which would mask every key
@@ -263,12 +266,12 @@ object Dedup {
       n: Int = 3, threshold: Double = 0.8): DataFrame = {
     // (id, full shingle set, size) — built once, reused for the index
     // AND the verification join (no collect_list reconstruction)
-    val sets = df
+    val sets = Caches.releaseAfterUse(df
       .select(col(idCol).as("id"), T.tokens(col(textCol)).as("ts"))
       .select(col("id"),
         array_distinct(T.shinglesFromTokens(col("ts"), n)).as("set"))
       .withColumn("n_sh", size(col("set")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persist(StorageLevel.MEMORY_AND_DISK))
     val base = sets.select(col("id"), col("n_sh"), explode(col("set")).as("s"))
     // global rarity order (document frequency, shingle as tiebreak)
     val dfc = base.groupBy("s").agg(count(lit(1)).as("df"))
@@ -495,10 +498,11 @@ object Dedup {
     // unit-normalize once per vector (norm staged as attribute) so the
     // per-pair verification is a single dot product. Buckets hash the
     // RAW vector (sign bits are scale-invariant — same bucket either way).
-    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v0"),
-        V.norm(col(vecCol)).as("nrm"))
-      .select(col("id"), col("v0"), V.normalized(col("v0"), col("nrm")).as("v"))
-      .persist(StorageLevel.MEMORY_AND_DISK) // bucketing + both verify sides
+    val vecs = Caches.releaseAfterUse( // released after the caller's action
+      df.select(col(idCol).as("id"), col(vecCol).as("v0"),
+          V.norm(col(vecCol)).as("nrm"))
+        .select(col("id"), col("v0"), V.normalized(col("v0"), col("nrm")).as("v"))
+        .persist(StorageLevel.MEMORY_AND_DISK)) // bucketing + both verify sides
     val bucketExprs =
       if (portableDim > 0) (0 until tables).map(t =>
         V.lshBucketPlanes(col("v0"),

@@ -26,9 +26,17 @@ import graft.functions.{TextFunctions => T}
  * overlapping shingles — exactly n/w rows emitted per doc), corpus
  * multiplicity via ONE window count over the passage key (one shuffle;
  * the count-then-join-back form pays that shuffle twice), per-doc
- * rollup via one more keyed aggregate. At 100 TB swap the passage
- * STRING key for its 64-bit hash — same plan, 8× narrower exchange —
- * the string key here keeps the DuckDB oracle bit-exact.
+ * rollup via one more keyed aggregate.
+ *
+ * Key width: `hashKey = true` replaces the passage STRING key with its
+ * xxhash64 — the SAME two-exchange plan with an 8-byte key instead of
+ * a w-token string, the shuffle-width choice for 100 TB. A 64-bit
+ * collision (≈ n²/2⁶⁵: ~0.003 expected false pairs at 10 billion
+ * passages) can only OVER-flag a unique passage as duplicated, never
+ * miss a real duplicate — the conservative direction for dedup.
+ * String mode stays the default because the DuckDB oracle replays it
+ * bit-exactly (q90); PassageDedupSpec property-checks the two modes
+ * equal.
  */
 object PassageDedup {
 
@@ -44,10 +52,16 @@ object PassageDedup {
   }
 
   /** Per-doc duplicated-passage stats: every input doc appears once,
-    * zero-passage docs included (n_passages = 0, dup_fraction = 0). */
-  def stats(df: DataFrame, idCol: String, textCol: String, w: Int): DataFrame = {
-    val occ = passages(df, idCol, textCol, w)
-      .withColumn("occ", count(lit(1)).over(Window.partitionBy("p")))
+    * zero-passage docs included (n_passages = 0, dup_fraction = 0).
+    * `hashKey` narrows the multiplicity exchange to the 64-bit passage
+    * hash (see class scaladoc). */
+  def stats(df: DataFrame, idCol: String, textCol: String, w: Int,
+      hashKey: Boolean = false): DataFrame = {
+    val keyed = passages(df, idCol, textCol, w)
+      .select(col("id"),
+        (if (hashKey) xxhash64(col("p")) else col("p")).as("k"))
+    val occ = keyed
+      .withColumn("occ", count(lit(1)).over(Window.partitionBy("k")))
     val perDoc = occ.groupBy("id")
       .agg(count(lit(1)).as("n_passages"),
         sum(when(col("occ") >= 2, 1L).otherwise(0L)).as("n_dup"))

@@ -27,6 +27,39 @@ class MultimodalSpec extends SparkSpec {
     assert(decoded.rdd.getNumPartitions === assets.rdd.getNumPartitions)
   }
 
+  test("ImageCodec decodes real PNG/JPEG bytes: true dimensions, luminance grid, error rows") {
+    implicit val s = spark
+    import spark.implicits._
+    def render(w: Int, h: Int, fmt: String)(color: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, color(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    // 40×20 PNG, left half black / right half white — the 4×2 feature
+    // grid must read dark/dark/bright/bright per row
+    val bw = render(40, 20, "png")((x, _) => if (x < 20) 0x000000 else 0xFFFFFF)
+    val gray = render(8, 8, "jpg")((_, _) => 0x808080)
+    val assets = Seq(
+      Multimodal.Asset(1L, "image/png", bw, "t"),
+      Multimodal.Asset(2L, "image/jpeg", gray, "t"),
+      Multimodal.Asset(3L, "image/png", "not an image".getBytes("UTF-8"), "t")
+    ).toDS()
+    val d = Multimodal.decodeAssets(assets).collect().sortBy(_.asset_id)
+    // real dimensions parsed from the payload bytes, not derived from length
+    assert(d(0).width === 40 && d(0).height === 20 && d(0).n_frames === 1)
+    assert(d(0).byte_len === bw.length)
+    val f = d(0).features
+    assert(f(0) < 0.2 && f(1) < 0.2 && f(2) > 0.8 && f(3) > 0.8, f.toSeq)
+    assert(f(4) < 0.2 && f(5) < 0.2 && f(6) > 0.8 && f(7) > 0.8, f.toSeq)
+    assert(d(1).width === 8 && d(1).height === 8)
+    assert(d(1).features.forall(v => v > 0.3 && v < 0.7), d(1).features.toSeq)
+    // unreadable bytes are an error ROW, not a task failure
+    assert(d(2).width === -1 && d(2).height === -1 && d(2).features.isEmpty)
+  }
+
   test("resize keeps ids, sets target dims, bounds payload by target area") {
     implicit val s = spark
     val docs = Tables.load(spark, sf0001, "documents").limit(20)

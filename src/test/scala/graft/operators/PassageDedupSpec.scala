@@ -32,6 +32,19 @@ class PassageDedupSpec extends SparkSpec {
     assert(got === Seq((1L, 2L, 0L, 0.0), (2L, 2L, 0L, 0.0)))
   }
 
+  test("hash-key mode flags the same docs and keeps the two-exchange plan") {
+    val docs = graft.sources.Tables.load(spark, sf0001, "documents")
+    val s = PassageDedup.stats(docs, "doc_id", "text", w = 8)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val h = PassageDedup.stats(docs, "doc_id", "text", w = 8, hashKey = true)
+    assert(h.as[(Long, Long, Long, Double)].collect().toSet === s)
+    // same shape as q90's plan assertion: one exchange on the (now
+    // 8-byte) passage key, one on the doc rollup — hashing must not
+    // add a stage
+    val p = h.queryExecution.executedPlan.toString
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) === 2, p)
+  }
+
   test("passages are non-overlapping windows in token order") {
     val df = Seq((1L, "t0 t1 t2 t3 t4 t5 t6")).toDF("doc_id", "text")
     val ps = PassageDedup.passages(df, "doc_id", "text", w = 3)
