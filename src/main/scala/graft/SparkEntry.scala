@@ -1683,6 +1683,18 @@ object SparkEntry {
       FingerprintIndex.build(docs.filter(col("doc_id") % 3 =!= 0), idxDir)
       FingerprintIndex.admit(s, docs.filter(col("doc_id") % 3 === 0), idxDir)
         .orderBy(col("doc_id"))
+    }),
+
+    // IVF-PQ — q50's inverted lists stacked on q89's ADC scan, the
+    // classic two-tier ANN store (probe a partition-pruned code table,
+    // re-rank candN on real vectors). md5-picked quantizers keep every
+    // decision replayable: the oracle composes the q50 and q89 CTE
+    // chains verbatim and must match rank for rank.
+    "q103_ann_ivfpq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 10), k = 5,
+          nlist = 8, nprobe = 3, m = 4, ksub = 8, candN = 20, dim = 64)
+        .orderBy(col("query_id"), col("rank"))
     })
   )
 
@@ -2997,6 +3009,77 @@ object SparkEntry {
          SELECT b.doc_id, b.fp,
            coalesce(b.fp IN (SELECT fp FROM h), FALSE) AS dup_of_history,
            (b.doc_id <> min(b.doc_id) OVER (PARTITION BY b.fp)) AS dup_in_batch
-         FROM b ORDER BY b.doc_id"""
+         FROM b ORDER BY b.doc_id""",
+    // IVF-PQ replay = the q50 coarse-quantizer CTEs (centroid pick,
+    // argmax assignment, top-3 probes) + the q89 PQ CTEs (codebooks,
+    // argmin encode, ADC tables) with the ADC scan restricted to the
+    // probed lists; both rankings replayed with identical tiebreaks.
+    "q103_ann_ivfpq" -> {
+      val (m, subdim, ksub, candN, k) = (4, 16, 8, 20, 5)
+      val adc = (0 until m).map(j =>
+          s"list_inner_product(pr.qv[${j * subdim + 1}:${(j + 1) * subdim}], b$j.cw)")
+        .reduceLeft((a, b) => s"($a + $b)")
+      val bJoins = (0 until m).map(j =>
+        s"JOIN cbs b$j ON b$j.j = $j AND b$j.c = ec.c$j").mkString(" ")
+      val cWide = (0 until m).map(j =>
+        s"max(CASE WHEN j = $j THEN c END) AS c$j").mkString(", ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         en AS (SELECT vec_id,
+                  CASE WHEN list_inner_product(v, v) = 0 THEN v
+                       ELSE list_transform(v, x -> x / sqrt(list_inner_product(v, v)))
+                  END AS nv
+                FROM e),
+         cent AS (SELECT nv AS cv, CAST(rn - 1 AS INT) AS lid FROM (
+                    SELECT nv, row_number() OVER
+                      (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+                    FROM en) WHERE rn <= 8),
+         asn AS (SELECT item_id, lid FROM (
+                   SELECT en.vec_id AS item_id, cent.lid,
+                     row_number() OVER (PARTITION BY en.vec_id
+                       ORDER BY list_inner_product(en.nv, cent.cv) DESC, cent.lid DESC) AS rn
+                   FROM en, cent) WHERE rn = 1),
+         qn AS (SELECT vec_id AS query_id, nv AS qv FROM en WHERE vec_id < 10),
+         pr AS (SELECT query_id, qv, lid FROM (
+                  SELECT qn.query_id, qn.qv, cent.lid,
+                    row_number() OVER (PARTITION BY qn.query_id
+                      ORDER BY list_inner_product(qn.qv, cent.cv) DESC, cent.lid DESC) AS rn
+                  FROM qn, cent) WHERE rn <= 3),
+         cb AS (SELECT CAST(rn - 1 AS INT) AS code, nv FROM (
+                  SELECT nv, row_number() OVER
+                    (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+                  FROM en) WHERE rn <= $ksub),
+         js AS (SELECT unnest(${(0 until m).mkString("[", ", ", "]")}) AS j),
+         cbs AS (SELECT code AS c, j, nv[(j*$subdim+1):((j+1)*$subdim)] AS cw,
+                   list_inner_product(nv[(j*$subdim+1):((j+1)*$subdim)],
+                                      nv[(j*$subdim+1):((j+1)*$subdim)]) AS cc
+                 FROM cb CROSS JOIN js),
+         enc AS (SELECT vec_id, j, c FROM (
+                   SELECT en.vec_id, cbs.j, cbs.c,
+                     row_number() OVER (PARTITION BY en.vec_id, cbs.j
+                       ORDER BY cbs.cc - 2 * list_inner_product(
+                         en.nv[(cbs.j*$subdim+1):((cbs.j+1)*$subdim)], cbs.cw) ASC,
+                       cbs.c ASC) AS rn
+                   FROM en CROSS JOIN cbs) WHERE rn = 1),
+         ec AS (SELECT vec_id AS item_id, $cWide FROM enc GROUP BY vec_id),
+         ad AS (SELECT pr.query_id, ec.item_id, $adc AS approx
+                FROM pr JOIN asn ON asn.lid = pr.lid
+                        JOIN ec ON ec.item_id = asn.item_id $bJoins
+                WHERE ec.item_id != pr.query_id),
+         sl AS (SELECT query_id, item_id, approx FROM (
+                  SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY approx DESC, item_id ASC) AS cr
+                  FROM ad) WHERE cr <= $candN),
+         ex AS (SELECT s.query_id, s.item_id, s.approx,
+                  list_inner_product(q.qv, en2.nv) AS cos
+                FROM sl s JOIN en en2 ON en2.vec_id = s.item_id
+                          JOIN qn q ON q.query_id = s.query_id),
+         r AS (SELECT query_id, item_id, round(approx, 4) AS approx_pq,
+                 round(cos, 4) AS cos,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY ex.cos DESC, item_id) AS INT) AS rank
+               FROM ex)
+         SELECT query_id, item_id, approx_pq, cos, rank FROM r
+         WHERE rank <= $k ORDER BY query_id, rank"""
+    }
   )
 }

@@ -227,6 +227,86 @@ object Similarity {
     pqSearch(unitVecs(corpus, "item_id", "item_vec"), q, books, k, candN, subdim)
   }
 
+  /**
+   * IVF-PQ: the classic 100 TB ANN layout — [[ivfTopK]]'s inverted
+   * lists compose with [[pqTopK]]'s ADC scan. The corpus is stored as
+   * (list_id, m codes) — one zero-shuffle projection computes BOTH the
+   * coarse assignment and the PQ codes; a query probes its `nprobe`
+   * nearest lists and ADC-scores ONLY those lists' codes (cost =
+   * nprobe/nlist of the corpus × m byte-lookups per item), then the
+   * `candN` shortlist re-ranks exactly on real vectors. At 100 TB the
+   * encoded table is written `partitionBy(list_id)` so a probe is a
+   * partition-pruned scan of codes — full vectors are touched only for
+   * candN rows per query (same two-tier storage story as
+   * [[ivfTopK]]/[[pqTopK]], now stacked).
+   *
+   * `iters > 0` trains both quantizers (spherical k-means centers,
+   * per-subspace L2 k-means books) — the production configuration;
+   * `iters = 0` keeps the md5-picked deterministic form.
+   */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, m: Int = 4, ksub: Int = 8,
+      candN: Int = 20, dim: Int = 64, iters: Int = 0): DataFrame = {
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m")
+    val subdim = dim / m
+    import org.apache.spark.storage.StorageLevel
+    val q = unitVecs(queries, "query_id", "query_vec")
+    // both quantizers derive from the same bounded collects; when
+    // training, the persist spans the training actions only (the
+    // ivfTopKTrained/pqTopKTrained lifecycle discipline)
+    val (centers, books) =
+      if (iters > 0) {
+        val cp = unitVecs(corpus, "item_id", "item_vec")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        try {
+          val cs = trainCentroids(cp, hashPickCentroids(cp, nlist), iters)
+          val seeds = hashPickCentroids(cp, ksub).map(_._2)
+          val init: Seq[Seq[Seq[Double]]] =
+            (0 until m).map(j => seeds.map(_.slice(j * subdim, (j + 1) * subdim)))
+          (cs, trainBooks(cp, init, iters, subdim))
+        } finally cp.unpersist(blocking = false)
+      } else {
+        val c0 = unitVecs(corpus, "item_id", "item_vec")
+        val seeds = hashPickCentroids(c0, ksub).map(_._2)
+        (hashPickCentroids(c0, nlist),
+          (0 until m).map(j => seeds.map(_.slice(j * subdim, (j + 1) * subdim))))
+      }
+    val c = unitVecs(corpus, "item_id", "item_vec")
+    // ONE projection: coarse list + m codes — this is the stored table
+    val encoded = c.select(col("item_id") +:
+      array_max(centScores(centers, col("item_vec"))).getField("lid").as("list_id") +:
+      (0 until m).map(j => pqCode(books, j, col("item_vec"), subdim).as(s"code$j")): _*)
+    // query side: nprobe probes + the ADC tables, broadcast together
+    val probes = q.select(col("query_id") +: col("query_vec") +:
+      explode(slice(reverse(array_sort(centScores(centers, col("query_vec")))), 1, nprobe))
+        .as("probe") +:
+      (0 until m).map(j => array(books(j).map(cw =>
+        V.dot(slice(col("query_vec"), j * subdim + 1, subdim), typedlit(cw))): _*)
+        .as(s"qtab$j")): _*)
+      .select(col("query_id") +: col("probe.lid").as("list_id") +:
+        (0 until m).map(j => col(s"qtab$j")): _*)
+    val approx = (0 until m)
+      .map(j => element_at(col(s"qtab$j"), col(s"code$j") + 1))
+      .reduceLeft(_ + _)
+    // ADC only within the probed lists; one item sits in exactly one
+    // list, so probe fan-out never duplicates a (query, item) pair
+    val cand = encoded.join(broadcast(probes), Seq("list_id"))
+      .filter(col("query_id") =!= col("item_id"))
+      .select(col("query_id"), col("item_id"), approx.as("approx"))
+    val shortlist = TopK.perGroup(cand, Seq("query_id"),
+      Seq(("approx", false), ("item_id", true)), candN, "cand_rank")
+    val exact = shortlist
+      .join(c, "item_id")
+      .join(broadcast(q), "query_id")
+      .select(col("query_id"), col("item_id"), col("approx"),
+        V.dot(col("query_vec"), col("item_vec")).as("cos"))
+    TopK.perGroup(exact, Seq("query_id"),
+        Seq(("cos", false), ("item_id", true)), k, "rank")
+      .select(col("query_id"), col("item_id"),
+        round(col("approx"), 4).as("approx_pq"),
+        round(col("cos"), 4).as("cos"), col("rank"))
+  }
+
   /** argmin-code of subspace j under `books`: argmin_c |x_j − c|² =
     * argmin_c (|c|² − 2·x_j·c) via struct-compare; |c|² is a plan-time
     * sequential fold — ZERO shuffle, codegen'd. */

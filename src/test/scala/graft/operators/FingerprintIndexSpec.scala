@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The daily-crawl loop: build the standing index once, admit each new
+  * batch against it, fold the admitted docs back in with append — and
+  * the index only ever grows by NEW fingerprints. */
+class FingerprintIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("build → admit → append models the daily-crawl loop") {
+    val idx = java.nio.file.Files.createTempDirectory("fpidx").toString + "/idx"
+    val day0 = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "one two three four")).toDF("doc_id", "text")
+    FingerprintIndex.build(day0, idx)
+    // day 1: 3 duplicates history, 4/5 duplicate each other, 6 is fresh
+    val day1 = Seq(
+      (3L, "alpha beta gamma delta"),
+      (4L, "five six seven eight"),
+      (5L, "five six seven eight"),
+      (6L, "nine ten eleven twelve")).toDF("doc_id", "text")
+    val a1 = FingerprintIndex.admit(spark, day1, idx)
+      .as[(Long, Long, Boolean, Boolean)].collect().sortBy(_._1)
+    assert(a1.map(r => (r._1, r._3, r._4)).toSeq === Seq(
+      (3L, true, false),   // dup_of_history
+      (4L, false, false),  // first of the in-batch pair wins
+      (5L, false, true),   // dup_in_batch
+      (6L, false, false)))
+    // fold the admitted docs in; the same texts are history dups tomorrow
+    val keep = day1.filter(col("doc_id").isin(4L, 6L))
+    FingerprintIndex.append(spark, keep, idx)
+    val day2 = Seq(
+      (7L, "five six seven eight"),
+      (8L, "nine ten eleven twelve"),
+      (9L, "fresh text entirely new")).toDF("doc_id", "text")
+    val a2 = FingerprintIndex.admit(spark, day2, idx)
+      .as[(Long, Long, Boolean, Boolean)].collect().sortBy(_._1)
+    assert(a2.map(r => (r._1, r._3)).toSeq ===
+      Seq((7L, true), (8L, true), (9L, false)))
+    // append is anti-joined: re-appending the same docs adds nothing
+    val n1 = spark.read.parquet(idx).count()
+    FingerprintIndex.append(spark, keep, idx)
+    assert(spark.read.parquet(idx).count() === n1)
+  }
+}

@@ -151,6 +151,44 @@ class SimilaritySpec extends SparkSpec {
     assert(d1 < d0 * 0.5, s"distortion init=$d0 trained=$d1")
   }
 
+  test("ivfPqTopK with exhaustive probes and shortlist equals brute force") {
+    // nprobe = nlist and candN = |corpus|: neither tier can prune a
+    // true neighbor away, so the stacked layout must be bit-equal to
+    // the exact baseline — the composition's correctness anchor.
+    val queries = emb.filter(col("vec_id") < 3)
+    val n = emb.count().toInt
+    val out = Similarity.ivfPqTopK(emb, queries, k = 5, nlist = 4,
+        nprobe = 4, m = 4, ksub = 8, candN = n, dim = 64)
+      .select("query_id", "item_id", "cos", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(out === exact)
+  }
+
+  test("trained ivfPqTopK keeps recall while probing a fraction of the lists") {
+    // 8 clusters; nprobe 2 of 8 lists means ~75% of the corpus is never
+    // ADC-scored, and candN = cluster size routes the shortlist — the
+    // two-tier pruning working together on structured data.
+    val rnd = new scala.util.Random(41)
+    val dirs = Seq.tabulate(8) { c =>
+      Array.tabulate(16)(d => if (d % 8 == c) 1.0 else 0.05 * rnd.nextGaussian())
+    }
+    val rows = (0 until 200).map { i =>
+      val c = i % 8
+      (i.toLong, dirs(c).map(x => x + 0.08 * rnd.nextGaussian()).toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") < 8)
+    val exact = Similarity.bruteForceTopK(df, queries, k = 5)
+      .select("query_id", "item_id").as[(Long, Long)].collect().toSet
+    val out = Similarity.ivfPqTopK(df, queries, k = 5, nlist = 8,
+        nprobe = 2, m = 4, ksub = 8, candN = 25, dim = 16, iters = 5)
+      .select("query_id", "item_id").as[(Long, Long)].collect().toSet
+    val recall = out.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall=$recall")
+  }
+
   test("lshTopK recall: approximate top-1 appears in exact top-5") {
     val queries = emb.filter(col("vec_id") < 3)
     val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
