@@ -24,15 +24,19 @@ object Bench {
       df.write.format("noop").mode("overwrite").save()
     try run(SparkEntry.queries("q01_agg")(spark, sfDir)) // JVM warm-up
     catch { case _: Throwable => () }
-    // min of 2 runs per query: the first run pays codegen compilation
-    // and builds operator-internal persists; the second measures steady
-    // state (warm persists kept across the two runs). Cache is cleared
-    // BETWEEN queries so one query's persisted intermediates don't
-    // squeeze the next one's memory. Background load on this machine
-    // swings single-shot numbers 3× — min-of-2 was not always enough
-    // (round 3 showed 4-6× phantom regressions on untouched plans), so
-    // when the two samples disagree by >1.5× we take a third: the extra
-    // pass goes only to measurements the noise actually hit.
+    // min of 2 runs per query: the first run pays codegen compilation;
+    // the second measures steady state. Since round 4, operator-owned
+    // persists release at query completion (Caches.releaseAfterUse), so
+    // the second run REBUILDS signature/shingle caches instead of
+    // free-riding on blocks leaked across runs — dedup-family numbers
+    // are ~2-8× higher than rounds 2/3 and are the honest per-run cost
+    // (the r2/r3 "fast" numbers measured a cache that outlived its
+    // query, the exact leak round 4 fixed). Cache is still cleared
+    // BETWEEN queries. Background load on this machine swings
+    // single-shot numbers 3× — min-of-2 was not always enough (round 3
+    // showed 4-6× phantom regressions on untouched plans), so when the
+    // two samples disagree by >1.5× we take a third: the extra pass
+    // goes only to measurements the noise actually hit.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
-import graft.operators.{AsOfJoin, CdcMaterializer, ChoiceResolver, Clustering, Dedup, FingerprintIndex, Merge, PassageDedup, RangeJoin, Similarity, StreamSplitter}
+import graft.operators.{AsOfJoin, Bucketing, CdcMaterializer, ChoiceResolver, Clustering, Dedup, FingerprintIndex, Merge, PassageDedup, RangeJoin, Similarity, StreamSplitter}
 import graft.functions.{PortableHash, TextFunctions => T}
 import graft.multimodal.Multimodal
 
@@ -1695,6 +1695,30 @@ object SparkEntry {
       Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 10), k = 5,
           nlist = 8, nprobe = 3, m = 4, ksub = 8, candN = 20, dim = 64)
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // bucketed co-located join: both sides pre-shuffled at WRITE time
+    // (bucketBy into the metastore), so the daily repeated join reuses
+    // the on-disk HashPartitioning — zero exchanges on either join side
+    // (BucketingSpec plan-asserts with broadcast disabled; at this sf
+    // the planner may still elect broadcast — also exchange-free). The
+    // oracle replays the plain join: layout must not change results.
+    "q104_bucketed_join" -> ((s, dir) => {
+      val suf = Integer.toHexString(dir.hashCode)
+      Bucketing.writeBucketed(
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice")),
+        s"bkt_orders_$suf", "o_custkey", buckets = 8)
+      Bucketing.writeBucketed(
+        t(s, dir, "customer").select(col("c_custkey").as("o_custkey"),
+          col("c_mktsegment")),
+        s"bkt_customer_$suf", "o_custkey", buckets = 8)
+      Bucketing.colocatedJoin(s, s"bkt_orders_$suf", s"bkt_customer_$suf",
+          "o_custkey")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec(col("o_totalprice"))).cast("double").as("total"))
+        .orderBy(col("c_mktsegment"))
     })
   )
 
@@ -3080,6 +3104,12 @@ object SparkEntry {
                FROM ex)
          SELECT query_id, item_id, approx_pq, cos, rank FROM r
          WHERE rank <= $k ORDER BY query_id, rank"""
-    }
+    },
+    // the bucketed layout must be invisible to results: plain join.
+    "q104_bucketed_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment"""
   )
 }

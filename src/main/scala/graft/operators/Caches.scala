@@ -33,19 +33,45 @@ import org.apache.spark.sql.util.QueryExecutionListener
  */
 object Caches {
 
+  /** Latest owner token per canonicalized cached plan. The listener
+    * bus is ASYNCHRONOUS: when Bench rebuilds the same query for its
+    * second run, construction N's not-yet-delivered event must not
+    * unpersist the cache entry construction N+1 just re-created for
+    * the identical canonical plan (observed as erratic 3× slowdowns:
+    * the late listener killed the successor's cache mid-query). A new
+    * registration SUPERSEDES the previous listener — a superseded
+    * listener unregisters without touching the (now successor-owned)
+    * cache entry. Registration and release synchronize on this map, so
+    * a check-then-unpersist can't interleave with a new registration. */
+  private val owners =
+    new java.util.concurrent.ConcurrentHashMap[Any, AnyRef]()
+
   /** Register the one-shot release listener for `cached` (already
     * persisted by the caller); returns `cached` for chaining. */
   def releaseAfterUse(cached: DataFrame): DataFrame = {
+    // escape hatch for callers that deliberately reuse caches across
+    // actions/runs and clear them session-wide themselves
+    if (sys.env.contains("GRAFT_KEEP_CACHES")) return cached
     val spark = cached.sparkSession
     val target = cached.queryExecution.analyzed
+    val key = (System.identityHashCode(spark), target.canonicalized)
+    val token = new Object
+    owners.synchronized { owners.put(key, token) }
     val listener = new QueryExecutionListener {
       private val done = new AtomicBoolean(false)
-      private def maybe(qe: QueryExecution): Unit =
-        if (qe.analyzed.exists(_.sameResult(target)) &&
+      private def maybe(qe: QueryExecution): Unit = {
+        if (owners.get(key) ne token) {
+          // a rebuilt construction took ownership of this cache entry
+          if (done.compareAndSet(false, true))
+            spark.listenerManager.unregister(this)
+        } else if (qe.analyzed.exists(_.sameResult(target)) &&
             done.compareAndSet(false, true)) {
-          cached.unpersist(blocking = false)
+          owners.synchronized {
+            if (owners.remove(key, token)) cached.unpersist(blocking = false)
+          }
           spark.listenerManager.unregister(this)
         }
+      }
       override def onSuccess(funcName: String, qe: QueryExecution,
           durationNs: Long): Unit = maybe(qe)
       override def onFailure(funcName: String, qe: QueryExecution,
