@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-import graft.functions.expressions.{DotProduct, FreqItemsAgg, LongArrayMatchCount, MinHashSigAgg, SimHashSigAgg}
+import graft.functions.expressions.{DotProduct, FreqItemsAgg, H60Hash, LongArrayMatchCount, MinHashSigAgg, SimHashSigAgg}
 
 /**
  * Registration of the engine's native Catalyst expressions as SQL
@@ -24,6 +24,7 @@ object GraftFunctions {
   val BloomAggName   = "graft_bloom_agg"
   val MightContainName = "graft_might_contain"
   val FreqItemsName = "graft_freq_items"
+  val H60Name = "graft_h60"
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -50,6 +51,8 @@ object GraftFunctions {
       exprs => FreqItemsAgg(exprs(0),
         graft.GraftExtensions.foldableIntArgExact(FreqItemsName, exprs, 1))
         .toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction(H60Name,
+      exprs => H60Hash(exprs(0)), "built-in")
   }
 
   /** Codegen'd dot product (double) of two float/double arrays. */
@@ -69,6 +72,9 @@ object GraftFunctions {
   /** Misra-Gries frequent-items summary aggregate (see FreqItemsAgg). */
   def graftFreqItems(item: Column, k: Int): Column =
     call_function(FreqItemsName, item, org.apache.spark.sql.functions.lit(k))
+
+  /** Native portable 60-bit md5 hash (see [[expressions.H60Hash]]). */
+  def graftH60(s: Column): Column = call_function(H60Name, s)
 
   /** Bloom filter (binary) aggregate over a long-hash column. */
   def graftBloomAgg(h: Column, expectedItems: Long): Column =

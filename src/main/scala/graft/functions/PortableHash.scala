@@ -29,9 +29,11 @@ object PortableHash {
   /** 2^31 − 1, the Mersenne prime the MinHash permutations work mod. */
   val P: Long = 2147483647L
 
-  /** Portable 60-bit hash of a string column (first 15 hex chars of md5). */
-  def h60(c: Column): Column =
-    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+  /** Portable 60-bit hash of a string column (first 15 hex chars of
+    * md5) — the native [[graft.functions.expressions.H60Hash]] kernel;
+    * bit-identical to `conv(substring(md5(s), 1, 15), 16, 10)`
+    * (H60Properties) at ~3× less cost per call. */
+  def h60(c: Column): Column = GraftFunctions.graftH60(c.cast("string"))
 
   /** [[h60]] reduced mod P — the portable shingle-hash for MinHash. */
   def hmodP(c: Column): Column = h60(c) % P
