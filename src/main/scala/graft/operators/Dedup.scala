@@ -322,6 +322,17 @@ object Dedup {
    * high-diameter components (not the dedup case) use
    * [[connectedComponentsStar]] — O(log n) rounds, same join primitive.
    */
+  /** Free the block-manager storage behind a localCheckpoint'd frame
+    * whose snapshot is DEAD (a successor round is already materialized).
+    * The truncated lineage cannot recompute — only ever call this on
+    * frames nothing references anymore. */
+  private def dropCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case r: org.apache.spark.sql.execution.LogicalRDD =>
+        r.rdd.unpersist(blocking = false); ()
+      case _ => ()
+    }
+
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
@@ -339,6 +350,7 @@ object Dedup {
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
+      val prev = labels
       // null sentinel, not a typed MAX constant: min() ignores nulls and
       // every id has exactly one labels row, so min(old) = previous
       // label for ANY orderable id type (a Long.MaxValue sentinel would
@@ -353,6 +365,12 @@ object Dedup {
         .groupBy("id").agg(min("comp").as("comp"), min("old").as("old"))
         .localCheckpoint(true)
       changed = next.filter(col("comp") < col("old")).count()
+      // the previous round's snapshot is dead once `next` materialized
+      // (eager checkpoint): free its blocks instead of letting every
+      // round's label table sit in the block manager until GC — in a
+      // long session repeated CC calls otherwise accumulate O(calls ×
+      // rounds) dead snapshots. The RETURNED snapshot is never dropped.
+      dropCheckpoint(prev)
       labels = next.select("id", "comp")
       i += 1
     }
@@ -412,6 +430,10 @@ object Dedup {
       val next = small.filter(col("u") =!= col("v")).distinct()
         .localCheckpoint(true)
       val nextSig = checksum(next)
+      // both the intermediate large-star snapshot and the previous
+      // round's edge snapshot are dead once `next` is materialized
+      dropCheckpoint(afterLarge)
+      dropCheckpoint(edges)
       edges = next
       stable = nextSig == sig
       sig = nextSig
