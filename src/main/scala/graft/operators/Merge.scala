@@ -98,10 +98,17 @@ object Merge {
         else fs.delete(st.getPath, true) // stale park: crash after promote
       }
     }
-    // the changed-partition list: bounded, catalog-scale metadata
-    val touched = changes.select(col(partCol).cast("string")).na.drop()
-      .distinct().collect().map(_.getString(0)).toSeq.sorted
-    require(touched.nonEmpty, "changes carry no non-null partition values")
+    // the changed-partition list: bounded, catalog-scale metadata. One
+    // pass also enforces the non-null contract — a null partCol row
+    // would otherwise be silently unroutable (its partition unknowable,
+    // its data never merged).
+    val touchedRaw = changes.select(col(partCol).cast("string"))
+      .distinct().collect().map(r => Option(r.getString(0))).toSeq
+    require(!touchedRaw.contains(None),
+      s"changes carry rows with null '$partCol' — every change (D included) " +
+        "must name its partition")
+    val touched = touchedRaw.flatten.sorted
+    require(touched.nonEmpty, "changes carry no partition values")
     val dataSchema = changes.drop(opCol)
     val hasLive = fs.exists(dir) &&
       fs.listStatus(dir).exists(st => st.isDirectory &&

@@ -147,6 +147,32 @@ class MergeSinkSpec extends SparkSpec {
     assert(!fs.exists(parked))
   }
 
+  test("partition values with filesystem-hostile characters round-trip the swap") {
+    // '=' , '/' and space must escape in the partition dir name exactly
+    // the way Spark's own writer escapes them, or the swap renames the
+    // wrong directory
+    val dir = tmp("mergesink-partesc") + "/snap"
+    val b1 = Seq((1L, "I", "a", "e n=/x", 1L), (2L, "I", "b", "de", 2L))
+      .toDF("k", "op", "name", "lang", "seq")
+    MergeSink.applyBatch(spark, b1, dir, "k", "op", "seq", Some("lang"))
+    val b2 = Seq((1L, "U", "a2", "e n=/x", 3L)).toDF("k", "op", "name", "lang", "seq")
+    MergeSink.applyBatch(spark, b2, dir, "k", "op", "seq", Some("lang"))
+    val got = spark.read.parquet(dir)
+      .select("k", "name", "lang").orderBy("k")
+      .as[(Long, String, String)].collect().toSeq
+    assert(got === Seq((1L, "a2", "e n=/x"), (2L, "b", "de")))
+  }
+
+  test("a null partition value in the change set is rejected, not dropped") {
+    val dir = tmp("mergesink-partnull") + "/snap"
+    val b = Seq((1L, "I", "a", null.asInstanceOf[String], 1L))
+      .toDF("k", "op", "name", "lang", "seq")
+    val e = intercept[IllegalArgumentException] {
+      MergeSink.applyBatch(spark, b, dir, "k", "op", "seq", Some("lang"))
+    }
+    assert(e.getMessage.contains("null 'lang'"))
+  }
+
   test("intra-batch multi-versions compact by seq before merging") {
     val dir = tmp("mergesink-seq") + "/snap"
     // same key three times in one batch; highest seq (a delete) wins
