@@ -65,4 +65,32 @@ object Tables {
       }
     }
   }
+
+  /**
+   * ANALYZE every registered `db` table (row count + per-column NDV /
+   * min / max / null counts into the metastore). At 100 TB the
+   * cost-based optimizer's join-strategy and join-REORDER decisions
+   * hang off these statistics — file size alone mis-sizes selective
+   * dimension tables (a filtered scan of a wide table can be tiny), so
+   * a catalog without stats forces the planner into worst-case
+   * assumptions. Run once after registration/refresh, like the
+   * reference's crawler publishing table metadata alongside locations.
+   */
+  def analyzeAll(spark: SparkSession, db: String = "graft"): Unit =
+    all.foreach { n =>
+      // column stats only exist for scalar types — skip array/map/struct
+      // columns (e.g. embeddings.embedding) rather than failing the table
+      import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+      val atomic = spark.table(s"$db.$n").schema.fields.collect {
+        case f if !f.dataType.isInstanceOf[ArrayType] &&
+            !f.dataType.isInstanceOf[MapType] &&
+            !f.dataType.isInstanceOf[StructType] =>
+          s"`${f.name}`"
+      }
+      if (atomic.isEmpty)
+        spark.sql(s"ANALYZE TABLE $db.$n COMPUTE STATISTICS")
+      else
+        spark.sql(s"ANALYZE TABLE $db.$n COMPUTE STATISTICS " +
+          s"FOR COLUMNS ${atomic.mkString(", ")}")
+    }
 }

@@ -147,6 +147,28 @@ class MergeSinkSpec extends SparkSpec {
     assert(!fs.exists(parked))
   }
 
+  test("streaming mergeInto with partitionCol routes batches through the partition-scoped path") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String, String, Long)]
+    val changes = mem.toDF().toDF("k", "op", "name", "lang", "seq")
+    val dir = tmp("mergesink-stream-part") + "/snap"
+    val q = MergeSink.mergeInto(changes, dir, "k", "op", "seq",
+      checkpoint = tmp("mergesink-stream-part-ckpt"),
+      trigger = Trigger.ProcessingTime(0), partitionCol = Some("lang"))
+    mem.addData((1L, "I", "a", "en", 1L), (2L, "I", "b", "de", 2L))
+    q.processAllAvailable()
+    val deBefore = fileSig(s"$dir/lang=de")
+    mem.addData((1L, "U", "a2", "en", 3L), (3L, "I", "c", "en", 4L))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(dir)
+      .select("k", "name", "lang").orderBy("k")
+      .as[(Long, String, String)].collect().toSeq
+    assert(got === Seq((1L, "a2", "en"), (2L, "b", "de"), (3L, "c", "en")))
+    // the de partition was untouched by batch 2
+    assert(fileSig(s"$dir/lang=de") === deBefore)
+  }
+
   test("partition values with filesystem-hostile characters round-trip the swap") {
     // '=' , '/' and space must escape in the partition dir name exactly
     // the way Spark's own writer escapes them, or the swap renames the
