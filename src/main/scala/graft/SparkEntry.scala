@@ -1704,17 +1704,28 @@ object SparkEntry {
     // the planner may still elect broadcast — also exchange-free). The
     // oracle replays the plain join: layout must not change results.
     "q104_bucketed_join" -> ((s, dir) => {
+      // per-JVM scratch DATABASE (location under tmpdir, wiped by the
+      // jvmToken exit hook): the default warehouse path is shared by
+      // concurrent driver processes, and two overwriting saveAsTable
+      // writers would race on the same directory (the q95 scratch
+      // lesson applied to managed tables). The session catalog itself
+      // is in-memory per process, so only the DIRECTORY needs isolating.
+      val bdb = s"bkt_$jvmToken"
+      val bloc = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_bkt_${Integer.toHexString(dir.hashCode)}_$jvmToken")
+        .getAbsolutePath
+      s.sql(s"CREATE DATABASE IF NOT EXISTS $bdb LOCATION '$bloc'")
       val suf = Integer.toHexString(dir.hashCode)
       Bucketing.writeBucketed(
         t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
           col("o_totalprice")),
-        s"bkt_orders_$suf", "o_custkey", buckets = 8)
+        s"$bdb.bkt_orders_$suf", "o_custkey", buckets = 8)
       Bucketing.writeBucketed(
         t(s, dir, "customer").select(col("c_custkey").as("o_custkey"),
           col("c_mktsegment")),
-        s"bkt_customer_$suf", "o_custkey", buckets = 8)
-      Bucketing.colocatedJoin(s, s"bkt_orders_$suf", s"bkt_customer_$suf",
-          "o_custkey")
+        s"$bdb.bkt_customer_$suf", "o_custkey", buckets = 8)
+      Bucketing.colocatedJoin(s, s"$bdb.bkt_orders_$suf",
+          s"$bdb.bkt_customer_$suf", "o_custkey")
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n_orders"),
           sum(dec(col("o_totalprice"))).cast("double").as("total"))
