@@ -1730,6 +1730,29 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_orders"),
           sum(dec(col("o_totalprice"))).cast("double").as("total"))
         .orderBy(col("c_mktsegment"))
+    }),
+
+    // the SEEDED fold re-draw (q99's advice follow-up) under the same
+    // hard oracle: hashing id:seed must give a different — but equally
+    // deterministic, engine-replayable — 80/10/10 assignment.
+    "q105_dataset_split_seeded" -> ((s, dir) => {
+      val counts = t(s, dir, "documents")
+        .select(col("lang"),
+          operators.DatasetSplit.splitCol(col("doc_id"), seed = "fold2").as("split"))
+        .groupBy("lang", "split").agg(count(lit(1)).as("n_docs"))
+      counts
+        .withColumn("share", round(col("n_docs")
+          / sum(col("n_docs")).over(Window.partitionBy("lang")).cast("double"), 4))
+        .orderBy(col("lang"), col("split"))
+    }),
+
+    // SemDeDup-shaped semantic dedup: coarse-quantizer clusters bound
+    // the pairwise candidate set (zero-shuffle literal-centroid
+    // assignment, the q96 quantizer), greedy first-wins keep-list
+    // within each cluster (the q91 admission rule).
+    "q106_semantic_dedup" -> ((s, dir) => {
+      Dedup.semanticDedup(t(s, dir, "embeddings"), k = 8, threshold = 0.95)
+        .orderBy(col("vec_id"))
     })
   )
 
@@ -3121,6 +3144,51 @@ object SparkEntry {
       """SELECT c_mktsegment, count(*) AS n_orders,
            CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
          FROM orders JOIN customer ON o_custkey = c_custkey
-         GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    // seeded split replay: same portable hash over id || ':fold2'.
+    "q105_dataset_split_seeded" ->
+      s"""WITH bk AS (
+           SELECT lang,
+             ${graft.functions.PortableHash.sqlH60("CAST(doc_id AS VARCHAR) || ':fold2'")} % 100 AS bucket
+           FROM documents),
+         s AS (
+           SELECT lang,
+             CASE WHEN bucket < 80 THEN 'train'
+                  WHEN bucket < 90 THEN 'val'
+                  ELSE 'test' END AS split
+           FROM bk),
+         c AS (SELECT lang, split, count(*) AS n_docs FROM s GROUP BY 1, 2)
+         SELECT lang, split, n_docs,
+           round(n_docs / CAST(sum(n_docs) OVER (PARTITION BY lang) AS DOUBLE), 4) AS share
+         FROM c ORDER BY lang, split""",
+    // semantic-dedup replay: the q96 quantizer CTEs (md5-first centroid
+    // pick, argmax assignment with the identical d DESC, lid DESC
+    // tiebreak) + within-cluster pairwise cosine and the greedy
+    // lower-id-wins drop rule.
+    "q106_semantic_dedup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         en AS (SELECT vec_id,
+                  CASE WHEN list_inner_product(v, v) = 0 THEN v
+                       ELSE list_transform(v, x -> x / sqrt(list_inner_product(v, v)))
+                  END AS nv
+                FROM e),
+         cent AS (SELECT nv AS cv, CAST(rn - 1 AS INT) AS lid FROM (
+                    SELECT nv, row_number() OVER
+                      (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+                    FROM en) WHERE rn <= 8),
+         asn AS (SELECT item_id, lid FROM (
+                   SELECT en.vec_id AS item_id, cent.lid,
+                     row_number() OVER (PARTITION BY en.vec_id
+                       ORDER BY list_inner_product(en.nv, cent.cv) DESC, cent.lid DESC) AS rn
+                   FROM en, cent) WHERE rn = 1),
+         drops AS (SELECT DISTINCT b.item_id AS vec_id
+                   FROM asn a JOIN asn b ON a.lid = b.lid AND a.item_id < b.item_id
+                   JOIN en ea ON ea.vec_id = a.item_id
+                   JOIN en eb ON eb.vec_id = b.item_id
+                   WHERE round(list_inner_product(ea.nv, eb.nv), 4) >= 0.95)
+         SELECT asn.item_id AS vec_id, asn.lid AS cluster_id,
+           (drops.vec_id IS NULL) AS keep
+         FROM asn LEFT JOIN drops ON drops.vec_id = asn.item_id
+         ORDER BY vec_id"""
   )
 }

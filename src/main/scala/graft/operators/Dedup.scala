@@ -546,4 +546,52 @@ object Dedup {
         round(V.dot(col("va"), col("vb")), 4).as("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  /**
+   * Semantic dedup, SemDeDup-shaped (Abbas et al. 2023, "SemDeDup: Data-
+   * efficient learning at web-scale through semantic deduplication"):
+   * cluster the corpus with the coarse quantizer, then compare pairs
+   * ONLY within a cluster — the cluster bounds the candidate set the way
+   * an LSH bucket does, but by learned/derived geometry rather than
+   * random hyperplanes, so it also catches near-dups LSH tables miss.
+   *
+   * Output is one row per vector: (vec_id, cluster_id, keep). A vector
+   * is dropped when a lower-id clustermate sits within `threshold`
+   * cosine — the same greedy first-wins admission rule as incremental
+   * dedup (q91): deterministic, order-free, engine-replayable. (SemDeDup
+   * proper keeps the member farthest from the centroid; id-order is the
+   * reproducible stand-in and changes only WHICH dup survives, never how
+   * many.)
+   *
+   * Scale shape: centroids ship as plan-time literals (bounded k×dim
+   * collect — the [[Similarity.ivfTopK]] quantizer reused), so
+   * assignment is a zero-shuffle codegen'd map; the ONE shuffle is the
+   * self-join on cluster_id. Pairwise cost is Σ m_c² with k chosen so
+   * clusters stay ~10³-10⁴ vectors (k grows with the corpus — SemDeDup
+   * uses k≈10⁵ for 10⁹ embeddings); skewed giant clusters split by
+   * raising k or pre-collapsing exact dups ([[nearDupCollapsed]]).
+   */
+  def semanticDedup(df: DataFrame, k: Int = 8,
+      threshold: Double = 0.95): DataFrame = {
+    val c = Similarity.unitVecs(df, "id", "v")
+    val centers = Similarity.hashPickCentroids(
+      c.select(col("id").as("item_id"), col("v").as("item_vec")), k)
+    // normalize + assign once; both the pair join's sides and the final
+    // keep-list read it (released after the caller's action).
+    val assigned = Caches.releaseAfterUse(
+      c.withColumn("cluster_id",
+          array_max(Similarity.centScores(centers, col("v"))).getField("lid"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val dropped = assigned
+      .select(col("cluster_id"), col("id").as("id_a"), col("v").as("va"))
+      .join(assigned.select(col("cluster_id"), col("id").as("id_b"),
+        col("v").as("vb")), Seq("cluster_id"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(round(V.dot(col("va"), col("vb")), 4) >= threshold)
+      .select(col("id_b").as("id")).distinct()
+    assigned.select(col("id"), col("cluster_id"))
+      .join(dropped.withColumn("__drop", lit(true)), Seq("id"), "left")
+      .select(col("id").as("vec_id"), col("cluster_id"),
+        col("__drop").isNull.as("keep"))
+  }
 }

@@ -159,6 +159,28 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("semanticDedup drops near-identical clustermates, keeps lowest id") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      // exactly collinear with 0 (scaled): same-direction vectors tie on
+      // every centroid score, so the lid tiebreak puts them in ONE
+      // cluster no matter which vectors the md5 pick makes centroids. (A
+      // merely-NEAR dup can become its own centroid and straddle the
+      // cluster boundary — SemDeDup's documented recall trade-off, not a
+      // stable test target.)
+      (1L, Array(0.5f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(2.0f, 0.0f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f))    // orthogonal
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedup(vecs, k = 2, threshold = 0.95)
+    assert(out.count() === 4) // one row per vector, keep flag not a filter
+    val keep = out.filter(col("keep")).select("vec_id").as[Long].collect().toSet
+    assert(keep === Set(0L, 3L)) // 1 and 2 lose to lower-id 0
+    // an impossible threshold keeps everything
+    val all = Dedup.semanticDedup(vecs, k = 2, threshold = 1.5)
+    assert(all.filter(col("keep")).count() === 4)
+  }
+
   test("both components variants are id-type generic: string-keyed chain") {
     // 'z' > Long.MaxValue's decimal string — catches a typed sentinel
     // coercing to string and breaking the convergence comparison
