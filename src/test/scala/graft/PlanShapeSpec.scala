@@ -84,6 +84,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(hashExchanges === 2, p)
   }
 
+  test("q106: semantic-dedup pair generation is cluster-bounded — no all-pairs product") {
+    val p = plan("q106_semantic_dedup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the self-join keys on cluster_id — the quantizer bucket is the
+    // candidate bound, exactly like an LSH band join
+    assert(p.contains("cluster_id"), p)
+  }
+
   test("q102: indexed admission scans the batch once and the narrow index once — no history text rescan") {
     val df = SparkEntry.queries("q102_indexed_dedup")(spark, sf0001)
     val p = df.queryExecution.explainString(
