@@ -57,6 +57,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.expressions.FreqItemsAgg(exprs(0),
           GraftExtensions.foldableIntArgExact("graft_freq_items", exprs, 1))
           .toAggregateExpression()))
+    e.injectFunction((FunctionIdentifier("graft_h60"),
+      new ExpressionInfo(classOf[graft.functions.expressions.H60Hash].getName,
+        "graft_h60"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.expressions.H60Hash(exprs(0))))
     e.injectFunction((FunctionIdentifier("graft_might_contain"),
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,

@@ -882,8 +882,7 @@ object SparkEntry {
       // use the Caches one-shot release, which needs the caller's action
       // to be the first one touching the cache)
       val base = operators.Caches.releaseAfterUse(
-        docs.select(col("doc_id"), T.tokens(col("text")).as("ts"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        docs.select(col("doc_id"), T.tokens(col("text")).as("ts")))
       val bg = base
         .select(col("doc_id"), explode(T.shinglesFromTokens(col("ts"), 2)).as("b"))
         .select(col("doc_id"),
@@ -921,8 +920,7 @@ object SparkEntry {
     // is the query a user of the library actually ships.
     "q86_pipeline_report" -> ((s, dir) => {
       val docs = operators.Caches.releaseAfterUse(t(s, dir, "documents")
-        .select(col("doc_id"), col("lang"), col("text"), T.tokens(col("text")).as("ts"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        .select(col("doc_id"), col("lang"), col("text"), T.tokens(col("text")).as("ts")))
       // stage 1: quality gate (length + digit-density), integer-exact
       val quality = docs.filter(size(col("ts")) >= 20 &&
         lit(10) * size(regexp_extract_all(col("text"), lit("[0-9]"), lit(0)))
@@ -933,8 +931,7 @@ object SparkEntry {
       // stage 3: decontamination — distinct 5-gram containment vs the
       // held-out bench set (doc_id < 10), integer compare 2·hits < n_sh
       val sh = operators.Caches.releaseAfterUse(docs.select(col("doc_id"),
-          array_distinct(T.shinglesFromTokens(col("ts"), 5)).as("sh"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+          array_distinct(T.shinglesFromTokens(col("ts"), 5)).as("sh")))
       val ex = sh.select(col("doc_id"), explode(col("sh")).as("g"))
       val bench = ex.filter(col("doc_id") < 10).select("g").distinct()
       val hits = ex.join(broadcast(bench), Seq("g"), "left_semi")
@@ -1069,8 +1066,7 @@ object SparkEntry {
         .select(col("doc_id"), T.tokens(col("text")).as("ts"))
         .select(col("doc_id"), size(col("ts")).cast("long").as("n_tokens"),
           T.shinglesFromTokens(col("ts"), 3).as("s3"),
-          T.shinglesFromTokens(col("ts"), 2).as("s2"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+          T.shinglesFromTokens(col("ts"), 2).as("s2")))
       val dup3 = base.select(col("doc_id"), col("n_tokens"),
         when(size(col("s3")) <= 0, lit(0.0)).otherwise(
           round(lit(1.0) - size(array_distinct(col("s3")))
@@ -1114,9 +1110,8 @@ object SparkEntry {
       val docs = operators.Caches.releaseAfterUse(t(s, dir, "documents")
         .select(col("doc_id"), T.tokens(col("text")).as("ts"))
         .select(col("doc_id"),
-          array_distinct(T.shinglesFromTokens(col("ts"), 5)).as("sh"))
+          array_distinct(T.shinglesFromTokens(col("ts"), 5)).as("sh")))
         // referenced 3× (bench set, hit count, totals) — shingle once
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val ex = docs.select(col("doc_id"), explode(col("sh")).as("g"))
       val benchSh = ex.filter(col("doc_id") < 10).select("g").distinct()
       val hits = ex.join(broadcast(benchSh), Seq("g"), "left_semi")
@@ -3145,11 +3140,13 @@ object SparkEntry {
            CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY c_mktsegment ORDER BY c_mktsegment""",
-    // seeded split replay: same portable hash over id || ':fold2'.
+    // seeded split replay: same portable hash over the length-prefixed
+    // key len(id):id:seed (the prefix pins the id/seed boundary).
     "q105_dataset_split_seeded" ->
       s"""WITH bk AS (
            SELECT lang,
-             ${graft.functions.PortableHash.sqlH60("CAST(doc_id AS VARCHAR) || ':fold2'")} % 100 AS bucket
+             ${graft.functions.PortableHash.sqlH60(
+               "CAST(len(CAST(doc_id AS VARCHAR)) AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR) || ':fold2'")} % 100 AS bucket
            FROM documents),
          s AS (
            SELECT lang,

@@ -2,9 +2,9 @@ package graft.functions.expressions
 
 import java.security.MessageDigest
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /**
@@ -20,9 +20,17 @@ import org.apache.spark.unsafe.types.UTF8String
  * fingerprints, dataset-split buckets — so the constant factor is the
  * dominant cost of the whole q19/q20/q91/q99 family.
  */
-case class H60Hash(child: Expression) extends UnaryExpression {
+case class H60Hash(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes {
 
   override def dataType: DataType = LongType
+
+  // a non-string SQL argument fails analysis (implicit-castable to
+  // string where Spark allows it), instead of a runtime ClassCast /
+  // codegen compile failure — the up-front-validation discipline the
+  // other registered functions follow (foldableIntArg). Result type
+  // inferred: AbstractDataType is private[sql] in Spark 4.
+  override def inputTypes = Seq(StringType)
 
   override protected def nullSafeEval(input: Any): Any =
     H60Hash.hash(input.asInstanceOf[UTF8String])

@@ -67,6 +67,13 @@ object Multimodal {
    * per million crawled images), never exceptions that kill the task.
    */
   object ImageCodec {
+    // ImageIO's default useCache=true spills every read through a
+    // FileCacheImageInputStream temp file — a per-row disk round trip
+    // for a payload that is ALREADY a byte array in memory. Disable
+    // once per JVM (executor-wide; the flag is global and we never
+    // want the disk path).
+    javax.imageio.ImageIO.setUseCache(false)
+
     def decode(a: Asset): DecodedAsset = {
       val len = if (a.payload == null) 0 else a.payload.length
       try {

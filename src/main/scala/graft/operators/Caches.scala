@@ -5,6 +5,7 @@ import java.util.concurrent.atomic.AtomicBoolean
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.QueryExecution
 import org.apache.spark.sql.util.QueryExecutionListener
+import org.apache.spark.storage.StorageLevel
 
 /**
  * Query-scoped lifetime for operator-owned persists. Several operators
@@ -46,17 +47,29 @@ object Caches {
   private val owners =
     new java.util.concurrent.ConcurrentHashMap[Any, AnyRef]()
 
-  /** Register the one-shot release listener for `cached` (already
-    * persisted by the caller); returns `cached` for chaining. */
-  def releaseAfterUse(cached: DataFrame): DataFrame = {
+  /** Persist `df` at `level` and register the one-shot release
+    * listener; returns the persisted frame for chaining.
+    *
+    * The persist happens HERE, after ownership registration — not in
+    * the caller. With caller-side persist there was a window where a
+    * predecessor's late event could observe its own token still
+    * current (successor persisted, put not yet run) and unpersist the
+    * entry the successor had just created. Ownership-then-persist
+    * closes it: by the time the entry exists, the stale event already
+    * fails the token check. (A stale event delivered to the NEW
+    * listener can still release one action early — indistinguishable
+    * by plan identity; perf-only, recompute stays correct.) */
+  def releaseAfterUse(df: DataFrame,
+      level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
     // escape hatch for callers that deliberately reuse caches across
     // actions/runs and clear them session-wide themselves
-    if (sys.env.contains("GRAFT_KEEP_CACHES")) return cached
-    val spark = cached.sparkSession
-    val target = cached.queryExecution.analyzed
+    if (sys.env.contains("GRAFT_KEEP_CACHES")) return df.persist(level)
+    val spark = df.sparkSession
+    val target = df.queryExecution.analyzed
     val key = (System.identityHashCode(spark), target.canonicalized)
     val token = new Object
     owners.synchronized { owners.put(key, token) }
+    val cached = df.persist(level)
     val listener = new QueryExecutionListener {
       private val done = new AtomicBoolean(false)
       private def maybe(qe: QueryExecution): Unit = {

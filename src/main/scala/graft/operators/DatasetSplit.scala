@@ -11,10 +11,14 @@ import graft.functions.PortableHash
  * splits lose all four the moment data moves), and leakage-free by id:
  * one id, one split, forever.
  *
- * The optional `seed` folds into the hashed key (`id:seed`), giving a
- * DIFFERENT deterministic fold without touching ids — the re-draw a
- * user needs when leakage is found in the held-out set (round-3 advice).
- * Empty seed hashes the bare id, so existing assignments are stable.
+ * The optional `seed` folds into the hashed key (`len(id):id:seed`),
+ * giving a DIFFERENT deterministic fold without touching ids — the
+ * re-draw a user needs when leakage is found in the held-out set
+ * (round-3 advice). Empty seed hashes the bare id, so existing
+ * assignments are stable. The length prefix pins the id/seed boundary:
+ * without it a string id containing ':' collides with another id under
+ * a different seed (id "7:f" ∅-seed vs id "7" seed "f"), correlating
+ * folds that must be independent.
  *
  * Zero shuffle: the assignment is a per-row projection; only whatever
  * rollup the caller adds pays an exchange.
@@ -23,9 +27,10 @@ object DatasetSplit {
 
   /** 0..99 bucket for an id (portable 60-bit md5 hash, mod 100). */
   def bucket(idCol: Column, seed: String = ""): Column = {
+    val s = idCol.cast("string")
     val keyed =
-      if (seed.isEmpty) idCol.cast("string")
-      else concat(idCol.cast("string"), lit(":" + seed))
+      if (seed.isEmpty) s
+      else concat(length(s).cast("string"), lit(":"), s, lit(":" + seed))
     PortableHash.h60(keyed) % 100
   }
 

@@ -121,8 +121,7 @@ object Dedup {
     // production scale the signatures would be written to a table
     // instead (see SCALING.md) — spill-safe either way.
     val sigd = Caches.releaseAfterUse(
-      minhashSignatures(df, idCol, textCol, numHashes, shingleN, portable)
-        .persist(StorageLevel.MEMORY_AND_DISK))
+      minhashSignatures(df, idCol, textCol, numHashes, shingleN, portable))
     // inverted index: (band, band-slice key) → ids. The default keys by
     // xxhash64 of the slice (8 bytes on the wire); portable mode keys by
     // the raw slice array — wider, but an equality the oracle replays.
@@ -228,8 +227,7 @@ object Dedup {
       maxHamming: Int = 3, portable: Boolean = false): DataFrame = {
     val sigWidth = if (portable) 60 else 64
     val sigd = Caches.releaseAfterUse( // released after the caller's action
-      simhashSignatures(df, idCol, textCol, portable)
-        .persist(StorageLevel.MEMORY_AND_DISK)) // referenced via both join sides
+      simhashSignatures(df, idCol, textCol, portable)) // referenced via both join sides
     val chunkExprs = simhashChunkBounds(sigWidth, maxHamming).map { case (start, width) =>
       // width can be 64 (maxHamming = 0, one chunk = whole signature):
       // (1L << 64) wraps to 1L on the JVM, which would mask every key
@@ -270,8 +268,7 @@ object Dedup {
       .select(col(idCol).as("id"), T.tokens(col(textCol)).as("ts"))
       .select(col("id"),
         array_distinct(T.shinglesFromTokens(col("ts"), n)).as("set"))
-      .withColumn("n_sh", size(col("set")))
-      .persist(StorageLevel.MEMORY_AND_DISK))
+      .withColumn("n_sh", size(col("set"))))
     val base = sets.select(col("id"), col("n_sh"), explode(col("set")).as("s"))
     // global rarity order (document frequency, shingle as tiebreak)
     val dfc = base.groupBy("s").agg(count(lit(1)).as("df"))
@@ -523,8 +520,7 @@ object Dedup {
     val vecs = Caches.releaseAfterUse( // released after the caller's action
       df.select(col(idCol).as("id"), col(vecCol).as("v0"),
           V.norm(col(vecCol)).as("nrm"))
-        .select(col("id"), col("v0"), V.normalized(col("v0"), col("nrm")).as("v"))
-        .persist(StorageLevel.MEMORY_AND_DISK)) // bucketing + both verify sides
+        .select(col("id"), col("v0"), V.normalized(col("v0"), col("nrm")).as("v"))) // bucketing + both verify sides
     val bucketExprs =
       if (portableDim > 0) (0 until tables).map(t =>
         V.lshBucketPlanes(col("v0"),
@@ -580,8 +576,7 @@ object Dedup {
     // keep-list read it (released after the caller's action).
     val assigned = Caches.releaseAfterUse(
       c.withColumn("cluster_id",
-          array_max(Similarity.centScores(centers, col("v"))).getField("lid"))
-        .persist(StorageLevel.MEMORY_AND_DISK))
+          array_max(Similarity.centScores(centers, col("v"))).getField("lid")))
     val dropped = assigned
       .select(col("cluster_id"), col("id").as("id_a"), col("v").as("va"))
       .join(assigned.select(col("cluster_id"), col("id").as("id_b"),

@@ -90,14 +90,7 @@ object Merge {
         ExternalCatalogUtils.escapePathName(v)
     def parkedName(v: String): String = ".merge_old_" + leafName(v)
     // recovery: restore any partition parked by a crashed previous swap
-    if (fs.exists(dir)) fs.listStatus(dir).foreach { st =>
-      val n = st.getPath.getName
-      if (n.startsWith(".merge_old_")) {
-        val live = new Path(dir, n.stripPrefix(".merge_old_"))
-        if (!fs.exists(live)) renameOrDie(st.getPath, live)
-        else fs.delete(st.getPath, true) // stale park: crash after promote
-      }
-    }
+    recoverParkedPartitions(spark, snapshotDir)
     // the changed-partition list: bounded, catalog-scale metadata. One
     // pass also enforces the non-null contract — a null partCol row
     // would otherwise be silently unroutable (its partition unknowable,
@@ -108,11 +101,28 @@ object Merge {
       s"changes carry rows with null '$partCol' — every change (D included) " +
         "must name its partition")
     val touched = touchedRaw.flatten.sorted
+    // '' is rejected like null: the dynamic-partition writer folds the
+    // empty string into the null partition (__HIVE_DEFAULT_PARTITION__),
+    // so the swap would look for 'partCol=' (never staged) and read it
+    // as partition-fully-deleted — silently dropping the merged rows.
+    require(!touched.contains(""),
+      s"changes carry rows with empty-string '$partCol' — '' cannot " +
+        "round-trip through a Hive partition path; use a sentinel value")
     require(touched.nonEmpty, "changes carry no partition values")
     val dataSchema = changes.drop(opCol)
-    val hasLive = fs.exists(dir) &&
-      fs.listStatus(dir).exists(st => st.isDirectory &&
-        !st.getPath.getName.startsWith(".") && !st.getPath.getName.startsWith("_"))
+    val children = if (fs.exists(dir)) fs.listStatus(dir).toSeq else Seq.empty
+    val visible = children.filterNot(st =>
+      st.getPath.getName.startsWith(".") || st.getPath.getName.startsWith("_"))
+    // a FLAT (unpartitioned) snapshot must fail loudly, not read as
+    // "no live partitions": treating its files as absent would merge
+    // against empty and the swap would bury the existing data — the
+    // silent-loss failure mode. Migrate the layout (one partitioned
+    // rewrite) before switching a sink to partitioned mode.
+    require(!visible.exists(_.isFile),
+      s"snapshot at $snapshotDir is not Hive-partitioned on '$partCol' " +
+        "(flat data files found) — partition-scoped merge needs a " +
+        "partitioned layout; rewrite the snapshot partitioned first")
+    val hasLive = visible.exists(_.isDirectory)
     // pruned scan: only the touched directories are listed/read
     val target =
       if (hasLive)
@@ -136,5 +146,28 @@ object Merge {
     }
     fs.delete(stage, true)
     touched
+  }
+
+  /** Restore partitions parked (`.merge_old_*`) by a crashed
+    * [[mergePartitioned]] swap. Called by mergePartitioned's own
+    * preamble AND by [[graft.streaming.MergeSink.applyBatch]] before
+    * EITHER merge mode runs — a snapshot crashed mid-swap in
+    * partitioned mode must be whole again even if the next application
+    * is configured unpartitioned (mode is a config change; recovery
+    * must not depend on it). */
+  private[graft] def recoverParkedPartitions(spark: SparkSession,
+      snapshotDir: String): Unit = {
+    val dir = new Path(snapshotDir)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(dir)) fs.listStatus(dir).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith(".merge_old_")) {
+        val live = new Path(dir, n.stripPrefix(".merge_old_"))
+        if (!fs.exists(live))
+          require(fs.rename(st.getPath, live),
+            s"recovery rename ${st.getPath} -> $live failed")
+        else fs.delete(st.getPath, true) // stale park: crash after promote
+      }
+    }
   }
 }

@@ -82,6 +82,13 @@ object Similarity {
       .select(col("item_vec")).collect()
       .toSeq.zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](0)) }
 
+  /** md5-picked PQ sub-codebooks: books(j)(code) = the code-th seed
+    * vector's j-th subspace slice (the deterministic init/fallback the
+    * trained path refines). */
+  private def sliceBooks(seeds: Seq[Seq[Double]], m: Int,
+      subdim: Int): Seq[Seq[Seq[Double]]] =
+    (0 until m).map(j => seeds.map(_.slice(j * subdim, (j + 1) * subdim)))
+
   /** (cos-to-centroid, list_id) per centroid; array_max = argmax by cos
     * (list_id tiebreak) — struct comparison is field-ordered. Centroids
     * ship as literals: assignment is a pure codegen'd map, ZERO shuffle. */
@@ -192,9 +199,7 @@ object Similarity {
     // books(j)(code) = codeword vector for subspace j
     val seeds = hashPickCentroids(c, ksub).map(_._2)
     require(seeds.nonEmpty, "empty corpus")
-    val books: Seq[Seq[Seq[Double]]] =
-      (0 until m).map(j => seeds.map(_.slice(j * subdim, (j + 1) * subdim)))
-    pqSearch(c, q, books, k, candN, subdim)
+    pqSearch(c, q, sliceBooks(seeds, m, subdim), k, candN, subdim)
   }
 
   /** [[pqTopK]] with TRAINED codebooks: per-subspace L2 k-means (Lloyd)
@@ -220,9 +225,7 @@ object Similarity {
       try {
         val seeds = hashPickCentroids(c, ksub).map(_._2)
         require(seeds.nonEmpty, "empty corpus")
-        val init: Seq[Seq[Seq[Double]]] =
-          (0 until m).map(j => seeds.map(_.slice(j * subdim, (j + 1) * subdim)))
-        trainBooks(c, init, iters, subdim)
+        trainBooks(c, sliceBooks(seeds, m, subdim), iters, subdim)
       } finally c.unpersist(blocking = false)
     pqSearch(unitVecs(corpus, "item_id", "item_vec"), q, books, k, candN, subdim)
   }
@@ -259,17 +262,19 @@ object Similarity {
         val cp = unitVecs(corpus, "item_id", "item_vec")
           .persist(StorageLevel.MEMORY_AND_DISK)
         try {
-          val cs = trainCentroids(cp, hashPickCentroids(cp, nlist), iters)
-          val seeds = hashPickCentroids(cp, ksub).map(_._2)
-          val init: Seq[Seq[Seq[Double]]] =
-            (0 until m).map(j => seeds.map(_.slice(j * subdim, (j + 1) * subdim)))
-          (cs, trainBooks(cp, init, iters, subdim))
+          // ONE md5-ordered top-k collect serves both quantizers: the
+          // first nlist/ksub rows of the same ordering are prefixes of
+          // each other, so slicing ≡ two independent picks
+          val picked = hashPickCentroids(cp, math.max(nlist, ksub))
+          val cs = trainCentroids(cp, picked.take(nlist), iters)
+          val seeds = picked.take(ksub).map(_._2)
+          (cs, trainBooks(cp, sliceBooks(seeds, m, subdim), iters, subdim))
         } finally cp.unpersist(blocking = false)
       } else {
         val c0 = unitVecs(corpus, "item_id", "item_vec")
-        val seeds = hashPickCentroids(c0, ksub).map(_._2)
-        (hashPickCentroids(c0, nlist),
-          (0 until m).map(j => seeds.map(_.slice(j * subdim, (j + 1) * subdim))))
+        val picked = hashPickCentroids(c0, math.max(nlist, ksub))
+        (picked.take(nlist),
+          sliceBooks(picked.take(ksub).map(_._2), m, subdim))
       }
     val c = unitVecs(corpus, "item_id", "item_vec")
     // ONE projection: coarse list + m codes — this is the stored table

@@ -44,9 +44,15 @@ object Tables {
    * calls (every q29 run) cost ten metastore lookups, not ten rounds of
    * serial Hive/Derby DROP+CREATE DDL on the driver. Only a location
    * change (new sfDir) pays the DDL to swap the entry.
+   *
+   * The skip keeps the schema CREATE inferred: if the parquet at a
+   * registered location is REGENERATED with different columns, the
+   * catalog entry is stale — pass `force = true` to re-crawl (the
+   * re-run-the-crawler analog; also re-run [[analyzeAll]], whose stats
+   * go stale the same way).
    */
   def registerAllAsTables(spark: SparkSession, sfDir: String,
-      db: String = "graft"): Unit = {
+      db: String = "graft", force: Boolean = false): Unit = {
     graft.functions.GraftFunctions.register(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val catalog = spark.sessionState.catalog
@@ -59,7 +65,7 @@ object Tables {
           Option(catalog.getTableMetadata(id).location.getPath)
             .map(p => new java.io.File(p).getCanonicalPath)
         else None
-      if (!current.contains(want)) {
+      if (force || !current.contains(want)) {
         spark.sql(s"DROP TABLE IF EXISTS $db.$n")
         spark.sql(s"CREATE TABLE $db.$n USING PARQUET LOCATION '$sfDir/$n.parquet'")
       }

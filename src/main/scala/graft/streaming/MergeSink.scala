@@ -72,21 +72,6 @@ object MergeSink {
       partitionCol: Option[String] = None): Unit = {
     if (batch.isEmpty) return
     import org.apache.hadoop.fs.Path
-    // 1. intra-batch compaction: latest (by seq) change per key survives
-    val dataCols = batch.columns.toSeq.filterNot(c => c == key || c == seqCol)
-    val compacted = batch
-      .groupBy(col(key))
-      .agg(max_by(struct(dataCols.map(col): _*), col(seqCol)).as("__p"))
-      .select(col(key) +: dataCols.map(c => col(s"__p.$c").as(c)): _*)
-    // partition-scoped path (the 100 TB form): merge + rewrite ONLY the
-    // partitions the batch touches; untouched partition dirs are never
-    // read or written — per-batch cost ∝ changes, not ∝ table size
-    partitionCol match {
-      case Some(pc) =>
-        Merge.mergePartitioned(spark, snapshotDir, compacted, key, pc, opCol)
-        return
-      case None => ()
-    }
     val conf = spark.sessionState.newHadoopConf()
     val cur = new Path(snapshotDir)
     // the PATH's filesystem, not the default one — snapshotDir may live
@@ -98,19 +83,45 @@ object MergeSink {
     val old = new Path(cur.getParent, cur.getName + ".old")
     def renameOrDie(a: Path, b: Path): Unit =
       require(fs.rename(a, b), s"rename $a -> $b failed")
-    // crash recovery: a previous run parked the snapshot and died before
-    // promoting .next — restore it (the batch re-delivery re-applies)
+    // crash recovery runs for BOTH park styles before EITHER mode's
+    // merge: switching partitionCol between crash and restart is a
+    // config change, and recovery must not depend on it. A snapshot
+    // parked whole (`.old`, no live dir) is restored even when this
+    // application runs partition-scoped, and partitions parked by a
+    // crashed partition swap are restored even when it runs whole.
     if (!fs.exists(cur) && fs.exists(old)) renameOrDie(old, cur)
-    // 2. merge with the existing snapshot (empty on first batch)
-    val target =
-      if (fs.exists(cur)) spark.read.parquet(cur.toString)
-      else compacted.filter(lit(false)).drop(opCol) // empty, right schema
-    val merged = Merge.mergeBatch(target, compacted, key, opCol)
-    // 3. write, park, promote, drop
-    merged.write.mode("overwrite").parquet(next.toString)
-    if (fs.exists(old)) fs.delete(old, true)
-    if (fs.exists(cur)) renameOrDie(cur, old)
-    renameOrDie(next, cur)
-    fs.delete(old, true)
+    Merge.recoverParkedPartitions(spark, snapshotDir)
+    // 1. intra-batch compaction: latest (by seq) change per key survives.
+    // Persisted for the duration: the partitioned path runs multiple
+    // actions over it (touched-partition collect + staged write) and the
+    // whole-snapshot path two — without the cache each action re-reads
+    // the micro-batch source and re-runs the compaction shuffle.
+    val dataCols = batch.columns.toSeq.filterNot(c => c == key || c == seqCol)
+    val compacted = batch
+      .groupBy(col(key))
+      .agg(max_by(struct(dataCols.map(col): _*), col(seqCol)).as("__p"))
+      .select(col(key) +: dataCols.map(c => col(s"__p.$c").as(c)): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      partitionCol match {
+        // partition-scoped path (the 100 TB form): merge + rewrite ONLY
+        // the partitions the batch touches; untouched partition dirs are
+        // never read or written — per-batch cost ∝ changes, not ∝ table
+        case Some(pc) =>
+          Merge.mergePartitioned(spark, snapshotDir, compacted, key, pc, opCol)
+        case None =>
+          // 2. merge with the existing snapshot (empty on first batch)
+          val target =
+            if (fs.exists(cur)) spark.read.parquet(cur.toString)
+            else compacted.filter(lit(false)).drop(opCol) // empty, right schema
+          val merged = Merge.mergeBatch(target, compacted, key, opCol)
+          // 3. write, park, promote, drop
+          merged.write.mode("overwrite").parquet(next.toString)
+          if (fs.exists(old)) fs.delete(old, true)
+          if (fs.exists(cur)) renameOrDie(cur, old)
+          renameOrDie(next, cur)
+          fs.delete(old, true)
+      }
+    } finally compacted.unpersist()
   }
 }

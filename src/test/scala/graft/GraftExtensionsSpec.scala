@@ -28,6 +28,25 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getAs[Boolean]("mc"))
   }
 
+  test("graft_h60 resolves through the extension and matches the md5 chain") {
+    // regression: the portable-hash APIs route through graft_h60 since
+    // round 4 — an extensions-only session (no GraftFunctions.register)
+    // must still resolve it, and bit-equal to the SQL md5 chain
+    val r = ext.sql(
+      """SELECT graft_h60('abc') AS h,
+                CAST(conv(substring(md5('abc'), 1, 15), 16, 10) AS BIGINT) AS ref
+      """).head()
+    assert(r.getAs[Long]("h") === r.getAs[Long]("ref"))
+    // and a non-string argument that Spark cannot implicitly cast to
+    // string fails ANALYSIS, not codegen/runtime
+    val e = intercept[Exception] {
+      ext.sql("SELECT graft_h60(array(1, 2))").collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => s"${t.getClass.getName}: ${t.getMessage}").mkString("\n")
+    assert(msgs.contains("AnalysisException"), msgs)
+  }
+
   test("row_number<=k SQL idiom plans as TopKPerGroupExec, no Sort/Window") {
     graft.sources.Tables.load(ext, sf0001, "orders").createOrReplaceTempView("o")
     val df = ext.sql(

@@ -29,6 +29,21 @@ class DatasetSplitSpec extends SparkSpec {
     assert(withDefault.toSeq === bare.toSeq)
   }
 
+  test("ids containing ':' never alias a (different id, different seed) pair") {
+    // without the length prefix, id "i:fold2" unseeded and id "i" with
+    // seed "fold2" hash the SAME key — every pair below would collide
+    // and the two folds would be perfectly correlated for such ids
+    val colonIds = (1L to 200L).map(i => s"$i:fold2").toDF("id")
+    val plainIds = (1L to 200L).map(_.toString).toDF("id")
+    val a = colonIds.select(DatasetSplit.bucket(col("id")).as("b"))
+      .as[Long].collect()
+    val b = plainIds.select(DatasetSplit.bucket(col("id"), seed = "fold2").as("b"))
+      .as[Long].collect()
+    val collisions = a.zip(b).count { case (x, y) => x == y }
+    // ~2 expected by chance (200 / 100 buckets); ambiguity = all 200
+    assert(collisions < 20, s"$collisions/200 bucket collisions — seed boundary leaks")
+  }
+
   test("a seed re-draws the fold without touching ids") {
     val base = ids.select(col("id"), DatasetSplit.splitCol(col("id")).as("s"))
       .as[(Long, String)].collect().toMap

@@ -195,6 +195,47 @@ class MergeSinkSpec extends SparkSpec {
     assert(e.getMessage.contains("null 'lang'"))
   }
 
+  test("an empty-string partition value is rejected like null, not silently lost") {
+    // Spark's dynamic-partition writer folds '' into the null partition
+    // (__HIVE_DEFAULT_PARTITION__), so the swap would look for 'lang='
+    // (never staged) and read it as partition-fully-deleted — the merged
+    // rows would vanish while the batch reported success
+    val dir = tmp("mergesink-partempty") + "/snap"
+    val b = Seq((1L, "I", "a", "", 1L)).toDF("k", "op", "name", "lang", "seq")
+    val e = intercept[IllegalArgumentException] {
+      MergeSink.applyBatch(spark, b, dir, "k", "op", "seq", Some("lang"))
+    }
+    assert(e.getMessage.contains("empty-string 'lang'"))
+  }
+
+  test("a whole-snapshot park from a crashed unpartitioned swap recovers before a partitioned merge") {
+    // crash simulation: snapshot parked at <dir>.old, live dir missing —
+    // the unpartitioned swap's mid-crash state. A restart that switched
+    // to partitionCol mode must FIRST restore the park (recovery cannot
+    // depend on the configured mode), then refuse the flat layout loudly
+    // instead of merging against empty and burying the restored data.
+    val base = tmp("mergesink-modeswitch")
+    val dir = base + "/snap"
+    val b1 = Seq((1L, "I", "a", "en", 1L), (2L, "I", "b", "de", 2L))
+      .toDF("k", "op", "name", "lang", "seq")
+    MergeSink.applyBatch(spark, b1, dir, "k", "op", "seq", None) // unpartitioned
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(dir + ".old"))) // simulate the crash window
+    val b2 = Seq((1L, "U", "a2", "en", 3L)).toDF("k", "op", "name", "lang", "seq")
+    val e = intercept[IllegalArgumentException] {
+      MergeSink.applyBatch(spark, b2, dir, "k", "op", "seq", Some("lang"))
+    }
+    assert(e.getMessage.contains("not Hive-partitioned"))
+    // the parked snapshot was restored BEFORE the refusal — nothing lost
+    val got = spark.read.parquet(dir)
+      .select("k", "name", "lang").orderBy("k")
+      .as[(Long, String, String)].collect().toSeq
+    assert(got === Seq((1L, "a", "en"), (2L, "b", "de")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + ".old")))
+  }
+
   test("intra-batch multi-versions compact by seq before merging") {
     val dir = tmp("mergesink-seq") + "/snap"
     // same key three times in one batch; highest seq (a delete) wins
