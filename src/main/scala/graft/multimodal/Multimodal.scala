@@ -11,10 +11,13 @@ import org.apache.spark.sql.types._
  *
  * Codec routing: image-mime payloads decode for REAL via the JDK's
  * `javax.imageio` ([[ImageCodec]] — actual PNG/JPEG/GIF/BMP byte
- * parsing: dimensions + a sampled-luminance feature grid). Audio/video
- * still go through [[StubCodec]] (no media libraries beyond the JDK in
- * this environment): a deterministic fake "decode" from the bytes.
- * Everything around both — the asset schema, the partition-batched
+ * parsing: dimensions + a sampled-luminance feature grid), and
+ * audio-mime payloads via `javax.sound.sampled` ([[AudioCodec]] —
+ * actual WAV/AIFF/AU container parsing: sample rate, channels, frame
+ * count, strided-amplitude features). Only video still goes through
+ * [[StubCodec]] (no video libraries beyond the JDK in this
+ * environment): a deterministic fake "decode" from the bytes.
+ * Everything around all three — the asset schema, the partition-batched
  * execution shape (one codec context per partition, not per row,
  * exactly the shape a JNI/FFmpeg/Pillow binding needs), the metadata
  * projection — is real and tested.
@@ -112,11 +115,66 @@ object Multimodal {
   }
 
   /**
+   * REAL audio decode via the JDK's `javax.sound.sampled` — parses the
+   * actual container bytes (WAV/AIFF/AU): sample rate (as `width`),
+   * channel count (as `height`), PCM frame count (as `n_frames`), plus
+   * an 8-float feature vector of mean |amplitude| over 8 time segments
+   * (strided 16-bit sampling — a long file costs ~thousands of sample
+   * reads). Unreadable bytes yield the same (-1, -1, 0, empty) error
+   * row as [[ImageCodec]] — decode failures are DATA, never exceptions.
+   */
+  object AudioCodec {
+    def decode(a: Asset): DecodedAsset = {
+      val len = if (a.payload == null) 0 else a.payload.length
+      try {
+        val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+          new java.io.ByteArrayInputStream(a.payload))
+        val fmt = aff.getFormat
+        val rate = math.round(fmt.getSampleRate)
+        val channels = fmt.getChannels
+        val nFrames = aff.getFrameLength
+        val frameSize = math.max(fmt.getFrameSize, 1)
+        // body offset = container size - PCM body size (WAV/AIFF headers
+        // precede the data chunk); features sample 16-bit LE samples
+        val bodyLen = if (nFrames > 0) nFrames * frameSize else 0
+        val off = math.max(len - bodyLen, 0)
+        val nSamples = bodyLen / 2
+        val feats =
+          if (nSamples <= 0) Array.fill(8)(0f)
+          else {
+            val stride = math.max(1, nSamples / 4096)
+            Array.tabulate(8) { seg =>
+              var s = 0L
+              var n = 0
+              var i = (seg.toLong * nSamples / 8).toInt
+              val end = ((seg + 1).toLong * nSamples / 8).toInt
+              while (i < end) {
+                val p = off + i * 2
+                if (p + 1 < len) {
+                  val v = ((a.payload(p) & 0xFF) | (a.payload(p + 1) << 8)).toShort
+                  s += math.abs(v.toInt)
+                  n += 1
+                }
+                i += stride
+              }
+              (s.toFloat / math.max(n, 1)) / 32768f
+            }
+          }
+        DecodedAsset(a.asset_id, a.mime, len, rate, channels, nFrames.toInt, feats)
+      } catch {
+        case _: Exception =>
+          DecodedAsset(a.asset_id, a.mime, len, -1, -1, 0, Array.empty)
+      }
+    }
+  }
+
+  /**
    * Batched decode: `mapPartitions` so a real codec can amortize its
    * init (library handles, GPU context) across a whole partition — the
    * Scala-side analog of `mapInPandas` batch shape. Input partitioning is
-   * preserved; no shuffle. Image-mime rows hit the real [[ImageCodec]];
-   * everything else the deterministic stub.
+   * preserved; no shuffle. Image-mime rows hit the real [[ImageCodec]],
+   * audio-mime rows the real [[AudioCodec]]; everything else (video)
+   * the deterministic stub.
    */
   def decodeAssets(assets: Dataset[Asset])(implicit spark: SparkSession): Dataset[DecodedAsset] = {
     import spark.implicits._
@@ -124,6 +182,7 @@ object Multimodal {
       // real impl: open codec context once here, close at iterator end
       it.map { a =>
         if (a.mime != null && a.mime.startsWith("image")) ImageCodec.decode(a)
+        else if (a.mime != null && a.mime.startsWith("audio")) AudioCodec.decode(a)
         else StubCodec.decode(a)
       }
     }

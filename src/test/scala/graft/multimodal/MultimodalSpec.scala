@@ -60,6 +60,42 @@ class MultimodalSpec extends SparkSpec {
     assert(d(2).width === -1 && d(2).height === -1 && d(2).features.isEmpty)
   }
 
+  test("AudioCodec decodes real WAV bytes: rate, channels, frames, amplitude features") {
+    implicit val s = spark
+    import spark.implicits._
+    // render a real 16-bit mono WAV: first half silence, second half
+    // a loud square wave — the 8 time-segment features must read
+    // quiet/quiet/quiet/quiet then loud/loud/loud/loud
+    val rate = 8000
+    val nFrames = 4000
+    val pcm = new Array[Byte](nFrames * 2)
+    for (i <- nFrames / 2 until nFrames) {
+      val v: Short = if (i % 2 == 0) 20000 else -20000
+      pcm(i * 2) = (v & 0xFF).toByte
+      pcm(i * 2 + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val wav = bos.toByteArray
+    val assets = Seq(
+      Multimodal.Asset(1L, "audio/wav", wav, "t"),
+      Multimodal.Asset(2L, "audio/wav", "not audio".getBytes("UTF-8"), "t")
+    ).toDS()
+    val d = Multimodal.decodeAssets(assets).collect().sortBy(_.asset_id)
+    // real container metadata parsed from the payload bytes
+    assert(d(0).width === rate && d(0).height === 1 && d(0).n_frames === nFrames)
+    assert(d(0).byte_len === wav.length)
+    val f = d(0).features
+    assert(f.take(4).forall(_ < 0.05), f.toSeq)  // silent half
+    assert(f.drop(4).forall(_ > 0.5), f.toSeq)   // square-wave half
+    // unreadable bytes are an error ROW, not a task failure
+    assert(d(1).width === -1 && d(1).height === -1 && d(1).features.isEmpty)
+  }
+
   test("resize keeps ids, sets target dims, bounds payload by target area") {
     implicit val s = spark
     val docs = Tables.load(spark, sf0001, "documents").limit(20)
