@@ -1748,8 +1748,25 @@ object SparkEntry {
     "q106_semantic_dedup" -> ((s, dir) => {
       Dedup.semanticDedup(t(s, dir, "embeddings"), k = 8, threshold = 0.95)
         .orderBy(col("vec_id"))
+    }),
+
+    // mixture materialization: q93's implied-epochs weights turned into
+    // an actual replicated/sampled corpus — floor(w) copies per doc +
+    // one more on a portable id-hash draw, zero joins, zero shuffles.
+    "q107_mixture_sample" -> ((s, dir) => {
+      operators.Mixing.materialize(t(s, dir, "documents"), "doc_id", "source",
+          q107Weights.toMap, salt = "mix1")
+        .orderBy(col("doc_id"), col("copy_idx"))
     })
   )
+
+  /** q107's mix: deterministic per-source weights (exact binary
+    * fractions, so frac(w)·10⁶ is integer-exact in BOTH engines),
+    * shared between the Spark plan and the generated oracle SQL. */
+  private val q107Weights: Seq[(String, Double)] = {
+    val cycle = Vector(0.25, 0.75, 1.5, 2.75)
+    (0 until 20).map(i => (s"src$i", cycle(i % 4)))
+  }
 
   /** The shared DuckDB MinHash pipeline (q20 params: 64 hashes, 8
     * bands, 5-gram shingles): CTEs from a `d(doc_id, norm)` relation to
@@ -3186,6 +3203,24 @@ object SparkEntry {
          SELECT asn.item_id AS vec_id, asn.lid AS cluster_id,
            (drops.vec_id IS NULL) AS keep
          FROM asn LEFT JOIN drops ON drops.vec_id = asn.item_id
-         ORDER BY vec_id"""
+         ORDER BY vec_id""",
+    // mixture replay: identical weight literals, identical admission
+    // hash (len-prefixed id:salt), floor+fractional-draw copy count,
+    // per-copy rows via unnest(range(n)).
+    "q107_mixture_sample" ->
+      s"""WITH w(source, wt) AS (VALUES
+           ${q107Weights.map { case (src, wt) => s"('$src', $wt)" }.mkString(", ")}),
+         j AS (SELECT doc_id, d.source, wt,
+                 ${operators.Mixing.sqlAdmissionHash("doc_id", "mix1")} AS hb
+               FROM documents d JOIN w ON d.source = w.source),
+         c AS (SELECT doc_id, source,
+                 CAST(floor(wt) AS BIGINT) +
+                 CASE WHEN hb < CAST((wt - floor(wt)) * 1000000 AS BIGINT)
+                      THEN 1 ELSE 0 END AS n
+               FROM j)
+         SELECT doc_id, source, copy_idx FROM (
+           SELECT doc_id, source, unnest(range(n)) AS copy_idx
+           FROM c WHERE n > 0)
+         ORDER BY doc_id, copy_idx"""
   )
 }

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.PortableHash
+
+/**
+ * Weighted-mixture materialization: turn per-source mix weights (the
+ * q93 domain-mix output — temperature-scaled "implied epochs") into an
+ * actual sampled/replicated corpus, deterministically.
+ *
+ * A weight w for a source means every one of its documents appears
+ * `floor(w)` times, plus once more for the `frac(w)` fraction of
+ * documents admitted by a portable id-hash draw — so upsampling
+ * (w > 1, rare high-quality sources) and downsampling (w < 1,
+ * over-represented crawl) fall out of the same rule, and
+ * E[copies per doc] = w exactly. The id-hash draw (not rand()) makes
+ * the sample reproducible across runs/engines/partitionings and
+ * re-draws (salt), the [[DatasetSplit]] discipline: one id, one
+ * admission decision, forever — and the same length-prefixed `id:salt`
+ * key encoding so ids containing ':' cannot alias another (id, salt).
+ *
+ * Scale shape: zero joins and zero shuffles — the weight lookup ships
+ * as a map literal (mixes are ~tens of sources; a million-source mix
+ * would broadcast-join a weights table instead), the admission hash
+ * and the copy generator are per-row codegen'd projections. Output
+ * size ∝ Σ w_s·n_s, the property the mix was designed to hit.
+ */
+object Mixing {
+
+  /** (idCol, sourceCol, copy_idx) rows: doc replicated per its source's
+    * weight. Sources absent from `weights` drop (weight 0). */
+  def materialize(df: DataFrame, idCol: String, sourceCol: String,
+      weights: Map[String, Double], salt: String = ""): DataFrame = {
+    require(weights.values.forall(w => w >= 0.0 && w <= 1000.0),
+      "weights must be in [0, 1000] — an implied-epochs mix, not a scale factor")
+    val wt = element_at(typedlit(weights), col(sourceCol))
+    val s = col(idCol).cast("string")
+    val key =
+      if (salt.isEmpty) s
+      else concat(length(s).cast("string"), lit(":"), s, lit(":" + salt))
+    val hb = PortableHash.h60(key) % 1000000L
+    val n = (floor(wt).cast("long") +
+      when(hb < ((wt - floor(wt)) * 1000000d).cast("long"), 1L).otherwise(0L))
+    df.select(col(idCol), col(sourceCol),
+        when(wt.isNotNull, n).otherwise(lit(0L)).as("__n"))
+      .filter(col("__n") > 0)
+      .select(col(idCol), col(sourceCol),
+        explode(sequence(lit(0L), col("__n") - 1)).as("copy_idx"))
+  }
+
+  /** The DuckDB mirror of one [[materialize]] weight row, for oracle-SQL
+    * generation: the admission hash over the identical key encoding. */
+  def sqlAdmissionHash(idExpr: String, salt: String): String = {
+    val key =
+      if (salt.isEmpty) s"CAST($idExpr AS VARCHAR)"
+      else s"CAST(len(CAST($idExpr AS VARCHAR)) AS VARCHAR) || ':' || " +
+        s"CAST($idExpr AS VARCHAR) || ':$salt'"
+    s"(${PortableHash.sqlH60(key)} % 1000000)"
+  }
+}
