@@ -3177,8 +3177,9 @@ object SparkEntry {
          FROM c ORDER BY lang, split""",
     // semantic-dedup replay: the q96 quantizer CTEs (md5-first centroid
     // pick, argmax assignment with the identical d DESC, lid DESC
-    // tiebreak) + within-cluster pairwise cosine and the greedy
-    // lower-id-wins drop rule.
+    // tiebreak) + within-cluster pairwise cosine and the paper's keep
+    // policy — farthest-from-centroid (lowest d) wins a dup group, id
+    // tiebreak. d compares raw (bit-identical dots, q96 precedent).
     "q106_semantic_dedup" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          en AS (SELECT vec_id,
@@ -3190,13 +3191,15 @@ object SparkEntry {
                     SELECT nv, row_number() OVER
                       (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
                     FROM en) WHERE rn <= 8),
-         asn AS (SELECT item_id, lid FROM (
+         asn AS (SELECT item_id, lid, d FROM (
                    SELECT en.vec_id AS item_id, cent.lid,
+                     list_inner_product(en.nv, cent.cv) AS d,
                      row_number() OVER (PARTITION BY en.vec_id
                        ORDER BY list_inner_product(en.nv, cent.cv) DESC, cent.lid DESC) AS rn
                    FROM en, cent) WHERE rn = 1),
          drops AS (SELECT DISTINCT b.item_id AS vec_id
-                   FROM asn a JOIN asn b ON a.lid = b.lid AND a.item_id < b.item_id
+                   FROM asn a JOIN asn b ON a.lid = b.lid
+                     AND (a.d < b.d OR (a.d = b.d AND a.item_id < b.item_id))
                    JOIN en ea ON ea.vec_id = a.item_id
                    JOIN en eb ON eb.vec_id = b.item_id
                    WHERE round(list_inner_product(ea.nv, eb.nv), 4) >= 0.95)

@@ -552,12 +552,14 @@ object Dedup {
    * random hyperplanes, so it also catches near-dups LSH tables miss.
    *
    * Output is one row per vector: (vec_id, cluster_id, keep). A vector
-   * is dropped when a lower-id clustermate sits within `threshold`
-   * cosine — the same greedy first-wins admission rule as incremental
-   * dedup (q91): deterministic, order-free, engine-replayable. (SemDeDup
-   * proper keeps the member farthest from the centroid; id-order is the
-   * reproducible stand-in and changes only WHICH dup survives, never how
-   * many.)
+   * is dropped when a PRECEDING clustermate sits within `threshold`
+   * cosine — the greedy first-wins admission rule of incremental dedup
+   * (q91), deterministic and engine-replayable. The default precedence
+   * is the paper's keep policy: farthest-from-centroid first (lowest
+   * cosine-to-centroid survives a dup group — SemDeDup keeps the
+   * low-similarity member to preserve diversity), id as the tiebreak;
+   * `keepFarthest = false` orders by id alone (the cheaper key when
+   * the diversity preference doesn't matter).
    *
    * Scale shape: centroids ship as plan-time literals (bounded k×dim
    * collect — the [[Similarity.ivfTopK]] quantizer reused), so
@@ -567,21 +569,32 @@ object Dedup {
    * uses k≈10⁵ for 10⁹ embeddings); skewed giant clusters split by
    * raising k or pre-collapsing exact dups ([[nearDupCollapsed]]).
    */
-  def semanticDedup(df: DataFrame, k: Int = 8,
-      threshold: Double = 0.95): DataFrame = {
+  def semanticDedup(df: DataFrame, k: Int = 8, threshold: Double = 0.95,
+      keepFarthest: Boolean = true): DataFrame = {
     val c = Similarity.unitVecs(df, "id", "v")
     val centers = Similarity.hashPickCentroids(
       c.select(col("id").as("item_id"), col("v").as("item_vec")), k)
     // normalize + assign once; both the pair join's sides and the final
-    // keep-list read it (released after the caller's action).
+    // keep-list read it (released after the caller's action). cosc (the
+    // argmax cosine itself) is kept: it IS the keep-policy sort key.
     val assigned = Caches.releaseAfterUse(
-      c.withColumn("cluster_id",
-          array_max(Similarity.centScores(centers, col("v"))).getField("lid")))
+      c.withColumn("best", array_max(Similarity.centScores(centers, col("v"))))
+        .select(col("id"), col("v"),
+          col("best").getField("lid").as("cluster_id"),
+          col("best").getField("d").as("cosc")))
+    // strict total order: exactly one orientation of each pair passes,
+    // self-pairs pass neither
+    val precedes =
+      if (keepFarthest)
+        col("cosc_a") < col("cosc_b") ||
+          (col("cosc_a") === col("cosc_b") && col("id_a") < col("id_b"))
+      else col("id_a") < col("id_b")
     val dropped = assigned
-      .select(col("cluster_id"), col("id").as("id_a"), col("v").as("va"))
+      .select(col("cluster_id"), col("id").as("id_a"), col("v").as("va"),
+        col("cosc").as("cosc_a"))
       .join(assigned.select(col("cluster_id"), col("id").as("id_b"),
-        col("v").as("vb")), Seq("cluster_id"))
-      .filter(col("id_a") < col("id_b"))
+        col("v").as("vb"), col("cosc").as("cosc_b")), Seq("cluster_id"))
+      .filter(precedes)
       .filter(round(V.dot(col("va"), col("vb")), 4) >= threshold)
       .select(col("id_b").as("id")).distinct()
     assigned.select(col("id"), col("cluster_id"))

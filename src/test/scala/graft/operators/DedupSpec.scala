@@ -175,10 +175,32 @@ class DedupSpec extends SparkSpec {
     val out = Dedup.semanticDedup(vecs, k = 2, threshold = 0.95)
     assert(out.count() === 4) // one row per vector, keep flag not a filter
     val keep = out.filter(col("keep")).select("vec_id").as[Long].collect().toSet
-    assert(keep === Set(0L, 3L)) // 1 and 2 lose to lower-id 0
+    // collinear members tie on centroid distance, so the id tiebreak
+    // decides regardless of keep policy: 1 and 2 lose to lower-id 0
+    assert(keep === Set(0L, 3L))
     // an impossible threshold keeps everything
     val all = Dedup.semanticDedup(vecs, k = 2, threshold = 1.5)
     assert(all.filter(col("keep")).count() === 4)
+  }
+
+  test("semanticDedup keep policy: farthest-from-centroid survives the dup group") {
+    // k=1: the centroid is the md5-first id — md5('1') < md5('2') <
+    // md5('0') in hex order, so id 1's vector is the centroid. Angles
+    // from it: id 0 at 8°, id 2 at 14°; all pairwise cosines ≥ cos 14°
+    // ≥ 0.95, one dup group of three.
+    def at(deg: Double) = {
+      val r = math.toRadians(deg)
+      Array(math.cos(r).toFloat, math.sin(r).toFloat, 0f, 0f)
+    }
+    val vecs = Seq((0L, at(8)), (1L, at(0)), (2L, at(14)))
+      .toDF("vec_id", "embedding")
+    val far = Dedup.semanticDedup(vecs, k = 1, threshold = 0.95)
+      .filter(col("keep")).select("vec_id").as[Long].collect().toSet
+    assert(far === Set(2L)) // lowest cosine-to-centroid wins (SemDeDup)
+    val byId = Dedup.semanticDedup(vecs, k = 1, threshold = 0.95,
+        keepFarthest = false)
+      .filter(col("keep")).select("vec_id").as[Long].collect().toSet
+    assert(byId === Set(0L)) // id order keeps the lowest id instead
   }
 
   test("both components variants are id-type generic: string-keyed chain") {
