@@ -65,10 +65,31 @@ object FingerprintIndex {
     * text rescan (plan-asserted in PlanShapeSpec). */
   def admit(spark: SparkSession, batch: DataFrame, indexDir: String,
       idCol: String = "doc_id", textCol: String = "text",
-      ngram: Int = 3): DataFrame = {
+      ngram: Int = 3): DataFrame =
+    admitAgainst(batch, spark.read.parquet(indexDir), idCol, textCol, ngram)
+
+  /** [[build]] into a BUCKETED metastore table (bucketBy fp): the SCALING
+    * form — the daily admission join then shuffles ONLY the day-sized
+    * batch side into the index's bucket layout; the table-sized index
+    * never re-shuffles (one exchange in the whole admit plan,
+    * spec-asserted). Bucket count ≈ index size / target partition. */
+  def buildBucketed(docs: DataFrame, indexTable: String, buckets: Int,
+      idCol: String = "doc_id", textCol: String = "text",
+      ngram: Int = 3): Unit =
+    Bucketing.writeBucketed(
+      fingerprints(docs, idCol, textCol, ngram).select("fp").distinct(),
+      indexTable, "fp", buckets)
+
+  /** [[admit]] against a [[buildBucketed]] index table. */
+  def admitBucketed(spark: SparkSession, batch: DataFrame,
+      indexTable: String, idCol: String = "doc_id",
+      textCol: String = "text", ngram: Int = 3): DataFrame =
+    admitAgainst(batch, spark.table(indexTable), idCol, textCol, ngram)
+
+  private def admitAgainst(batch: DataFrame, index: DataFrame,
+      idCol: String, textCol: String, ngram: Int): DataFrame = {
     val bfp = fingerprints(batch, idCol, textCol, ngram)
-    val idx = spark.read.parquet(indexDir)
-      .select(col("fp"), lit(true).as("__hit"))
+    val idx = index.select(col("fp"), lit(true).as("__hit"))
     val w = Window.partitionBy("fp")
     bfp.join(idx, Seq("fp"), "left")
       .withColumn("__first", min(col(idCol)).over(w))

@@ -45,4 +45,37 @@ class FingerprintIndexSpec extends SparkSpec {
     FingerprintIndex.append(spark, keep, idx)
     assert(spark.read.parquet(idx).count() === n1)
   }
+
+  test("bucketed index: only the batch side shuffles in the admission join") {
+    val corpus = (1L to 400L)
+      .map(i => (i, s"corpus doc number $i with its own words ${i * 7}"))
+      .toDF("doc_id", "text")
+    FingerprintIndex.buildBucketed(corpus, "fp_idx_bkt", buckets = 8)
+    try {
+      val batch = Seq(
+        (1001L, "corpus doc number 5 with its own words 35"), // history dup
+        (1002L, "a genuinely new document"),
+        (1003L, "a genuinely new document")) // in-batch dup
+        .toDF("doc_id", "text")
+      val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val admitted = FingerprintIndex.admitBucketed(spark, batch, "fp_idx_bkt")
+        val p = admitted.queryExecution.executedPlan.toString
+        // the index scan reuses its write-time bucket layout…
+        assert(p.contains("Bucketed: true"), p)
+        // …so the whole plan carries ONE hash exchange: the day-sized
+        // batch moving into the index's buckets (the join's output is
+        // already fp-partitioned, so the fp window adds none). The
+        // unbucketed admit pays two.
+        val exchanges = p.linesIterator
+          .count(_.contains("Exchange hashpartitioning"))
+        assert(exchanges === 1, p)
+        val rows = admitted.as[(Long, Long, Boolean, Boolean)]
+          .collect().sortBy(_._1)
+        assert(rows.map(r => (r._1, r._3, r._4)).toSeq === Seq(
+          (1001L, true, false), (1002L, false, false), (1003L, false, true)))
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    } finally spark.sql("DROP TABLE IF EXISTS fp_idx_bkt")
+  }
 }
