@@ -36,19 +36,39 @@ object Mixing {
     require(weights.values.forall(w => w >= 0.0 && w <= 1000.0),
       "weights must be in [0, 1000] — an implied-epochs mix, not a scale factor")
     val wt = element_at(typedlit(weights), col(sourceCol))
-    val s = col(idCol).cast("string")
+    expand(df.select(col(idCol), col(sourceCol),
+      when(wt.isNotNull, copies(wt, col(idCol), salt)).otherwise(lit(0L))
+        .as("__n")), idCol, sourceCol)
+  }
+
+  /** [[materialize]] with the weights as a TABLE — the form for mixes
+    * too large for a plan literal (per-domain web weights can run to
+    * millions of rows). One broadcast of the weights, still zero data
+    * shuffles; the inner join drops unweighted sources like the map
+    * form does. `weights` must carry (`sourceCol`, `wt`). */
+  def materializeFromTable(df: DataFrame, idCol: String, sourceCol: String,
+      weights: DataFrame, salt: String = ""): DataFrame =
+    expand(df.join(broadcast(weights), Seq(sourceCol))
+      .select(col(idCol), col(sourceCol),
+        copies(col("wt"), col(idCol), salt).as("__n")), idCol, sourceCol)
+
+  /** floor(w) + the fractional portable-hash draw — the per-row copy
+    * count both entry points share. */
+  private def copies(wt: Column, id: Column, salt: String): Column = {
+    val s = id.cast("string")
     val key =
       if (salt.isEmpty) s
       else concat(length(s).cast("string"), lit(":"), s, lit(":" + salt))
     val hb = PortableHash.h60(key) % 1000000L
-    val n = (floor(wt).cast("long") +
-      when(hb < ((wt - floor(wt)) * 1000000d).cast("long"), 1L).otherwise(0L))
-    df.select(col(idCol), col(sourceCol),
-        when(wt.isNotNull, n).otherwise(lit(0L)).as("__n"))
-      .filter(col("__n") > 0)
+    floor(wt).cast("long") +
+      when(hb < ((wt - floor(wt)) * 1000000d).cast("long"), 1L).otherwise(0L)
+  }
+
+  private def expand(counted: DataFrame, idCol: String,
+      sourceCol: String): DataFrame =
+    counted.filter(col("__n") > 0)
       .select(col(idCol), col(sourceCol),
         explode(sequence(lit(0L), col("__n") - 1)).as("copy_idx"))
-  }
 
   /** The DuckDB mirror of one [[materialize]] weight row, for oracle-SQL
     * generation: the admission hash over the identical key encoding. */

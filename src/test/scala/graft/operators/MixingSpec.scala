@@ -58,6 +58,18 @@ class MixingSpec extends SparkSpec {
     assert(oneIds === otherIds) // copy 0 of w>=1 sources is unconditional
   }
 
+  test("weights-table form equals the map-literal form") {
+    val wm = Map("a" -> 0.5, "b" -> 2.25) // c unweighted in both forms
+    val wdf = wm.toSeq.toDF("source", "wt")
+    val fromMap = Mixing.materialize(docs, "doc_id", "source", wm, salt = "x")
+      .as[(Long, String, Long)].collect().toSet
+    val fromTable = Mixing.materializeFromTable(docs, "doc_id", "source",
+        wdf, salt = "x")
+      .as[(Long, String, Long)].collect().toSet
+    assert(fromMap === fromTable)
+    assert(fromMap.nonEmpty)
+  }
+
   test("out-of-range weights are rejected") {
     intercept[IllegalArgumentException] {
       Mixing.materialize(docs, "doc_id", "source", Map("a" -> -0.1))
