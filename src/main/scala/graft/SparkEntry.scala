@@ -3004,7 +3004,8 @@ object SparkEntry {
     "q99_dataset_split" ->
       s"""WITH bk AS (
            SELECT lang,
-             ${graft.functions.PortableHash.sqlH60("CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+             ${graft.functions.PortableHash.sqlH60(
+               graft.functions.PortableHash.sqlSaltedKey("doc_id", ""))} % 100 AS bucket
            FROM documents),
          s AS (
            SELECT lang,
@@ -3157,13 +3158,13 @@ object SparkEntry {
            CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY c_mktsegment ORDER BY c_mktsegment""",
-    // seeded split replay: same portable hash over the length-prefixed
-    // key len(id):id:seed (the prefix pins the id/seed boundary).
+    // seeded split replay: same portable hash over the shared salted-key
+    // encoding len(id):id:seed (the prefix pins the id/seed boundary).
     "q105_dataset_split_seeded" ->
       s"""WITH bk AS (
            SELECT lang,
              ${graft.functions.PortableHash.sqlH60(
-               "CAST(len(CAST(doc_id AS VARCHAR)) AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR) || ':fold2'")} % 100 AS bucket
+               graft.functions.PortableHash.sqlSaltedKey("doc_id", "fold2"))} % 100 AS bucket
            FROM documents),
          s AS (
            SELECT lang,
@@ -3218,7 +3219,7 @@ object SparkEntry {
                FROM documents d JOIN w ON d.source = w.source),
          c AS (SELECT doc_id, source,
                  CAST(floor(wt) AS BIGINT) +
-                 CASE WHEN hb < CAST((wt - floor(wt)) * 1000000 AS BIGINT)
+                 CASE WHEN hb < CAST(round((wt - floor(wt)) * 1000000) AS BIGINT)
                       THEN 1 ELSE 0 END AS n
                FROM j)
          SELECT doc_id, source, copy_idx FROM (

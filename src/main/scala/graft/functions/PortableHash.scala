@@ -44,6 +44,25 @@ object PortableHash {
   /** DuckDB mirror of [[hmodP]]. */
   def sqlHmodP(e: String): String = s"(${sqlH60(e)} % $P)"
 
+  /** The salted-key encoding every portable id-hash draw shares
+    * ([[graft.operators.DatasetSplit]] folds, [[graft.operators.Mixing]]
+    * admissions): the bare id when the salt is empty (pre-salt hashes
+    * stay stable), else `len(id):id:salt` — the length prefix pins the
+    * id/salt boundary so an id containing ':' can never alias a
+    * different (id, salt) pair. Load-bearing for cross-engine parity:
+    * change it ONLY together with [[sqlSaltedKey]]. */
+  def saltedKey(id: Column, salt: String): Column = {
+    val s = id.cast("string")
+    if (salt.isEmpty) s
+    else concat(length(s).cast("string"), lit(":"), s, lit(":" + salt))
+  }
+
+  /** DuckDB mirror of [[saltedKey]] for oracle-SQL generation. */
+  def sqlSaltedKey(idExpr: String, salt: String): String =
+    if (salt.isEmpty) s"CAST($idExpr AS VARCHAR)"
+    else s"(CAST(len(CAST($idExpr AS VARCHAR)) AS VARCHAR) || ':' || " +
+      s"CAST($idExpr AS VARCHAR) || ':$salt')"
+
   /** Plan-time Scala evaluation of [[h60]] — used to derive literals
     * (LSH hyperplanes) embedded identically in the Spark plan and the
     * oracle SQL, so neither engine needs to hash at run time. */

@@ -119,28 +119,58 @@ object Multimodal {
    * actual container bytes (WAV/AIFF/AU): sample rate (as `width`),
    * channel count (as `height`), PCM frame count (as `n_frames`), plus
    * an 8-float feature vector of mean |amplitude| over 8 time segments
-   * (strided 16-bit sampling — a long file costs ~thousands of sample
-   * reads). Unreadable bytes yield the same (-1, -1, 0, empty) error
-   * row as [[ImageCodec]] — decode failures are DATA, never exceptions.
+   * (strided sampling honoring the container's endianness and sample
+   * width — WAV is 16-bit LE, AIFF 16-bit BE, 8-bit either signedness;
+   * non-linear encodings keep real metadata with zero features).
+   * Unreadable bytes yield the same (-1, -1, 0, empty) error row as
+   * [[ImageCodec]] — decode failures are DATA, never exceptions.
    */
   object AudioCodec {
     def decode(a: Asset): DecodedAsset = {
       val len = if (a.payload == null) 0 else a.payload.length
       try {
-        val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        // the stream API, not byte arithmetic: AudioInputStream starts AT
+        // the data chunk, so trailing metadata chunks (LIST/INFO, id3 —
+        // common from DAW exports) can't shift the sample windows the way
+        // an end-of-container offset guess would
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
           new java.io.ByteArrayInputStream(a.payload))
-        val fmt = aff.getFormat
+        val fmt = ais.getFormat
         val rate = math.round(fmt.getSampleRate)
         val channels = fmt.getChannels
-        val nFrames = aff.getFrameLength
+        val pcm = ais.readAllBytes()
         val frameSize = math.max(fmt.getFrameSize, 1)
-        // body offset = container size - PCM body size (WAV/AIFF headers
-        // precede the data chunk); features sample 16-bit LE samples
-        val bodyLen = if (nFrames > 0) nFrames * frameSize else 0
-        val off = math.max(len - bodyLen, 0)
-        val nSamples = bodyLen / 2
+        // header frame count when specified; else (legal e.g. for AU
+        // streaming writers: data size 0xFFFFFFFF) derive it from the
+        // actual PCM read — never let the -1 sentinel masquerade as data
+        val headerFrames = ais.getFrameLength
+        val nFrames =
+          if (headerFrames >= 0) headerFrames.toInt
+          else pcm.length / frameSize
+        val bits = fmt.getSampleSizeInBits
+        val enc = fmt.getEncoding
+        val big = fmt.isBigEndian
+        val signed = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+        val unsigned = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+        // amplitude features for the linear-PCM widths (16-bit either
+        // endianness — WAV is LE, AIFF is BE — and 8-bit signed or
+        // unsigned); other encodings (mu-law, float) keep the REAL
+        // container metadata and zero features rather than garbage
+        val nSamples =
+          if (bits == 16) pcm.length / 2
+          else if (bits == 8) pcm.length
+          else 0
+        def sample(i: Int): Int =
+          if (bits == 16) {
+            val b0 = pcm(i * 2) & 0xFF
+            val b1 = pcm(i * 2 + 1) & 0xFF
+            val v = if (big) (b0 << 8) | b1 else (b1 << 8) | b0
+            math.abs(v.toShort.toInt)
+          } else if (signed) math.abs(pcm(i).toInt) << 8
+          else if (unsigned) math.abs((pcm(i) & 0xFF) - 128) << 8
+          else 0
         val feats =
-          if (nSamples <= 0) Array.fill(8)(0f)
+          if (nSamples <= 0 || !(signed || unsigned)) Array.fill(8)(0f)
           else {
             val stride = math.max(1, nSamples / 4096)
             Array.tabulate(8) { seg =>
@@ -149,18 +179,14 @@ object Multimodal {
               var i = (seg.toLong * nSamples / 8).toInt
               val end = ((seg + 1).toLong * nSamples / 8).toInt
               while (i < end) {
-                val p = off + i * 2
-                if (p + 1 < len) {
-                  val v = ((a.payload(p) & 0xFF) | (a.payload(p + 1) << 8)).toShort
-                  s += math.abs(v.toInt)
-                  n += 1
-                }
+                s += sample(i)
+                n += 1
                 i += stride
               }
               (s.toFloat / math.max(n, 1)) / 32768f
             }
           }
-        DecodedAsset(a.asset_id, a.mime, len, rate, channels, nFrames.toInt, feats)
+        DecodedAsset(a.asset_id, a.mime, len, rate, channels, nFrames, feats)
       } catch {
         case _: Exception =>
           DecodedAsset(a.asset_id, a.mime, len, -1, -1, 0, Array.empty)

@@ -26,13 +26,8 @@ import graft.functions.PortableHash
 object DatasetSplit {
 
   /** 0..99 bucket for an id (portable 60-bit md5 hash, mod 100). */
-  def bucket(idCol: Column, seed: String = ""): Column = {
-    val s = idCol.cast("string")
-    val keyed =
-      if (seed.isEmpty) s
-      else concat(length(s).cast("string"), lit(":"), s, lit(":" + seed))
-    PortableHash.h60(keyed) % 100
-  }
+  def bucket(idCol: Column, seed: String = ""): Column =
+    PortableHash.h60(PortableHash.saltedKey(idCol, seed)) % 100
 
   /** 'train' (80%) / 'val' (10%) / 'test' (10%) label. */
   def splitCol(idCol: Column, seed: String = ""): Column = {

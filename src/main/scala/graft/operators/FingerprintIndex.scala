@@ -86,6 +86,22 @@ object FingerprintIndex {
       textCol: String = "text", ngram: Int = 3): DataFrame =
     admitAgainst(batch, spark.table(indexTable), idCol, textCol, ngram)
 
+  /** [[append]] for the bucketed index: fold a day's admitted fps in
+    * with the same anti join, written in the table's bucket layout
+    * (append-mode saveAsTable with a matching bucket spec) — daily
+    * maintenance never rebuilds, same as the directory form. Each
+    * append adds one file per touched bucket; compact on the usual
+    * small-file cadence. */
+  def appendBucketed(spark: SparkSession, admitted: DataFrame,
+      indexTable: String, buckets: Int, idCol: String = "doc_id",
+      textCol: String = "text", ngram: Int = 3): Unit =
+    fingerprints(admitted, idCol, textCol, ngram)
+      .select("fp").distinct()
+      .join(spark.table(indexTable), Seq("fp"), "left_anti")
+      .write.mode("append").format("parquet")
+      .bucketBy(buckets, "fp").sortBy("fp")
+      .saveAsTable(indexTable)
+
   private def admitAgainst(batch: DataFrame, index: DataFrame,
       idCol: String, textCol: String, ngram: Int): DataFrame = {
     val bfp = fingerprints(batch, idCol, textCol, ngram)

@@ -45,23 +45,40 @@ object Mixing {
     * too large for a plan literal (per-domain web weights can run to
     * millions of rows). One broadcast of the weights, still zero data
     * shuffles; the inner join drops unweighted sources like the map
-    * form does. `weights` must carry (`sourceCol`, `wt`). */
+    * form does. `weights` must carry (`sourceCol`, `wt`).
+    *
+    * The mix-sized validation pass enforces the map form's contract up
+    * front: weights in [0, 1000] (a negative w would make copy counts
+    * negative and rows silently vanish) and one row per source (a
+    * duplicate source row would double its docs with IDENTICAL
+    * copy_idx values — corrupting the one-row-per-(doc, copy) output
+    * contract, not upweighting). */
   def materializeFromTable(df: DataFrame, idCol: String, sourceCol: String,
-      weights: DataFrame, salt: String = ""): DataFrame =
+      weights: DataFrame, salt: String = ""): DataFrame = {
+    val s = weights.agg(
+      count(lit(1)).as("n"), countDistinct(col(sourceCol)).as("nd"),
+      min(col("wt")).as("mn"), max(col("wt")).as("mx")).head()
+    require(s.getLong(0) == s.getLong(1),
+      s"weights carry duplicate '$sourceCol' rows — one weight per source")
+    require(s.getLong(0) == 0L ||
+        (s.getAs[Double]("mn") >= 0.0 && s.getAs[Double]("mx") <= 1000.0),
+      "weights must be in [0, 1000] — an implied-epochs mix, not a scale factor")
     expand(df.join(broadcast(weights), Seq(sourceCol))
       .select(col(idCol), col(sourceCol),
         copies(col("wt"), col(idCol), salt).as("__n")), idCol, sourceCol)
+  }
 
   /** floor(w) + the fractional portable-hash draw — the per-row copy
-    * count both entry points share. */
+    * count both entry points share. The threshold ROUNDS (both engines'
+    * round, not Spark-cast truncation vs DuckDB-cast rounding): frac·10⁶
+    * for an arbitrary double weight (q93 output epochs are arbitrary)
+    * is generally not binary-exact, and truncating here while the
+    * oracle rounds would diverge on the boundary hash value. */
   private def copies(wt: Column, id: Column, salt: String): Column = {
-    val s = id.cast("string")
-    val key =
-      if (salt.isEmpty) s
-      else concat(length(s).cast("string"), lit(":"), s, lit(":" + salt))
-    val hb = PortableHash.h60(key) % 1000000L
+    val hb = PortableHash.h60(PortableHash.saltedKey(id, salt)) % 1000000L
     floor(wt).cast("long") +
-      when(hb < ((wt - floor(wt)) * 1000000d).cast("long"), 1L).otherwise(0L)
+      when(hb < round((wt - floor(wt)) * 1000000d).cast("long"), 1L)
+        .otherwise(0L)
   }
 
   private def expand(counted: DataFrame, idCol: String,
@@ -72,11 +89,6 @@ object Mixing {
 
   /** The DuckDB mirror of one [[materialize]] weight row, for oracle-SQL
     * generation: the admission hash over the identical key encoding. */
-  def sqlAdmissionHash(idExpr: String, salt: String): String = {
-    val key =
-      if (salt.isEmpty) s"CAST($idExpr AS VARCHAR)"
-      else s"CAST(len(CAST($idExpr AS VARCHAR)) AS VARCHAR) || ':' || " +
-        s"CAST($idExpr AS VARCHAR) || ':$salt'"
-    s"(${PortableHash.sqlH60(key)} % 1000000)"
-  }
+  def sqlAdmissionHash(idExpr: String, salt: String): String =
+    s"(${PortableHash.sqlH60(PortableHash.sqlSaltedKey(idExpr, salt))} % 1000000)"
 }

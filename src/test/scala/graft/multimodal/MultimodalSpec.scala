@@ -96,6 +96,35 @@ class MultimodalSpec extends SparkSpec {
     assert(d(1).width === -1 && d(1).height === -1 && d(1).features.isEmpty)
   }
 
+  test("AudioCodec honors AIFF's big-endian samples (same signal, same features)") {
+    implicit val s = spark
+    import spark.implicits._
+    // identical signal to the WAV test, but written as AIFF: 16-bit
+    // BIG-endian PCM. A codec hardwired to little-endian would read
+    // swapped bytes and see a loud 'silent' half.
+    val rate = 8000
+    val nFrames = 4000
+    val pcm = new Array[Byte](nFrames * 2)
+    for (i <- nFrames / 2 until nFrames) {
+      val v: Short = if (i % 2 == 0) 20000 else -20000
+      pcm(i * 2) = ((v >> 8) & 0xFF).toByte // big-endian byte order
+      pcm(i * 2 + 1) = (v & 0xFF).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, true)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.AIFF, bos)
+    val aiff = bos.toByteArray
+    val d = Multimodal.decodeAssets(
+      Seq(Multimodal.Asset(1L, "audio/aiff", aiff, "t")).toDS()).head()
+    assert(d.width === rate && d.height === 1 && d.n_frames === nFrames)
+    val f = d.features
+    assert(f.take(4).forall(_ < 0.05), f.toSeq)  // silent half
+    assert(f.drop(4).forall(_ > 0.5), f.toSeq)   // square-wave half
+  }
+
   test("resize keeps ids, sets target dims, bounds payload by target area") {
     implicit val s = spark
     val docs = Tables.load(spark, sf0001, "documents").limit(20)

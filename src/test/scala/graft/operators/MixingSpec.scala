@@ -78,4 +78,15 @@ class MixingSpec extends SparkSpec {
       Mixing.materialize(docs, "doc_id", "source", Map("a" -> 1001.0))
     }
   }
+
+  test("weights-table form rejects duplicate sources and out-of-range weights") {
+    intercept[IllegalArgumentException] { // doubled source ≠ upweighting
+      Mixing.materializeFromTable(docs, "doc_id", "source",
+        Seq(("a", 1.0), ("a", 1.0)).toDF("source", "wt"))
+    }
+    intercept[IllegalArgumentException] { // negative w would drop rows silently
+      Mixing.materializeFromTable(docs, "doc_id", "source",
+        Seq(("a", -0.5)).toDF("source", "wt"))
+    }
+  }
 }
