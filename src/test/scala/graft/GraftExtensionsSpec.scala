@@ -47,6 +47,18 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(msgs.contains("AnalysisException"), msgs)
   }
 
+  test("library portable-hash APIs resolve on an extensions-only session") {
+    // the round-4 regression path: DatasetSplit/Mixing route through
+    // call_function("graft_h60"); a session configured ONLY via
+    // spark.sql.extensions (no GraftFunctions.register call) must
+    // still resolve it
+    import org.apache.spark.sql.functions.col
+    val splits = ext.range(100)
+      .select(graft.operators.DatasetSplit.splitCol(col("id"), seed = "f").as("s"))
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(splits.subsetOf(Set("train", "val", "test")) && splits.contains("train"))
+  }
+
   test("row_number<=k SQL idiom plans as TopKPerGroupExec, no Sort/Window") {
     graft.sources.Tables.load(ext, sf0001, "orders").createOrReplaceTempView("o")
     val df = ext.sql(
