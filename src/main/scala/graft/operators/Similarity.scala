@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.{VectorFunctions => V}
 
@@ -446,4 +446,84 @@ object Similarity {
         V.dot(col("query_vec"), col("item_vec")).as("cos"))
     topKRerank(scored, k)
   }
+
+  // ---- Materialized IVF store (the on-disk 100 TB ANN layout) ----
+
+  /**
+   * Build the layout the per-query operators' scaladocs promise: the
+   * corpus encoded once as (item_id, unit vector) written
+   * `partitionBy(list_id)` under `<storeDir>/encoded`, with the
+   * quantizer centroids alongside at `<storeDir>/centroids` — the
+   * store is self-describing, so [[searchIvfStore]] and
+   * [[appendToIvfStore]] never re-pick or re-train. `iters > 0` trains
+   * the quantizer (spherical k-means) before encoding; the build is
+   * the FingerprintIndex discipline applied to ANN: pay the scan once
+   * at build time, then every query is partition-pruned.
+   */
+  def buildIvfStore(corpus: DataFrame, storeDir: String, nlist: Int = 16,
+      iters: Int = 0): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    import org.apache.spark.storage.StorageLevel
+    val centers =
+      if (iters > 0) {
+        val cp = unitVecs(corpus, "item_id", "item_vec")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        try trainCentroids(cp, hashPickCentroids(cp, nlist), iters)
+        finally cp.unpersist(blocking = false)
+      } else hashPickCentroids(unitVecs(corpus, "item_id", "item_vec"), nlist)
+    writeEncoded(corpus, centers, storeDir, overwrite = true)
+    centers.toDF("lid", "cv").coalesce(1)
+      .write.mode("overwrite").parquet(storeDir + "/centroids")
+  }
+
+  /** Fold a day's new vectors into the store: assign with the STORED
+    * centroids (no re-train — the quantizer is the store's contract),
+    * append only the touched partitions' directories. */
+  def appendToIvfStore(spark: SparkSession, newVecs: DataFrame,
+      storeDir: String): Unit =
+    writeEncoded(newVecs, readCentroids(spark, storeDir), storeDir,
+      overwrite = false)
+
+  /**
+   * Search the store: each query probes its `nprobe` nearest stored
+   * centroids; the union of probed lists is collected (bounded by
+   * nlist — a handful of ints) and pushed as a STATIC `list_id IN`
+   * partition filter, so only the probed directories are listed or
+   * read (PartitionFilters plan-asserted in SimilaritySpec). Exact
+   * re-rank within the probed lists — identical results to
+   * [[ivfTopK]] over the same corpus/quantizer.
+   */
+  def searchIvfStore(spark: SparkSession, queries: DataFrame,
+      storeDir: String, k: Int, nprobe: Int = 4): DataFrame = {
+    import spark.implicits._
+    val centers = readCentroids(spark, storeDir)
+    val q = unitVecs(queries, "query_id", "query_vec")
+    val probes = q.select(col("query_id"), col("query_vec"),
+        explode(slice(reverse(array_sort(centScores(centers, col("query_vec")))), 1, nprobe))
+          .as("probe"))
+      .select(col("query_id"), col("query_vec"), col("probe.lid").as("list_id"))
+    val probedLists = probes.select("list_id").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val cand = spark.read.parquet(storeDir + "/encoded")
+      .filter(col("list_id").isin(probedLists: _*))
+      .join(broadcast(probes), Seq("list_id"))
+      .filter(col("query_id") =!= col("item_id"))
+      .select(col("query_id"), col("item_id"),
+        V.dot(col("query_vec"), col("item_vec")).as("cos"))
+    topKRerank(cand, k)
+  }
+
+  private def readCentroids(spark: SparkSession,
+      storeDir: String): Seq[(Int, Seq[Double])] =
+    spark.read.parquet(storeDir + "/centroids").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+
+  private def writeEncoded(vecs: DataFrame, centers: Seq[(Int, Seq[Double])],
+      storeDir: String, overwrite: Boolean): Unit =
+    unitVecs(vecs, "item_id", "item_vec")
+      .withColumn("list_id",
+        array_max(centScores(centers, col("item_vec"))).getField("lid"))
+      .write.mode(if (overwrite) "overwrite" else "append")
+      .partitionBy("list_id").parquet(storeDir + "/encoded")
 }

@@ -20,6 +20,35 @@ class SimilaritySpec extends SparkSpec {
     assert(q0.sliding(2).forall(w => w(0) >= w(1)))
   }
 
+  test("IVF store: build ≡ per-query IVF, probes prune partitions, append is searchable") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfstore").toString + "/store"
+    val queries = emb.filter(col("vec_id") < 3)
+    Similarity.buildIvfStore(emb, dir, nlist = 8)
+    // same quantizer (md5 pick) ⇒ the store search must equal the
+    // per-query operator row for row
+    val fromStore = Similarity.searchIvfStore(spark, queries, dir, k = 5, nprobe = 3)
+    val perQuery = Similarity.ivfTopK(emb, queries, k = 5, nlist = 8, nprobe = 3)
+    assert(fromStore.as[(Long, Long, Double, Int)].collect().toSet ===
+      perQuery.as[(Long, Long, Double, Int)].collect().toSet)
+    // the probed lists arrive at the scan as a PARTITION filter —
+    // unprobed directories are never listed or read
+    val p = fromStore.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    val pf = p.linesIterator.filter(_.contains("PartitionFilters")).mkString
+    assert(pf.contains("list_id IN") || pf.contains("list_id#"), p)
+    // a day's append: a brand-new vector assigned with the STORED
+    // centroids becomes findable without any rebuild
+    val base = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).as[Seq[Float]].head()
+    val novel = Seq((90001L, base.map(v => v * 2f).toArray))
+      .toDF("vec_id", "embedding") // collinear with vec 0 ⇒ cos 1.0
+    Similarity.appendToIvfStore(spark, novel, dir)
+    val again = Similarity.searchIvfStore(spark,
+        emb.filter(col("vec_id") === 0), dir, k = 3, nprobe = 3)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(again.exists(r => r._2 === 90001L && r._3 >= 0.9999), again.toSeq)
+  }
+
   test("ivfTopK: one list per item (no duplicate candidates), sane recall") {
     val queries = emb.filter(col("vec_id") < 3)
     val out = Similarity.ivfTopK(emb, queries, k = 5, nlist = 4, nprobe = 4)
