@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -122,34 +122,103 @@ object Dedup {
     // instead (see SCALING.md) — spill-safe either way.
     val sigd = Caches.releaseAfterUse(
       minhashSignatures(df, idCol, textCol, numHashes, shingleN, portable))
-    // inverted index: (band, band-slice key) → ids. The default keys by
-    // xxhash64 of the slice (8 bytes on the wire); portable mode keys by
-    // the raw slice array — wider, but an equality the oracle replays.
-    val banded =
-      if (portable)
-        sigd.select(col("id"),
-          posexplode(transform(sequence(lit(0), lit(bands - 1)),
-            b => slice(col("sig"), b * rows + 1, lit(rows))))
-            .as(Seq("band", "bucket")))
-      else
-        sigd.select(col("id"),
-          posexplode(transform(sequence(lit(0), lit(bands - 1)),
-            b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)), b)))
-            .as(Seq("band", "bucket")))
     // distinct candidate pairs FIRST (a pair colliding in k bands must be
     // verified once, not k times), then join signatures back to verify.
+    val banded = bandedIndex(sigd, bands, rows, portable)
     val cand = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
       .join(banded.select(col("band"), col("bucket"), col("id").as("id_b")),
         Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
+    verifyPairs(cand, sigd, sigd, numHashes, threshold)
+  }
+
+  /** Inverted band index: (band, band-slice key) → ids. The default keys
+    * by xxhash64 of the slice (8 bytes on the wire); portable mode keys
+    * by the raw slice array — wider, but an equality the oracle replays. */
+  private def bandedIndex(sigd: DataFrame, bands: Int, rows: Int,
+      portable: Boolean): DataFrame =
+    if (portable)
+      sigd.select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => slice(col("sig"), b * rows + 1, lit(rows))))
+          .as(Seq("band", "bucket")))
+    else
+      sigd.select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)), b)))
+          .as(Seq("band", "bucket")))
+
+  private def verifyPairs(cand: DataFrame, sigsA: DataFrame,
+      sigsB: DataFrame, numHashes: Int, threshold: Double): DataFrame =
     cand
-      .join(sigd.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
-      .join(sigd.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .join(sigsA.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigsB.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         round(graft.functions.GraftFunctions.graftMatchCount(col("sig_a"), col("sig_b"))
           / numHashes.toDouble, 4).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
+
+  /**
+   * Materialized MinHash signature store — the SCALING.md "at
+   * production scale the signature table is persisted once and reused"
+   * note as code, the [[FingerprintIndex]] discipline applied to
+   * NEAR-dup admission: [[buildSignatureStore]] pays the shingle +
+   * minhash scan once; [[minhashLshIncremental]] checks a day's batch
+   * for near-dups against all of history by banding the batch's
+   * signatures against the STORE's — history text is never re-read,
+   * and the band join's store side is the narrow (id, sig) table.
+   * [[appendSignatures]] folds the admitted batch in (append-only:
+   * signatures are pure functions of the text, so re-computation never
+   * disagrees; one anti join dedupes re-delivered ids).
+   */
+  def buildSignatureStore(df: DataFrame, idCol: String, textCol: String,
+      storeDir: String, numHashes: Int = 64, shingleN: Int = 5,
+      portable: Boolean = false): Unit =
+    minhashSignatures(df, idCol, textCol, numHashes, shingleN, portable)
+      .write.mode("overwrite").parquet(storeDir)
+
+  def appendSignatures(spark: SparkSession, admitted: DataFrame,
+      idCol: String, textCol: String, storeDir: String,
+      numHashes: Int = 64, shingleN: Int = 5,
+      portable: Boolean = false): Unit =
+    minhashSignatures(admitted, idCol, textCol, numHashes, shingleN, portable)
+      .join(spark.read.parquet(storeDir).select(col("id")), Seq("id"), "left_anti")
+      .write.mode("append").parquet(storeDir)
+
+  /** Near-dup pairs (est_jaccard ≥ threshold) of a new batch against
+    * the standing store AND within the batch itself — `id_a` is the
+    * earlier side (store doc, or the lower batch id), `id_b` the batch
+    * doc, the q91 admission orientation. `numHashes`/`bands`/`shingleN`
+    * must match the store's build parameters. */
+  def minhashLshIncremental(spark: SparkSession, batch: DataFrame,
+      idCol: String, textCol: String, storeDir: String,
+      numHashes: Int = 64, bands: Int = 8, shingleN: Int = 5,
+      threshold: Double = 0.5, portable: Boolean = false): DataFrame = {
+    val rows = numHashes / bands
+    val bsig = Caches.releaseAfterUse(
+      minhashSignatures(batch, idCol, textCol, numHashes, shingleN, portable))
+    val ssig = spark.read.parquet(storeDir)
+    val bBand = bandedIndex(bsig, bands, rows, portable)
+    val sBand = bandedIndex(ssig, bands, rows, portable)
+    // store-vs-batch: every store collision, both orientations welcome —
+    // the store id is always id_a (history precedes the batch)
+    val candSB = sBand.select(col("band"), col("bucket"), col("id").as("id_a"))
+      .join(bBand.select(col("band"), col("bucket"), col("id").as("id_b")),
+        Seq("band", "bucket"))
+      .filter(col("id_a") =!= col("id_b")) // re-delivered doc meets itself
+      .select("id_a", "id_b").distinct()
+    // batch-vs-batch: the usual canonical ordering
+    val candBB = bBand.select(col("band"), col("bucket"), col("id").as("id_a"))
+      .join(bBand.select(col("band"), col("bucket"), col("id").as("id_b")),
+        Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    // distinct: a re-delivered doc present in BOTH sides can surface the
+    // same (a, b) pair through the store-vs-batch and batch-vs-batch arms
+    verifyPairs(candSB, ssig, bsig, numHashes, threshold)
+      .unionByName(verifyPairs(candBB, bsig, bsig, numHashes, threshold))
+      .distinct()
   }
 
   /**

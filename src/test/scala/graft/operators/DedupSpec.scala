@@ -159,6 +159,43 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("signature store: incremental near-dup equals the full run on batch-touching pairs") {
+    val dir = java.nio.file.Files.createTempDirectory("sigstore").toString + "/sigs"
+    val history = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog and runs far away home"),
+      (1L, "completely unrelated text about spark catalyst optimizer internals"),
+      (2L, "another history document that matches nothing in the batch at all")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog and runs far away home"), // dups history 0
+      (11L, "some fresh text with its very own words in it"),
+      (12L, "some fresh text with its very own words in it") // dups batch 11
+    ).toDF("doc_id", "text")
+    Dedup.buildSignatureStore(history, "doc_id", "text", dir)
+    val inc = Dedup.minhashLshIncremental(spark, batch, "doc_id", "text", dir)
+      .as[(Long, Long, Double)].collect().toSet
+    // ground truth: the full-corpus run, restricted to pairs touching a
+    // batch id, re-oriented so the batch doc is id_b
+    val batchIds = Set(10L, 11L, 12L)
+    val full = Dedup.minhashLsh(history.unionByName(batch), "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+      .filter(p => batchIds(p._1) || batchIds(p._2))
+      .map(p => if (batchIds(p._2)) p else (p._2, p._1, p._3)).toSet
+    assert(inc === full)
+    assert(inc.map(p => (p._1, p._2)) === Set((0L, 10L), (11L, 12L)))
+    // append then re-deliver: the same batch now dups history, pair set
+    // stays consistent (no self-pairs, no duplicate rows)
+    Dedup.appendSignatures(spark, batch, "doc_id", "text", dir)
+    val redelivered = Dedup.minhashLshIncremental(spark, batch, "doc_id", "text", dir)
+      .as[(Long, Long, Double)].collect()
+    assert(redelivered.length === redelivered.distinct.length)
+    assert(!redelivered.exists(p => p._1 == p._2))
+    // each batch doc now collides with its own stored signature's dups:
+    // 10 still pairs with 0; 11/12 pair with each other both ways via the store
+    assert(redelivered.map(p => (p._1, p._2)).toSet ===
+      Set((0L, 10L), (11L, 12L), (12L, 11L)))
+  }
+
   test("semanticDedup drops near-identical clustermates, keeps lowest id") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
