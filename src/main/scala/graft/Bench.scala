@@ -24,30 +24,40 @@ object Bench {
       df.write.format("noop").mode("overwrite").save()
     try run(SparkEntry.queries("q01_agg")(spark, sfDir)) // JVM warm-up
     catch { case _: Throwable => () }
-    // min of 2 runs per query: the first run pays codegen compilation;
-    // the second measures steady state. Since round 4, operator-owned
-    // persists release at query completion (Caches.releaseAfterUse), so
-    // the second run REBUILDS signature/shingle caches instead of
-    // free-riding on blocks leaked across runs — dedup-family numbers
-    // are ~2-8× higher than rounds 2/3 and are the honest per-run cost
-    // (the r2/r3 "fast" numbers measured a cache that outlived its
-    // query, the exact leak round 4 fixed). Cache is still cleared
-    // BETWEEN queries. Background load on this machine swings
-    // single-shot numbers 3× — min-of-2 was not always enough (round 3
-    // showed 4-6× phantom regressions on untouched plans), so when the
-    // two samples disagree by >1.5× we take a third: the extra pass
-    // goes only to measurements the noise actually hit.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        try run(fn(spark, sfDir))
-        catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
-      }
-      val times = scala.collection.mutable.ArrayBuffer(once(), once())
-      if (times.max / times.min > 1.5) times += once()
+    // min over INTERLEAVED passes: repetitions of one query are spread
+    // across two full sweeps of the whole suite (pass 1 of everything,
+    // then pass 2 of everything) instead of run back-to-back. Background
+    // load on this machine swings single-shot numbers 3× and arrives in
+    // bursts longer than one query — back-to-back min-of-2 put BOTH
+    // samples inside the same spike (round 4's q64 read 16.5 s for a
+    // 4.3 s plan), while sweep-separated samples land minutes apart, so
+    // a burst can inflate one pass but not both and the per-query min
+    // cancels it. Queries whose two samples still disagree by >1.5× get
+    // a third, taken in its own final sweep. Pass 1 additionally pays
+    // codegen compilation; pass 2+ measure steady state. Since round 4,
+    // operator-owned persists release at query completion
+    // (Caches.releaseAfterUse), so every pass REBUILDS signature/shingle
+    // caches — dedup-family numbers are the honest per-run cost (the
+    // r2/r3 "fast" numbers measured a cache leaked across runs). Cache
+    // is still cleared BETWEEN queries.
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try run(fn(spark, sfDir))
+      catch { case _: Throwable => () }
+      val t = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
-      name -> times.min
+      t
+    }
+    val pass1 = names.map { case (name, fn) => name -> once(fn) }.toMap
+    val pass2 = names.map { case (name, fn) => name -> once(fn) }.toMap
+    val noisy = names.filter { case (name, _) =>
+      val (a, b) = (pass1(name), pass2(name))
+      math.max(a, b) / math.min(a, b) > 1.5
+    }
+    val pass3 = noisy.map { case (name, fn) => name -> once(fn) }.toMap
+    val results = names.map { case (name, _) =>
+      name -> (Seq(pass1(name), pass2(name)) ++ pass3.get(name)).min
     }
     val total = results.map(_._2).sum
     def render(rs: Seq[(String, Double)]): String = rs.sortBy(_._1)

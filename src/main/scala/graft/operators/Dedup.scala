@@ -382,16 +382,28 @@ object Dedup {
    * so lineage stays flat (prior rounds' checkpoint blocks are reclaimed
    * by the ContextCleaner once their Datasets go unreachable — rounds
    * are O(diameter), so at most a handful of label-table snapshots
-   * coexist). The convergence check is a count per round (cheap, and
-   * what bounds the loop); non-convergence within maxIter THROWS rather
-   * than returning silently split clusters. For graphs with giant
-   * high-diameter components (not the dedup case) use
+   * coexist). The convergence count rides the SAME job as the
+   * checkpoint materialization (an `observe` metric collected while the
+   * snapshot writes), so each round is exactly ONE action — no separate
+   * count job re-scanning the snapshot. Non-convergence within maxIter
+   * THROWS rather than returning silently split clusters. For graphs
+   * with giant high-diameter components (not the dedup case) use
    * [[connectedComponentsStar]] — O(log n) rounds, same join primitive.
+   *
+   * `reliable = true` checkpoints each round to the SparkContext's
+   * checkpoint dir (`sc.setCheckpointDir`) instead of the block
+   * manager: local blocks die with their executor, so a long CC run on
+   * a real cluster must snapshot to durable storage or one lost
+   * executor kills every subsequent round. Local runs keep the default
+   * (`false`) — no checkpoint dir needed, blocks reclaimed eagerly.
    */
   /** Free the block-manager storage behind a localCheckpoint'd frame
     * whose snapshot is DEAD (a successor round is already materialized).
     * The truncated lineage cannot recompute — only ever call this on
-    * frames nothing references anymore. */
+    * frames nothing references anymore. Reliable (dir-backed)
+    * checkpoints are untouched: their files are reclaimed by the
+    * ContextCleaner when `spark.cleaner.referenceTracking
+    * .cleanCheckpoints` is set, or by checkpoint-dir hygiene. */
   private def dropCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.foreach {
       case r: org.apache.spark.sql.execution.LogicalRDD =>
@@ -399,20 +411,37 @@ object Dedup {
       case _ => ()
     }
 
+  /** Eager lineage-truncating snapshot: dir-backed when `reliable`
+    * (survives executor loss; requires `sc.setCheckpointDir`), else
+    * block-manager-local. */
+  private def snapshot(df: DataFrame, reliable: Boolean): DataFrame =
+    if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
+
+  /** Read an `observe`d long metric fulfilled by an already-completed
+    * action. QueryExecutionListener delivery is async, so bound the
+    * wait; on the (never-seen) timeout fall back to recomputing the
+    * metric from the materialized snapshot — correctness never depends
+    * on listener delivery. */
+  private def observedLong(obs: org.apache.spark.sql.Observation,
+      name: String, fallback: => Long): Long =
+    try {
+      import scala.concurrent.Await
+      import scala.concurrent.duration._
+      val v = Await.result(obs.future, 120.seconds).getAs[Any](name)
+      if (v == null) 0L else v.asInstanceOf[Number].longValue()
+    } catch { case _: java.util.concurrent.TimeoutException => fallback }
+
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20, reliable: Boolean = false): DataFrame = {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct().persist(StorageLevel.MEMORY_AND_DISK)
-    // localCheckpoint per round: persist alone caches DATA but the
-    // LOGICAL plan still nests every previous round — by round ~15 the
-    // driver OOMs re-analyzing an exponentially growing tree (found by
-    // the path-graph property test). Checkpointing truncates lineage;
-    // production runs on a reliable checkpoint dir instead of the
-    // block-manager-local variant.
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("comp"))
-      .localCheckpoint(true)
+    // checkpoint per round: persist alone caches DATA but the LOGICAL
+    // plan still nests every previous round — by round ~15 the driver
+    // OOMs re-analyzing an exponentially growing tree (found by the
+    // path-graph property test). Checkpointing truncates lineage.
+    var labels = snapshot(edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("comp")), reliable)
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
@@ -423,14 +452,21 @@ object Dedup {
       // coerce to string for string ids and break the comparison)
       val neighborMin = edges.join(labels, col("dst") === col("id"))
         .select(col("src").as("id"), col("comp"), lit(null).as("old"))
-      // carrying the previous label through the same aggregation means
-      // convergence needs NO second job: one join + one aggregate + one
-      // count action per round.
-      val next = labels.select(col("id"), col("comp"), col("comp").as("old"))
-        .union(neighborMin)
-        .groupBy("id").agg(min("comp").as("comp"), min("old").as("old"))
-        .localCheckpoint(true)
-      changed = next.filter(col("comp") < col("old")).count()
+      // carrying the previous label through the aggregation + observing
+      // the changed-count on the checkpoint job itself means the whole
+      // round is ONE action: join → aggregate → snapshot, convergence
+      // metric collected in passing.
+      val obs = org.apache.spark.sql.Observation(
+        s"graft_cc_${java.util.UUID.randomUUID()}")
+      val next = snapshot(
+        labels.select(col("id"), col("comp"), col("comp").as("old"))
+          .union(neighborMin)
+          .groupBy("id").agg(min("comp").as("comp"), min("old").as("old"))
+          .observe(obs,
+            sum(when(col("comp") < col("old"), 1L).otherwise(0L)).as("changed")),
+        reliable)
+      changed = observedLong(obs, "changed",
+        next.filter(col("comp") < col("old")).count())
       // the previous round's snapshot is dead once `next` materialized
       // (eager checkpoint): free its blocks instead of letting every
       // round's label table sit in the block manager until GC — in a
@@ -466,19 +502,21 @@ object Dedup {
    * At fixpoint every edge points a vertex at its component's minimum.
    */
   def connectedComponentsStar(pairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 30): DataFrame = {
-    var edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
-      .filter(col("u") =!= col("v")).distinct()
-      .localCheckpoint(true) // lineage truncation — see connectedComponents
+      maxIter: Int = 30, reliable: Boolean = false): DataFrame = {
+    var edges = snapshot(pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .filter(col("u") =!= col("v")).distinct(),
+      reliable) // lineage truncation — see connectedComponents
     var stable = false
     var i = 0
-    def checksum(e: DataFrame): (Long, String) = {
-      // decimal sum: ANSI mode overflows a long sum of 64-bit hashes
-      val r = e.agg(count(lit(1)).as("n"),
-        coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
-          lit(0).cast("decimal(38,0)")).as("h")).head()
-      (r.getLong(0), r.getDecimal(1).toString)
-    }
+    // decimal sum: ANSI mode overflows a long sum of 64-bit hashes
+    def checksumCols = Seq(count(lit(1)).as("n"),
+      coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)")).as("h"))
+    def rowSig(r: org.apache.spark.sql.Row): (Long, String) =
+      (r.getAs[Any]("n").asInstanceOf[Number].longValue(),
+        String.valueOf(r.getAs[Any]("h")))
+    def checksum(e: DataFrame): (Long, String) =
+      rowSig(e.agg(checksumCols.head, checksumCols.tail: _*).head())
     var sig = checksum(edges)
     while (!stable && i < maxIter) {
       // symmetric neighborhood view: Γ(u) from both directions
@@ -486,16 +524,27 @@ object Dedup {
       val mins = sym.groupBy("u").agg(least(min(col("v")), first(col("u"))).as("m"))
       val large = sym.join(mins, "u").filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
-      val afterLarge = large.filter(col("u") =!= col("v")).distinct()
-        .localCheckpoint(true)
+      val afterLarge = snapshot(
+        large.filter(col("u") =!= col("v")).distinct(), reliable)
       val sym2 = afterLarge.union(afterLarge.select(col("v").as("u"), col("u").as("v")))
       val mins2 = sym2.groupBy("u").agg(least(min(col("v")), first(col("u"))).as("m"))
       val small = sym2.join(mins2, "u").filter(col("v") <= col("u"))
         .select(col("v").as("u"), col("m").as("v"))
         .union(mins2.select(col("u"), col("m").as("v")))
-      val next = small.filter(col("u") =!= col("v")).distinct()
-        .localCheckpoint(true)
-      val nextSig = checksum(next)
+      // convergence checksum observed on the checkpoint job itself —
+      // one action materializes the round AND yields the fixpoint test
+      val obs = org.apache.spark.sql.Observation(
+        s"graft_ccstar_${java.util.UUID.randomUUID()}")
+      val next = snapshot(small.filter(col("u") =!= col("v")).distinct()
+        .observe(obs, checksumCols.head, checksumCols.tail: _*), reliable)
+      val nextSig =
+        try {
+          import scala.concurrent.Await
+          import scala.concurrent.duration._
+          rowSig(Await.result(obs.future, 120.seconds))
+        } catch {
+          case _: java.util.concurrent.TimeoutException => checksum(next)
+        }
       // both the intermediate large-star snapshot and the previous
       // round's edge snapshot are dead once `next` is materialized
       dropCheckpoint(afterLarge)

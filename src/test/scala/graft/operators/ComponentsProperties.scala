@@ -55,4 +55,17 @@ object ComponentsProperties extends Properties("components") {
     Prop(run(Dedup.connectedComponents(_, _, _), path) == want &&
       run(Dedup.connectedComponentsStar(_, _, _), path) == want)
   }
+
+  property("reliable (dir-backed) checkpointing matches union-find") = {
+    // production mode: per-round snapshots go to the context's
+    // checkpoint dir (survive executor loss) instead of local blocks
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt")
+    spark.sparkContext.setCheckpointDir(dir.toString)
+    val path = (0L until 12L).map(i => (i, i + 1)).toSeq
+    val want = (0L to 12L).map(_ -> 0L).toMap
+    val ok =
+      run(Dedup.connectedComponents(_, _, _, 20, reliable = true), path) == want &&
+        run(Dedup.connectedComponentsStar(_, _, _, 30, reliable = true), path) == want
+    Prop(ok)
+  }
 }
