@@ -461,29 +461,67 @@ object Similarity {
    * at build time, then every query is partition-pruned.
    */
   def buildIvfStore(corpus: DataFrame, storeDir: String, nlist: Int = 16,
-      iters: Int = 0): Unit = {
+      iters: Int = 0, m: Int = 0, ksub: Int = 8, dim: Int = 64): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
     import org.apache.spark.storage.StorageLevel
-    val centers =
+    require(m == 0 || dim % m == 0, s"dim=$dim not divisible by m=$m")
+    val subdim = if (m > 0) dim / m else 0
+    // ONE md5-ordered pick serves both quantizers (prefix property —
+    // the ivfPqTopK derivation, so store searches replay it exactly)
+    val nPick = math.max(nlist, if (m > 0) ksub else 0)
+    val (centers, books) =
       if (iters > 0) {
         val cp = unitVecs(corpus, "item_id", "item_vec")
           .persist(StorageLevel.MEMORY_AND_DISK)
-        try trainCentroids(cp, hashPickCentroids(cp, nlist), iters)
-        finally cp.unpersist(blocking = false)
-      } else hashPickCentroids(unitVecs(corpus, "item_id", "item_vec"), nlist)
+        try {
+          val picked = hashPickCentroids(cp, nPick)
+          val cs = trainCentroids(cp, picked.take(nlist), iters)
+          val bk = if (m > 0) trainBooks(cp,
+            sliceBooks(picked.take(ksub).map(_._2), m, subdim), iters, subdim)
+          else Nil
+          (cs, bk)
+        } finally cp.unpersist(blocking = false)
+      } else {
+        val picked = hashPickCentroids(
+          unitVecs(corpus, "item_id", "item_vec"), nPick)
+        (picked.take(nlist),
+          if (m > 0) sliceBooks(picked.take(ksub).map(_._2), m, subdim)
+          else Nil)
+      }
     writeEncoded(corpus, centers, storeDir, overwrite = true)
+    if (m > 0) {
+      // the 100 TB scan table: (item_id, m small codes), partitioned by
+      // list — an ADC probe reads m bytes per item instead of the
+      // dim-wide vector (the 128× scan-IO reduction ivfPqTopK promises,
+      // now MATERIALIZED instead of recomputed per query)
+      writeCodes(corpus, centers, books, subdim, storeDir,
+        overwrite = true)
+      books.zipWithIndex.flatMap { case (book, j) =>
+        book.zipWithIndex.map { case (cw, ci) => (j, ci, cw) }
+      }.toDF("j", "code", "cw").coalesce(1)
+        .write.mode("overwrite").parquet(storeDir + "/books")
+    }
     centers.toDF("lid", "cv").coalesce(1)
       .write.mode("overwrite").parquet(storeDir + "/centroids")
   }
 
-  /** Fold a day's new vectors into the store: assign with the STORED
-    * centroids (no re-train — the quantizer is the store's contract),
-    * append only the touched partitions' directories. */
+  /** Fold a day's new vectors into the store: assign and encode with
+    * the STORED quantizers (no re-train — they are the store's
+    * contract), append only the touched partitions' directories. When
+    * the store carries a PQ code table, the day's codes append too. */
   def appendToIvfStore(spark: SparkSession, newVecs: DataFrame,
-      storeDir: String): Unit =
-    writeEncoded(newVecs, readCentroids(spark, storeDir), storeDir,
-      overwrite = false)
+      storeDir: String): Unit = {
+    val centers = readCentroids(spark, storeDir)
+    writeEncoded(newVecs, centers, storeDir, overwrite = false)
+    val booksPath = new org.apache.hadoop.fs.Path(storeDir + "/books")
+    val fs = booksPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(booksPath)) {
+      val books = readBooks(spark, storeDir)
+      writeCodes(newVecs, centers, books, books.head.head.size, storeDir,
+        overwrite = false)
+    }
+  }
 
   /**
    * Search the store: each query probes its `nprobe` nearest stored
@@ -514,10 +552,75 @@ object Similarity {
     topKRerank(cand, k)
   }
 
+  /**
+   * ADC search over the materialized code table — the production probe
+   * path: queries probe their `nprobe` nearest stored centroids, the
+   * probed `list_id`s push down as a STATIC partition filter on the
+   * CODE table (m small ints per item — the narrow scan), approximate
+   * scores are `m` table lookups per item, and only the `candN`
+   * shortlist per query touches the full-vector table (itself
+   * partition-pruned to the same probed lists, since an item's
+   * shortlist row carries its list). Identical results to [[ivfPqTopK]]
+   * over the same corpus/quantizers (SimilaritySpec asserts
+   * row-for-row) — but the per-query work no longer includes encoding
+   * the corpus: that was paid ONCE at [[buildIvfStore]] time.
+   */
+  def searchIvfStoreAdc(spark: SparkSession, queries: DataFrame,
+      storeDir: String, k: Int, nprobe: Int = 4,
+      candN: Int = 20): DataFrame = {
+    val centers = readCentroids(spark, storeDir)
+    val books = readBooks(spark, storeDir)
+    val m = books.size
+    val subdim = books.head.head.size
+    val q = unitVecs(queries, "query_id", "query_vec")
+    // nprobe probes + the per-query ADC tables, broadcast together —
+    // the ivfPqTopK query side, replayed against stored quantizers
+    val probes = q.select(col("query_id") +: col("query_vec") +:
+        explode(slice(reverse(array_sort(centScores(centers, col("query_vec")))), 1, nprobe))
+          .as("probe") +:
+        (0 until m).map(j => array(books(j).map(cw =>
+          V.dot(slice(col("query_vec"), j * subdim + 1, subdim), typedlit(cw))): _*)
+          .as(s"qtab$j")): _*)
+      .select(col("query_id") +: col("probe.lid").as("list_id") +:
+        (0 until m).map(j => col(s"qtab$j")): _*)
+    val probedLists = probes.select("list_id").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val approx = (0 until m)
+      .map(j => element_at(col(s"qtab$j"), col(s"code$j") + 1))
+      .reduceLeft(_ + _)
+    val cand = spark.read.parquet(storeDir + "/codes")
+      .filter(col("list_id").isin(probedLists: _*))
+      .join(broadcast(probes), Seq("list_id"))
+      .filter(col("query_id") =!= col("item_id"))
+      .select(col("query_id"), col("item_id"), col("list_id"),
+        approx.as("approx"))
+    val shortlist = TopK.perGroup(cand, Seq("query_id"),
+      Seq(("approx", false), ("item_id", true)), candN, "cand_rank")
+    val vecs = spark.read.parquet(storeDir + "/encoded")
+      .filter(col("list_id").isin(probedLists: _*))
+      .select("item_id", "list_id", "item_vec")
+    val exact = shortlist.join(vecs, Seq("item_id", "list_id"))
+      .join(broadcast(q), "query_id")
+      .select(col("query_id"), col("item_id"), col("approx"),
+        V.dot(col("query_vec"), col("item_vec")).as("cos"))
+    TopK.perGroup(exact, Seq("query_id"),
+        Seq(("cos", false), ("item_id", true)), k, "rank")
+      .select(col("query_id"), col("item_id"),
+        round(col("approx"), 4).as("approx_pq"),
+        round(col("cos"), 4).as("cos"), col("rank"))
+  }
+
   private def readCentroids(spark: SparkSession,
       storeDir: String): Seq[(Int, Seq[Double])] =
     spark.read.parquet(storeDir + "/centroids").collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+
+  private def readBooks(spark: SparkSession,
+      storeDir: String): Seq[Seq[Seq[Double]]] =
+    spark.read.parquet(storeDir + "/books").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3.toSeq).toSeq)
 
   private def writeEncoded(vecs: DataFrame, centers: Seq[(Int, Seq[Double])],
       storeDir: String, overwrite: Boolean): Unit =
@@ -526,4 +629,16 @@ object Similarity {
         array_max(centScores(centers, col("item_vec"))).getField("lid"))
       .write.mode(if (overwrite) "overwrite" else "append")
       .partitionBy("list_id").parquet(storeDir + "/encoded")
+
+  private def writeCodes(vecs: DataFrame, centers: Seq[(Int, Seq[Double])],
+      books: Seq[Seq[Seq[Double]]], subdim: Int, storeDir: String,
+      overwrite: Boolean): Unit =
+    unitVecs(vecs, "item_id", "item_vec")
+      .select(col("item_id") +:
+        array_max(centScores(centers, col("item_vec"))).getField("lid")
+          .as("list_id") +:
+        books.indices.map(j =>
+          pqCode(books, j, col("item_vec"), subdim).as(s"code$j")): _*)
+      .write.mode(if (overwrite) "overwrite" else "append")
+      .partitionBy("list_id").parquet(storeDir + "/codes")
 }

@@ -49,6 +49,38 @@ class SimilaritySpec extends SparkSpec {
     assert(again.exists(r => r._2 === 90001L && r._3 >= 0.9999), again.toSeq)
   }
 
+  test("PQ store: materialized codes + ADC search ≡ ivfPqTopK, codes scan partition-pruned") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpqstore").toString + "/store"
+    val queries = emb.filter(col("vec_id") < 3)
+    Similarity.buildIvfStore(emb, dir, nlist = 8, m = 4, ksub = 8, dim = 64)
+    // same md5-picked quantizers ⇒ the store's ADC search must replay
+    // the per-query operator decision for decision
+    val fromStore = Similarity.searchIvfStoreAdc(spark, queries, dir,
+      k = 5, nprobe = 3, candN = 20)
+    val perQuery = Similarity.ivfPqTopK(emb, queries, k = 5, nlist = 8,
+      nprobe = 3, m = 4, ksub = 8, candN = 20, dim = 64)
+    assert(fromStore.as[(Long, Long, Double, Double, Int)].collect().toSet ===
+      perQuery.as[(Long, Long, Double, Double, Int)].collect().toSet)
+    // the probed lists arrive at the CODE scan as a partition filter —
+    // the narrow m-codes table is the only thing read list-wide; full
+    // vectors are touched only for the candN shortlist
+    val p = fromStore.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    val pf = p.linesIterator.filter(_.contains("PartitionFilters")).mkString
+    assert(pf.contains("list_id IN") || pf.contains("list_id#"), p)
+    // a day's append: codes for new vectors encode with the STORED
+    // books — searchable without a rebuild
+    val base = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).as[Seq[Float]].head()
+    val novel = Seq((90001L, base.map(v => v * 2f).toArray))
+      .toDF("vec_id", "embedding") // collinear with vec 0 ⇒ cos 1.0
+    Similarity.appendToIvfStore(spark, novel, dir)
+    val again = Similarity.searchIvfStoreAdc(spark,
+        emb.filter(col("vec_id") === 0), dir, k = 3, nprobe = 3)
+      .as[(Long, Long, Double, Double, Int)].collect()
+    assert(again.exists(r => r._2 === 90001L && r._4 >= 0.9999), again.toSeq)
+  }
+
   test("ivfTopK: one list per item (no duplicate candidates), sane recall") {
     val queries = emb.filter(col("vec_id") < 3)
     val out = Similarity.ivfTopK(emb, queries, k = 5, nlist = 4, nprobe = 4)
