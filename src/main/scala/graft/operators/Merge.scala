@@ -19,7 +19,11 @@ import org.apache.spark.sql.functions._
  *
  * Contract: at most one change per key — compact a multi-version CDC
  * tail with [[CdcMaterializer.latestSnapshot]] first (that operator
- * owns intra-batch ordering; this one owns application).
+ * owns intra-batch ordering; this one owns application). One sanctioned
+ * exception, used by [[mergePartitioned]]: a D+I pair for the same key
+ * (a partition move). The full-outer join fans the key to both change
+ * rows; the D row filters out, the I row carries the values — exactly
+ * one surviving copy.
  *
  * Scale shape: one shuffle of each side on the key (or a broadcast of
  * the change set when AQE sizes it small — the common case: changes ≪
@@ -60,37 +64,53 @@ object Merge {
    * the file index — only touched directories list), one full-outer
    * merge, one staged partitioned write, then per-partition rename swaps.
    *
-   * Contract (on top of [[mergeBatch]]'s one-change-per-key):
+   * Contract (relaxing [[mergeBatch]]'s one-change-per-key to
+   * one-change-per-(key, partition)):
    *  - `partCol` is stable per key (the usual date/lang/tenant layout
    *    column). A partition-moving update must be sent as D (old
    *    partition) + I (new partition) — the same contract Hive's dynamic
-   *    partition overwrite imposes.
+   *    partition overwrite imposes. The pair MAY arrive in one batch:
+   *    the full-outer join fans the key to both change rows, the D row
+   *    erases (or no-ops) and the I row carries the values — one
+   *    surviving copy, in the new partition. What is rejected loudly is
+   *    MORE THAN ONE non-D row per key (two surviving copies in two
+   *    partitions would be a silent duplicate).
    *  - every change row — D included — carries a non-null `partCol`
    *    (a D must say which partition its key lives in; that is what
    *    makes pruning sound).
    *
-   * Swap protocol mirrors [[graft.streaming.MergeSink.applyBatch]], but
-   * per partition: park the live dir under a dot-prefixed (hidden, so
-   * partition discovery never sees it) sibling, promote the staged dir,
-   * drop the parked one. A crash mid-swap leaves a parked dir with no
-   * live dir; the recovery preamble of the NEXT application restores it,
-   * and the re-delivered batch re-applies idempotently (I/U collapse to
-   * upsert; D of an absent key is a no-op).
+   * Commit protocol — two modes:
+   *  - rename (default): park the live leaf dir under a dot-prefixed
+   *    (hidden, so partition discovery never sees it) sibling, promote
+   *    the staged dir, drop the parked one. Each step is one rename —
+   *    atomic on HDFS/local. A crash mid-swap leaves a parked dir with
+   *    no live dir; the recovery preamble of the NEXT application
+   *    restores it, and the re-delivered batch re-applies idempotently
+   *    (I/U collapse to upsert; D of an absent key is a no-op).
+   *  - manifest (`manifestCommit = true`, or auto-detected from an
+   *    existing manifest snapshot): the object-store-safe protocol —
+   *    no renames anywhere. Touched partitions write ONCE into
+   *    immutable generation dirs at their final paths
+   *    (`data/<leaf>/g-<v>`), then one small commit file flips the
+   *    snapshot ([[ManifestCommit]]). Read such snapshots through
+   *    [[readSnapshot]].
+   *
+   * Either way the snapshot read is PRUNED at the listing level: only
+   * the touched leaf directories are handed to the reader (basePath +
+   * explicit paths), so untouched partitions' directories are neither
+   * listed nor read. (In rename mode the root's immediate children are
+   * listed once for the flat-layout guard — one metadata page, not the
+   * per-partition recursive discovery a whole-table read would do.)
    */
   def mergePartitioned(spark: SparkSession, snapshotDir: String,
       changes: DataFrame, key: String, partCol: String,
-      opCol: String = "op"): Seq[String] = {
+      opCol: String = "op", manifestCommit: Boolean = false): Seq[String] = {
     val conf = spark.sessionState.newHadoopConf()
     val dir = new Path(snapshotDir)
     val fs = dir.getFileSystem(conf)
-    def renameOrDie(a: Path, b: Path): Unit =
-      require(fs.rename(a, b), s"rename $a -> $b failed")
     def leafName(v: String): String =
       ExternalCatalogUtils.escapePathName(partCol) + "=" +
         ExternalCatalogUtils.escapePathName(v)
-    def parkedName(v: String): String = ".merge_old_" + leafName(v)
-    // recovery: restore any partition parked by a crashed previous swap
-    recoverParkedPartitions(spark, snapshotDir)
     // the changed-partition list: bounded, catalog-scale metadata. One
     // pass also enforces the non-null contract — a null partCol row
     // would otherwise be silently unroutable (its partition unknowable,
@@ -109,7 +129,33 @@ object Merge {
       s"changes carry rows with empty-string '$partCol' — '' cannot " +
         "round-trip through a Hive partition path; use a sentinel value")
     require(touched.nonEmpty, "changes carry no partition values")
+    // at most one SURVIVING copy per key: a D+I pair (partition move) is
+    // fine, but two non-D rows would merge into two partitions at once
+    val multiNonD = changes.filter(col(opCol) =!= "D")
+      .groupBy(col(key)).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1).limit(1).collect()
+    require(multiNonD.isEmpty,
+      s"changes carry multiple non-D rows for one '$key' — a partition " +
+        "move must be sent as D(old partition) + I(new partition)")
     val dataSchema = changes.drop(opCol)
+    if (manifestCommit || ManifestCommit.exists(fs, dir))
+      mergeManifest(spark, dir, fs, changes, key, partCol, opCol,
+        dataSchema, touched, leafName)
+    else
+      mergeRenames(spark, dir, fs, changes, key, partCol, opCol,
+        dataSchema, touched, leafName)
+  }
+
+  /** Rename-swap commit (HDFS/local — atomic dir renames). */
+  private def mergeRenames(spark: SparkSession, dir: Path,
+      fs: org.apache.hadoop.fs.FileSystem, changes: DataFrame, key: String,
+      partCol: String, opCol: String, dataSchema: DataFrame,
+      touched: Seq[String], leafName: String => String): Seq[String] = {
+    def renameOrDie(a: Path, b: Path): Unit =
+      require(fs.rename(a, b), s"rename $a -> $b failed")
+    def parkedName(v: String): String = ".merge_old_" + leafName(v)
+    // recovery: restore any partition parked by a crashed previous swap
+    recoverParkedPartitions(spark, dir.toString)
     val children = if (fs.exists(dir)) fs.listStatus(dir).toSeq else Seq.empty
     val visible = children.filterNot(st =>
       st.getPath.getName.startsWith(".") || st.getPath.getName.startsWith("_"))
@@ -119,15 +165,20 @@ object Merge {
     // silent-loss failure mode. Migrate the layout (one partitioned
     // rewrite) before switching a sink to partitioned mode.
     require(!visible.exists(_.isFile),
-      s"snapshot at $snapshotDir is not Hive-partitioned on '$partCol' " +
+      s"snapshot at $dir is not Hive-partitioned on '$partCol' " +
         "(flat data files found) — partition-scoped merge needs a " +
         "partitioned layout; rewrite the snapshot partitioned first")
-    val hasLive = visible.exists(_.isDirectory)
-    // pruned scan: only the touched directories are listed/read
+    // pruned scan: ONLY the touched leaf dirs are handed to the reader
+    // (basePath keeps the partition column parsed from the path), so no
+    // other partition directory is ever listed — at catalog-scale
+    // partition counts the listing cost follows the batch, not the table
+    val touchedLive = touched.map(v => new Path(dir, leafName(v)))
+      .filter(fs.exists)
     val target =
-      if (hasLive)
-        spark.read.schema(dataSchema.schema).parquet(snapshotDir)
-          .filter(col(partCol).isin(touched: _*))
+      if (touchedLive.nonEmpty)
+        spark.read.schema(dataSchema.schema)
+          .option("basePath", dir.toString)
+          .parquet(touchedLive.map(_.toString): _*)
           .select(dataSchema.columns.map(col): _*)
       else dataSchema.filter(lit(false))
     val merged = mergeBatch(target, changes, key, opCol)
@@ -146,6 +197,106 @@ object Merge {
     }
     fs.delete(stage, true)
     touched
+  }
+
+  /** Manifest commit (object stores — no renames; see [[ManifestCommit]]). */
+  private def mergeManifest(spark: SparkSession, dir: Path,
+      fs: org.apache.hadoop.fs.FileSystem, changes: DataFrame, key: String,
+      partCol: String, opCol: String, dataSchema: DataFrame,
+      touched: Seq[String], leafName: String => String): Seq[String] = {
+    // preamble GC = the whole recovery story: torn commits and
+    // staged-but-uncommitted generations from any crash point clear out
+    ManifestCommit.gc(fs, dir)
+    val st = ManifestCommit.read(fs, dir)
+    if (st.isEmpty && fs.exists(dir)) {
+      // refuse to bolt a manifest onto a rename-layout snapshot: the
+      // manifest read would resolve to nothing and the existing leaf
+      // dirs would be silently shadowed — migrate with one rewrite first
+      val stray = fs.listStatus(dir).filterNot { s =>
+        val n = s.getPath.getName
+        n == "data" || n.startsWith(".") || n.startsWith("_")
+      }
+      require(stray.isEmpty,
+        s"snapshot at $dir holds non-manifest content — migrate the " +
+          "rename-layout snapshot before enabling manifest commits")
+    }
+    require(st.forall(_.live.forall(_.contains("/"))),
+      s"snapshot at $dir is a whole-snapshot manifest — it cannot be " +
+        "partition-scope merged; rebuild it partitioned")
+    val data = ManifestCommit.dataDir(dir)
+    val liveMap: Map[String, String] = st
+      .map(_.live.map { e =>
+        val i = e.lastIndexOf('/'); (e.substring(0, i), e.substring(i + 1))
+      }.toMap).getOrElse(Map.empty)
+    val touchedLive = touched.flatMap(v => liveMap.get(leafName(v))
+      .map(g => new Path(new Path(data, leafName(v)), g)))
+    val target =
+      if (touchedLive.nonEmpty)
+        spark.read.schema(dataSchema.schema)
+          .option("basePath", data.toString)
+          .parquet(touchedLive.map(_.toString): _*)
+          .select(dataSchema.columns.map(col): _*)
+      else dataSchema.filter(lit(false))
+    val merged = mergeBatch(target, changes, key, opCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val newVer = st.map(_.version + 1).getOrElse(1L)
+      val gen = ManifestCommit.genName(newVer)
+      // partitions whose merged content is empty (every row deleted)
+      // drop out of the manifest instead of staging an empty dir
+      val counts = merged.groupBy(col(partCol).cast("string").as("__p"))
+        .count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val nonEmpty = touched.filter(v => counts.getOrElse(v, 0L) > 0L)
+      // each touched partition writes ONCE into its final immutable home
+      // — no staging dir, no rename. One small job per touched partition
+      // (they run concurrently, bounded); the per-job overhead is the
+      // price of never asking the store for a directory rename.
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.max(1, math.min(8, nonEmpty.size)))
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      try
+        scala.concurrent.Await.result(
+          scala.concurrent.Future.traverse(nonEmpty) { v =>
+            scala.concurrent.Future {
+              merged.filter(col(partCol).cast("string") === v).drop(partCol)
+                .write.mode("overwrite")
+                .parquet(new Path(new Path(data, leafName(v)), gen).toString)
+            }
+          }, scala.concurrent.duration.Duration.Inf)
+      finally pool.shutdown()
+      val newLive = (liveMap -- touched.map(leafName)) ++
+        nonEmpty.map(v => leafName(v) -> gen)
+      // the flip: one small commit object names the live generations
+      ManifestCommit.write(fs, dir,
+        ManifestCommit.State(newVer,
+          newLive.toSeq.sorted.map { case (l, g) => s"$l/$g" }))
+      // post-commit cleanup of superseded generations (best-effort —
+      // a crash here is repaired by the next preamble GC)
+      ManifestCommit.gc(fs, dir)
+    } finally merged.unpersist()
+    touched
+  }
+
+  /** Read a [[mergePartitioned]]/[[graft.streaming.MergeSink]] snapshot,
+    * resolving through the manifest when one exists (manifest-committed
+    * snapshots MUST be read this way — a raw directory read would see
+    * every generation). Falls through to a plain parquet read for
+    * rename-layout snapshots, so callers can use it unconditionally. */
+  def readSnapshot(spark: SparkSession, snapshotDir: String): DataFrame = {
+    val dir = new Path(snapshotDir)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    ManifestCommit.read(fs, dir) match {
+      case Some(st) if st.live.isEmpty => spark.emptyDataFrame
+      case Some(st) =>
+        val data = ManifestCommit.dataDir(dir)
+        if (st.live.forall(_.contains("/")))
+          spark.read.option("basePath", data.toString)
+            .parquet(st.live.map(e => new Path(data, e).toString): _*)
+        else spark.read.parquet(new Path(data, st.live.head).toString)
+      case None => spark.read.parquet(snapshotDir)
+    }
   }
 
   /** Restore partitions parked (`.merge_old_*`) by a crashed

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-import graft.operators.Merge
+import graft.operators.{ManifestCommit, Merge}
 
 /**
  * Streaming MERGE sink: maintain a queryable TABLE (not an append log)
@@ -33,7 +33,14 @@ import graft.operators.Merge
  *
  * Exactly-once: foreachBatch re-delivers a batch after failure; the
  * merge is idempotent for U/D (same change twice = same snapshot), and
- * the rename-swap makes the re-run overwrite, not double-apply.
+ * the commit protocol makes the re-run overwrite, not double-apply.
+ *
+ * Commit protocol: rename-swap by default (atomic on HDFS/local);
+ * `manifestCommit = true` switches to the pointer-file protocol
+ * ([[graft.operators.ManifestCommit]]) for object stores, where a
+ * directory rename is a non-atomic copy — immutable generation dirs +
+ * one small commit object, no rename anywhere. Manifest snapshots are
+ * read through [[Merge.readSnapshot]].
  */
 object MergeSink {
 
@@ -46,14 +53,16 @@ object MergeSink {
   def mergeInto(changes: DataFrame, snapshotDir: String, key: String,
       opCol: String, seqCol: String, checkpoint: String,
       trigger: Trigger = Trigger.AvailableNow(),
-      partitionCol: Option[String] = None): StreamingQuery = {
+      partitionCol: Option[String] = None,
+      manifestCommit: Boolean = false): StreamingQuery = {
     val spark = changes.sparkSession
     changes.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        applyBatch(spark, batch, snapshotDir, key, opCol, seqCol, partitionCol)
+        applyBatch(spark, batch, snapshotDir, key, opCol, seqCol,
+          partitionCol, manifestCommit)
       }
       .start()
   }
@@ -69,7 +78,8 @@ object MergeSink {
     * re-delivered batch re-applies idempotently. */
   def applyBatch(spark: SparkSession, batch: DataFrame, snapshotDir: String,
       key: String, opCol: String, seqCol: String,
-      partitionCol: Option[String] = None): Unit = {
+      partitionCol: Option[String] = None,
+      manifestCommit: Boolean = false): Unit = {
     if (batch.isEmpty) return
     import org.apache.hadoop.fs.Path
     val conf = spark.sessionState.newHadoopConf()
@@ -83,32 +93,84 @@ object MergeSink {
     val old = new Path(cur.getParent, cur.getName + ".old")
     def renameOrDie(a: Path, b: Path): Unit =
       require(fs.rename(a, b), s"rename $a -> $b failed")
+    val useManifest = manifestCommit || ManifestCommit.exists(fs, cur)
     // crash recovery runs for BOTH park styles before EITHER mode's
     // merge: switching partitionCol between crash and restart is a
     // config change, and recovery must not depend on it. A snapshot
     // parked whole (`.old`, no live dir) is restored even when this
     // application runs partition-scoped, and partitions parked by a
     // crashed partition swap are restored even when it runs whole.
+    // Rename-mode recovery also runs when THIS application is
+    // manifest-mode: a snapshot parked by a rename-mode crash must be
+    // restored (and then refused loudly by the manifest path's
+    // layout guard) rather than read as absent and silently buried
+    // under a fresh manifest. In a pure manifest lifecycle neither
+    // branch ever fires — manifest mode parks nothing.
     if (!fs.exists(cur) && fs.exists(old)) renameOrDie(old, cur)
     Merge.recoverParkedPartitions(spark, snapshotDir)
     // 1. intra-batch compaction: latest (by seq) change per key survives.
+    // In partitioned mode the unit is (key, partition), NOT key alone: a
+    // partition move arrives as D(old partition) + I(new partition) in
+    // one batch, and key-only compaction would collapse the pair to a
+    // single row — the stale copy would silently survive in the old
+    // partition. Keeping both lets mergePartitioned's full-outer
+    // fan-out arbitrate (D erases, I lands); a key with more than one
+    // NON-D row after compaction is rejected loudly there.
     // Persisted for the duration: the partitioned path runs multiple
     // actions over it (touched-partition collect + staged write) and the
     // whole-snapshot path two — without the cache each action re-reads
     // the micro-batch source and re-runs the compaction shuffle.
     val dataCols = batch.columns.toSeq.filterNot(c => c == key || c == seqCol)
-    val compacted = batch
-      .groupBy(col(key))
-      .agg(max_by(struct(dataCols.map(col): _*), col(seqCol)).as("__p"))
-      .select(col(key) +: dataCols.map(c => col(s"__p.$c").as(c)): _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val compacted = (partitionCol match {
+      case Some(pc) =>
+        val rest = dataCols.filterNot(_ == pc)
+        batch.groupBy(col(key), col(pc))
+          .agg(max_by(struct(rest.map(col): _*), col(seqCol)).as("__p"))
+          .select(col(key) +: col(pc) +: rest.map(c => col(s"__p.$c").as(c)): _*)
+      case None =>
+        batch.groupBy(col(key))
+          .agg(max_by(struct(dataCols.map(col): _*), col(seqCol)).as("__p"))
+          .select(col(key) +: dataCols.map(c => col(s"__p.$c").as(c)): _*)
+    }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       partitionCol match {
         // partition-scoped path (the 100 TB form): merge + rewrite ONLY
         // the partitions the batch touches; untouched partition dirs are
         // never read or written — per-batch cost ∝ changes, not ∝ table
         case Some(pc) =>
-          Merge.mergePartitioned(spark, snapshotDir, compacted, key, pc, opCol)
+          Merge.mergePartitioned(spark, snapshotDir, compacted, key, pc,
+            opCol, manifestCommit)
+        case None if useManifest =>
+          // whole-snapshot manifest commit: write one immutable
+          // generation at its final path, flip the pointer — no rename
+          ManifestCommit.gc(fs, cur)
+          val st = ManifestCommit.read(fs, cur)
+          require(st.forall(_.live.forall(!_.contains("/"))),
+            s"snapshot at $cur is a partition-scoped manifest — pass " +
+              "partitionCol to keep merging it partition-scoped")
+          if (st.isEmpty && fs.exists(cur)) {
+            // refuse to shadow a rename-layout snapshot under a fresh
+            // manifest — migrate it (one rewrite) first
+            val stray = fs.listStatus(cur).filterNot { s =>
+              val n = s.getPath.getName
+              n == "data" || n.startsWith(".") || n.startsWith("_")
+            }
+            require(stray.isEmpty,
+              s"snapshot at $cur holds non-manifest content — migrate " +
+                "the rename-layout snapshot before enabling manifest commits")
+          }
+          val data = ManifestCommit.dataDir(cur)
+          val target = st.filter(_.live.nonEmpty)
+            .map(s => spark.read.parquet(new Path(data, s.live.head).toString))
+            .getOrElse(compacted.filter(lit(false)).drop(opCol))
+          val merged = Merge.mergeBatch(target, compacted, key, opCol)
+          val newVer = st.map(_.version + 1).getOrElse(1L)
+          val gen = ManifestCommit.genName(newVer)
+          merged.write.mode("overwrite")
+            .parquet(new Path(data, gen).toString)
+          ManifestCommit.write(fs, cur,
+            ManifestCommit.State(newVer, Seq(gen)))
+          ManifestCommit.gc(fs, cur) // reclaim the superseded generation
         case None =>
           // 2. merge with the existing snapshot (empty on first batch)
           val target =

@@ -8,6 +8,27 @@ import org.apache.spark.sql.streaming.Trigger
 
 import graft.SparkSpec
 
+/** Local filesystem that FORBIDS directory renames outside the output
+  * committer's `_temporary` staging — the object-store simulation for
+  * the manifest-commit tests: on S3 a directory rename is a non-atomic
+  * copy, so a commit protocol is object-store-safe only if it never
+  * renames. (Committer-internal `_temporary` renames are exempt because
+  * a real object-store deployment swaps the committer itself — e.g.
+  * the S3A magic committer — which is orthogonal to the snapshot-swap
+  * protocol under test.) */
+class NoRenameFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "norename"
+  override def getUri: java.net.URI = java.net.URI.create("norename:///")
+  override def rename(src: org.apache.hadoop.fs.Path,
+      dst: org.apache.hadoop.fs.Path): Boolean =
+    if (src.toUri.getPath.contains("_temporary") ||
+        dst.toUri.getPath.contains("_temporary"))
+      super.rename(src, dst)
+    else
+      throw new java.io.IOException(
+        s"rename forbidden by NoRenameFs (object-store simulation): $src -> $dst")
+}
+
 /** The maintained snapshot must equal "apply every change in seq order"
   * after any batch arrival pattern, and re-applying a batch must be a
   * no-op (foreachBatch re-delivery safety). */
@@ -234,6 +255,133 @@ class MergeSinkSpec extends SparkSpec {
       .as[(Long, String, String)].collect().toSeq
     assert(got === Seq((1L, "a", "en"), (2L, "b", "de")))
     assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + ".old")))
+  }
+
+  test("a partition move (D old + I new in one batch) relocates the key") {
+    val dir = tmp("mergesink-partmove") + "/snap"
+    val b1 = Seq((1L, "I", "a", "en", 1L), (2L, "I", "b", "de", 2L))
+      .toDF("k", "op", "name", "lang", "seq")
+    MergeSink.applyBatch(spark, b1, dir, "k", "op", "seq", Some("lang"))
+    // key 2 moves de -> en within ONE micro-batch: per-(key, partition)
+    // compaction must keep BOTH rows so the D can erase the stale copy
+    val b2 = Seq((2L, "D", "b", "de", 3L), (2L, "I", "b2", "en", 4L))
+      .toDF("k", "op", "name", "lang", "seq")
+    MergeSink.applyBatch(spark, b2, dir, "k", "op", "seq", Some("lang"))
+    val got = spark.read.parquet(dir)
+      .select("k", "name", "lang").orderBy("k")
+      .as[(Long, String, String)].collect().toSeq
+    assert(got === Seq((1L, "a", "en"), (2L, "b2", "en")))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/lang=de")))
+  }
+
+  test("two non-D rows for one key across partitions are rejected, not duplicated") {
+    val dir = tmp("mergesink-partdup") + "/snap"
+    val b = Seq((1L, "I", "a", "en", 1L), (1L, "I", "a2", "de", 2L))
+      .toDF("k", "op", "name", "lang", "seq")
+    val e = intercept[IllegalArgumentException] {
+      MergeSink.applyBatch(spark, b, dir, "k", "op", "seq", Some("lang"))
+    }
+    assert(e.getMessage.contains("partition move"))
+  }
+
+  // ---- manifest-commit protocol (object-store simulation) ----
+
+  /** snapshot path on the rename-forbidding filesystem */
+  private def noRenameDir(prefix: String): String = {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.norename.impl", classOf[NoRenameFs].getName)
+    "norename://" + tmp(prefix) + "/snap"
+  }
+
+  test("manifest commit: whole-snapshot merge without a single rename") {
+    val dir = noRenameDir("mergesink-manifest")
+    val b1 = Seq((1L, "I", "a", 1.0, 1L), (2L, "I", "b", 2.0, 2L))
+      .toDF("k", "op", "name", "bal", "seq")
+    MergeSink.applyBatch(spark, b1, dir, "k", "op", "seq",
+      manifestCommit = true)
+    val s1 = graft.operators.Merge.readSnapshot(spark, dir).orderBy("k")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(s1 === Seq((1L, "a", 1.0), (2L, "b", 2.0)))
+    // second batch auto-detects the manifest (no flag needed)
+    val b2 = Seq((1L, "D", "a", 0.0, 3L), (2L, "U", "b2", 3.0, 4L),
+      (3L, "I", "c", 9.0, 5L)).toDF("k", "op", "name", "bal", "seq")
+    MergeSink.applyBatch(spark, b2, dir, "k", "op", "seq")
+    val s2 = graft.operators.Merge.readSnapshot(spark, dir).orderBy("k")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(s2 === Seq((2L, "b2", 3.0), (3L, "c", 9.0)))
+    // re-delivery of the same batch is idempotent
+    MergeSink.applyBatch(spark, b2, dir, "k", "op", "seq")
+    val s3 = graft.operators.Merge.readSnapshot(spark, dir).orderBy("k")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(s3 === s2)
+  }
+
+  test("manifest commit: torn commit file and orphan generation are recovered") {
+    val dir = noRenameDir("mergesink-manifest-crash")
+    val b1 = Seq((1L, "I", "a", 1.0, 1L)).toDF("k", "op", "name", "bal", "seq")
+    MergeSink.applyBatch(spark, b1, dir, "k", "op", "seq",
+      manifestCommit = true)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    // simulate a crash mid-batch-2: a fully staged generation exists but
+    // the commit file upload tore half-way (no trailer)
+    val orphan = new org.apache.hadoop.fs.Path(dir + "/data/g-000000000002")
+    fs.mkdirs(orphan)
+    val torn = fs.create(
+      new org.apache.hadoop.fs.Path(dir + "/_graft_commit-000000000002"), false)
+    torn.write("graft-commit v1 2\ng-000000000002\n".getBytes("UTF-8")) // no trailer
+    torn.close()
+    // the torn commit must NOT be read as live
+    val seen = graft.operators.Merge.readSnapshot(spark, dir)
+      .as[(Long, String, Double)].collect().toSeq
+    assert(seen === Seq((1L, "a", 1.0)))
+    // re-delivered batch 2: preamble GC clears the debris, then applies
+    val b2 = Seq((2L, "I", "b", 2.0, 2L)).toDF("k", "op", "name", "bal", "seq")
+    MergeSink.applyBatch(spark, b2, dir, "k", "op", "seq")
+    val got = graft.operators.Merge.readSnapshot(spark, dir).orderBy("k")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(got === Seq((1L, "a", 1.0), (2L, "b", 2.0)))
+  }
+
+  test("manifest commit: partition-scoped merge, untouched generation byte-identical, moves and full-deletes work") {
+    val dir = noRenameDir("mergesink-manifest-part")
+    val b1 = Seq(
+      (1L, "I", "a", "en", 1L), (2L, "I", "b", "de", 2L),
+      (3L, "I", "c", "de", 3L))
+      .toDF("k", "op", "name", "lang", "seq")
+    MergeSink.applyBatch(spark, b1, dir, "k", "op", "seq", Some("lang"),
+      manifestCommit = true)
+    val deGen = s"$dir/data/lang=de/g-000000000001"
+    val deBefore = fileSig(deGen)
+    // batch 2 touches only en
+    val b2 = Seq((1L, "U", "a2", "en", 4L), (9L, "I", "z", "en", 5L))
+      .toDF("k", "op", "name", "lang", "seq")
+    MergeSink.applyBatch(spark, b2, dir, "k", "op", "seq", Some("lang"))
+    val got = graft.operators.Merge.readSnapshot(spark, dir)
+      .select("k", "name", "lang").orderBy("k")
+      .as[(Long, String, String)].collect().toSeq
+    assert(got === Seq((1L, "a2", "en"), (2L, "b", "de"),
+      (3L, "c", "de"), (9L, "z", "en")))
+    // de's generation dir was neither rewritten nor replaced
+    assert(fileSig(deGen) === deBefore)
+    // batch 3: key 3 moves de -> en, key 2's delete empties nothing yet
+    val b3 = Seq((3L, "D", "c", "de", 6L), (3L, "I", "c2", "en", 7L))
+      .toDF("k", "op", "name", "lang", "seq")
+    MergeSink.applyBatch(spark, b3, dir, "k", "op", "seq", Some("lang"))
+    val afterMove = graft.operators.Merge.readSnapshot(spark, dir)
+      .select("k", "name", "lang").orderBy("k")
+      .as[(Long, String, String)].collect().toSeq
+    assert(afterMove === Seq((1L, "a2", "en"), (2L, "b", "de"),
+      (3L, "c2", "en"), (9L, "z", "en")))
+    // batch 4: deleting de's last key drops the partition from the manifest
+    val b4 = Seq((2L, "D", "b", "de", 8L)).toDF("k", "op", "name", "lang", "seq")
+    MergeSink.applyBatch(spark, b4, dir, "k", "op", "seq", Some("lang"))
+    val afterDel = graft.operators.Merge.readSnapshot(spark, dir)
+      .select("k", "lang").as[(Long, String)].collect().toSeq.sorted
+    assert(afterDel.forall(_._2 === "en"))
+    assert(afterDel.map(_._1) === Seq(1L, 3L, 9L))
   }
 
   test("intra-batch multi-versions compact by seq before merging") {
