@@ -201,6 +201,14 @@ object Dedup {
     val ssig = spark.read.parquet(storeDir)
     val bBand = bandedIndex(bsig, bands, rows, portable)
     val sBand = bandedIndex(ssig, bands, rows, portable)
+    incrementalPairs(bsig, ssig, bBand, sBand, numHashes, threshold)
+  }
+
+  /** Shared admission core: store-vs-batch and batch-vs-batch candidate
+    * pairs, verified and unioned. */
+  private def incrementalPairs(bsig: DataFrame, ssig: DataFrame,
+      bBand: DataFrame, sBand: DataFrame, numHashes: Int,
+      threshold: Double): DataFrame = {
     // store-vs-batch: every store collision, both orientations welcome —
     // the store id is always id_a (history precedes the batch)
     val candSB = sBand.select(col("band"), col("bucket"), col("id").as("id_a"))
@@ -219,6 +227,88 @@ object Dedup {
     verifyPairs(candSB, ssig, bsig, numHashes, threshold)
       .unionByName(verifyPairs(candBB, bsig, bsig, numHashes, threshold))
       .distinct()
+  }
+
+  /**
+   * Bucketed signature store — [[buildSignatureStore]] with the
+   * [[Bucketing]] write-time-shuffle discipline applied to BOTH standing
+   * tables, closing the plain store's scale gap: there,
+   * [[minhashLshIncremental]] re-bands and re-shuffles ALL of history
+   * every daily batch; here both store-side layouts are paid once at
+   * build time and daily admission shuffles ONLY the day-sized batch:
+   *
+   *  - `<table>_sigs` (id, sig), `bucketBy(id)` — the verify join reads
+   *    the store pre-partitioned on id;
+   *  - `<table>_bands` (id, band, bucket), `bucketBy(band, bucket)` —
+   *    the candidate join reads the store's inverted band index
+   *    pre-partitioned on the collision key, no re-banding.
+   *
+   * xxhash64 band keys only (portable mode's bucket is an array — not a
+   * legal bucket column); `numHashes`/`bands`/`shingleN` must match
+   * between build, admission, and append. Bucket count ≈ store size /
+   * target partition (the [[Bucketing]] sizing note).
+   */
+  def buildSignatureStoreBucketed(df: DataFrame, idCol: String,
+      textCol: String, table: String, buckets: Int, numHashes: Int = 64,
+      bands: Int = 8, shingleN: Int = 5): Unit = {
+    val rows = numHashes / bands
+    val sigs = minhashSignatures(df, idCol, textCol, numHashes, shingleN,
+      portable = false).persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      Bucketing.writeBucketed(sigs, s"${table}_sigs", "id", buckets)
+      bandedIndex(sigs, bands, rows, portable = false)
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(buckets, "band", "bucket").sortBy("band", "bucket")
+        .saveAsTable(s"${table}_bands")
+    } finally sigs.unpersist()
+  }
+
+  /** [[minhashLshIncremental]] against a [[buildSignatureStoreBucketed]]
+    * store: identical pair semantics, but both store-side scans reuse
+    * their write-time bucket layout — the plan's only exchanges move
+    * batch-sized data (spec-asserted in DedupSpec). */
+  def minhashLshIncrementalBucketed(spark: SparkSession, batch: DataFrame,
+      idCol: String, textCol: String, table: String, numHashes: Int = 64,
+      bands: Int = 8, shingleN: Int = 5,
+      threshold: Double = 0.5): DataFrame = {
+    val rows = numHashes / bands
+    val bsig = Caches.releaseAfterUse(minhashSignatures(
+      batch, idCol, textCol, numHashes, shingleN, portable = false))
+    incrementalPairs(bsig, spark.table(s"${table}_sigs"),
+      bandedIndex(bsig, bands, rows, portable = false),
+      spark.table(s"${table}_bands"), numHashes, threshold)
+  }
+
+  /** Fold a day's admitted batch into a bucketed store: one anti join on
+    * the narrow id column finds the genuinely new docs (re-delivery
+    * safe), then both tables append in their bucket layout — daily
+    * maintenance never rebuilds. Each append adds ≤1 file per touched
+    * bucket; compact on the usual small-file cadence. */
+  def appendSignaturesBucketed(spark: SparkSession, admitted: DataFrame,
+      idCol: String, textCol: String, table: String, buckets: Int,
+      numHashes: Int = 64, bands: Int = 8, shingleN: Int = 5): Unit = {
+    val rows = numHashes / bands
+    val fresh = minhashSignatures(admitted, idCol, textCol, numHashes,
+        shingleN, portable = false)
+      .join(spark.table(s"${table}_sigs").select(col("id")),
+        Seq("id"), "left_anti")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      // bands BEFORE sigs, load-bearing both ways: (a) appending to
+      // `_sigs` invalidates `fresh`'s cache (the anti join READS that
+      // table), so a later bands write would recompute the anti join
+      // against the already-appended sigs and append nothing — a silent
+      // candidate loss; (b) a crash between the writes leaves duplicate
+      // band rows on re-delivery, which the admission query's distinct
+      // absorbs, whereas the reverse order would leave PERMANENTLY
+      // missing band rows (sigs present ⇒ anti join drops the docs).
+      bandedIndex(fresh, bands, rows, portable = false)
+        .write.mode("append").format("parquet")
+        .bucketBy(buckets, "band", "bucket").sortBy("band", "bucket")
+        .saveAsTable(s"${table}_bands")
+      fresh.write.mode("append").format("parquet")
+        .bucketBy(buckets, "id").sortBy("id").saveAsTable(s"${table}_sigs")
+    } finally fresh.unpersist()
   }
 
   /**

@@ -196,6 +196,66 @@ class DedupSpec extends SparkSpec {
       Set((0L, 10L), (11L, 12L), (12L, 11L)))
   }
 
+  test("bucketed signature store: same pairs, store side never re-shuffles") {
+    // per-doc texts of distinct pseudo-random numbers — shingle overlap
+    // across different docs is negligible, so the expected pair set is
+    // exactly the planted dups
+    def htext(i: Long): String =
+      (1 to 8).map(j => (i * 1000003L + j * 7919L) % 100000000L).mkString(" ")
+    val history = (1L to 300L).map(i => (i, htext(i))).toDF("doc_id", "text")
+    val batch = Seq(
+      (1001L, htext(42L)), // dups history 42
+      (1002L, "a genuinely new batch document with fresh content"),
+      (1003L, "a genuinely new batch document with fresh content")) // dups 1002
+      .toDF("doc_id", "text")
+    Dedup.buildSignatureStoreBucketed(history, "doc_id", "text",
+      "sig_store_bkt", buckets = 8)
+    try {
+      // ground truth: the plain (directory) store on identical data
+      val dir = java.nio.file.Files.createTempDirectory("sigplain").toString + "/sigs"
+      Dedup.buildSignatureStore(history, "doc_id", "text", dir)
+      val plain = Dedup.minhashLshIncremental(spark, batch, "doc_id", "text", dir)
+      val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val inc = Dedup.minhashLshIncrementalBucketed(spark, batch,
+          "doc_id", "text", "sig_store_bkt")
+        assert(inc.as[(Long, Long, Double)].collect().toSet ===
+          plain.as[(Long, Long, Double)].collect().toSet)
+        assert(inc.as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet ===
+          Set((42L, 1001L), (1002L, 1003L)))
+        // plan: both store scans reuse their write-time bucket layout
+        // (no exchange feeds them), so every exchange the plan does have
+        // moves batch-derived data. The plain store's plan re-shuffles
+        // history twice (banding agg + verify join) — strictly more.
+        val p = inc.queryExecution.executedPlan.toString
+        val nBucketed = "Bucketed: true".r.findAllIn(p).size
+        assert(nBucketed >= 2, s"expected both store scans bucketed:\n$p")
+        val ex = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+        val exPlain = plain.queryExecution.executedPlan.toString
+          .linesIterator.count(_.contains("Exchange hashpartitioning"))
+        assert(ex < exPlain, s"bucketed=$ex plain=$exPlain")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      // append the admitted batch; tomorrow's re-delivery sees it as history
+      Dedup.appendSignaturesBucketed(spark, batch, "doc_id", "text",
+        "sig_store_bkt", buckets = 8)
+      val n1 = spark.table("sig_store_bkt_sigs").count()
+      // re-append is anti-joined: nothing added
+      Dedup.appendSignaturesBucketed(spark, batch, "doc_id", "text",
+        "sig_store_bkt", buckets = 8)
+      assert(spark.table("sig_store_bkt_sigs").count() === n1)
+      val day2 = Seq((2001L, "a genuinely new batch document with fresh content"))
+        .toDF("doc_id", "text")
+      val d2 = Dedup.minhashLshIncrementalBucketed(spark, day2,
+          "doc_id", "text", "sig_store_bkt")
+        .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+      assert(d2 === Set((1002L, 2001L), (1003L, 2001L)))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS sig_store_bkt_sigs")
+      spark.sql("DROP TABLE IF EXISTS sig_store_bkt_bands")
+    }
+  }
+
   test("semanticDedup drops near-identical clustermates, keeps lowest id") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
