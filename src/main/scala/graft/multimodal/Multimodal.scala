@@ -126,6 +126,18 @@ object Multimodal {
    * [[ImageCodec]] — decode failures are DATA, never exceptions.
    */
   object AudioCodec {
+    /** Header frame count when specified, else derived from the PCM
+      * actually read. A header claiming more frames than Int holds
+      * cannot be true of a ≤2 GB in-memory payload — that is the
+      * corrupt-header case, and the require routes it to [[decode]]'s
+      * error row rather than letting `toInt` wrap into a
+      * negative-or-small count that masquerades as real metadata. */
+    private[multimodal] def frameCount(headerFrames: Long, pcmLen: Int,
+        frameSize: Int): Int = {
+      require(headerFrames <= Int.MaxValue, "frame count overflows Int")
+      if (headerFrames >= 0) headerFrames.toInt else pcmLen / frameSize
+    }
+
     def decode(a: Asset): DecodedAsset = {
       val len = if (a.payload == null) 0 else a.payload.length
       try {
@@ -144,9 +156,7 @@ object Multimodal {
         // streaming writers: data size 0xFFFFFFFF) derive it from the
         // actual PCM read — never let the -1 sentinel masquerade as data
         val headerFrames = ais.getFrameLength
-        val nFrames =
-          if (headerFrames >= 0) headerFrames.toInt
-          else pcm.length / frameSize
+        val nFrames = frameCount(headerFrames, pcm.length, frameSize)
         val bits = fmt.getSampleSizeInBits
         val enc = fmt.getEncoding
         val big = fmt.isBigEndian

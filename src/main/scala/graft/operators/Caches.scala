@@ -31,6 +31,17 @@ import org.apache.spark.storage.StorageLevel
  * actions (trainCentroids/trainBooks) release with try/finally
  * instead — a listener registered before construction-time actions
  * would fire on them.
+ *
+ * Blind spot: the listener bus only sees Dataset-level actions. A
+ * caller that abandons the returned plan, or drives it exclusively
+ * through RDD-level actions (`df.rdd.foreach`, direct
+ * `sparkContext.runJob`), produces no `QueryExecutionListener` event —
+ * the match never fires. The `expiryEvents` fallback bounds that leak:
+ * after that many post-registration events with no match, the persist
+ * releases anyway (perf-only if the caller was merely slow — the plan
+ * recomputes). Only a session that goes completely silent after the
+ * abandonment keeps the blocks, and then nothing is contending for
+ * the memory they hold.
  */
 object Caches {
 
@@ -56,33 +67,54 @@ object Caches {
     * current (successor persisted, put not yet run) and unpersist the
     * entry the successor had just created. Ownership-then-persist
     * closes it: by the time the entry exists, the stale event already
-    * fails the token check. (A stale event delivered to the NEW
-    * listener can still release one action early — indistinguishable
-    * by plan identity; perf-only, recompute stays correct.) */
+    * fails the token check. Stale events delivered to the NEW listener
+    * are screened by execution id: `QueryExecution` ids are assigned
+    * from a monotone counter at construction, and any event whose
+    * action COMPLETED before this registration ran was constructed
+    * before `df`'s own QueryExecution — so `qe.id < floor` identifies
+    * it exactly, and the one-action-early release race is a non-event
+    * rather than a documented hazard. */
   def releaseAfterUse(df: DataFrame,
-      level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+      level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+      expiryEvents: Int = 64): DataFrame = {
     // escape hatch for callers that deliberately reuse caches across
     // actions/runs and clear them session-wide themselves
     if (sys.env.contains("GRAFT_KEEP_CACHES")) return df.persist(level)
     val spark = df.sparkSession
     val target = df.queryExecution.analyzed
+    // id floor: df's own QueryExecution is the oldest construction the
+    // caller's action can possibly report (running the returned frame
+    // reports THIS instance; wrapping it in a larger plan constructs a
+    // newer one) — anything below it predates this registration
+    val floor = df.queryExecution.id
     val key = (System.identityHashCode(spark), target.canonicalized)
     val token = new Object
     owners.synchronized { owners.put(key, token) }
     val cached = df.persist(level)
     val listener = new QueryExecutionListener {
       private val done = new AtomicBoolean(false)
+      private val unrelated = new java.util.concurrent.atomic.AtomicInteger
+      private def release(): Unit = {
+        owners.synchronized {
+          if (owners.remove(key, token)) cached.unpersist(blocking = false)
+        }
+        spark.listenerManager.unregister(this)
+      }
       private def maybe(qe: QueryExecution): Unit = {
         if (owners.get(key) ne token) {
           // a rebuilt construction took ownership of this cache entry
           if (done.compareAndSet(false, true))
             spark.listenerManager.unregister(this)
-        } else if (qe.analyzed.exists(_.sameResult(target)) &&
+        } else if (qe.id < floor) {
+          // stale: completed (and was queued) before this registration
+        } else if (qe.analyzed.exists(_.sameResult(target))) {
+          if (done.compareAndSet(false, true)) release()
+        } else if (unrelated.incrementAndGet() >= expiryEvents &&
             done.compareAndSet(false, true)) {
-          owners.synchronized {
-            if (owners.remove(key, token)) cached.unpersist(blocking = false)
-          }
-          spark.listenerManager.unregister(this)
+          // fallback expiry: the caller abandoned the plan or drove it
+          // through RDD actions the listener bus never sees — release
+          // rather than leak for the session's lifetime
+          release()
         }
       }
       override def onSuccess(funcName: String, qe: QueryExecution,

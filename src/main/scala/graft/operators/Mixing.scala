@@ -57,9 +57,15 @@ object Mixing {
       weights: DataFrame, salt: String = ""): DataFrame = {
     val s = weights.agg(
       count(lit(1)).as("n"), countDistinct(col(sourceCol)).as("nd"),
+      count(col("wt")).as("nw"),
       min(col("wt")).as("mn"), max(col("wt")).as("mx")).head()
     require(s.getLong(0) == s.getLong(1),
       s"weights carry duplicate '$sourceCol' rows — one weight per source")
+    // min/max skip nulls, so a NULL wt would sail past the range check
+    // and then silently drop its source's documents (null __n filters
+    // out) — the exact silent-loss mode the range require exists to stop
+    require(s.getLong(0) == s.getAs[Long]("nw"),
+      "weights carry NULL wt rows — every source needs an explicit weight")
     require(s.getLong(0) == 0L ||
         (s.getAs[Double]("mn") >= 0.0 && s.getAs[Double]("mx") <= 1000.0),
       "weights must be in [0, 1000] — an implied-epochs mix, not a scale factor")

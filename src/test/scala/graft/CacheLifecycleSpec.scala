@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.col
+
 /** Operator-owned persists must not outlive their query (round-3
   * review): running persist-bearing queries back-to-back WITHOUT
   * clearCache must leave the session's CacheManager empty after each —
@@ -32,6 +34,25 @@ class CacheLifecycleSpec extends SparkSpec {
       runNoop(q)
       awaitEmpty(q)
     }
+  }
+
+  test("abandoned persist expires after enough unrelated events (no permanent leak)") {
+    spark.catalog.clearCache()
+    import spark.implicits._
+    import graft.operators.Caches
+    // register a release-after-use persist, then NEVER run the returned
+    // plan — the match event the listener waits for will never arrive
+    val abandoned = Caches.releaseAfterUse(
+      (1 to 100).toDF("n").select(col("n") * 2 as "m"), expiryEvents = 5)
+    abandoned.count() // materialize the cache entry (this IS a match...)
+    // re-register with a fresh plan that is then abandoned for real
+    val orphan = Caches.releaseAfterUse(
+      (1 to 50).toDF("k").select(col("k") + 7 as "j"), expiryEvents = 5)
+    orphan.queryExecution.analyzed // force construction, run nothing
+    // drive unrelated actions past the expiry threshold
+    for (_ <- 1 to 8) (1 to 3).toDF("x").write.format("noop")
+      .mode("overwrite").save()
+    awaitEmpty("abandoned releaseAfterUse persists")
   }
 
   test("trained-quantizer internal persists release inside the call") {

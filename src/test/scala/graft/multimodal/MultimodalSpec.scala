@@ -96,6 +96,21 @@ class MultimodalSpec extends SparkSpec {
     assert(d(1).width === -1 && d(1).height === -1 && d(1).features.isEmpty)
   }
 
+  test("AudioCodec frame-count overflow routes to the error path, never wraps") {
+    // normal cases: header count wins; -1 sentinel derives from PCM read
+    assert(Multimodal.AudioCodec.frameCount(4000L, 8000, 2) === 4000)
+    assert(Multimodal.AudioCodec.frameCount(-1L, 8000, 2) === 4000)
+    // a header claiming more frames than Int holds (multi-day capture or
+    // corrupt size field) must throw — decode's catch turns that into
+    // the (-1,-1,0) error row — not toInt-wrap into plausible metadata
+    intercept[IllegalArgumentException] {
+      Multimodal.AudioCodec.frameCount(Int.MaxValue + 1L, 8000, 2)
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.AudioCodec.frameCount(0xFFFFFFF0L, 8000, 1)
+    }
+  }
+
   test("AudioCodec honors AIFF's big-endian samples (same signal, same features)") {
     implicit val s = spark
     import spark.implicits._

@@ -89,4 +89,15 @@ class MixingSpec extends SparkSpec {
         Seq(("a", -0.5)).toDF("source", "wt"))
     }
   }
+
+  test("weights-table form rejects NULL weights (min/max skip nulls)") {
+    // a NULL wt passes the min/max range check (aggregates skip nulls)
+    // and would then silently drop source b's documents — reject loudly
+    val w = Seq(("a", Some(1.0)), ("b", Option.empty[Double]))
+      .toDF("source", "wt")
+    val e = intercept[IllegalArgumentException] {
+      Mixing.materializeFromTable(docs, "doc_id", "source", w)
+    }
+    assert(e.getMessage.contains("NULL"))
+  }
 }
