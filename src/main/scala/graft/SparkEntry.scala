@@ -1757,6 +1757,42 @@ object SparkEntry {
       operators.Mixing.materialize(t(s, dir, "documents"), "doc_id", "source",
           q107Weights.toMap, salt = "mix1")
         .orderBy(col("doc_id"), col("copy_idx"))
+    }),
+
+    // trained IVF-PQ (iters > 0 refines BOTH quantizers: spherical
+    // k-means centers + per-subspace L2 books) — the production
+    // configuration of q103's md5-picked form. Trained quantizers
+    // inherit fp accumulation ORDER from partitioning, so the full
+    // result set is not mirrorable; the cross-engine contract is
+    // aggregate recall vs the exact brute-force top-k computed IN the
+    // query (the q71 rationale). Two pinned invariants: an absolute
+    // floor of ≥1 true hit/query on average (10 of 50 — the lossy ADC
+    // stage caps IVF-PQ recall well below q71's plain-IVF 40% floor on
+    // this clusterless corpus: observed 12–16 of 50 trained vs 9–14
+    // md5-picked; a broken quantizer/probe/ADC path scores ~0), and
+    // `trained_not_worse`: the trained run must recover at least as
+    // many true neighbors as the DETERMINISTIC md5-picked run on
+    // identical data and identical k/nlist/nprobe/m/candN — training
+    // that degrades recall is a defect this query turns red. The
+    // md5 baseline is fully replayable (q103 mirrors it rank-for-rank)
+    // so the comparison is anchored, not two drifting measurements.
+    "q108_ann_ivfpq_trained" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 10)
+      val exact = Similarity.bruteForceTopK(e, q, k = 5)
+        .select(col("query_id"), col("item_id"))
+      def nHit(iters: Int, as: String) =
+        Similarity.ivfPqTopK(e, q, k = 5, nlist = 8, nprobe = 3,
+            m = 4, ksub = 8, candN = 20, dim = 64, iters = iters)
+          .select(col("query_id"), col("item_id"))
+          .join(exact, Seq("query_id", "item_id"))
+          .agg(count(lit(1)).as(as))
+      q.agg(count(lit(1)).as("n_queries"))
+        .crossJoin(nHit(3, "n_hit_trained"))
+        .crossJoin(nHit(0, "n_hit_md5"))
+        .select(col("n_queries"), (col("n_queries") * 5).as("total_possible"),
+          (col("n_hit_trained") >= col("n_queries")).as("recall_ok"),
+          (col("n_hit_trained") >= col("n_hit_md5")).as("trained_not_worse"))
     })
   )
 
@@ -3225,6 +3261,12 @@ object SparkEntry {
          SELECT doc_id, source, copy_idx FROM (
            SELECT doc_id, source, unnest(range(n)) AS copy_idx
            FROM c WHERE n > 0)
-         ORDER BY doc_id, copy_idx"""
+         ORDER BY doc_id, copy_idx""",
+    // trained quantizers are fp-order dependent — the oracle pins the
+    // aggregate-recall invariants (the q71 contract), not the rows
+    "q108_ann_ivfpq_trained" ->
+      """SELECT count(*) AS n_queries, count(*) * 5 AS total_possible,
+         TRUE AS recall_ok, TRUE AS trained_not_worse
+         FROM embeddings WHERE vec_id < 10"""
   )
 }

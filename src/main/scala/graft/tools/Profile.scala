@@ -20,6 +20,7 @@ object Profile {
     args.foreach { name =>
       val df = SparkEntry.queries(name)(spark, dir)
       if (sys.env.contains("PROFILE_EXPLAIN")) df.explain("formatted")
+      if (sys.env.contains("PROFILE_SHOW")) df.show(50, truncate = false)
       (1 to 2).foreach { i =>
         val t0 = System.nanoTime()
         val d = if (fresh) SparkEntry.queries(name)(spark, dir) else df
