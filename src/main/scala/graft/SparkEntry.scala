@@ -1793,8 +1793,162 @@ object SparkEntry {
         .select(col("n_queries"), (col("n_queries") * 5).as("total_possible"),
           (col("n_hit_trained") >= col("n_queries")).as("recall_ok"),
           (col("n_hit_trained") >= col("n_hit_md5")).as("trained_not_worse"))
+    }),
+
+    // the materialized IVF store driven end-to-end as a declared query:
+    // build once (md5-picked quantizers; the narrow (item_id, codes)
+    // table and the codebooks persisted alongside the vectors, all
+    // partitionBy(list_id)), then ADC-search the STORE — the probed
+    // lists push down as a static partition filter on the code table,
+    // and per-query work no longer includes encoding the corpus (paid
+    // at build). Deterministic quantizers ⇒ results equal q103's
+    // per-query operator rank for rank, so the oracle is the same full
+    // replay — which also pins that build+search introduces no drift.
+    "q109_ann_ivf_store" -> ((s, dir) => {
+      val store = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_ivfstore_${Integer.toHexString(dir.hashCode)}_$jvmToken")
+        .getAbsolutePath
+      val e = t(s, dir, "embeddings")
+      Similarity.buildIvfStore(e, store, nlist = 8, iters = 0, m = 4,
+        ksub = 8, dim = 64)
+      Similarity.searchIvfStoreAdc(s, e.filter(col("vec_id") < 10), store,
+          k = 5, nprobe = 3, candN = 20)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // the object-store-safe MERGE commit protocol driven end-to-end:
+    // the q94 change set applied through MergeSink.applyBatch with
+    // manifestCommit = true — immutable generation dirs + one pointer
+    // file, NO renames anywhere — in two batches (the base as inserts,
+    // then the I/U/D set), read back through the manifest pointer.
+    // Same arbitration, same oracle as q94: the commit protocol must
+    // be invisible to results. Re-runs are idempotent (I/U collapse to
+    // upsert; D of an absent key is a no-op), so the bench's
+    // rebuild-per-run shape converges to the same snapshot.
+    "q110_merge_manifest" -> ((s, dir) => {
+      val snap = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_merge_manifest_${Integer.toHexString(dir.hashCode)}_$jvmToken")
+        .getAbsolutePath + "/snap"
+      val cust = t(s, dir, "customer")
+      val base = cust.select(col("c_custkey"), lit("I").as("op"),
+        lit(1L).as("seq"), col("c_name"), col("c_acctbal"))
+      val changes = cust
+        .filter(col("c_custkey") % 7 === 0 || col("c_custkey") % 11 === 0)
+        .select(col("c_custkey"),
+          when(col("c_custkey") % 11 === 0, "D").otherwise("U").as("op"),
+          lit(2L).as("seq"),
+          concat(col("c_name"), lit("_v2")).as("c_name"),
+          (col("c_acctbal") + 100.0).as("c_acctbal"))
+        .unionByName(cust.filter(col("c_custkey") % 13 === 0)
+          .select((col("c_custkey") + 1000000L).as("c_custkey"),
+            lit("I").as("op"), lit(2L).as("seq"),
+            concat(col("c_name"), lit("_new")).as("c_name"),
+            lit(0.0).as("c_acctbal")))
+      streaming.MergeSink.applyBatch(s, base, snap, "c_custkey", "op",
+        "seq", manifestCommit = true)
+      streaming.MergeSink.applyBatch(s, changes, snap, "c_custkey", "op",
+        "seq", manifestCommit = true)
+      Merge.readSnapshot(s, snap)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        .orderBy(col("c_custkey"))
     })
   )
+
+  /** The IVF-PQ full replay (the q50 coarse-quantizer CTEs + the q89
+    * PQ CTEs, ADC restricted to the probed lists, identical
+    * tiebreaks) — shared by q103 (the per-query operator) and q109
+    * (the materialized store's build + ADC search): both use the
+    * md5-picked deterministic quantizers, so they must match this
+    * replay rank for rank. */
+  private lazy val ivfPqReplaySql: String = {
+      val (m, subdim, ksub, candN, k) = (4, 16, 8, 20, 5)
+      val adc = (0 until m).map(j =>
+          s"list_inner_product(pr.qv[${j * subdim + 1}:${(j + 1) * subdim}], b$j.cw)")
+        .reduceLeft((a, b) => s"($a + $b)")
+      val bJoins = (0 until m).map(j =>
+        s"JOIN cbs b$j ON b$j.j = $j AND b$j.c = ec.c$j").mkString(" ")
+      val cWide = (0 until m).map(j =>
+        s"max(CASE WHEN j = $j THEN c END) AS c$j").mkString(", ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         en AS (SELECT vec_id,
+                  CASE WHEN list_inner_product(v, v) = 0 THEN v
+                       ELSE list_transform(v, x -> x / sqrt(list_inner_product(v, v)))
+                  END AS nv
+                FROM e),
+         cent AS (SELECT nv AS cv, CAST(rn - 1 AS INT) AS lid FROM (
+                    SELECT nv, row_number() OVER
+                      (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+                    FROM en) WHERE rn <= 8),
+         asn AS (SELECT item_id, lid FROM (
+                   SELECT en.vec_id AS item_id, cent.lid,
+                     row_number() OVER (PARTITION BY en.vec_id
+                       ORDER BY list_inner_product(en.nv, cent.cv) DESC, cent.lid DESC) AS rn
+                   FROM en, cent) WHERE rn = 1),
+         qn AS (SELECT vec_id AS query_id, nv AS qv FROM en WHERE vec_id < 10),
+         pr AS (SELECT query_id, qv, lid FROM (
+                  SELECT qn.query_id, qn.qv, cent.lid,
+                    row_number() OVER (PARTITION BY qn.query_id
+                      ORDER BY list_inner_product(qn.qv, cent.cv) DESC, cent.lid DESC) AS rn
+                  FROM qn, cent) WHERE rn <= 3),
+         cb AS (SELECT CAST(rn - 1 AS INT) AS code, nv FROM (
+                  SELECT nv, row_number() OVER
+                    (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+                  FROM en) WHERE rn <= $ksub),
+         js AS (SELECT unnest(${(0 until m).mkString("[", ", ", "]")}) AS j),
+         cbs AS (SELECT code AS c, j, nv[(j*$subdim+1):((j+1)*$subdim)] AS cw,
+                   list_inner_product(nv[(j*$subdim+1):((j+1)*$subdim)],
+                                      nv[(j*$subdim+1):((j+1)*$subdim)]) AS cc
+                 FROM cb CROSS JOIN js),
+         enc AS (SELECT vec_id, j, c FROM (
+                   SELECT en.vec_id, cbs.j, cbs.c,
+                     row_number() OVER (PARTITION BY en.vec_id, cbs.j
+                       ORDER BY cbs.cc - 2 * list_inner_product(
+                         en.nv[(cbs.j*$subdim+1):((cbs.j+1)*$subdim)], cbs.cw) ASC,
+                       cbs.c ASC) AS rn
+                   FROM en CROSS JOIN cbs) WHERE rn = 1),
+         ec AS (SELECT vec_id AS item_id, $cWide FROM enc GROUP BY vec_id),
+         ad AS (SELECT pr.query_id, ec.item_id, $adc AS approx
+                FROM pr JOIN asn ON asn.lid = pr.lid
+                        JOIN ec ON ec.item_id = asn.item_id $bJoins
+                WHERE ec.item_id != pr.query_id),
+         sl AS (SELECT query_id, item_id, approx FROM (
+                  SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY approx DESC, item_id ASC) AS cr
+                  FROM ad) WHERE cr <= $candN),
+         ex AS (SELECT s.query_id, s.item_id, s.approx,
+                  list_inner_product(q.qv, en2.nv) AS cos
+                FROM sl s JOIN en en2 ON en2.vec_id = s.item_id
+                          JOIN qn q ON q.query_id = s.query_id),
+         r AS (SELECT query_id, item_id, round(approx, 4) AS approx_pq,
+                 round(cos, 4) AS cos,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY ex.cos DESC, item_id) AS INT) AS rank
+               FROM ex)
+         SELECT query_id, item_id, approx_pq, cos, rank FROM r
+         WHERE rank <= $k ORDER BY query_id, rank"""
+    }
+
+  /** The MERGE-arbitration replay (full-outer, I/U upsert, D erase)
+    * over the q94 change set — shared by q94 (mergeBatch on plain
+    * frames) and q110 (the same set applied through the manifest
+    * pointer-file commit protocol and read back through the pointer):
+    * the commit protocol must be invisible to results. */
+  private lazy val mergeUpsertReplaySql: String =
+    """WITH base AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+         ch AS (
+           SELECT c_custkey,
+             CASE WHEN c_custkey % 11 = 0 THEN 'D' ELSE 'U' END AS op,
+             c_name || '_v2' AS c_name, c_acctbal + 100.0 AS c_acctbal
+           FROM customer WHERE c_custkey % 7 = 0 OR c_custkey % 11 = 0
+           UNION ALL
+           SELECT c_custkey + 1000000, 'I', c_name || '_new', 0.0
+           FROM customer WHERE c_custkey % 13 = 0)
+         SELECT coalesce(ch.c_custkey, base.c_custkey) AS c_custkey,
+           CASE WHEN ch.op IS NOT NULL THEN ch.c_name ELSE base.c_name END AS c_name,
+           CASE WHEN ch.op IS NOT NULL THEN ch.c_acctbal ELSE base.c_acctbal END AS c_acctbal
+         FROM base FULL JOIN ch ON base.c_custkey = ch.c_custkey
+         WHERE ch.op IS NULL OR ch.op <> 'D'
+         ORDER BY c_custkey"""
 
   /** q107's mix: deterministic per-source weights (exact binary
     * fractions, so frac(w)·10⁶ is integer-exact in BOTH engines),
@@ -2960,22 +3114,10 @@ object SparkEntry {
          FROM c, z ORDER BY c.source""",
     // MERGE application replay: same derived change set, same
     // matched/unmatched/delete arbitration.
-    "q94_merge_upsert" ->
-      """WITH base AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
-         ch AS (
-           SELECT c_custkey,
-             CASE WHEN c_custkey % 11 = 0 THEN 'D' ELSE 'U' END AS op,
-             c_name || '_v2' AS c_name, c_acctbal + 100.0 AS c_acctbal
-           FROM customer WHERE c_custkey % 7 = 0 OR c_custkey % 11 = 0
-           UNION ALL
-           SELECT c_custkey + 1000000, 'I', c_name || '_new', 0.0
-           FROM customer WHERE c_custkey % 13 = 0)
-         SELECT coalesce(ch.c_custkey, base.c_custkey) AS c_custkey,
-           CASE WHEN ch.op IS NOT NULL THEN ch.c_name ELSE base.c_name END AS c_name,
-           CASE WHEN ch.op IS NOT NULL THEN ch.c_acctbal ELSE base.c_acctbal END AS c_acctbal
-         FROM base FULL JOIN ch ON base.c_custkey = ch.c_custkey
-         WHERE ch.op IS NULL OR ch.op <> 'D'
-         ORDER BY c_custkey""",
+    "q94_merge_upsert" -> mergeUpsertReplaySql,
+    // same change set, same arbitration, applied through the manifest
+    // pointer-file commit protocol — which must be invisible to results.
+    "q110_merge_manifest" -> mergeUpsertReplaySql,
     // the round trip must preserve values exactly, so the oracle is the
     // same aggregate over the ORIGINAL parquet.
     "q95_orc_roundtrip" ->
@@ -3121,73 +3263,10 @@ object SparkEntry {
     // argmax assignment, top-3 probes) + the q89 PQ CTEs (codebooks,
     // argmin encode, ADC tables) with the ADC scan restricted to the
     // probed lists; both rankings replayed with identical tiebreaks.
-    "q103_ann_ivfpq" -> {
-      val (m, subdim, ksub, candN, k) = (4, 16, 8, 20, 5)
-      val adc = (0 until m).map(j =>
-          s"list_inner_product(pr.qv[${j * subdim + 1}:${(j + 1) * subdim}], b$j.cw)")
-        .reduceLeft((a, b) => s"($a + $b)")
-      val bJoins = (0 until m).map(j =>
-        s"JOIN cbs b$j ON b$j.j = $j AND b$j.c = ec.c$j").mkString(" ")
-      val cWide = (0 until m).map(j =>
-        s"max(CASE WHEN j = $j THEN c END) AS c$j").mkString(", ")
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         en AS (SELECT vec_id,
-                  CASE WHEN list_inner_product(v, v) = 0 THEN v
-                       ELSE list_transform(v, x -> x / sqrt(list_inner_product(v, v)))
-                  END AS nv
-                FROM e),
-         cent AS (SELECT nv AS cv, CAST(rn - 1 AS INT) AS lid FROM (
-                    SELECT nv, row_number() OVER
-                      (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
-                    FROM en) WHERE rn <= 8),
-         asn AS (SELECT item_id, lid FROM (
-                   SELECT en.vec_id AS item_id, cent.lid,
-                     row_number() OVER (PARTITION BY en.vec_id
-                       ORDER BY list_inner_product(en.nv, cent.cv) DESC, cent.lid DESC) AS rn
-                   FROM en, cent) WHERE rn = 1),
-         qn AS (SELECT vec_id AS query_id, nv AS qv FROM en WHERE vec_id < 10),
-         pr AS (SELECT query_id, qv, lid FROM (
-                  SELECT qn.query_id, qn.qv, cent.lid,
-                    row_number() OVER (PARTITION BY qn.query_id
-                      ORDER BY list_inner_product(qn.qv, cent.cv) DESC, cent.lid DESC) AS rn
-                  FROM qn, cent) WHERE rn <= 3),
-         cb AS (SELECT CAST(rn - 1 AS INT) AS code, nv FROM (
-                  SELECT nv, row_number() OVER
-                    (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
-                  FROM en) WHERE rn <= $ksub),
-         js AS (SELECT unnest(${(0 until m).mkString("[", ", ", "]")}) AS j),
-         cbs AS (SELECT code AS c, j, nv[(j*$subdim+1):((j+1)*$subdim)] AS cw,
-                   list_inner_product(nv[(j*$subdim+1):((j+1)*$subdim)],
-                                      nv[(j*$subdim+1):((j+1)*$subdim)]) AS cc
-                 FROM cb CROSS JOIN js),
-         enc AS (SELECT vec_id, j, c FROM (
-                   SELECT en.vec_id, cbs.j, cbs.c,
-                     row_number() OVER (PARTITION BY en.vec_id, cbs.j
-                       ORDER BY cbs.cc - 2 * list_inner_product(
-                         en.nv[(cbs.j*$subdim+1):((cbs.j+1)*$subdim)], cbs.cw) ASC,
-                       cbs.c ASC) AS rn
-                   FROM en CROSS JOIN cbs) WHERE rn = 1),
-         ec AS (SELECT vec_id AS item_id, $cWide FROM enc GROUP BY vec_id),
-         ad AS (SELECT pr.query_id, ec.item_id, $adc AS approx
-                FROM pr JOIN asn ON asn.lid = pr.lid
-                        JOIN ec ON ec.item_id = asn.item_id $bJoins
-                WHERE ec.item_id != pr.query_id),
-         sl AS (SELECT query_id, item_id, approx FROM (
-                  SELECT *, row_number() OVER (PARTITION BY query_id
-                    ORDER BY approx DESC, item_id ASC) AS cr
-                  FROM ad) WHERE cr <= $candN),
-         ex AS (SELECT s.query_id, s.item_id, s.approx,
-                  list_inner_product(q.qv, en2.nv) AS cos
-                FROM sl s JOIN en en2 ON en2.vec_id = s.item_id
-                          JOIN qn q ON q.query_id = s.query_id),
-         r AS (SELECT query_id, item_id, round(approx, 4) AS approx_pq,
-                 round(cos, 4) AS cos,
-                 CAST(row_number() OVER (PARTITION BY query_id
-                   ORDER BY ex.cos DESC, item_id) AS INT) AS rank
-               FROM ex)
-         SELECT query_id, item_id, approx_pq, cos, rank FROM r
-         WHERE rank <= $k ORDER BY query_id, rank"""
-    },
+    "q103_ann_ivfpq" -> ivfPqReplaySql,
+    // the materialized store's build+ADC-search must replay the exact
+    // same pipeline — deterministic quantizers, identical ranking.
+    "q109_ann_ivf_store" -> ivfPqReplaySql,
     // the bucketed layout must be invisible to results: plain join.
     "q104_bucketed_join" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
