@@ -1851,6 +1851,30 @@ object SparkEntry {
       Merge.readSnapshot(s, snap)
         .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
         .orderBy(col("c_custkey"))
+    }),
+
+    // the daily near-dup admission job as a declared query: history's
+    // signatures come from the MATERIALIZED store (built here from the
+    // standing corpus, then treated read-only — the q102 split), and
+    // the day's batch bands against it; history TEXT is never re-read.
+    // Signatures are pure functions of the text, so the incremental
+    // run equals the full-corpus q20 pipeline restricted to
+    // batch-touching pairs (the DedupSpec equivalence property made
+    // oracle-checkable): the oracle replays q20 over ALL documents,
+    // keeps pairs touching the batch, and re-orients to the admission
+    // convention (history id first; batch-batch pairs canonical).
+    "q111_incremental_neardup" -> ((s, dir) => {
+      val store = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_sigstore_${Integer.toHexString(dir.hashCode)}_$jvmToken")
+        .getAbsolutePath
+      val docs = t(s, dir, "documents")
+      Dedup.buildSignatureStore(docs.filter(col("doc_id") % 3 =!= 0),
+        "doc_id", "text", store, numHashes = 64, shingleN = 5,
+        portable = true)
+      Dedup.minhashLshIncremental(s, docs.filter(col("doc_id") % 3 === 0),
+          "doc_id", "text", store, numHashes = 64, bands = 8,
+          shingleN = 5, threshold = 0.4, portable = true)
+        .orderBy(col("id_a"), col("id_b"))
     })
   )
 
@@ -2583,6 +2607,29 @@ object SparkEntry {
          $minhashPipelineSql
          SELECT id_a, id_b, round(nm / 64.0, 4) AS est_jaccard
          FROM v WHERE round(nm / 64.0, 4) >= 0.4
+         ORDER BY id_a, id_b""",
+    // incremental ≡ full-corpus on batch-touching pairs (signatures are
+    // pure functions of text): the q20 replay, filtered to pairs where
+    // at least one side is in the batch (doc_id % 3 = 0), re-oriented
+    // so a spanning pair leads with its history id. Explicitly
+    // p.-qualified CASE arms: DuckDB resolves sibling SELECT aliases,
+    // so an unqualified id_a inside the second CASE would read the
+    // FIRST case's output, not the source column.
+    "q111_incremental_neardup" ->
+      s"""WITH d AS (
+           SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+           FROM documents),
+         $minhashPipelineSql,
+         p AS (SELECT id_a, id_b, round(nm / 64.0, 4) AS est_jaccard
+               FROM v WHERE round(nm / 64.0, 4) >= 0.4),
+         o AS (SELECT
+                 CASE WHEN p.id_a % 3 = 0 AND p.id_b % 3 <> 0
+                      THEN p.id_b ELSE p.id_a END AS oa,
+                 CASE WHEN p.id_a % 3 = 0 AND p.id_b % 3 <> 0
+                      THEN p.id_a ELSE p.id_b END AS ob,
+                 est_jaccard
+               FROM p WHERE p.id_a % 3 = 0 OR p.id_b % 3 = 0)
+         SELECT oa AS id_a, ob AS id_b, est_jaccard FROM o
          ORDER BY id_a, id_b""",
     // nearDupCollapsed mirror: reps = min-id per distinct text run the
     // same q20 pipeline; rep pairs expand to all member combinations
