@@ -1875,6 +1875,56 @@ object SparkEntry {
           "doc_id", "text", store, numHashes = 64, bands = 8,
           shingleN = 5, threshold = 0.4, portable = true)
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // time travel as a declared query: the audit delta between two
+    // snapshot versions, computed ONLY from the snapshot's retained
+    // immutable generations (no change log kept anywhere) —
+    // v_old through readSnapshotAt, v_live through the pointer,
+    // full-outer on the key. The snapshot rebuilds from scratch each
+    // run (dir wiped first) so commit version numbers stay
+    // deterministic under Bench/Profile re-runs.
+    "q112_snapshot_delta" -> ((s, dir) => {
+      val root = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_tt_${Integer.toHexString(dir.hashCode)}_$jvmToken")
+      deleteRecursively(root)
+      val snap = root.getAbsolutePath + "/snap"
+      val cust = t(s, dir, "customer")
+      val base = cust.select(col("c_custkey"), lit("I").as("op"),
+        lit(1L).as("seq"), col("c_name"), col("c_acctbal"))
+      val changes = cust
+        .filter(col("c_custkey") % 7 === 0 || col("c_custkey") % 11 === 0)
+        .select(col("c_custkey"),
+          when(col("c_custkey") % 11 === 0, "D").otherwise("U").as("op"),
+          lit(2L).as("seq"),
+          concat(col("c_name"), lit("_v2")).as("c_name"),
+          (col("c_acctbal") + 100.0).as("c_acctbal"))
+        .unionByName(cust.filter(col("c_custkey") % 13 === 0)
+          .select((col("c_custkey") + 1000000L).as("c_custkey"),
+            lit("I").as("op"), lit(2L).as("seq"),
+            concat(col("c_name"), lit("_new")).as("c_name"),
+            lit(0.0).as("c_acctbal")))
+      streaming.MergeSink.applyBatch(s, base, snap, "c_custkey", "op",
+        "seq", manifestCommit = true)
+      streaming.MergeSink.applyBatch(s, changes, snap, "c_custkey", "op",
+        "seq", manifestCommit = true)
+      val vOld = Merge.snapshotVersions(s, snap).head
+      val old = Merge.readSnapshotAt(s, snap, vOld)
+        .select(col("c_custkey").as("k_old"), col("c_name").as("name_old"),
+          col("c_acctbal").as("bal_old"))
+      val live = Merge.readSnapshot(s, snap)
+        .select(col("c_custkey").as("k_new"), col("c_name").as("name_new"),
+          col("c_acctbal").as("bal_new"))
+      old.join(live, col("k_old") === col("k_new"), "full_outer")
+        .filter(col("k_old").isNull || col("k_new").isNull ||
+          col("name_old") =!= col("name_new") ||
+          col("bal_old") =!= col("bal_new"))
+        .select(coalesce(col("k_new"), col("k_old")).as("c_custkey"),
+          when(col("k_old").isNull, "insert")
+            .when(col("k_new").isNull, "delete")
+            .otherwise("update").as("change"),
+          col("name_old"), col("name_new"), col("bal_old"), col("bal_new"))
+        .orderBy(col("c_custkey"))
     })
   )
 
@@ -2631,6 +2681,36 @@ object SparkEntry {
                FROM p WHERE p.id_a % 3 = 0 OR p.id_b % 3 = 0)
          SELECT oa AS id_a, ob AS id_b, est_jaccard FROM o
          ORDER BY id_a, id_b""",
+    // time-travel delta: v_old = the base batch alone, v_live = the
+    // q94/q110 merge arbitration replay; the delta is the full-outer
+    // mismatch between them. The snapshot protocol must be invisible:
+    // the oracle never sees a manifest, only the two logical states.
+    "q112_snapshot_delta" ->
+      """WITH base AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+         ch AS (
+           SELECT c_custkey,
+             CASE WHEN c_custkey % 11 = 0 THEN 'D' ELSE 'U' END AS op,
+             c_name || '_v2' AS c_name, c_acctbal + 100.0 AS c_acctbal
+           FROM customer WHERE c_custkey % 7 = 0 OR c_custkey % 11 = 0
+           UNION ALL
+           SELECT c_custkey + 1000000, 'I', c_name || '_new', 0.0
+           FROM customer WHERE c_custkey % 13 = 0),
+         v2 AS (
+           SELECT coalesce(ch.c_custkey, base.c_custkey) AS c_custkey,
+             CASE WHEN ch.op IS NOT NULL THEN ch.c_name ELSE base.c_name END AS c_name,
+             CASE WHEN ch.op IS NOT NULL THEN ch.c_acctbal ELSE base.c_acctbal END AS c_acctbal
+           FROM base FULL JOIN ch ON base.c_custkey = ch.c_custkey
+           WHERE ch.op IS NULL OR ch.op <> 'D')
+         SELECT coalesce(v2.c_custkey, base.c_custkey) AS c_custkey,
+           CASE WHEN base.c_custkey IS NULL THEN 'insert'
+                WHEN v2.c_custkey IS NULL THEN 'delete'
+                ELSE 'update' END AS change,
+           base.c_name AS name_old, v2.c_name AS name_new,
+           base.c_acctbal AS bal_old, v2.c_acctbal AS bal_new
+         FROM base FULL JOIN v2 ON base.c_custkey = v2.c_custkey
+         WHERE base.c_custkey IS NULL OR v2.c_custkey IS NULL
+            OR base.c_name <> v2.c_name OR base.c_acctbal <> v2.c_acctbal
+         ORDER BY c_custkey""",
     // nearDupCollapsed mirror: reps = min-id per distinct text run the
     // same q20 pipeline; rep pairs expand to all member combinations
     // (re-canonicalized), within-group member pairs join at score 1.0.

@@ -23,7 +23,12 @@ import org.apache.hadoop.fs.{FileSystem, Path}
  *  - crash debris (staged-but-uncommitted generations, torn or
  *    superseded commit files) is garbage-collected by the next
  *    application's preamble — recovery never depends on the crash
- *    point.
+ *    point;
+ *  - the newest `spark.graft.merge.retainCommits` (default 2) commits
+ *    and their generations survive GC, so retained history is readable
+ *    as of any listed version ([[graft.operators.Merge.readSnapshotAt]])
+ *    and the lost-pointer fallback commit resolves to dirs that still
+ *    exist; [[graft.operators.Merge.vacuum]] trims explicitly.
  *
  * Single writer per snapshot (the same assumption the rename protocol
  * makes — foreachBatch serializes batches). Readers racing a commit may
@@ -48,6 +53,32 @@ private[graft] object ManifestCommit {
   def exists(fs: FileSystem, dir: Path): Boolean =
     fs.exists(dir) &&
       fs.listStatus(dir).exists(_.getPath.getName.startsWith(Prefix))
+
+  /** How many commits (and their generations) [[gc]] retains, from
+    * `spark.graft.merge.retainCommits` (default 2: the live commit plus
+    * one predecessor — enough for the lost-pointer fallback and
+    * one-step time travel; raise it to keep deeper history readable
+    * through [[graft.operators.Merge.readSnapshotAt]]). Clamped to
+    * >= 1: the live commit is never collectable. */
+  def retention(spark: org.apache.spark.sql.SparkSession): Int =
+    math.max(1, spark.conf.getOption("spark.graft.merge.retainCommits")
+      .map(_.toInt).getOrElse(2))
+
+  /** Versions whose commit files still exist and parse whole —
+    * the versions [[readVersion]] can resolve, ascending. */
+  def versions(fs: FileSystem, dir: Path): Seq[Long] = {
+    if (!fs.exists(dir)) return Seq.empty
+    fs.listStatus(dir).map(_.getPath)
+      .filter(_.getName.startsWith(Prefix)).sortBy(_.getName)
+      .flatMap(p => parse(fs, p)).map(_.version).toSeq
+  }
+
+  /** The state a specific commit pinned — time travel. None if that
+    * version was never committed, was vacuumed, or is torn. */
+  def readVersion(fs: FileSystem, dir: Path, version: Long): Option[State] = {
+    val p = new Path(dir, commitName(version))
+    if (fs.exists(p)) parse(fs, p).filter(_.version == version) else None
+  }
 
   /** Newest commit file whose content parses whole; torn writes from a
     * crash mid-commit fail the trailer check and fall through to the
@@ -89,33 +120,39 @@ private[graft] object ManifestCommit {
     finally out.close()
   }
 
-  /** Preamble/cleanup GC: drop commit files other than the newest two
-    * parseable-or-not (the newest is live; one predecessor is kept as
-    * paranoia headroom), and generation dirs the live commit does not
-    * reference — orphans of a crashed stage, or generations a crashed
-    * post-commit cleanup left behind. Runs BEFORE any staging, so a
-    * re-delivered batch re-stages into clean paths. */
-  def gc(fs: FileSystem, dir: Path): Unit = {
+  /** Preamble/cleanup GC: drop commit files other than the newest
+    * `retain` parseable ones at-or-below the live commit, and
+    * generation dirs NO retained commit references — orphans of a
+    * crashed stage, or generations a crashed post-commit cleanup left
+    * behind. Retained commits keep their generations, so every version
+    * [[versions]] lists stays readable (time travel) and the
+    * lost-pointer fallback commit resolves to dirs that still exist.
+    * Runs BEFORE any staging, so a re-delivered batch re-stages into
+    * clean paths. */
+  def gc(fs: FileSystem, dir: Path, retain: Int = 2): Unit = {
     if (!fs.exists(dir)) return
+    val keep = math.max(1, retain)
     val st = read(fs, dir)
     val commits = fs.listStatus(dir).map(_.getPath)
       .filter(_.getName.startsWith(Prefix)).sortBy(_.getName)
-    // keep the live commit + its immediate predecessor (fallback
-    // headroom); everything else goes — in particular any file ABOVE
-    // the live one is a torn write (read would have picked it
-    // otherwise) and must clear out so a re-delivered batch can
-    // re-create the same version number
+    // keep the newest `keep` commits at or below the live one;
+    // everything else goes — in particular any file ABOVE the live one
+    // is a torn write (read would have picked it otherwise) and must
+    // clear out so a re-delivered batch can re-create the same version
+    // number
     val liveIdx = st.map(s => commits.indexWhere(_.getName == commitName(s.version)))
       .getOrElse(-1)
-    commits.zipWithIndex.foreach { case (p, i) =>
-      if (i != liveIdx && i != liveIdx - 1) fs.delete(p, false)
+    val retained = commits.zipWithIndex.collect {
+      case (p, i) if i <= liveIdx && i > liveIdx - keep => p
     }
+    val retainedNames = retained.map(_.getName).toSet
+    commits.foreach(p => if (!retainedNames(p.getName)) fs.delete(p, false))
     val data = dataDir(dir)
     if (fs.exists(data)) {
-      val live = st.map(_.live.toSet).getOrElse(Set.empty[String])
-      // the superseded-commit fallback only matters if the live commit
-      // object is lost; its generations are already superseded and are
-      // reclaimed here
+      // a generation stays iff SOME retained commit references it (a
+      // torn retained predecessor contributes nothing and its
+      // generations are reclaimed)
+      val live = retained.flatMap(p => parse(fs, p)).flatMap(_.live).toSet
       fs.listStatus(data).filter(_.isDirectory).foreach { child =>
         val n = child.getPath.getName
         if (n.startsWith("g-")) {

@@ -206,7 +206,8 @@ object Merge {
       touched: Seq[String], leafName: String => String): Seq[String] = {
     // preamble GC = the whole recovery story: torn commits and
     // staged-but-uncommitted generations from any crash point clear out
-    ManifestCommit.gc(fs, dir)
+    val retain = ManifestCommit.retention(spark)
+    ManifestCommit.gc(fs, dir, retain)
     val st = ManifestCommit.read(fs, dir)
     if (st.isEmpty && fs.exists(dir)) {
       // refuse to bolt a manifest onto a rename-layout snapshot: the
@@ -272,9 +273,10 @@ object Merge {
       ManifestCommit.write(fs, dir,
         ManifestCommit.State(newVer,
           newLive.toSeq.sorted.map { case (l, g) => s"$l/$g" }))
-      // post-commit cleanup of superseded generations (best-effort —
-      // a crash here is repaired by the next preamble GC)
-      ManifestCommit.gc(fs, dir)
+      // post-commit cleanup of generations older than the retention
+      // window (best-effort — a crash here is repaired by the next
+      // preamble GC)
+      ManifestCommit.gc(fs, dir, retain)
     } finally merged.unpersist()
     touched
   }
@@ -288,15 +290,56 @@ object Merge {
     val dir = new Path(snapshotDir)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     ManifestCommit.read(fs, dir) match {
-      case Some(st) if st.live.isEmpty => spark.emptyDataFrame
-      case Some(st) =>
-        val data = ManifestCommit.dataDir(dir)
-        if (st.live.forall(_.contains("/")))
-          spark.read.option("basePath", data.toString)
-            .parquet(st.live.map(e => new Path(data, e).toString): _*)
-        else spark.read.parquet(new Path(data, st.live.head).toString)
-      case None => spark.read.parquet(snapshotDir)
+      case Some(st) => resolveState(spark, dir, st)
+      case None     => spark.read.parquet(snapshotDir)
     }
+  }
+
+  private def resolveState(spark: SparkSession, dir: Path,
+      st: ManifestCommit.State): DataFrame = {
+    if (st.live.isEmpty) return spark.emptyDataFrame
+    val data = ManifestCommit.dataDir(dir)
+    if (st.live.forall(_.contains("/")))
+      spark.read.option("basePath", data.toString)
+        .parquet(st.live.map(e => new Path(data, e).toString): _*)
+    else spark.read.parquet(new Path(data, st.live.head).toString)
+  }
+
+  /** Commit versions of a manifest snapshot still readable through
+    * [[readSnapshotAt]], ascending — the retention window
+    * (`spark.graft.merge.retainCommits`, default 2) bounds how far
+    * back this reaches. Empty for rename-layout snapshots. */
+  def snapshotVersions(spark: SparkSession, snapshotDir: String): Seq[Long] = {
+    val dir = new Path(snapshotDir)
+    ManifestCommit.versions(
+      dir.getFileSystem(spark.sessionState.newHadoopConf()), dir)
+  }
+
+  /** Time travel: read the snapshot as of commit `version` (one of
+    * [[snapshotVersions]]). Generations are immutable and retained
+    * commits keep theirs, so this is a plain pruned read — no undo
+    * replay. Fails loudly when the version is outside the retention
+    * window (vacuumed) or was never committed. */
+  def readSnapshotAt(spark: SparkSession, snapshotDir: String,
+      version: Long): DataFrame = {
+    val dir = new Path(snapshotDir)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val st = ManifestCommit.readVersion(fs, dir, version).getOrElse(
+      throw new IllegalArgumentException(
+        s"snapshot at $snapshotDir has no readable commit $version — " +
+          s"available: ${ManifestCommit.versions(fs, dir).mkString(", ")}"))
+    resolveState(spark, dir, st)
+  }
+
+  /** Trim a manifest snapshot's history to its newest `keepLast`
+    * commits, reclaiming generations only they referenced. `keepLast`
+    * clamps to 1 — the live commit is never collectable. An explicit
+    * maintenance call: merges themselves retain
+    * `spark.graft.merge.retainCommits` automatically. */
+  def vacuum(spark: SparkSession, snapshotDir: String, keepLast: Int): Unit = {
+    val dir = new Path(snapshotDir)
+    ManifestCommit.gc(
+      dir.getFileSystem(spark.sessionState.newHadoopConf()), dir, keepLast)
   }
 
   /** Restore partitions parked (`.merge_old_*`) by a crashed

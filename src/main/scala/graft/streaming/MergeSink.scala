@@ -143,7 +143,8 @@ object MergeSink {
         case None if useManifest =>
           // whole-snapshot manifest commit: write one immutable
           // generation at its final path, flip the pointer — no rename
-          ManifestCommit.gc(fs, cur)
+          val retain = ManifestCommit.retention(spark)
+          ManifestCommit.gc(fs, cur, retain)
           val st = ManifestCommit.read(fs, cur)
           require(st.forall(_.live.forall(!_.contains("/"))),
             s"snapshot at $cur is a partition-scoped manifest — pass " +
@@ -170,7 +171,7 @@ object MergeSink {
             .parquet(new Path(data, gen).toString)
           ManifestCommit.write(fs, cur,
             ManifestCommit.State(newVer, Seq(gen)))
-          ManifestCommit.gc(fs, cur) // reclaim the superseded generation
+          ManifestCommit.gc(fs, cur, retain) // reclaim beyond retention
         case None =>
           // 2. merge with the existing snapshot (empty on first batch)
           val target =
