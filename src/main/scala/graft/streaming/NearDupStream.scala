@@ -1,0 +1,133 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.operators.Dedup
+
+/**
+ * Streaming near-dup admission: the q111 daily job as a continuously
+ * running pipeline — each micro-batch of documents is checked for
+ * near-duplicates against ALL of history by banding its MinHash
+ * signatures against the materialized signature store
+ * ([[graft.operators.Dedup.minhashLshIncremental]]; history text is
+ * never re-read), and only the surviving documents join the corpus.
+ * The streaming form of the reference pipeline's continuous-ingest
+ * posture (`/root/reference/README.md:63-75` lands a continuous stream
+ * before batch queries run), applied to the dedup gate every
+ * training-data ingest needs in front of it.
+ *
+ * Per micro-batch, in this order:
+ *
+ *  1. `pairs` = near-dup pairs of the batch against the store AND
+ *     within the batch (`id_a` = the earlier side: store doc or lower
+ *     batch id; `id_b` = the newer batch doc);
+ *  2. `admitted` = batch docs never appearing as `id_b` — greedy
+ *     earliest-wins, matching the batch path's admission convention
+ *     (a doc rejected for duplicating an earlier REJECTED doc stays
+ *     rejected: its content is represented in the corpus by that
+ *     chain's head, which some pair transitively names);
+ *  3. the admitted docs land in `admittedDir/batch_id=<n>` (the clean
+ *     downstream feed) and the pairs in `pairsDir/batch_id=<n>` (the
+ *     audit log), both per-batch OVERWRITE — a re-delivered batch
+ *     rewrites its own directory instead of double-appending;
+ *  4. the admitted docs' signatures fold into the store
+ *     ([[graft.operators.Dedup.appendSignatures]] — its anti join on
+ *     the stored ids makes the append re-delivery-safe too).
+ *
+ * Crash anywhere between 3 and 4 re-runs the batch: signatures are
+ * pure functions of the text, so the recomputed pairs/admitted sets
+ * are identical, the directory overwrites converge, and a doc whose
+ * signatures already landed meets itself in the store-vs-batch arm and
+ * is filtered there ([[graft.operators.Dedup]]'s `id_a =!= id_b`
+ * guard) — admission never flips across re-deliveries.
+ *
+ * At 100 TB use [[admitBucketed]]: both standing store tables reuse
+ * their write-time bucket layout, so each micro-batch shuffles only
+ * batch-sized data (the DedupSpec one-exchange plan assertion).
+ */
+object NearDupStream {
+
+  /** Continuous admission against a [[graft.operators.Dedup.buildSignatureStore]]
+    * directory store. `docs` is a streaming DataFrame carrying `idCol`
+    * + `textCol` (+ any payload columns, which ride through to
+    * `admittedDir` untouched). */
+  def admit(docs: DataFrame, idCol: String, textCol: String,
+      storeDir: String, admittedDir: String, pairsDir: String,
+      checkpoint: String, numHashes: Int = 64, bands: Int = 8,
+      shingleN: Int = 5, threshold: Double = 0.5,
+      portable: Boolean = false,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val spark = docs.sparkSession
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        admitBatch(spark, batch, batchId, idCol, textCol, admittedDir,
+          pairsDir,
+          b => Dedup.minhashLshIncremental(spark, b, idCol, textCol,
+            storeDir, numHashes, bands, shingleN, threshold, portable),
+          a => Dedup.appendSignatures(spark, a, idCol, textCol, storeDir,
+            numHashes, shingleN, portable))
+      }
+      .start()
+  }
+
+  /** [[admit]] against a [[graft.operators.Dedup.buildSignatureStoreBucketed]]
+    * store (metastore table pair) — identical admission semantics, the
+    * store side never re-shuffles. */
+  def admitBucketed(docs: DataFrame, idCol: String, textCol: String,
+      table: String, buckets: Int, admittedDir: String, pairsDir: String,
+      checkpoint: String, numHashes: Int = 64, bands: Int = 8,
+      shingleN: Int = 5, threshold: Double = 0.5,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val spark = docs.sparkSession
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        admitBatch(spark, batch, batchId, idCol, textCol, admittedDir,
+          pairsDir,
+          b => Dedup.minhashLshIncrementalBucketed(spark, b, idCol,
+            textCol, table, numHashes, bands, shingleN, threshold),
+          a => Dedup.appendSignaturesBucketed(spark, a, idCol, textCol,
+            table, buckets, numHashes, bands, shingleN))
+      }
+      .start()
+  }
+
+  /** One micro-batch admission (factored out for direct batch use and
+    * re-delivery tests — the streaming wrappers only add checkpointed
+    * batch ids). */
+  private[streaming] def admitBatch(spark: SparkSession, batch: DataFrame,
+      batchId: Long, idCol: String, textCol: String, admittedDir: String,
+      pairsDir: String, pairsOf: DataFrame => DataFrame,
+      append: DataFrame => Unit): Unit = {
+    if (batch.isEmpty) return
+    // persisted: pairs computation, the admitted anti join, and the two
+    // writes all act on it — without the cache each action re-reads the
+    // micro-batch source and re-runs the signature aggregate
+    val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val pairs = pairsOf(b)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        pairs.write.mode("overwrite")
+          .parquet(s"$pairsDir/batch_id=$batchId")
+        val admitted = b.join(
+          pairs.select(col("id_b").as(idCol)).distinct(),
+          Seq(idCol), "left_anti")
+        admitted.write.mode("overwrite")
+          .parquet(s"$admittedDir/batch_id=$batchId")
+        // append LAST: a crash before this point leaves the store
+        // unchanged and the re-run recomputes identical outputs; a
+        // crash after the overwrites but mid-append is absorbed by the
+        // append's own anti join on re-delivery
+        append(admitted)
+      } finally pairs.unpersist()
+    } finally b.unpersist()
+  }
+}
