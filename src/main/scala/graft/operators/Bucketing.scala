@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /**
  * Bucketed (pre-shuffled) tables — the co-located-join layout for
@@ -46,4 +47,56 @@ object Bucketing {
   def colocatedJoin(spark: SparkSession, leftTable: String,
       rightTable: String, key: String): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), key)
+
+  /** Compact an append-maintained bucketed table back to one file per
+    * bucket, preserving its bucket/sort spec (read from the catalog, so
+    * callers can't drift it). Every `mode("append")` into a bucketed
+    * table adds up to one file per touched bucket per writing task —
+    * daily admission appends ([[Dedup.appendSignaturesBucketed]],
+    * [[FingerprintIndex.appendBucketed]]) accrete small files that
+    * tax every later scan's open/seek cost. One `repartition` on the
+    * bucket columns puts each bucket's rows in exactly one task
+    * (Spark's bucket id and shuffle partitioning share the same
+    * pmod(murmur3) function), so the rewrite lands one file per bucket;
+    * `sortBy` re-sorts within each file at write.
+    *
+    * The rewrite stages into `<table>__compacting`, then drop + rename
+    * swaps it in. A crash leaves either the original table plus debris
+    * (reclaimed by the next compact's preamble) or — in the window
+    * between drop and rename — only the staged table; run compaction
+    * from the single maintenance writer, not concurrently with the
+    * daily append. */
+  def compactTable(spark: SparkSession, table: String): Unit = {
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
+      s"table $table is not bucketed — nothing to preserve; compact " +
+        "plain parquet dirs with a repartition+overwrite instead"))
+    val tmp = s"${table}__compacting"
+    spark.sql(s"DROP TABLE IF EXISTS $tmp") // debris of a crashed compact
+    val bcols = spec.bucketColumnNames
+    // the repartition node is elided by the planner (the catalog layout
+    // already satisfies the distribution), so the TASK layout comes
+    // from the scan — and the auto-bucketed-scan rule would see "no
+    // operator needs bucketing" and hand the writer arbitrary
+    // file-split bins (multiple buckets per task = multiple files per
+    // bucket, the debris this op exists to remove). Forcing the
+    // bucketed scan makes partition i carry exactly bucket i, and the
+    // one-per-bucket file count follows (spec-asserted).
+    val autoScan = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val saved = spark.conf.get(autoScan, "true")
+    spark.conf.set(autoScan, "false")
+    try {
+      val w = spark.table(table)
+        .repartition(spec.numBuckets, bcols.map(col): _*)
+        .write.mode("overwrite").format(meta.provider.getOrElse("parquet"))
+        .bucketBy(spec.numBuckets, bcols.head, bcols.tail: _*)
+      val ws = if (spec.sortColumnNames.nonEmpty)
+        w.sortBy(spec.sortColumnNames.head, spec.sortColumnNames.tail: _*)
+      else w
+      ws.saveAsTable(tmp)
+    } finally spark.conf.set(autoScan, saved)
+    spark.sql(s"DROP TABLE $table")
+    spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+  }
 }

@@ -311,6 +311,16 @@ object Dedup {
     } finally fresh.unpersist()
   }
 
+  /** Compact both of a bucketed signature store's standing tables back
+    * to one file per bucket ([[Bucketing.compactTable]]) — the
+    * small-file maintenance each [[appendSignaturesBucketed]] cadence
+    * eventually owes. Run from the maintenance writer, not concurrently
+    * with an admission append. */
+  def compactSignatureStore(spark: SparkSession, table: String): Unit = {
+    Bucketing.compactTable(spark, s"${table}_bands")
+    Bucketing.compactTable(spark, s"${table}_sigs")
+  }
+
   /**
    * 64-bit SimHash from a materialized token-hash array: per bit,
    * majority vote of token hash bits; assembled with shift/or (bitwise —

@@ -74,4 +74,81 @@ class BucketingSpec extends SparkSpec {
       assert(bucketed === plain)
     }
   }
+
+  test("compactTable merges append debris to one file per bucket, keeps rows + layout") {
+    import spark.implicits._
+    val orders = Tables.load(spark, sf0001, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    Bucketing.writeBucketed(orders.filter(col("o_orderkey") % 3 === 0),
+      "bkt_compact", "o_custkey", buckets = 4)
+    try {
+      // two daily appends — each adds files on top of the base write
+      Seq(1, 2).foreach { r =>
+        orders.filter(col("o_orderkey") % 3 === r)
+          .write.mode("append").format("parquet")
+          .bucketBy(4, "o_custkey").sortBy("o_custkey")
+          .saveAsTable("bkt_compact")
+      }
+      def dataFiles: Seq[java.io.File] = {
+        val loc = java.net.URI.create(spark.sessionState.catalog
+          .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier("bkt_compact"))
+          .location.toString)
+        new java.io.File(loc.getPath).listFiles()
+          .filter(f => f.getName.endsWith(".parquet")).toSeq
+      }
+      assert(dataFiles.size > 4, s"expected append debris, got ${dataFiles.size} files")
+      val before = spark.table("bkt_compact")
+        .as[(Long, Long, Double)].collect().toSet
+      Bucketing.compactTable(spark, "bkt_compact")
+      assert(dataFiles.size === 4,
+        s"one file per bucket after compaction; got:\n${dataFiles.map(_.getName).sorted.mkString("\n")}")
+      assert(spark.table("bkt_compact")
+        .as[(Long, Long, Double)].collect().toSet === before)
+      // the compacted table still carries the bucket layout: aggregation
+      // on the bucket key plans exchange-free
+      val p = spark.table("bkt_compact").groupBy("o_custkey")
+        .agg(sum("o_totalprice")).queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange hashpartitioning"), p)
+    } finally spark.sql("DROP TABLE IF EXISTS bkt_compact")
+  }
+
+  test("compactSignatureStore: admission pairs unchanged, both tables single-file-per-bucket") {
+    import spark.implicits._
+    def htext(i: Long): String =
+      (1 to 8).map(j => (i * 1000003L + j * 7919L) % 100000000L).mkString(" ")
+    val history = (1L to 100L).map(i => (i, htext(i))).toDF("doc_id", "text")
+    Dedup.buildSignatureStoreBucketed(history, "doc_id", "text",
+      "sig_compact", buckets = 4)
+    try {
+      // two daily appends accrete files in both standing tables
+      Dedup.appendSignaturesBucketed(spark,
+        (201L to 230L).map(i => (i, htext(i))).toDF("doc_id", "text"),
+        "doc_id", "text", "sig_compact", buckets = 4)
+      Dedup.appendSignaturesBucketed(spark,
+        (301L to 330L).map(i => (i, htext(i))).toDF("doc_id", "text"),
+        "doc_id", "text", "sig_compact", buckets = 4)
+      val batch = Seq((9001L, htext(42L)), (9002L, htext(210L)))
+        .toDF("doc_id", "text")
+      val before = Dedup.minhashLshIncrementalBucketed(spark, batch,
+        "doc_id", "text", "sig_compact")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(before.map(p => (p._1, p._2)) === Set((42L, 9001L), (210L, 9002L)))
+      Dedup.compactSignatureStore(spark, "sig_compact")
+      def nFiles(t: String): Int = {
+        val loc = java.net.URI.create(spark.sessionState.catalog
+          .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(t))
+          .location.toString)
+        new java.io.File(loc.getPath).listFiles()
+          .count(_.getName.endsWith(".parquet"))
+      }
+      assert(nFiles("sig_compact_sigs") === 4)
+      assert(nFiles("sig_compact_bands") === 4)
+      assert(Dedup.minhashLshIncrementalBucketed(spark, batch,
+        "doc_id", "text", "sig_compact")
+        .as[(Long, Long, Double)].collect().toSet === before)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS sig_compact_sigs")
+      spark.sql("DROP TABLE IF EXISTS sig_compact_bands")
+    }
+  }
 }
