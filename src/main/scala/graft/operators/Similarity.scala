@@ -610,6 +610,71 @@ object Similarity {
         round(col("cos"), 4).as("cos"), col("rank"))
   }
 
+  /**
+   * Per-list health of a store: item count and data-file count for
+   * every `list_id` partition of the encoded table. The two numbers
+   * drive the two maintenance decisions — many files per list
+   * ([[appendToIvfStore]] adds files every day) means run
+   * [[compactIvfStore]]; a skewed item distribution (hot lists probe
+   * slow, empty lists waste probes) means the stored quantizer has
+   * drifted from the data and the store should be rebuilt with
+   * retraining ([[buildIvfStore]] with `iters > 0` into a fresh dir,
+   * then swap). Listing cost is bounded by nlist directories.
+   */
+  def ivfStoreStats(spark: SparkSession, storeDir: String): DataFrame = {
+    import spark.implicits._
+    val enc = new org.apache.hadoop.fs.Path(storeDir + "/encoded")
+    val fs = enc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(enc).filter(_.isDirectory)
+      .filter(_.getPath.getName.startsWith("list_id="))
+      .map { d =>
+        (d.getPath.getName.stripPrefix("list_id=").toInt,
+          fs.listStatus(d.getPath)
+            .count(_.getPath.getName.endsWith(".parquet")))
+      }.toSeq.toDF("list_id", "n_files")
+    spark.read.parquet(storeDir + "/encoded")
+      .groupBy("list_id").agg(count(lit(1)).as("n_items"))
+      .join(files, Seq("list_id"), "full_outer")
+      .na.fill(0, Seq("n_items", "n_files"))
+      .orderBy("list_id")
+  }
+
+  /**
+   * Merge append debris: rewrite every list partition holding more
+   * than one data file back to ONE file per list, in the encoded table
+   * and (when present) the code table. Only fragmented partitions are
+   * read or written — dynamic partition overwrite replaces exactly the
+   * directories in the written data, untouched lists keep their files
+   * byte-identical (spec-asserted). One `repartition` on `list_id`
+   * puts each list in one task, so each rewritten dir lands one file.
+   */
+  def compactIvfStore(spark: SparkSession, storeDir: String): Unit =
+    Seq("encoded", "codes").foreach { t =>
+      val dir = new org.apache.hadoop.fs.Path(s"$storeDir/$t")
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(dir)) {
+        val fragmented = fs.listStatus(dir).filter(_.isDirectory)
+          .filter(_.getPath.getName.startsWith("list_id="))
+          .filter(d => fs.listStatus(d.getPath)
+            .count(_.getPath.getName.endsWith(".parquet")) > 1)
+          .map(_.getPath.toString)
+        if (fragmented.nonEmpty) {
+          val mode = "spark.sql.sources.partitionOverwriteMode"
+          val saved = spark.conf.get(mode, "static")
+          spark.conf.set(mode, "dynamic")
+          // self-overwrite is safe here: dynamic overwrite stages the
+          // rewritten files and deletes the matched partition dirs only
+          // at commit, after the read side of the job has finished
+          try spark.read.option("basePath", s"$storeDir/$t")
+            .parquet(fragmented: _*)
+            .repartition(fragmented.length, col("list_id"))
+            .write.mode("overwrite").partitionBy("list_id")
+            .parquet(s"$storeDir/$t")
+          finally spark.conf.set(mode, saved)
+        }
+      }
+    }
+
   private def readCentroids(spark: SparkSession,
       storeDir: String): Seq[(Int, Seq[Double])] =
     spark.read.parquet(storeDir + "/centroids").collect()

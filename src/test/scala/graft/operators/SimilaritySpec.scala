@@ -49,6 +49,51 @@ class SimilaritySpec extends SparkSpec {
     assert(again.exists(r => r._2 === 90001L && r._3 >= 0.9999), again.toSeq)
   }
 
+  test("IVF store maintenance: compaction merges append debris, untouched lists byte-identical, search unchanged") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfcompact").toString + "/store"
+    val queries = emb.filter(col("vec_id") < 3)
+    Similarity.buildIvfStore(emb.filter(col("vec_id") % 3 === 0), dir,
+      nlist = 8, m = 4, ksub = 8, dim = 64)
+    // two daily appends fragment the touched lists
+    Seq(1, 2).foreach { r =>
+      Similarity.appendToIvfStore(spark,
+        emb.filter(col("vec_id") % 3 === r), dir)
+    }
+    def filesPerList(t: String): Map[Int, Seq[String]] = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$t")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).filter(_.isDirectory)
+        .filter(_.getPath.getName.startsWith("list_id="))
+        .map(d => d.getPath.getName.stripPrefix("list_id=").toInt ->
+          fs.listStatus(d.getPath).map(_.getPath.getName)
+            .filter(_.endsWith(".parquet")).toSeq.sorted)
+        .toMap
+    }
+    val before = filesPerList("encoded")
+    assert(before.values.exists(_.size > 1), s"expected fragmentation: $before")
+    val intact = before.filter(_._2.size == 1).keySet
+    // stats see the same fragmentation the filesystem does
+    val st = Similarity.ivfStoreStats(spark, dir)
+      .as[(Int, Long, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(st.map { case (l, v) => l -> v._2 } ===
+      before.map { case (l, f) => l -> f.size })
+    assert(st.values.map(_._1).sum === emb.count())
+    val resultBefore = Similarity.searchIvfStoreAdc(spark, queries, dir,
+      k = 5, nprobe = 8, candN = 40).as[(Long, Long, Double, Double, Int)]
+      .collect().toSet
+    Similarity.compactIvfStore(spark, dir)
+    val after = filesPerList("encoded")
+    assert(after.values.forall(_.size == 1), s"still fragmented: $after")
+    assert(filesPerList("codes").values.forall(_.size == 1))
+    // lists that were already single-file kept their exact files
+    intact.foreach(l => assert(after(l) === before(l),
+      s"untouched list $l rewritten"))
+    // search identical through both store paths
+    assert(Similarity.searchIvfStoreAdc(spark, queries, dir,
+      k = 5, nprobe = 8, candN = 40).as[(Long, Long, Double, Double, Int)]
+      .collect().toSet === resultBefore)
+  }
+
   test("PQ store: materialized codes + ADC search ≡ ivfPqTopK, codes scan partition-pruned") {
     val dir = java.nio.file.Files.createTempDirectory("ivfpqstore").toString + "/store"
     val queries = emb.filter(col("vec_id") < 3)
