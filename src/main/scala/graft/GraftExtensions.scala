@@ -69,6 +69,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
           exprs(0), exprs(1))))
+    // snapshot reads (incl. time travel) as a table function:
+    // SELECT * FROM graft_snapshot('/path'[, version])
+    e.injectTableFunction((FunctionIdentifier("graft_snapshot"),
+      new ExpressionInfo(graft.functions.GraftFunctions.getClass.getName,
+        "graft_snapshot"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.GraftFunctions.snapshotPlanBuilder(exprs)))
   }
 }
 
@@ -103,6 +110,30 @@ object GraftExtensions {
           "parameter" -> s"argument ${pos + 1}", "functionName" -> fn))
       case _ =>
         throw new AnalysisException("INVALID_PARAMETER_VALUE.INTEGER", Map(
+          "parameter" -> s"argument ${pos + 1}", "functionName" -> fn,
+          "invalidValue" -> e.sql))
+    }
+  }
+
+  /** [[foldableIntArg]]'s string counterpart (the `graft_snapshot`
+    * path argument): foldable, non-null, string-typed — anything else
+    * fails analysis with the function named. */
+  private[graft] def foldableStringArg(fn: String,
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+      pos: Int): String = {
+    import org.apache.spark.sql.AnalysisException
+    val e = exprs(pos)
+    if (!e.foldable)
+      throw new AnalysisException("NON_FOLDABLE_ARGUMENT", Map(
+        "funcName" -> fn, "paramName" -> s"argument ${pos + 1}",
+        "paramType" -> "string"))
+    e.eval() match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case null =>
+        throw new AnalysisException("INVALID_PARAMETER_VALUE.NULL", Map(
+          "parameter" -> s"argument ${pos + 1}", "functionName" -> fn))
+      case _ =>
+        throw new AnalysisException("INVALID_PARAMETER_VALUE.STRING", Map(
           "parameter" -> s"argument ${pos + 1}", "functionName" -> fn,
           "invalidValue" -> e.sql))
     }

@@ -1925,6 +1925,34 @@ object SparkEntry {
             .otherwise("update").as("change"),
           col("name_old"), col("name_new"), col("bal_old"), col("bal_new"))
         .orderBy(col("c_custkey"))
+    }),
+
+    // the q112 capability through the pure-SQL surface: the
+    // graft_snapshot TABLE FUNCTION (registered by GraftFunctions /
+    // GraftExtensions) resolves the versioned read inside spark.sql —
+    // no Scala API in the query text. Version 1 is the base batch, so
+    // reading it AFTER the second commit proves retained history stays
+    // addressable from SQL. Dir wiped per run for deterministic
+    // version numbers (the q112 discipline).
+    "q113_sql_time_travel" -> ((s, dir) => {
+      val root = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_sqltt_${Integer.toHexString(dir.hashCode)}_$jvmToken")
+      deleteRecursively(root)
+      val snap = root.getAbsolutePath + "/snap"
+      val cust = t(s, dir, "customer") // also registers graft_snapshot
+      streaming.MergeSink.applyBatch(s,
+        cust.select(col("c_custkey"), lit("I").as("op"), lit(1L).as("seq"),
+          col("c_name"), col("c_acctbal")),
+        snap, "c_custkey", "op", "seq", manifestCommit = true)
+      streaming.MergeSink.applyBatch(s,
+        cust.filter(col("c_custkey") % 5 === 0)
+          .select(col("c_custkey"), lit("U").as("op"), lit(2L).as("seq"),
+            concat(col("c_name"), lit("_r2")).as("c_name"),
+            (col("c_acctbal") * 2.0).as("c_acctbal")),
+        snap, "c_custkey", "op", "seq", manifestCommit = true)
+      s.sql(s"""SELECT c_custkey, c_name, c_acctbal
+                FROM graft_snapshot('$snap', 1)
+                ORDER BY c_custkey""")
     })
   )
 
@@ -2710,6 +2738,12 @@ object SparkEntry {
          FROM base FULL JOIN v2 ON base.c_custkey = v2.c_custkey
          WHERE base.c_custkey IS NULL OR v2.c_custkey IS NULL
             OR base.c_name <> v2.c_name OR base.c_acctbal <> v2.c_acctbal
+         ORDER BY c_custkey""",
+    // version 1 IS the base batch: the oracle never sees the second
+    // commit — which is the point (retained history is unchanged by
+    // later writes).
+    "q113_sql_time_travel" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
          ORDER BY c_custkey""",
     // nearDupCollapsed mirror: reps = min-id per distinct text run the
     // same q20 pipeline; rep pairs expand to all member combinations

@@ -25,6 +25,7 @@ object GraftFunctions {
   val MightContainName = "graft_might_contain"
   val FreqItemsName = "graft_freq_items"
   val H60Name = "graft_h60"
+  val SnapshotName = "graft_snapshot"
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -53,6 +54,36 @@ object GraftFunctions {
         .toAggregateExpression(), "built-in")
     reg.createOrReplaceTempFunction(H60Name,
       exprs => H60Hash(exprs(0)), "built-in")
+    // table-valued: snapshot reads (incl. time travel) for SQL users —
+    // SELECT * FROM graft_snapshot('/path/to/snap'[, version])
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      SnapshotName, snapshotPlanBuilder, "built-in")
+  }
+
+  /** Builder behind the `graft_snapshot(dir[, version])` table function
+    * (shared by [[register]] and the session-extension path): resolves
+    * a [[graft.operators.Merge]] snapshot — through the manifest
+    * pointer when one exists, at a specific retained commit when
+    * `version` is given — and expands to its already-analyzed read
+    * plan, the same way the programmatic
+    * [[graft.operators.Merge.readSnapshotAt]] surface does. */
+  private[graft] def snapshotPlanBuilder(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    import org.apache.spark.sql.AnalysisException
+    if (exprs.isEmpty || exprs.size > 2)
+      throw new AnalysisException("WRONG_NUM_ARGS.WITHOUT_SUGGESTION", Map(
+        "functionName" -> SnapshotName, "expectedNum" -> "1 or 2",
+        "actualNum" -> exprs.size.toString,
+        "docroot" -> "https://spark.apache.org/docs/latest"))
+    val dir = graft.GraftExtensions.foldableStringArg(SnapshotName, exprs, 0)
+    val spark = SparkSession.active
+    val df =
+      if (exprs.size == 2)
+        graft.operators.Merge.readSnapshotAt(spark, dir,
+          graft.GraftExtensions.foldableIntArg(SnapshotName, exprs, 1).longValue)
+      else graft.operators.Merge.readSnapshot(spark, dir)
+    df.queryExecution.analyzed
   }
 
   /** Codegen'd dot product (double) of two float/double arrays. */

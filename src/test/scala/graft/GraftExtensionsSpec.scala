@@ -135,6 +135,52 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(on.contains("TopKPerGroup"), on)
   }
 
+  test("graft_snapshot table function: live and versioned reads through SQL") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("tvf-snap").toString + "/snap"
+    graft.streaming.MergeSink.applyBatch(spark,
+      Seq((1L, "I", "a", 1L), (2L, "I", "b", 2L)).toDF("k", "op", "name", "seq"),
+      dir, "k", "op", "seq", manifestCommit = true)
+    graft.streaming.MergeSink.applyBatch(spark,
+      Seq((1L, "U", "a2", 3L)).toDF("k", "op", "name", "seq"),
+      dir, "k", "op", "seq")
+    def rows(sql: String) =
+      ext.sql(sql).orderBy("k").as[(Long, String)].collect().toSeq
+    assert(rows(s"SELECT k, name FROM graft_snapshot('$dir')") ===
+      Seq((1L, "a2"), (2L, "b")))
+    assert(rows(s"SELECT k, name FROM graft_snapshot('$dir', 1)") ===
+      Seq((1L, "a"), (2L, "b")))
+    // predicates compose: the TVF expands to a plain pruned scan
+    assert(ext.sql(
+      s"SELECT name FROM graft_snapshot('$dir', 2) WHERE k = 1")
+      .as[String].head() === "a2")
+    // a vacuumed / never-committed version fails loudly
+    val gone = intercept[Exception] {
+      ext.sql(s"SELECT * FROM graft_snapshot('$dir', 99)").collect()
+    }
+    assert(gone.getMessage.contains("no readable commit 99"), gone.getMessage)
+    // a non-foldable path argument fails analysis, naming the function
+    val bad = intercept[Exception] {
+      ext.sql("SELECT * FROM graft_snapshot(CAST(rand() AS STRING))").collect()
+    }
+    val msgs = Iterator.iterate(bad: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(_.toString).mkString("\n")
+    assert(msgs.contains("graft_snapshot"), msgs)
+  }
+
+  test("graft_snapshot resolves via GraftFunctions.register too (programmatic sessions)") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("tvf-snap2").toString + "/snap"
+    graft.streaming.MergeSink.applyBatch(spark,
+      Seq((7L, "I", "x", 1L)).toDF("k", "op", "name", "seq"),
+      dir, "k", "op", "seq", manifestCommit = true)
+    // SparkSpec's shared session registered GraftFunctions at build time
+    assert(spark.sql(s"SELECT name FROM graft_snapshot('$dir', 1)")
+      .as[String].head() === "x")
+  }
+
   // register the reference view on the shared session before the test runs
   graft.sources.Tables.load(SparkSpec.spark, sf0001, "orders")
     .createOrReplaceTempView("oref")
