@@ -517,19 +517,26 @@ object Dedup {
   private def snapshot(df: DataFrame, reliable: Boolean): DataFrame =
     if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
 
-  /** Read an `observe`d long metric fulfilled by an already-completed
+  /** Await an `observe`d metrics row fulfilled by an already-completed
     * action. QueryExecutionListener delivery is async, so bound the
-    * wait; on the (never-seen) timeout fall back to recomputing the
-    * metric from the materialized snapshot — correctness never depends
-    * on listener delivery. */
-  private def observedLong(obs: org.apache.spark.sql.Observation,
-      name: String, fallback: => Long): Long =
+    * wait; None on the (never-seen) timeout, so callers recompute from
+    * the materialized snapshot — correctness never depends on listener
+    * delivery. The ONE place the wait policy lives: both CC variants'
+    * convergence reads go through here. */
+  private def observedRow(
+      obs: org.apache.spark.sql.Observation): Option[org.apache.spark.sql.Row] =
     try {
       import scala.concurrent.Await
       import scala.concurrent.duration._
-      val v = Await.result(obs.future, 120.seconds).getAs[Any](name)
+      Some(Await.result(obs.future, 120.seconds))
+    } catch { case _: java.util.concurrent.TimeoutException => None }
+
+  private def observedLong(obs: org.apache.spark.sql.Observation,
+      name: String, fallback: => Long): Long =
+    observedRow(obs).map { r =>
+      val v = r.getAs[Any](name)
       if (v == null) 0L else v.asInstanceOf[Number].longValue()
-    } catch { case _: java.util.concurrent.TimeoutException => fallback }
+    }.getOrElse(fallback)
 
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 20, reliable: Boolean = false): DataFrame = {
@@ -637,14 +644,7 @@ object Dedup {
         s"graft_ccstar_${java.util.UUID.randomUUID()}")
       val next = snapshot(small.filter(col("u") =!= col("v")).distinct()
         .observe(obs, checksumCols.head, checksumCols.tail: _*), reliable)
-      val nextSig =
-        try {
-          import scala.concurrent.Await
-          import scala.concurrent.duration._
-          rowSig(Await.result(obs.future, 120.seconds))
-        } catch {
-          case _: java.util.concurrent.TimeoutException => checksum(next)
-        }
+      val nextSig = observedRow(obs).map(rowSig).getOrElse(checksum(next))
       // both the intermediate large-star snapshot and the previous
       // round's edge snapshot are dead once `next` is materialized
       dropCheckpoint(afterLarge)

@@ -92,22 +92,32 @@ private[graft] object ManifestCommit {
       .nextOption()
   }
 
-  private def parse(fs: FileSystem, p: Path): Option[State] =
-    try {
-      val in = fs.open(p)
-      val txt =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      val lines = txt.split("\n", -1).toSeq
-      val header = lines.head.split(" ")
-      if (header.length != 3 || header(0) != "graft-commit" || header(1) != "v1")
-        None
-      else {
-        val body = lines.tail.takeWhile(!_.startsWith("end "))
-        if (!lines.lift(1 + body.size).contains(s"end ${body.size}")) None
-        else Some(State(header(2).toLong, body))
-      }
-    } catch { case _: Exception => None }
+  /** None means TORN (content fails the header/trailer check) — never
+    * "couldn't read": an I/O error while opening or reading PROPAGATES,
+    * because swallowing it would let [[gc]] mistake the live commit for
+    * a torn one (read() falls back to the predecessor, liveIdx points
+    * below the real live commit, and the commit file plus its
+    * generations get deleted — permanent loss of committed data on a
+    * store having a transient bad moment). Torn-write detection needs
+    * no exception path: a partial upload parses but fails the
+    * entry-count trailer. */
+  private def parse(fs: FileSystem, p: Path): Option[State] = {
+    val in = fs.open(p)
+    val txt =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val lines = txt.split("\n", -1).toSeq
+    val header = lines.head.split(" ")
+    if (header.length != 3 || header(0) != "graft-commit" || header(1) != "v1")
+      None
+    else {
+      val body = lines.tail.takeWhile(!_.startsWith("end "))
+      if (!lines.lift(1 + body.size).contains(s"end ${body.size}")) None
+      else
+        try Some(State(header(2).toLong, body))
+        catch { case _: NumberFormatException => None }
+    }
+  }
 
   /** One small object, created once, never overwritten or renamed — the
     * flip IS the object's existence. Line format with an entry-count

@@ -209,19 +209,8 @@ object Merge {
     val retain = ManifestCommit.retention(spark)
     ManifestCommit.gc(fs, dir, retain)
     val st = ManifestCommit.read(fs, dir)
-    if (st.isEmpty && fs.exists(dir)) {
-      // refuse to bolt a manifest onto a rename-layout snapshot: the
-      // manifest read would resolve to nothing and the existing leaf
-      // dirs would be silently shadowed — migrate with one rewrite first
-      val stray = fs.listStatus(dir).filterNot { s =>
-        val n = s.getPath.getName
-        n == "data" || n.startsWith(".") || n.startsWith("_")
-      }
-      require(stray.isEmpty,
-        s"snapshot at $dir holds non-manifest content — migrate the " +
-          "rename-layout snapshot before enabling manifest commits")
-    }
-    require(st.forall(_.live.forall(_.contains("/"))),
+    requireManifestLayout(fs, dir, st)
+    require(newestNonEmptyState(fs, dir).forall(_.live.forall(_.contains("/"))),
       s"snapshot at $dir is a whole-snapshot manifest — it cannot be " +
         "partition-scope merged; rebuild it partitioned")
     val data = ManifestCommit.dataDir(dir)
@@ -297,12 +286,83 @@ object Merge {
 
   private def resolveState(spark: SparkSession, dir: Path,
       st: ManifestCommit.State): DataFrame = {
-    if (st.live.isEmpty) return spark.emptyDataFrame
     val data = ManifestCommit.dataDir(dir)
+    if (st.live.isEmpty) {
+      // drained snapshot (a batch deleted every remaining row): keep
+      // the SCHEMA by resolving an empty read through the newest
+      // retained commit that still lists generations — downstream
+      // .select / typed .as keep working, matching what the rename
+      // path and the empty-target branch preserve. Only when no
+      // predecessor survives retention is there genuinely no schema
+      // anywhere on disk.
+      val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+      return newestNonEmptyState(fs, dir) match {
+        case Some(prior) => resolveState(spark, dir, prior).filter(lit(false))
+        case None        => spark.emptyDataFrame
+      }
+    }
     if (st.live.forall(_.contains("/")))
       spark.read.option("basePath", data.toString)
         .parquet(st.live.map(e => new Path(data, e).toString): _*)
     else spark.read.parquet(new Path(data, st.live.head).toString)
+  }
+
+  /** Newest retained commit that actually lists generations. Drained
+    * commits (empty live set) say nothing about a snapshot's layout
+    * mode or schema; this is what the whole-vs-partitioned guards and
+    * the drained-read fallback consult, so a drain cannot vacuously
+    * pass both mode guards and silently flip the layout. */
+  private def newestNonEmptyState(fs: org.apache.hadoop.fs.FileSystem,
+      dir: Path): Option[ManifestCommit.State] =
+    ManifestCommit.versions(fs, dir).reverseIterator
+      .flatMap(v => ManifestCommit.readVersion(fs, dir, v))
+      .find(_.live.nonEmpty)
+
+  /** Refuse to bolt a manifest onto a rename-layout snapshot: the
+    * manifest read would resolve to nothing and the existing leaf dirs
+    * would be silently shadowed — migrate with one rewrite first. */
+  private[graft] def requireManifestLayout(
+      fs: org.apache.hadoop.fs.FileSystem, dir: Path,
+      st: Option[ManifestCommit.State]): Unit =
+    if (st.isEmpty && fs.exists(dir)) {
+      val stray = fs.listStatus(dir).filterNot { s =>
+        val n = s.getPath.getName
+        n == "data" || n.startsWith(".") || n.startsWith("_")
+      }
+      require(stray.isEmpty,
+        s"snapshot at $dir holds non-manifest content — migrate the " +
+          "rename-layout snapshot before enabling manifest commits")
+    }
+
+  /** Whole-snapshot manifest merge — the object-store-safe analog of
+    * the park/promote whole-snapshot swap, shared with
+    * [[graft.streaming.MergeSink]] so the gc → read → layout-guard →
+    * generation-write → commit → gc protocol lives in ONE place: write
+    * the merged snapshot once into an immutable generation dir at its
+    * final path, then flip the commit pointer ([[ManifestCommit]]). */
+  def mergeWholeManifest(spark: SparkSession, snapshotDir: String,
+      changes: DataFrame, key: String, opCol: String = "op"): Unit = {
+    val dir = new Path(snapshotDir)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val retain = ManifestCommit.retention(spark)
+    ManifestCommit.gc(fs, dir, retain)
+    val st = ManifestCommit.read(fs, dir)
+    requireManifestLayout(fs, dir, st)
+    require(newestNonEmptyState(fs, dir).forall(_.live.forall(!_.contains("/"))),
+      s"snapshot at $dir is a partition-scoped manifest — pass " +
+        "partitionCol to keep merging it partition-scoped")
+    val data = ManifestCommit.dataDir(dir)
+    val target = st.filter(_.live.nonEmpty)
+      .map(s => spark.read.parquet(new Path(data, s.live.head).toString))
+      .getOrElse(changes.filter(lit(false)).drop(opCol))
+    val merged = mergeBatch(target, changes, key, opCol)
+    val newVer = st.map(_.version + 1).getOrElse(1L)
+    val gen = ManifestCommit.genName(newVer)
+    merged.write.mode("overwrite").parquet(new Path(data, gen).toString)
+    ManifestCommit.write(fs, dir, ManifestCommit.State(newVer, Seq(gen)))
+    // post-commit cleanup beyond retention (best-effort — a crash here
+    // is repaired by the next preamble GC)
+    ManifestCommit.gc(fs, dir, retain)
   }
 
   /** Commit versions of a manifest snapshot still readable through

@@ -509,18 +509,54 @@ object Similarity {
   /** Fold a day's new vectors into the store: assign and encode with
     * the STORED quantizers (no re-train — they are the store's
     * contract), append only the touched partitions' directories. When
-    * the store carries a PQ code table, the day's codes append too. */
+    * the store carries a PQ code table, the day's codes append too.
+    *
+    * Re-delivery-safe per table: each write anti-joins the batch
+    * against the item_ids ALREADY in that table, checking only the
+    * batch's own list_id partitions (assignment is deterministic, so a
+    * previously appended item can only live in the partition this
+    * batch would route it to — the store side stays partition-pruned
+    * at any store size). A crash between the encoded and codes writes
+    * heals on re-run: the table that committed admits nothing, the
+    * one that didn't gets exactly the missing rows — no double-append,
+    * no permanent ADC recall hole. */
   def appendToIvfStore(spark: SparkSession, newVecs: DataFrame,
       storeDir: String): Unit = {
+    import org.apache.spark.storage.StorageLevel
     val centers = readCentroids(spark, storeDir)
-    writeEncoded(newVecs, centers, storeDir, overwrite = false)
-    val booksPath = new org.apache.hadoop.fs.Path(storeDir + "/books")
-    val fs = booksPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(booksPath)) {
-      val books = readBooks(spark, storeDir)
-      writeCodes(newVecs, centers, books, books.head.head.size, storeDir,
-        overwrite = false)
-    }
+    val assigned = unitVecs(newVecs, "item_id", "item_vec")
+      .withColumn("list_id",
+        array_max(centScores(centers, col("item_vec"))).getField("lid"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val touched = assigned.select("list_id").distinct()
+        .collect().map(_.getInt(0)).toSeq // bounded by nlist
+      val fs = new org.apache.hadoop.fs.Path(storeDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def fresh(table: String): DataFrame = {
+        val path = storeDir + "/" + table
+        if (!fs.exists(new org.apache.hadoop.fs.Path(path))) assigned
+        else assigned.join(
+          spark.read.parquet(path)
+            .filter(col("list_id").isin(touched: _*)).select("item_id"),
+          Seq("item_id"), "left_anti")
+      }
+      fresh("encoded")
+        .select("item_id", "item_vec", "list_id")
+        .write.mode("append").partitionBy("list_id")
+        .parquet(storeDir + "/encoded")
+      val booksPath = new org.apache.hadoop.fs.Path(storeDir + "/books")
+      if (fs.exists(booksPath)) {
+        val books = readBooks(spark, storeDir)
+        val subdim = books.head.head.size
+        fresh("codes")
+          .select(col("item_id") +: col("list_id") +:
+            books.indices.map(j =>
+              pqCode(books, j, col("item_vec"), subdim).as(s"code$j")): _*)
+          .write.mode("append").partitionBy("list_id")
+          .parquet(storeDir + "/codes")
+      }
+    } finally assigned.unpersist(blocking = false)
   }
 
   /**

@@ -142,36 +142,10 @@ object MergeSink {
             opCol, manifestCommit)
         case None if useManifest =>
           // whole-snapshot manifest commit: write one immutable
-          // generation at its final path, flip the pointer — no rename
-          val retain = ManifestCommit.retention(spark)
-          ManifestCommit.gc(fs, cur, retain)
-          val st = ManifestCommit.read(fs, cur)
-          require(st.forall(_.live.forall(!_.contains("/"))),
-            s"snapshot at $cur is a partition-scoped manifest — pass " +
-              "partitionCol to keep merging it partition-scoped")
-          if (st.isEmpty && fs.exists(cur)) {
-            // refuse to shadow a rename-layout snapshot under a fresh
-            // manifest — migrate it (one rewrite) first
-            val stray = fs.listStatus(cur).filterNot { s =>
-              val n = s.getPath.getName
-              n == "data" || n.startsWith(".") || n.startsWith("_")
-            }
-            require(stray.isEmpty,
-              s"snapshot at $cur holds non-manifest content — migrate " +
-                "the rename-layout snapshot before enabling manifest commits")
-          }
-          val data = ManifestCommit.dataDir(cur)
-          val target = st.filter(_.live.nonEmpty)
-            .map(s => spark.read.parquet(new Path(data, s.live.head).toString))
-            .getOrElse(compacted.filter(lit(false)).drop(opCol))
-          val merged = Merge.mergeBatch(target, compacted, key, opCol)
-          val newVer = st.map(_.version + 1).getOrElse(1L)
-          val gen = ManifestCommit.genName(newVer)
-          merged.write.mode("overwrite")
-            .parquet(new Path(data, gen).toString)
-          ManifestCommit.write(fs, cur,
-            ManifestCommit.State(newVer, Seq(gen)))
-          ManifestCommit.gc(fs, cur, retain) // reclaim beyond retention
+          // generation at its final path, flip the pointer — no rename.
+          // The gc → read → layout-guard → write → commit → gc protocol
+          // lives in Merge so both entry points stay in lockstep.
+          Merge.mergeWholeManifest(spark, snapshotDir, compacted, key, opCol)
         case None =>
           // 2. merge with the existing snapshot (empty on first batch)
           val target =

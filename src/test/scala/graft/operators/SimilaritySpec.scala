@@ -126,6 +126,47 @@ class SimilaritySpec extends SparkSpec {
     assert(again.exists(r => r._2 === 90001L && r._4 >= 0.9999), again.toSeq)
   }
 
+  test("IVF store append is re-delivery-safe and heals a crash between the table writes") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfredeliver").toString + "/store"
+    Similarity.buildIvfStore(emb, dir, nlist = 8, m = 4, ksub = 8, dim = 64)
+    val base = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).as[Seq[Float]].head()
+    val novel = Seq(
+      (90001L, base.map(v => v * 2f).toArray),
+      (90002L, base.map(v => -v).toArray)).toDF("vec_id", "embedding")
+    def counts = (spark.read.parquet(s"$dir/encoded").count(),
+      spark.read.parquet(s"$dir/codes").count())
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    val codes = new org.apache.hadoop.fs.Path(s"$dir/codes")
+    val saved = new org.apache.hadoop.fs.Path(
+      java.nio.file.Files.createTempDirectory("ivfsaved").toString + "/codes")
+    org.apache.hadoop.fs.FileUtil.copy(fs, codes, fs, saved, false, conf)
+    val before = counts
+    Similarity.appendToIvfStore(spark, novel, dir)
+    val after = counts
+    assert(after === (before._1 + 2, before._2 + 2))
+    // foreachBatch-style re-delivery of the SAME batch appends nothing
+    Similarity.appendToIvfStore(spark, novel, dir)
+    assert(counts === after)
+    // crash BETWEEN the writes: encoded committed, codes didn't —
+    // restore the pre-append codes table, then re-run the batch; the
+    // recovery run must append ONLY the missing code rows
+    fs.delete(codes, true)
+    org.apache.hadoop.fs.FileUtil.copy(fs, saved, fs, codes, false, conf)
+    Similarity.appendToIvfStore(spark, novel, dir)
+    assert(counts === after)
+    Seq("encoded", "codes").foreach { t =>
+      assert(spark.read.parquet(s"$dir/$t").groupBy("item_id").count()
+        .filter(col("count") > 1).count() === 0L, s"duplicate item_id in $t")
+    }
+    // the healed store is searchable and ranks the appended vector once
+    val res = Similarity.searchIvfStoreAdc(spark,
+        emb.filter(col("vec_id") === 0), dir, k = 3, nprobe = 3)
+      .as[(Long, Long, Double, Double, Int)].collect()
+    assert(res.count(_._2 == 90001L) === 1, res.toSeq)
+  }
+
   test("ivfTopK: one list per item (no duplicate candidates), sane recall") {
     val queries = emb.filter(col("vec_id") < 3)
     val out = Similarity.ivfTopK(emb, queries, k = 5, nlist = 4, nprobe = 4)

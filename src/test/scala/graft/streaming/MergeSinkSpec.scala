@@ -29,6 +29,24 @@ class NoRenameFs extends org.apache.hadoop.fs.RawLocalFileSystem {
         s"rename forbidden by NoRenameFs (object-store simulation): $src -> $dst")
 }
 
+/** Simulates an object store having a transient bad moment: while
+  * `failCommitOpens` is set, opening a manifest commit file throws —
+  * the S3 503/throttle case. Everything else (writes, lists, data
+  * reads) stays healthy, which is exactly the window where a
+  * swallow-all parse would misread the live commit as torn. */
+object FlakyOpenFs { @volatile var failCommitOpens = false }
+class FlakyOpenFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "flakyopen"
+  override def getUri: java.net.URI = java.net.URI.create("flakyopen:///")
+  override def open(f: org.apache.hadoop.fs.Path,
+      bufferSize: Int): org.apache.hadoop.fs.FSDataInputStream =
+    if (FlakyOpenFs.failCommitOpens &&
+        f.getName.startsWith("_graft_commit"))
+      throw new java.io.IOException(
+        s"simulated transient store error opening $f")
+    else super.open(f, bufferSize)
+}
+
 /** The maintained snapshot must equal "apply every change in seq order"
   * after any batch arrival pattern, and re-applying a batch must be a
   * no-op (foreachBatch re-delivery safety). */
@@ -382,6 +400,69 @@ class MergeSinkSpec extends SparkSpec {
       .select("k", "lang").as[(Long, String)].collect().toSeq.sorted
     assert(afterDel.forall(_._2 === "en"))
     assert(afterDel.map(_._1) === Seq(1L, 3L, 9L))
+  }
+
+  test("a drained partitioned manifest keeps its schema and refuses a whole-snapshot merge") {
+    val dir = tmp("mergesink-drain") + "/snap"
+    val b1 = Seq((1L, "I", "a", "en", 1L), (2L, "I", "b", "de", 2L))
+      .toDF("k", "op", "name", "lang", "seq")
+    MergeSink.applyBatch(spark, b1, dir, "k", "op", "seq", Some("lang"),
+      manifestCommit = true)
+    // a batch deletes EVERY remaining row of every live partition
+    val b2 = Seq((1L, "D", "a", "en", 3L), (2L, "D", "b", "de", 4L))
+      .toDF("k", "op", "name", "lang", "seq")
+    MergeSink.applyBatch(spark, b2, dir, "k", "op", "seq", Some("lang"))
+    // the drained snapshot is empty but NOT schema-less: downstream
+    // selects and typed reads keep working (resolved through the
+    // retained predecessor commit)
+    val drained = graft.operators.Merge.readSnapshot(spark, dir)
+    assert(drained.columns.sorted === Array("k", "lang", "name"))
+    assert(drained.select("k", "name").count() === 0L)
+    // the empty live list must not vacuously pass the whole-snapshot
+    // mode guard: layout mode survives the drain
+    val b3 = Seq((3L, "I", "c", "en", 5L)).toDF("k", "op", "name", "lang", "seq")
+    val e = intercept[IllegalArgumentException] {
+      MergeSink.applyBatch(spark, b3, dir, "k", "op", "seq", None)
+    }
+    assert(e.getMessage.contains("partition-scoped manifest"))
+    // and the partitioned path refills it
+    MergeSink.applyBatch(spark, b3, dir, "k", "op", "seq", Some("lang"))
+    val got = graft.operators.Merge.readSnapshot(spark, dir)
+      .select("k", "name", "lang").as[(Long, String, String)].collect().toSeq
+    assert(got === Seq((3L, "c", "en")))
+  }
+
+  test("a transient commit-read failure fails the batch loudly instead of gc deleting the live commit") {
+    // parse() must treat an I/O error as UNREADABLE (propagate), never
+    // as torn: swallowing it would make read() fall back to the
+    // predecessor and gc delete the real live commit + its generations
+    // — permanent loss of committed data on a store having a transient
+    // bad moment
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.flakyopen.impl", classOf[FlakyOpenFs].getName)
+    val dir = "flakyopen://" + tmp("mergesink-flaky") + "/snap"
+    val b1 = Seq((1L, "I", "a", 1.0, 1L)).toDF("k", "op", "name", "bal", "seq")
+    MergeSink.applyBatch(spark, b1, dir, "k", "op", "seq",
+      manifestCommit = true)
+    val b2 = Seq((2L, "I", "b", 2.0, 2L)).toDF("k", "op", "name", "bal", "seq")
+    MergeSink.applyBatch(spark, b2, dir, "k", "op", "seq")
+    FlakyOpenFs.failCommitOpens = true
+    try {
+      val b3 = Seq((3L, "I", "c", 3.0, 3L)).toDF("k", "op", "name", "bal", "seq")
+      intercept[java.io.IOException] {
+        MergeSink.applyBatch(spark, b3, dir, "k", "op", "seq")
+      }
+    } finally FlakyOpenFs.failCommitOpens = false
+    // nothing was deleted: the snapshot still resolves to batch 2's state
+    val got = graft.operators.Merge.readSnapshot(spark, dir).orderBy("k")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(got === Seq((1L, "a", 1.0), (2L, "b", 2.0)))
+    // once the store recovers, the failed batch re-applies cleanly
+    val b3 = Seq((3L, "I", "c", 3.0, 3L)).toDF("k", "op", "name", "bal", "seq")
+    MergeSink.applyBatch(spark, b3, dir, "k", "op", "seq")
+    val after = graft.operators.Merge.readSnapshot(spark, dir).orderBy("k")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(after === Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)))
   }
 
   test("intra-batch multi-versions compact by seq before merging") {
