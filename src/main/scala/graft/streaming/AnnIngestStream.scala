@@ -1,0 +1,63 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.operators.Similarity
+
+/**
+ * Streaming ANN-store ingest: a continuous feed of `(vec_id, embedding)`
+ * rows folds into a materialized IVF store
+ * ([[graft.operators.Similarity.buildIvfStore]]) micro-batch by
+ * micro-batch — the embedding-side analog of [[NearDupStream]]'s
+ * signature-store admission, and the continuous-ingest posture of the
+ * reference pipeline (`/root/reference/README.md:63-75` lands a stream
+ * before queries run) applied to similarity search: vectors become
+ * searchable ([[graft.operators.Similarity.searchIvfStore]] /
+ * `searchIvfStoreAdc`) as soon as their batch commits, with no rebuild
+ * and no re-training — batches encode with the STORED quantizers, the
+ * store's contract.
+ *
+ * Re-delivery safety comes from `appendToIvfStore` itself: each table
+ * write anti-joins the batch against the item_ids already stored
+ * (checked only in the batch's own list partitions), so a crashed and
+ * re-run micro-batch appends nothing twice, and a crash between the
+ * encoded and codes writes heals on the re-run.
+ *
+ * Long-running ingest fragments the hot lists (one file per batch per
+ * touched list); `compactEvery = n` runs
+ * [[graft.operators.Similarity.compactIvfStore]] after every n-th
+ * batch, so read amplification stays bounded without an external
+ * maintenance job. Compaction after a re-delivered batch is a no-op
+ * rewrite of already-single-file lists.
+ */
+object AnnIngestStream {
+
+  /** Continuous ingest into a [[graft.operators.Similarity.buildIvfStore]]
+    * directory store. `vecs` is a streaming DataFrame carrying `vec_id`
+    * + `embedding` (the corpus vector convention). */
+  def ingest(vecs: DataFrame, storeDir: String, checkpoint: String,
+      compactEvery: Int = 0,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val spark = vecs.sparkSession
+    vecs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestBatch(spark, batch, batchId, storeDir, compactEvery)
+      }
+      .start()
+  }
+
+  /** One micro-batch (factored out for direct batch use and
+    * re-delivery tests — the streaming wrapper only adds checkpointed
+    * batch ids). */
+  private[streaming] def ingestBatch(spark: SparkSession, batch: DataFrame,
+      batchId: Long, storeDir: String, compactEvery: Int): Unit = {
+    if (batch.isEmpty) return
+    Similarity.appendToIvfStore(spark, batch, storeDir)
+    if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+      Similarity.compactIvfStore(spark, storeDir)
+  }
+}

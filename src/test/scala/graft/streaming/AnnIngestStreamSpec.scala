@@ -1,0 +1,82 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.Similarity
+import graft.sources.Tables
+
+/** Streamed vectors must become searchable exactly once each (the
+  * append's anti join absorbs re-delivery), and periodic compaction
+  * must keep hot lists single-file without changing search results. */
+class AnnIngestStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String) =
+    Files.createTempDirectory(prefix).toString
+
+  lazy val emb = Tables.load(spark, sf0001, "embeddings")
+
+  test("streamed batches fold into the store; re-delivered batch changes nothing; compaction keeps lists single-file") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmp("annstream") + "/store"
+    // store built from a third of the corpus; the rest arrives as a stream
+    Similarity.buildIvfStore(emb.filter(col("vec_id") % 3 === 0), dir,
+      nlist = 8, m = 4, ksub = 8, dim = 64)
+    val rest = emb.filter(col("vec_id") % 3 =!= 0)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toSeq
+    val (day1, day2) = rest.splitAt(rest.size / 2)
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = AnnIngestStream.ingest(
+      mem.toDF().toDF("vec_id", "embedding"), dir,
+      checkpoint = tmp("annstream-ckpt"), compactEvery = 2,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    mem.addData(day1: _*)
+    q.processAllAvailable()
+    mem.addData(day2: _*)
+    q.processAllAvailable()
+    q.stop()
+    // every corpus vector is in the store exactly once, codes included
+    Seq("encoded", "codes").foreach { t =>
+      val ids = spark.read.parquet(s"$dir/$t").select("item_id")
+        .as[Long].collect().toSeq
+      assert(ids.size === ids.distinct.size, s"duplicates in $t")
+      assert(ids.toSet === emb.select("vec_id").as[Long].collect().toSet, t)
+    }
+    // batch 2 (id 1) triggered compaction: every list is one file
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq("encoded", "codes").foreach { t =>
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/$t"))
+        .filter(_.isDirectory)
+        .filter(_.getPath.getName.startsWith("list_id=")).foreach { d =>
+          val n = fs.listStatus(d.getPath)
+            .count(_.getPath.getName.endsWith(".parquet"))
+          assert(n === 1, s"$t/${d.getPath.getName} has $n files")
+        }
+    }
+    // re-delivery: re-running a batch directly appends nothing
+    val before = spark.read.parquet(s"$dir/encoded").count()
+    AnnIngestStream.ingestBatch(spark,
+      day1.toDF("vec_id", "embedding"), 0L, dir, compactEvery = 0)
+    assert(spark.read.parquet(s"$dir/encoded").count() === before)
+    // streaming ingest ≡ the batch append path: a store built from the
+    // SAME seed subset (identical md5-picked quantizers) and grown with
+    // one direct appendToIvfStore call must search identically
+    val batchGrown = tmp("annstream-batch") + "/store"
+    Similarity.buildIvfStore(emb.filter(col("vec_id") % 3 === 0), batchGrown,
+      nlist = 8, m = 4, ksub = 8, dim = 64)
+    Similarity.appendToIvfStore(spark,
+      emb.filter(col("vec_id") % 3 =!= 0), batchGrown)
+    val queries = emb.filter(col("vec_id") < 3)
+    val grown = Similarity.searchIvfStoreAdc(spark, queries, dir, k = 5, nprobe = 3)
+      .as[(Long, Long, Double, Double, Int)].collect().toSet
+    val oneShot = Similarity.searchIvfStoreAdc(spark, queries, batchGrown, k = 5, nprobe = 3)
+      .as[(Long, Long, Double, Double, Int)].collect().toSet
+    assert(grown === oneShot)
+  }
+}
