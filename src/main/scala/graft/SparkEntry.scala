@@ -1953,6 +1953,28 @@ object SparkEntry {
       s.sql(s"""SELECT c_custkey, c_name, c_acctbal
                 FROM graft_snapshot('$snap', 1)
                 ORDER BY c_custkey""")
+    }),
+
+    // incremental clustering as a declared query: standing labels from
+    // history-only pairs, folded together with the batch-touching pairs
+    // through the contracted-graph CC (zero corpus shuffles, history
+    // never re-clustered), must HASH-EQUAL from-scratch clustering of
+    // everything — the oracle is q64's recursive-CTE replay verbatim.
+    // Pairwise Jaccard is membership-independent, so one generator run
+    // serves both sides of the split; it is snapshotted (batch-sized)
+    // so the two filters and the final remap never re-derive it.
+    "q114_incremental_clusters" -> ((s, dir) => {
+      val allPairs = Dedup.ngramJaccardPairs(t(s, dir, "documents"),
+        "doc_id", "text", n = 5, threshold = 0.8).localCheckpoint(true)
+      val hist = allPairs.filter(
+        col("id_a") % 10 =!= 0 && col("id_b") % 10 =!= 0)
+      val fresh = allPairs.filter(
+        col("id_a") % 10 === 0 || col("id_b") % 10 === 0)
+      val labels = Dedup.connectedComponents(hist, "id_a", "id_b")
+      Dedup.incrementalComponents(labels, fresh)
+        .select(col("id").cast("long").as("doc_id"),
+          col("comp").cast("long").as("component"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1962,6 +1984,37 @@ object SparkEntry {
     * (the materialized store's build + ADC search): both use the
     * md5-picked deterministic quantizers, so they must match this
     * replay rank for rank. */
+  /** From-scratch exact-Jaccard clustering (5-shingles, τ=0.8, min-id
+    * component labels via a recursive transitive closure) — the oracle
+    * q64 (batch CC) and q114 (incremental CC) must BOTH hash-match:
+    * folding a day's pairs into standing labels is correct exactly when
+    * it is indistinguishable from re-clustering everything. */
+  private lazy val fullClusterSql: String =
+    """WITH RECURSIVE t AS (
+         SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                    x -> len(x) > 0) AS ts
+         FROM documents),
+       sh AS (
+         SELECT doc_id,
+           CASE WHEN len(ts) < 5 THEN CAST([] AS VARCHAR[])
+                ELSE list_distinct([array_to_string(ts[i:i+4], ' ')
+                                    for i in range(1, len(ts)-3)]) END AS s
+         FROM t),
+       ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+       cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id),
+       p AS (SELECT c.id_a, c.id_b
+             FROM cand c JOIN sh sa ON sa.doc_id = c.id_a
+                         JOIN sh sb ON sb.doc_id = c.id_b
+             WHERE len(list_intersect(sa.s, sb.s))
+                   / CAST(len(sa.s) + len(sb.s)
+                          - len(list_intersect(sa.s, sb.s)) AS DOUBLE) >= 0.8),
+       e AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+       r(src, dst) AS (SELECT a, b FROM e
+                       UNION SELECT r.src, e.b FROM r JOIN e ON r.dst = e.a)
+       SELECT src AS doc_id, least(src, min(dst)) AS component
+       FROM r GROUP BY src ORDER BY doc_id"""
+
   private lazy val ivfPqReplaySql: String = {
       val (m, subdim, ksub, candN, k) = (4, 16, 8, 20, 5)
       val adc = (0 until m).map(j =>
@@ -2491,31 +2544,10 @@ object SparkEntry {
          GROUP BY 1 ORDER BY source""",
     // the q22 pair pipeline extended with a recursive transitive closure:
     // component label = min id reachable (matches min-label propagation).
-    "q64_dedup_clusters" ->
-      """WITH RECURSIVE t AS (
-           SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),
-                                      x -> len(x) > 0) AS ts
-           FROM documents),
-         sh AS (
-           SELECT doc_id,
-             CASE WHEN len(ts) < 5 THEN CAST([] AS VARCHAR[])
-                  ELSE list_distinct([array_to_string(ts[i:i+4], ' ')
-                                      for i in range(1, len(ts)-3)]) END AS s
-           FROM t),
-         ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
-         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-                  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id),
-         p AS (SELECT c.id_a, c.id_b
-               FROM cand c JOIN sh sa ON sa.doc_id = c.id_a
-                           JOIN sh sb ON sb.doc_id = c.id_b
-               WHERE len(list_intersect(sa.s, sb.s))
-                     / CAST(len(sa.s) + len(sb.s)
-                            - len(list_intersect(sa.s, sb.s)) AS DOUBLE) >= 0.8),
-         e AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
-         r(src, dst) AS (SELECT a, b FROM e
-                         UNION SELECT r.src, e.b FROM r JOIN e ON r.dst = e.a)
-         SELECT src AS doc_id, least(src, min(dst)) AS component
-         FROM r GROUP BY src ORDER BY doc_id""",
+    "q64_dedup_clusters" -> fullClusterSql,
+    // the incremental fold must be INVISIBLE in the result: same
+    // from-scratch clustering oracle as q64, replayed verbatim.
+    "q114_incremental_clusters" -> fullClusterSql,
     "q63_mapgroups_slope" ->
       """WITH b AS (SELECT o_orderpriority,
              CAST(datediff('day', TIMESTAMP '1992-01-01', o_orderdate) AS BIGINT) AS x,

@@ -591,6 +591,74 @@ object Dedup {
   }
 
   /**
+   * Incremental connected components — fold a day's new near-dup pairs
+   * into a standing `(id, comp)` labeling WITHOUT re-running CC over
+   * history. CC(old ∪ new) factors through the quotient graph:
+   * contract every standing component to its label (labels are
+   * component-min ids, so the contracted node IS the component
+   * minimum), run CC over the contracted new edges — a graph bounded
+   * by the batch's footprint (touched components + new ids), never the
+   * corpus — then re-expand with one label-keyed remap of the standing
+   * assignment. A new edge inside one existing component contracts to
+   * a self-loop and drops out; a new edge between two components
+   * merges their labels; the merged component's label is the min over
+   * all member ids because each old label already is its component's
+   * min.
+   *
+   * Scale shape: the corpus-sized `labels` table is only ever SCANNED
+   * (once to look up the batch's endpoints, once for the final remap),
+   * with the batch-derived side explicitly broadcast — zero corpus
+   * shuffles, no iterative state proportional to history. The CC loop
+   * runs on the contracted graph only. The daily-maintenance companion
+   * to [[connectedComponents]]; same output convention (comp = min
+   * member id over ids that appear in some pair), proved by the q114
+   * oracle's from-scratch replay.
+   */
+  def incrementalComponents(labels: DataFrame, newPairs: DataFrame,
+      aCol: String = "id_a", bCol: String = "id_b",
+      maxIter: Int = 20, reliable: Boolean = false): DataFrame = {
+    val lab = labels.select(col("id"), col("comp"))
+    // batch-sized frames are eagerly snapshotted, not persisted: the
+    // returned plan is evaluated by the CALLER's action, after any
+    // operator-scoped persist would already be released, and a bare
+    // persist would re-run the corpus-scan lookup then. Snapshotting
+    // truncates lineage, so neither the internal CC actions nor the
+    // final remap ever re-scan the corpus for the lookup.
+    val pairs = snapshot(
+      newPairs.select(col(aCol).as("a"), col(bCol).as("b")), reliable)
+    val ids = pairs.select(col("a").as("id"))
+      .union(pairs.select(col("b").as("id"))).distinct()
+    // corpus scan #1: which batch endpoints already carry a label
+    // (broadcast hash join — the corpus side never shuffles)
+    val touched = snapshot(lab.join(broadcast(ids), Seq("id")), reliable)
+    val ca = touched.select(col("id").as("a"), col("comp").as("la"))
+    val cb = touched.select(col("id").as("b"), col("comp").as("lb"))
+    val contracted = pairs
+      .join(broadcast(ca), Seq("a"), "left")
+      .join(broadcast(cb), Seq("b"), "left")
+      .select(coalesce(col("la"), col("a")).as("u"),
+        coalesce(col("lb"), col("b")).as("v"))
+      .filter(col("u") =!= col("v"))
+    if (contracted.isEmpty) lab // every new pair was intra-component
+    else {
+      val small = connectedComponents(contracted, "u", "v",
+        maxIter, reliable)
+      // corpus scan #2: remap standing labels whose component merged
+      val relabel = small.select(col("id").as("comp"),
+        col("comp").as("comp2"))
+      val updatedOld = lab.join(broadcast(relabel), Seq("comp"), "left")
+        .select(col("id"),
+          coalesce(col("comp2"), col("comp")).as("comp"))
+      // batch ids history never saw take their label from the
+      // contracted run (they stand for themselves there)
+      val newIds = ids.join(touched.select("id"), Seq("id"), "left_anti")
+      val newLabeled = small.join(broadcast(newIds), Seq("id"))
+        .select(col("id"), col("comp"))
+      updatedOld.union(newLabeled)
+    }
+  }
+
+  /**
    * The O(log n)-round connected components: the alternating
    * large-star/small-star algorithm (Kiveris et al., "Connected
    * Components in MapReduce and Beyond", SOCC'14 — public literature).

@@ -49,6 +49,20 @@ object ComponentsProperties extends Properties("components") {
       edges.isEmpty || run(Dedup.connectedComponentsStar(_, _, _), edges) == oracle(edges)
     }
 
+  property("incremental fold of a random edge split matches from-scratch CC") =
+    Prop.forAll(Gen.listOfN(25, edgeGen), Gen.listOfN(10, edgeGen)) {
+      (hist, fresh) =>
+        import spark.implicits._
+        (hist.isEmpty || fresh.isEmpty) || {
+          val labels = Dedup.connectedComponents(
+            hist.toDF("id_a", "id_b"), "id_a", "id_b")
+          val got = Dedup.incrementalComponents(
+              labels, fresh.toDF("id_a", "id_b"))
+            .as[(Long, Long)].collect().toMap
+          got == oracle(hist ++ fresh)
+        }
+    }
+
   property("both algorithms agree on a path graph (the worst case for propagation)") = {
     val path = (0L until 16L).map(i => (i, i + 1)).toSeq
     val want = (0L to 16L).map(_ -> 0L).toMap

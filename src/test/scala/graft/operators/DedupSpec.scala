@@ -320,4 +320,24 @@ class DedupSpec extends SparkSpec {
     assert(comps === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
+
+  test("incrementalComponents: merges, intra-component no-ops, and new ids fold in") {
+    // history: {0,1,2} (comp 0) and {10,11} (comp 10)
+    val hist = Seq((0L, 1L), (1L, 2L), (10L, 11L)).toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(hist, "id_a", "id_b")
+    // batch: 2-10 merges the two components; 11-10 is intra-component
+    // (contracts to a self-loop); 20-21 is a brand-new pair; 5-0 is a
+    // new id joining comp 0
+    val fresh = Seq((2L, 10L), (11L, 10L), (20L, 21L), (5L, 0L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.incrementalComponents(labels, fresh)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 10L -> 0L,
+      11L -> 0L, 5L -> 0L, 20L -> 20L, 21L -> 20L))
+    // an all-intra-component batch returns the standing labels unchanged
+    val same = Dedup.incrementalComponents(labels,
+        Seq((0L, 2L)).toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(same === Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 10L -> 10L, 11L -> 10L))
+  }
 }
