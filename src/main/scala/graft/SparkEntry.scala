@@ -1975,6 +1975,30 @@ object SparkEntry {
         .select(col("id").cast("long").as("doc_id"),
           col("comp").cast("long").as("component"))
         .orderBy(col("doc_id"))
+    }),
+
+    // zone-map data skipping over a z-ordered layout: per-file min/max
+    // stats prune the file list BEFORE the reader opens anything (the
+    // Delta/Iceberg per-file-stats design); the scan re-applies the
+    // exact predicate, so skipping must be result-invisible — the
+    // oracle is the plain unskipped range filter. ZoneMapSpec asserts
+    // the IO side (files actually skipped, stale stats fail loudly).
+    "q115_zonemap_scan" -> ((s, dir) => {
+      val base = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_zonemap_${Integer.toHexString(dir.hashCode)}_$jvmToken")
+      val data = new java.io.File(base, "data").getAbsolutePath
+      val stats = new java.io.File(base, "stats").getAbsolutePath
+      operators.Layout.zOrdered(t(s, dir, "lineitem"),
+          "l_orderkey", "l_partkey", bits = 20, numFiles = 16)
+        .write.mode("overwrite").parquet(data)
+      operators.ZoneMap.build(s, data, stats,
+        Seq("l_orderkey", "l_partkey"))
+      operators.ZoneMap.scanRange(s, data, stats, Seq(
+          operators.ZoneMap.Range("l_orderkey", 1000L, 3000L),
+          operators.ZoneMap.Range("l_partkey", 100L, 400L)))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_quantity"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
     })
   )
 
@@ -2548,6 +2572,15 @@ object SparkEntry {
     // the incremental fold must be INVISIBLE in the result: same
     // from-scratch clustering oracle as q64, replayed verbatim.
     "q114_incremental_clusters" -> fullClusterSql,
+    // skipping must be result-invisible: the oracle is the plain
+    // unskipped range filter over the source table (the z-ordered
+    // copy the query reads holds exactly lineitem's rows).
+    "q115_zonemap_scan" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+         FROM lineitem
+         WHERE l_orderkey BETWEEN 1000 AND 3000
+           AND l_partkey BETWEEN 100 AND 400
+         ORDER BY l_orderkey, l_linenumber""",
     "q63_mapgroups_slope" ->
       """WITH b AS (SELECT o_orderpriority,
              CAST(datediff('day', TIMESTAMP '1992-01-01', o_orderdate) AS BIGINT) AS x,

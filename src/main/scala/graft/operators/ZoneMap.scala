@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * File-level zone maps: a persisted per-file (min, max, null-count)
+ * stats table that lets a range scan hand the reader ONLY the files
+ * whose value range intersects the predicate — the data-skipping half
+ * of the [[Layout]] story (z-order clusters values so file ranges are
+ * narrow; zone maps turn those narrow ranges into skipped IO).
+ *
+ * Why this matters at 100 TB: Spark's parquet reader already prunes
+ * row groups from footer min/max, but it must LIST every file and
+ * OPEN every footer to do it — at a million files the metadata pass
+ * dominates a selective query. A zone-map table is the catalog-level
+ * fix (the same design as Delta/Iceberg per-file stats in the
+ * transaction log): one narrow stats row per file, scanned in
+ * milliseconds, and the reader receives the matching file list
+ * up front. The driver-side collect in [[prunedFiles]] is bounded by
+ * the SURVIVING file count — exactly the file index every table
+ * format materializes on the driver during planning.
+ *
+ * Build cost: one distributed scan of the data grouped by
+ * `_metadata.file_path` (no driver-side footer loop); [[append]] reads
+ * only files the stats table has not seen (FS listing finds them —
+ * metadata-only, no data IO), so daily maintenance costs one
+ * batch-sized scan. Min/max keep the column's native type; a file
+ * whose tracked column is entirely NULL stores null min/max and is
+ * skipped by range scans — correct, because a range predicate never
+ * matches NULL.
+ *
+ * Correctness contract (q115 oracle + ZoneMapSpec): a [[scanRange]]
+ * result is indistinguishable from the unskipped filter — skipping is
+ * an IO optimization, never a semantics change. The residual
+ * predicate is re-applied after pruning, so stats staleness in the
+ * UNSAFE direction (a file added without stats) is the only hazard;
+ * [[scanRange]] guards it by refusing to scan when the data dir holds
+ * files the stats table does not know.
+ */
+object ZoneMap {
+
+  /** One stats row per file: file, n_rows, then min__c / max__c /
+    * nulls__c per tracked column. One distributed pass; the group-by
+    * key is the file path, so partial aggregation collapses each
+    * file's rows map-side and the exchange carries ~one row per file. */
+  private def statsFor(data: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
+      Seq(min(col(c)).as(s"min__$c"), max(col(c)).as(s"max__$c"),
+        sum(col(c).isNull.cast("long")).as(s"nulls__$c"))
+    }
+    data.select(col("_metadata.file_path").as("file") +: cols.map(col): _*)
+      .groupBy("file").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Build the stats table for every parquet file under `dataDir`. */
+  def build(spark: SparkSession, dataDir: String, statsDir: String,
+      cols: Seq[String]): Unit = {
+    require(cols.nonEmpty, "track at least one column")
+    statsFor(spark.read.parquet(dataDir), cols)
+      .repartition(1) // ~one narrow row per file: a single stats file
+      .write.mode("overwrite").parquet(statsDir)
+  }
+
+  /** Parquet data files currently under `dataDir` (FS metadata listing
+    * only — no file is opened). */
+  private def dataFiles(spark: SparkSession, dataDir: String): Seq[String] = {
+    val path = new Path(dataDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(path, true)
+    val out = Seq.newBuilder[String]
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      if (f.isFile && !name.startsWith("_") && !name.startsWith(".") &&
+        name.endsWith(".parquet")) out += f.getPath.toUri.toString
+    }
+    out.result()
+  }
+
+  private def knownFiles(spark: SparkSession, statsDir: String): Set[String] = {
+    import spark.implicits._
+    spark.read.parquet(statsDir).select("file").as[String].collect().toSet
+  }
+
+  /** Extend the stats table to files the build has not seen: FS
+    * listing minus the stats table's file set, then one scan of ONLY
+    * those files. Idempotent — a re-run after a crash between data
+    * write and stats append finds the same missing set. */
+  def append(spark: SparkSession, dataDir: String, statsDir: String,
+      cols: Seq[String]): Unit = {
+    val missing = dataFiles(spark, dataDir).filterNot(
+      normalizedKnown(spark, statsDir))
+    if (missing.nonEmpty)
+      statsFor(spark.read.parquet(missing: _*), cols)
+        .repartition(1)
+        .write.mode("append").parquet(statsDir)
+  }
+
+  /** Known-file membership test that tolerates scheme differences
+    * (`_metadata.file_path` reports `file:///x`; FS listing may say
+    * the same or bare `/x` depending on the default FS). */
+  private def normalizedKnown(spark: SparkSession,
+      statsDir: String): String => Boolean = {
+    val known = knownFiles(spark, statsDir).map(stripScheme)
+    p => known.contains(stripScheme(p))
+  }
+
+  private def stripScheme(p: String): String = new Path(p).toUri.getPath
+
+  /** Closed-interval range predicate on a tracked column. `lo`/`hi`
+    * are literal values (numeric, string, date — anything ordered). */
+  final case class Range(column: String, lo: Any, hi: Any)
+
+  /** The file subset whose [min, max] intersects EVERY range — the
+    * list a scan hands the reader. All-null files (null min/max) drop
+    * out via three-valued logic, which is correct: no NULL matches a
+    * range. Bounded driver collect — one path string per survivor. */
+  def prunedFiles(spark: SparkSession, statsDir: String,
+      ranges: Seq[Range]): Seq[String] = {
+    import spark.implicits._
+    require(ranges.nonEmpty, "give at least one range")
+    val keep = ranges.map { r =>
+      col(s"max__${r.column}") >= lit(r.lo) &&
+        col(s"min__${r.column}") <= lit(r.hi)
+    }.reduce(_ && _)
+    spark.read.parquet(statsDir).filter(keep)
+      .select("file").as[String].collect().sorted.toSeq
+  }
+
+  /** Range scan through the zone map: prune the file list from stats,
+    * read only survivors, re-apply the exact predicate (zone ranges
+    * over-approximate). Fails loudly if the stats table is stale in
+    * the unsafe direction (data files it has never seen) — skipping
+    * must never silently drop rows. */
+  def scanRange(spark: SparkSession, dataDir: String, statsDir: String,
+      ranges: Seq[Range]): DataFrame = {
+    val unknown = dataFiles(spark, dataDir).filterNot(
+      normalizedKnown(spark, statsDir))
+    require(unknown.isEmpty,
+      s"zone map at $statsDir is stale: ${unknown.size} unindexed data " +
+        s"files (first: ${unknown.headOption.getOrElse("")}); run append()")
+    val files = prunedFiles(spark, statsDir, ranges)
+    val residual = ranges.map(r =>
+      col(r.column).between(lit(r.lo), lit(r.hi))).reduce(_ && _)
+    if (files.isEmpty)
+      spark.read.parquet(dataDir).filter(lit(false)) // schema-only
+    else spark.read.parquet(files: _*).filter(residual)
+  }
+}

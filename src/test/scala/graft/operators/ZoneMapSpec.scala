@@ -1,0 +1,89 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ZoneMapSpec extends SparkSpec {
+  import spark.implicits._
+  import ZoneMap.Range
+
+  private def scratch(name: String): String =
+    java.nio.file.Files.createTempDirectory(name).toString
+
+  test("scanRange ≡ unskipped filter, and actually skips files") {
+    val data = scratch("zm-data")
+    val stats = scratch("zm-stats")
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+    Layout.zOrdered(li, "l_orderkey", "l_partkey", bits = 16, numFiles = 8)
+      .write.mode("overwrite").parquet(data)
+    ZoneMap.build(spark, data, stats, Seq("l_orderkey", "l_partkey"))
+
+    val ranges = Seq(Range("l_orderkey", 100L, 900L),
+      Range("l_partkey", 1L, 120L))
+    val got = ZoneMap.scanRange(spark, data, stats, ranges)
+    val want = spark.read.parquet(data)
+      .filter(col("l_orderkey").between(100, 900) &&
+        col("l_partkey").between(1, 120))
+    assert(got.select("l_orderkey", "l_linenumber").as[(Long, Int)]
+      .collect().toSet ===
+      want.select("l_orderkey", "l_linenumber").as[(Long, Int)]
+        .collect().toSet)
+    assert(want.count() > 0)
+
+    // the z-ordered layout gives narrow per-file ranges: a selective
+    // 2-D range must prune at least one of the 8 files
+    val total = spark.read.parquet(data).inputFiles.length
+    val read = ZoneMap.prunedFiles(spark, stats, ranges).size
+    assert(total === 8)
+    assert(read < total, s"expected skipping, read $read/$total")
+    assert(got.inputFiles.length === read)
+  }
+
+  test("append indexes only new files; stale stats fail loudly") {
+    val data = scratch("zm-data2")
+    val stats = scratch("zm-stats2")
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      .repartition(1).write.mode("overwrite").parquet(data)
+    ZoneMap.build(spark, data, stats, Seq("k"))
+    val statRows0 = spark.read.parquet(stats).count()
+
+    // new file lands without stats → scan refuses rather than dropping
+    Seq((10L, "c")).toDF("k", "v")
+      .repartition(1).write.mode("append").parquet(data)
+    val e = intercept[IllegalArgumentException] {
+      ZoneMap.scanRange(spark, data, stats, Seq(Range("k", 0L, 100L)))
+    }
+    assert(e.getMessage.contains("stale"))
+
+    ZoneMap.append(spark, data, stats, Seq("k"))
+    val after = spark.read.parquet(stats)
+    assert(after.count() === statRows0 + 1) // only the new file indexed
+    // idempotent: a second append adds nothing
+    ZoneMap.append(spark, data, stats, Seq("k"))
+    assert(spark.read.parquet(stats).count() === statRows0 + 1)
+
+    val got = ZoneMap.scanRange(spark, data, stats, Seq(Range("k", 5L, 100L)))
+    assert(got.as[(Long, String)].collect().toSet === Set((10L, "c")))
+  }
+
+  test("all-null tracked column skips under a range; empty survivor set keeps schema") {
+    val data = scratch("zm-data3")
+    val stats = scratch("zm-stats3")
+    Seq((Some(1L), "a"), (Some(2L), "b")).toDF("k", "v")
+      .repartition(1).write.mode("overwrite").parquet(data)
+    Seq((Option.empty[Long], "n1"), (Option.empty[Long], "n2"))
+      .toDF("k", "v").repartition(1).write.mode("append").parquet(data)
+    ZoneMap.build(spark, data, stats, Seq("k"))
+
+    // all-null file is skipped, rows from the real file still match
+    val got = ZoneMap.scanRange(spark, data, stats, Seq(Range("k", 1L, 2L)))
+    assert(got.as[(Option[Long], String)].collect().toSet ===
+      Set((Some(1L), "a"), (Some(2L), "b")))
+    assert(got.inputFiles.length === 1)
+
+    // a range matching nothing: empty result, schema intact
+    val none = ZoneMap.scanRange(spark, data, stats, Seq(Range("k", 50L, 60L)))
+    assert(none.count() === 0)
+    assert(none.columns.toSeq === Seq("k", "v"))
+  }
+}
