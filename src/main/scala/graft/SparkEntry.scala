@@ -1999,6 +1999,28 @@ object SparkEntry {
         .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
           col("l_quantity"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // bloom-index data skipping for equality probes: the layout hashes
+    // on l_suppkey, so every file's l_orderkey RANGE covers the probes
+    // (zone maps would prune nothing) — per-file blooms still rule out
+    // the files that provably lack the keys. Result-invisible like
+    // q115: the oracle is the plain IN filter; BloomIndexSpec asserts
+    // the IO side (files skipped, type-cast probes, stale refusal).
+    "q116_bloom_index_scan" -> ((s, dir) => {
+      val base = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_bloomidx_${Integer.toHexString(dir.hashCode)}_$jvmToken")
+      val data = new java.io.File(base, "data").getAbsolutePath
+      val stats = new java.io.File(base, "stats").getAbsolutePath
+      t(s, dir, "lineitem").repartition(16, col("l_suppkey"))
+        .write.mode("overwrite").parquet(data)
+      operators.BloomIndex.build(s, data, stats, Seq("l_orderkey"),
+        expectedItems = 1000000L)
+      operators.BloomIndex.scanIn(s, data, stats, "l_orderkey",
+          Seq(7L, 486L, 1123L))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_quantity"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
     })
   )
 
@@ -2580,6 +2602,13 @@ object SparkEntry {
          FROM lineitem
          WHERE l_orderkey BETWEEN 1000 AND 3000
            AND l_partkey BETWEEN 100 AND 400
+         ORDER BY l_orderkey, l_linenumber""",
+    // bloom skipping must be result-invisible: the oracle is the plain
+    // IN filter (the hash-layout copy holds exactly lineitem's rows).
+    "q116_bloom_index_scan" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+         FROM lineitem
+         WHERE l_orderkey IN (7, 486, 1123)
          ORDER BY l_orderkey, l_linenumber""",
     "q63_mapgroups_slope" ->
       """WITH b AS (SELECT o_orderpriority,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-import graft.functions.expressions.{DotProduct, FreqItemsAgg, H60Hash, LongArrayMatchCount, MinHashSigAgg, SimHashSigAgg}
+import graft.functions.expressions.{BloomProbeAny, DotProduct, FreqItemsAgg, H60Hash, LongArrayMatchCount, MinHashSigAgg, SimHashSigAgg}
 
 /**
  * Registration of the engine's native Catalyst expressions as SQL
@@ -23,6 +23,7 @@ object GraftFunctions {
   val SimHashName = "graft_simhash_sig"
   val BloomAggName   = "graft_bloom_agg"
   val MightContainName = "graft_might_contain"
+  val BloomProbeAnyName = "graft_bloom_probe_any"
   val FreqItemsName = "graft_freq_items"
   val H60Name = "graft_h60"
   val SnapshotName = "graft_snapshot"
@@ -48,6 +49,10 @@ object GraftFunctions {
         .toAggregateExpression(), "built-in")
     reg.createOrReplaceTempFunction(MightContainName,
       exprs => BloomFilterMightContain(exprs(0), exprs(1)), "built-in")
+    // bloom-PER-ROW probe (might_contain demands a constant bloom) —
+    // the BloomIndex stats-table pruning predicate
+    reg.createOrReplaceTempFunction(BloomProbeAnyName,
+      exprs => BloomProbeAny(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(FreqItemsName,
       exprs => FreqItemsAgg(exprs(0),
         graft.GraftExtensions.foldableIntArgExact(FreqItemsName, exprs, 1))
@@ -114,4 +119,9 @@ object GraftFunctions {
   /** Membership probe of a long hash against a bloom binary. */
   def graftMightContain(bloom: Column, h: Column): Column =
     call_function(MightContainName, bloom, h)
+
+  /** Per-row bloom probe: does the row's bloom binary possibly contain
+    * ANY of the long hashes? (see [[expressions.BloomProbeAny]]) */
+  def graftBloomProbeAny(bloom: Column, hashes: Column): Column =
+    call_function(BloomProbeAnyName, bloom, hashes)
 }

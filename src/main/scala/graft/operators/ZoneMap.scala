@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
@@ -61,11 +61,37 @@ object ZoneMap {
     statsFor(spark.read.parquet(dataDir), cols)
       .repartition(1) // ~one narrow row per file: a single stats file
       .write.mode("overwrite").parquet(statsDir)
+    reconcileEmptyFiles(spark, dataDir, statsDir)
+  }
+
+  /** Cover data files the stats scan never saw because they hold ZERO
+    * rows (hash and dynamic-partition writes can emit empty files; a
+    * groupBy over the data produces no row for them). Appends schema-
+    * matched rows with n_rows = 0 and null stats — null min/max/bloom
+    * prunes the file under ANY predicate, which is correct: an empty
+    * file has no rows to lose. Without this, the staleness guard would
+    * refuse to scan forever. Shared with [[BloomIndex]]. */
+  private[operators] def reconcileEmptyFiles(spark: SparkSession,
+      dataDir: String, statsDir: String): Unit = {
+    val missing = dataFiles(spark, dataDir).filterNot(
+      normalizedKnown(spark, statsDir))
+    if (missing.nonEmpty) {
+      val schema = spark.read.parquet(statsDir).schema
+      val rows = missing.map { f =>
+        Row.fromSeq(schema.map { s =>
+          if (s.name == "file") f
+          else if (s.name == "n_rows") 0L
+          else null
+        })
+      }
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+        .write.mode("append").parquet(statsDir)
+    }
   }
 
   /** Parquet data files currently under `dataDir` (FS metadata listing
-    * only — no file is opened). */
-  private def dataFiles(spark: SparkSession, dataDir: String): Seq[String] = {
+    * only — no file is opened). Shared with [[BloomIndex]]. */
+  private[operators] def dataFiles(spark: SparkSession, dataDir: String): Seq[String] = {
     val path = new Path(dataDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val it = fs.listFiles(path, true)
@@ -92,16 +118,19 @@ object ZoneMap {
       cols: Seq[String]): Unit = {
     val missing = dataFiles(spark, dataDir).filterNot(
       normalizedKnown(spark, statsDir))
-    if (missing.nonEmpty)
+    if (missing.nonEmpty) {
       statsFor(spark.read.parquet(missing: _*), cols)
         .repartition(1)
         .write.mode("append").parquet(statsDir)
+      reconcileEmptyFiles(spark, dataDir, statsDir)
+    }
   }
 
   /** Known-file membership test that tolerates scheme differences
     * (`_metadata.file_path` reports `file:///x`; FS listing may say
-    * the same or bare `/x` depending on the default FS). */
-  private def normalizedKnown(spark: SparkSession,
+    * the same or bare `/x` depending on the default FS). Shared with
+    * [[BloomIndex]]. */
+  private[operators] def normalizedKnown(spark: SparkSession,
       statsDir: String): String => Boolean = {
     val known = knownFiles(spark, statsDir).map(stripScheme)
     p => known.contains(stripScheme(p))
