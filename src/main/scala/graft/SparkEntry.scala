@@ -2021,6 +2021,32 @@ object SparkEntry {
         .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
           col("l_quantity"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // incremental aggregate rollup: three "daily" batches fold into a
+    // standing mergeable-state table (manifest-committed); the serving
+    // view never re-reads history — each fold costs one batch-sized
+    // map-side-combined shuffle plus the group-count-sized state. The
+    // fold must be INVISIBLE in the result: the oracle is the plain
+    // from-scratch GROUP BY over the whole table (decimal sums make
+    // fold order bit-irrelevant; RollupSpec pins the equivalence and
+    // time-travel properties).
+    "q117_incremental_rollup" -> ((s, dir) => {
+      val store = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_rollup_${Integer.toHexString(dir.hashCode)}_$jvmToken")
+        .getAbsolutePath
+      val spec = operators.Rollup.Spec(
+        keys = Seq("o_orderpriority"), sums = Seq("o_totalprice"),
+        mins = Seq("o_orderdate"), maxs = Seq("o_orderdate"))
+      val orders = t(s, dir, "orders")
+      operators.Rollup.init(s, store,
+        orders.filter(pmod(col("o_orderkey"), lit(3)) === 0), spec)
+      operators.Rollup.fold(s, store,
+        orders.filter(pmod(col("o_orderkey"), lit(3)) === 1), spec)
+      operators.Rollup.fold(s, store,
+        orders.filter(pmod(col("o_orderkey"), lit(3)) === 2), spec)
+      operators.Rollup.finalized(operators.Rollup.read(s, store), spec)
+        .orderBy(col("o_orderpriority"))
     })
   )
 
@@ -2610,6 +2636,19 @@ object SparkEntry {
          FROM lineitem
          WHERE l_orderkey IN (7, 486, 1123)
          ORDER BY l_orderkey, l_linenumber""",
+    // the incremental fold must be invisible: the oracle is the plain
+    // from-scratch GROUP BY (sums exact through DECIMAL, means divided
+    // as double on both sides).
+    "q117_incremental_rollup" ->
+      """SELECT o_orderpriority,
+         count(*) AS n_rows,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS sum__o_totalprice,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           / count(o_totalprice) AS avg__o_totalprice,
+         min(o_orderdate) AS min__o_orderdate,
+         max(o_orderdate) AS max__o_orderdate
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q63_mapgroups_slope" ->
       """WITH b AS (SELECT o_orderpriority,
              CAST(datediff('day', TIMESTAMP '1992-01-01', o_orderdate) AS BIGINT) AS x,

@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Incremental aggregate rollup: a standing materialized aggregate that
+ * daily batches FOLD into, so the serving query never re-reads
+ * history.
+ *
+ * The classic ingest-time pattern at 100 TB: a grouped report over the
+ * full corpus costs a full scan per refresh, but every aggregate here
+ * is ALGEBRAIC — its state (count, sum, per-column non-null count,
+ * min, max) merges associatively — so the rollup stores one narrow
+ * state row per group and each refresh aggregates only the new batch
+ * (one map-side-combined shuffle of batch-sized data) plus the state
+ * table (group-count-sized, usually orders of magnitude smaller than
+ * the batch). The fold never touches raw history: cost ∝ batch +
+ * |groups|, independent of corpus age.
+ *
+ * Sums go through DECIMAL(38,2) — exact and order-invariant, so a
+ * fold-in-any-order history equals the from-scratch build bit-for-bit
+ * (double sums would drift with fold order; the q117 oracle and
+ * RollupSpec's equivalence property both depend on this). Per-measure
+ * non-null counts ride along so derived means divide by the right
+ * denominator even with null measure values.
+ *
+ * State commits reuse the [[ManifestCommit]] protocol (immutable
+ * generation dirs + one pointer object — object-store-safe, no
+ * renames, crash-recovered by the next preamble GC), which buys the
+ * rollup snapshot isolation and time travel for free: a reader resolves
+ * the pointer and sees exactly one consistent state; retained previous
+ * generations stay readable via [[Merge.readSnapshotAt]].
+ */
+object Rollup {
+
+  /** What the rollup maintains: grouping keys, summed measures (with
+    * derived means), min'd and max'd columns. Sums must be numeric;
+    * min/max any ordered type. */
+  final case class Spec(keys: Seq[String], sums: Seq[String] = Nil,
+      mins: Seq[String] = Nil, maxs: Seq[String] = Nil) {
+    require(keys.nonEmpty, "group by at least one key")
+    require((sums ++ mins ++ maxs).nonEmpty, "maintain at least one measure")
+  }
+
+  /** Mergeable state for one batch: keys, n_rows, then per measure
+    * sum__c (DECIMAL(38,2)) + cnt__c, and min__c / max__c. One
+    * map-side-combined aggregate — the only shuffle a fold pays. */
+  def state(df: DataFrame, spec: Spec): DataFrame = {
+    val aggs = count(lit(1)).as("n_rows") +:
+      (spec.sums.flatMap { c =>
+        Seq(sum(col(c).cast("decimal(18,2)")).cast("decimal(38,2)")
+            .as(s"sum__$c"),
+          count(col(c)).as(s"cnt__$c"))
+      } ++ spec.mins.map(c => min(col(c)).as(s"min__$c")) ++
+        spec.maxs.map(c => max(col(c)).as(s"max__$c")))
+    df.groupBy(spec.keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Merge state tables (associative): the same aggregate over the
+    * union, with sum-of-counts and min-of-mins. */
+  private def mergeStates(states: DataFrame, spec: Spec): DataFrame = {
+    val aggs = sum(col("n_rows")).cast("long").as("n_rows") +:
+      (spec.sums.flatMap { c =>
+        Seq(sum(col(s"sum__$c")).cast("decimal(38,2)").as(s"sum__$c"),
+          sum(col(s"cnt__$c")).cast("long").as(s"cnt__$c"))
+      } ++ spec.mins.map(c => min(col(s"min__$c")).as(s"min__$c")) ++
+        spec.maxs.map(c => max(col(s"max__$c")).as(s"max__$c")))
+    states.groupBy(spec.keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Initialize the standing rollup from a first batch (generation 1). */
+  def init(spark: SparkSession, storeDir: String, batch: DataFrame,
+      spec: Spec): Unit =
+    commit(spark, storeDir, state(batch, spec))
+
+  /** Fold one batch into the standing rollup: aggregate the batch,
+    * merge with the stored state, commit a new generation. Reads ONLY
+    * the state table — never history's raw rows. */
+  def fold(spark: SparkSession, storeDir: String, batch: DataFrame,
+      spec: Spec): Unit = {
+    val standing = Merge.readSnapshot(spark, storeDir)
+    commit(spark, storeDir,
+      mergeStates(standing.unionByName(state(batch, spec)), spec))
+  }
+
+  /** The current state table (narrow: one row per group). */
+  def read(spark: SparkSession, storeDir: String): DataFrame =
+    Merge.readSnapshot(spark, storeDir)
+
+  /** Serving view: finalized measures — sums as double, derived
+    * avg__c = sum/non-null-count (null when a group has no non-null
+    * values), alongside min/max and n_rows. */
+  def finalized(stateDf: DataFrame, spec: Spec): DataFrame = {
+    val cols = spec.keys.map(col) ++ Seq(col("n_rows")) ++
+      spec.sums.flatMap { c =>
+        // divide as DOUBLE, not decimal: decimal-division scale rules
+        // differ across engines, double/long division is bit-portable
+        Seq(col(s"sum__$c").cast("double").as(s"sum__$c"),
+          when(col(s"cnt__$c") > 0,
+            col(s"sum__$c").cast("double") / col(s"cnt__$c"))
+            .as(s"avg__$c"))
+      } ++ spec.mins.map(c => col(s"min__$c")) ++
+      spec.maxs.map(c => col(s"max__$c"))
+    stateDf.select(cols: _*)
+  }
+
+  /** Whole-state manifest commit: write the new state as one immutable
+    * generation dir, then flip the pointer (same tail as
+    * [[Merge.mergeWholeManifest]] — no renames, object-store-safe; a
+    * crash mid-commit leaves the old pointer live and the next
+    * preamble GC clears the orphan generation). The new state reads
+    * from the OLD generation's immutable files while writing the new
+    * dir, so there is no overwrite-while-reading hazard. */
+  private def commit(spark: SparkSession, storeDir: String,
+      newState: DataFrame): Unit = {
+    val dir = new Path(storeDir)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val retain = ManifestCommit.retention(spark)
+    ManifestCommit.gc(fs, dir, retain)
+    val st = ManifestCommit.read(fs, dir)
+    val newVer = st.map(_.version + 1).getOrElse(1L)
+    val gen = ManifestCommit.genName(newVer)
+    newState.write.mode("overwrite")
+      .parquet(new Path(ManifestCommit.dataDir(dir), gen).toString)
+    ManifestCommit.write(fs, dir, ManifestCommit.State(newVer, Seq(gen)))
+    ManifestCommit.gc(fs, dir, retain)
+  }
+}

@@ -1,0 +1,92 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class RollupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def scratch(name: String): String =
+    java.nio.file.Files.createTempDirectory(name).toString
+
+  private val spec = Rollup.Spec(
+    keys = Seq("o_orderpriority"),
+    sums = Seq("o_totalprice"),
+    mins = Seq("o_orderdate"),
+    maxs = Seq("o_orderdate"))
+
+  test("init + folds ≡ from-scratch build, exactly") {
+    val store = scratch("rollup")
+    val orders = spark.read.parquet(s"$sf0001/orders.parquet")
+    val batches = (0 to 2).map(i =>
+      orders.filter(pmod(col("o_orderkey"), lit(3)) === i))
+
+    Rollup.init(spark, store, batches(0), spec)
+    Rollup.fold(spark, store, batches(1), spec)
+    Rollup.fold(spark, store, batches(2), spec)
+
+    val got = Rollup.finalized(Rollup.read(spark, store), spec)
+      .collect().map(_.toSeq).toSet
+    val want = Rollup.finalized(Rollup.state(orders, spec), spec)
+      .collect().map(_.toSeq).toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+
+    // the standing state is group-count-sized, not corpus-sized
+    assert(Rollup.read(spark, store).count() ===
+      orders.select("o_orderpriority").distinct().count())
+  }
+
+  test("fold order does not change the result (decimal sums)") {
+    val store1 = scratch("rollup-a")
+    val store2 = scratch("rollup-b")
+    val orders = spark.read.parquet(s"$sf0001/orders.parquet")
+    val b = (0 to 2).map(i =>
+      orders.filter(pmod(col("o_orderkey"), lit(3)) === i))
+
+    Rollup.init(spark, store1, b(0), spec)
+    Rollup.fold(spark, store1, b(1), spec)
+    Rollup.fold(spark, store1, b(2), spec)
+    Rollup.init(spark, store2, b(2), spec)
+    Rollup.fold(spark, store2, b(0), spec)
+    Rollup.fold(spark, store2, b(1), spec)
+
+    assert(Rollup.read(spark, store1).collect().map(_.toSeq).toSet ===
+      Rollup.read(spark, store2).collect().map(_.toSeq).toSet)
+  }
+
+  test("new keys appear; null measures count into n_rows but not avg") {
+    val store = scratch("rollup-nulls")
+    val s2 = Rollup.Spec(keys = Seq("k"), sums = Seq("x"))
+    Rollup.init(spark, store,
+      Seq(("a", Some(1.0)), ("a", None)).toDF("k", "x"), s2)
+    Rollup.fold(spark, store,
+      Seq(("b", Option.empty[Double])).toDF("k", "x"), s2)
+
+    val rows = Rollup.finalized(Rollup.read(spark, store), s2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), Option(r.get(2)), Option(r.get(3))))).toMap
+    // "a": 2 rows, one non-null → avg over 1, not 2
+    assert(rows("a") === ((2L, Some(1.0), Some(1.0))))
+    // "b": all-null measure → null sum and avg, but the row count holds
+    assert(rows("b") === ((1L, None, None)))
+  }
+
+  test("commits are versioned: previous state stays readable") {
+    val store = scratch("rollup-tt")
+    val orders = spark.read.parquet(s"$sf0001/orders.parquet")
+    val b0 = orders.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+    val b1 = orders.filter(pmod(col("o_orderkey"), lit(2)) === 1)
+
+    Rollup.init(spark, store, b0, spec)
+    Rollup.fold(spark, store, b1, spec)
+
+    val versions = Merge.snapshotVersions(spark, store)
+    assert(versions.size === 2)
+    val prev = Merge.readSnapshotAt(spark, store, versions.head)
+    assert(prev.collect().map(_.toSeq).toSet ===
+      Rollup.state(b0, spec).collect().map(_.toSeq).toSet)
+    assert(Merge.readSnapshotAt(spark, store, versions.last)
+      .agg(sum("n_rows")).head().getLong(0) === orders.count())
+  }
+}
