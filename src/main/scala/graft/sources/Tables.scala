@@ -5,10 +5,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /**
  * Loader for the driver-provided scaled parquet tables (TESTDATA.md).
  *
- * One quirk: `events.parquet` stores `ts` as Parquet INT64 TIMESTAMP(NANOS),
- * which Spark 4.x rejects by default; `spark.sql.legacy.parquet.nanosAsLong`
- * reads it as bigint epoch-nanos. We set it lazily here so every entry point
- * (Verify, Bench, tests) gets it without duplicating config.
+ * One quirk: `events.parquet` has stored `ts` as Parquet INT64
+ * TIMESTAMP(NANOS) in some driver generations (which Spark 4.x rejects
+ * unless `spark.sql.legacy.parquet.nanosAsLong` reads it as bigint
+ * epoch-nanos) and as TIMESTAMP(MICROS) in others (read natively as
+ * TIMESTAMP_NTZ). [[load]] normalizes the nanos form to a real
+ * timestamp, so downstream queries can uniformly do
+ * `unix_micros(cast(ts as timestamp))` (session tz is UTC at every
+ * entry point, making the NTZ→LTZ cast an identity on the wall clock
+ * and the epoch math engine-portable against DuckDB's `epoch_us`).
  */
 object Tables {
 
@@ -20,7 +25,12 @@ object Tables {
     graft.functions.GraftFunctions.register(spark) // idempotent
     if (name == "events")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events" &&
+        df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts",
+        org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    else df
   }
 
   /** Register every table as a temp view so `spark.sql` works over sfDir. */
