@@ -326,7 +326,7 @@ object SparkEntry {
     "q12_demux_events" -> ((s, dir) => {
       StreamSplitter.demuxBy(t(s, dir, "events"), "event_type", "click", "props")
         .select(col("event_id"), col("user_id"), col("value"),
-          expr("ts div 60000000000").as("minute_bucket"))
+          expr("unix_micros(cast(ts as timestamp)) div 60000000").as("minute_bucket"))
         .orderBy(col("event_id"))
     }),
 
@@ -334,7 +334,7 @@ object SparkEntry {
     // StreamingDemux.opCountsByWindow).
     "q13_minute_agg" -> ((s, dir) => {
       t(s, dir, "events")
-        .groupBy(expr("ts div 60000000000").as("minute_bucket"))
+        .groupBy(expr("unix_micros(cast(ts as timestamp)) div 60000000").as("minute_bucket"))
         .agg(count(lit(1)).as("n"), sumDec(col("value")).as("sum_value"))
         .orderBy(col("minute_bucket"))
     }),
@@ -506,10 +506,10 @@ object SparkEntry {
     "q28_asof_join" -> ((s, dir) => {
       val ev = t(s, dir, "events")
       val clicks = ev.filter(col("event_type") === "click")
-        .select(col("user_id"), expr("ts div 1000").as("t_us"),
+        .select(col("user_id"), expr("unix_micros(cast(ts as timestamp))").as("t_us"),
           col("event_id").as("click_id"))
       val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), expr("ts div 1000").as("t_us"),
+        .select(col("user_id"), expr("unix_micros(cast(ts as timestamp))").as("t_us"),
           col("event_id").as("purchase_id"), col("value").as("purchase_value"))
       // tiebreak = purchase_id: equal-(user, ts) purchases resolve to the
       // greatest event id on BOTH engines, so the hash compare is stable
@@ -525,10 +525,10 @@ object SparkEntry {
     "q81_asof_forward" -> ((s, dir) => {
       val ev = t(s, dir, "events")
       val clicks = ev.filter(col("event_type") === "click")
-        .select(col("user_id"), expr("ts div 1000").as("t_us"),
+        .select(col("user_id"), expr("unix_micros(cast(ts as timestamp))").as("t_us"),
           col("event_id").as("click_id"))
       val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), expr("ts div 1000").as("t_us"),
+        .select(col("user_id"), expr("unix_micros(cast(ts as timestamp))").as("t_us"),
           col("event_id").as("purchase_id"), col("value").as("purchase_value"))
       AsOfJoin.forward(clicks, purchases, Seq("user_id"), "t_us",
           Seq("purchase_id", "purchase_value"), tiebreak = Some("purchase_id"))
@@ -680,7 +680,7 @@ object SparkEntry {
     // update/delete per user), collapsed to latest surviving state.
     "q38_cdc_snapshot" -> ((s, dir) => {
       val log = t(s, dir, "events").select(
-        col("user_id"), expr("ts div 1000").as("t_us"),
+        col("user_id"), expr("unix_micros(cast(ts as timestamp))").as("t_us"),
         col("event_id"), col("value"),
         when(col("event_type").isin("view", "signup"), "insert")
           .when(col("event_type") === "error", "delete")
@@ -710,7 +710,7 @@ object SparkEntry {
       val wOrd = Window.partitionBy(col("user_id"))
         .orderBy(col("t_us"), col("event_id"))
       val ev = t(s, dir, "events")
-        .select(col("user_id"), expr("ts div 1000").as("t_us"), col("event_id"))
+        .select(col("user_id"), expr("unix_micros(cast(ts as timestamp))").as("t_us"), col("event_id"))
         .withColumn("new_sess",
           when(col("t_us") - lag(col("t_us"), 1).over(wOrd) > gapUs, 1L)
             .otherwise(lit(0L)))
@@ -962,7 +962,7 @@ object SparkEntry {
     // cardinality equals input.
     "q87_scd2_history" -> ((s, dir) => {
       val log = t(s, dir, "events").select(
-        col("user_id"), expr("ts div 1000").as("t_us"),
+        col("user_id"), expr("unix_micros(cast(ts as timestamp))").as("t_us"),
         col("event_id"), col("value"),
         when(col("event_type").isin("view", "signup"), "insert")
           .when(col("event_type") === "error", "delete")
@@ -2047,6 +2047,82 @@ object SparkEntry {
         orders.filter(pmod(col("o_orderkey"), lit(3)) === 2), spec)
       operators.Rollup.finalized(operators.Rollup.read(s, store), spec)
         .orderBy(col("o_orderpriority"))
+    }),
+
+    // mergeable approximate-distinct in the standing rollup: exact
+    // COUNT(DISTINCT) is the one common aggregate whose state is the
+    // value set itself — un-foldable — so the rollup keeps a per-group
+    // HLL sketch (lgK=12) whose register-max merge is associative and
+    // duplicate-insensitive. The fold-in-any-order estimate must land
+    // within 5% (≈3σ at lgK=12) of the exact distinct; the invariant
+    // flag makes drift a hash-compare failure (the q31 pattern), and
+    // RollupSpec separately pins fold ≡ from-scratch register identity.
+    "q118_rollup_ndv" -> ((s, dir) => {
+      val store = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_rollup_ndv_${Integer.toHexString(dir.hashCode)}_$jvmToken")
+        .getAbsolutePath
+      val spec = operators.Rollup.Spec(
+        keys = Seq("o_orderpriority"), ndvs = Seq("o_custkey"))
+      val orders = t(s, dir, "orders")
+      operators.Rollup.init(s, store,
+        orders.filter(pmod(col("o_orderkey"), lit(3)) === 0), spec)
+      operators.Rollup.fold(s, store,
+        orders.filter(pmod(col("o_orderkey"), lit(3)) === 1), spec)
+      operators.Rollup.fold(s, store,
+        orders.filter(pmod(col("o_orderkey"), lit(3)) === 2), spec)
+      val served = operators.Rollup.finalized(
+        operators.Rollup.read(s, store), spec)
+      val exact = orders.groupBy(col("o_orderpriority"))
+        .agg(countDistinct(col("o_custkey")).as("exact_cust"))
+      served.join(exact, Seq("o_orderpriority"))
+        .select(col("o_orderpriority"), col("n_rows"), col("exact_cust"),
+          (abs(col("ndv__o_custkey") - col("exact_cust"))
+            <= col("exact_cust").cast("double") * 0.05).as("ndv_ok"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // materialized decontamination: the eval-set shingles persisted
+    // once as a narrow index; the batch check shingles ONLY the batch
+    // and broadcast-probes the index — the eval text is never
+    // re-tokenized, unlike q76 which re-derives the bench set per run.
+    // Same report, same oracle: materialization must be invisible.
+    "q119_indexed_contamination" -> ((s, dir) => {
+      val idx = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_contidx_${Integer.toHexString(dir.hashCode)}_$jvmToken")
+        .getAbsolutePath
+      val docs = t(s, dir, "documents")
+      operators.ContaminationIndex.build(s, idx,
+        docs.filter(col("doc_id") < 10), "text", 5)
+      operators.ContaminationIndex.check(s, docs, "doc_id", "text", idx, 5)
+        .orderBy(col("doc_id"))
+    }),
+
+    // MERGE with schema evolution (Delta autoMerge discipline): the
+    // change set carries a column the snapshot has never seen (c_tier)
+    // and omits one it does not update (c_name). Updates keep the
+    // omitted column's target value, inserts null-fill it, and every
+    // pre-existing row gains the new column as NULL — backfill-free
+    // evolution, no history rewrite.
+    "q120_merge_evolve" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      val upd = cust
+        .filter(col("c_custkey") % 7 === 0 && col("c_custkey") % 11 =!= 0)
+        .select(col("c_custkey"), lit("U").as("op"),
+          (col("c_acctbal") + 10.0).as("c_acctbal"),
+          when(col("c_acctbal") > 1000.0, lit("gold"))
+            .otherwise(lit("std")).as("c_tier"))
+      val del = cust.filter(col("c_custkey") % 11 === 0)
+        .select(col("c_custkey"), lit("D").as("op"),
+          lit(null).cast("double").as("c_acctbal"),
+          lit(null).cast("string").as("c_tier"))
+      val ins = cust.filter(col("c_custkey") % 13 === 0)
+        .select((col("c_custkey") + 1000000).as("c_custkey"),
+          lit("I").as("op"), lit(1.5).as("c_acctbal"),
+          lit("new").as("c_tier"))
+      operators.Merge.mergeBatchEvolve(cust,
+          upd.unionByName(del).unionByName(ins), "c_custkey")
+        .orderBy(col("c_custkey"))
     })
   )
 
@@ -2649,6 +2725,59 @@ object SparkEntry {
          min(o_orderdate) AS min__o_orderdate,
          max(o_orderdate) AS max__o_orderdate
          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    // the sketch estimate is engine-specific (DataSketches HLL), so the
+    // oracle recomputes the exact population side and asserts the
+    // 5%-bound flag as literal TRUE — the q31 invariant pattern.
+    "q118_rollup_ndv" ->
+      """SELECT o_orderpriority, count(*) AS n_rows,
+         count(DISTINCT o_custkey) AS exact_cust, TRUE AS ndv_ok
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    // the materialized index must be invisible: the oracle is q76's
+    // from-scratch replay (bench shingles re-derived from raw text).
+    "q119_indexed_contamination" ->
+      """WITH t AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                      x -> len(x) > 0) AS ts
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             CASE WHEN len(ts) < 5 THEN CAST([] AS VARCHAR[])
+                  ELSE list_distinct([array_to_string(ts[i:i+4], ' ')
+                                      for i in range(1, len(ts)-3)]) END AS s
+           FROM t),
+         ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         b AS (SELECT DISTINCT g FROM ex WHERE doc_id < 10),
+         h AS (SELECT doc_id, count(*) AS n_hit FROM ex
+               WHERE g IN (SELECT g FROM b) GROUP BY doc_id)
+         SELECT sh.doc_id, CAST(len(sh.s) AS BIGINT) AS n_sh,
+           CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+           CASE WHEN len(sh.s) = 0 THEN 0.0
+                ELSE round(coalesce(h.n_hit, 0) / CAST(len(sh.s) AS DOUBLE), 4)
+           END AS contamination
+         FROM sh LEFT JOIN h ON h.doc_id = sh.doc_id
+         ORDER BY sh.doc_id""",
+    // full-outer MERGE replay with the evolved column: updates keep the
+    // un-carried c_name, inserts null-fill it, non-change rows get NULL
+    // for the new c_tier.
+    "q120_merge_evolve" ->
+      """WITH t AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+         ch AS (
+           SELECT c_custkey, 'U' AS op, c_acctbal + 10.0 AS c_acctbal,
+             CASE WHEN c_acctbal > 1000.0 THEN 'gold' ELSE 'std' END AS c_tier
+           FROM t WHERE c_custkey % 7 = 0 AND c_custkey % 11 <> 0
+           UNION ALL
+           SELECT c_custkey, 'D', NULL, NULL FROM t WHERE c_custkey % 11 = 0
+           UNION ALL
+           SELECT c_custkey + 1000000, 'I', CAST(1.5 AS DOUBLE), 'new'
+           FROM t WHERE c_custkey % 13 = 0)
+         SELECT coalesce(t.c_custkey, ch.c_custkey) AS c_custkey,
+           t.c_name AS c_name,
+           CASE WHEN ch.op IS NOT NULL THEN ch.c_acctbal
+                ELSE t.c_acctbal END AS c_acctbal,
+           CASE WHEN ch.op IS NOT NULL THEN ch.c_tier END AS c_tier
+         FROM t FULL OUTER JOIN ch ON t.c_custkey = ch.c_custkey
+         WHERE coalesce(ch.op <> 'D', TRUE)
+         ORDER BY c_custkey""",
     "q63_mapgroups_slope" ->
       """WITH b AS (SELECT o_orderpriority,
              CAST(datediff('day', TIMESTAMP '1992-01-01', o_orderdate) AS BIGINT) AS x,

@@ -41,8 +41,19 @@ private[graft] object ManifestCommit {
   private val Prefix = "_graft_commit-"
 
   /** live entries are paths relative to `<dir>/data`: either
-    * `g-<v>` (whole-snapshot) or `<leaf>/g-<v>` (partition-scoped) */
-  case class State(version: Long, live: Seq[String])
+    * `g-<v>` (whole-snapshot) or `<leaf>/g-<v>` (partition-scoped).
+    *
+    * `tag` is an OPTIONAL writer-supplied idempotency token (no
+    * whitespace), carried in the commit header — the streaming rollup
+    * stamps `<appToken>-<batchId>` there so a re-delivered micro-batch
+    * can recognize its own already-committed fold (the Delta
+    * txnAppId/txnVersion pattern). Absent for batch-mode commits;
+    * pre-tag commit files parse unchanged. */
+  case class State(version: Long, live: Seq[String],
+      tag: Option[String] = None) {
+    require(tag.forall(t => t.nonEmpty && !t.exists(_.isWhitespace)),
+      "commit tag must be non-empty and whitespace-free")
+  }
 
   def dataDir(dir: Path): Path = new Path(dir, "data")
 
@@ -108,13 +119,14 @@ private[graft] object ManifestCommit {
       finally in.close()
     val lines = txt.split("\n", -1).toSeq
     val header = lines.head.split(" ")
-    if (header.length != 3 || header(0) != "graft-commit" || header(1) != "v1")
+    if (header.length < 3 || header.length > 4 ||
+        header(0) != "graft-commit" || header(1) != "v1")
       None
     else {
       val body = lines.tail.takeWhile(!_.startsWith("end "))
       if (!lines.lift(1 + body.size).contains(s"end ${body.size}")) None
       else
-        try Some(State(header(2).toLong, body))
+        try Some(State(header(2).toLong, body, header.lift(3)))
         catch { case _: NumberFormatException => None }
     }
   }
@@ -124,7 +136,9 @@ private[graft] object ManifestCommit {
     * trailer so a partial upload is detectably torn. */
   def write(fs: FileSystem, dir: Path, st: State): Unit = {
     val out = fs.create(new Path(dir, commitName(st.version)), false)
-    try out.write((s"graft-commit v1 ${st.version}\n" +
+    val head = s"graft-commit v1 ${st.version}" +
+      st.tag.map(" " + _).getOrElse("")
+    try out.write((s"$head\n" +
       st.live.map(_ + "\n").mkString + s"end ${st.live.size}\n")
       .getBytes("UTF-8"))
     finally out.close()

@@ -49,6 +49,47 @@ object Merge {
   }
 
   /**
+   * [[mergeBatch]] with SCHEMA EVOLUTION (Delta's autoMerge
+   * discipline): the change set may carry columns the snapshot has
+   * never seen, and may omit snapshot columns it does not update.
+   * The result schema is target ∪ changes, target order first:
+   *
+   *  - a column in BOTH: change rows take the change value, untouched
+   *    rows keep the target value (plain [[mergeBatch]] semantics);
+   *  - a TARGET-ONLY column: updates keep the target value (an
+   *    omitted column is "not updated", never nulled — losing data on
+   *    a narrower producer is the failure mode this guards), inserts
+   *    get NULL;
+   *  - a CHANGES-ONLY column: change rows carry their value, all
+   *    pre-existing rows get NULL — the backfill-free evolution every
+   *    long-lived 100 TB snapshot needs, since rewriting history to
+   *    add a column is exactly the full-table IO this family exists
+   *    to avoid.
+   *
+   * Evolution is ADD-only by design: a column can stop being written,
+   * but never drops from the snapshot schema — readers relying on it
+   * keep resolving it (as NULL going forward).
+   */
+  def mergeBatchEvolve(target: DataFrame, changes: DataFrame, key: String,
+      opCol: String = "op"): DataFrame = {
+    require(changes.columns.contains(opCol),
+      s"changes must carry an '$opCol' column")
+    val tCols = target.columns.toSeq.filterNot(_ == key)
+    val cData = changes.columns.toSeq
+      .filterNot(c => c == key || c == opCol)
+    val newCols = cData.filterNot(tCols.contains)
+    target.as("t").join(changes.as("c"), Seq(key), "full_outer")
+      .filter(coalesce(col(s"c.$opCol") =!= "D", lit(true)))
+      .select(col(key) +: (tCols.map { cn =>
+        if (cData.contains(cn))
+          when(col(s"c.$opCol").isNotNull, col(s"c.$cn"))
+            .otherwise(col(s"t.$cn")).as(cn)
+        else col(s"t.$cn").as(cn) // not carried: keep, never null out
+      } ++ newCols.map(cn =>
+        when(col(s"c.$opCol").isNotNull, col(s"c.$cn")).as(cn))): _*)
+  }
+
+  /**
    * Partition-scoped MERGE onto a Hive-partitioned parquet snapshot:
    * apply a change set touching only SOME partitions without reading or
    * rewriting the rest. This is the 100 TB form the [[mergeBatch]]

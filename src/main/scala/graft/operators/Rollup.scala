@@ -36,13 +36,30 @@ import org.apache.spark.sql.functions._
 object Rollup {
 
   /** What the rollup maintains: grouping keys, summed measures (with
-    * derived means), min'd and max'd columns. Sums must be numeric;
-    * min/max any ordered type. */
+    * derived means), min'd and max'd columns, and approximate-distinct
+    * columns. Sums must be numeric; min/max any ordered type.
+    *
+    * `ndvs` columns keep a per-group HLL sketch (DataSketches HLL,
+    * lgK=12 ⇒ ~1.6% relative standard error) as MERGEABLE binary
+    * state: exact COUNT(DISTINCT) is the one common aggregate that is
+    * NOT algebraic — its state is the value set itself — so a standing
+    * rollup would have to re-scan history on every refresh. The sketch
+    * substitutes a fixed-size register array whose merge (register-wise
+    * max) is associative, commutative, and duplicate-insensitive, so a
+    * fold-in-any-order history yields the same registers — hence the
+    * same estimate — as a from-scratch build over the union
+    * (RollupSpec pins this equivalence). */
   final case class Spec(keys: Seq[String], sums: Seq[String] = Nil,
-      mins: Seq[String] = Nil, maxs: Seq[String] = Nil) {
+      mins: Seq[String] = Nil, maxs: Seq[String] = Nil,
+      ndvs: Seq[String] = Nil) {
     require(keys.nonEmpty, "group by at least one key")
-    require((sums ++ mins ++ maxs).nonEmpty, "maintain at least one measure")
+    require((sums ++ mins ++ maxs ++ ndvs).nonEmpty,
+      "maintain at least one measure")
   }
+
+  /** lgConfigK pinned explicitly: merges require equal K, and the
+    * fold ≡ scratch register identity only holds at one K. */
+  private val HllLgK = 12
 
   /** Mergeable state for one batch: keys, n_rows, then per measure
     * sum__c (DECIMAL(38,2)) + cnt__c, and min__c / max__c. One
@@ -54,7 +71,8 @@ object Rollup {
             .as(s"sum__$c"),
           count(col(c)).as(s"cnt__$c"))
       } ++ spec.mins.map(c => min(col(c)).as(s"min__$c")) ++
-        spec.maxs.map(c => max(col(c)).as(s"max__$c")))
+        spec.maxs.map(c => max(col(c)).as(s"max__$c")) ++
+        spec.ndvs.map(c => hll_sketch_agg(col(c), HllLgK).as(s"hll__$c")))
     df.groupBy(spec.keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -66,23 +84,44 @@ object Rollup {
         Seq(sum(col(s"sum__$c")).cast("decimal(38,2)").as(s"sum__$c"),
           sum(col(s"cnt__$c")).cast("long").as(s"cnt__$c"))
       } ++ spec.mins.map(c => min(col(s"min__$c")).as(s"min__$c")) ++
-        spec.maxs.map(c => max(col(s"max__$c")).as(s"max__$c")))
+        spec.maxs.map(c => max(col(s"max__$c")).as(s"max__$c")) ++
+        // strict: a K mismatch means a foreign/corrupt state row —
+        // fail loudly rather than silently degrade the estimate
+        spec.ndvs.map(c =>
+          hll_union_agg(col(s"hll__$c"), false).as(s"hll__$c")))
     states.groupBy(spec.keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** Initialize the standing rollup from a first batch (generation 1). */
+  /** Initialize the standing rollup from a first batch (generation 1).
+    * `tag` stamps the commit with a writer idempotency token (see
+    * [[graft.streaming.RollupStream]]); batch use leaves it None. */
   def init(spark: SparkSession, storeDir: String, batch: DataFrame,
-      spec: Spec): Unit =
-    commit(spark, storeDir, state(batch, spec))
+      spec: Spec, tag: Option[String] = None): Unit =
+    commit(spark, storeDir, state(batch, spec), tag)
 
   /** Fold one batch into the standing rollup: aggregate the batch,
     * merge with the stored state, commit a new generation. Reads ONLY
     * the state table — never history's raw rows. */
   def fold(spark: SparkSession, storeDir: String, batch: DataFrame,
-      spec: Spec): Unit = {
+      spec: Spec, tag: Option[String] = None): Unit = {
     val standing = Merge.readSnapshot(spark, storeDir)
     commit(spark, storeDir,
-      mergeStates(standing.unionByName(state(batch, spec)), spec))
+      mergeStates(standing.unionByName(state(batch, spec)), spec), tag)
+  }
+
+  /** The idempotency tag the LIVE commit carries, if any — what a
+    * re-delivered streaming micro-batch checks before folding. */
+  def liveTag(spark: SparkSession, storeDir: String): Option[String] = {
+    val dir = new Path(storeDir)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    ManifestCommit.read(fs, dir).flatMap(_.tag)
+  }
+
+  /** Whether the store has any committed state yet. */
+  def exists(spark: SparkSession, storeDir: String): Boolean = {
+    val dir = new Path(storeDir)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    ManifestCommit.exists(fs, dir)
   }
 
   /** The current state table (narrow: one row per group). */
@@ -102,7 +141,9 @@ object Rollup {
             col(s"sum__$c").cast("double") / col(s"cnt__$c"))
             .as(s"avg__$c"))
       } ++ spec.mins.map(c => col(s"min__$c")) ++
-      spec.maxs.map(c => col(s"max__$c"))
+      spec.maxs.map(c => col(s"max__$c")) ++
+      spec.ndvs.map(c =>
+        hll_sketch_estimate(col(s"hll__$c")).as(s"ndv__$c"))
     stateDf.select(cols: _*)
   }
 
@@ -114,7 +155,7 @@ object Rollup {
     * from the OLD generation's immutable files while writing the new
     * dir, so there is no overwrite-while-reading hazard. */
   private def commit(spark: SparkSession, storeDir: String,
-      newState: DataFrame): Unit = {
+      newState: DataFrame, tag: Option[String] = None): Unit = {
     val dir = new Path(storeDir)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     val retain = ManifestCommit.retention(spark)
@@ -124,7 +165,8 @@ object Rollup {
     val gen = ManifestCommit.genName(newVer)
     newState.write.mode("overwrite")
       .parquet(new Path(ManifestCommit.dataDir(dir), gen).toString)
-    ManifestCommit.write(fs, dir, ManifestCommit.State(newVer, Seq(gen)))
+    ManifestCommit.write(fs, dir,
+      ManifestCommit.State(newVer, Seq(gen), tag))
     ManifestCommit.gc(fs, dir, retain)
   }
 }

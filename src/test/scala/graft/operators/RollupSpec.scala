@@ -55,6 +55,38 @@ class RollupSpec extends SparkSpec {
       Rollup.read(spark, store2).collect().map(_.toSeq).toSet)
   }
 
+  test("ndv sketch state: fold ≡ from-scratch estimate, within 3σ of exact") {
+    val store = scratch("rollup-ndv")
+    val orders = spark.read.parquet(s"$sf0001/orders.parquet")
+    val nspec = Rollup.Spec(keys = Seq("o_orderpriority"),
+      ndvs = Seq("o_custkey"))
+    val b = (0 to 2).map(i =>
+      orders.filter(pmod(col("o_orderkey"), lit(3)) === i))
+
+    Rollup.init(spark, store, b(0), nspec)
+    Rollup.fold(spark, store, b(1), nspec)
+    Rollup.fold(spark, store, b(2), nspec)
+
+    // register-max merge at one lgK: the folded sketch must estimate
+    // exactly what the single-pass sketch over the union estimates
+    val folded = Rollup.finalized(Rollup.read(spark, store), nspec)
+      .select("o_orderpriority", "ndv__o_custkey")
+      .as[(String, Long)].collect().toMap
+    val scratchEst = Rollup.finalized(Rollup.state(orders, nspec), nspec)
+      .select("o_orderpriority", "ndv__o_custkey")
+      .as[(String, Long)].collect().toMap
+    assert(folded === scratchEst)
+
+    val exact = orders.groupBy("o_orderpriority")
+      .agg(countDistinct("o_custkey").as("x"))
+      .as[(String, Long)].collect().toMap
+    assert(folded.keySet === exact.keySet)
+    folded.foreach { case (k, est) =>
+      assert(math.abs(est - exact(k)) <= math.max(1L, (exact(k) * 0.05).toLong),
+        s"group $k: estimate $est vs exact ${exact(k)}")
+    }
+  }
+
   test("new keys appear; null measures count into n_rows but not avg") {
     val store = scratch("rollup-nulls")
     val s2 = Rollup.Spec(keys = Seq("k"), sums = Seq("x"))
