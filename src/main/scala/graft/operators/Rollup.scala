@@ -49,11 +49,28 @@ object Rollup {
     * fold-in-any-order history yields the same registers — hence the
     * same estimate — as a from-scratch build over the union
     * (RollupSpec pins this equivalence). */
+  /** A fixed-bin histogram over `[lo, hi)`: `bins` equal-width bucket
+    * counts kept as rollup state. Counts are plain long sums — exactly
+    * as foldable and order-invariant as the other algebraic measures —
+    * and [[histQuantile]] turns the standing counts into an
+    * approximate quantile with error ≤ one bin width. Fixed edges are
+    * the price of determinism: unlike adaptive sketches (t-digest,
+    * KLL) the fold is BIT-exact regardless of order, so the rollup's
+    * fold ≡ scratch contract extends to quantiles unchanged. Values
+    * outside [lo, hi) clamp into the edge bins (the estimate degrades
+    * there but totals stay right); nulls contribute nothing. */
+  final case class HistSpec(col: String, lo: Double, hi: Double,
+      bins: Int) {
+    require(bins > 0 && bins <= 4096, "1..4096 bins")
+    require(hi > lo, "hi must exceed lo")
+    def width: Double = (hi - lo) / bins
+  }
+
   final case class Spec(keys: Seq[String], sums: Seq[String] = Nil,
       mins: Seq[String] = Nil, maxs: Seq[String] = Nil,
-      ndvs: Seq[String] = Nil) {
+      ndvs: Seq[String] = Nil, hists: Seq[HistSpec] = Nil) {
     require(keys.nonEmpty, "group by at least one key")
-    require((sums ++ mins ++ maxs ++ ndvs).nonEmpty,
+    require((sums ++ mins ++ maxs ++ ndvs ++ hists.map(_.col)).nonEmpty,
       "maintain at least one measure")
   }
 
@@ -65,6 +82,14 @@ object Rollup {
     * sum__c (DECIMAL(38,2)) + cnt__c, and min__c / max__c. One
     * map-side-combined aggregate — the only shuffle a fold pays. */
   def state(df: DataFrame, spec: Spec): DataFrame = {
+    // stage each histogram's clamped bin id once (CSE across the bins'
+    // conditional sums; nulls get a null bin and count into nothing)
+    val staged = spec.hists.foldLeft(df) { (d, h) =>
+      d.withColumn(binCol(h),
+        when(col(h.col).isNotNull,
+          least(lit(h.bins - 1), greatest(lit(0),
+            floor((col(h.col) - h.lo) / h.width).cast("int")))))
+    }
     val aggs = count(lit(1)).as("n_rows") +:
       (spec.sums.flatMap { c =>
         Seq(sum(col(c).cast("decimal(18,2)")).cast("decimal(38,2)")
@@ -72,9 +97,14 @@ object Rollup {
           count(col(c)).as(s"cnt__$c"))
       } ++ spec.mins.map(c => min(col(c)).as(s"min__$c")) ++
         spec.maxs.map(c => max(col(c)).as(s"max__$c")) ++
-        spec.ndvs.map(c => hll_sketch_agg(col(c), HllLgK).as(s"hll__$c")))
-    df.groupBy(spec.keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+        spec.ndvs.map(c => hll_sketch_agg(col(c), HllLgK).as(s"hll__$c")) ++
+        spec.hists.flatMap(h => (0 until h.bins).map(i =>
+          sum(when(col(binCol(h)) === i, 1L).otherwise(0L))
+            .as(s"h${i}__${h.col}"))))
+    staged.groupBy(spec.keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
+
+  private def binCol(h: HistSpec): String = s"__bin__${h.col}"
 
   /** Merge state tables (associative): the same aggregate over the
     * union, with sum-of-counts and min-of-mins. */
@@ -88,7 +118,11 @@ object Rollup {
         // strict: a K mismatch means a foreign/corrupt state row —
         // fail loudly rather than silently degrade the estimate
         spec.ndvs.map(c =>
-          hll_union_agg(col(s"hll__$c"), false).as(s"hll__$c")))
+          hll_union_agg(col(s"hll__$c"), false).as(s"hll__$c")) ++
+        spec.hists.flatMap(h => (0 until h.bins).map { i =>
+          val n = s"h${i}__${h.col}"
+          sum(col(n)).cast("long").as(n)
+        }))
     states.groupBy(spec.keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -143,8 +177,40 @@ object Rollup {
       } ++ spec.mins.map(c => col(s"min__$c")) ++
       spec.maxs.map(c => col(s"max__$c")) ++
       spec.ndvs.map(c =>
-        hll_sketch_estimate(col(s"hll__$c")).as(s"ndv__$c"))
+        hll_sketch_estimate(col(s"hll__$c")).as(s"ndv__$c")) ++
+      spec.hists.map(h => histArray(h).as(s"hist__${h.col}"))
     stateDf.select(cols: _*)
+  }
+
+  /** The standing bin counts packed as one array column (bin 0 first). */
+  def histArray(h: HistSpec): Column =
+    array((0 until h.bins).map(i => col(s"h${i}__${h.col}")): _*)
+
+  /** Approximate p-quantile from the standing histogram state (use
+    * over the [[read]] state table): walks the cumulative counts to
+    * the first bin holding the ceil(p·total)-th value and returns that
+    * bin's midpoint — error ≤ one bin width by construction, NULL when
+    * the group saw no non-null values. Entirely expression-level (one
+    * zip_with + one aggregate HOF over a `bins`-length array), so the
+    * serving query stays a narrow state-table scan. */
+  def histQuantile(h: HistSpec, p: Double): Column = {
+    require(p > 0.0 && p <= 1.0, "p in (0, 1]")
+    val arr = histArray(h)
+    val total = aggregate(arr, lit(0L), (acc, x) => acc + x)
+    val k = greatest(ceil(lit(p) * total).cast("long"), lit(1L))
+    val zipped = zip_with(arr, sequence(lit(0), lit(h.bins - 1)),
+      (c, i) => struct(c.as("c"), i.as("i")))
+    val idx = aggregate(zipped,
+      struct(lit(0L).as("cum"), lit(-1).as("idx")),
+      (acc, x) => {
+        val cum = acc("cum") + x("c")
+        struct(cum.as("cum"),
+          when(acc("idx") >= 0, acc("idx"))
+            .when(cum >= k, x("i"))
+            .otherwise(lit(-1)).as("idx"))
+      },
+      acc => acc("idx"))
+    when(total > 0, lit(h.lo) + (idx.cast("double") + 0.5) * h.width)
   }
 
   /** Whole-state manifest commit: write the new state as one immutable

@@ -1,0 +1,82 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Merge-on-read deletes: a delete writes only keys, reads subtract
+  * them, compact folds them in physically — and the visible row set is
+  * identical at every point, including across a crash between the
+  * compact's commit and its tombstone clear. */
+class DeletionVectorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String) =
+    Files.createTempDirectory(prefix).toString + "/snap"
+
+  private def initSnap(dir: String): Unit =
+    Merge.mergeWholeManifest(spark,
+      dir,
+      (1L to 20L).map(i => (i, s"n$i", i * 10.0, "I"))
+        .toDF("k", "name", "bal", "op"),
+      "k")
+
+  test("delete is key-only; read subtracts; compact is invisible") {
+    val dir = tmp("dv")
+    initSnap(dir)
+
+    DeletionVectors.delete(spark, dir,
+      Seq(2L, 4L, 6L).toDF("k"), "k")
+    DeletionVectors.delete(spark, dir,
+      Seq(6L, 7L).toDF("k"), "k") // overlap: 6 deleted twice
+
+    val want = (1L to 20L).filterNot(Set(2L, 4L, 6L, 7L)).toSet
+    assert(DeletionVectors.read(spark, dir, "k")
+      .select("k").as[Long].collect().toSet === want)
+    assert(DeletionVectors.pendingDeletes(spark, dir) === 4L)
+
+    // the raw snapshot still CONTAINS the keys (no data rewrite yet)
+    assert(Merge.readSnapshot(spark, dir).count() === 20L)
+
+    DeletionVectors.compact(spark, dir, "k")
+    // physically gone, sidecar cleared, view unchanged
+    assert(Merge.readSnapshot(spark, dir)
+      .select("k").as[Long].collect().toSet === want)
+    assert(DeletionVectors.pendingDeletes(spark, dir) === 0L)
+    assert(DeletionVectors.read(spark, dir, "k")
+      .select("k").as[Long].collect().toSet === want)
+  }
+
+  test("stale tombstones after a crashed compact are a no-op") {
+    val dir = tmp("dv-crash")
+    initSnap(dir)
+    DeletionVectors.delete(spark, dir, Seq(5L, 9L).toDF("k"), "k")
+    DeletionVectors.compact(spark, dir, "k")
+
+    // simulate the crash window: the commit landed but the clear did
+    // not — re-delete the SAME keys (already physically absent)
+    DeletionVectors.delete(spark, dir, Seq(5L, 9L).toDF("k"), "k")
+    val want = (1L to 20L).filterNot(Set(5L, 9L)).toSet
+    assert(DeletionVectors.read(spark, dir, "k")
+      .select("k").as[Long].collect().toSet === want)
+
+    // and the next compact clears them without changing anything
+    DeletionVectors.compact(spark, dir, "k")
+    assert(DeletionVectors.pendingDeletes(spark, dir) === 0L)
+    assert(Merge.readSnapshot(spark, dir)
+      .select("k").as[Long].collect().toSet === want)
+  }
+
+  test("read with no tombstone sidecar is the plain snapshot") {
+    val dir = tmp("dv-none")
+    initSnap(dir)
+    assert(DeletionVectors.read(spark, dir, "k").count() === 20L)
+    assert(DeletionVectors.pendingDeletes(spark, dir) === 0L)
+    // compact without tombstones is a no-op (no new commit)
+    val vBefore = Merge.snapshotVersions(spark, dir)
+    DeletionVectors.compact(spark, dir, "k")
+    assert(Merge.snapshotVersions(spark, dir) === vBefore)
+  }
+}

@@ -44,4 +44,33 @@ class MergeSpec extends SparkSpec {
       Merge.mergeBatch(target, bad, "k")
     }
   }
+
+  test("evolve: new column backfills NULL, omitted column survives update") {
+    // changes carry `tier` (target has never seen it) and OMIT `name`
+    val changes = Seq(
+      (2L, "U", 22.0, "gold"), // update: name must survive
+      (3L, "D", 0.0, null.asInstanceOf[String]),
+      (4L, "I", 40.0, "new")) // insert: name null-fills
+      .toDF("k", "op", "bal", "tier")
+    val got = Merge.mergeBatchEvolve(target, changes, "k")
+      .orderBy("k")
+      .as[(Long, Option[String], Double, Option[String])].collect().toSeq
+    assert(got === Seq(
+      (1L, Some("a"), 10.0, None),        // untouched: tier backfills NULL
+      (2L, Some("b"), 22.0, Some("gold")), // name kept despite update
+      (4L, None, 40.0, Some("new"))))
+    // schema = target order first, then the evolved column
+    assert(Merge.mergeBatchEvolve(target, changes, "k").columns.toSeq ===
+      Seq("k", "name", "bal", "tier"))
+  }
+
+  test("evolve with an identical-schema change set degenerates to mergeBatch") {
+    val changes = Seq((2L, "U", "b2", 22.0), (4L, "I", "d", 40.0))
+      .toDF("k", "op", "name", "bal")
+    val evolved = Merge.mergeBatchEvolve(target, changes, "k")
+      .orderBy("k").as[(Long, String, Double)].collect().toSeq
+    val plain = Merge.mergeBatch(target, changes, "k")
+      .orderBy("k").as[(Long, String, Double)].collect().toSeq
+    assert(evolved === plain)
+  }
 }

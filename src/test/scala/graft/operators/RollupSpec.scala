@@ -87,6 +87,54 @@ class RollupSpec extends SparkSpec {
     }
   }
 
+  test("hist state: fold ≡ scratch bit-exact; quantile within one bin width") {
+    val store = scratch("rollup-hist")
+    val orders = spark.read.parquet(s"$sf0001/orders.parquet")
+    val h = Rollup.HistSpec("o_totalprice", 0.0, 600000.0, 60)
+    val hspec = Rollup.Spec(keys = Seq("o_orderpriority"), hists = Seq(h))
+    val b = (0 to 2).map(i =>
+      orders.filter(pmod(col("o_orderkey"), lit(3)) === i))
+
+    Rollup.init(spark, store, b(0), hspec)
+    Rollup.fold(spark, store, b(1), hspec)
+    Rollup.fold(spark, store, b(2), hspec)
+
+    // long-sum bins: the folded state must equal the single-pass state
+    val folded = Rollup.read(spark, store).collect().map(_.toSeq).toSet
+    val scr = Rollup.state(orders, hspec).collect().map(_.toSeq).toSet
+    assert(folded === scr)
+
+    val est = Rollup.read(spark, store)
+      .select(col("o_orderpriority"),
+        Rollup.histQuantile(h, 0.5).as("p50"))
+      .as[(String, Double)].collect().toMap
+    val exact = orders.groupBy("o_orderpriority")
+      .agg(expr("percentile(o_totalprice, 0.5)").as("x"))
+      .as[(String, Double)].collect().toMap
+    assert(est.keySet === exact.keySet)
+    est.foreach { case (k, e) =>
+      assert(math.abs(e - exact(k)) <= h.width,
+        s"group $k: est $e vs exact ${exact(k)} (width ${h.width})")
+    }
+  }
+
+  test("hist quantile edge cases: empty group NULL, single value, clamping") {
+    val h = Rollup.HistSpec("x", 0.0, 10.0, 10)
+    val hspec = Rollup.Spec(keys = Seq("k"), hists = Seq(h))
+    val df = Seq(("a", Some(3.2)), ("a", Some(3.9)),
+      ("b", Option.empty[Double]),        // all-null group
+      ("c", Some(-5.0)), ("c", Some(99.0)) // out of range: clamps
+    ).toDF("k", "x")
+    val st = Rollup.state(df, hspec)
+    val q = st.select(col("k"), Rollup.histQuantile(h, 0.5).as("p50"))
+      .collect().map(r => r.getString(0) ->
+        Option(r.get(1)).map(_.asInstanceOf[Double])).toMap
+    assert(q("a") === Some(3.5))  // both in bin [3,4) → midpoint
+    assert(q("b") === None)       // no non-null values → NULL
+    // clamped values land in the edge bins (midpoints 0.5 and 9.5)
+    assert(q("c") === Some(0.5))  // k=1 of 2 → first bin
+  }
+
   test("new keys appear; null measures count into n_rows but not avg") {
     val store = scratch("rollup-nulls")
     val s2 = Rollup.Spec(keys = Seq("k"), sums = Seq("x"))
