@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
@@ -35,20 +35,6 @@ import org.apache.spark.sql.functions._
  */
 object Rollup {
 
-  /** What the rollup maintains: grouping keys, summed measures (with
-    * derived means), min'd and max'd columns, and approximate-distinct
-    * columns. Sums must be numeric; min/max any ordered type.
-    *
-    * `ndvs` columns keep a per-group HLL sketch (DataSketches HLL,
-    * lgK=12 ⇒ ~1.6% relative standard error) as MERGEABLE binary
-    * state: exact COUNT(DISTINCT) is the one common aggregate that is
-    * NOT algebraic — its state is the value set itself — so a standing
-    * rollup would have to re-scan history on every refresh. The sketch
-    * substitutes a fixed-size register array whose merge (register-wise
-    * max) is associative, commutative, and duplicate-insensitive, so a
-    * fold-in-any-order history yields the same registers — hence the
-    * same estimate — as a from-scratch build over the union
-    * (RollupSpec pins this equivalence). */
   /** A fixed-bin histogram over `[lo, hi)`: `bins` equal-width bucket
     * counts kept as rollup state. Counts are plain long sums — exactly
     * as foldable and order-invariant as the other algebraic measures —
@@ -66,6 +52,20 @@ object Rollup {
     def width: Double = (hi - lo) / bins
   }
 
+  /** What the rollup maintains: grouping keys, summed measures (with
+    * derived means), min'd and max'd columns, and approximate-distinct
+    * columns. Sums must be numeric; min/max any ordered type.
+    *
+    * `ndvs` columns keep a per-group HLL sketch (DataSketches HLL,
+    * lgK=12 ⇒ ~1.6% relative standard error) as MERGEABLE binary
+    * state: exact COUNT(DISTINCT) is the one common aggregate that is
+    * NOT algebraic — its state is the value set itself — so a standing
+    * rollup would have to re-scan history on every refresh. The sketch
+    * substitutes a fixed-size register array whose merge (register-wise
+    * max) is associative, commutative, and duplicate-insensitive, so a
+    * fold-in-any-order history yields the same registers — hence the
+    * same estimate — as a from-scratch build over the union
+    * (RollupSpec pins this equivalence). */
   final case class Spec(keys: Seq[String], sums: Seq[String] = Nil,
       mins: Seq[String] = Nil, maxs: Seq[String] = Nil,
       ndvs: Seq[String] = Nil, hists: Seq[HistSpec] = Nil) {
