@@ -2123,6 +2123,65 @@ object SparkEntry {
       operators.Merge.mergeBatchEvolve(cust,
           upd.unionByName(del).unionByName(ins), "c_custkey")
         .orderBy(col("c_custkey"))
+    }),
+
+    // histogram state in the standing rollup: fixed-bin counts are
+    // plain long sums — as foldable and order-invariant as count/sum —
+    // so the fold ≡ scratch contract extends to quantiles. lo=5,hi=45
+    // deliberately UNDER-covers l_quantity (1..50) to pin the
+    // edge-bin clamping; p-quantiles are bin midpoints, bit-exact on
+    // both sides.
+    "q121_rollup_hist" -> ((s, dir) => {
+      val store = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_rollup_hist_${Integer.toHexString(dir.hashCode)}_$jvmToken")
+        .getAbsolutePath
+      val h = operators.Rollup.HistSpec("l_quantity", 5.0, 45.0, 8)
+      val spec = operators.Rollup.Spec(
+        keys = Seq("l_returnflag"), hists = Seq(h))
+      val li = t(s, dir, "lineitem")
+      operators.Rollup.init(s, store,
+        li.filter(pmod(col("l_orderkey"), lit(3)) === 0), spec)
+      operators.Rollup.fold(s, store,
+        li.filter(pmod(col("l_orderkey"), lit(3)) === 1), spec)
+      operators.Rollup.fold(s, store,
+        li.filter(pmod(col("l_orderkey"), lit(3)) === 2), spec)
+      operators.Rollup.read(s, store)
+        .select(col("l_returnflag"), col("n_rows"),
+          operators.Rollup.histArray(h).getItem(0).as("h_lo"),
+          operators.Rollup.histArray(h).getItem(7).as("h_hi"),
+          round(operators.Rollup.histQuantile(h, 0.25), 4).as("p25"),
+          round(operators.Rollup.histQuantile(h, 0.50), 4).as("p50"),
+          round(operators.Rollup.histQuantile(h, 0.90), 4).as("p90"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // merge-on-read deletes: two key-only tombstone appends, the
+    // anti-join view, then the physical compact — the oracle is the
+    // plain filtered table, so the pre-compact view, the compact, and
+    // the post-compact read must all be invisible to the row set.
+    "q122_deletion_vectors" -> ((s, dir) => {
+      val store = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_dv_${Integer.toHexString(dir.hashCode)}_$jvmToken")
+        .getAbsolutePath
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      operators.Merge.mergeWholeManifest(s, store,
+        cust.withColumn("op", lit("I")), "c_custkey")
+      operators.DeletionVectors.delete(s, store,
+        cust.filter(col("c_custkey") % 5 === 0).select("c_custkey"),
+        "c_custkey")
+      operators.DeletionVectors.delete(s, store,
+        cust.filter(col("c_custkey") % 7 === 0).select("c_custkey"),
+        "c_custkey")
+      val pre = operators.DeletionVectors.read(s, store, "c_custkey")
+        .count()
+      operators.DeletionVectors.compact(s, store, "c_custkey")
+      val post = operators.DeletionVectors.read(s, store, "c_custkey")
+      val invisible = pre == post.count() &&
+        operators.DeletionVectors.pendingDeletes(s, store) == 0L
+      post.select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          lit(invisible).as("pre_eq"))
+        .orderBy(col("c_custkey"))
     })
   )
 
@@ -2777,6 +2836,51 @@ object SparkEntry {
            CASE WHEN ch.op IS NOT NULL THEN ch.c_tier END AS c_tier
          FROM t FULL OUTER JOIN ch ON t.c_custkey = ch.c_custkey
          WHERE coalesce(ch.op <> 'D', TRUE)
+         ORDER BY c_custkey""",
+    // from-scratch fixed-bin recompute: same clamped bin id, same
+    // cumulative walk to the first bin holding the ceil(p·total)-th
+    // value, same midpoint — the standing fold must be invisible.
+    "q121_rollup_hist" ->
+      """WITH b AS (
+           SELECT l_returnflag,
+             least(7, greatest(0,
+               CAST(floor((l_quantity - 5.0) / 5.0) AS INT))) AS bin
+           FROM lineitem WHERE l_quantity IS NOT NULL),
+         n AS (SELECT l_returnflag, count(*) AS n_rows
+               FROM lineitem GROUP BY 1),
+         c AS (SELECT l_returnflag, bin, count(*) AS cnt
+               FROM b GROUP BY 1, 2),
+         cum AS (SELECT l_returnflag, bin, cnt,
+                   sum(cnt) OVER (PARTITION BY l_returnflag
+                                  ORDER BY bin) AS cum,
+                   sum(cnt) OVER (PARTITION BY l_returnflag) AS total
+                 FROM c),
+         q AS (SELECT l_returnflag,
+                 CAST(coalesce(sum(CASE WHEN bin = 0 THEN cnt END), 0)
+                   AS BIGINT) AS h_lo,
+                 CAST(coalesce(sum(CASE WHEN bin = 7 THEN cnt END), 0)
+                   AS BIGINT) AS h_hi,
+                 min(CASE WHEN cum >= greatest(ceil(0.25 * total), 1)
+                     THEN bin END) AS b25,
+                 min(CASE WHEN cum >= greatest(ceil(0.50 * total), 1)
+                     THEN bin END) AS b50,
+                 min(CASE WHEN cum >= greatest(ceil(0.90 * total), 1)
+                     THEN bin END) AS b90
+               FROM cum GROUP BY 1)
+         SELECT n.l_returnflag, n.n_rows, q.h_lo, q.h_hi,
+           round(5.0 + (q.b25 + 0.5) * 5.0, 4) AS p25,
+           round(5.0 + (q.b50 + 0.5) * 5.0, 4) AS p50,
+           round(5.0 + (q.b90 + 0.5) * 5.0, 4) AS p90
+         FROM n JOIN q USING (l_returnflag)
+         ORDER BY l_returnflag""",
+    // the tombstone subtraction and the physical compact must both be
+    // invisible: the oracle is the plain anti-filtered table, and the
+    // invariant flag pins pre-compact view = post-compact rows with an
+    // empty sidecar.
+    "q122_deletion_vectors" ->
+      """SELECT c_custkey, c_name, c_acctbal, TRUE AS pre_eq
+         FROM customer
+         WHERE c_custkey % 5 <> 0 AND c_custkey % 7 <> 0
          ORDER BY c_custkey""",
     "q63_mapgroups_slope" ->
       """WITH b AS (SELECT o_orderpriority,

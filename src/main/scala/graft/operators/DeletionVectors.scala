@@ -35,6 +35,18 @@ object DeletionVectors {
 
   private def tombDir(dir: Path) = new Path(dir, "_tombstones")
 
+  /** The sidecar's data files right now (commit markers excluded). A
+    * compact clears files individually — the dir may outlive its last
+    * tombstone — so emptiness is judged by this list, not existence. */
+  private def tombFiles(spark: SparkSession, td: Path): Array[Path] = {
+    val fs = td.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(td)) Array.empty
+    else fs.listStatus(td).filter(s => s.isFile && {
+      val n = s.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }).map(_.getPath)
+  }
+
   /** Logical delete: append the keys to the tombstone sidecar. Cost ∝
     * keys; no snapshot data is opened. */
   def delete(spark: SparkSession, snapshotDir: String, keys: DataFrame,
@@ -48,10 +60,9 @@ object DeletionVectors {
   def read(spark: SparkSession, snapshotDir: String,
       keyCol: String): DataFrame = {
     val snap = Merge.readSnapshot(spark, snapshotDir)
-    val td = tombDir(new Path(snapshotDir))
-    val fs = td.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(td)) snap
-    else snap.join(broadcast(spark.read.parquet(td.toString)
+    val files = tombFiles(spark, tombDir(new Path(snapshotDir)))
+    if (files.isEmpty) snap
+    else snap.join(broadcast(spark.read.parquet(files.map(_.toString): _*)
         .select(col(keyCol)).distinct()),
       Seq(keyCol), "left_anti")
   }
@@ -59,10 +70,9 @@ object DeletionVectors {
   /** Un-compacted tombstone count — the read-tax gauge a maintenance
     * scheduler polls to decide when [[compact]] pays for itself. */
   def pendingDeletes(spark: SparkSession, snapshotDir: String): Long = {
-    val td = tombDir(new Path(snapshotDir))
-    val fs = td.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(td)) 0L
-    else spark.read.parquet(td.toString).distinct().count()
+    val files = tombFiles(spark, tombDir(new Path(snapshotDir)))
+    if (files.isEmpty) 0L
+    else spark.read.parquet(files.map(_.toString): _*).distinct().count()
   }
 
   /** Physically apply the tombstones: commit the subtracted snapshot
@@ -71,22 +81,36 @@ object DeletionVectors {
     * the object scaladoc. */
   def compact(spark: SparkSession, snapshotDir: String,
       keyCol: String): Unit = {
-    val dir = new Path(snapshotDir)
-    val td = tombDir(dir)
+    // Pin the sidecar's file list FIRST and operate on exactly that
+    // set: a delete() racing this compact appends NEW files, which the
+    // snapshot below never reads and the cleanup below never removes —
+    // they stay pending for the next compact instead of being dropped
+    // unapplied.
+    compactPinned(spark, snapshotDir, keyCol,
+      tombFiles(spark, tombDir(new Path(snapshotDir))))
+  }
+
+  /** The compact body after the file-list pin — separated so the
+    * listing↔apply race is testable (DeletionVectorsSpec appends a
+    * concurrent delete between the two and asserts it survives). */
+  private[operators] def compactPinned(spark: SparkSession,
+      snapshotDir: String, keyCol: String,
+      pinned: Array[Path]): Unit = {
+    val td = tombDir(new Path(snapshotDir))
     val fs = td.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(td)) return
+    if (pinned.isEmpty) return
     // route through the MERGE protocol as a pure-delete change set so
     // the gc/guard/commit tail stays in one place; null-fill the
     // snapshot's data columns (mergeBatch resolves every target column
     // on the change side — D rows never read them)
-    val dels0 = spark.read.parquet(td.toString).select(col(keyCol))
-      .distinct().withColumn("op", lit("D"))
-    if (dels0.isEmpty) { fs.delete(td, true); return }
+    val dels0 = spark.read.parquet(pinned.map(_.toString): _*)
+      .select(col(keyCol)).distinct().withColumn("op", lit("D"))
+    if (dels0.isEmpty) { pinned.foreach(fs.delete(_, false)); return }
     val dels = Merge.readSnapshot(spark, snapshotDir).schema.fields
       .filterNot(_.name == keyCol)
       .foldLeft(dels0)((d, f) =>
         d.withColumn(f.name, lit(null).cast(f.dataType)))
     Merge.mergeWholeManifest(spark, snapshotDir, dels, keyCol)
-    fs.delete(td, true)
+    pinned.foreach(fs.delete(_, false))
   }
 }

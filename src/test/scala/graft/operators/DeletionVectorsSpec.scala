@@ -79,4 +79,35 @@ class DeletionVectorsSpec extends SparkSpec {
     DeletionVectors.compact(spark, dir, "k")
     assert(Merge.snapshotVersions(spark, dir) === vBefore)
   }
+
+  test("tombstones appended during a compact survive it unapplied") {
+    val dir = tmp("dv-race")
+    initSnap(dir)
+    DeletionVectors.delete(spark, dir, Seq(3L).toDF("k"), "k")
+
+    // replay the compact's internal sequence: pin the sidecar listing…
+    val td = new org.apache.hadoop.fs.Path(dir, "_tombstones")
+    val fs = td.getFileSystem(spark.sessionState.newHadoopConf())
+    val pinned = fs.listStatus(td).filter(s => s.isFile && {
+      val n = s.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }).map(_.getPath)
+    // …then land a concurrent delete between the pin and the apply
+    DeletionVectors.delete(spark, dir, Seq(8L).toDF("k"), "k")
+    DeletionVectors.compactPinned(spark, dir, "k", pinned)
+
+    // 3 is physically applied; 8 is still PENDING and still subtracted
+    val all = (1L to 20L).toSet
+    assert(Merge.readSnapshot(spark, dir)
+      .select("k").as[Long].collect().toSet === all - 3L)
+    assert(DeletionVectors.pendingDeletes(spark, dir) === 1L)
+    assert(DeletionVectors.read(spark, dir, "k")
+      .select("k").as[Long].collect().toSet === all -- Set(3L, 8L))
+
+    // the next compact applies the survivor
+    DeletionVectors.compact(spark, dir, "k")
+    assert(DeletionVectors.pendingDeletes(spark, dir) === 0L)
+    assert(Merge.readSnapshot(spark, dir)
+      .select("k").as[Long].collect().toSet === all -- Set(3L, 8L))
+  }
 }
