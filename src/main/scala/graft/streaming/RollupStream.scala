@@ -2,6 +2,7 @@ package graft.streaming
 
 import java.security.MessageDigest
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -26,10 +27,15 @@ import graft.operators.Rollup
  * txnAppId/txnVersion discipline): when foreachBatch re-delivers a
  * batch after a crash, the fold sees its own token with an
  * equal-or-newer batch id on the live commit and skips. The token is
- * derived from the checkpoint location, so a NEW checkpoint (batch ids
- * restart at 0) never aliases an old stream's tags, while a RESTART
- * from the same checkpoint recognizes them — exactly the pairing the
- * checkpoint's own batch-id sequence guarantees.
+ * derived from the checkpoint's IDENTITY — the unique query id Spark
+ * writes into `<checkpoint>/metadata` when the checkpoint is created —
+ * so a NEW checkpoint (batch ids restart at 0) never aliases an old
+ * stream's tags EVEN when it reuses a wiped checkpoint's path, while a
+ * RESTART from the same checkpoint recognizes them — exactly the
+ * pairing the checkpoint's own batch-id sequence guarantees. The id is
+ * resolved lazily at the first micro-batch (Spark has written the
+ * metadata file by then); a missing metadata file (direct foldBatch
+ * use) falls back to hashing the location string.
  *
  * The skip compares `storedId >= batchId` (not equality): foreachBatch
  * re-delivers only the most recent uncommitted batch, so any stored id
@@ -43,7 +49,9 @@ object RollupStream {
       checkpoint: String,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val spark = rows.sparkSession
-    val token = appToken(checkpoint)
+    // lazy: the metadata file holding the query id exists only after
+    // the stream starts — first foldBatch resolves it, then it's fixed
+    lazy val token = appToken(spark, checkpoint)
     rows.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
@@ -80,10 +88,24 @@ object RollupStream {
       }
     }
 
-  /** Stable per-stream token from the checkpoint location (hex md5
-    * prefix — no whitespace, no '-', safe in a commit header). */
-  private[streaming] def appToken(checkpoint: String): String =
+  /** Stable per-stream token (hex md5 prefix — no whitespace, no '-',
+    * safe in a commit header) from the checkpoint's identity: the
+    * unique query id in `<checkpoint>/metadata`, so a wiped-and-reused
+    * path mints a fresh token. Falls back to the location string when
+    * no metadata exists (checkpoint never started). */
+  private[streaming] def appToken(spark: SparkSession,
+      checkpoint: String): String = {
+    val md = new Path(checkpoint, "metadata")
+    val fs = md.getFileSystem(spark.sessionState.newHadoopConf())
+    val seed = (if (fs.exists(md)) {
+      val in = fs.open(md)
+      val txt =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      """"id"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(txt).map(_.group(1))
+    } else None).getOrElse(checkpoint)
     MessageDigest.getInstance("MD5")
-      .digest(checkpoint.getBytes("UTF-8"))
+      .digest(seed.getBytes("UTF-8"))
       .take(8).map(b => f"$b%02x").mkString
+  }
 }

@@ -46,7 +46,7 @@ class RollupStreamSpec extends SparkSpec {
 
   test("re-delivered micro-batch is a no-op; foreign tokens are not") {
     val store = tmp("rs-redeliver") + "/rollup"
-    val tok = RollupStream.appToken("ckpt-A")
+    val tok = RollupStream.appToken(spark, "ckpt-A")
     val batch = b0.toDF("k", "x")
 
     RollupStream.foldBatch(spark, batch, 0L, store, spec, tok)
@@ -66,11 +66,44 @@ class RollupStreamSpec extends SparkSpec {
 
     // a different stream (new checkpoint ⇒ new token) restarting at
     // batch 0 must NOT be mistaken for our re-delivery
-    val tok2 = RollupStream.appToken("ckpt-B")
+    val tok2 = RollupStream.appToken(spark, "ckpt-B")
     RollupStream.foldBatch(spark, Seq(("d", 1.0)).toDF("k", "x"),
       0L, store, spec, tok2)
     val keys = Rollup.read(spark, store).select("k")
       .as[String].collect().toSet
     assert(keys === Set("a", "b", "c", "d"))
+  }
+
+  test("a wiped-and-reused checkpoint path mints a fresh token") {
+    val ckpt = tmp("rs-wipe")
+    val dir = new java.io.File(ckpt)
+    def writeMeta(id: String): Unit = {
+      dir.mkdirs()
+      Files.write(java.nio.file.Paths.get(ckpt, "metadata"),
+        s"""{"id":"$id"}""".getBytes("UTF-8"))
+    }
+    // first life of the checkpoint
+    writeMeta("11111111-aaaa-bbbb-cccc-222222222222")
+    val tok1 = RollupStream.appToken(spark, ckpt)
+    // restart from the SAME checkpoint: same token (re-delivery works)
+    assert(RollupStream.appToken(spark, ckpt) === tok1)
+
+    // wipe + recreate at the same path: Spark writes a new query id,
+    // so the token must change — batch 0 of the new stream may not be
+    // mistaken for the old stream's re-delivery
+    Files.delete(java.nio.file.Paths.get(ckpt, "metadata"))
+    writeMeta("33333333-dddd-eeee-ffff-444444444444")
+    val tok2 = RollupStream.appToken(spark, ckpt)
+    assert(tok2 !== tok1)
+
+    // and the aliasing scenario end-to-end: old stream folded batch 1,
+    // new stream's batch 0 must still fold
+    val store = tmp("rs-wipe-store") + "/rollup"
+    RollupStream.foldBatch(spark, b0.toDF("k", "x"), 1L, store, spec, tok1)
+    RollupStream.foldBatch(spark, Seq(("z", 5.0)).toDF("k", "x"),
+      0L, store, spec, tok2)
+    val keys = Rollup.read(spark, store).select("k")
+      .as[String].collect().toSet
+    assert(keys === Set("a", "b", "z"))
   }
 }
