@@ -100,12 +100,17 @@ object BloomIndex {
   def prunedFiles(spark: SparkSession, dataDir: String, statsDir: String,
       column: String, values: Seq[Any]): Seq[String] = {
     import spark.implicits._
+    survivors(spark, dataDir, statsDir, column, values)
+      .as[String].collect().sorted.toSeq
+  }
+
+  private def survivors(spark: SparkSession, dataDir: String,
+      statsDir: String, column: String, values: Seq[Any]): DataFrame = {
     require(values.nonEmpty, "give at least one probe value")
     val dt = columnType(spark, dataDir, column)
     val hashes = array(values.map(v => xxhash64(lit(v).cast(dt))): _*)
     val keep = GraftFunctions.graftBloomProbeAny(col(s"bloom__$column"), hashes)
-    spark.read.parquet(statsDir).filter(keep)
-      .select("file").as[String].collect().sorted.toSeq
+    spark.read.parquet(statsDir).filter(keep).select("file")
   }
 
   /** Equality/IN scan through the bloom index: prune the file list,
@@ -119,11 +124,19 @@ object BloomIndex {
     require(unknown.isEmpty,
       s"bloom index at $statsDir is stale: ${unknown.size} unindexed data " +
         s"files (first: ${unknown.headOption.getOrElse("")}); run append()")
-    val files = prunedFiles(spark, dataDir, statsDir, column, values)
     val dt = columnType(spark, dataDir, column)
-    if (files.isEmpty)
-      spark.read.parquet(dataDir).filter(lit(false)) // schema-only
-    else spark.read.parquet(files: _*)
-      .filter(values.map(v => col(column) === lit(v).cast(dt)).reduce(_ || _))
+    val residual =
+      values.map(v => col(column) === lit(v).cast(dt)).reduce(_ || _)
+    ZoneMap.cappedFiles(spark,
+        survivors(spark, dataDir, statsDir, column, values),
+        ZoneMap.maxFiles(spark)) match {
+      case None =>
+        ZoneMap.warnFallback(statsDir, ZoneMap.maxFiles(spark))
+        spark.read.parquet(dataDir).filter(residual)
+      case Some(files) if files.isEmpty =>
+        spark.read.parquet(dataDir).filter(lit(false)) // schema-only
+      case Some(files) =>
+        spark.read.parquet(files: _*).filter(residual)
+    }
   }
 }

@@ -41,6 +41,33 @@ import org.apache.spark.sql.functions._
  */
 object ZoneMap {
 
+  /** The largest surviving-file list a skip-scan will collect to the
+    * driver. File indexes plan on the driver by design (Delta/Iceberg
+    * do the same), but at ~10⁶ files a poorly-selective predicate
+    * could make the "bounded" collect a driver hazard — above the cap
+    * the scan logs and degrades to the un-skipped read, which is
+    * always correct (skipping is only an IO optimization). */
+  private[operators] val MaxFilesKey = "spark.graft.fileIndex.maxFiles"
+
+  private[operators] def maxFiles(spark: SparkSession): Int =
+    spark.conf.get(MaxFilesKey, "100000").toInt
+
+  /** Collect at most cap+1 survivors (the +1 proves overflow without
+    * materializing the tail): None ⇒ the list exceeds the cap and the
+    * caller must fall back to the un-skipped scan. */
+  private[operators] def cappedFiles(spark: SparkSession,
+      survivors: DataFrame, cap: Int): Option[Seq[String]] = {
+    import spark.implicits._
+    val hit = survivors.limit(cap + 1).as[String].collect()
+    if (hit.length > cap) None else Some(hit.sorted.toSeq)
+  }
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  private[operators] def warnFallback(statsDir: String, cap: Int): Unit =
+    log.warn(s"file index at $statsDir: surviving file list exceeds " +
+      s"$MaxFilesKey=$cap; falling back to the un-skipped scan")
+
   /** One stats row per file: file, n_rows, then min__c / max__c /
     * nulls__c per tracked column. One distributed pass; the group-by
     * key is the file path, so partial aggregation collapses each
@@ -149,14 +176,26 @@ object ZoneMap {
   def prunedFiles(spark: SparkSession, statsDir: String,
       ranges: Seq[Range]): Seq[String] = {
     import spark.implicits._
+    spark.read.parquet(statsDir).filter(keepPredicate(ranges))
+      .select("file").as[String].collect().sorted.toSeq
+  }
+
+  private def keepPredicate(ranges: Seq[Range]): Column = {
     require(ranges.nonEmpty, "give at least one range")
-    val keep = ranges.map { r =>
+    ranges.map { r =>
       col(s"max__${r.column}") >= lit(r.lo) &&
         col(s"min__${r.column}") <= lit(r.hi)
     }.reduce(_ && _)
-    spark.read.parquet(statsDir).filter(keep)
-      .select("file").as[String].collect().sorted.toSeq
   }
+
+  /** [[prunedFiles]] under the [[MaxFilesKey]] cap: None ⇒ too many
+    * survivors, degrade to the un-skipped scan. */
+  private[operators] def prunedFilesCapped(spark: SparkSession,
+      statsDir: String, ranges: Seq[Range]): Option[Seq[String]] =
+    cappedFiles(spark,
+      spark.read.parquet(statsDir).filter(keepPredicate(ranges))
+        .select("file"),
+      maxFiles(spark))
 
   /** Range scan through the zone map: prune the file list from stats,
     * read only survivors, re-apply the exact predicate (zone ranges
@@ -170,11 +209,16 @@ object ZoneMap {
     require(unknown.isEmpty,
       s"zone map at $statsDir is stale: ${unknown.size} unindexed data " +
         s"files (first: ${unknown.headOption.getOrElse("")}); run append()")
-    val files = prunedFiles(spark, statsDir, ranges)
     val residual = ranges.map(r =>
       col(r.column).between(lit(r.lo), lit(r.hi))).reduce(_ && _)
-    if (files.isEmpty)
-      spark.read.parquet(dataDir).filter(lit(false)) // schema-only
-    else spark.read.parquet(files: _*).filter(residual)
+    prunedFilesCapped(spark, statsDir, ranges) match {
+      case None =>
+        warnFallback(statsDir, maxFiles(spark))
+        spark.read.parquet(dataDir).filter(residual)
+      case Some(files) if files.isEmpty =>
+        spark.read.parquet(dataDir).filter(lit(false)) // schema-only
+      case Some(files) =>
+        spark.read.parquet(files: _*).filter(residual)
+    }
   }
 }

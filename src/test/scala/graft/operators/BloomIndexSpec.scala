@@ -94,4 +94,26 @@ class BloomIndexSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("not in data"))
   }
+
+  test("file-list cap: too many survivors degrade to the un-skipped scan") {
+    val data = scratch("bi-data5")
+    val stats = scratch("bi-stats5")
+    val rows = (1L to 40L).map(i => (i, s"v$i"))
+    rows.toDF("k", "v").repartition(4, col("k"))
+      .write.mode("overwrite").parquet(data)
+    BloomIndex.build(spark, data, stats, Seq("k"), expectedItems = 100L)
+
+    // probes covering every file
+    val keys = (1L to 40L)
+    spark.conf.set(ZoneMap.MaxFilesKey, "2")
+    try {
+      val got = BloomIndex.scanIn(spark, data, stats, "k", keys)
+      assert(got.as[(Long, String)].collect().toSet === rows.toSet)
+      assert(got.inputFiles.length === 4) // fallback reads the dir
+      // a single-key probe back under the cap still skips
+      val sel = BloomIndex.scanIn(spark, data, stats, "k", Seq(7L))
+      assert(sel.as[(Long, String)].collect().toSet === Set((7L, "v7")))
+      assert(sel.inputFiles.length < 4)
+    } finally spark.conf.unset(ZoneMap.MaxFilesKey)
+  }
 }

@@ -86,4 +86,34 @@ class ZoneMapSpec extends SparkSpec {
     assert(none.count() === 0)
     assert(none.columns.toSeq === Seq("k", "v"))
   }
+
+  test("file-list cap: too many survivors degrade to the un-skipped scan") {
+    val data = scratch("zm-data4")
+    val stats = scratch("zm-stats4")
+    // range layout: narrow per-file [min,max], so selectivity decides
+    // how many files survive
+    (1L to 40L).map(i => (i, s"v$i")).toDF("k", "v")
+      .repartitionByRange(4, col("k"))
+      .write.mode("overwrite").parquet(data)
+    ZoneMap.build(spark, data, stats, Seq("k"))
+
+    val ranges = Seq(Range("k", 1L, 40L)) // every file survives
+    assert(ZoneMap.prunedFilesCapped(spark, stats, ranges).get.size === 4)
+
+    spark.conf.set(ZoneMap.MaxFilesKey, "2")
+    try {
+      // over the cap: the capped list is None…
+      assert(ZoneMap.prunedFilesCapped(spark, stats, ranges).isEmpty)
+      // …and the scan falls back but stays CORRECT
+      val got = ZoneMap.scanRange(spark, data, stats, ranges)
+      assert(got.as[(Long, String)].collect().toSet ===
+        (1L to 40L).map(i => (i, s"v$i")).toSet)
+      assert(got.inputFiles.length === 4) // un-skipped: reads the dir
+      // a selective range back under the cap still skips
+      val sel = ZoneMap.scanRange(spark, data, stats,
+        Seq(Range("k", 7L, 7L)))
+      assert(sel.as[(Long, String)].collect().toSet === Set((7L, "v7")))
+      assert(sel.inputFiles.length < 4)
+    } finally spark.conf.unset(ZoneMap.MaxFilesKey)
+  }
 }
