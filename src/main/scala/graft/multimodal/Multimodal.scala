@@ -11,16 +11,20 @@ import org.apache.spark.sql.types._
  *
  * Codec routing: image-mime payloads decode for REAL via the JDK's
  * `javax.imageio` ([[ImageCodec]] — actual PNG/JPEG/GIF/BMP byte
- * parsing: dimensions + a sampled-luminance feature grid), and
- * audio-mime payloads via `javax.sound.sampled` ([[AudioCodec]] —
- * actual WAV/AIFF/AU container parsing: sample rate, channels, frame
- * count, strided-amplitude features). Only video still goes through
- * [[StubCodec]] (no video libraries beyond the JDK in this
- * environment): a deterministic fake "decode" from the bytes.
- * Everything around all three — the asset schema, the partition-batched
- * execution shape (one codec context per partition, not per row,
- * exactly the shape a JNI/FFmpeg/Pillow binding needs), the metadata
- * projection — is real and tested.
+ * parsing: dimensions + a sampled-luminance feature grid), audio-mime
+ * payloads via `javax.sound.sampled` ([[AudioCodec]] — actual
+ * WAV/AIFF/AU container parsing: sample rate, channels, frame count,
+ * strided-amplitude features), and video-mime payloads via
+ * [[VideoCodec]] — a REAL container-header probe (MP4 box walk,
+ * Matroska EBML walk, pure ByteBuffer) for true dimensions, duration
+ * and declared frame count; only the per-FRAME pixel decode is out of
+ * reach without codec libraries, so frame features come from
+ * [[sampleFrames]]'s deterministic derivation. Unrecognized mimes fall
+ * to [[StubCodec]]'s deterministic fake. Everything around the codecs
+ * — the asset schema, the partition-batched execution shape (one codec
+ * context per partition, not per row, exactly the shape a
+ * JNI/FFmpeg/Pillow binding needs), the metadata projection — is real
+ * and tested.
  */
 object Multimodal {
 
@@ -205,6 +209,223 @@ object Multimodal {
   }
 
   /**
+   * REAL video container probe — no codecs ship with the JDK, so full
+   * frame decode stays out of reach here, but the container METADATA
+   * is plain structured bytes and parses with nothing but ByteBuffer:
+   *
+   *  - MP4 / ISO BMFF (`ftyp` at byte 4): a box walk — recursing
+   *    through `moov → trak → mdia → minf → stbl` — reads the movie
+   *    timescale + duration from `mvhd`, the presentation dimensions
+   *    from the video trak's `tkhd` (16.16 fixed point), and the frame
+   *    count from that trak's `stsz` sample count.
+   *  - Matroska / WebM (EBML magic `1A45DFA3`): an EBML walk —
+   *    `Segment → Info` for TimecodeScale (default 10⁶ ns) + Duration,
+   *    `Segment → Tracks → TrackEntry → Video` for PixelWidth /
+   *    PixelHeight. Matroska does not declare a frame count in the
+   *    header, so `n_frames` stays 0 (honest "not declared", while
+   *    width = -1 still marks the error row).
+   *
+   * Output mapping: `width`/`height` = true pixels, `n_frames` = the
+   * container-declared sample count (MP4) or 0 (MKV), `features` =
+   * `[durationSeconds]`. Unreadable bytes yield the same
+   * (-1, -1, 0, empty) error row as the other codecs — a truncated or
+   * lying container is DATA at 100 TB, never a task failure.
+   */
+  object VideoCodec {
+    import java.nio.ByteBuffer
+
+    private final class Probe {
+      var timescale = 0L; var duration = 0L   // MP4 mvhd
+      var w = 0; var h = 0; var frames = 0    // video trak
+      var tcScaleNs = 1000000L                // MKV TimecodeScale
+      var durTicks = 0.0                      // MKV Duration (float)
+    }
+
+    def decode(a: Asset): DecodedAsset = {
+      val len = if (a.payload == null) 0 else a.payload.length
+      try {
+        val p = a.payload
+        val probe =
+          if (isMp4(p)) parseMp4(p)
+          else if (isEbml(p)) parseMkv(p)
+          else throw new java.io.IOException("unrecognized container")
+        if (probe.w <= 0 || probe.h <= 0)
+          throw new java.io.IOException("no video track")
+        val durSec =
+          if (probe.timescale > 0) probe.duration.toDouble / probe.timescale
+          else probe.durTicks * probe.tcScaleNs / 1e9
+        DecodedAsset(a.asset_id, a.mime, len, probe.w, probe.h,
+          probe.frames, Array(durSec.toFloat))
+      } catch {
+        case _: Exception =>
+          DecodedAsset(a.asset_id, a.mime, len, -1, -1, 0, Array.empty)
+      }
+    }
+
+    private def isMp4(p: Array[Byte]): Boolean =
+      p != null && p.length >= 12 && p(4) == 'f' && p(5) == 't' &&
+        p(6) == 'y' && p(7) == 'p'
+
+    private def isEbml(p: Array[Byte]): Boolean =
+      p != null && p.length >= 4 && (p(0) & 0xFF) == 0x1A &&
+        (p(1) & 0xFF) == 0x45 && (p(2) & 0xFF) == 0xDF &&
+        (p(3) & 0xFF) == 0xA3
+
+    // ---- MP4 / ISO BMFF ------------------------------------------------
+
+    private def parseMp4(p: Array[Byte]): Probe = {
+      val bb = ByteBuffer.wrap(p) // BIG_ENDIAN by default
+      val probe = new Probe
+      walkBoxes(bb, 0, p.length) { (tp, s, e) =>
+        if (tp == "moov") walkBoxes(bb, s, e) { (t2, s2, e2) =>
+          if (t2 == "mvhd") mvhd(bb, s2, probe)
+          else if (t2 == "trak") trak(bb, s2, e2, probe)
+        }
+      }
+      probe
+    }
+
+    /** Iterate sibling boxes in [start, end): (type, payloadStart,
+      * payloadEnd). size==1 ⇒ 64-bit largesize; size==0 ⇒ to end. */
+    private def walkBoxes(bb: ByteBuffer, start: Int, end: Int)(
+        f: (String, Int, Int) => Unit): Unit = {
+      var off = start
+      while (off + 8 <= end) {
+        val size32 = bb.getInt(off).toLong & 0xFFFFFFFFL
+        val tp = new String(Array(bb.get(off + 4), bb.get(off + 5),
+          bb.get(off + 6), bb.get(off + 7)), "ASCII")
+        val (payloadStart, boxEnd) =
+          if (size32 == 1L && off + 16 <= end)
+            (off + 16, off + bb.getLong(off + 8).min(end - off).toInt)
+          else if (size32 == 0L) (off + 8, end)
+          else (off + 8, off + size32.min((end - off).toLong).toInt)
+        if (boxEnd <= payloadStart || boxEnd > end) return // corrupt: stop
+        f(tp, payloadStart, boxEnd)
+        off = boxEnd
+      }
+    }
+
+    private def mvhd(bb: ByteBuffer, s: Int, probe: Probe): Unit = {
+      val version = bb.get(s) & 0xFF
+      if (version == 1) {
+        probe.timescale = bb.getInt(s + 20).toLong & 0xFFFFFFFFL
+        probe.duration = bb.getLong(s + 24)
+      } else {
+        probe.timescale = bb.getInt(s + 12).toLong & 0xFFFFFFFFL
+        probe.duration = bb.getInt(s + 16).toLong & 0xFFFFFFFFL
+      }
+    }
+
+    /** One trak: tkhd dims + (if it is the video trak) its stsz count. */
+    private def trak(bb: ByteBuffer, s: Int, e: Int, probe: Probe): Unit = {
+      var w = 0; var h = 0; var frames = 0
+      walkBoxes(bb, s, e) { (tp, s2, e2) =>
+        if (tp == "tkhd") {
+          val version = bb.get(s2) & 0xFF
+          val dimOff = if (version == 1) s2 + 88 else s2 + 76
+          if (dimOff + 8 <= e2) {
+            w = bb.getInt(dimOff) >>> 16  // 16.16 fixed point
+            h = bb.getInt(dimOff + 4) >>> 16
+          }
+        } else if (tp == "mdia") walkBoxes(bb, s2, e2) { (t3, s3, e3) =>
+          if (t3 == "minf") walkBoxes(bb, s3, e3) { (t4, s4, e4) =>
+            if (t4 == "stbl") walkBoxes(bb, s4, e4) { (t5, s5, _) =>
+              if (t5 == "stsz") frames = bb.getInt(s5 + 8)
+            }
+          }
+        }
+      }
+      if (w > 0 && h > 0 && (probe.w <= 0 || w * h > probe.w * probe.h)) {
+        probe.w = w; probe.h = h; probe.frames = frames
+      }
+    }
+
+    // ---- Matroska / WebM (EBML) ----------------------------------------
+
+    private val Segment = 0x18538067L
+    private val Info = 0x1549A966L
+    private val TimecodeScale = 0x2AD7B1L
+    private val DurationId = 0x4489L
+    private val Tracks = 0x1654AE6BL
+    private val TrackEntry = 0xAEL
+    private val Video = 0xE0L
+    private val PixelWidth = 0xB0L
+    private val PixelHeight = 0xBAL
+
+    private def parseMkv(p: Array[Byte]): Probe = {
+      val probe = new Probe
+      walkEbml(p, 0, p.length) { (id, s, e) =>
+        if (id == Segment) walkEbml(p, s, e) { (id2, s2, e2) =>
+          if (id2 == Info) walkEbml(p, s2, e2) { (id3, s3, e3) =>
+            if (id3 == TimecodeScale) probe.tcScaleNs = uint(p, s3, e3)
+            else if (id3 == DurationId) probe.durTicks = ebmlFloat(p, s3, e3)
+          }
+          else if (id2 == Tracks) walkEbml(p, s2, e2) { (id3, s3, e3) =>
+            if (id3 == TrackEntry) walkEbml(p, s3, e3) { (id4, s4, e4) =>
+              if (id4 == Video) walkEbml(p, s4, e4) { (id5, s5, e5) =>
+                if (id5 == PixelWidth) probe.w = uint(p, s5, e5).toInt
+                else if (id5 == PixelHeight) probe.h = uint(p, s5, e5).toInt
+              }
+            }
+          }
+        }
+      }
+      probe
+    }
+
+    /** Iterate sibling EBML elements in [start, end): (id, payloadStart,
+      * payloadEnd). Unknown size (all value bits set) extends to end. */
+    private def walkEbml(p: Array[Byte], start: Int, end: Int)(
+        f: (Long, Int, Int) => Unit): Unit = {
+      var off = start
+      while (off < end) {
+        val (id, idLen) = vint(p, off, end, keepMarker = true)
+        if (idLen == 0) return
+        val (size, szLen) = vint(p, off + idLen, end, keepMarker = false)
+        if (szLen == 0) return
+        val payloadStart = off + idLen + szLen
+        // all-ones size = "unknown", runs to the enclosing end
+        val unknown = size == (1L << (7 * szLen)) - 1
+        val payloadEnd =
+          if (unknown) end
+          else (payloadStart + size).min(end.toLong).toInt
+        if (payloadEnd < payloadStart) return
+        f(id, payloadStart, payloadEnd)
+        off = payloadEnd
+      }
+    }
+
+    /** EBML variable-length integer at `off`: (value, byteLen); (0, 0)
+      * on truncation. IDs keep the length-marker bit, sizes strip it. */
+    private def vint(p: Array[Byte], off: Int, end: Int,
+        keepMarker: Boolean): (Long, Int) = {
+      if (off >= end) return (0L, 0)
+      val first = p(off) & 0xFF
+      if (first == 0) return (0L, 0)
+      val len = Integer.numberOfLeadingZeros(first) - 24 + 1
+      if (len > 8 || off + len > end) return (0L, 0)
+      var v = (if (keepMarker) first else first & ((1 << (8 - len)) - 1)).toLong
+      var i = 1
+      while (i < len) { v = (v << 8) | (p(off + i) & 0xFF); i += 1 }
+      (v, len)
+    }
+
+    private def uint(p: Array[Byte], s: Int, e: Int): Long = {
+      var v = 0L
+      var i = s
+      while (i < e && i - s < 8) { v = (v << 8) | (p(i) & 0xFF); i += 1 }
+      v
+    }
+
+    private def ebmlFloat(p: Array[Byte], s: Int, e: Int): Double = {
+      val bb = ByteBuffer.wrap(p, s, e - s)
+      if (e - s == 4) bb.getFloat.toDouble
+      else if (e - s == 8) bb.getDouble
+      else 0.0
+    }
+  }
+
+  /**
    * Batched decode: `mapPartitions` so a real codec can amortize its
    * init (library handles, GPU context) across a whole partition — the
    * Scala-side analog of `mapInPandas` batch shape. Input partitioning is
@@ -219,6 +440,7 @@ object Multimodal {
       it.map { a =>
         if (a.mime != null && a.mime.startsWith("image")) ImageCodec.decode(a)
         else if (a.mime != null && a.mime.startsWith("audio")) AudioCodec.decode(a)
+        else if (a.mime != null && a.mime.startsWith("video")) VideoCodec.decode(a)
         else StubCodec.decode(a)
       }
     }

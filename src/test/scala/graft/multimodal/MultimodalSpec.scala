@@ -170,18 +170,106 @@ class MultimodalSpec extends SparkSpec {
     assert(r(2).payload.nonEmpty && r(2).payload.forall(_ === 7.toByte))
   }
 
-  test("sampleFrames emits every Nth frame; non-video emits frame 0 only") {
+  // ---- synthetic container builders (real byte layouts, tiny files) ----
+
+  private def u32(v: Long): Array[Byte] = Array(
+    (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+
+  private def mp4Box(tp: String, parts: Array[Byte]*): Array[Byte] = {
+    val body = parts.flatten.toArray
+    u32(8L + body.length) ++ tp.getBytes("ASCII") ++ body
+  }
+
+  /** Minimal-but-real ISO BMFF: ftyp + moov{mvhd, video trak{tkhd dims,
+    * stbl/stsz count}, audio trak{0×0 tkhd, its own stsz}}. */
+  private def mp4Bytes(w: Int, h: Int, timescale: Long, duration: Long,
+      frames: Int, audioFrames: Int = 999): Array[Byte] = {
+    def trakOf(tw: Int, th: Int, n: Int) = mp4Box("trak",
+      mp4Box("tkhd", Array.fill[Byte](76)(0),
+        u32(tw.toLong << 16), u32(th.toLong << 16)),
+      mp4Box("mdia", mp4Box("minf", mp4Box("stbl",
+        mp4Box("stsz", Array.fill[Byte](8)(0), u32(n.toLong))))))
+    mp4Box("ftyp", "isom".getBytes("ASCII"), u32(0)) ++
+      mp4Box("moov",
+        mp4Box("mvhd", Array.fill[Byte](12)(0), u32(timescale), u32(duration)),
+        trakOf(w, h, frames),
+        trakOf(0, 0, audioFrames))
+  }
+
+  private def ebmlBytes(v: Long): Array[Byte] = {
+    val n = math.max(1, (64 - java.lang.Long.numberOfLeadingZeros(v) + 7) / 8)
+    Array.tabulate[Byte](n)(i => ((v >>> ((n - 1 - i) * 8)) & 0xFF).toByte)
+  }
+
+  private def el(id: Long, payload: Array[Byte]*): Array[Byte] = {
+    val body = payload.flatten.toArray
+    assert(body.length < 127)
+    ebmlBytes(id) ++ Array((0x80 | body.length).toByte) ++ body
+  }
+
+  /** Minimal-but-real Matroska: EBML header + Segment{Info{
+    * TimecodeScale, Duration float32}, Tracks{TrackEntry{Video{
+    * PixelWidth, PixelHeight}}}}. */
+  private def mkvBytes(w: Int, h: Int, durTicks: Float,
+      tcScaleNs: Long = 1000000L): Array[Byte] = {
+    val durF = java.nio.ByteBuffer.allocate(4).putFloat(durTicks).array()
+    el(0x1A45DFA3L) ++
+      el(0x18538067L,
+        el(0x1549A966L, el(0x2AD7B1L, ebmlBytes(tcScaleNs)),
+          el(0x4489L, durF)),
+        el(0x1654AE6BL, el(0xAEL, el(0xE0L,
+          el(0xB0L, ebmlBytes(w.toLong)), el(0xBAL, ebmlBytes(h.toLong))))))
+  }
+
+  test("VideoCodec probes real MP4 boxes: dims, duration, frame count, error rows") {
     implicit val s = spark
-    val docs = Tables.load(spark, sf0001, "documents").limit(30)
-    val vids = Multimodal.assetsFromText(docs, "doc_id", "text", mime = "video/mp4")
+    import spark.implicits._
+    val assets = Seq(
+      Multimodal.Asset(1L, "video/mp4",
+        mp4Bytes(640, 360, timescale = 1000L, duration = 7500L, frames = 13), "t"),
+      Multimodal.Asset(2L, "video/mp4", "not a video".getBytes("UTF-8"), "t")
+    ).toDS()
+    val d = Multimodal.decodeAssets(assets).collect().sortBy(_.asset_id)
+    // true presentation dims from the VIDEO trak's tkhd — the 0×0
+    // audio trak (with its own 999-sample stsz) must not win
+    assert(d(0).width === 640 && d(0).height === 360)
+    assert(d(0).n_frames === 13)
+    assert(d(0).features.toSeq === Seq(7.5f)) // mvhd duration/timescale
+    // unreadable bytes are an error ROW, not a task failure
+    assert(d(1).width === -1 && d(1).height === -1 && d(1).n_frames === 0)
+    assert(d(1).features.isEmpty)
+  }
+
+  test("VideoCodec probes real Matroska EBML: dims, scaled duration, honest frame count") {
+    implicit val s = spark
+    import spark.implicits._
+    val d = Multimodal.decodeAssets(Seq(
+      Multimodal.Asset(1L, "video/webm",
+        mkvBytes(1280, 720, durTicks = 4000f), "t")).toDS()).head()
+    assert(d.width === 1280 && d.height === 720)
+    // 4000 ticks × 1 ms/tick = 4 s
+    assert(d.features.toSeq === Seq(4.0f))
+    // Matroska headers do not declare a frame count: 0, NOT an error
+    // (width −1 is what marks errors)
+    assert(d.n_frames === 0)
+  }
+
+  test("sampleFrames emits every Nth declared frame; non-video emits frame 0 only") {
+    implicit val s = spark
+    import spark.implicits._
+    val vids = Seq(5, 13, 1).zipWithIndex.map { case (n, i) =>
+      Multimodal.Asset(i.toLong, "video/mp4",
+        mp4Bytes(320, 240, 1000L, 1000L, frames = n), "t")
+    }.toDS()
     val decoded = Multimodal.decodeAssets(vids)
-    val frames = Multimodal.sampleFrames(decoded, everyN = 4)
-    val byAsset = frames.collect().groupBy(_.asset_id)
+    val byAsset = Multimodal.sampleFrames(decoded, everyN = 4)
+      .collect().groupBy(_.asset_id)
     decoded.collect().foreach { d =>
       val expected = (0 until d.n_frames by 4).toSeq
       assert(byAsset(d.asset_id).map(_.frame_index).toSeq.sorted === expected)
     }
-    // text mime ⇒ n_frames = 1 ⇒ exactly one frame per asset
+    // text mime ⇒ stub decode ⇒ n_frames = 1 ⇒ exactly one frame each
+    val docs = Tables.load(spark, sf0001, "documents").limit(30)
     val texts = Multimodal.decodeAssets(
       Multimodal.assetsFromText(docs, "doc_id", "text"))
     val tf = Multimodal.sampleFrames(texts, everyN = 4)
