@@ -71,8 +71,17 @@ object Bench {
     // only in BENCH_FULL.json (written to the sbt working dir = repo
     // root under the driver), which records the complete map per run.
     val headline = results.sortBy(-_._2).take(45)
+    // per-query pass samples (r5 advice): the full file records every
+    // sweep's raw time, not just the min, so the consumer can see
+    // VARIANCE — a noisy-looking regression vs a genuinely slow plan
+    // are distinguishable without re-running.
+    val passes = names.map { case (name, _) =>
+      "\"" + name + "\":[" +
+        (Seq(pass1(name), pass2(name)) ++ pass3.get(name))
+          .map(v => f"$v%.3f").mkString(",") + "]"
+    }.mkString("{", ",", "}")
     val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"queries":${render(headline)},"sf":"$sfDir"}"""
-    val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"queries":${render(results)},"sf":"$sfDir"}"""
+    val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"queries":${render(results)},"passes":$passes,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
       (full + "\n").getBytes("UTF-8"))
     println(line)
