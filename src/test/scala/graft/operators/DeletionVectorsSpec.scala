@@ -80,6 +80,24 @@ class DeletionVectorsSpec extends SparkSpec {
     assert(Merge.snapshotVersions(spark, dir) === vBefore)
   }
 
+  test("read subtracts tombstones via a BROADCAST anti-join (snapshot side unshuffled)") {
+    val dir = tmp("dv-plan")
+    initSnap(dir)
+    DeletionVectors.delete(spark, dir, Seq(2L).toDF("k"), "k")
+    val plan = DeletionVectors.read(spark, dir, "k")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.contains("LeftAnti"), plan.take(800))
+    // the snapshot (streamed) side reaches the join straight from its
+    // file scan — no exchange; the only shuffle in the plan belongs to
+    // the tombstone side's distinct, bounded by un-compacted deletes
+    val lines = plan.linesIterator.toSeq
+    val joinAt = lines.indexWhere(_.contains("BroadcastHashJoin"))
+    assert(joinAt >= 0 && joinAt + 1 < lines.size &&
+      lines(joinAt + 1).trim.startsWith(":- FileScan parquet"),
+      lines.slice(joinAt, joinAt + 2).mkString("\n"))
+  }
+
   test("tombstones appended during a compact survive it unapplied") {
     val dir = tmp("dv-race")
     initSnap(dir)
