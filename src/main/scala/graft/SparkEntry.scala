@@ -2182,6 +2182,39 @@ object SparkEntry {
       post.select(col("c_custkey"), col("c_name"), col("c_acctbal"),
           lit(invisible).as("pre_eq"))
         .orderBy(col("c_custkey"))
+    }),
+
+    // incremental materialized join view: orders ⋈ customer maintained
+    // by deltas — two fact folds against the current dim, then a dim
+    // delta re-enriching only the affected rows. The oracle is the
+    // from-scratch join of the FINAL inputs: the fold sequence must be
+    // invisible.
+    "q123_join_view" -> ((s, dir) => {
+      val store = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_jv_${Integer.toHexString(dir.hashCode)}_$jvmToken")
+        .getAbsolutePath
+      val spec = operators.JoinView.Spec(
+        factKey = "o_orderkey", dimKey = "o_custkey")
+      val facts = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val dim = t(s, dir, "customer")
+        .select(col("c_custkey").as("o_custkey"), col("c_name"),
+          col("c_acctbal"))
+      operators.JoinView.init(s, store,
+        facts.filter(pmod(col("o_orderkey"), lit(3)) === 0), dim, spec)
+      operators.JoinView.foldFacts(s, store,
+        facts.filter(pmod(col("o_orderkey"), lit(3)) === 1), dim, spec)
+      operators.JoinView.foldFacts(s, store,
+        facts.filter(pmod(col("o_orderkey"), lit(3)) === 2), dim, spec)
+      val delta = dim.filter(col("o_custkey") % 10 === 0)
+        .select(col("o_custkey"),
+          concat(lit("U:"), col("c_name")).as("c_name"),
+          (col("c_acctbal") + 100.0).as("c_acctbal"))
+      operators.JoinView.foldDim(s, store, delta, spec)
+      operators.JoinView.read(s, store)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("c_name"), col("c_acctbal"))
+        .orderBy(col("o_orderkey"))
     })
   )
 
@@ -2882,6 +2915,21 @@ object SparkEntry {
          FROM customer
          WHERE c_custkey % 5 <> 0 AND c_custkey % 7 <> 0
          ORDER BY c_custkey""",
+    // from-scratch join of the FINAL inputs (post-dim-delta): the fold
+    // sequence — init + two fact folds + an affected-only dim fold —
+    // must be indistinguishable from recomputing the join.
+    "q123_join_view" ->
+      """WITH dim AS (
+           SELECT c_custkey,
+             CASE WHEN c_custkey % 10 = 0 THEN 'U:' || c_name
+                  ELSE c_name END AS c_name,
+             CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100.0
+                  ELSE c_acctbal END AS c_acctbal
+           FROM customer)
+         SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,
+           d.c_name, d.c_acctbal
+         FROM orders o JOIN dim d ON o.o_custkey = d.c_custkey
+         ORDER BY o.o_orderkey""",
     "q63_mapgroups_slope" ->
       """WITH b AS (SELECT o_orderpriority,
              CAST(datediff('day', TIMESTAMP '1992-01-01', o_orderdate) AS BIGINT) AS x,
