@@ -240,6 +240,34 @@ class MultimodalSpec extends SparkSpec {
     assert(d(1).features.isEmpty)
   }
 
+  test("VideoCodec handles version-1 headers and 64-bit largesize boxes") {
+    implicit val s = spark
+    import spark.implicits._
+    def u64(v: Long): Array[Byte] =
+      java.nio.ByteBuffer.allocate(8).putLong(v).array()
+    def mp4BoxLarge(tp: String, parts: Array[Byte]*): Array[Byte] = {
+      val body = parts.flatten.toArray
+      u32(1L) ++ tp.getBytes("ASCII") ++ u64(16L + body.length) ++ body
+    }
+    // version-1 mvhd: 64-bit times, timescale 600, duration 3000 → 5 s
+    val mvhd1 = mp4Box("mvhd", Array[Byte](1, 0, 0, 0),
+      Array.fill[Byte](16)(0), u32(600L), u64(3000L))
+    // version-1 tkhd: dims after the 64-bit header layout
+    val trak1 = mp4Box("trak",
+      mp4Box("tkhd", Array[Byte](1, 0, 0, 0), Array.fill[Byte](84)(0),
+        u32(1920L << 16), u32(1080L << 16)),
+      mp4Box("mdia", mp4Box("minf", mp4Box("stbl",
+        mp4Box("stsz", Array.fill[Byte](8)(0), u32(250L))))))
+    // moov itself rides a size==1 box with 64-bit largesize
+    val bytes = mp4Box("ftyp", "isom".getBytes("ASCII"), u32(0)) ++
+      mp4BoxLarge("moov", mvhd1, trak1)
+    val d = Multimodal.decodeAssets(Seq(
+      Multimodal.Asset(1L, "video/mp4", bytes, "t")).toDS()).head()
+    assert(d.width === 1920 && d.height === 1080)
+    assert(d.n_frames === 250)
+    assert(d.features.toSeq === Seq(5.0f))
+  }
+
   test("VideoCodec probes real Matroska EBML: dims, scaled duration, honest frame count") {
     implicit val s = spark
     import spark.implicits._
