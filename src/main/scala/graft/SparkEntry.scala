@@ -2215,6 +2215,38 @@ object SparkEntry {
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
           col("c_name"), col("c_acctbal"))
         .orderBy(col("o_orderkey"))
+    }),
+
+    // data-quality constraint report: every row-level check in ONE
+    // aggregate pass, uniqueness one map-combined groupBy, referential
+    // integrity one anti-join. The 50k price ceiling deliberately
+    // FAILS so a nonzero violation count is under oracle too.
+    "q124_constraints" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      operators.Constraints.report(s, li, Seq(
+          operators.Constraints.NotNull("l_orderkey"),
+          operators.Constraints.InRange("l_quantity", 1.0, 50.0),
+          operators.Constraints.InRange("l_extendedprice", 0.0, 50000.0),
+          operators.Constraints.InSet("l_returnflag", Seq("A", "N", "R")),
+          operators.Constraints.Unique(Seq("l_orderkey", "l_linenumber")),
+          operators.Constraints.Ref("l_orderkey",
+            t(s, dir, "orders"), "o_orderkey")))
+        .withColumnRenamed("check", "chk")
+        .orderBy(col("chk"))
+    }),
+
+    // distribution drift: per-group PSI of l_quantity between the
+    // pre/post-1998-07 ship slices (the fixture's date range is
+    // 1995..2001). Inner-join group semantics: only flags present in
+    // BOTH slices report — mirrored in the oracle via INTERSECT.
+    "q125_drift_psi" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val h = operators.Rollup.HistSpec("l_quantity", 0.0, 50.0, 10)
+      operators.Drift.psi(
+          li.filter(col("l_shipdate") < lit("1998-07-01").cast("date")),
+          li.filter(col("l_shipdate") >= lit("1998-07-01").cast("date")),
+          Seq("l_returnflag"), h)
+        .orderBy(col("l_returnflag"))
     })
   )
 
@@ -2930,6 +2962,74 @@ object SparkEntry {
            d.c_name, d.c_acctbal
          FROM orders o JOIN dim d ON o.o_custkey = d.c_custkey
          ORDER BY o.o_orderkey""",
+    // each check recomputed as its own subquery; null policy mirrored
+    // (nulls pass range/set/ref — nullability is not_null's own check).
+    "q124_constraints" ->
+      """WITH n AS (SELECT count(*) AS n_rows FROM lineitem),
+         v AS (
+           SELECT 'not_null(l_orderkey)' AS chk,
+             (SELECT count(*) FROM lineitem WHERE l_orderkey IS NULL)
+               AS violations
+           UNION ALL SELECT 'in_range(l_quantity)',
+             (SELECT count(*) FROM lineitem WHERE l_quantity IS NOT NULL
+                AND NOT (l_quantity BETWEEN 1 AND 50))
+           UNION ALL SELECT 'in_range(l_extendedprice)',
+             (SELECT count(*) FROM lineitem
+              WHERE l_extendedprice IS NOT NULL
+                AND NOT (l_extendedprice BETWEEN 0 AND 50000))
+           UNION ALL SELECT 'in_set(l_returnflag)',
+             (SELECT count(*) FROM lineitem WHERE l_returnflag IS NOT NULL
+                AND l_returnflag NOT IN ('A', 'N', 'R'))
+           UNION ALL SELECT 'unique(l_orderkey,l_linenumber)',
+             (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) FROM
+               (SELECT count(*) AS c FROM lineitem
+                GROUP BY l_orderkey, l_linenumber) WHERE c > 1)
+           UNION ALL SELECT 'ref(l_orderkey->o_orderkey)',
+             (SELECT count(*) FROM lineitem l
+              WHERE l.l_orderkey IS NOT NULL AND NOT EXISTS
+                (SELECT 1 FROM orders o
+                 WHERE o.o_orderkey = l.l_orderkey)))
+         SELECT v.chk, v.violations, n.n_rows,
+           v.violations = 0 AS pass
+         FROM v, n ORDER BY chk""",
+    // from-scratch PSI replay: same clamped bins, same Laplace
+    // smoothing (+0.5 per bin, +0.5·bins per total), same ln — rounded
+    // to 6 decimals on both sides (term-sum order differs at ~1e-16).
+    "q125_drift_psi" ->
+      """WITH a AS (
+           SELECT l_returnflag, least(9, greatest(0,
+             CAST(floor(l_quantity / 5.0) AS INT))) AS bin
+           FROM lineitem
+           WHERE l_shipdate < DATE '1998-07-01' AND l_quantity IS NOT NULL),
+         b AS (
+           SELECT l_returnflag, least(9, greatest(0,
+             CAST(floor(l_quantity / 5.0) AS INT))) AS bin
+           FROM lineitem
+           WHERE l_shipdate >= DATE '1998-07-01' AND l_quantity IS NOT NULL),
+         fl AS (SELECT DISTINCT l_returnflag FROM a
+                INTERSECT SELECT DISTINCT l_returnflag FROM b),
+         grid AS (SELECT f.l_returnflag, t.i AS bin
+                  FROM fl f, range(0, 10) t(i)),
+         ca AS (SELECT l_returnflag, bin, count(*) AS c FROM a GROUP BY 1, 2),
+         cb AS (SELECT l_returnflag, bin, count(*) AS c FROM b GROUP BY 1, 2),
+         m AS (SELECT g.l_returnflag, g.bin,
+                 coalesce(ca.c, 0) AS ca, coalesce(cb.c, 0) AS cb
+               FROM grid g
+               LEFT JOIN ca ON ca.l_returnflag = g.l_returnflag
+                           AND ca.bin = g.bin
+               LEFT JOIN cb ON cb.l_returnflag = g.l_returnflag
+                           AND cb.bin = g.bin),
+         t AS (SELECT l_returnflag, CAST(sum(ca) AS BIGINT) AS n_a,
+                 CAST(sum(cb) AS BIGINT) AS n_b
+               FROM m GROUP BY 1)
+         SELECT m.l_returnflag, t.n_a, t.n_b,
+           round(sum(
+             ((m.ca + 0.5) / (t.n_a + 5.0) - (m.cb + 0.5) / (t.n_b + 5.0))
+             * ln(((m.ca + 0.5) / (t.n_a + 5.0))
+                  / ((m.cb + 0.5) / (t.n_b + 5.0)))), 6) AS psi
+         FROM m JOIN t ON t.l_returnflag = m.l_returnflag
+         GROUP BY m.l_returnflag, t.n_a, t.n_b
+         ORDER BY m.l_returnflag""",
     "q63_mapgroups_slope" ->
       """WITH b AS (SELECT o_orderpriority,
              CAST(datediff('day', TIMESTAMP '1992-01-01', o_orderdate) AS BIGINT) AS x,
