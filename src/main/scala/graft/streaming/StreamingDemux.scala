@@ -107,6 +107,37 @@ object StreamingDemux {
       .trigger(trigger)
 
   /**
+   * [[landToJson]] under a DATA CONTRACT: each micro-batch flows
+   * through [[graft.operators.Constraints.split]] — clean rows land
+   * exactly as the plain lander (gzip JSON, date-partitioned), rows
+   * violating any check land in `quarantineDir` WITH their violation
+   * list for repair-and-replay. The flag/split is expression-only
+   * (no extra shuffle, no second pass), so the contract rides the
+   * ingest stream at the cost of one more projection — the posture
+   * that keeps a 100 TB table from ingesting a poisoned day and
+   * rewriting it later.
+   */
+  def landWithContract(envelopes: DataFrame, landingDir: String,
+      quarantineDir: String, checks: Seq[graft.operators.Constraints.Check],
+      checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime("600 seconds")): StreamingQuery =
+    envelopes
+      .withColumn("ingest_date", to_date(col("event_ts")))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val (clean, bad) = graft.operators.Constraints.split(batch, checks)
+        clean.write.mode(org.apache.spark.sql.SaveMode.Append)
+          .option("compression", "gzip")
+          .partitionBy("ingest_date").json(landingDir)
+        bad.write.mode(org.apache.spark.sql.SaveMode.Append)
+          .option("compression", "gzip")
+          .partitionBy("ingest_date").json(quarantineDir)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+
+  /**
    * Single-pass streaming split: every micro-batch is demuxed to
    * per-table parquet directories via [[StreamSplitter.splitAll]]
    * (hive layout `schema_name=…/table_name=…/`). Append mode — CDC

@@ -118,6 +118,41 @@ class StreamingDemuxSpec extends SparkSpec {
     assert(back.count() === 2)
   }
 
+  test("contract lander: clean rows land, violating rows quarantine with their violations") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    mem.addData(
+      envJson("person", 1, "2019-11-13T09:59:08.000000Z"),
+      envJson("person", 2, "2019-11-13T09:59:09.000000Z"),
+      envJson("seat", 3, "2019-11-13T09:59:10.000000Z"),
+      // control record: data null → violates the not-null contract
+      envJson("person", 0, "2019-11-13T09:58:00.000000Z", control = true))
+    val landing = java.nio.file.Files.createTempDirectory("cland").toString
+    val quarantine = java.nio.file.Files.createTempDirectory("cquar").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("clandck").toString
+    val checks = Seq(
+      graft.operators.Constraints.NotNull("data"),
+      graft.operators.Constraints.Predicate("known_table",
+        col("metadata.`table-name`").isin("person", "seat")))
+    val q = StreamingDemux.landWithContract(
+      StreamingDemux.parseEnvelopes(mem.toDF()), landing, quarantine,
+      checks, ckpt, trigger = Trigger.AvailableNow())
+    q.awaitTermination(60000)
+
+    val clean = spark.read.json(landing)
+    assert(clean.count() === 3)
+    assert(clean.columns.toSet.contains("data"))
+    assert(!clean.columns.contains("violated")) // contract is invisible
+    // gzip + date layout preserved from the plain lander
+    assert(new java.io.File(s"$landing/ingest_date=2019-11-13")
+      .listFiles().exists(_.getName.endsWith(".json.gz")))
+
+    val bad = spark.read.json(quarantine)
+    assert(bad.count() === 1)
+    assert(bad.select(explode(col("violated"))).as[String]
+      .collect().toSeq === Seq("not_null(data)"))
+  }
+
   test("streaming windowed counts match the equivalent batch aggregation") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[String]
