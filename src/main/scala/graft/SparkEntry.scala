@@ -2247,6 +2247,39 @@ object SparkEntry {
           li.filter(col("l_shipdate") >= lit("1998-07-01").cast("date")),
           Seq("l_returnflag"), h)
         .orderBy(col("l_returnflag"))
+    }),
+
+    // incremental data card: the orders datasheet (row count, null
+    // count, sum/mean, date range, priority NDV, price median from
+    // standing histogram state) folded in three batches — the oracle
+    // recomputes every stat from scratch, so the standing card must be
+    // invisible. NDV emitted directly: 5 keys is deep inside HLL's
+    // exact (sparse) regime on both builds.
+    "q126_data_card" -> ((s, dir) => {
+      val store = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_card_${Integer.toHexString(dir.hashCode)}_$jvmToken")
+        .getAbsolutePath
+      val h = operators.Rollup.HistSpec("o_totalprice", 0.0, 500000.0, 10)
+      val card = operators.DataCard.Card(
+        nulls = Seq("o_orderstatus"), sums = Seq("o_totalprice"),
+        mins = Seq("o_orderdate"), maxs = Seq("o_orderdate"),
+        ndvs = Seq("o_orderpriority"), hists = Seq(h))
+      val orders = t(s, dir, "orders")
+      operators.DataCard.init(s, store,
+        orders.filter(pmod(col("o_orderkey"), lit(3)) === 0), card)
+      operators.DataCard.fold(s, store,
+        orders.filter(pmod(col("o_orderkey"), lit(3)) === 1), card)
+      operators.DataCard.fold(s, store,
+        orders.filter(pmod(col("o_orderkey"), lit(3)) === 2), card)
+      val row = operators.DataCard.read(s, store, card)
+        .select(col("n_rows"), col("nulls__o_orderstatus"),
+          col("sum__o_totalprice"), col("avg__o_totalprice"),
+          col("min__o_orderdate"), col("max__o_orderdate"),
+          col("ndv__o_orderpriority").cast("long").as("ndv_prio"))
+      val p50 = operators.Rollup.read(s, store)
+        .select(round(operators.Rollup.histQuantile(h, 0.5), 4)
+          .as("p50_price"))
+      row.crossJoin(p50).orderBy(col("n_rows"))
     })
   )
 
@@ -3030,6 +3063,32 @@ object SparkEntry {
          FROM m JOIN t ON t.l_returnflag = m.l_returnflag
          GROUP BY m.l_returnflag, t.n_a, t.n_b
          ORDER BY m.l_returnflag""",
+    // every card stat recomputed from scratch (sums through
+    // DECIMAL(18,2), the median via the q121 cumulative bin walk).
+    "q126_data_card" ->
+      """WITH b AS (
+           SELECT least(9, greatest(0,
+             CAST(floor(o_totalprice / 50000.0) AS INT))) AS bin
+           FROM orders WHERE o_totalprice IS NOT NULL),
+         c AS (SELECT bin, count(*) AS cnt FROM b GROUP BY 1),
+         cum AS (SELECT bin, cnt,
+                   sum(cnt) OVER (ORDER BY bin) AS cum,
+                   sum(cnt) OVER () AS total FROM c),
+         q AS (SELECT min(CASE WHEN cum >= greatest(ceil(0.5 * total), 1)
+                     THEN bin END) AS b50 FROM cum)
+         SELECT count(*) AS n_rows,
+           CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS nulls__o_orderstatus,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum__o_totalprice,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             / count(o_totalprice) AS avg__o_totalprice,
+           min(o_orderdate) AS min__o_orderdate,
+           max(o_orderdate) AS max__o_orderdate,
+           count(DISTINCT o_orderpriority) AS ndv_prio,
+           round(0.0 + ((SELECT b50 FROM q) + 0.5) * 50000.0, 4)
+             AS p50_price
+         FROM orders ORDER BY n_rows""",
     "q63_mapgroups_slope" ->
       """WITH b AS (SELECT o_orderpriority,
              CAST(datediff('day', TIMESTAMP '1992-01-01', o_orderdate) AS BIGINT) AS x,
