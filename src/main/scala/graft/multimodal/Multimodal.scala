@@ -299,7 +299,9 @@ object Multimodal {
             (off + 16, off + bb.getLong(off + 8).min(end - off).toInt)
           else if (size32 == 0L) (off + 8, end)
           else (off + 8, off + size32.min((end - off).toLong).toInt)
-        if (boxEnd <= payloadStart || boxEnd > end) return // corrupt: stop
+        // boxEnd == payloadStart is a LEGAL empty box (e.g. 'free');
+        // only a size smaller than its own header is corrupt
+        if (boxEnd < payloadStart || boxEnd > end) return // corrupt: stop
         f(tp, payloadStart, boxEnd)
         off = boxEnd
       }

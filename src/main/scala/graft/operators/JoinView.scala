@@ -53,8 +53,14 @@ object JoinView {
       partCol: Option[String] = None)
 
   private def enrich(facts: DataFrame, dim: DataFrame,
-      spec: Spec): DataFrame =
+      spec: Spec): DataFrame = {
+    val overlap = facts.columns.toSet.intersect(dim.columns.toSet)
+      .filterNot(_ == spec.dimKey)
+    require(overlap.isEmpty,
+      s"fact and dim share non-key columns ${overlap.mkString(", ")} — " +
+        "the enriched view's columns would be ambiguous; rename one side")
     facts.join(dim, Seq(spec.dimKey), "inner")
+  }
 
   /** Initialize the view from the first fact batch and the current
     * dim. */

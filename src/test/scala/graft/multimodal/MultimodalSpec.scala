@@ -268,6 +268,25 @@ class MultimodalSpec extends SparkSpec {
     assert(d.features.toSeq === Seq(5.0f))
   }
 
+  test("VideoCodec walks past legal empty boxes ('free' with size 8)") {
+    implicit val s = spark
+    import spark.implicits._
+    // an empty 'free' box sits between ftyp and moov — the walk must
+    // step over it, not stop
+    val bytes = mp4Box("ftyp", "isom".getBytes("ASCII"), u32(0)) ++
+      mp4Box("free") ++
+      mp4Box("moov",
+        mp4Box("mvhd", Array.fill[Byte](12)(0), u32(1000L), u32(2000L)),
+        mp4Box("trak",
+          mp4Box("tkhd", Array.fill[Byte](76)(0),
+            u32(320L << 16), u32(240L << 16)),
+          mp4Box("mdia", mp4Box("minf", mp4Box("stbl",
+            mp4Box("stsz", Array.fill[Byte](8)(0), u32(48L)))))))
+    val d = Multimodal.decodeAssets(Seq(
+      Multimodal.Asset(1L, "video/mp4", bytes, "t")).toDS()).head()
+    assert(d.width === 320 && d.height === 240 && d.n_frames === 48)
+  }
+
   test("VideoCodec probes real Matroska EBML: dims, scaled duration, honest frame count") {
     implicit val s = spark
     import spark.implicits._
