@@ -54,6 +54,19 @@ object DataCard {
       card: Card): Unit =
     Rollup.fold(spark, storeDir, stage(df, card), card.rollupSpec)
 
+  /** Continuous card maintenance: each micro-batch of `rows` folds
+    * into the standing card through
+    * [[graft.streaming.RollupStream.maintain]], inheriting its
+    * re-delivery idempotency (checkpoint-identity-tagged commits). A
+    * table's datasheet stays one narrow read behind the stream head. */
+  def maintain(rows: DataFrame, storeDir: String, card: Card,
+      checkpoint: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    graft.streaming.RollupStream.maintain(stage(rows, card), storeDir,
+      card.rollupSpec, checkpoint, trigger)
+
   /** The card as one wide row: `n_rows`, `nulls__c` (count),
     * `sum__c`/`avg__c`, `min__c`/`max__c`, `ndv__c`, `hist__c`. */
   def read(spark: SparkSession, storeDir: String, card: Card): DataFrame = {

@@ -45,4 +45,24 @@ class DataCardSpec extends SparkSpec {
       .collect()(0).getDouble(0)
     assert(p50 === 37.5) // bin 1 of [0,100)/4 → midpoint 37.5
   }
+
+  test("streaming maintenance keeps the card one read behind the stream") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = Files.createTempDirectory("card-stream").toString + "/card"
+    val ckpt = Files.createTempDirectory("card-ckpt").toString
+    val mem = MemoryStream[(Long, Option[String], Double, String)]
+    val q = DataCard.maintain(
+      mem.toDF().toDF("id", "name", "bal", "grp"), dir, card, ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    mem.addData(rows.take(3): _*)
+    q.processAllAvailable()
+    mem.addData(rows.drop(3): _*)
+    q.processAllAvailable()
+    q.stop()
+    val r = DataCard.read(spark, dir, card).collect()(0)
+    assert(r.getAs[Long]("n_rows") === 5L)
+    assert(r.getAs[Long]("nulls__name") === 2L)
+    assert(r.getAs[Double]("sum__bal") === 209.0)
+  }
 }
