@@ -169,6 +169,31 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(msgs.contains("graft_snapshot"), msgs)
   }
 
+  test("graft_snapshot reads STANDING STATE stores (rollup, data card) directly") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    // every incremental store (Rollup / DataCard / JoinView) commits
+    // through the manifest protocol, so the SQL time-travel TVF reads
+    // them with zero extra plumbing — a serving dashboard can query a
+    // standing aggregate by path alone
+    val dir = java.nio.file.Files.createTempDirectory("tvf-rollup")
+      .toString + "/rollup"
+    val spec = graft.operators.Rollup.Spec(keys = Seq("k"), sums = Seq("x"))
+    graft.operators.Rollup.init(spark, dir,
+      Seq(("a", 1.0), ("b", 10.0)).toDF("k", "x"), spec)
+    graft.operators.Rollup.fold(spark, dir,
+      Seq(("a", 2.0)).toDF("k", "x"), spec)
+    assert(ext.sql(
+        s"SELECT k, CAST(sum__x AS DOUBLE) FROM graft_snapshot('$dir')")
+      .orderBy("k").as[(String, Double)].collect().toSeq ===
+      Seq(("a", 3.0), ("b", 10.0)))
+    // and the previous generation stays SQL-addressable
+    assert(ext.sql(
+        s"SELECT CAST(sum__x AS DOUBLE) FROM graft_snapshot('$dir', 1) " +
+          "WHERE k = 'a'")
+      .as[Double].head() === 1.0)
+  }
+
   test("graft_snapshot resolves via GraftFunctions.register too (programmatic sessions)") {
     val spark = SparkSpec.spark
     import spark.implicits._
