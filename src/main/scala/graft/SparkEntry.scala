@@ -2280,6 +2280,20 @@ object SparkEntry {
         .select(round(operators.Rollup.histQuantile(h, 0.5), 4)
           .as("p50_price"))
       row.crossJoin(p50).orderBy(col("n_rows"))
+    }),
+
+    // token-budget mix planning: per-language token inventory (one
+    // aggregate — plan-time never re-tokenizes per target) → implied-
+    // epoch weights for a 1M-token 50/20/10/10/10 mix. Σ wt·tokens =
+    // budget by construction; the oracle replays the arithmetic.
+    "q127_token_mix" -> ((s, dir) => {
+      val totals = t(s, dir, "documents").groupBy(col("lang"))
+        .agg(sum(T.tokenCount(col("text")).cast("long")).as("tokens"))
+      operators.Mixing.planTokenBudget(totals, "lang", "tokens",
+          Map("en" -> 0.5, "zh" -> 0.2, "de" -> 0.1,
+            "es" -> 0.1, "fr" -> 0.1), 1000000L)
+        .withColumn("wt", round(col("wt"), 6))
+        .orderBy(col("lang"))
     })
   )
 
@@ -3089,6 +3103,20 @@ object SparkEntry {
            round(0.0 + ((SELECT b50 FROM q) + 0.5) * 50000.0, 4)
              AS p50_price
          FROM orders ORDER BY n_rows""",
+    // same whitespace tokenization as q15's oracle, then the plan
+    // arithmetic verbatim: wt = budget·frac / tokens.
+    "q127_token_mix" ->
+      """WITH tt AS (
+           SELECT lang, CAST(sum(len(regexp_extract_all(trim(text), '\S+')))
+             AS BIGINT) AS tokens
+           FROM documents GROUP BY 1),
+         tg AS (SELECT * FROM (VALUES ('en', 0.5), ('zh', 0.2),
+                  ('de', 0.1), ('es', 0.1), ('fr', 0.1)) AS v(lang, frac))
+         SELECT tt.lang, tt.tokens, tg.frac AS target_frac,
+           round(1000000.0 * tg.frac / tt.tokens, 6) AS wt
+         FROM tt JOIN tg ON tg.lang = tt.lang
+         WHERE tt.tokens > 0
+         ORDER BY tt.lang""",
     "q63_mapgroups_slope" ->
       """WITH b AS (SELECT o_orderpriority,
              CAST(datediff('day', TIMESTAMP '1992-01-01', o_orderdate) AS BIGINT) AS x,

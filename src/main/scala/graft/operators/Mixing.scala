@@ -29,6 +29,36 @@ import graft.functions.PortableHash
  */
 object Mixing {
 
+  /** Token-budget mix planning: the step BEFORE [[materialize]] — a
+    * training mix is specified as token fractions of a token budget
+    * ("50% en, 20% code, …, 1T tokens total"), but materialization
+    * needs per-source implied-epoch weights. Given per-source token
+    * totals (from a [[DataCard]] / one tokenCount aggregate — never
+    * re-tokenize to plan) and target fractions summing to 1, the
+    * weight is `w_s = budget·frac_s / tokens_s`: sources the target
+    * over-represents relative to their inventory upsample (w > 1),
+    * over-inventoried sources downsample (w < 1), and
+    * Σ w_s·tokens_s = budget exactly. Sources absent from `targets`
+    * drop (frac 0). Output: (source, tokens, target_frac, wt) —
+    * feed `wt` to [[materialize]]/[[materializeFromTable]]. */
+  def planTokenBudget(tokenTotals: DataFrame, sourceCol: String,
+      tokensCol: String, targets: Map[String, Double],
+      budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, "budget must be positive")
+    require(targets.values.forall(_ >= 0.0), "fractions must be >= 0")
+    require(math.abs(targets.values.sum - 1.0) < 1e-9,
+      s"target fractions must sum to 1, got ${targets.values.sum}")
+    tokenTotals
+      .withColumn("target_frac",
+        element_at(typedlit(targets), col(sourceCol)))
+      .filter(col("target_frac").isNotNull && col(tokensCol) > 0)
+      .select(col(sourceCol),
+        col(tokensCol).cast("long").as("tokens"),
+        col("target_frac").cast("double").as("target_frac"),
+        (lit(budgetTokens.toDouble) * col("target_frac")
+          / col(tokensCol)).as("wt"))
+  }
+
   /** (idCol, sourceCol, copy_idx) rows: doc replicated per its source's
     * weight. Sources absent from `weights` drop (weight 0). */
   def materialize(df: DataFrame, idCol: String, sourceCol: String,

@@ -100,4 +100,40 @@ class MixingSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("NULL"))
   }
+
+  test("token-budget plan: Σ wt·tokens = budget; materialized mix lands near target") {
+    // inventory: a-heavy corpus; target: b-heavy mix
+    val totals = Seq(("a", 60000L), ("b", 10000L), ("c", 30000L))
+      .toDF("src", "tokens")
+    val plan = Mixing.planTokenBudget(totals, "src", "tokens",
+      Map("a" -> 0.2, "b" -> 0.5, "c" -> 0.3), budgetTokens = 50000L)
+    val rows = plan.orderBy("src")
+      .as[(String, Long, Double, Double)].collect()
+    // exact arithmetic: wt = budget·frac / tokens
+    assert(rows.map(_._4) === Array(
+      50000.0 * 0.2 / 60000, 50000.0 * 0.5 / 10000, 50000.0 * 0.3 / 30000))
+    // over-targeted b upsamples, over-inventoried a downsamples
+    assert(rows(1)._4 > 1.0 && rows(0)._4 < 1.0)
+    // Σ wt·tokens = budget exactly
+    assert(rows.map(r => r._4 * r._2).sum === 50000.0)
+
+    // end-to-end: per-doc tokens uniform per source, so the
+    // materialized token share must land near the target fractions
+    val perDoc = Map("a" -> 100L, "b" -> 50L, "c" -> 60L)
+    val corpus = perDoc.toSeq.flatMap { case (s2, tok) =>
+      val nDocs = (Map("a" -> 60000L, "b" -> 10000L, "c" -> 30000L)(s2)
+        / tok).toInt
+      (1 to nDocs).map(i => (s"$s2-$i", s2, tok))
+    }.toDF("doc_id", "src", "doc_tokens")
+    val wts = plan.select("src", "wt").as[(String, Double)]
+      .collect().toMap
+    val mixed = Mixing.materialize(corpus, "doc_id", "src", wts)
+      .join(corpus, Seq("doc_id", "src"))
+    val got = mixed.groupBy("src")
+      .agg(sum("doc_tokens").as("t")).as[(String, Long)].collect().toMap
+    val total = got.values.sum.toDouble
+    assert(math.abs(got("b") / total - 0.5) < 0.05, got)
+    assert(math.abs(got("a") / total - 0.2) < 0.05, got)
+    assert(math.abs(total - 50000.0) < 2500.0, total)
+  }
 }
