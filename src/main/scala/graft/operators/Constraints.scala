@@ -47,7 +47,9 @@ object Constraints {
   final case class InSet(col: String, values: Seq[String]) extends Check {
     val name = s"in_set($col)"
   }
-  /** Arbitrary row predicate (true = pass). */
+  /** Arbitrary row predicate (true = pass; NULL — an unprovable
+    * predicate under three-valued logic — counts as a violation, the
+    * strict reading a contract wants). */
   final case class Predicate(name: String, pred: Column) extends Check
   /** `cols` must be unique together (all rows of a duplicated key
     * count as violations). */
