@@ -144,6 +144,52 @@ private[graft] object ManifestCommit {
     finally out.close()
   }
 
+  /** Read-only integrity audit: (kind, detail) findings —
+    * `torn_commit` (file exists, fails the header/trailer check),
+    * `missing_generation` (a parseable commit references a data dir
+    * that is absent or empty — the serious one: that version cannot be
+    * read), `orphan_generation` (a staged dir no parseable commit
+    * references; crash debris the next GC reclaims — informational),
+    * `no_live_commit` (nothing resolvable at all). Empty = healthy.
+    * Never mutates: fsck is what an operator runs BEFORE trusting a
+    * snapshot, not a repair tool (repair = the writers' preamble GC). */
+  def fsck(fs: FileSystem, dir: Path): Seq[(String, String)] = {
+    if (!fs.exists(dir)) return Seq(("missing_snapshot", dir.toString))
+    val out = Seq.newBuilder[(String, String)]
+    val commits = fs.listStatus(dir).map(_.getPath)
+      .filter(_.getName.startsWith(Prefix)).sortBy(_.getName)
+    val parsed = commits.map(p => p -> parse(fs, p))
+    parsed.collect { case (p, None) =>
+      out += (("torn_commit", p.getName))
+    }
+    val states = parsed.flatMap(_._2)
+    if (states.isEmpty) out += (("no_live_commit", dir.toString))
+    val data = dataDir(dir)
+    def nonEmptyDir(p: Path): Boolean =
+      fs.exists(p) && fs.listStatus(p).exists(s =>
+        s.isFile && !s.getPath.getName.startsWith("_") &&
+          !s.getPath.getName.startsWith("."))
+    states.foreach { st =>
+      st.live.foreach { g =>
+        if (!nonEmptyDir(new Path(data, g)))
+          out += (("missing_generation", s"v${st.version}:$g"))
+      }
+    }
+    val referenced = states.flatMap(_.live).toSet
+    if (fs.exists(data)) fs.listStatus(data).filter(_.isDirectory)
+      .foreach { child =>
+        val n = child.getPath.getName
+        if (n.startsWith("g-")) {
+          if (!referenced(n)) out += (("orphan_generation", n))
+        } else fs.listStatus(child.getPath).filter(_.isDirectory)
+          .foreach { g =>
+            val rel = n + "/" + g.getPath.getName
+            if (!referenced(rel)) out += (("orphan_generation", rel))
+          }
+      }
+    out.result()
+  }
+
   /** Preamble/cleanup GC: drop commit files other than the newest
     * `retain` parseable ones at-or-below the live commit, and
     * generation dirs NO retained commit references — orphans of a

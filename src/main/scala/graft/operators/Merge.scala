@@ -406,6 +406,17 @@ object Merge {
     ManifestCommit.gc(fs, dir, retain)
   }
 
+  /** Read-only integrity audit of a manifest snapshot (any store that
+    * commits through the protocol: MERGE snapshots, rollups, data
+    * cards, join views): one `(kind, detail)` row per finding, empty
+    * = healthy. See [[ManifestCommit.fsck]] for the finding kinds. */
+  def fsck(spark: SparkSession, snapshotDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = new Path(snapshotDir)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    ManifestCommit.fsck(fs, dir).toDF("kind", "detail")
+  }
+
   /** Commit versions of a manifest snapshot still readable through
     * [[readSnapshotAt]], ascending — the retention window
     * (`spark.graft.merge.retainCommits`, default 2) bounds how far

@@ -213,6 +213,32 @@ object Rollup {
     when(total > 0, lit(h.lo) + (idx.cast("double") + 0.5) * h.width)
   }
 
+  /** Production audit of the standing state: rebuild from the source
+    * corpus and report every group whose state row differs, tagged by
+    * side (`standing` = what the store holds, `scratch` = what a
+    * rebuild says). Empty = trustworthy. Exact comparison is valid
+    * because EVERY state column is bit-deterministic by design:
+    * DECIMAL(38,2) sums, long counts, min/max, order-invariant HLL
+    * registers (RollupSpec pins the register identity), long hist
+    * bins — the fold ≡ scratch contract is what makes auditing a
+    * standing store even possible. The one wrinkle: a sketch's
+    * SERIALIZED form is mode-dependent (a unioned sketch may encode
+    * sparse/dense differently from a direct build of the same
+    * registers), so ndv columns compare by their register-determined
+    * ESTIMATE, not bytes. Cost: one corpus aggregate + a state-sized
+    * set difference — the job an operator schedules monthly, not the
+    * per-refresh path. */
+  def audit(spark: SparkSession, storeDir: String, source: DataFrame,
+      spec: Spec): DataFrame = {
+    def comparable(st: DataFrame) = spec.ndvs.foldLeft(st)((d, c) =>
+      d.withColumn(s"hll__$c", hll_sketch_estimate(col(s"hll__$c"))))
+    val standing = comparable(read(spark, storeDir))
+    val scratch = comparable(state(source, spec))
+    standing.exceptAll(scratch).withColumn("side", lit("standing"))
+      .unionByName(scratch.exceptAll(standing)
+        .withColumn("side", lit("scratch")))
+  }
+
   /** Whole-state manifest commit: write the new state as one immutable
     * generation dir, then flip the pointer (same tail as
     * [[Merge.mergeWholeManifest]] — no renames, object-store-safe; a

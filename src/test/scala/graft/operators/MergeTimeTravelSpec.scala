@@ -129,4 +129,33 @@ class MergeTimeTravelSpec extends SparkSpec {
       .filter(_.startsWith("lang=de/"))
     assert(v1de === v2de && v1de.nonEmpty)
   }
+
+  test("fsck: healthy is silent; torn commits, missing and orphan generations are named") {
+    val dir = tmp("fsck")
+    MergeSink.applyBatch(spark, b((1L, "I", "a", 1.0, 1L)), dir,
+      "k", "op", "seq", manifestCommit = true)
+    MergeSink.applyBatch(spark, b((2L, "I", "b", 2.0, 2L)), dir,
+      "k", "op", "seq")
+    assert(Merge.fsck(spark, dir).count() === 0)
+
+    val hdir = new org.apache.hadoop.fs.Path(dir)
+    val fs = hdir.getFileSystem(spark.sessionState.newHadoopConf())
+
+    // crash debris: a staged-but-uncommitted generation → orphan
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir, "data/g-000000000099"))
+    // a torn commit file (valid header, missing trailer)
+    val torn = fs.create(
+      new org.apache.hadoop.fs.Path(dir, "_graft_commit-000000000098"), false)
+    torn.write("graft-commit v1 98\ng-000000000098\n".getBytes("UTF-8"))
+    torn.close()
+    // a referenced generation goes missing (manual damage)
+    val live = ManifestCommit.read(fs, hdir).get.live.head
+    fs.delete(new org.apache.hadoop.fs.Path(dir, s"data/$live"), true)
+
+    val kinds = Merge.fsck(spark, dir)
+      .as[(String, String)].collect().groupBy(_._1)
+    assert(kinds.contains("torn_commit"))
+    assert(kinds.contains("orphan_generation"))
+    assert(kinds("missing_generation").exists(_._2.endsWith(live)))
+  }
 }

@@ -169,4 +169,28 @@ class RollupSpec extends SparkSpec {
     assert(Merge.readSnapshotAt(spark, store, versions.last)
       .agg(sum("n_rows")).head().getLong(0) === orders.count())
   }
+
+  test("audit: a healthy store reports nothing; a corrupted fold is localized") {
+    val store = scratch("rollup-audit")
+    val orders = spark.read.parquet(s"$sf0001/orders.parquet")
+    val full = Rollup.Spec(keys = Seq("o_orderpriority"),
+      sums = Seq("o_totalprice"), mins = Seq("o_orderdate"),
+      maxs = Seq("o_orderdate"), ndvs = Seq("o_custkey"),
+      hists = Seq(Rollup.HistSpec("o_totalprice", 0.0, 500000.0, 8)))
+    Rollup.init(spark, store,
+      orders.filter(pmod(col("o_orderkey"), lit(2)) === 0), full)
+    Rollup.fold(spark, store,
+      orders.filter(pmod(col("o_orderkey"), lit(2)) === 1), full)
+    // clean: the standing state IS the from-scratch state, bit for bit
+    assert(Rollup.audit(spark, store, orders, full).count() === 0)
+
+    // double-fold one slice (the corruption re-delivery tags prevent):
+    // the audit localizes the damaged groups on both sides
+    Rollup.fold(spark, store,
+      orders.filter(pmod(col("o_orderkey"), lit(2)) === 1), full)
+    val bad = Rollup.audit(spark, store, orders, full)
+    assert(bad.count() > 0)
+    assert(bad.select("side").distinct().as[String].collect().toSet ===
+      Set("standing", "scratch"))
+  }
 }
