@@ -100,14 +100,16 @@ object BloomIndex {
   def prunedFiles(spark: SparkSession, dataDir: String, statsDir: String,
       column: String, values: Seq[Any]): Seq[String] = {
     import spark.implicits._
-    survivors(spark, dataDir, statsDir, column, values)
+    survivors(spark, statsDir, column, values,
+        columnType(spark, dataDir, column))
       .as[String].collect().sorted.toSeq
   }
 
-  private def survivors(spark: SparkSession, dataDir: String,
-      statsDir: String, column: String, values: Seq[Any]): DataFrame = {
+  /** `dt` threaded in so the hot scan path resolves the data schema
+    * once, not once per helper. */
+  private def survivors(spark: SparkSession, statsDir: String,
+      column: String, values: Seq[Any], dt: DataType): DataFrame = {
     require(values.nonEmpty, "give at least one probe value")
-    val dt = columnType(spark, dataDir, column)
     val hashes = array(values.map(v => xxhash64(lit(v).cast(dt))): _*)
     val keep = GraftFunctions.graftBloomProbeAny(col(s"bloom__$column"), hashes)
     spark.read.parquet(statsDir).filter(keep).select("file")
@@ -127,11 +129,11 @@ object BloomIndex {
     val dt = columnType(spark, dataDir, column)
     val residual =
       values.map(v => col(column) === lit(v).cast(dt)).reduce(_ || _)
+    val cap = ZoneMap.maxFiles(spark)
     ZoneMap.cappedFiles(spark,
-        survivors(spark, dataDir, statsDir, column, values),
-        ZoneMap.maxFiles(spark)) match {
+        survivors(spark, statsDir, column, values, dt), cap) match {
       case None =>
-        ZoneMap.warnFallback(statsDir, ZoneMap.maxFiles(spark))
+        ZoneMap.warnFallback(statsDir, cap)
         spark.read.parquet(dataDir).filter(residual)
       case Some(files) if files.isEmpty =>
         spark.read.parquet(dataDir).filter(lit(false)) // schema-only

@@ -79,10 +79,13 @@ object Constraints {
       checks: Seq[Check]): DataFrame = {
     require(checks.nonEmpty, "give at least one check")
     val rowLevel = checks.flatMap(rowPred)
-    // one aggregate pass for every row-level check + the row count
+    // one aggregate pass for every row-level check + the row count;
+    // the outer coalesce covers the EMPTY input (sum over zero rows is
+    // NULL) — an empty day must report 0 violations, not NPE
     val aggs = count(lit(1)).as("__n") +: rowLevel.zipWithIndex.map {
       case ((_, pred), i) =>
-        sum(when(!coalesce(pred, lit(false)), 1L).otherwise(0L)).as(s"__c$i")
+        coalesce(sum(when(!coalesce(pred, lit(false)), 1L).otherwise(0L)),
+          lit(0L)).as(s"__c$i")
     }
     val head = df.agg(aggs.head, aggs.tail: _*).collect()(0) // 1 row
     val nRows = head.getLong(0)

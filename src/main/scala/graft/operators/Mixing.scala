@@ -48,7 +48,7 @@ object Mixing {
     require(targets.values.forall(_ >= 0.0), "fractions must be >= 0")
     require(math.abs(targets.values.sum - 1.0) < 1e-9,
       s"target fractions must sum to 1, got ${targets.values.sum}")
-    tokenTotals
+    val planned = tokenTotals
       .withColumn("target_frac",
         element_at(typedlit(targets), col(sourceCol)))
       .filter(col("target_frac").isNotNull && col(tokensCol) > 0)
@@ -57,6 +57,19 @@ object Mixing {
         col("target_frac").cast("double").as("target_frac"),
         (lit(budgetTokens.toDouble) * col("target_frac")
           / col(tokensCol)).as("wt"))
+    // the budget identity Σ wt·tokens = budget only holds if every
+    // positively-weighted target HAS inventory — a target with no
+    // (or zero) tokens would silently under-run the budget by its
+    // whole fraction. Mix-sized collect (≤ |targets| strings).
+    val have = planned.select(col(sourceCol)).collect()
+      .map(_.getString(0)).toSet
+    val missing = targets.collect {
+      case (s, f) if f > 0.0 && !have(s) => s
+    }
+    require(missing.isEmpty,
+      s"targets with no token inventory: ${missing.mkString(", ")} — " +
+        "the plan would under-run the budget by their fractions")
+    planned
   }
 
   /** (idCol, sourceCol, copy_idx) rows: doc replicated per its source's

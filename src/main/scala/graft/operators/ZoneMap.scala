@@ -58,7 +58,10 @@ object ZoneMap {
   private[operators] def cappedFiles(spark: SparkSession,
       survivors: DataFrame, cap: Int): Option[Seq[String]] = {
     import spark.implicits._
-    val hit = survivors.limit(cap + 1).as[String].collect()
+    // long-then-clamp: cap = Int.MaxValue ("effectively unlimited")
+    // must not wrap limit() negative
+    val lim = math.min(cap.toLong + 1L, Int.MaxValue.toLong).toInt
+    val hit = survivors.limit(lim).as[String].collect()
     if (hit.length > cap) None else Some(hit.sorted.toSeq)
   }
 

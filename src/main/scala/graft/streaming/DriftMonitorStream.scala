@@ -41,13 +41,19 @@ object DriftMonitorStream {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        RollupStream.foldBatch(spark, batch, batchId, storeDir, spec, token)
-        Drift.psiFromStates(
-            Rollup.read(spark, storeDir), Rollup.read(spark, baselineDir),
-            keys, h)
-          .filter(col("psi") > threshold)
-          .withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(alertDir)
+        // empty batches fold nothing AND alert nothing: the store may
+        // not exist yet (first batch empty), and re-appending the same
+        // alert set per idle tick would be pure noise
+        if (!batch.isEmpty) {
+          RollupStream.foldBatch(spark, batch, batchId, storeDir, spec,
+            token)
+          Drift.psiFromStates(
+              Rollup.read(spark, storeDir), Rollup.read(spark, baselineDir),
+              keys, h)
+            .filter(col("psi") > threshold)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(alertDir)
+        }
       }
       .start()
   }

@@ -67,6 +67,14 @@ class ConstraintsSpec extends SparkSpec {
     assert(multi === Seq("in_range(qty)", "in_set(flag)", "k_positive"))
   }
 
+  test("empty input reports zero violations for every check (no NPE)") {
+    val got = Constraints.report(spark, rows.limit(0), checks)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))
+    assert(got.length === checks.length)
+    assert(got.forall { case (_, v, n, p) => v === 0L && n === 0L && p })
+  }
+
   test("flagRows is expression-only: no exchange in the plan") {
     val plan = Constraints.flagRows(rows, checks)
       .queryExecution.executedPlan.toString

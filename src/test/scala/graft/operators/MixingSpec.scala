@@ -136,4 +136,17 @@ class MixingSpec extends SparkSpec {
     assert(math.abs(got("a") / total - 0.2) < 0.05, got)
     assert(math.abs(total - 50000.0) < 2500.0, total)
   }
+
+  test("token-budget plan rejects targets with no inventory (silent under-run)") {
+    val totals = Seq(("a", 60000L), ("zero", 0L)).toDF("src", "tokens")
+    val e = intercept[IllegalArgumentException] {
+      Mixing.planTokenBudget(totals, "src", "tokens",
+        Map("a" -> 0.4, "code" -> 0.3, "zero" -> 0.3), 10000L)
+    }
+    assert(e.getMessage.contains("code") && e.getMessage.contains("zero"))
+    // a zero-fraction absent source is fine — it asks for nothing
+    val ok = Mixing.planTokenBudget(totals, "src", "tokens",
+      Map("a" -> 1.0, "code" -> 0.0), 10000L)
+    assert(ok.count() === 1)
+  }
 }

@@ -115,5 +115,10 @@ class ZoneMapSpec extends SparkSpec {
       assert(sel.as[(Long, String)].collect().toSet === Set((7L, "v7")))
       assert(sel.inputFiles.length < 4)
     } finally spark.conf.unset(ZoneMap.MaxFilesKey)
+
+    // the "effectively unlimited" setting must not wrap limit negative
+    spark.conf.set(ZoneMap.MaxFilesKey, Int.MaxValue.toString)
+    try assert(ZoneMap.prunedFilesCapped(spark, stats, ranges).get.size === 4)
+    finally spark.conf.unset(ZoneMap.MaxFilesKey)
   }
 }
