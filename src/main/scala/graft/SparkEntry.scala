@@ -2294,6 +2294,19 @@ object SparkEntry {
             "es" -> 0.1, "fr" -> 0.1), 1000000L)
         .withColumn("wt", round(col("wt"), 6))
         .orderBy(col("lang"))
+    }),
+
+    // weighted reservoir per language (Efraimidis–Spirakis, n_chars as
+    // the quality weight): key = u^(1/w) with the PORTABLE id-hash
+    // draw, top-5 per group on the bounded-heap operator. The oracle
+    // replays the identical key arithmetic and window-ranks it.
+    "q128_weighted_sample" -> ((s, dir) => {
+      operators.Sampling.weightedPerGroup(
+          t(s, dir, "documents").select(col("lang"), col("doc_id"),
+            col("n_chars")),
+          Seq("lang"), "doc_id", "n_chars", 5)
+        .select(col("lang"), col("rk"), col("doc_id"))
+        .orderBy(col("lang"), col("rk"))
     })
   )
 
@@ -3117,6 +3130,19 @@ object SparkEntry {
          FROM tt JOIN tg ON tg.lang = tt.lang
          WHERE tt.tokens > 0
          ORDER BY tt.lang""",
+    // identical A-ES key arithmetic (portable h60 draw + pow), ranked
+    // by window: the operator's bounded-heap path must be invisible.
+    "q128_weighted_sample" ->
+      s"""WITH d AS (
+           SELECT lang, doc_id,
+             ${operators.Sampling.sqlEsKey("doc_id", "n_chars", "")} AS key
+           FROM documents WHERE n_chars > 0)
+         SELECT lang, rk, doc_id FROM (
+           SELECT lang, doc_id,
+             CAST(row_number() OVER (PARTITION BY lang
+               ORDER BY key DESC, doc_id) AS INT) AS rk
+           FROM d) WHERE rk <= 5
+         ORDER BY lang, rk""",
     "q63_mapgroups_slope" ->
       """WITH b AS (SELECT o_orderpriority,
              CAST(datediff('day', TIMESTAMP '1992-01-01', o_orderdate) AS BIGINT) AS x,
