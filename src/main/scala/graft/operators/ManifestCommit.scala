@@ -127,7 +127,15 @@ private[graft] object ManifestCommit {
       if (!lines.lift(1 + body.size).contains(s"end ${body.size}")) None
       else
         try Some(State(header(2).toLong, body, header.lift(3)))
-        catch { case _: NumberFormatException => None }
+        catch {
+          // a non-numeric version OR a tag failing State's own require
+          // (e.g. embedded \r or \t from byte corruption) is CONTENT
+          // damage = torn, never a crash — one bad commit file must
+          // not make read()/gc()/fsck() unusable (I/O errors still
+          // propagate from the open/read above, by design)
+          case _: NumberFormatException | _: IllegalArgumentException =>
+            None
+        }
     }
   }
 

@@ -34,11 +34,26 @@ import org.apache.spark.sql.functions._
  */
 object Merge {
 
-  def mergeBatch(target: DataFrame, changes: DataFrame, key: String,
-      opCol: String = "op"): DataFrame = {
-    val dataCols = target.columns.toSeq.filterNot(_ == key)
+  /** The op domain is CLOSED: 'I'/'U'/'D', non-null, case-sensitive.
+    * Anything else raises at execution on the offending row — the CDC
+    * failure modes this kills are a lowercase 'd' silently acting as
+    * an upsert (deletes never applied, dead rows forever) and a NULL
+    * op masquerading as "no change arrived for this key" (which the
+    * full-outer join cannot distinguish from a target-only row). */
+  private def validatedOps(changes: DataFrame, opCol: String): DataFrame = {
     require(changes.columns.contains(opCol),
       s"changes must carry an '$opCol' column")
+    changes.withColumn(opCol,
+      when(col(opCol).isin("I", "U", "D"), col(opCol))
+        .otherwise(raise_error(concat(
+          lit(s"invalid '$opCol' (want I/U/D): "),
+          coalesce(col(opCol).cast("string"), lit("NULL"))))))
+  }
+
+  def mergeBatch(target: DataFrame, changes0: DataFrame, key: String,
+      opCol: String = "op"): DataFrame = {
+    val dataCols = target.columns.toSeq.filterNot(_ == key)
+    val changes = validatedOps(changes0, opCol)
     target.as("t").join(changes.as("c"), Seq(key), "full_outer")
       // keep unless an explicit D arrived; a target-only row has NULL op
       // (NULL <> 'D' is NULL, hence the coalesce)
@@ -70,10 +85,9 @@ object Merge {
    * but never drops from the snapshot schema — readers relying on it
    * keep resolving it (as NULL going forward).
    */
-  def mergeBatchEvolve(target: DataFrame, changes: DataFrame, key: String,
+  def mergeBatchEvolve(target: DataFrame, changes0: DataFrame, key: String,
       opCol: String = "op"): DataFrame = {
-    require(changes.columns.contains(opCol),
-      s"changes must carry an '$opCol' column")
+    val changes = validatedOps(changes0, opCol)
     val tCols = target.columns.toSeq.filterNot(_ == key)
     val cData = changes.columns.toSeq
       .filterNot(c => c == key || c == opCol)
@@ -144,8 +158,26 @@ object Merge {
    * per-partition recursive discovery a whole-table read would do.)
    */
   def mergePartitioned(spark: SparkSession, snapshotDir: String,
-      changes: DataFrame, key: String, partCol: String,
+      changes0: DataFrame, key: String, partCol: String,
       opCol: String = "op", manifestCommit: Boolean = false): Seq[String] = {
+    // this function runs 3+ actions over the change set (touched
+    // collect, duplicate guard, the merge write) — cache it for the
+    // duration unless the caller already did (MergeSink persists its
+    // compacted batch; a direct caller with expensive lineage should
+    // not pay it three times)
+    val cachedHere =
+      changes0.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    val changes = if (cachedHere)
+      changes0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else changes0
+    try mergePartitionedCached(spark, snapshotDir, changes, key, partCol,
+      opCol, manifestCommit)
+    finally if (cachedHere) { changes.unpersist(); () }
+  }
+
+  private def mergePartitionedCached(spark: SparkSession,
+      snapshotDir: String, changes: DataFrame, key: String, partCol: String,
+      opCol: String, manifestCommit: Boolean): Seq[String] = {
     val conf = spark.sessionState.newHadoopConf()
     val dir = new Path(snapshotDir)
     val fs = dir.getFileSystem(conf)
@@ -187,6 +219,27 @@ object Merge {
         dataSchema, touched, leafName)
   }
 
+  /** Partition-scoped merges are schema-RIGID: the change set must
+    * carry exactly the snapshot's columns. Narrower would silently
+    * destroy the omitted columns in every rewritten partition (the
+    * target read takes the change schema); wider would leave
+    * per-partition schema skew that a default (mergeSchema=false)
+    * snapshot read resolves from one arbitrary file. ADD columns with
+    * a whole-snapshot [[mergeBatchEvolve]] rewrite first. */
+  private def requireRigidColumns(changeCols: Seq[String],
+      snapCols: Seq[String], dir: Path): Unit = {
+    val missing = snapCols.toSet -- changeCols.toSet
+    val extra = changeCols.toSet -- snapCols.toSet
+    require(missing.isEmpty,
+      s"changes omit snapshot columns ${missing.mkString(", ")} at $dir " +
+        "— a partition-scoped merge would silently drop them from every " +
+        "rewritten partition; send full-width changes")
+    require(extra.isEmpty,
+      s"changes carry columns ${extra.mkString(", ")} the snapshot at " +
+        s"$dir lacks — partition-scoped merges cannot evolve schema; " +
+        "run a whole-snapshot mergeBatchEvolve rewrite first")
+  }
+
   /** Rename-swap commit (HDFS/local — atomic dir renames). */
   private def mergeRenames(spark: SparkSession, dir: Path,
       fs: org.apache.hadoop.fs.FileSystem, changes: DataFrame, key: String,
@@ -209,6 +262,17 @@ object Merge {
       s"snapshot at $dir is not Hive-partitioned on '$partCol' " +
         "(flat data files found) — partition-scoped merge needs a " +
         "partitioned layout; rewrite the snapshot partitioned first")
+    // …and it must be partitioned on THIS column: a mismatched partCol
+    // would make every touchedLive lookup miss, merge against empty,
+    // and write a second partition scheme beside the old one —
+    // duplicated keys plus an unreadable mixed layout
+    val leafPrefix = ExternalCatalogUtils.escapePathName(partCol) + "="
+    visible.filter(_.isDirectory).foreach { st =>
+      val n = st.getPath.getName
+      require(n.startsWith(leafPrefix),
+        s"snapshot at $dir is partitioned on " +
+          s"'${n.takeWhile(_ != '=')}', not '$partCol'")
+    }
     // pruned scan: ONLY the touched leaf dirs are handed to the reader
     // (basePath keeps the partition column parsed from the path), so no
     // other partition directory is ever listed — at catalog-scale
@@ -216,12 +280,23 @@ object Merge {
     val touchedLive = touched.map(v => new Path(dir, leafName(v)))
       .filter(fs.exists)
     val target =
-      if (touchedLive.nonEmpty)
-        spark.read.schema(dataSchema.schema)
-          .option("basePath", dir.toString)
+      if (touchedLive.nonEmpty) {
+        // the snapshot's OWN schema (never forced to the change set's):
+        // schema drift fails the rigid check loudly instead of silently
+        // dropping columns in the rewrite
+        val t0 = spark.read.option("basePath", dir.toString)
           .parquet(touchedLive.map(_.toString): _*)
-          .select(dataSchema.columns.map(col): _*)
-      else dataSchema.filter(lit(false))
+        requireRigidColumns(dataSchema.columns.toSeq, t0.columns.toSeq, dir)
+        t0.select(dataSchema.columns.map(col): _*)
+      } else {
+        // all-new partitions: an existing leaf's schema still governs
+        visible.find(_.isDirectory).foreach { st =>
+          requireRigidColumns(dataSchema.columns.toSeq,
+            spark.read.option("basePath", dir.toString)
+              .parquet(st.getPath.toString).columns.toSeq, dir)
+        }
+        dataSchema.filter(lit(false))
+      }
     val merged = mergeBatch(target, changes, key, opCol)
     val stage = new Path(dir.getParent, dir.getName + ".stage")
     fs.delete(stage, true)
@@ -259,15 +334,31 @@ object Merge {
       .map(_.live.map { e =>
         val i = e.lastIndexOf('/'); (e.substring(0, i), e.substring(i + 1))
       }.toMap).getOrElse(Map.empty)
+    // partitioned on THIS column (see the rename-mode twin)
+    val leafPrefix = ExternalCatalogUtils.escapePathName(partCol) + "="
+    liveMap.keys.foreach { l =>
+      require(l.startsWith(leafPrefix),
+        s"snapshot at $dir is partitioned on '${l.takeWhile(_ != '=')}', " +
+          s"not '$partCol'")
+    }
     val touchedLive = touched.flatMap(v => liveMap.get(leafName(v))
       .map(g => new Path(new Path(data, leafName(v)), g)))
     val target =
-      if (touchedLive.nonEmpty)
-        spark.read.schema(dataSchema.schema)
-          .option("basePath", data.toString)
+      if (touchedLive.nonEmpty) {
+        // snapshot's OWN schema + the rigid check (see rename twin)
+        val t0 = spark.read.option("basePath", data.toString)
           .parquet(touchedLive.map(_.toString): _*)
-          .select(dataSchema.columns.map(col): _*)
-      else dataSchema.filter(lit(false))
+        requireRigidColumns(dataSchema.columns.toSeq, t0.columns.toSeq, dir)
+        t0.select(dataSchema.columns.map(col): _*)
+      } else {
+        liveMap.headOption.foreach { case (leaf, gen) =>
+          requireRigidColumns(dataSchema.columns.toSeq,
+            spark.read.option("basePath", data.toString)
+              .parquet(new Path(new Path(data, leaf), gen).toString)
+              .columns.toSeq, dir)
+        }
+        dataSchema.filter(lit(false))
+      }
     val merged = mergeBatch(target, changes, key, opCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -282,7 +373,11 @@ object Merge {
       // each touched partition writes ONCE into its final immutable home
       // — no staging dir, no rename. One small job per touched partition
       // (they run concurrently, bounded); the per-job overhead is the
-      // price of never asking the store for a directory rename.
+      // price of never asking the store for a directory rename. Each
+      // job filters the PERSISTED merged set — cached-batch min/max
+      // pruning keeps that cheap when partCol clusters the cache; at
+      // very large touched-partition counts (hundreds+) prefer
+      // splitting the batch into fewer-partition chunks upstream.
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
         math.max(1, math.min(8, nonEmpty.size)))
       implicit val ec: scala.concurrent.ExecutionContext =
@@ -382,7 +477,28 @@ object Merge {
     * the merged snapshot once into an immutable generation dir at its
     * final path, then flip the commit pointer ([[ManifestCommit]]). */
   def mergeWholeManifest(spark: SparkSession, snapshotDir: String,
-      changes: DataFrame, key: String, opCol: String = "op"): Unit = {
+      changes: DataFrame, key: String, opCol: String = "op"): Unit =
+    commitWholeGeneration(spark, snapshotDir) { (genPath, st) =>
+      val data = ManifestCommit.dataDir(new Path(snapshotDir))
+      val target = st.filter(_.live.nonEmpty)
+        .map(s => spark.read.parquet(new Path(data, s.live.head).toString))
+        .getOrElse(changes.filter(lit(false)).drop(opCol))
+      mergeBatch(target, changes, key, opCol)
+        .write.mode("overwrite").parquet(genPath)
+    }
+
+  /** The whole-snapshot manifest-commit tail — gc → read → layout
+    * guards → generation write → pointer flip → post-commit gc — in
+    * ONE place, shared by [[mergeWholeManifest]] and the standing-state
+    * stores ([[Rollup]] and everything built on it): a protocol fix
+    * lands once, and every store gets the layout guards. `writeGen`
+    * receives the staged generation path plus the pre-commit state
+    * (to read the live generation); the pointer flips only after it
+    * returns, so a crash mid-write leaves the old commit live and the
+    * next preamble GC clears the orphan. */
+  private[graft] def commitWholeGeneration(spark: SparkSession,
+      snapshotDir: String, tag: Option[String] = None)(
+      writeGen: (String, Option[ManifestCommit.State]) => Unit): Unit = {
     val dir = new Path(snapshotDir)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     val retain = ManifestCommit.retention(spark)
@@ -392,15 +508,11 @@ object Merge {
     require(newestNonEmptyState(fs, dir).forall(_.live.forall(!_.contains("/"))),
       s"snapshot at $dir is a partition-scoped manifest — pass " +
         "partitionCol to keep merging it partition-scoped")
-    val data = ManifestCommit.dataDir(dir)
-    val target = st.filter(_.live.nonEmpty)
-      .map(s => spark.read.parquet(new Path(data, s.live.head).toString))
-      .getOrElse(changes.filter(lit(false)).drop(opCol))
-    val merged = mergeBatch(target, changes, key, opCol)
     val newVer = st.map(_.version + 1).getOrElse(1L)
     val gen = ManifestCommit.genName(newVer)
-    merged.write.mode("overwrite").parquet(new Path(data, gen).toString)
-    ManifestCommit.write(fs, dir, ManifestCommit.State(newVer, Seq(gen)))
+    writeGen(new Path(ManifestCommit.dataDir(dir), gen).toString, st)
+    ManifestCommit.write(fs, dir,
+      ManifestCommit.State(newVer, Seq(gen), tag))
     // post-commit cleanup beyond retention (best-effort — a crash here
     // is repaired by the next preamble GC)
     ManifestCommit.gc(fs, dir, retain)

@@ -239,26 +239,16 @@ object Rollup {
         .withColumn("side", lit("scratch")))
   }
 
-  /** Whole-state manifest commit: write the new state as one immutable
-    * generation dir, then flip the pointer (same tail as
-    * [[Merge.mergeWholeManifest]] — no renames, object-store-safe; a
-    * crash mid-commit leaves the old pointer live and the next
-    * preamble GC clears the orphan generation). The new state reads
-    * from the OLD generation's immutable files while writing the new
-    * dir, so there is no overwrite-while-reading hazard. */
+  /** Whole-state manifest commit, through the ONE shared protocol
+    * tail ([[Merge.commitWholeGeneration]] — no renames,
+    * object-store-safe; a crash mid-commit leaves the old pointer
+    * live and the next preamble GC clears the orphan generation; the
+    * layout guards run here too). The new state reads from the OLD
+    * generation's immutable files while writing the new dir, so there
+    * is no overwrite-while-reading hazard. */
   private def commit(spark: SparkSession, storeDir: String,
-      newState: DataFrame, tag: Option[String] = None): Unit = {
-    val dir = new Path(storeDir)
-    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
-    val retain = ManifestCommit.retention(spark)
-    ManifestCommit.gc(fs, dir, retain)
-    val st = ManifestCommit.read(fs, dir)
-    val newVer = st.map(_.version + 1).getOrElse(1L)
-    val gen = ManifestCommit.genName(newVer)
-    newState.write.mode("overwrite")
-      .parquet(new Path(ManifestCommit.dataDir(dir), gen).toString)
-    ManifestCommit.write(fs, dir,
-      ManifestCommit.State(newVer, Seq(gen), tag))
-    ManifestCommit.gc(fs, dir, retain)
-  }
+      newState: DataFrame, tag: Option[String] = None): Unit =
+    Merge.commitWholeGeneration(spark, storeDir, tag) { (genPath, _) =>
+      newState.write.mode("overwrite").parquet(genPath)
+    }
 }

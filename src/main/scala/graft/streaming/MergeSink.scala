@@ -80,7 +80,6 @@ object MergeSink {
       key: String, opCol: String, seqCol: String,
       partitionCol: Option[String] = None,
       manifestCommit: Boolean = false): Unit = {
-    if (batch.isEmpty) return
     import org.apache.hadoop.fs.Path
     val conf = spark.sessionState.newHadoopConf()
     val cur = new Path(snapshotDir)
@@ -108,6 +107,10 @@ object MergeSink {
     // branch ever fires — manifest mode parks nothing.
     if (!fs.exists(cur) && fs.exists(old)) renameOrDie(old, cur)
     Merge.recoverParkedPartitions(spark, snapshotDir)
+    // the empty-batch return comes AFTER recovery: "restored at the
+    // top of the NEXT application" must hold even when that
+    // application's first batch happens to carry nothing
+    if (batch.isEmpty) return
     // 1. intra-batch compaction: latest (by seq) change per key survives.
     // In partitioned mode the unit is (key, partition), NOT key alone: a
     // partition move arrives as D(old partition) + I(new partition) in

@@ -73,4 +73,28 @@ class MergeSpec extends SparkSpec {
       .orderBy("k").as[(Long, String, Double)].collect().toSeq
     assert(evolved === plain)
   }
+
+  test("the op domain is closed: lowercase/unknown/null ops raise, never act") {
+    // lowercase 'd' would otherwise be applied as an UPSERT — the
+    // delete silently never lands and the dead row lives forever
+    def run(op: Option[String]): Unit =
+      Merge.mergeBatch(target,
+        Seq((2L, op, "x", 0.0)).toDF("k", "op", "name", "bal"),
+        "k").collect()
+    val e1 = intercept[Exception] { run(Some("d")) }
+    assert(e1.getMessage.contains("invalid 'op'"), e1.getMessage)
+    val e2 = intercept[Exception] { run(Some("DELETE")) }
+    assert(e2.getMessage.contains("invalid 'op'"), e2.getMessage)
+    // a NULL op is indistinguishable from "no change arrived" inside
+    // the full-outer join — it must raise, not insert an all-NULL row
+    val e3 = intercept[Exception] { run(None) }
+    assert(e3.getMessage.contains("NULL"), e3.getMessage)
+    // evolve shares the validation
+    val e4 = intercept[Exception] {
+      Merge.mergeBatchEvolve(target,
+        Seq((2L, "u", "x", 0.0, "t")).toDF("k", "op", "name", "bal", "tier"),
+        "k").collect()
+    }
+    assert(e4.getMessage.contains("invalid 'op'"), e4.getMessage)
+  }
 }

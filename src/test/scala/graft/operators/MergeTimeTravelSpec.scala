@@ -148,14 +148,24 @@ class MergeTimeTravelSpec extends SparkSpec {
       new org.apache.hadoop.fs.Path(dir, "_graft_commit-000000000098"), false)
     torn.write("graft-commit v1 98\ng-000000000098\n".getBytes("UTF-8"))
     torn.close()
+    // corrupt CONTENT that fails State's own require (tab inside the
+    // tag token) is also torn — it must be reported, never crash
+    // read()/gc()/fsck()
+    val torn2 = fs.create(
+      new org.apache.hadoop.fs.Path(dir, "_graft_commit-000000000097"), false)
+    torn2.write("graft-commit v1 97 a\tb\ng-x\nend 1\n".getBytes("UTF-8"))
+    torn2.close()
     // a referenced generation goes missing (manual damage)
     val live = ManifestCommit.read(fs, hdir).get.live.head
     fs.delete(new org.apache.hadoop.fs.Path(dir, s"data/$live"), true)
 
     val kinds = Merge.fsck(spark, dir)
       .as[(String, String)].collect().groupBy(_._1)
-    assert(kinds.contains("torn_commit"))
+    assert(kinds("torn_commit").map(_._2).toSet ===
+      Set("_graft_commit-000000000098", "_graft_commit-000000000097"))
     assert(kinds.contains("orphan_generation"))
     assert(kinds("missing_generation").exists(_._2.endsWith(live)))
+    // and the live read still resolves (falls past the torn files)
+    assert(Merge.snapshotVersions(spark, dir).nonEmpty)
   }
 }

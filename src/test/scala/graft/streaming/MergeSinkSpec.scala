@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.SparkSpec
+import graft.operators.Merge
 
 /** Local filesystem that FORBIDS directory renames outside the output
   * committer's `_temporary` staging — the object-store simulation for
@@ -112,6 +113,62 @@ class MergeSinkSpec extends SparkSpec {
       .as[(Long, String, Double)].collect().toSeq
     assert(got === Seq((1L, "a", 1.0), (2L, "b2", 3.0)))
     assert(!fs.exists(old))
+  }
+
+  test("an EMPTY re-delivered batch still runs crash recovery first") {
+    val dir = tmp("mergesink-emptyrec") + "/snap"
+    val b1 = Seq((1L, "I", "a", 1.0, 1L)).toDF("k", "op", "name", "bal", "seq")
+    MergeSink.applyBatch(spark, b1, dir, "k", "op", "seq")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val cur = new org.apache.hadoop.fs.Path(dir)
+    val old = new org.apache.hadoop.fs.Path(cur.getParent, cur.getName + ".old")
+    assert(fs.rename(cur, old)) // crash window: parked, no live dir
+    // the next application's first batch carries nothing — "restored
+    // at the top of the NEXT application" must hold regardless
+    MergeSink.applyBatch(spark, b1.limit(0), dir, "k", "op", "seq")
+    assert(fs.exists(cur) && !fs.exists(old))
+    assert(spark.read.parquet(dir).count() === 1)
+  }
+
+  test("partition-scoped merge is schema-rigid and layout-checked, never silently lossy") {
+    val dir = tmp("mergesink-rigid") + "/snap"
+    val b1 = Seq((1L, "I", "a", 9.0, "en", 1L), (2L, "I", "b", 8.0, "de", 2L))
+      .toDF("k", "op", "name", "bal", "lang", "seq")
+    MergeSink.applyBatch(spark, b1, dir, "k", "op", "seq", Some("lang"))
+
+    // NARROWER changes (bal omitted): before the rigid check this
+    // silently DESTROYED bal in every rewritten partition
+    val narrow = Seq((1L, "U", "a2", "en", 3L))
+      .toDF("k", "op", "name", "lang", "seq")
+    val e1 = intercept[IllegalArgumentException] {
+      MergeSink.applyBatch(spark, narrow, dir, "k", "op", "seq", Some("lang"))
+    }
+    assert(e1.getMessage.contains("omit snapshot columns"), e1.getMessage)
+    assert(e1.getMessage.contains("bal"))
+
+    // WIDER changes (new column): would leave per-partition schema skew
+    val wide = Seq((1L, "U", "a2", 9.5, "en", "x", 4L))
+      .toDF("k", "op", "name", "bal", "lang", "tier", "seq")
+    val e2 = intercept[IllegalArgumentException] {
+      MergeSink.applyBatch(spark, wide, dir, "k", "op", "seq", Some("lang"))
+    }
+    assert(e2.getMessage.contains("cannot evolve"), e2.getMessage)
+
+    // WRONG partition column: would merge against empty and write a
+    // second partition scheme beside the old one
+    val wrongCol = Seq((1L, "U", "a2", 9.5, "en"))
+      .toDF("k", "op", "name", "bal", "tenant")
+    val e3 = intercept[IllegalArgumentException] {
+      Merge.mergePartitioned(spark, dir, wrongCol, "k", "tenant")
+    }
+    assert(e3.getMessage.contains("not 'tenant'"), e3.getMessage)
+
+    // and the snapshot is untouched by all three rejections
+    assert(spark.read.parquet(dir).orderBy("k")
+      .select("k", "name", "bal")
+      .as[(Long, String, Double)].collect().toSeq ===
+      Seq((1L, "a", 9.0), (2L, "b", 8.0)))
   }
 
   /** (path, mtime, size) of every data file under a partition dir —
