@@ -3311,7 +3311,7 @@ object SparkEntry {
            FROM documents),
          $minhashPipelineSql
          SELECT id_a, id_b, round(nm / 64.0, 4) AS est_jaccard
-         FROM v WHERE round(nm / 64.0, 4) >= 0.4
+         FROM v WHERE nm / 64.0 >= 0.4
          ORDER BY id_a, id_b""",
     // incremental ≡ full-corpus on batch-touching pairs (signatures are
     // pure functions of text): the q20 replay, filtered to pairs where
@@ -3326,7 +3326,7 @@ object SparkEntry {
            FROM documents),
          $minhashPipelineSql,
          p AS (SELECT id_a, id_b, round(nm / 64.0, 4) AS est_jaccard
-               FROM v WHERE round(nm / 64.0, 4) >= 0.4),
+               FROM v WHERE nm / 64.0 >= 0.4),
          o AS (SELECT
                  CASE WHEN p.id_a % 3 = 0 AND p.id_b % 3 <> 0
                       THEN p.id_b ELSE p.id_a END AS oa,
@@ -3384,7 +3384,7 @@ object SparkEntry {
            FROM m WHERE doc_id = rep_id),
          $minhashPipelineSql,
          rp AS (SELECT id_a, id_b, round(nm / 64.0, 4) AS est_jaccard
-                FROM v WHERE round(nm / 64.0, 4) >= 0.4),
+                FROM v WHERE nm / 64.0 >= 0.4),
          cx AS (SELECT least(ma.doc_id, mb.doc_id) AS id_a,
                   greatest(ma.doc_id, mb.doc_id) AS id_b, est_jaccard
                 FROM rp JOIN m ma ON ma.rep_id = rp.id_a

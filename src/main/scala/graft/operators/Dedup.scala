@@ -80,6 +80,16 @@ object Dedup {
     // so the DuckDB mirror — which can't see them — agrees.
     val shingled = df
       .select(col(idCol).as("id"), T.normText(col(textCol)).as("norm"))
+    // default path: explode_outer keeps a (null-shingle) row for
+    // sub-shingle-length docs, and the null maps to a NULL hash — NOT
+    // hash(null), which is the non-null murmur seed — so min() sees no
+    // values and the empty-doc sentinel below actually fires, matching
+    // the public [[minhashFromHashes]] [P,…] convention. Without the
+    // when(), every short doc shared one seed-derived signature and
+    // the LSH reported arbitrary short docs as est_jaccard-1.0
+    // near-dups of each other. Portable mode keeps the inner explode:
+    // it DROPS shingle-less docs by contract, because the DuckDB
+    // oracle mirror cannot see them.
     val exploded = (
       if (portable)
         shingled.select(col("id"),
@@ -88,7 +98,8 @@ object Dedup {
       else
         shingled.select(col("id"),
             explode_outer(T.charShinglesFromNorm(col("norm"), shingleN)).as("s"))
-          .select(col("id"), pmod(hash(col("s")), lit(P.toInt)).cast("long").as("h"))
+          .select(col("id"), when(col("s").isNotNull,
+            pmod(hash(col("s")), lit(P.toInt)).cast("long")).as("h"))
     )
     // NOTE: measured against the MinHashSigAgg TypedImperativeAggregate
     // (one object buffer, tight-loop update): the 64 codegen'd min()
@@ -114,7 +125,7 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 64, bands: Int = 8, shingleN: Int = 5,
       threshold: Double = 0.5, portable: Boolean = false): DataFrame = {
-    val rows = numHashes / bands
+    val rows = bandRows(numHashes, bands)
     // the signature table is referenced 3× in the plan (banding + both
     // sides of the verify join); persist it so the explode+agg subtree
     // runs once, released after the caller's action (Caches). At
@@ -131,6 +142,18 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
     verifyPairs(cand, sigd, sigd, numHashes, threshold)
+  }
+
+  /** rows-per-band, VALIDATED: bands must divide numHashes. bands >
+    * numHashes would give zero-row bands — every slice empty, every
+    * doc in one bucket, a silent all-pairs quadratic join; a
+    * non-divisor would silently band only the first rows*bands hashes,
+    * changing recall with no warning. */
+  private def bandRows(numHashes: Int, bands: Int): Int = {
+    require(bands >= 1 && bands <= numHashes && numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes) with a " +
+        "positive rows-per-band")
+    numHashes / bands
   }
 
   /** Inverted band index: (band, band-slice key) → ids. The default keys
@@ -155,9 +178,14 @@ object Dedup {
       .join(sigsA.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
       .join(sigsB.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
       .select(col("id_a"), col("id_b"),
-        round(graft.functions.GraftFunctions.graftMatchCount(col("sig_a"), col("sig_b"))
-          / numHashes.toDouble, 4).as("est_jaccard"))
-      .filter(col("est_jaccard") >= threshold)
+        (graft.functions.GraftFunctions.graftMatchCount(col("sig_a"), col("sig_b"))
+          / numHashes.toDouble).as("__est"))
+      // threshold on the UNROUNDED ratio (the ngramJaccardPairs
+      // discipline): rounding first would admit pairs whose true
+      // estimate sits in [threshold − 5e-5, threshold)
+      .filter(col("__est") >= threshold)
+      .select(col("id_a"), col("id_b"),
+        round(col("__est"), 4).as("est_jaccard"))
 
   /**
    * Materialized MinHash signature store — the SCALING.md "at
@@ -195,39 +223,53 @@ object Dedup {
       idCol: String, textCol: String, storeDir: String,
       numHashes: Int = 64, bands: Int = 8, shingleN: Int = 5,
       threshold: Double = 0.5, portable: Boolean = false): DataFrame = {
-    val rows = numHashes / bands
-    val bsig = Caches.releaseAfterUse(
-      minhashSignatures(batch, idCol, textCol, numHashes, shingleN, portable))
+    val rows = bandRows(numHashes, bands)
     val ssig = spark.read.parquet(storeDir)
+    val bsig = Caches.releaseAfterUse(restrictToNew(
+      minhashSignatures(batch, idCol, textCol, numHashes, shingleN, portable),
+      ssig))
     val bBand = bandedIndex(bsig, bands, rows, portable)
     val sBand = bandedIndex(ssig, bands, rows, portable)
     incrementalPairs(bsig, ssig, bBand, sBand, numHashes, threshold)
   }
 
   /** Shared admission core: store-vs-batch and batch-vs-batch candidate
-    * pairs, verified and unioned. */
+    * pairs, verified and unioned. `bsig`/`bBand` must already be
+    * restricted to genuinely-NEW batch ids (see [[restrictToNew]]):
+    * with a store-member batch doc on the batch side, a re-delivered
+    * doc would meet its partner through both arms with OPPOSITE
+    * orientations — (a,b) from store-vs-batch and (b,a) from
+    * batch-vs-batch — which `distinct` cannot collapse, and the "drop
+    * id_b" admission policy would then drop BOTH docs, deleting an
+    * already-admitted history doc. With the restriction, every pair's
+    * id_b is a genuinely-new batch doc and id_a its earlier
+    * counterpart, and a fully re-delivered batch emits NOTHING — the
+    * idempotency a crashed-and-retried admission needs. */
   private def incrementalPairs(bsig: DataFrame, ssig: DataFrame,
       bBand: DataFrame, sBand: DataFrame, numHashes: Int,
       threshold: Double): DataFrame = {
-    // store-vs-batch: every store collision, both orientations welcome —
-    // the store id is always id_a (history precedes the batch)
+    // store-vs-batch: the store id is always id_a (history precedes)
     val candSB = sBand.select(col("band"), col("bucket"), col("id").as("id_a"))
       .join(bBand.select(col("band"), col("bucket"), col("id").as("id_b")),
         Seq("band", "bucket"))
-      .filter(col("id_a") =!= col("id_b")) // re-delivered doc meets itself
       .select("id_a", "id_b").distinct()
-    // batch-vs-batch: the usual canonical ordering
+    // batch-vs-batch among new docs: the usual canonical ordering
     val candBB = bBand.select(col("band"), col("bucket"), col("id").as("id_a"))
       .join(bBand.select(col("band"), col("bucket"), col("id").as("id_b")),
         Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    // distinct: a re-delivered doc present in BOTH sides can surface the
-    // same (a, b) pair through the store-vs-batch and batch-vs-batch arms
     verifyPairs(candSB, ssig, bsig, numHashes, threshold)
       .unionByName(verifyPairs(candBB, bsig, bsig, numHashes, threshold))
       .distinct()
   }
+
+  /** Batch signatures restricted to ids the store has NOT admitted —
+    * a re-delivered doc participates only through its store copy. One
+    * id-keyed anti join (store side pre-bucketed in the bucketed
+    * variant). */
+  private def restrictToNew(bsig: DataFrame, storeIds: DataFrame): DataFrame =
+    bsig.join(storeIds.select("id"), Seq("id"), "left_anti")
 
   /**
    * Bucketed signature store — [[buildSignatureStore]] with the
@@ -251,7 +293,7 @@ object Dedup {
   def buildSignatureStoreBucketed(df: DataFrame, idCol: String,
       textCol: String, table: String, buckets: Int, numHashes: Int = 64,
       bands: Int = 8, shingleN: Int = 5): Unit = {
-    val rows = numHashes / bands
+    val rows = bandRows(numHashes, bands)
     val sigs = minhashSignatures(df, idCol, textCol, numHashes, shingleN,
       portable = false).persist(StorageLevel.MEMORY_AND_DISK)
     try {
@@ -271,10 +313,11 @@ object Dedup {
       idCol: String, textCol: String, table: String, numHashes: Int = 64,
       bands: Int = 8, shingleN: Int = 5,
       threshold: Double = 0.5): DataFrame = {
-    val rows = numHashes / bands
-    val bsig = Caches.releaseAfterUse(minhashSignatures(
-      batch, idCol, textCol, numHashes, shingleN, portable = false))
-    incrementalPairs(bsig, spark.table(s"${table}_sigs"),
+    val rows = bandRows(numHashes, bands)
+    val ssig = spark.table(s"${table}_sigs")
+    val bsig = Caches.releaseAfterUse(restrictToNew(minhashSignatures(
+      batch, idCol, textCol, numHashes, shingleN, portable = false), ssig))
+    incrementalPairs(bsig, ssig,
       bandedIndex(bsig, bands, rows, portable = false),
       spark.table(s"${table}_bands"), numHashes, threshold)
   }
@@ -287,7 +330,7 @@ object Dedup {
   def appendSignaturesBucketed(spark: SparkSession, admitted: DataFrame,
       idCol: String, textCol: String, table: String, buckets: Int,
       numHashes: Int = 64, bands: Int = 8, shingleN: Int = 5): Unit = {
-    val rows = numHashes / bands
+    val rows = bandRows(numHashes, bands)
     val fresh = minhashSignatures(admitted, idCol, textCol, numHashes,
         shingleN, portable = false)
       .join(spark.table(s"${table}_sigs").select(col("id")),
@@ -442,10 +485,17 @@ object Dedup {
     // global rarity order (document frequency, shingle as tiebreak)
     val dfc = base.groupBy("s").agg(count(lit(1)).as("df"))
     val wDoc = Window.partitionBy("id").orderBy(col("df"), col("s"))
-    // prefix length ⌊(1−t)·n⌋+1 of each doc's rarest shingles
+    // prefix length n − ⌈t·n⌉ + 1 of each doc's rarest shingles — the
+    // exact completeness bound. NOT ⌊(1−t)·n⌋+1: in floating point
+    // 1.0−0.8 = 0.19999…96, so ⌊(1−t)·n⌋ under-counts exactly when
+    // (1−t)·n is a mathematical integer (t=0.8, n=10 → prefix 2
+    // instead of 3) and qualifying pairs are silently missed. The
+    // 1e-9 nudge guards the mirror-image rounding of t·n (0.8·10 =
+    // 8.000…004 would otherwise ceil to 9).
     val prefix = base.join(dfc, "s")
       .withColumn("rank", row_number().over(wDoc))
-      .filter(col("rank") <= floor(lit(1.0 - threshold) * col("n_sh")) + 1)
+      .filter(col("rank") <=
+        col("n_sh") - ceil(lit(threshold) * col("n_sh") - lit(1e-9)) + 1)
     val cand = prefix.select(col("s"), col("id").as("id_a"))
       .join(prefix.select(col("s"), col("id").as("id_b")), "s")
       .filter(col("id_a") < col("id_b"))
@@ -543,6 +593,11 @@ object Dedup {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    // try/finally: the non-convergence require (and any mid-loop
+    // failure) must still release the corpus-pair-sized edge cache —
+    // a long session retrying CC with a larger maxIter would
+    // otherwise accumulate dead cached edge tables per attempt
+    try {
     // checkpoint per round: persist alone caches DATA but the LOGICAL
     // plan still nests every previous round — by round ~15 the driver
     // OOMs re-analyzing an exponentially growing tree (found by the
@@ -586,8 +641,8 @@ object Dedup {
     require(changed == 0,
       s"connectedComponents did not converge in $maxIter rounds (component " +
         s"diameter exceeds maxIter) — raise maxIter or use connectedComponentsStar")
-    edges.unpersist()
     labels
+    } finally { edges.unpersist(); () }
   }
 
   /**
@@ -639,7 +694,13 @@ object Dedup {
       .select(coalesce(col("la"), col("a")).as("u"),
         coalesce(col("lb"), col("b")).as("v"))
       .filter(col("u") =!= col("v"))
-    if (contracted.isEmpty) lab // every new pair was intra-component
+    // batch ids history never saw; the self-contracted ones (only
+    // intra-component or self pairs) still enter the labeling,
+    // self-labeled — same appears-in-some-pair convention as the
+    // from-scratch CC
+    val newIds = ids.join(touched.select("id"), Seq("id"), "left_anti")
+    if (contracted.isEmpty) // every new pair was intra-component/self
+      lab.union(newIds.select(col("id"), col("id").as("comp")))
     else {
       val small = connectedComponents(contracted, "u", "v",
         maxIter, reliable)
@@ -649,12 +710,15 @@ object Dedup {
       val updatedOld = lab.join(broadcast(relabel), Seq("comp"), "left")
         .select(col("id"),
           coalesce(col("comp2"), col("comp")).as("comp"))
-      // batch ids history never saw take their label from the
-      // contracted run (they stand for themselves there)
-      val newIds = ids.join(touched.select("id"), Seq("id"), "left_anti")
+      // new ids in real (contracted) edges take their label from the
+      // contracted run (they stand for themselves there); new ids the
+      // edge filter dropped (self-pairs only) self-label
       val newLabeled = small.join(broadcast(newIds), Seq("id"))
         .select(col("id"), col("comp"))
-      updatedOld.union(newLabeled)
+      val selfNew = newIds
+        .join(small.select("id"), Seq("id"), "left_anti")
+        .select(col("id"), col("id").as("comp"))
+      updatedOld.union(newLabeled).union(selfNew)
     }
   }
 
@@ -729,7 +793,16 @@ object Dedup {
     val roots = edges.select(col("v").as("id")).distinct()
       .join(nonRoots.select(col("id")), Seq("id"), "left_anti")
       .select(col("id"), col("id").as("comp"))
-    nonRoots.union(roots).distinct()
+    val out = nonRoots.union(roots).distinct()
+    // vertices whose ONLY pairs are self-pairs: the u=!=v edge filter
+    // dropped them, but the output convention ("comp for every id that
+    // appears in some pair", matching connectedComponents) keeps them,
+    // self-labeled
+    val selfOnly = pairs.filter(col(aCol) === col(bCol))
+      .select(col(aCol).as("id")).distinct()
+      .join(out.select("id"), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("comp"))
+    out.union(selfOnly)
   }
 
   /**

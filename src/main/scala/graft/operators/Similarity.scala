@@ -290,26 +290,12 @@ object Similarity {
         .as(s"qtab$j")): _*)
       .select(col("query_id") +: col("probe.lid").as("list_id") +:
         (0 until m).map(j => col(s"qtab$j")): _*)
-    val approx = (0 until m)
-      .map(j => element_at(col(s"qtab$j"), col(s"code$j") + 1))
-      .reduceLeft(_ + _)
     // ADC only within the probed lists; one item sits in exactly one
     // list, so probe fan-out never duplicates a (query, item) pair
     val cand = encoded.join(broadcast(probes), Seq("list_id"))
       .filter(col("query_id") =!= col("item_id"))
-      .select(col("query_id"), col("item_id"), approx.as("approx"))
-    val shortlist = TopK.perGroup(cand, Seq("query_id"),
-      Seq(("approx", false), ("item_id", true)), candN, "cand_rank")
-    val exact = shortlist
-      .join(c, "item_id")
-      .join(broadcast(q), "query_id")
-      .select(col("query_id"), col("item_id"), col("approx"),
-        V.dot(col("query_vec"), col("item_vec")).as("cos"))
-    TopK.perGroup(exact, Seq("query_id"),
-        Seq(("cos", false), ("item_id", true)), k, "rank")
-      .select(col("query_id"), col("item_id"),
-        round(col("approx"), 4).as("approx_pq"),
-        round(col("cos"), 4).as("cos"), col("rank"))
+      .select(col("query_id"), col("item_id"), adcApprox(m).as("approx"))
+    adcRank(cand, c, q, Seq("item_id"), k, candN)
   }
 
   /** argmin-code of subspace j under `books`: argmin_c |x_j − c|² =
@@ -379,6 +365,35 @@ object Similarity {
     c.agg(avg(err)).head().getDouble(0)
   }
 
+  /** ADC approximate score: m table lookups, left-associated adds —
+    * the one expression all three ADC paths must share bit-for-bit. */
+  private def adcApprox(m: Int): Column = (0 until m)
+    .map(j => element_at(col(s"qtab$j"), col(s"code$j") + 1))
+    .reduceLeft(_ + _)
+
+  /** The shared tail after ADC candidate scoring: candN shortlist by
+    * approximate score, exact cosine re-rank against `vecs` (joined on
+    * `joinKeys`), final k-ranking with the canonical tiebreaks — ONE
+    * implementation, so the three entry points ([[ivfPqTopK]],
+    * [[pqTopK]] via [[pqSearch]], [[searchIvfStoreAdc]]) cannot drift
+    * apart rank-for-rank (the identity SimilaritySpec and the
+    * q103/q109 oracles assert). */
+  private def adcRank(cand: DataFrame, vecs: DataFrame, q: DataFrame,
+      joinKeys: Seq[String], k: Int, candN: Int): DataFrame = {
+    val shortlist = TopK.perGroup(cand, Seq("query_id"),
+      Seq(("approx", false), ("item_id", true)), candN, "cand_rank")
+    val exact = shortlist
+      .join(vecs, joinKeys)
+      .join(broadcast(q), "query_id")
+      .select(col("query_id"), col("item_id"), col("approx"),
+        V.dot(col("query_vec"), col("item_vec")).as("cos"))
+    TopK.perGroup(exact, Seq("query_id"),
+        Seq(("cos", false), ("item_id", true)), k, "rank")
+      .select(col("query_id"), col("item_id"),
+        round(col("approx"), 4).as("approx_pq"),
+        round(col("cos"), 4).as("cos"), col("rank"))
+  }
+
   /** The shared PQ search tail: encode, ADC shortlist, exact re-rank. */
   private def pqSearch(c: DataFrame, q: DataFrame,
       books: Seq[Seq[Seq[Double]]], k: Int, candN: Int,
@@ -392,26 +407,10 @@ object Similarity {
     val qTabs = q.select(col("query_id") +: col("query_vec") +:
       (0 until m).map(j => array(books(j).map(cw =>
         V.dot(sub(col("query_vec"), j), typedlit(cw))): _*).as(s"qtab$j")): _*)
-    // per-item score = m lookups, left-associated adds
-    val approx = (0 until m)
-      .map(j => element_at(col(s"qtab$j"), col(s"code$j") + 1))
-      .reduceLeft(_ + _)
     val cand = encoded.join(broadcast(qTabs))
       .filter(col("query_id") =!= col("item_id"))
-      .select(col("query_id"), col("item_id"), approx.as("approx"))
-    val shortlist = TopK.perGroup(cand, Seq("query_id"),
-      Seq(("approx", false), ("item_id", true)), candN, "cand_rank")
-    // exact re-rank: full vectors only for candN rows per query
-    val exact = shortlist
-      .join(c, "item_id")
-      .join(broadcast(q), "query_id")
-      .select(col("query_id"), col("item_id"), col("approx"),
-        V.dot(col("query_vec"), col("item_vec")).as("cos"))
-    TopK.perGroup(exact, Seq("query_id"),
-        Seq(("cos", false), ("item_id", true)), k, "rank")
-      .select(col("query_id"), col("item_id"),
-        round(col("approx"), 4).as("approx_pq"),
-        round(col("cos"), 4).as("cos"), col("rank"))
+      .select(col("query_id"), col("item_id"), adcApprox(m).as("approx"))
+    adcRank(cand, c, q, Seq("item_id"), k, candN)
   }
 
   /** ANN top-k: candidates limited to shared LSH buckets across `tables`
@@ -621,29 +620,16 @@ object Similarity {
         (0 until m).map(j => col(s"qtab$j")): _*)
     val probedLists = probes.select("list_id").distinct()
       .collect().map(_.getInt(0)).toSeq
-    val approx = (0 until m)
-      .map(j => element_at(col(s"qtab$j"), col(s"code$j") + 1))
-      .reduceLeft(_ + _)
     val cand = spark.read.parquet(storeDir + "/codes")
       .filter(col("list_id").isin(probedLists: _*))
       .join(broadcast(probes), Seq("list_id"))
       .filter(col("query_id") =!= col("item_id"))
       .select(col("query_id"), col("item_id"), col("list_id"),
-        approx.as("approx"))
-    val shortlist = TopK.perGroup(cand, Seq("query_id"),
-      Seq(("approx", false), ("item_id", true)), candN, "cand_rank")
+        adcApprox(m).as("approx"))
     val vecs = spark.read.parquet(storeDir + "/encoded")
       .filter(col("list_id").isin(probedLists: _*))
       .select("item_id", "list_id", "item_vec")
-    val exact = shortlist.join(vecs, Seq("item_id", "list_id"))
-      .join(broadcast(q), "query_id")
-      .select(col("query_id"), col("item_id"), col("approx"),
-        V.dot(col("query_vec"), col("item_vec")).as("cos"))
-    TopK.perGroup(exact, Seq("query_id"),
-        Seq(("cos", false), ("item_id", true)), k, "rank")
-      .select(col("query_id"), col("item_id"),
-        round(col("approx"), 4).as("approx_pq"),
-        round(col("cos"), 4).as("cos"), col("rank"))
+    adcRank(cand, vecs, q, Seq("item_id", "list_id"), k, candN)
   }
 
   /**

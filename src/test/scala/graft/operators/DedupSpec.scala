@@ -183,17 +183,25 @@ class DedupSpec extends SparkSpec {
       .map(p => if (batchIds(p._2)) p else (p._2, p._1, p._3)).toSet
     assert(inc === full)
     assert(inc.map(p => (p._1, p._2)) === Set((0L, 10L), (11L, 12L)))
-    // append then re-deliver: the same batch now dups history, pair set
-    // stays consistent (no self-pairs, no duplicate rows)
+    // append then re-deliver: the batch's docs are all HISTORY now, so
+    // a crashed-and-retried admission emits NOTHING — idempotent. (The
+    // old behavior emitted each pair in BOTH orientations via the two
+    // arms, and a drop-id_b admission would have deleted an
+    // already-admitted history doc.)
     Dedup.appendSignatures(spark, batch, "doc_id", "text", dir)
     val redelivered = Dedup.minhashLshIncremental(spark, batch, "doc_id", "text", dir)
       .as[(Long, Long, Double)].collect()
-    assert(redelivered.length === redelivered.distinct.length)
-    assert(!redelivered.exists(p => p._1 == p._2))
-    // each batch doc now collides with its own stored signature's dups:
-    // 10 still pairs with 0; 11/12 pair with each other both ways via the store
-    assert(redelivered.map(p => (p._1, p._2)).toSet ===
-      Set((0L, 10L), (11L, 12L), (12L, 11L)))
+    assert(redelivered.isEmpty)
+    // a HALF re-delivered batch (one admitted doc, one new near-dup of
+    // history): the new doc still pairs against the store copy, with
+    // history leading — never the opposite orientation
+    val half = Seq(
+      (11L, "some fresh text with its very own words in it"),      // admitted
+      (13L, "some fresh text with its very own words in it"))       // new
+      .toDF("doc_id", "text")
+    val got = Dedup.minhashLshIncremental(spark, half, "doc_id", "text", dir)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+    assert(got === Set((11L, 13L), (12L, 13L)))
   }
 
   test("bucketed signature store: same pairs, store side never re-shuffles") {
