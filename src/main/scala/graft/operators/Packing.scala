@@ -43,6 +43,8 @@ object Packing {
   def packContiguous(df: DataFrame, idCol: String, tokensCol: String,
       budget: Long, shards: Int = 64): DataFrame = {
     require(budget >= 1, s"budget must be >= 1, got $budget")
+    require(shards >= 1, s"shards must be >= 1, got $shards — 0 would " +
+      "silently degrade pass 1 to one global single-task window")
     // deterministic fences: the 32·shards md5-first ids (same bounded
     // TakeOrdered collect as IVF centroid picking), sorted, every
     // 32nd value — a uniform random-but-reproducible quantile sketch.
@@ -67,7 +69,10 @@ object Packing {
       .map(b => when(col(idCol) >= lit(b), 1).otherwise(0))
       .reduceOption(_ + _).getOrElse(lit(0))
 
-    val staged = df.select(col(idCol), col(tokensCol))
+    // null token counts are zero-length docs (a real slot of length 0
+    // on the tape), not rows that silently vanish into null seq ids
+    val staged = df.select(col(idCol),
+        coalesce(col(tokensCol).cast("long"), lit(0L)).as(tokensCol))
       .withColumn("__pid", pidExpr)
     val wLocal = Window.partitionBy("__pid").orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -76,15 +81,25 @@ object Packing {
     // exclusive-prefix window is one task over a handful of rows.
     val wPrefix = Window.orderBy("__pid")
       .rowsBetween(Window.unboundedPreceding, -1)
+    // tie on duplicate ids resolved toward the LARGER cumsum: max_by on
+    // the id alone picks an arbitrary row among tied ids, and an
+    // under-picked shard total would shift every later shard's offset
+    // (overlapping tape slots)
     val offsets = local.groupBy("__pid")
-      .agg(max_by(col("__cum"), col(idCol)).as("__tot"))
+      .agg(max_by(col("__cum"), struct(col(idCol), col("__cum")))
+        .as("__tot"))
       .withColumn("__off", coalesce(sum("__tot").over(wPrefix), lit(0L)))
       .select(col("__pid"), col("__off"))
+    // FLOOR division/modulo (pmod-derived), not truncating div/%: for
+    // the negative __start a negative token count can produce, truncate
+    // would collide the doc into seq 0 at a negative offset; for the
+    // non-negative common case the two agree exactly
     local.join(broadcast(offsets), Seq("__pid"))
       .withColumn("__start", col("__cum") + col("__off") - col(tokensCol))
       .select(col(idCol), col(tokensCol).cast("long").as("n_tokens"),
-        expr(s"__start div ${budget}L").as("seq_id"),
-        (col("__start") % budget).as("seq_offset"))
+        ((col("__start") - pmod(col("__start"), lit(budget))) / budget)
+          .cast("long").as("seq_id"),
+        pmod(col("__start"), lit(budget)).as("seq_offset"))
   }
 
   /**

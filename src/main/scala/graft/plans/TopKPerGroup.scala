@@ -227,7 +227,12 @@ object RankLimitRewrite extends Rule[LogicalPlan] {
     case LessThanOrEqual(a: Attribute, Literal(v: Int, IntegerType))
       if a.semanticEquals(rankAttr) => Some(v)
     case LessThan(a: Attribute, Literal(v: Int, IntegerType))
-      if a.semanticEquals(rankAttr) => Some(v - 1)
+      if a.semanticEquals(rankAttr) =>
+      // rn < Int.MinValue selects nothing: v-1 would WRAP to
+      // Int.MaxValue and the rewrite would return every row — emit 0
+      // so the k<1 guard declines and the Window path's empty result
+      // stands
+      Some(if (v == Int.MinValue) 0 else v - 1)
     case _ => None
   }
 
