@@ -267,9 +267,38 @@ object Dedup {
   /** Batch signatures restricted to ids the store has NOT admitted —
     * a re-delivered doc participates only through its store copy. One
     * id-keyed anti join (store side pre-bucketed in the bucketed
-    * variant). */
+    * variant).
+    *
+    * This encodes the IMMUTABLE-ID contract: a batch doc whose id the
+    * store already holds is treated as a pure re-delivery and compared
+    * via its STORE signature — if the feed mutates content under a
+    * reused id, the new content never participates and recall silently
+    * degrades. Mutable-id feeds should run [[mutatedRedeliveries]] on
+    * each batch (an explicit, loud audit) rather than pay a
+    * signature-compare join inside every admission call. */
   private def restrictToNew(bsig: DataFrame, storeIds: DataFrame): DataFrame =
     bsig.join(storeIds.select("id"), Seq("id"), "left_anti")
+
+  /** Mutable-id audit for the incremental admission family: batch docs
+    * whose id the store has ALREADY admitted but whose minhash
+    * signature differs from the store's — i.e. content mutated under a
+    * reused id, which [[restrictToNew]]'s immutable-id contract would
+    * silently drop from comparison. Returns (id, sig_store, sig_batch)
+    * rows; a non-empty result on a feed that claims immutable ids is a
+    * pipeline bug upstream. One id-keyed inner join (batch-sized ×
+    * store, same shape as the verify join); run it per batch on feeds
+    * that can mutate, or on a sampling cadence elsewhere.
+    * `numHashes`/`shingleN`/`portable` must match the store build. */
+  def mutatedRedeliveries(batch: DataFrame, idCol: String, textCol: String,
+      storeSigs: DataFrame, numHashes: Int = 64, shingleN: Int = 5,
+      portable: Boolean = false): DataFrame = {
+    val bsig = minhashSignatures(batch, idCol, textCol, numHashes, shingleN,
+      portable)
+    bsig.select(col("id"), col("sig").as("sig_batch"))
+      .join(storeSigs.select(col("id"), col("sig").as("sig_store")), Seq("id"))
+      .filter(col("sig_batch") =!= col("sig_store"))
+      .select(col("id"), col("sig_store"), col("sig_batch"))
+  }
 
   /**
    * Bucketed signature store — [[buildSignatureStore]] with the

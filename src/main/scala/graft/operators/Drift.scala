@@ -31,27 +31,37 @@ object Drift {
     * (sum order across engines differs at ~1e-16; the round makes the
     * statistic hash-comparable). Groups present on only one side are
     * dropped (inner join): PSI against an absent distribution is
-    * undefined — surface those via the states' own key sets. */
+    * undefined — surface those via the states' own key sets.
+    *
+    * The intermediate bin columns live in a reserved `__psi_`
+    * namespace so a grouping key named `a0`/`b3`/`n_a` cannot collide
+    * with them; the only names keys must avoid are the three OUTPUT
+    * columns (`n_a`, `n_b`, `psi`) and the `__psi_` prefix, enforced
+    * up front. */
   def psiFromStates(stateA: DataFrame, stateB: DataFrame,
       keys: Seq[String], h: Rollup.HistSpec): DataFrame = {
+    val reserved = Set("n_a", "n_b", "psi")
+    require(keys.forall(k => !reserved(k) && !k.startsWith("__psi_")),
+      s"grouping keys may not be named ${reserved.mkString("/")} or start " +
+        s"with __psi_ (output/internal namespace); got: ${keys.mkString(", ")}")
     val bins = 0 until h.bins
     def side(st: DataFrame, tag: String) =
       st.select(keys.map(col) ++ bins.map(i =>
-        col(s"h${i}__${h.col}").as(s"${tag}$i")): _*)
+        col(s"h${i}__${h.col}").as(s"__psi_${tag}$i")): _*)
     val joined = side(stateA, "a").join(side(stateB, "b"), keys)
-    val nA = bins.map(i => col(s"a$i")).reduce(_ + _)
-    val nB = bins.map(i => col(s"b$i")).reduce(_ + _)
+    val nA = bins.map(i => col(s"__psi_a$i")).reduce(_ + _)
+    val nB = bins.map(i => col(s"__psi_b$i")).reduce(_ + _)
     def p(c: Column, n: Column) =
       (c.cast("double") + 0.5) / (n.cast("double") + 0.5 * h.bins)
     val psi = bins.map { i =>
-      val pa = p(col(s"a$i"), col("__na"))
-      val pb = p(col(s"b$i"), col("__nb"))
+      val pa = p(col(s"__psi_a$i"), col("__psi_na"))
+      val pb = p(col(s"__psi_b$i"), col("__psi_nb"))
       (pa - pb) * log(pa / pb)
     }.reduce(_ + _)
     joined
-      .withColumn("__na", nA).withColumn("__nb", nB)
+      .withColumn("__psi_na", nA).withColumn("__psi_nb", nB)
       .select(keys.map(col) ++ Seq(
-        col("__na").as("n_a"), col("__nb").as("n_b"),
+        col("__psi_na").as("n_a"), col("__psi_nb").as("n_b"),
         round(psi, 6).as("psi")): _*)
   }
 

@@ -60,16 +60,21 @@ object Mixing {
     // the budget identity Σ wt·tokens = budget only holds if every
     // positively-weighted target HAS inventory — a target with no
     // (or zero) tokens would silently under-run the budget by its
-    // whole fraction. Mix-sized collect (≤ |targets| strings).
-    val have = planned.select(col(sourceCol)).collect()
-      .map(_.getString(0)).toSet
+    // whole fraction. ONE mix-sized collect (≤ |targets| rows) serves
+    // both the check and the returned plan — evaluating the input a
+    // second time could see different totals (nondeterministic or
+    // concurrently-folded inventory) and return a plan the check
+    // never saw.
+    val rows = planned.collect().toIndexedSeq
+    val have = rows.map(_.getString(0)).toSet
     val missing = targets.collect {
       case (s, f) if f > 0.0 && !have(s) => s
     }
     require(missing.isEmpty,
       s"targets with no token inventory: ${missing.mkString(", ")} — " +
         "the plan would under-run the budget by their fractions")
-    planned
+    import scala.jdk.CollectionConverters._
+    tokenTotals.sparkSession.createDataFrame(rows.asJava, planned.schema)
   }
 
   /** (idCol, sourceCol, copy_idx) rows: doc replicated per its source's

@@ -94,11 +94,16 @@ object Packing {
     // the negative __start a negative token count can produce, truncate
     // would collide the doc into seq 0 at a negative offset; for the
     // non-negative common case the two agree exactly
+    // `div`, not `/`: Spark's `/` on longs is DOUBLE division, which
+    // loses exactness past ~2^53 cumulative tokens — a real tape
+    // position at trillion-token scale. The numerator is an exact
+    // multiple of budget after the pmod subtraction, so integral
+    // division is exact for any sign.
     local.join(broadcast(offsets), Seq("__pid"))
       .withColumn("__start", col("__cum") + col("__off") - col(tokensCol))
       .select(col(idCol), col(tokensCol).cast("long").as("n_tokens"),
-        ((col("__start") - pmod(col("__start"), lit(budget))) / budget)
-          .cast("long").as("seq_id"),
+        expr(s"(__start - pmod(__start, ${budget}L)) div ${budget}L")
+          .as("seq_id"),
         pmod(col("__start"), lit(budget)).as("seq_offset"))
   }
 

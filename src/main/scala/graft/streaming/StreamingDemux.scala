@@ -43,18 +43,19 @@ object StreamingDemux {
     val parsed = raw.select(col("value"),
       from_json(col("value"), DmsEnvelope.rawEnvelopeSchema).as("env"))
     parsed.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val bad = batch.filter(col("env").isNull || col("env.metadata").isNull ||
-          col("env.metadata.`table-name`").isNull)
-        bad.select(col("value")).write
-          .mode(org.apache.spark.sql.SaveMode.Append).text(errorDir)
-        val good = batch.filter(col("env").isNotNull &&
-            col("env.metadata").isNotNull &&
-            col("env.metadata.`table-name`").isNotNull)
-          .select(col("env.data").as("data"), col("env.metadata").as("metadata"))
-        StreamSplitter.splitAll(good, outDir,
-          mode = org.apache.spark.sql.SaveMode.Append)
-      }
+      .foreachBatch(idempotentBatch(checkpoint + "/graft_commits") {
+        (batch: DataFrame, _: Long) =>
+          val bad = batch.filter(col("env").isNull || col("env.metadata").isNull ||
+            col("env.metadata.`table-name`").isNull)
+          bad.select(col("value")).write
+            .mode(org.apache.spark.sql.SaveMode.Append).text(errorDir)
+          val good = batch.filter(col("env").isNotNull &&
+              col("env.metadata").isNotNull &&
+              col("env.metadata.`table-name`").isNotNull)
+            .select(col("env.data").as("data"), col("env.metadata").as("metadata"))
+          StreamSplitter.splitAll(good, outDir,
+            mode = org.apache.spark.sql.SaveMode.Append)
+      })
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .start()
@@ -116,6 +117,16 @@ object StreamingDemux {
    * ingest stream at the cost of one more projection — the posture
    * that keeps a 100 TB table from ingesting a poisoned day and
    * rewriting it later.
+   *
+   * Delivery: the batch body runs under [[idempotentBatch]], so a
+   * re-delivered micro-batch (crash between sink write and checkpoint
+   * commit) is skipped instead of appending duplicates to either dir.
+   * The residual at-least-once window is a crash BETWEEN the two
+   * appends and the marker write — that one batch re-runs in full,
+   * duplicating rows already landed (both dirs append, so the re-run
+   * re-lands clean AND quarantine rows of that batch). Same bound as
+   * any non-transactional two-sink commit; [[idempotentBatch]]'s
+   * scaladoc states the general form.
    */
   def landWithContract(envelopes: DataFrame, landingDir: String,
       quarantineDir: String, checks: Seq[graft.operators.Constraints.Check],
@@ -124,15 +135,16 @@ object StreamingDemux {
     envelopes
       .withColumn("ingest_date", to_date(col("event_ts")))
       .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val (clean, bad) = graft.operators.Constraints.split(batch, checks)
-        clean.write.mode(org.apache.spark.sql.SaveMode.Append)
-          .option("compression", "gzip")
-          .partitionBy("ingest_date").json(landingDir)
-        bad.write.mode(org.apache.spark.sql.SaveMode.Append)
-          .option("compression", "gzip")
-          .partitionBy("ingest_date").json(quarantineDir)
-      }
+      .foreachBatch(idempotentBatch(checkpoint + "/graft_commits") {
+        (batch: DataFrame, _: Long) =>
+          val (clean, bad) = graft.operators.Constraints.split(batch, checks)
+          clean.write.mode(org.apache.spark.sql.SaveMode.Append)
+            .option("compression", "gzip")
+            .partitionBy("ingest_date").json(landingDir)
+          bad.write.mode(org.apache.spark.sql.SaveMode.Append)
+            .option("compression", "gzip")
+            .partitionBy("ingest_date").json(quarantineDir)
+      })
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .start()
@@ -147,10 +159,11 @@ object StreamingDemux {
   def splitStream(envelopes: DataFrame, outDir: String, checkpoint: String,
       trigger: Trigger = Trigger.ProcessingTime("600 seconds")): StreamingQuery =
     envelopes.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        StreamSplitter.splitAll(batch.drop("event_ts"), outDir,
-          mode = org.apache.spark.sql.SaveMode.Append)
-      }
+      .foreachBatch(idempotentBatch(checkpoint + "/graft_commits") {
+        (batch: DataFrame, _: Long) =>
+          StreamSplitter.splitAll(batch.drop("event_ts"), outDir,
+            mode = org.apache.spark.sql.SaveMode.Append)
+      })
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .start()

@@ -202,6 +202,17 @@ class DedupSpec extends SparkSpec {
     val got = Dedup.minhashLshIncremental(spark, half, "doc_id", "text", dir)
       .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
     assert(got === Set((11L, 13L), (12L, 13L)))
+    // mutable-id audit (r6 advice): a re-delivered id with MUTATED
+    // content is exactly what restrictToNew silently sidelines — the
+    // audit surfaces it; pure re-deliveries and new ids stay silent
+    val mutated = Seq(
+      (11L, "entirely different content smuggled under an admitted id"),
+      (10L, "the quick brown fox jumps over the lazy dog and runs far away home"),
+      (99L, "a brand new id the store has never seen before at all"))
+      .toDF("doc_id", "text")
+    val conflicts = Dedup.mutatedRedeliveries(mutated, "doc_id", "text",
+      spark.read.parquet(dir))
+    assert(conflicts.select("id").as[Long].collect().toSet === Set(11L))
   }
 
   test("bucketed signature store: same pairs, store side never re-shuffles") {

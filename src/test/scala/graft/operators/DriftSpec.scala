@@ -52,4 +52,22 @@ class DriftSpec extends SparkSpec {
       .select("psi").as[Double].head()
     assert(fromStates === direct)
   }
+
+  test("keys named like internal temporaries don't collide (r6 advice)") {
+    // a grouping key named `a0` used to collide with the bare bin
+    // temporaries; with the __psi_ namespace it's just a key
+    def dfk(rows: Seq[Double]) = rows.map(v => ("g", v)).toDF("a0", "x")
+    val base = (0 until 400).map(i => (i % 10) + 0.5)
+    val shifted = (0 until 400).map(i => (i % 5) + 0.5)
+    val out = Drift.psi(dfk(base), dfk(shifted), Seq("a0"), h)
+    assert(out.columns.toSeq === Seq("a0", "n_a", "n_b", "psi"))
+    assert(out.count() === 1)
+
+    // reserved output names are rejected loudly, not silently joined
+    def dfr(rows: Seq[Double]) = rows.map(v => ("g", v)).toDF("n_a", "x")
+    val ex = intercept[IllegalArgumentException] {
+      Drift.psi(dfr(base), dfr(shifted), Seq("n_a"), h)
+    }
+    assert(ex.getMessage.contains("n_a"))
+  }
 }
