@@ -2263,7 +2263,8 @@ object SparkEntry {
       val card = operators.DataCard.Card(
         nulls = Seq("o_orderstatus"), sums = Seq("o_totalprice"),
         mins = Seq("o_orderdate"), maxs = Seq("o_orderdate"),
-        ndvs = Seq("o_orderpriority"), hists = Seq(h))
+        ndvs = Seq("o_orderpriority"), hists = Seq(h),
+        vars = Seq("o_totalprice"))
       val orders = t(s, dir, "orders")
       operators.DataCard.init(s, store,
         orders.filter(pmod(col("o_orderkey"), lit(3)) === 0), card)
@@ -2274,6 +2275,8 @@ object SparkEntry {
       val row = operators.DataCard.read(s, store, card)
         .select(col("n_rows"), col("nulls__o_orderstatus"),
           col("sum__o_totalprice"), col("avg__o_totalprice"),
+          round(col("var__o_totalprice"), 4).as("var_price"),
+          round(col("stddev__o_totalprice"), 4).as("stddev_price"),
           col("min__o_orderdate"), col("max__o_orderdate"),
           col("ndv__o_orderpriority").cast("long").as("ndv_prio"))
       val p50 = operators.Rollup.read(s, store)
@@ -2307,6 +2310,33 @@ object SparkEntry {
           Seq("lang"), "doc_id", "n_chars", 5)
         .select(col("lang"), col("rk"), col("doc_id"))
         .orderBy(col("lang"), col("rk"))
+    }),
+
+    // dispersion in the standing rollup: a DECIMAL(38,4) sum-of-squares
+    // folds exactly like the plain sums (order-invariant, fold ≡
+    // scratch bit-for-bit — RollupSpec pins it), so variance/stddev
+    // serve from the state without re-reading history. Both engines
+    // derive var = (sq − sum²/n)/n in DOUBLE from the SAME exact
+    // decimal sums — identical operands, identical operation order.
+    "q129_rollup_variance" -> ((s, dir) => {
+      val store = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_rollup_var_${Integer.toHexString(dir.hashCode)}_$jvmToken")
+        .getAbsolutePath
+      val spec = operators.Rollup.Spec(
+        keys = Seq("o_orderpriority"), sums = Seq("o_totalprice"),
+        vars = Seq("o_totalprice"))
+      val orders = t(s, dir, "orders")
+      operators.Rollup.init(s, store,
+        orders.filter(pmod(col("o_orderkey"), lit(3)) === 0), spec)
+      operators.Rollup.fold(s, store,
+        orders.filter(pmod(col("o_orderkey"), lit(3)) === 1), spec)
+      operators.Rollup.fold(s, store,
+        orders.filter(pmod(col("o_orderkey"), lit(3)) === 2), spec)
+      operators.Rollup.finalized(operators.Rollup.read(s, store), spec)
+        .select(col("o_orderpriority"), col("n_rows"),
+          round(col("var__o_totalprice"), 4).as("var_price"),
+          round(col("stddev__o_totalprice"), 4).as("stddev_price"))
+        .orderBy(col("o_orderpriority"))
     })
   )
 
@@ -3110,6 +3140,19 @@ object SparkEntry {
              AS sum__o_totalprice,
            CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
              / count(o_totalprice) AS avg__o_totalprice,
+           round((CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))
+                    * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+              - CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                * CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                / count(o_totalprice)) / count(o_totalprice), 4)
+             AS var_price,
+           round(sqrt(greatest(
+             (CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))
+                    * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+              - CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                * CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                / count(o_totalprice)) / count(o_totalprice), 0)), 4)
+             AS stddev_price,
            min(o_orderdate) AS min__o_orderdate,
            max(o_orderdate) AS max__o_orderdate,
            count(DISTINCT o_orderpriority) AS ndv_prio,
@@ -3143,6 +3186,24 @@ object SparkEntry {
                ORDER BY key DESC, doc_id) AS INT) AS rk
            FROM d) WHERE rk <= 5
          ORDER BY lang, rk""",
+    // population variance replayed from scratch through the state's
+    // exact decimal arithmetic: sum and sum-of-squares through
+    // DECIMAL (squares exact at scale 4), then the identical
+    // (sq − sm²/n)/n double derivation — not var_pop(), whose
+    // streaming accumulation differs in low-order bits.
+    "q129_rollup_variance" ->
+      """WITH s AS (
+           SELECT o_orderpriority, count(*) AS n_rows,
+             count(o_totalprice) AS cnt,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sm,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))
+                      * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sq
+           FROM orders GROUP BY 1)
+         SELECT o_orderpriority, n_rows,
+           round((sq - sm * sm / cnt) / cnt, 4) AS var_price,
+           round(sqrt(greatest((sq - sm * sm / cnt) / cnt, 0)), 4)
+             AS stddev_price
+         FROM s ORDER BY o_orderpriority""",
     "q63_mapgroups_slope" ->
       """WITH b AS (SELECT o_orderpriority,
              CAST(datediff('day', TIMESTAMP '1992-01-01', o_orderdate) AS BIGINT) AS x,

@@ -27,16 +27,20 @@ object DataCard {
   private[operators] val KeyCol = "__card"
 
   /** What the card tracks. `nulls` columns get a null COUNT; `sums`
-    * get sum+mean (and their non-null count); `ndvs` approximate
-    * distincts; `hists` value histograms ([[Rollup.histQuantile]]
-    * serves quantiles from the standing counts). */
+    * get sum+mean (and their non-null count); `vars` add population
+    * variance + stddev (dispersion — a datasheet without it is
+    * incomplete; must also be in `sums`, whose state the variance
+    * derivation reuses); `ndvs` approximate distincts; `hists` value
+    * histograms ([[Rollup.histQuantile]] serves quantiles from the
+    * standing counts). */
   final case class Card(nulls: Seq[String] = Nil, sums: Seq[String] = Nil,
       mins: Seq[String] = Nil, maxs: Seq[String] = Nil,
-      ndvs: Seq[String] = Nil, hists: Seq[Rollup.HistSpec] = Nil) {
+      ndvs: Seq[String] = Nil, hists: Seq[Rollup.HistSpec] = Nil,
+      vars: Seq[String] = Nil) {
     private[operators] def rollupSpec = Rollup.Spec(
       keys = Seq(KeyCol),
       sums = sums ++ nulls.map(c => s"isnull__$c"),
-      mins = mins, maxs = maxs, ndvs = ndvs, hists = hists)
+      mins = mins, maxs = maxs, ndvs = ndvs, hists = hists, vars = vars)
   }
 
   private def stage(df: DataFrame, card: Card): DataFrame =
@@ -68,7 +72,8 @@ object DataCard {
       card.rollupSpec, checkpoint, trigger)
 
   /** The card as one wide row: `n_rows`, `nulls__c` (count),
-    * `sum__c`/`avg__c`, `min__c`/`max__c`, `ndv__c`, `hist__c`. */
+    * `sum__c`/`avg__c`, `var__c`/`stddev__c`, `min__c`/`max__c`,
+    * `ndv__c`, `hist__c`. */
   def read(spark: SparkSession, storeDir: String, card: Card): DataFrame = {
     val fin = Rollup.finalized(Rollup.read(spark, storeDir),
       card.rollupSpec)

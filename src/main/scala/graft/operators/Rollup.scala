@@ -68,10 +68,16 @@ object Rollup {
     * (RollupSpec pins this equivalence). */
   final case class Spec(keys: Seq[String], sums: Seq[String] = Nil,
       mins: Seq[String] = Nil, maxs: Seq[String] = Nil,
-      ndvs: Seq[String] = Nil, hists: Seq[HistSpec] = Nil) {
+      ndvs: Seq[String] = Nil, hists: Seq[HistSpec] = Nil,
+      vars: Seq[String] = Nil) {
     require(keys.nonEmpty, "group by at least one key")
     require((sums ++ mins ++ maxs ++ ndvs ++ hists.map(_.col)).nonEmpty,
       "maintain at least one measure")
+    // variance state is sum-of-squares ON TOP of the sum/count state —
+    // a var column without its sum has no mean to subtract
+    require(vars.forall(sums.contains),
+      s"vars columns must also be listed in sums: " +
+        s"${vars.filterNot(sums.contains).mkString(", ")}")
   }
 
   /** lgConfigK pinned explicitly: merges require equal K, and the
@@ -95,6 +101,13 @@ object Rollup {
         Seq(sum(col(c).cast("decimal(18,2)")).cast("decimal(38,2)")
             .as(s"sum__$c"),
           count(col(c)).as(s"cnt__$c"))
+      } ++ spec.vars.map { c =>
+        // exact sum of squares: DECIMAL(18,2) values square to scale-4
+        // decimals exactly; DECIMAL(38,4) accumulation keeps the fold
+        // order-invariant like the plain sums (var is then derived in
+        // [[finalized]], never stored)
+        val d = col(c).cast("decimal(18,2)")
+        sum(d * d).cast("decimal(38,4)").as(s"sq__$c")
       } ++ spec.mins.map(c => min(col(c)).as(s"min__$c")) ++
         spec.maxs.map(c => max(col(c)).as(s"max__$c")) ++
         spec.ndvs.map(c => hll_sketch_agg(col(c), HllLgK).as(s"hll__$c")) ++
@@ -113,7 +126,9 @@ object Rollup {
       (spec.sums.flatMap { c =>
         Seq(sum(col(s"sum__$c")).cast("decimal(38,2)").as(s"sum__$c"),
           sum(col(s"cnt__$c")).cast("long").as(s"cnt__$c"))
-      } ++ spec.mins.map(c => min(col(s"min__$c")).as(s"min__$c")) ++
+      } ++ spec.vars.map(c =>
+        sum(col(s"sq__$c")).cast("decimal(38,4)").as(s"sq__$c")) ++
+        spec.mins.map(c => min(col(s"min__$c")).as(s"min__$c")) ++
         spec.maxs.map(c => max(col(s"max__$c")).as(s"max__$c")) ++
         // strict: a K mismatch means a foreign/corrupt state row —
         // fail loudly rather than silently degrade the estimate
@@ -174,6 +189,17 @@ object Rollup {
           when(col(s"cnt__$c") > 0,
             col(s"sum__$c").cast("double") / col(s"cnt__$c"))
             .as(s"avg__$c"))
+      } ++ spec.vars.flatMap { c =>
+        // population variance from the exact decimal state, derived in
+        // DOUBLE with a fixed operation order — (sq − sum·sum/n)/n — so
+        // an oracle computing the same formula from the same decimal
+        // sums is bit-identical; the greatest(…, 0) clamps the tiny
+        // negative a float cancellation can produce before sqrt
+        val n = col(s"cnt__$c")
+        val sm = col(s"sum__$c").cast("double")
+        val v = (col(s"sq__$c").cast("double") - sm * sm / n) / n
+        Seq(when(n > 0, v).as(s"var__$c"),
+          when(n > 0, sqrt(greatest(v, lit(0.0)))).as(s"stddev__$c"))
       } ++ spec.mins.map(c => col(s"min__$c")) ++
       spec.maxs.map(c => col(s"max__$c")) ++
       spec.ndvs.map(c =>

@@ -152,6 +152,49 @@ class RollupSpec extends SparkSpec {
     assert(rows("b") === ((1L, None, None)))
   }
 
+  test("variance state: fold ≡ scratch; matches exact var_pop; vars need sums") {
+    val store = scratch("rollup-var")
+    val orders = spark.read.parquet(s"$sf0001/orders.parquet")
+    val vspec = Rollup.Spec(keys = Seq("o_orderpriority"),
+      sums = Seq("o_totalprice"), vars = Seq("o_totalprice"))
+    val b = (0 to 2).map(i =>
+      orders.filter(pmod(col("o_orderkey"), lit(3)) === i))
+    Rollup.init(spark, store, b(0), vspec)
+    Rollup.fold(spark, store, b(1), vspec)
+    Rollup.fold(spark, store, b(2), vspec)
+
+    // decimal sum-of-squares state: folded ≡ scratch bit-for-bit,
+    // so the derived var/stddev agree exactly too
+    val folded = Rollup.finalized(Rollup.read(spark, store), vspec)
+      .select("o_orderpriority", "var__o_totalprice", "stddev__o_totalprice")
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2))))
+      .toMap
+    val scr = Rollup.finalized(Rollup.state(orders, vspec), vspec)
+      .select("o_orderpriority", "var__o_totalprice", "stddev__o_totalprice")
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2))))
+      .toMap
+    assert(folded === scr)
+
+    // against exact var_pop over the DECIMAL(18,2)-rounded values (the
+    // state's precision contract): relative agreement, not bit equality
+    // (Spark's var_pop streams in double)
+    val exact = orders.groupBy("o_orderpriority")
+      .agg(var_pop(col("o_totalprice").cast("decimal(18,2)")).as("v"))
+      .as[(String, Double)].collect().toMap
+    assert(folded.keySet === exact.keySet)
+    folded.foreach { case (k, (v, sd)) =>
+      assert(math.abs(v - exact(k)) <= math.abs(exact(k)) * 1e-9,
+        s"group $k: var $v vs var_pop ${exact(k)}")
+      assert(math.abs(sd - math.sqrt(v)) < 1e-12)
+    }
+
+    // a var column without its sum state is rejected up front
+    val ex = intercept[IllegalArgumentException] {
+      Rollup.Spec(keys = Seq("k"), sums = Seq("a"), vars = Seq("b"))
+    }
+    assert(ex.getMessage.contains("b"))
+  }
+
   test("commits are versioned: previous state stays readable") {
     val store = scratch("rollup-tt")
     val orders = spark.read.parquet(s"$sf0001/orders.parquet")
