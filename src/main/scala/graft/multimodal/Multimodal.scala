@@ -16,9 +16,11 @@ import org.apache.spark.sql.types._
  * WAV/AIFF/AU container parsing: sample rate, channels, frame count,
  * strided-amplitude features), and video-mime payloads via
  * [[VideoCodec]] — a REAL container-header probe (MP4 box walk,
- * Matroska EBML walk, pure ByteBuffer) for true dimensions, duration
- * and declared frame count; only the per-FRAME pixel decode is out of
- * reach without codec libraries, so frame features come from
+ * Matroska EBML walk, AVI RIFF walk, pure ByteBuffer) for true
+ * dimensions, duration and declared frame count. Per-frame PIXEL
+ * decode is real for MJPEG-in-AVI ([[sampleFramesDecoded]] — each
+ * frame chunk is a complete JPEG `javax.imageio` handles); for other
+ * video codecs (which the JDK lacks) frame features come from
  * [[sampleFrames]]'s deterministic derivation. Unrecognized mimes fall
  * to [[StubCodec]]'s deterministic fake. Everything around the codecs
  * — the asset schema, the partition-batched execution shape (one codec
@@ -81,36 +83,42 @@ object Multimodal {
     // want the disk path).
     javax.imageio.ImageIO.setUseCache(false)
 
+    /** Mean luminance over a 4×2 grid, strided so cost is bounded —
+      * shared by still images and per-frame video decode. */
+    private[multimodal] def lumGrid(img: java.awt.image.BufferedImage): Array[Float] = {
+      val w = img.getWidth
+      val h = img.getHeight
+      val stride = math.max(1, math.min(w, h) / 64)
+      Array.tabulate(8) { j =>
+        val gx = j % 4
+        val gy = j / 4
+        val x1 = math.max(gx * w / 4 + 1, (gx + 1) * w / 4)
+        val y1 = math.max(gy * h / 2 + 1, (gy + 1) * h / 2)
+        var s = 0L
+        var n = 0
+        var y = gy * h / 2
+        while (y < y1) {
+          var x = gx * w / 4
+          while (x < x1) {
+            val rgb = img.getRGB(x, y)
+            s += ((rgb >> 16 & 0xFF) + (rgb >> 8 & 0xFF) + (rgb & 0xFF)) / 3
+            n += 1
+            x += stride
+          }
+          y += stride
+        }
+        (s.toFloat / math.max(n, 1)) / 255f
+      }
+    }
+
     def decode(a: Asset): DecodedAsset = {
       val len = if (a.payload == null) 0 else a.payload.length
       try {
         val img = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(a.payload))
         if (img == null) throw new java.io.IOException("unrecognized format")
-        val w = img.getWidth
-        val h = img.getHeight
-        val stride = math.max(1, math.min(w, h) / 64)
-        val feats = Array.tabulate(8) { j =>
-          val gx = j % 4
-          val gy = j / 4
-          val x1 = math.max(gx * w / 4 + 1, (gx + 1) * w / 4)
-          val y1 = math.max(gy * h / 2 + 1, (gy + 1) * h / 2)
-          var s = 0L
-          var n = 0
-          var y = gy * h / 2
-          while (y < y1) {
-            var x = gx * w / 4
-            while (x < x1) {
-              val rgb = img.getRGB(x, y)
-              s += ((rgb >> 16 & 0xFF) + (rgb >> 8 & 0xFF) + (rgb & 0xFF)) / 3
-              n += 1
-              x += stride
-            }
-            y += stride
-          }
-          (s.toFloat / math.max(n, 1)) / 255f
-        }
-        DecodedAsset(a.asset_id, a.mime, len, w, h, 1, feats)
+        DecodedAsset(a.asset_id, a.mime, len, img.getWidth, img.getHeight,
+          1, lumGrid(img))
       } catch {
         case _: Exception =>
           DecodedAsset(a.asset_id, a.mime, len, -1, -1, 0, Array.empty)
@@ -209,9 +217,10 @@ object Multimodal {
   }
 
   /**
-   * REAL video container probe — no codecs ship with the JDK, so full
-   * frame decode stays out of reach here, but the container METADATA
-   * is plain structured bytes and parses with nothing but ByteBuffer:
+   * REAL video container probe — container METADATA is plain
+   * structured bytes and parses with nothing but ByteBuffer (and for
+   * MJPEG-in-AVI the JDK can decode the frames themselves — see
+   * [[sampleFramesDecoded]]):
    *
    *  - MP4 / ISO BMFF (`ftyp` at byte 4): a box walk — recursing
    *    through `moov → trak → mdia → minf → stbl` — reads the movie
@@ -224,6 +233,9 @@ object Multimodal {
    *    PixelHeight. Matroska does not declare a frame count in the
    *    header, so `n_frames` stays 0 (honest "not declared", while
    *    width = -1 still marks the error row).
+   *  - AVI (RIFF `AVI `): a RIFF chunk walk — `LIST hdrl → avih` for
+   *    dwMicroSecPerFrame/dwTotalFrames/dwWidth/dwHeight; `LIST movi`
+   *    holds the frame chunks themselves ([[aviVideoFrames]]).
    *
    * Output mapping: `width`/`height` = true pixels, `n_frames` = the
    * container-declared sample count (MP4) or 0 (MKV), `features` =
@@ -248,6 +260,7 @@ object Multimodal {
         val probe =
           if (isMp4(p)) parseMp4(p)
           else if (isEbml(p)) parseMkv(p)
+          else if (isAvi(p)) parseAvi(p)
           else throw new java.io.IOException("unrecognized container")
         if (probe.w <= 0 || probe.h <= 0)
           throw new java.io.IOException("no video track")
@@ -270,6 +283,99 @@ object Multimodal {
       p != null && p.length >= 4 && (p(0) & 0xFF) == 0x1A &&
         (p(1) & 0xFF) == 0x45 && (p(2) & 0xFF) == 0xDF &&
         (p(3) & 0xFF) == 0xA3
+
+    private[multimodal] def isAvi(p: Array[Byte]): Boolean =
+      p != null && p.length >= 12 && p(0) == 'R' && p(1) == 'I' &&
+        p(2) == 'F' && p(3) == 'F' && p(8) == 'A' && p(9) == 'V' &&
+        p(10) == 'I' && p(11) == ' '
+
+    // ---- AVI (RIFF) ----------------------------------------------------
+
+    /** Iterate sibling RIFF chunks in [start, end): (fourcc, payloadStart,
+      * payloadEnd). Sizes are LITTLE-endian; chunks pad to even offsets. */
+    private def walkRiff(bb: ByteBuffer, start: Int, end: Int)(
+        f: (String, Int, Int) => Unit): Unit = {
+      var off = start
+      while (off + 8 <= end) {
+        val tp = new String(Array(bb.get(off), bb.get(off + 1),
+          bb.get(off + 2), bb.get(off + 3)), "ASCII")
+        val size = java.lang.Integer.reverseBytes(bb.getInt(off + 4)).toLong &
+          0xFFFFFFFFL
+        val payloadStart = off + 8
+        val payloadEnd = (payloadStart + size).min(end.toLong).toInt
+        if (payloadEnd < payloadStart) return // corrupt: stop
+        f(tp, payloadStart, payloadEnd)
+        off = payloadEnd + (payloadEnd & 1) // even padding
+      }
+    }
+
+    private def u32le(bb: ByteBuffer, off: Int): Long =
+      java.lang.Integer.reverseBytes(bb.getInt(off)).toLong & 0xFFFFFFFFL
+
+    /** AVI main-header probe: `LIST hdrl → avih` carries
+      * dwMicroSecPerFrame / dwTotalFrames / dwWidth / dwHeight — all
+      * the metadata the MP4/MKV probes expose, from the one container
+      * whose frames the JDK can also DECODE when the codec is MJPEG
+      * (each `NNdc` chunk is a complete JPEG — see [[aviVideoFrames]]). */
+    private def parseAvi(p: Array[Byte]): Probe = {
+      val bb = ByteBuffer.wrap(p)
+      val probe = new Probe
+      walkRiff(bb, 12, p.length) { (tp, s, e) =>
+        if (tp == "LIST" && e - s >= 4 &&
+            new String(Array(bb.get(s), bb.get(s + 1), bb.get(s + 2),
+              bb.get(s + 3)), "ASCII") == "hdrl")
+          walkRiff(bb, s + 4, e) { (t2, s2, e2) =>
+            if (t2 == "avih" && e2 - s2 >= 40) {
+              val usPerFrame = u32le(bb, s2)
+              probe.frames = u32le(bb, s2 + 16).toInt
+              probe.w = u32le(bb, s2 + 32).toInt
+              probe.h = u32le(bb, s2 + 36).toInt
+              probe.timescale = 1000000L
+              probe.duration = usPerFrame * probe.frames
+            }
+          }
+      }
+      probe
+    }
+
+    /** Byte ranges (offset, length) of the video frame chunks
+      * (`NNdc`/`NNdb`) inside `LIST movi`, in presentation order. For
+      * an MJPEG AVI each range is one complete JPEG image. Only the
+      * FIRST video stream's chunks are returned (stream number = index
+      * of the first `strl` whose `strh.fccType == "vids"`). */
+    private[multimodal] def aviVideoFrames(p: Array[Byte]): IndexedSeq[(Int, Int)] = {
+      if (!isAvi(p)) return IndexedSeq.empty
+      val bb = ByteBuffer.wrap(p)
+      var streamIdx = -1
+      var idx = 0
+      val frames = IndexedSeq.newBuilder[(Int, Int)]
+      def listType(s: Int, e: Int): String =
+        if (e - s >= 4) new String(Array(bb.get(s), bb.get(s + 1),
+          bb.get(s + 2), bb.get(s + 3)), "ASCII") else ""
+      walkRiff(bb, 12, p.length) { (tp, s, e) =>
+        val lt = if (tp == "LIST") listType(s, e) else ""
+        if (lt == "hdrl") walkRiff(bb, s + 4, e) { (t2, s2, e2) =>
+          if (t2 == "LIST" && listType(s2, e2) == "strl") {
+            walkRiff(bb, s2 + 4, e2) { (t3, s3, e3) =>
+              if (t3 == "strh" && e3 - s3 >= 4 && streamIdx < 0 &&
+                  new String(Array(bb.get(s3), bb.get(s3 + 1),
+                    bb.get(s3 + 2), bb.get(s3 + 3)), "ASCII") == "vids")
+                streamIdx = idx
+            }
+            idx += 1
+          }
+        }
+        else if (lt == "movi" && streamIdx >= 0) {
+          val tag = f"$streamIdx%02d"
+          walkRiff(bb, s + 4, e) { (t2, s2, e2) =>
+            if (t2.startsWith(tag) &&
+                (t2.endsWith("dc") || t2.endsWith("db")) && e2 > s2)
+              frames += ((s2, e2 - s2))
+          }
+        }
+      }
+      frames.result()
+    }
 
     // ---- MP4 / ISO BMFF ------------------------------------------------
 
@@ -479,6 +585,53 @@ object Multimodal {
   /** One sampled frame of a (video) asset. */
   final case class Frame(
       asset_id: Long, frame_index: Int, features: Array[Float])
+
+  /**
+   * REAL per-frame pixel decode, for the one video codec the JDK can
+   * fully handle: MJPEG-in-AVI, where every frame chunk is a complete
+   * JPEG that `javax.imageio` decodes. Every `everyN`-th video chunk
+   * of each AVI payload becomes a Frame row whose features are the
+   * TRUE luminance grid of that frame's pixels (the [[ImageCodec]]
+   * grid). Non-AVI video payloads (MP4/MKV — codecs the JDK lacks)
+   * fall back to the [[sampleFrames]] derivation over the container
+   * probe, so one call covers a mixed corpus. Same partition-batched
+   * 1:N shape as [[sampleFrames]]: no shuffle, payload bytes are
+   * sliced per frame (no copy of the whole asset per row), and a
+   * frame whose bytes fail to decode yields an empty features row
+   * (decode failures are DATA, the codec-family contract).
+   */
+  def sampleFramesDecoded(assets: Dataset[Asset], everyN: Int)(
+      implicit spark: SparkSession): Dataset[Frame] = {
+    require(everyN >= 1, s"everyN must be >= 1, got $everyN")
+    import spark.implicits._
+    assets.mapPartitions { it =>
+      it.flatMap { a =>
+        val p = a.payload
+        val ranges = if (p != null) VideoCodec.aviVideoFrames(p)
+                     else IndexedSeq.empty
+        if (ranges.nonEmpty) {
+          (0 until ranges.length by everyN).iterator.map { f =>
+            val (off, len) = ranges(f)
+            val feats =
+              try {
+                val img = javax.imageio.ImageIO.read(
+                  new java.io.ByteArrayInputStream(p, off, len))
+                if (img == null) Array.empty[Float]
+                else ImageCodec.lumGrid(img)
+              } catch { case _: Exception => Array.empty[Float] }
+            Frame(a.asset_id, f, feats)
+          }
+        } else {
+          // non-AVI (or frameless) video: the derived-feature fallback
+          val d = VideoCodec.decode(a)
+          (0 until d.n_frames by everyN).iterator.map { f =>
+            Frame(d.asset_id, f,
+              d.features.map(v => (v + f.toFloat / 100f) % 1f))
+          }
+        }
+      }
+    }
+  }
 
   /**
    * Frame sampling: every `everyN`-th frame of each decoded asset,

@@ -301,6 +301,91 @@ class MultimodalSpec extends SparkSpec {
     assert(d.n_frames === 0)
   }
 
+  // ---- AVI (RIFF little-endian) builder --------------------------------
+
+  private def le32(v: Long): Array[Byte] = Array(
+    v.toByte, (v >>> 8).toByte, (v >>> 16).toByte, (v >>> 24).toByte)
+
+  private def riffChunk(tp: String, body: Array[Byte]): Array[Byte] = {
+    val c = tp.getBytes("ASCII") ++ le32(body.length.toLong) ++ body
+    if (body.length % 2 == 1) c :+ 0.toByte else c
+  }
+
+  private def riffList(listType: String, parts: Array[Byte]*): Array[Byte] =
+    riffChunk("LIST", listType.getBytes("ASCII") ++ parts.flatten)
+
+  /** Minimal-but-real MJPEG AVI: RIFF{hdrl{avih, strl{strh vids/MJPG}},
+    * movi{00dc = one complete JPEG per frame}}. */
+  private def aviBytes(w: Int, h: Int, usPerFrame: Long,
+      frames: Seq[Array[Byte]]): Array[Byte] = {
+    val avih = le32(usPerFrame) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      le32(frames.length.toLong) ++ le32(0) ++ le32(1) ++ le32(0) ++
+      le32(w.toLong) ++ le32(h.toLong) ++ Array.fill[Byte](16)(0)
+    val strh = "vids".getBytes("ASCII") ++ "MJPG".getBytes("ASCII") ++
+      Array.fill[Byte](48)(0)
+    val hdrl = riffList("hdrl", riffChunk("avih", avih),
+      riffList("strl", riffChunk("strh", strh)))
+    val movi = riffList("movi", frames.map(riffChunk("00dc", _)): _*)
+    val body = "AVI ".getBytes("ASCII") ++ hdrl ++ movi
+    "RIFF".getBytes("ASCII") ++ le32(body.length.toLong) ++ body
+  }
+
+  /** A real JPEG of a solid gray level (0..255), via javax.imageio. */
+  private def jpegOfGray(w: Int, h: Int, level: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    g.setColor(new java.awt.Color(level, level, level))
+    g.fillRect(0, 0, w, h)
+    g.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  test("AVI probe + REAL MJPEG frame decode: true per-frame pixel features") {
+    implicit val s = spark
+    import spark.implicits._
+    // three frames at distinct brightness levels — if the decode is
+    // real, the luminance features must track the planted levels
+    val levels = Seq(40, 128, 220)
+    val avi = aviBytes(48, 32, usPerFrame = 40000L,
+      levels.map(jpegOfGray(48, 32, _)))
+    val assets = Seq(
+      Multimodal.Asset(1L, "video/x-msvideo", avi, "t"),
+      Multimodal.Asset(2L, "video/mp4",
+        mp4Bytes(320, 240, 1000L, 2000L, frames = 3), "t")).toDS()
+
+    // container probe: avih dims/frames, duration = us/frame × frames
+    val d = Multimodal.decodeAssets(assets).collect().sortBy(_.asset_id)
+    assert(d(0).width === 48 && d(0).height === 32 && d(0).n_frames === 3)
+    assert(math.abs(d(0).features.head - 0.12f) < 1e-6) // 3 × 40 ms
+
+    val frames = Multimodal.sampleFramesDecoded(assets, everyN = 1)
+      .collect().groupBy(_.asset_id)
+    // AVI side: real pixels — every grid cell of a solid frame sits at
+    // the planted level (JPEG of a solid color is lossless-ish: ±2/255)
+    val got = frames(1L).sortBy(_.frame_index)
+    assert(got.map(_.frame_index).toSeq === Seq(0, 1, 2))
+    got.zip(levels).foreach { case (fr, lvl) =>
+      assert(fr.features.length === 8)
+      fr.features.foreach(f =>
+        assert(math.abs(f - lvl / 255f) < 0.02f,
+          s"frame ${fr.frame_index}: feature $f vs level ${lvl / 255f}"))
+    }
+    // MP4 side: falls back to the derived features of sampleFrames
+    val mp4Derived = Multimodal.sampleFrames(
+      Multimodal.decodeAssets(assets.filter(_.asset_id == 2L)), 1)
+      .collect().sortBy(_.frame_index).map(_.features.toSeq).toSeq
+    assert(frames(2L).sortBy(_.frame_index).map(_.features.toSeq).toSeq
+      === mp4Derived)
+
+    // everyN strides the REAL frames too
+    val strided = Multimodal.sampleFramesDecoded(
+      assets.filter(_.asset_id == 1L), everyN = 2).collect()
+    assert(strided.map(_.frame_index).sorted.toSeq === Seq(0, 2))
+  }
+
   test("sampleFrames emits every Nth declared frame; non-video emits frame 0 only") {
     implicit val s = spark
     import spark.implicits._
