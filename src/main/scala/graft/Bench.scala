@@ -40,7 +40,16 @@ object Bench {
     // caches — dedup-family numbers are the honest per-run cost (the
     // r2/r3 "fast" numbers measured a cache leaked across runs). Cache
     // is still cleared BETWEEN queries.
+    // SPARK_GRAFT_QUERIES=q20_minhash,q64_dedup_clusters restricts the
+    // sweep (scale-curvature runs bench only the heavy families at sf1);
+    // unset = full suite. SPARK_GRAFT_BENCH_OUT redirects the full-map
+    // file (default BENCH_FULL.json) so a subset run cannot clobber the
+    // official full-suite record.
+    val subset = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => subset.forall(_.contains(n)) }
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try run(fn(spark, sfDir))
@@ -51,14 +60,26 @@ object Bench {
     }
     val pass1 = names.map { case (name, fn) => name -> once(fn) }.toMap
     val pass2 = names.map { case (name, fn) => name -> once(fn) }.toMap
+    // Third sweep membership (r6 verdict): queries whose two samples
+    // disagree by >1.5x (noise suspected) PLUS every query whose best
+    // sample is >=2s — the expensive families are exactly where a
+    // load-inflated min misleads the baseline comparison most, so they
+    // always get three sweep-separated chances.
     val noisy = names.filter { case (name, _) =>
       val (a, b) = (pass1(name), pass2(name))
-      math.max(a, b) / math.min(a, b) > 1.5
+      math.max(a, b) / math.min(a, b) > 1.5 || math.min(a, b) >= 2.0
     }
     val pass3 = noisy.map { case (name, fn) => name -> once(fn) }.toMap
-    val results = names.map { case (name, _) =>
-      name -> (Seq(pass1(name), pass2(name)) ++ pass3.get(name)).min
-    }
+    def samples(name: String): Seq[Double] =
+      Seq(pass1(name), pass2(name)) ++ pass3.get(name)
+    val results = names.map { case (name, _) => name -> samples(name).min }
+    // load_suspect: after all sweeps the samples STILL spread >1.5x.
+    // The min is reported either way (it is the best lower bound on the
+    // plan's cost), but the flag tells the consumer that ambient load
+    // touched this query in at least one sweep — distinguishing "noisy
+    // environment" from "genuinely slow plan" without a re-run.
+    val loadSuspect = names.collect { case (name, _)
+      if samples(name).max / samples(name).min > 1.5 => name }
     val total = results.map(_._2).sum
     def render(rs: Seq[(String, Double)]): String = rs.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
@@ -80,9 +101,10 @@ object Bench {
         (Seq(pass1(name), pass2(name)) ++ pass3.get(name))
           .map(v => f"$v%.3f").mkString(",") + "]"
     }.mkString("{", ",", "}")
+    val suspectJson = loadSuspect.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"queries":${render(headline)},"sf":"$sfDir"}"""
-    val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"queries":${render(results)},"passes":$passes,"sf":"$sfDir"}"""
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+    val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"queries":${render(results)},"passes":$passes,"load_suspect":$suspectJson,"sf":"$sfDir"}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (full + "\n").getBytes("UTF-8"))
     println(line)
     spark.stop()

@@ -76,6 +76,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_snapshot"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.GraftFunctions.snapshotPlanBuilder(exprs)))
+    // ops-surface table functions (round-7): standing-store serving
+    // views and the data-contract report, for SQL-only sessions —
+    // SELECT * FROM graft_rollup('/store') | graft_card('/store') |
+    // graft_constraints('/tbl.parquet', 'not_null:id;unique:id')
+    e.injectTableFunction((FunctionIdentifier("graft_rollup"),
+      new ExpressionInfo(graft.functions.GraftFunctions.getClass.getName,
+        "graft_rollup"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.GraftFunctions.rollupPlanBuilder(exprs)))
+    e.injectTableFunction((FunctionIdentifier("graft_card"),
+      new ExpressionInfo(graft.functions.GraftFunctions.getClass.getName,
+        "graft_card"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.GraftFunctions.cardPlanBuilder(exprs)))
+    e.injectTableFunction((FunctionIdentifier("graft_constraints"),
+      new ExpressionInfo(graft.functions.GraftFunctions.getClass.getName,
+        "graft_constraints"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.GraftFunctions.constraintsPlanBuilder(exprs)))
   }
 }
 

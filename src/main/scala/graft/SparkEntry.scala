@@ -2337,6 +2337,56 @@ object SparkEntry {
           round(col("var__o_totalprice"), 4).as("var_price"),
           round(col("stddev__o_totalprice"), 4).as("stddev_price"))
         .orderBy(col("o_orderpriority"))
+    }),
+
+    // the data card read back through PURE SQL: the store is built
+    // programmatically (two folds), then served by the graft_card(dir)
+    // table function, which reconstructs the Card from the persisted
+    // _graft_spec.json sidecar — histogram bin edges included, which
+    // the state schema alone cannot encode. The Q2 ad-hoc-SQL story
+    // extended to the ops surface.
+    "q130_sql_card" -> ((s, dir) => {
+      val store = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_sqlcard_${Integer.toHexString(dir.hashCode)}_$jvmToken")
+        .getAbsolutePath
+      val card = operators.DataCard.Card(
+        nulls = Seq("lang"), sums = Seq("n_chars"),
+        mins = Seq("n_chars"), maxs = Seq("n_chars"),
+        ndvs = Seq("source"),
+        hists = Seq(operators.Rollup.HistSpec("n_chars", 0.0, 2000.0, 8)),
+        vars = Seq("n_chars"))
+      val docs = t(s, dir, "documents") // also registers graft_card
+      operators.DataCard.init(s, store,
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0), card)
+      operators.DataCard.fold(s, store,
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1), card)
+      s.sql(
+        s"""SELECT n_rows, nulls__lang, sum__n_chars, avg__n_chars,
+              round(var__n_chars, 4) AS var_nc,
+              round(stddev__n_chars, 4) AS std_nc,
+              min__n_chars, max__n_chars,
+              CAST(ndv__source AS BIGINT) AS ndv_src,
+              element_at(hist__n_chars, 1) AS h_lo,
+              element_at(hist__n_chars, 8) AS h_hi
+            FROM graft_card('$store') ORDER BY n_rows""")
+    }),
+
+    // the data-contract report through PURE SQL: graft_constraints
+    // parses its compact check DSL (incl. a pred whose SQL body rides
+    // after the second colon and a ref against another parquet path)
+    // and returns the same one-row-per-check report the programmatic
+    // q124 produces. Deliberately different checks from q124 so the
+    // two queries cannot mask each other.
+    "q131_sql_constraints" -> ((s, dir) => {
+      t(s, dir, "lineitem") // registers graft_constraints
+      val spec = "not_null:l_orderkey;range:l_quantity:1:25;" +
+        "set:l_linestatus:F|O;pred:low_disc:l_discount <= 0.05;" +
+        "unique:l_orderkey,l_linenumber;" +
+        s"ref:l_partkey:$dir/part.parquet:p_partkey"
+      s.sql(
+        s"""SELECT check AS chk, violations, n_rows, pass
+            FROM graft_constraints('$dir/lineitem.parquet', '$spec')
+            ORDER BY chk""")
     })
   )
 
@@ -3204,6 +3254,65 @@ object SparkEntry {
            round(sqrt(greatest((sq - sm * sm / cnt) / cnt, 0)), 4)
              AS stddev_price
          FROM s ORDER BY o_orderpriority""",
+    // the q126/q129 decimal-exact profile arithmetic over documents,
+    // plus the two clamped edge-bin counts (width 2000/8 = 250) the
+    // SQL-served hist__n_chars array exposes via element_at.
+    "q130_sql_card" ->
+      """WITH s AS (
+           SELECT count(*) AS n_rows,
+             CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS nulls__lang,
+             count(n_chars) AS cnt,
+             CAST(sum(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE) AS sm,
+             CAST(sum(CAST(n_chars AS DECIMAL(18,2))
+                      * CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE) AS sq,
+             min(n_chars) AS min__n_chars,
+             max(n_chars) AS max__n_chars,
+             count(DISTINCT source) AS ndv_src,
+             CAST(sum(CASE WHEN least(7, greatest(0,
+                 CAST(floor(n_chars / 250.0) AS INT))) = 0
+               THEN 1 ELSE 0 END) AS BIGINT) AS h_lo,
+             CAST(sum(CASE WHEN least(7, greatest(0,
+                 CAST(floor(n_chars / 250.0) AS INT))) = 7
+               THEN 1 ELSE 0 END) AS BIGINT) AS h_hi
+           FROM documents)
+         SELECT n_rows, nulls__lang, sm AS sum__n_chars,
+           sm / cnt AS avg__n_chars,
+           round((sq - sm * sm / cnt) / cnt, 4) AS var_nc,
+           round(sqrt(greatest((sq - sm * sm / cnt) / cnt, 0)), 4)
+             AS std_nc,
+           min__n_chars, max__n_chars, ndv_src, h_lo, h_hi
+         FROM s ORDER BY n_rows""",
+    // q124's report shape over a DIFFERENT check list (tighter range,
+    // a pred with strict-null semantics, ref against part): one
+    // violation count per check, same names the DSL parser derives.
+    "q131_sql_constraints" ->
+      """WITH n AS (SELECT count(*) AS n_rows FROM lineitem),
+         v AS (
+           SELECT 'not_null(l_orderkey)' AS chk,
+             (SELECT count(*) FROM lineitem WHERE l_orderkey IS NULL)
+               AS violations
+           UNION ALL SELECT 'in_range(l_quantity)',
+             (SELECT count(*) FROM lineitem WHERE l_quantity IS NOT NULL
+                AND NOT (l_quantity BETWEEN 1 AND 25))
+           UNION ALL SELECT 'in_set(l_linestatus)',
+             (SELECT count(*) FROM lineitem WHERE l_linestatus IS NOT NULL
+                AND l_linestatus NOT IN ('F', 'O'))
+           UNION ALL SELECT 'low_disc',
+             (SELECT count(*) FROM lineitem
+              WHERE l_discount IS NULL OR NOT (l_discount <= 0.05))
+           UNION ALL SELECT 'unique(l_orderkey,l_linenumber)',
+             (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) FROM
+               (SELECT count(*) AS c FROM lineitem
+                GROUP BY l_orderkey, l_linenumber) WHERE c > 1)
+           UNION ALL SELECT 'ref(l_partkey->p_partkey)',
+             (SELECT count(*) FROM lineitem l
+              WHERE l.l_partkey IS NOT NULL AND NOT EXISTS
+                (SELECT 1 FROM part p
+                 WHERE p.p_partkey = l.l_partkey)))
+         SELECT v.chk, v.violations, n.n_rows,
+           v.violations = 0 AS pass
+         FROM v, n ORDER BY chk""",
     "q63_mapgroups_slope" ->
       """WITH b AS (SELECT o_orderpriority,
              CAST(datediff('day', TIMESTAMP '1992-01-01', o_orderdate) AS BIGINT) AS x,

@@ -27,6 +27,9 @@ object GraftFunctions {
   val FreqItemsName = "graft_freq_items"
   val H60Name = "graft_h60"
   val SnapshotName = "graft_snapshot"
+  val RollupName = "graft_rollup"
+  val CardName = "graft_card"
+  val ConstraintsName = "graft_constraints"
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -63,6 +66,16 @@ object GraftFunctions {
     // SELECT * FROM graft_snapshot('/path/to/snap'[, version])
     spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
       SnapshotName, snapshotPlanBuilder, "built-in")
+    // the ops surface for SQL-only sessions: serving views of standing
+    // rollup/card stores, and the data-contract report over any parquet
+    // path — SELECT * FROM graft_rollup('/store'),
+    // graft_card('/store'), graft_constraints('/tbl.parquet', '<spec>')
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      RollupName, rollupPlanBuilder, "built-in")
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      CardName, cardPlanBuilder, "built-in")
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      ConstraintsName, constraintsPlanBuilder, "built-in")
   }
 
   /** Builder behind the `graft_snapshot(dir[, version])` table function
@@ -89,6 +102,130 @@ object GraftFunctions {
           graft.GraftExtensions.foldableIntArg(SnapshotName, exprs, 1).longValue)
       else graft.operators.Merge.readSnapshot(spark, dir)
     df.queryExecution.analyzed
+  }
+
+  /** `graft_rollup(dir)`: the finalized serving view of a standing
+    * [[graft.operators.Rollup]] store, for SQL-only sessions. The
+    * store's persisted spec sidecar (written by every init/fold since
+    * round 7) supplies the measure list and histogram bin edges the
+    * state schema alone cannot encode; a pre-sidecar store fails
+    * analysis with a message saying one fold will self-heal it. */
+  private[graft] def rollupPlanBuilder(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    val (dir, spark, spec) = storeArgs(RollupName, exprs)
+    graft.operators.Rollup.finalized(
+      graft.operators.Rollup.read(spark, dir), spec)
+      .queryExecution.analyzed
+  }
+
+  /** `graft_card(dir)`: the one-row data card of a standing
+    * [[graft.operators.DataCard]] store — same resolution path as
+    * [[rollupPlanBuilder]], plus the card's null-count renames. */
+  private[graft] def cardPlanBuilder(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    import org.apache.spark.sql.AnalysisException
+    val (dir, spark, spec) = storeArgs(CardName, exprs)
+    val card = graft.operators.DataCard.fromRollupSpec(spec).getOrElse(
+      throw new AnalysisException("INVALID_PARAMETER_VALUE.PATTERN", Map(
+        "parameter" -> "dir", "functionName" -> CardName,
+        "value" -> (s"'$dir' (a rollup store, not a data-card store — " +
+          s"read it with $RollupName)"))))
+    graft.operators.DataCard.read(spark, dir, card)
+      .queryExecution.analyzed
+  }
+
+  /** Shared tail of the store TVFs: path arg + persisted-spec lookup. */
+  private def storeArgs(fn: String,
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : (String, SparkSession, graft.operators.Rollup.Spec) = {
+    import org.apache.spark.sql.AnalysisException
+    if (exprs.size != 1)
+      throw new AnalysisException("WRONG_NUM_ARGS.WITHOUT_SUGGESTION", Map(
+        "functionName" -> fn, "expectedNum" -> "1",
+        "actualNum" -> exprs.size.toString,
+        "docroot" -> "https://spark.apache.org/docs/latest"))
+    val dir = graft.GraftExtensions.foldableStringArg(fn, exprs, 0)
+    val spark = SparkSession.active
+    val spec = graft.operators.Rollup.readSpec(spark, dir).getOrElse(
+      throw new AnalysisException("INVALID_PARAMETER_VALUE.PATTERN", Map(
+        "parameter" -> "dir", "functionName" -> fn,
+        "value" -> (s"'$dir' (no readable _graft_spec.json sidecar — a " +
+          "store written before spec persistence; one programmatic " +
+          "fold rewrites it)"))))
+    (dir, spark, spec)
+  }
+
+  /** `graft_constraints(path, spec)`: the data-contract report over a
+    * parquet path for SQL-only sessions — one row per check, same
+    * shape as [[graft.operators.Constraints.report]]. `spec` is a
+    * compact check list, `;`-separated:
+    *
+    *  - `not_null:col`
+    *  - `range:col:lo:hi` (NULL passes; numeric bounds)
+    *  - `set:col:v1|v2|v3` (NULL passes)
+    *  - `pred:name:<sql boolean expr>` (NULL = violation; the expr is
+    *    everything after the second `:`, so it may itself contain `:`)
+    *  - `unique:c1,c2`
+    *  - `ref:col:dimPath:dimCol` (every non-null col value must appear
+    *    in the parquet table at dimPath's dimCol)
+    *
+    * The report is a bounded driver-side aggregate (one row per check),
+    * so materializing it at analysis time — like `graft_snapshot`
+    * resolving its manifest — keeps the TVF a plain LocalRelation. */
+  private[graft] def constraintsPlanBuilder(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    import org.apache.spark.sql.AnalysisException
+    import graft.operators.Constraints
+    if (exprs.size != 2)
+      throw new AnalysisException("WRONG_NUM_ARGS.WITHOUT_SUGGESTION", Map(
+        "functionName" -> ConstraintsName, "expectedNum" -> "2",
+        "actualNum" -> exprs.size.toString,
+        "docroot" -> "https://spark.apache.org/docs/latest"))
+    val path = graft.GraftExtensions.foldableStringArg(ConstraintsName, exprs, 0)
+    val specStr = graft.GraftExtensions.foldableStringArg(ConstraintsName, exprs, 1)
+    val spark = SparkSession.active
+    def bad(item: String, why: String): Nothing =
+      throw new AnalysisException("INVALID_PARAMETER_VALUE.PATTERN", Map(
+        "parameter" -> "spec", "functionName" -> ConstraintsName,
+        "value" -> s"'$item' ($why)"))
+    val checks = specStr.split(";").map(_.trim).filter(_.nonEmpty).toSeq
+      .map { item =>
+        item.split(":", 2).toSeq match {
+          case Seq("not_null", c) => Constraints.NotNull(c)
+          case Seq("range", rest) => rest.split(":") match {
+            case Array(c, lo, hi) =>
+              try Constraints.InRange(c, lo.toDouble, hi.toDouble)
+              catch { case _: NumberFormatException =>
+                bad(item, "non-numeric bound") }
+            case _ => bad(item, "expected range:col:lo:hi")
+          }
+          case Seq("set", rest) => rest.split(":") match {
+            case Array(c, vs) =>
+              Constraints.InSet(c, vs.split("\\|").toSeq)
+            case _ => bad(item, "expected set:col:v1|v2")
+          }
+          case Seq("pred", rest) => rest.split(":", 2) match {
+            case Array(n, sql) if sql.nonEmpty =>
+              Constraints.Predicate(n,
+                org.apache.spark.sql.functions.expr(sql))
+            case _ => bad(item, "expected pred:name:<sql>")
+          }
+          case Seq("unique", cs) =>
+            Constraints.Unique(cs.split(",").map(_.trim).toSeq)
+          case Seq("ref", rest) => rest.split(":") match {
+            case Array(c, dimPath, dimCol) =>
+              Constraints.Ref(c, spark.read.parquet(dimPath), dimCol)
+            case _ => bad(item, "expected ref:col:dimPath:dimCol")
+          }
+          case _ => bad(item, "unknown check kind")
+        }
+      }
+    if (checks.isEmpty) bad(specStr, "empty spec")
+    Constraints.report(spark, spark.read.parquet(path), checks)
+      .queryExecution.analyzed
   }
 
   /** Codegen'd dot product (double) of two float/double arrays. */

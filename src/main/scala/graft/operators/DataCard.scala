@@ -43,6 +43,21 @@ object DataCard {
       mins = mins, maxs = maxs, ndvs = ndvs, hists = hists, vars = vars)
   }
 
+  /** Invert a persisted rollup spec back into the Card that produced
+    * it (the `graft_card(dir)` SQL path): a card's rollup spec is
+    * exactly the constant `__card` key plus `isnull__`-prefixed sum
+    * columns for the null counts, so both are mechanically recoverable.
+    * None = not a card store (a plain rollup). */
+  def fromRollupSpec(spec: Rollup.Spec): Option[Card] =
+    if (spec.keys != Seq(KeyCol)) None
+    else {
+      val (nullSums, plainSums) =
+        spec.sums.partition(_.startsWith("isnull__"))
+      Some(Card(nulls = nullSums.map(_.stripPrefix("isnull__")),
+        sums = plainSums, mins = spec.mins, maxs = spec.maxs,
+        ndvs = spec.ndvs, hists = spec.hists, vars = spec.vars))
+    }
+
   private def stage(df: DataFrame, card: Card): DataFrame =
     card.nulls.foldLeft(df.withColumn(KeyCol, lit("all"))) { (d, c) =>
       d.withColumn(s"isnull__$c", col(c).isNull.cast("double"))

@@ -145,8 +145,10 @@ object Rollup {
     * `tag` stamps the commit with a writer idempotency token (see
     * [[graft.streaming.RollupStream]]); batch use leaves it None. */
   def init(spark: SparkSession, storeDir: String, batch: DataFrame,
-      spec: Spec, tag: Option[String] = None): Unit =
+      spec: Spec, tag: Option[String] = None): Unit = {
     commit(spark, storeDir, state(batch, spec), tag)
+    writeSpec(spark, storeDir, spec)
+  }
 
   /** Fold one batch into the standing rollup: aggregate the batch,
     * merge with the stored state, commit a new generation. Reads ONLY
@@ -156,6 +158,9 @@ object Rollup {
     val standing = Merge.readSnapshot(spark, storeDir)
     commit(spark, storeDir,
       mergeStates(standing.unionByName(state(batch, spec)), spec), tag)
+    // keeps pre-sidecar stores self-healing: the first fold after this
+    // change (or after a torn sidecar write) restores the spec
+    writeSpec(spark, storeDir, spec)
   }
 
   /** The idempotency tag the LIVE commit carries, if any — what a
@@ -263,6 +268,74 @@ object Rollup {
     standing.exceptAll(scratch).withColumn("side", lit("standing"))
       .unionByName(scratch.exceptAll(standing)
         .withColumn("side", lit("scratch")))
+  }
+
+  /** Spec sidecar name: what makes a rollup store SELF-DESCRIBING.
+    * The state schema alone cannot be inverted into a Spec (histogram
+    * bin edges are not recoverable from `h3__price` column names), so
+    * pure-SQL readers — `graft_card(dir)` / `graft_rollup(dir)` — need
+    * the spec persisted next to the state. */
+  private val SpecFile = "_graft_spec.json"
+
+  /** Persist the spec as a JSON sidecar (idempotent overwrite: the
+    * content is a pure function of the spec, and every init/fold
+    * rewrites it, so a torn write self-heals on the next fold). */
+  def writeSpec(spark: SparkSession, storeDir: String, spec: Spec): Unit = {
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods
+    val j = ("version" -> 1) ~ ("keys" -> spec.keys) ~
+      ("sums" -> spec.sums) ~ ("mins" -> spec.mins) ~
+      ("maxs" -> spec.maxs) ~ ("ndvs" -> spec.ndvs) ~
+      ("vars" -> spec.vars) ~
+      ("hists" -> spec.hists.map(h =>
+        ("col" -> h.col) ~ ("lo" -> h.lo) ~ ("hi" -> h.hi) ~
+          ("bins" -> h.bins)))
+    val dir = new Path(storeDir)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(new Path(dir, SpecFile), true)
+    try out.write(JsonMethods.compact(JsonMethods.render(j)).getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Read the persisted spec back; None when the store predates spec
+    * sidecars (or the sidecar is torn — the next fold rewrites it). */
+  def readSpec(spark: SparkSession, storeDir: String): Option[Spec] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val dir = new Path(storeDir)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val p = new Path(dir, SpecFile)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      try {
+        val j = JsonMethods.parse(txt)
+        def strs(f: String): Seq[String] = j \ f match {
+          case JArray(xs) => xs.collect { case JString(s) => s }
+          case _ => Nil
+        }
+        def num(v: JValue): Double = v match {
+          case JDouble(d) => d
+          case JInt(i) => i.toDouble
+          case JLong(l) => l.toDouble
+          case JDecimal(d) => d.toDouble
+          case _ => throw new IllegalArgumentException("non-numeric")
+        }
+        val hists = j \ "hists" match {
+          case JArray(hs) => hs.map { h =>
+            val JString(c) = h \ "col"
+            HistSpec(c, num(h \ "lo"), num(h \ "hi"),
+              num(h \ "bins").toInt)
+          }
+          case _ => Nil
+        }
+        Some(Spec(strs("keys"), strs("sums"), strs("mins"), strs("maxs"),
+          strs("ndvs"), hists, strs("vars")))
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
   }
 
   /** Whole-state manifest commit, through the ONE shared protocol

@@ -1,0 +1,164 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic fixture scale-up: replicates an sf0.1 directory k times
+  * with key remapping so the result is a VALID larger instance of the same
+  * schema, not k exact copies of the same rows.
+  *
+  * Design goals (this fixture exists to measure scale CURVATURE — sec vs
+  * rows — of the heavy operator families, so the scale-up must not distort
+  * the per-row work profile):
+  *
+  *  - **Join fan-out is preserved.** Every foreign key is remapped with the
+  *    same stride as its referenced primary key (copy i of lineitem points
+  *    at copy i of orders/part/supplier), so per-key join cardinalities are
+  *    IDENTICAL to the source fixture — a join that was 1:4 at sf0.1 is
+  *    still 1:4 at sf1, there are just 10x more keys.
+  *  - **Near-dup pair density scales linearly.** Documents in copy i>0 get
+  *    every token salted with "~i", making cross-copy Jaccard/MinHash
+  *    similarity 0 while intra-copy shingle structure is byte-identical.
+  *    The true near-dup pair count at factor k is exactly k times the
+  *    source count — if a pairs-finding query grows super-linearly at sf1,
+  *    that is the ALGORITHM's curvature, not an artifact of the fixture
+  *    quadratically inflating the answer.
+  *  - **Embedding geometry scales linearly.** Copy i>0 vectors are rotated
+  *    by i positions (norm-preserving); cross-copy cosine is then
+  *    incidental (~random), so ANN/SemDeDup cluster structure replicates
+  *    per copy instead of collapsing into one dense ball.
+  *  - **Stream density is preserved.** Events keep their timestamps but get
+  *    fresh user_ids per copy, so per-user/per-minute densities (and thus
+  *    sessionization and window costs per key) match the source.
+  *
+  * region/nation are TPC-H-style fixed dimensions and are copied verbatim.
+  * Copy 0 is the source data unchanged. Everything is a pure column
+  * expression over a replicate-factor explode — no UDFs, no driver loops —
+  * so generating sf1 (6M lineitem) takes seconds on local[32].
+  *
+  * Usage: runMain graft.tools.ScaleFixture <srcDir> <dstDir> <factor>
+  */
+object ScaleFixture {
+  def main(args: Array[String]): Unit = {
+    val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val dst = if (args.length > 1) args(1) else "target/sf1"
+    val k = if (args.length > 2) args(2).toInt else 10
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    scale(spark, src, dst, k)
+    spark.stop()
+  }
+
+  /** Cross-join each row with copy ids 0..k-1. The tiny copies frame is the
+    * broadcast side; the fan-out happens executor-side, one output row per
+    * (row, copy). */
+  private def replicate(df: DataFrame, k: Int): DataFrame = {
+    val copies = df.sparkSession.range(0, k).toDF("__copy")
+    df.crossJoin(broadcast(copies))
+  }
+
+  /** Stride for a key column: the smallest power of ten > max(key), so
+    * remapped keys are disjoint per copy and stay human-readable. Strides
+    * are derived from the SOURCE fixture only — deterministic given src. */
+  private def stride(df: DataFrame, col: String): Long = {
+    val mx = df.agg(max(col)).head.getLong(0)
+    var s = 1L
+    while (s <= mx) s *= 10
+    s
+  }
+
+  def scale(spark: SparkSession, src: String, dst: String, k: Int): Unit = {
+    def rd(name: String) = spark.read.parquet(s"$src/$name.parquet")
+    def wr(df: DataFrame, name: String, parts: Int): Unit =
+      df.repartition(parts).write.mode("overwrite")
+        .parquet(s"$dst/$name.parquet")
+    def remap(c: String, s: Long) = (col(c) + col("__copy") * s).as(c)
+
+    // fixed dimensions: verbatim
+    wr(rd("region"), "region", 1)
+    wr(rd("nation"), "nation", 1)
+
+    val customer = rd("customer")
+    val supplier = rd("supplier")
+    val part = rd("part")
+    val orders = rd("orders")
+    val lineitem = rd("lineitem")
+    val events = rd("events")
+    val documents = rd("documents")
+    val embeddings = rd("embeddings")
+
+    val ckS = stride(customer, "c_custkey")
+    val skS = stride(supplier, "s_suppkey")
+    val pkS = stride(part, "p_partkey")
+    val okS = stride(orders, "o_orderkey")
+    val uidS = stride(events, "user_id")
+    val eidS = stride(events, "event_id")
+    val didS = stride(documents, "doc_id")
+    val vidS = stride(embeddings, "vec_id")
+
+    wr(replicate(customer, k).select(
+      remap("c_custkey", ckS), col("c_name"), col("c_nationkey"),
+      col("c_acctbal"), col("c_mktsegment")), "customer", math.max(1, k / 2))
+
+    wr(replicate(supplier, k).select(
+      remap("s_suppkey", skS), col("s_name"), col("s_nationkey"),
+      col("s_acctbal")), "supplier", 1)
+
+    wr(replicate(part, k).select(
+      remap("p_partkey", pkS), col("p_name"), col("p_brand"),
+      col("p_type"), col("p_size"), col("p_retailprice")),
+      "part", math.max(1, k / 2))
+
+    wr(replicate(orders, k).select(
+      remap("o_orderkey", okS), remap("o_custkey", ckS),
+      col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+      col("o_orderpriority")), "orders", k)
+
+    wr(replicate(lineitem, k).select(
+      remap("l_orderkey", okS), remap("l_partkey", pkS),
+      remap("l_suppkey", skS), col("l_linenumber"), col("l_quantity"),
+      col("l_extendedprice"), col("l_discount"), col("l_tax"),
+      col("l_returnflag"), col("l_linestatus"), col("l_shipdate")),
+      "lineitem", 2 * k)
+
+    // events: fresh ids per copy, same timestamps -> per-user and
+    // per-minute densities match the source; total stream is k x wider.
+    wr(replicate(events, k).select(
+      remap("event_id", eidS), col("ts"), remap("user_id", uidS),
+      col("event_type"), col("value"), col("props")), "events", k)
+
+    // documents: copy 0 verbatim; copy i>0 salts every whitespace token
+    // with "~i" so cross-copy shingle overlap is zero. n_chars tracks the
+    // rewritten text (the salt adds ~2 chars per token).
+    val salted = when(col("__copy") === 0, col("text")).otherwise(
+      concat_ws(" ", transform(split(col("text"), " "),
+        w => concat(w, lit("~"), col("__copy")))))
+    wr(replicate(documents, k)
+      .withColumn("text", salted)
+      .select(remap("doc_id", didS), col("text"), col("lang"),
+        col("source"), length(col("text")).cast("long").as("n_chars")),
+      "documents", k)
+
+    // embeddings: copy i rotated left by i positions. |v| is unchanged, so
+    // normalized-cosine paths behave identically within a copy.
+    val dim = size(col("embedding"))
+    val rot = concat(
+      slice(col("embedding"), (col("__copy") % dim) + 1, dim),
+      slice(col("embedding"), lit(1), col("__copy") % dim))
+    wr(replicate(embeddings, k)
+      .withColumn("embedding",
+        when(col("__copy") === 0, col("embedding")).otherwise(rot))
+      .select(remap("vec_id", vidS), col("embedding"), col("label")),
+      "embeddings", math.max(1, k / 2))
+
+    val counts = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+      .map(t => t -> spark.read.parquet(s"$dst/$t.parquet").count())
+    println("SCALED " + counts.map { case (t, n) => s"$t=$n" }.mkString(" "))
+  }
+}

@@ -206,6 +206,89 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .as[String].head() === "x")
   }
 
+  test("graft_rollup / graft_card serve standing stores to SQL-only sessions") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("tvf-ops").toString
+    // a keyed rollup with a histogram: the finalized view (derived avg,
+    // hist array) must come back through pure SQL — bin edges resolved
+    // from the persisted spec sidecar, which the state schema alone
+    // cannot supply
+    val h = graft.operators.Rollup.HistSpec("x", 0.0, 10.0, 5)
+    val spec = graft.operators.Rollup.Spec(keys = Seq("k"),
+      sums = Seq("x"), hists = Seq(h))
+    val rdir = root + "/rollup"
+    graft.operators.Rollup.init(spark, rdir,
+      Seq(("a", 1.0), ("a", 3.0), ("b", 9.0)).toDF("k", "x"), spec)
+    graft.operators.Rollup.fold(spark, rdir,
+      Seq(("a", 5.0)).toDF("k", "x"), spec)
+    val r = ext.sql(s"""SELECT k, n_rows, sum__x, avg__x,
+        element_at(hist__x, 1) AS h0, element_at(hist__x, 3) AS h2
+      FROM graft_rollup('$rdir') ORDER BY k""").collect()
+    assert(r.map(_.getString(0)).toSeq === Seq("a", "b"))
+    assert(r(0).getAs[Double]("sum__x") === 9.0)
+    assert(r(0).getAs[Double]("avg__x") === 3.0)
+    assert(r(0).getAs[Long]("h0") === 1L) // x=1 in [0,2)
+    assert(r(0).getAs[Long]("h2") === 1L) // x=5 in [4,6); x=3 is bin 1
+
+    // a data-card store resolves through graft_card with its null-count
+    // rename; reading it as graft_card requires the __card key
+    val cdir = root + "/card"
+    val card = graft.operators.DataCard.Card(
+      nulls = Seq("name"), sums = Seq("x"), vars = Seq("x"))
+    graft.operators.DataCard.init(spark, cdir,
+      Seq((Some("n1"), 2.0), (None, 4.0)).toDF("name", "x"), card)
+    val c = ext.sql(s"""SELECT n_rows, nulls__name, sum__x, var__x
+      FROM graft_card('$cdir')""").head()
+    assert(c.getAs[Long]("n_rows") === 2L)
+    assert(c.getAs[Long]("nulls__name") === 1L)
+    assert(c.getAs[Double]("sum__x") === 6.0)
+    assert(c.getAs[Double]("var__x") === 1.0)
+    // cross-reads fail with a pointed message instead of a wrong shape
+    val notCard = intercept[Exception] {
+      ext.sql(s"SELECT * FROM graft_card('$rdir')").collect()
+    }
+    assert(notCard.getMessage.contains("graft_rollup"), notCard.getMessage)
+    // a store without a sidecar (pre-round-7) names the self-heal path
+    val bare = root + "/bare"
+    graft.streaming.MergeSink.applyBatch(spark,
+      Seq((1L, "I", 1L)).toDF("k", "op", "seq"),
+      bare, "k", "op", "seq", manifestCommit = true)
+    val noSpec = intercept[Exception] {
+      ext.sql(s"SELECT * FROM graft_rollup('$bare')").collect()
+    }
+    assert(noSpec.getMessage.contains("_graft_spec.json"), noSpec.getMessage)
+  }
+
+  test("graft_constraints parses its DSL and reports per-check (SQL-only)") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("tvf-dq").toString
+    Seq((1L, Some(10.0), "x"), (2L, Some(99.0), "y"), (2L, None, "z"))
+      .toDF("id", "v", "s").write.parquet(root + "/t.parquet")
+    Seq(1L, 2L).toDF("id").write.parquet(root + "/dim.parquet")
+    val rows = ext.sql(
+      s"""SELECT check, violations, pass
+          FROM graft_constraints('$root/t.parquet',
+            'not_null:v;range:v:0:50;set:s:x|y;unique:id;
+             pred:v_eq_10:v = 10;ref:id:$root/dim.parquet:id')
+          ORDER BY check""").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    assert(rows.toSeq === Seq(
+      ("in_range(v)", 1L, false),   // 99 out of range; NULL passes
+      ("in_set(s)", 1L, false),     // z
+      ("not_null(v)", 1L, false),
+      ("ref(id->id)", 0L, true),
+      ("unique(id)", 2L, false),    // both id=2 rows count
+      ("v_eq_10", 2L, false)))      // 99 fails, NULL is a violation
+    // malformed DSL items fail analysis naming the bad item
+    val bad = intercept[Exception] {
+      ext.sql(s"SELECT * FROM graft_constraints('$root/t.parquet', " +
+        "'range:v:zero:50')").collect()
+    }
+    assert(bad.getMessage.contains("non-numeric"), bad.getMessage)
+  }
+
   // register the reference view on the shared session before the test runs
   graft.sources.Tables.load(SparkSpec.spark, sf0001, "orders")
     .createOrReplaceTempView("oref")

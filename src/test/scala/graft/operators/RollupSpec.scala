@@ -236,4 +236,26 @@ class RollupSpec extends SparkSpec {
     assert(bad.select("side").distinct().as[String].collect().toSet ===
       Set("standing", "scratch"))
   }
+
+  test("spec sidecar: init persists it, readSpec round-trips, fold self-heals") {
+    val store = scratch("rollup-sidecar")
+    val full = Rollup.Spec(keys = Seq("k"), sums = Seq("x", "y"),
+      mins = Seq("x"), maxs = Seq("y"), ndvs = Seq("k"),
+      hists = Seq(Rollup.HistSpec("x", -1.5, 8.5, 4)), vars = Seq("x"))
+    val df = Seq(("a", 1.0, 2.0), ("b", 3.0, 4.0)).toDF("k", "x", "y")
+    Rollup.init(spark, store, df, full)
+    // exact round-trip, histogram edges included (the part the state
+    // schema cannot encode — what graft_rollup/graft_card SQL needs)
+    assert(Rollup.readSpec(spark, store) === Some(full))
+    // a deleted/torn sidecar is restored by the next fold
+    val p = new java.io.File(store, "_graft_spec.json")
+    assert(p.delete())
+    assert(Rollup.readSpec(spark, store) === None)
+    Rollup.fold(spark, store, df, full)
+    assert(Rollup.readSpec(spark, store) === Some(full))
+    // and the sidecar never trips the layout guard or GC: more folds
+    // (which run the preamble GC) keep committing fine
+    Rollup.fold(spark, store, df, full)
+    assert(Rollup.readSpec(spark, store) === Some(full))
+  }
 }
