@@ -34,6 +34,13 @@ import org.apache.spark.sql.functions._
  * un-partitioned whole-manifest fold rewrites the view per commit,
  * fine for group-count-sized views, wrong for corpus-sized ones).
  *
+ * Key-uniqueness is enforced LOUDLY at commit time (the MERGE layer's
+ * multi-non-D guard): a fact batch carrying two rows for one fact key,
+ * a dim delta carrying two rows for one dim key, or a dim whose join
+ * key is not unique all fan out into multiple surviving change rows
+ * per fact key — rejected before the commit instead of silently
+ * duplicating keys in the standing view.
+ *
  * Semantics and limits (pinned by JoinViewSpec + the q123 oracle):
  * INNER join — a fact row with no dim match is dropped (and re-enters
  * via [[foldFacts]] once the dim catches up, since folds are upserts

@@ -477,15 +477,41 @@ object Merge {
     * the merged snapshot once into an immutable generation dir at its
     * final path, then flip the commit pointer ([[ManifestCommit]]). */
   def mergeWholeManifest(spark: SparkSession, snapshotDir: String,
-      changes: DataFrame, key: String, opCol: String = "op"): Unit =
-    commitWholeGeneration(spark, snapshotDir) { (genPath, st) =>
-      val data = ManifestCommit.dataDir(new Path(snapshotDir))
-      val target = st.filter(_.live.nonEmpty)
-        .map(s => spark.read.parquet(new Path(data, s.live.head).toString))
-        .getOrElse(changes.filter(lit(false)).drop(opCol))
-      mergeBatch(target, changes, key, opCol)
-        .write.mode("overwrite").parquet(genPath)
-    }
+      changes0: DataFrame, key: String, opCol: String = "op"): Unit = {
+    // guard + merge both evaluate the change set — cache it for the
+    // duration unless the caller already did (same discipline as
+    // mergePartitioned; a fold whose lineage is a join should not pay
+    // it twice)
+    val cachedHere =
+      changes0.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    val changes = if (cachedHere)
+      changes0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else changes0
+    try {
+      // at most one SURVIVING copy per key (mergeBatch's documented
+      // contract, enforced here where a store commit makes the
+      // corruption durable): two non-D rows for one key would fan the
+      // full-outer join out into a duplicate-keyed snapshot — the
+      // silent failure mode of a dim delta delivered twice or an
+      // uncompacted CDC tail. A D+I pair stays legal (delete-then-
+      // reinsert collapses to one surviving row).
+      val multiNonD = changes.filter(col(opCol) =!= "D")
+        .groupBy(col(key)).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > 1).limit(1).collect()
+      require(multiNonD.isEmpty,
+        s"changes carry multiple non-D rows for one '$key' — compact the " +
+          "batch to at most one surviving change per key " +
+          "(CdcMaterializer.latestSnapshot) before merging")
+      commitWholeGeneration(spark, snapshotDir) { (genPath, st) =>
+        val data = ManifestCommit.dataDir(new Path(snapshotDir))
+        val target = st.filter(_.live.nonEmpty)
+          .map(s => spark.read.parquet(new Path(data, s.live.head).toString))
+          .getOrElse(changes.filter(lit(false)).drop(opCol))
+        mergeBatch(target, changes, key, opCol)
+          .write.mode("overwrite").parquet(genPath)
+      }
+    } finally if (cachedHere) { changes.unpersist(); () }
+  }
 
   /** The whole-snapshot manifest-commit tail — gc → read → layout
     * guards → generation write → pointer flip → post-commit gc — in

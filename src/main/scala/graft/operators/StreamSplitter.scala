@@ -148,8 +148,13 @@ object StreamSplitter {
     // splitOne's). Hadoop FS, not java.io — outDir may be s3://.
     val hadoopConf = spark.sessionState.newHadoopConf()
     val explicit = new org.apache.hadoop.fs.Path(s"$outDir/$schemaName/$tableName")
+    // hive leaf names are percent-escaped by the partitioned writer
+    // (':', '%', …) — build the probe path with the same escaping or a
+    // special-charactered table name probes a path that never exists
+    val esc = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .escapePathName _
     val hive = new org.apache.hadoop.fs.Path(
-      s"$outDir/schema_name=$schemaName/table_name=$tableName")
+      s"$outDir/schema_name=${esc(schemaName)}/table_name=${esc(tableName)}")
     val fs = explicit.getFileSystem(hadoopConf)
     val path = if (fs.exists(explicit)) explicit else hive
     spark.read.option("mergeSchema", "true").parquet(path.toString)

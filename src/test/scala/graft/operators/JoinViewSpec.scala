@@ -72,6 +72,31 @@ class JoinViewSpec extends SparkSpec {
     assert(snap(dir) === before + ((9L, 99L, 9.0, "z", 900.0)))
   }
 
+  test("dup-keyed deltas are rejected before the commit, never silently duplicated") {
+    val dir = tmp("jv-dup")
+    JoinView.init(spark, dir, df(facts0), ddf(dim0), spec)
+    val before = snap(dir)
+    // a dim delta delivered with two versions of one dkey fans the
+    // re-enrich join out into two U rows per affected fact key
+    val e1 = intercept[IllegalArgumentException] {
+      JoinView.foldDim(spark, dir, ddf(Seq((10L, "x", 1.0), (10L, "y", 2.0))), spec)
+    }
+    assert(e1.getMessage.contains("multiple non-D rows"))
+    // a fact batch carrying the same fact key twice
+    val e2 = intercept[IllegalArgumentException] {
+      JoinView.foldFacts(spark, dir, df(Seq((7L, 10L, 7.0), (7L, 10L, 7.5))),
+        ddf(dim0), spec)
+    }
+    assert(e2.getMessage.contains("multiple non-D rows"))
+    // …and a dim whose join key is not unique fans init/foldFacts out
+    val e3 = intercept[IllegalArgumentException] {
+      JoinView.foldFacts(spark, dir, df(Seq((8L, 10L, 8.0))),
+        ddf(dim0 :+ ((10L, "dup", 0.0))), spec)
+    }
+    assert(e3.getMessage.contains("multiple non-D rows"))
+    assert(snap(dir) === before) // store untouched by all three
+  }
+
   test("partitioned store: a fact fold rewrites only its partitions") {
     val dir = tmp("jv-part")
     val pspec = spec.copy(partCol = Some("pday"))

@@ -168,4 +168,21 @@ class MergeTimeTravelSpec extends SparkSpec {
     // and the live read still resolves (falls past the torn files)
     assert(Merge.snapshotVersions(spark, dir).nonEmpty)
   }
+
+  test("whole-manifest merge rejects two surviving changes per key; D+I stays legal") {
+    val dir = tmp("dupguard")
+    def c(rows: (Long, String, String)*) = rows.toDF("k", "op", "name")
+    Merge.mergeWholeManifest(spark, dir, c((1L, "I", "a"), (2L, "I", "b")), "k")
+    // an uncompacted tail: two non-D rows for k=1 → loud rejection,
+    // store untouched (would otherwise commit a duplicate-keyed snapshot)
+    val e = intercept[IllegalArgumentException] {
+      Merge.mergeWholeManifest(spark, dir, c((1L, "U", "x"), (1L, "U", "y")), "k")
+    }
+    assert(e.getMessage.contains("multiple non-D rows"))
+    assert(Merge.readSnapshot(spark, dir).count() === 2)
+    // delete-then-reinsert in one batch: exactly one surviving copy
+    Merge.mergeWholeManifest(spark, dir, c((1L, "D", "a"), (1L, "I", "a2")), "k")
+    assert(Merge.readSnapshot(spark, dir).orderBy("k")
+      .as[(Long, String)].collect().toSeq === Seq((1L, "a2"), (2L, "b")))
+  }
 }

@@ -66,6 +66,24 @@ class StreamSplitterSpec extends SparkSpec {
     assert(hive.count() === 2) // was path-not-found before the layout probe
   }
 
+  test("readSplit probes the ESCAPED hive leaf for special-charactered names") {
+    // a table name with a character the partitioned writer percent-
+    // escapes in the leaf dir (':' → '%3A'): the probe path must apply
+    // the same escaping or it looks for a directory that never exists
+    val weird = fixture.withColumn("metadata",
+      struct(col("metadata.timestamp"), col("metadata.`record-type`"),
+        col("metadata.operation"), col("metadata.`partition-key-type`"),
+        col("metadata.`schema-name`"),
+        when(col("metadata.`table-name`") === "person", lit("per:son"))
+          .otherwise(col("metadata.`table-name`")).as("table-name")))
+    val dir = java.nio.file.Files.createTempDirectory("rs-escape").toString
+    StreamSplitter.splitAll(weird, dir)
+    assert(new java.io.File(
+      s"$dir/schema_name=dms_sample/table_name=per%3Ason").exists())
+    assert(StreamSplitter.readSplit(spark, dir, "dms_sample", "per:son")
+      .count() === 2)
+  }
+
   test("registerSplitTable: persisted partitioned catalog table over the split (S7)") {
     val dir = java.nio.file.Files.createTempDirectory("splitcat").toString
     StreamSplitter.splitAll(fixture, dir)

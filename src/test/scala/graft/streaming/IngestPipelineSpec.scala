@@ -1,0 +1,122 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+import graft.operators.{Constraints, Merge}
+
+/** The end-to-end pipeline (source → contract → landing/quarantine →
+  * per-table merge snapshots → standing ops counters) sustains multiple
+  * micro-batches with conserved rows, a snapshot equal to the
+  * independent latest-per-key fold, exact standing counters, and
+  * BOUNDED state (manifest retention); a restart on the drained
+  * checkpoint changes nothing. */
+class IngestPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val personSchema = StructType(Seq(
+    StructField("ID", LongType), StructField("val", StringType)))
+
+  private def line(i: Int, table: String, op: String, id: Long,
+      rt: String = "data"): String = {
+    val data = if (rt == "control") "null" else s"""{"ID": $id, "val": "v$i"}"""
+    val ts = f"2019-11-13T10:00:${i / 60}%02d.${i % 60}%02d0000Z"
+    s"""{"data": $data, "metadata": {"timestamp": "$ts", "record-type": "$rt", "operation": "$op", "partition-key-type": "primary-key", "schema-name": "dms_sample", "table-name": "$table"}}"""
+  }
+
+  // person key 1: load → update → survives as the update's value
+  // person key 2: load → delete → absent from the snapshot
+  // person key 3: insert only
+  // key -9: contract violation → quarantined, never merged
+  // seat: not a configured sink — lands, counts, no snapshot
+  // one control record: clean (valid envelope), no data row
+  private val lines = Seq(
+    line(0, "person", "load", 1L),
+    line(1, "person", "load", 2L),
+    line(2, "seat", "load", 7L),
+    line(3, "person", "create-table", 0L, rt = "control"),
+    line(4, "person", "update", 1L),
+    line(5, "person", "delete", 2L),
+    line(6, "person", "insert", 3L),
+    line(7, "person", "insert", -9L))
+
+  private def run(root: String, backlog: String,
+      metrics: ArrayBuffer[IngestPipeline.BatchMetric]): IngestPipeline.Config = {
+    val cfg = IngestPipeline.Config(
+      landingDir = s"$root/landing",
+      quarantineDir = s"$root/quarantine",
+      checks = Seq(Constraints.Predicate("valid_id",
+        col("data").isNull ||
+          coalesce(get_json_object(col("data"), "$.ID").cast("long") >= 0,
+            lit(false)))),
+      snapshotRoot = s"$root/snapshots",
+      tables = Seq(IngestPipeline.TableSink(
+        "dms_sample", "person", personSchema, "ID")),
+      opsRollupDir = s"$root/ops",
+      checkpoint = s"$root/ckpt")
+    val raw = spark.readStream.format("graft-kinesis-sim")
+      .option("path", backlog).option("shards", "2")
+      .option("maxRecordsPerTrigger", "3") // forces ≥3 micro-batches
+      .option("keyRegex", "\"ID\": (-?[0-9]+)")
+      .load()
+      .select(col("data").as("value"))
+    val q = IngestPipeline.start(raw, cfg,
+      onBatch = m => { metrics += m; () })
+    q.awaitTermination(120000)
+    cfg
+  }
+
+  test("multi-batch run: conservation, snapshot ≡ latest-per-key, exact counters, bounded state") {
+    val backlog = Files.createTempFile("pipe", ".jsonl")
+    Files.write(backlog, lines.mkString("\n").getBytes("UTF-8"))
+    val root = Files.createTempDirectory("pipe").toString
+    val metrics = ArrayBuffer.empty[IngestPipeline.BatchMetric]
+    val cfg = run(root, backlog.toString, metrics)
+
+    // paced into multiple micro-batches, every row accounted for
+    assert(metrics.size >= 2)
+    assert(metrics.map(_.input).sum === lines.size)
+    assert(metrics.map(_.clean).sum === lines.size - 1)
+    assert(metrics.map(_.quarantined).sum === 1L)
+
+    // landing/quarantine dirs carry exactly the split rows
+    assert(spark.read.json(cfg.landingDir).count() === lines.size - 1)
+    val quarantined = spark.read.json(cfg.quarantineDir)
+    assert(quarantined.count() === 1)
+    assert(quarantined.select(explode(col("violated"))).as[String]
+      .collect().toSeq === Seq("valid_id"))
+
+    // snapshot: update wins, delete erases, violation never entered
+    val snap = IngestPipeline.readSnapshot(spark, cfg, "person")
+      .select("ID", "val").as[(Long, String)].collect().toSet
+    assert(snap === Set((1L, "v4"), (3L, "v6")))
+
+    // standing ops counters == clean envelope group counts (controls in)
+    val got = IngestPipeline.opCounts(spark, cfg.opsRollupDir)
+      .as[(String, String, Long)].collect().toSet
+    assert(got === Set(
+      ("person", "load", 2L), ("person", "create-table", 1L),
+      ("person", "update", 1L), ("person", "delete", 1L),
+      ("person", "insert", 1L), ("seat", "load", 1L)))
+
+    // bounded state: manifest retention caps the version list
+    val versions = Merge.snapshotVersions(spark, s"${cfg.snapshotRoot}/person")
+    assert(versions.size <=
+      graft.operators.ManifestCommit.retention(spark).max(2))
+
+    // restart on the drained checkpoint: no new data, nothing changes
+    val metrics2 = ArrayBuffer.empty[IngestPipeline.BatchMetric]
+    run(root, backlog.toString, metrics2)
+    assert(metrics2.map(_.input).sum === 0L)
+    assert(spark.read.json(cfg.landingDir).count() === lines.size - 1)
+    assert(IngestPipeline.readSnapshot(spark, cfg, "person")
+      .select("ID", "val").as[(Long, String)].collect().toSet === snap)
+    assert(IngestPipeline.opCounts(spark, cfg.opsRollupDir)
+      .as[(String, String, Long)].collect().toSet === got)
+  }
+}
