@@ -47,7 +47,12 @@ object Bench {
     // official full-suite record.
     val subset = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    // a subset run defaults to its OWN file — only a full-suite run may
+    // write BENCH_FULL.json unasked (a partial map silently replacing
+    // the official full-suite record was exactly the clobber this
+    // redirect exists to prevent)
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (subset.isDefined) "BENCH_SUBSET.json" else "BENCH_FULL.json")
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => subset.forall(_.contains(n)) }
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {

@@ -202,8 +202,9 @@ object GraftFunctions {
                 bad(item, "non-numeric bound") }
             case _ => bad(item, "expected range:col:lo:hi")
           }
-          case Seq("set", rest) => rest.split(":") match {
-            case Array(c, vs) =>
+          // split bounded at 2: values may themselves contain ':'
+          case Seq("set", rest) => rest.split(":", 2) match {
+            case Array(c, vs) if vs.nonEmpty =>
               Constraints.InSet(c, vs.split("\\|").toSeq)
             case _ => bad(item, "expected set:col:v1|v2")
           }
@@ -215,11 +216,17 @@ object GraftFunctions {
           }
           case Seq("unique", cs) =>
             Constraints.Unique(cs.split(",").map(_.trim).toSeq)
-          case Seq("ref", rest) => rest.split(":") match {
-            case Array(c, dimPath, dimCol) =>
-              Constraints.Ref(c, spark.read.parquet(dimPath), dimCol)
-            case _ => bad(item, "expected ref:col:dimPath:dimCol")
-          }
+          // dimPath may carry a URI scheme (s3a://…): col is the FIRST
+          // ':'-token, dimCol the LAST — the path is everything between
+          case Seq("ref", rest) =>
+            val firstC = rest.indexOf(':')
+            val lastC = rest.lastIndexOf(':')
+            if (firstC < 0 || lastC <= firstC + 1 ||
+                firstC == 0 || lastC == rest.length - 1)
+              bad(item, "expected ref:col:dimPath:dimCol")
+            val (c, dimPath, dimCol) = (rest.substring(0, firstC),
+              rest.substring(firstC + 1, lastC), rest.substring(lastC + 1))
+            Constraints.Ref(c, spark.read.parquet(dimPath), dimCol)
           case _ => bad(item, "unknown check kind")
         }
       }

@@ -599,16 +599,29 @@ object Multimodal {
    * sliced per frame (no copy of the whole asset per row), and a
    * frame whose bytes fail to decode yields an empty features row
    * (decode failures are DATA, the codec-family contract).
+   *
+   * Codec dispatch is per ASSET, not per frame: an AVI whose video
+   * chunks are not JPEGs (Xvid, cinepak — no SOI marker on the first
+   * chunk) routes to the SAME derived-feature fallback as MP4/MKV,
+   * instead of emitting all-empty rows — a mixed-container corpus
+   * must not systematically degrade one container type. Empty
+   * features remain only for mid-stream corruption INSIDE a genuine
+   * MJPEG stream.
    */
   def sampleFramesDecoded(assets: Dataset[Asset], everyN: Int)(
       implicit spark: SparkSession): Dataset[Frame] = {
     require(everyN >= 1, s"everyN must be >= 1, got $everyN")
     import spark.implicits._
+    def isJpegSoi(p: Array[Byte], off: Int, len: Int): Boolean =
+      len >= 2 && (p(off) & 0xFF) == 0xFF && (p(off + 1) & 0xFF) == 0xD8
     assets.mapPartitions { it =>
       it.flatMap { a =>
         val p = a.payload
-        val ranges = if (p != null) VideoCodec.aviVideoFrames(p)
-                     else IndexedSeq.empty
+        val ranges0 = if (p != null) VideoCodec.aviVideoFrames(p)
+                      else IndexedSeq.empty
+        val ranges = if (ranges0.nonEmpty &&
+            isJpegSoi(p, ranges0.head._1, ranges0.head._2)) ranges0
+          else IndexedSeq.empty // non-MJPEG AVI → derived fallback
         if (ranges.nonEmpty) {
           (0 until ranges.length by everyN).iterator.map { f =>
             val (off, len) = ranges(f)

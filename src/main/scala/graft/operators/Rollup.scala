@@ -292,9 +292,27 @@ object Rollup {
           ("bins" -> h.bins)))
     val dir = new Path(storeDir)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
-    val out = fs.create(new Path(dir, SpecFile), true)
-    try out.write(JsonMethods.compact(JsonMethods.render(j)).getBytes("UTF-8"))
+    val bytes = JsonMethods.compact(JsonMethods.render(j)).getBytes("UTF-8")
+    val live = new Path(dir, SpecFile)
+    // the content is a pure function of the spec, so the steady-state
+    // fold rewrites IDENTICAL bytes — skip those entirely: a
+    // concurrent graft_rollup/graft_card reader then never races a
+    // healthy store's sidecar (the old truncating in-place create
+    // could expose an empty file to it on every fold)
+    if (fs.exists(live)) {
+      val in = fs.open(live)
+      val cur = try in.readAllBytes() finally in.close()
+      if (java.util.Arrays.equals(cur, bytes)) return
+    }
+    // changed (or first write): write-temp-then-rename; the residual
+    // missing-file window exists only across a genuine spec change.
+    // The dot prefix keeps scans from listing the temp as data.
+    val tmp = new Path(dir, s".$SpecFile.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(bytes)
     finally out.close()
+    fs.delete(live, false)
+    require(fs.rename(tmp, live), s"rename $tmp -> $live failed")
   }
 
   /** Read the persisted spec back; None when the store predates spec

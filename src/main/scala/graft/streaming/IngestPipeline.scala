@@ -123,10 +123,12 @@ object IngestPipeline {
                 mergeOp(col("metadata.operation")).as("op"),
                 col("event_ts").as("__seq"))
               .select(col("__d.*"), col("op"), col("__seq"))
-            if (!changes.isEmpty)
-              MergeSink.applyBatch(spark, changes,
-                s"${cfg.snapshotRoot}/${t.tableName}", t.key, "op", "__seq",
-                manifestCommit = true)
+            // no outer isEmpty guard: applyBatch runs crash recovery
+            // FIRST and then handles the empty batch itself — guarding
+            // here would both duplicate the job and skip the recovery
+            MergeSink.applyBatch(spark, changes,
+              s"${cfg.snapshotRoot}/${t.tableName}", t.key, "op", "__seq",
+              manifestCommit = true)
           }
           // 4. standing ops counters (exact under re-delivery: tagged)
           val ops = clean.select(
@@ -135,10 +137,15 @@ object IngestPipeline {
             lit(1L).as("n"))
           RollupStream.foldBatch(spark, ops, batchId, cfg.opsRollupDir,
             opsSpec, token)
+          // one aggregate job for all three counters (input derives)
+          val m = flagged.agg(
+            count(lit(1)).as("n"),
+            coalesce(sum(when(size(col("violated")) > 0, 1L)
+              .otherwise(0L)), lit(0L)).as("bad")).head()
           onBatch(BatchMetric(batchId,
-            input = flagged.count(),
-            clean = clean.count(),
-            quarantined = bad.count(),
+            input = m.getLong(0),
+            clean = m.getLong(0) - m.getLong(1),
+            quarantined = m.getLong(1),
             millis = (System.nanoTime() - t0) / 1000000))
         } finally { flagged.unpersist(); () }
       })

@@ -43,8 +43,13 @@ object PipelineDemo {
     // (insert-only), controls, and contract violations (~2%: negative
     // ID). Timestamps strictly increase with i — event-time order IS
     // backlog order, so "latest per key" is computable independently.
-    def ts(i: Int): String =
-      f"2019-11-13T10:${i / 3600}%02d:${(i / 60) % 60}%02d.${i % 60}%02d0000Z"
+    // proper calendar arithmetic: one second per record from a fixed
+    // base — strictly increasing and parseable for ANY nRecords (a
+    // field-formatted minute would overflow past 216k records and the
+    // unparseable tail would silently quarantine, corrupting metrics)
+    val base = java.time.Instant.parse("2019-11-13T10:00:00Z")
+    def ts(i: Int): String = base.plusSeconds(i.toLong).toString
+      .replace("Z", ".000000Z")
     val persons = 0 until n
     val lines = persons.map { i =>
       val ctl = i % 97 == 0

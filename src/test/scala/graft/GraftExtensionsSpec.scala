@@ -287,6 +287,19 @@ class GraftExtensionsSpec extends AnyFunSuite {
         "'range:v:zero:50')").collect()
     }
     assert(bad.getMessage.contains("non-numeric"), bad.getMessage)
+
+    // ':' inside operands must parse: a URI-schemed ref dimPath
+    // (file:/…) and a set value carrying a colon — the repo's own
+    // object-store posture (s3a:// paths) depends on bounded splits
+    val colons = ext.sql(
+      s"""SELECT check, violations, pass
+          FROM graft_constraints('$root/t.parquet',
+            'ref:id:file:$root/dim.parquet:id;set:s:x|y:z')
+          ORDER BY check""").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    assert(colons.toSeq === Seq(
+      ("in_set(s)", 2L, false),  // set is {x, y:z}: rows y and z fail
+      ("ref(id->id)", 0L, true)))
   }
 
   // register the reference view on the shared session before the test runs

@@ -386,6 +386,26 @@ class MultimodalSpec extends SparkSpec {
     assert(strided.map(_.frame_index).sorted.toSeq === Seq(0, 2))
   }
 
+  test("non-MJPEG AVI routes to the derived fallback, never all-empty rows") {
+    implicit val s = spark
+    import spark.implicits._
+    // an AVI whose 00dc chunks are NOT JPEGs (no FFD8 SOI — an Xvid-
+    // style bitstream): per-asset codec dispatch must send it down the
+    // same derived-feature path as MP4/MKV, not emit empty features
+    // for every frame of exactly one container type
+    val junkFrames = Seq.fill(3)(Array.fill[Byte](64)(0x42))
+    val avi = aviBytes(48, 32, usPerFrame = 40000L, junkFrames)
+    val assets = Seq(Multimodal.Asset(5L, "video/x-msvideo", avi, "t")).toDS()
+    val got = Multimodal.sampleFramesDecoded(assets, everyN = 1)
+      .collect().sortBy(_.frame_index)
+    val derived = Multimodal.sampleFrames(
+      Multimodal.decodeAssets(assets), 1)
+      .collect().sortBy(_.frame_index)
+    assert(got.map(_.features.toSeq).toSeq ===
+      derived.map(_.features.toSeq).toSeq)
+    assert(got.forall(_.features.nonEmpty))
+  }
+
   test("sampleFrames emits every Nth declared frame; non-video emits frame 0 only") {
     implicit val s = spark
     import spark.implicits._
