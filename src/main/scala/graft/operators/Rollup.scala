@@ -171,6 +171,19 @@ object Rollup {
     ManifestCommit.read(fs, dir).flatMap(_.tag)
   }
 
+  /** The idempotency tags of EVERY retained commit (live + history),
+    * newest first. A re-delivery guard that checks only the live tag
+    * is erased by any interleaved writer (a manual backfill fold, a
+    * compaction) committing between the crash and the restart — the
+    * retained-commit scan keeps the guard alive across the whole
+    * retention window. Bounded: retention caps the commit count. */
+  def commitTags(spark: SparkSession, storeDir: String): Seq[String] = {
+    val dir = new Path(storeDir)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    ManifestCommit.versions(fs, dir).sorted.reverse
+      .flatMap(v => ManifestCommit.readVersion(fs, dir, v).flatMap(_.tag))
+  }
+
   /** Whether the store has any committed state yet. */
   def exists(spark: SparkSession, storeDir: String): Boolean = {
     val dir = new Path(storeDir)

@@ -23,7 +23,15 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark) // idempotent
-    if (name == "events")
+    // SESSION-WIDE and deliberate: the conf must stay set while the
+    // returned (lazy) DataFrame executes — the parquet scan consults
+    // it at run time, so a set-read-restore scope would break the DF
+    // it just built. Only an UNSET conf is claimed: a caller who
+    // explicitly configured the legacy nanos decoding keeps their
+    // choice (and an explicit 'false' fails the events read loudly
+    // rather than being silently overridden here).
+    if (name == "events" &&
+        spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").isEmpty)
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     if (name == "events" &&

@@ -103,12 +103,24 @@ class KinesisSimStream(options: CaseInsensitiveStringMap) extends MicroBatchStre
     .getOrElse(throw new IllegalArgumentException("graft-kinesis-sim: 'path' is required"))
   private val shards = options.getInt("shards", 2)
   private val maxPerTrigger = options.getLong("maxRecordsPerTrigger", Long.MaxValue)
+  // fail-fast option validation: a paced limit of <= 0 would pin
+  // latestOffset at its start forever (AvailableNow then "drains"
+  // zero records with no error), and a capture-group-less regex would
+  // die batches later inside the backlog build with an
+  // IndexOutOfBoundsException that never names the option
+  require(maxPerTrigger > 0,
+    s"graft-kinesis-sim: maxRecordsPerTrigger must be > 0 (got " +
+      s"$maxPerTrigger); omit the option for unlimited")
   private val keyRegex = Option(options.get("keyRegex")).map(_.r)
+  keyRegex.foreach(r => require(r.pattern.matcher("").groupCount() >= 1,
+    s"graft-kinesis-sim: keyRegex '$r' has no capture group — group 1 " +
+      "is the partition key"))
 
   /** Driver-side backlog, sharded once. Bounded by design: this is a
     * simulator for tests/benchmarks, not a service client. */
   private lazy val backlog: Map[Int, IndexedSeq[(String, String)]] = {
-    val lines = scala.io.Source.fromFile(path, "UTF-8").getLines().toVector
+    val src = scala.io.Source.fromFile(path, "UTF-8")
+    val lines = try src.getLines().toVector finally src.close()
     lines.map { line =>
       val key = keyRegex.flatMap(_.findFirstMatchIn(line).map(_.group(1))).getOrElse(line)
       (KinesisSim.shardFor(key, shards), (line, key))

@@ -51,7 +51,15 @@ object CdcUpsertStream {
       seqExpr: org.apache.spark.sql.Column): Dataset[CdcRecord] = {
     import envelopes.sparkSession.implicits._
     envelopes
-      .filter(col("data").isNotNull && keyExpr.isNotNull)
+      // ts/seq nullability is filtered HERE, not trusted downstream: a
+      // malformed envelope timestamp (to_timestamp → NULL) or
+      // non-numeric seq would otherwise reach the stateful operator as
+      // a poison pill — maxBy NPEs, the micro-batch fails, and the
+      // re-delivered batch fails again forever. Rows dropped here are
+      // the splitStreamWithErrors error-routing's concern, not the
+      // materializer's.
+      .filter(col("data").isNotNull && keyExpr.isNotNull &&
+        col("event_ts").isNotNull && seqExpr.cast("long").isNotNull)
       .select(
         concat_ws("/", col("metadata.`schema-name`"),
           col("metadata.`table-name`"), keyExpr.cast("string")).as("key"),
@@ -87,20 +95,32 @@ object CdcUpsertStream {
             val beats = state.getOption.forall(cur =>
               newest.ts.getTime > cur.ts.getTime ||
                 (newest.ts.getTime == cur.ts.getTime && newest.seq > cur.seq))
-            if (!beats) Iterator.empty
-            else {
-              state.update(CdcLatest(newest.ts, newest.seq, newest.op,
-                newest.payload))
-              if (newest.op == "delete") {
-                // evict once the watermark clears ts + retention; the
-                // timeout timestamp must sit above the current watermark
+            val out =
+              if (!beats) Iterator.empty
+              else {
+                state.update(CdcLatest(newest.ts, newest.seq, newest.op,
+                  newest.payload))
+                Iterator.single(CdcUpsert(key, newest.ts,
+                  newest.op == "delete", newest.payload))
+              }
+            // v1 GroupState CLEARS an armed timeout on every invocation
+            // that does not re-set it (GroupStateImpl re-initializes the
+            // timestamp per call) — so the eviction timer is re-armed on
+            // EVERY invocation whose surviving state is a delete, not
+            // just the one that stored it. Without this, a re-delivered
+            // delete (or any straggler for the key) silently cancels
+            // eviction and the tombstone leaks forever. A revive
+            // (non-delete survivor) leaves the timeout unset, which
+            // correctly cancels a pending eviction.
+            state.getOption.foreach { cur =>
+              if (cur.op == "delete") {
+                // the timeout timestamp must sit above the watermark
                 val floor = state.getCurrentWatermarkMs() + 1
                 state.setTimeoutTimestamp(
-                  math.max(newest.ts.getTime + retMs, floor))
+                  math.max(cur.ts.getTime + retMs, floor))
               }
-              Iterator.single(CdcUpsert(key, newest.ts,
-                newest.op == "delete", newest.payload))
             }
+            out
           }
       }
   }
@@ -138,10 +158,20 @@ object CdcUpsertStream {
     import org.apache.spark.sql.Encoders
 
     @transient private var latest: ValueState[CdcLatest] = _
+    // the one armed eviction timer's timestamp (absent = none): lets a
+    // re-delete REPLACE its predecessor's timer and a revive CANCEL it,
+    // instead of piling one stale timer per delete onto churn-heavy keys
+    @transient private var timerAt: ValueState[Long] = _
 
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       latest = getHandle.getValueState[CdcLatest]("latest",
         Encoders.product[CdcLatest], TTLConfig.NONE)
+      timerAt = getHandle.getValueState[Long]("timerAt",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    private def cancelTimer(): Unit =
+      if (timerAt.exists()) { getHandle.deleteTimer(timerAt.get()); timerAt.clear() }
 
     override def handleInputRows(key: String, rows: Iterator[CdcRecord],
         tv: TimerValues): Iterator[CdcUpsert] = {
@@ -156,10 +186,14 @@ object CdcUpsertStream {
         latest.update(CdcLatest(newest.ts, newest.seq, newest.op, newest.payload))
         if (newest.op == "delete") {
           // evict once the watermark clears ts + retention (timer must
-          // sit above the current watermark to ever fire)
-          getHandle.registerTimer(
-            math.max(newest.ts.getTime + retMs, tv.getCurrentWatermarkInMs() + 1))
-        }
+          // sit above the current watermark to ever fire); exactly one
+          // timer per key — a newer delete replaces the armed one
+          cancelTimer()
+          val at = math.max(newest.ts.getTime + retMs,
+            tv.getCurrentWatermarkInMs() + 1)
+          getHandle.registerTimer(at)
+          timerAt.update(at)
+        } else cancelTimer() // revive: pending eviction no longer applies
         Iterator.single(CdcUpsert(key, newest.ts,
           newest.op == "delete", newest.payload))
       }
@@ -167,11 +201,11 @@ object CdcUpsertStream {
 
     override def handleExpiredTimer(key: String, tv: TimerValues,
         info: ExpiredTimerInfo): Iterator[CdcUpsert] = {
-      // the timer may be stale: a revive (newer insert) after the delete
-      // leaves the delete's timer armed — only evict keys still deleted,
-      // or a live record would be wiped and a straggler could resurrect
-      // stale state
+      // belt-and-braces: with cancel-on-revive a stale timer should not
+      // exist, but only evict keys still deleted — a live record must
+      // never be wiped (a straggler could then resurrect stale state)
       if (latest.exists() && latest.get().op == "delete") latest.clear()
+      timerAt.clear()
       Iterator.empty
     }
   }

@@ -28,10 +28,14 @@ import graft.operators.Dedup
  *     (a doc rejected for duplicating an earlier REJECTED doc stays
  *     rejected: its content is represented in the corpus by that
  *     chain's head, which some pair transitively names);
- *  3. the admitted docs land in `admittedDir/batch_id=<n>` (the clean
- *     downstream feed) and the pairs in `pairsDir/batch_id=<n>` (the
- *     audit log), both per-batch OVERWRITE — a re-delivered batch
- *     rewrites its own directory instead of double-appending;
+ *  3. the admitted docs land in
+ *     `admittedDir/graft_run=<token>/batch_id=<n>` (the clean
+ *     downstream feed) and the pairs under the same leaf of `pairsDir`
+ *     (the audit log), both per-batch OVERWRITE — a re-delivered batch
+ *     rewrites its own directory instead of double-appending, and the
+ *     checkpoint-identity run token keeps a fresh/wiped checkpoint
+ *     (batch ids restarting at 0) from clobbering a previous run's
+ *     output;
  *  4. the admitted docs' signatures fold into the store
  *     ([[graft.operators.Dedup.appendSignatures]] — its anti join on
  *     the stored ids makes the append re-delivery-safe too).
@@ -65,8 +69,9 @@ object NearDupStream {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        admitBatch(spark, batch, batchId, idCol, textCol, admittedDir,
-          pairsDir,
+        admitBatch(spark, batch, batchId,
+          RollupStream.appToken(spark, checkpoint), idCol, textCol,
+          admittedDir, pairsDir,
           b => Dedup.minhashLshIncremental(spark, b, idCol, textCol,
             storeDir, numHashes, bands, shingleN, threshold, portable),
           a => Dedup.appendSignatures(spark, a, idCol, textCol, storeDir,
@@ -89,8 +94,9 @@ object NearDupStream {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        admitBatch(spark, batch, batchId, idCol, textCol, admittedDir,
-          pairsDir,
+        admitBatch(spark, batch, batchId,
+          RollupStream.appToken(spark, checkpoint), idCol, textCol,
+          admittedDir, pairsDir,
           b => Dedup.minhashLshIncrementalBucketed(spark, b, idCol,
             textCol, table, numHashes, bands, shingleN, threshold),
           a => Dedup.appendSignaturesBucketed(spark, a, idCol, textCol,
@@ -101,12 +107,20 @@ object NearDupStream {
 
   /** One micro-batch admission (factored out for direct batch use and
     * re-delivery tests — the streaming wrappers only add checkpointed
-    * batch ids). */
+    * batch ids). `runToken` scopes the per-batch overwrite dirs to THIS
+    * stream's checkpoint identity ([[RollupStream.appToken]]): a wiped
+    * or fresh checkpoint restarts batch ids at 0, and without the
+    * scope its `batch_id=0` overwrite would clobber a previous run's
+    * admitted docs — whose signatures remain in the store, so the lost
+    * docs could never be re-admitted. A re-delivery of the SAME run
+    * keeps the same token and still converges onto its own dir. */
   private[streaming] def admitBatch(spark: SparkSession, batch: DataFrame,
-      batchId: Long, idCol: String, textCol: String, admittedDir: String,
-      pairsDir: String, pairsOf: DataFrame => DataFrame,
+      batchId: Long, runToken: String, idCol: String, textCol: String,
+      admittedDir: String, pairsDir: String,
+      pairsOf: DataFrame => DataFrame,
       append: DataFrame => Unit): Unit = {
     if (batch.isEmpty) return
+    def leaf(dir: String) = s"$dir/graft_run=$runToken/batch_id=$batchId"
     // persisted: pairs computation, the admitted anti join, and the two
     // writes all act on it — without the cache each action re-reads the
     // micro-batch source and re-runs the signature aggregate
@@ -115,13 +129,11 @@ object NearDupStream {
       val pairs = pairsOf(b)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        pairs.write.mode("overwrite")
-          .parquet(s"$pairsDir/batch_id=$batchId")
+        pairs.write.mode("overwrite").parquet(leaf(pairsDir))
         val admitted = b.join(
           pairs.select(col("id_b").as(idCol)).distinct(),
           Seq(idCol), "left_anti")
-        admitted.write.mode("overwrite")
-          .parquet(s"$admittedDir/batch_id=$batchId")
+        admitted.write.mode("overwrite").parquet(leaf(admittedDir))
         // append LAST: a crash before this point leaves the store
         // unchanged and the re-run recomputes identical outputs; a
         // crash after the overwrites but mid-append is absorbed by the

@@ -74,11 +74,22 @@ object RollupStream {
     else Rollup.init(spark, storeDir, batch, spec, tag)
   }
 
-  /** True iff the live commit was stamped by THIS stream (same token)
-    * at `batchId` or later — the re-delivered fold already landed. */
+  /** True iff ANY retained commit was stamped by THIS stream (same
+    * token) at `batchId` or later — the re-delivered fold already
+    * landed. All retained commits are scanned, not just the live one:
+    * an interleaved writer (manual backfill fold, compaction)
+    * committing between the crash and the restart moves the stream's
+    * tag off the live commit, and a live-only check would then
+    * double-count the re-delivered batch. The guard now survives as
+    * long as the tagged commit stays inside the retention window —
+    * keep `spark.graft.merge.retainCommits` above the number of
+    * commits other writers can land during one restart gap (Delta's
+    * txnAppId keeps versions forever; a retention-windowed manifest
+    * trades that for bounded metadata, which is the right trade when
+    * the interleaved-writer window is a restart, not an epoch). */
   private def alreadyFolded(spark: SparkSession, storeDir: String,
       token: String, batchId: Long): Boolean =
-    Rollup.liveTag(spark, storeDir).exists { t =>
+    Rollup.commitTags(spark, storeDir).exists { t =>
       t.lastIndexOf('-') match {
         case -1 => false
         case i =>

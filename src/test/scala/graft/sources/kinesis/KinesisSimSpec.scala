@@ -72,4 +72,22 @@ class KinesisSimSpec extends SparkSpec {
     assert(split.filter(col("table_name") === "person").count() === 2)
     assert(split.filter(col("table_name") === "seat").count() === 1)
   }
+
+  test("bad options fail fast at stream construction, naming the option") {
+    def stream(opts: (String, String)*) = new KinesisSimStream(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        scala.jdk.CollectionConverters.MapHasAsJava(
+          (Seq("path" -> "/dev/null") ++ opts).toMap).asJava))
+    // a capture-group-less keyRegex would otherwise die batches later
+    // inside the backlog build with an unexplained IndexOutOfBounds
+    val e1 = intercept[IllegalArgumentException] {
+      stream("keyRegex" -> "ID=[0-9]+")
+    }
+    assert(e1.getMessage.contains("keyRegex"))
+    // a 0 paced limit would pin the offsets and "drain" nothing
+    val e2 = intercept[IllegalArgumentException] {
+      stream("maxRecordsPerTrigger" -> "0")
+    }
+    assert(e2.getMessage.contains("maxRecordsPerTrigger"))
+  }
 }

@@ -83,6 +83,34 @@ class CdcUpsertStreamSpec extends SparkSpec {
     assert(rows === Seq((false, "a"), (true, "a"), (false, "b")))
   }
 
+  test("v1: tombstone eviction survives a straggler that would cancel the timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[CdcRecord]
+    val q = CdcUpsertStream.latestByKey(mem.toDS(),
+        watermark = "0 seconds", retention = "1 second")
+      .writeStream.format("memory").queryName("evict_v1")
+      .outputMode("update").start()
+    mem.addData(CdcRecord("k", ts("2019-11-13 09:00:00"), 1, "delete", "a"))
+    q.processAllAvailable()
+    // a not-beats straggler for the deleted key (same ts, lower seq —
+    // stays above the watermark so it reaches the operator): GroupState
+    // clears an un-re-set timeout on every invocation, so without the
+    // re-arm this silently cancels the eviction and the tombstone
+    // state-store entry leaks forever
+    mem.addData(CdcRecord("k", ts("2019-11-13 09:00:00"), 0, "insert", "old"))
+    q.processAllAvailable()
+    // advance the watermark far past ts + retention, then one more
+    // batch so the armed timeout actually fires
+    mem.addData(CdcRecord("w", ts("2019-11-13 10:00:00"), 9, "insert", "x"))
+    q.processAllAvailable()
+    mem.addData(CdcRecord("w", ts("2019-11-13 10:01:00"), 10, "insert", "x"))
+    q.processAllAvailable()
+    val stateRows = q.recentProgress.reverse
+      .find(_.stateOperators.nonEmpty).get.stateOperators(0).numRowsTotal
+    q.stop()
+    assert(stateRows === 1) // only w survives; k's tombstone evicted
+  }
+
   private val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
   private val RocksDb =
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"

@@ -90,7 +90,7 @@ class NearDupStreamSpec extends SparkSpec {
     Dedup.buildSignatureStore(history.toDF("doc_id", "text"),
       "doc_id", "text", store)
     def deliver(): Unit = NearDupStream.admitBatch(spark,
-      batch1.toDF("doc_id", "text"), 0L, "doc_id", "text", admitted, pairs,
+      batch1.toDF("doc_id", "text"), 0L, "t0", "doc_id", "text", admitted, pairs,
       b => Dedup.minhashLshIncremental(spark, b, "doc_id", "text", store),
       a => Dedup.appendSignatures(spark, a, "doc_id", "text", store))
     deliver()

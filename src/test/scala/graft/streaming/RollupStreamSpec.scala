@@ -74,6 +74,22 @@ class RollupStreamSpec extends SparkSpec {
     assert(keys === Set("a", "b", "c", "d"))
   }
 
+  test("re-delivery guard survives an interleaved writer's commit") {
+    val store = tmp("rs-interleave") + "/rollup"
+    val tok = RollupStream.appToken(spark, "ckpt-IL")
+    RollupStream.foldBatch(spark, b0.toDF("k", "x"), 0L, store, spec, tok)
+    // crash window: before the restart re-delivers batch 0, ANOTHER
+    // writer commits to the same store (a manual untagged backfill) —
+    // the stream's tag moves off the LIVE commit, but must still be
+    // found among the retained commits or the re-delivery double-counts
+    Rollup.fold(spark, store, Seq(("z", 5.0)).toDF("k", "x"), spec)
+    val before = Rollup.finalized(Rollup.read(spark, store), spec)
+      .collect().map(_.toSeq).toSet
+    RollupStream.foldBatch(spark, b0.toDF("k", "x"), 0L, store, spec, tok)
+    assert(Rollup.finalized(Rollup.read(spark, store), spec)
+      .collect().map(_.toSeq).toSet === before)
+  }
+
   test("a wiped-and-reused checkpoint path mints a fresh token") {
     val ckpt = tmp("rs-wipe")
     val dir = new java.io.File(ckpt)
