@@ -58,10 +58,13 @@ object BloomIndex {
   def build(spark: SparkSession, dataDir: String, statsDir: String,
       cols: Seq[String], expectedItems: Long = 1000000L): Unit = {
     require(cols.nonEmpty, "track at least one column")
+    // pre-scan listing: see ZoneMap.build — files landed during the
+    // scan must stay unknown, never be mis-marked empty
+    val preScan = ZoneMap.dataFiles(spark, dataDir)
     statsFor(spark.read.parquet(dataDir), cols, expectedItems)
       .repartition(1) // one bloom row per file: a single stats file
       .write.mode("overwrite").parquet(statsDir)
-    ZoneMap.reconcileEmptyFiles(spark, dataDir, statsDir)
+    ZoneMap.reconcileEmptyFiles(spark, preScan, statsDir)
   }
 
   /** Extend the index to files the build has not seen (same idempotent
@@ -74,7 +77,7 @@ object BloomIndex {
       statsFor(spark.read.parquet(missing: _*), cols, expectedItems)
         .repartition(1)
         .write.mode("append").parquet(statsDir)
-      ZoneMap.reconcileEmptyFiles(spark, dataDir, statsDir)
+      ZoneMap.reconcileEmptyFiles(spark, missing, statsDir)
     }
   }
 
@@ -121,11 +124,7 @@ object BloomIndex {
     * silently drop rows. */
   def scanIn(spark: SparkSession, dataDir: String, statsDir: String,
       column: String, values: Seq[Any]): DataFrame = {
-    val unknown = ZoneMap.dataFiles(spark, dataDir).filterNot(
-      ZoneMap.normalizedKnown(spark, statsDir))
-    require(unknown.isEmpty,
-      s"bloom index at $statsDir is stale: ${unknown.size} unindexed data " +
-        s"files (first: ${unknown.headOption.getOrElse("")}); run append()")
+    ZoneMap.requireFresh(spark, dataDir, statsDir, "bloom index")
     val dt = columnType(spark, dataDir, column)
     val residual =
       values.map(v => col(column) === lit(v).cast(dt)).reduce(_ || _)

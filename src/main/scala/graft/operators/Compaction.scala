@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{SaveMode, SparkSession}
 
 /**
@@ -12,6 +13,21 @@ import org.apache.spark.sql.{SaveMode, SparkSession}
  * size-targeted files instead: bytes/targetFileBytes output files via
  * `coalesce` when shrinking (no shuffle) — run it periodically against
  * hive-partitioned table directories.
+ *
+ * All filesystem work goes through Hadoop `FileSystem` (never
+ * `java.io.File`): `dir` may be `hdfs://`/`s3a://`/`file:/`, and a
+ * local-only listing would silently size the rewrite from zero bytes —
+ * coalescing the whole table through ONE task (the exact OOM hazard
+ * this job replaces) before failing at the swap.
+ *
+ * Swap protocol (the [[graft.streaming.MergeSink]] park discipline —
+ * each step one rename, atomic on HDFS/local): park the live dir as a
+ * dot-prefixed sibling, promote the staged rewrite, drop the parked
+ * dir. A crash between park and promote leaves no live dir but an
+ * intact parked one; the recovery preamble of the NEXT run (or any
+ * manual rename) restores it — the data is never in a half-state. On
+ * object stores where rename is copy, prefer the manifest-committed
+ * stores ([[Merge]]) whose generations never rename.
  */
 object Compaction {
 
@@ -19,27 +35,34 @@ object Compaction {
     * Returns (filesBefore, filesAfter). */
   def compactParquet(spark: SparkSession, dir: String,
       targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
-    def parquetFiles(d: java.io.File): Seq[java.io.File] =
-      Option(d.listFiles()).toSeq.flatten.flatMap {
-        case f if f.isDirectory => parquetFiles(f)
-        case f if f.getName.endsWith(".parquet") => Seq(f)
-        case _ => Nil
+    val live = new Path(dir)
+    val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+    val parked = new Path(live.getParent, "." + live.getName + ".compact_bak")
+    val staged = new Path(live.getParent, "." + live.getName + ".compact_tmp")
+    def renameOrDie(a: Path, b: Path): Unit =
+      require(fs.rename(a, b), s"rename $a -> $b failed")
+    // recovery: a crash between park and promote left the data parked
+    if (!fs.exists(live) && fs.exists(parked)) renameOrDie(parked, live)
+
+    def parquetFiles(p: Path): Seq[Path] = {
+      val it = fs.listFiles(p, true)
+      val out = Seq.newBuilder[Path]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.isFile && f.getPath.getName.endsWith(".parquet"))
+          out += f.getPath
       }
-    val before = parquetFiles(new java.io.File(dir))
-    val bytes = before.map(_.length()).sum
-    val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
-    val df = spark.read.parquet(dir)
-    // write to a sibling tmp dir, then atomically swap
-    val tmp = dir.stripSuffix("/") + ".compact_tmp"
-    df.coalesce(n).write.mode(SaveMode.Overwrite).parquet(tmp)
-    val dirFile = new java.io.File(dir)
-    val bak = new java.io.File(dir.stripSuffix("/") + ".compact_bak")
-    require(dirFile.renameTo(bak), s"could not move $dir aside")
-    require(new java.io.File(tmp).renameTo(dirFile), s"could not promote $tmp")
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete()
+      out.result()
     }
-    rm(bak)
-    (before.size, parquetFiles(new java.io.File(dir)).size)
+    val before = parquetFiles(live)
+    require(before.nonEmpty, s"no parquet files under $dir")
+    val bytes = before.map(fs.getFileStatus(_).getLen).sum
+    val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    spark.read.parquet(dir).coalesce(n)
+      .write.mode(SaveMode.Overwrite).parquet(staged.toString)
+    renameOrDie(live, parked)
+    renameOrDie(staged, live)
+    fs.delete(parked, true)
+    (before.size, parquetFiles(live).size)
   }
 }

@@ -29,9 +29,15 @@ object DatasetSplit {
   def bucket(idCol: Column, seed: String = ""): Column =
     PortableHash.h60(PortableHash.saltedKey(idCol, seed)) % 100
 
-  /** 'train' (80%) / 'val' (10%) / 'test' (10%) label. */
+  /** 'train' (80%) / 'val' (10%) / 'test' (10%) label. NULL ids get a
+    * NULL label, consistent with [[bucket]] — without the explicit
+    * null branch, a null hash would fail both `when` guards and the
+    * `otherwise` would silently label every unkeyed row 'test',
+    * inflating the held-out split with exactly the rows that have no
+    * stable identity. */
   def splitCol(idCol: Column, seed: String = ""): Column = {
     val b = bucket(idCol, seed)
-    when(b < 80, "train").when(b < 90, "val").otherwise("test")
+    when(b.isNull, lit(null).cast("string"))
+      .when(b < 80, "train").when(b < 90, "val").otherwise("test")
   }
 }

@@ -49,14 +49,29 @@ object FingerprintIndex {
       .write.mode("overwrite").parquet(indexDir)
 
   /** Fold a day's admitted batch into the index: append its fps that
-    * are not already present (one anti join on the narrow key). */
+    * are not already present (one anti join on the narrow key). The
+    * delta is STAGED (persist + count) before the append, because its
+    * lineage reads the index dir the write targets — a task retried
+    * mid-write must not recompute against half-written files (the
+    * same discipline as [[ContaminationIndex.append]]); an empty
+    * delta (a fully-duplicate re-delivered day) skips the write
+    * instead of accreting empty part-files per run. */
   def append(spark: SparkSession, admitted: DataFrame, indexDir: String,
       idCol: String = "doc_id", textCol: String = "text",
       ngram: Int = 3): Unit =
-    fingerprints(admitted, idCol, textCol, ngram)
+    stagedDelta(fingerprints(admitted, idCol, textCol, ngram)
       .select("fp").distinct()
-      .join(spark.read.parquet(indexDir), Seq("fp"), "left_anti")
-      .write.mode("append").parquet(indexDir)
+      .join(spark.read.parquet(indexDir), Seq("fp"), "left_anti")) { d =>
+      d.write.mode("append").parquet(indexDir)
+    }
+
+  /** Persist the read-own-target delta, run `write` only when it is
+    * non-empty, release. */
+  private def stagedDelta(delta: DataFrame)(
+      write: DataFrame => Unit): Unit = {
+    val d = delta.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try { if (d.count() > 0) write(d) } finally { d.unpersist(); () }
+  }
 
   /** Admission check of a new batch against the standing index: each
     * batch row flagged `dup_of_history` (fp already indexed) and
@@ -93,14 +108,24 @@ object FingerprintIndex {
     * append adds one file per touched bucket; compact on the usual
     * small-file cadence. */
   def appendBucketed(spark: SparkSession, admitted: DataFrame,
-      indexTable: String, buckets: Int, idCol: String = "doc_id",
-      textCol: String = "text", ngram: Int = 3): Unit =
-    fingerprints(admitted, idCol, textCol, ngram)
+      indexTable: String, idCol: String = "doc_id",
+      textCol: String = "text", ngram: Int = 3): Unit = {
+    // the bucket count comes from the TABLE's own spec, never a caller
+    // argument that could drift from it (same rule as
+    // Bucketing.compactTable) — a mismatched bucketBy append would
+    // corrupt the layout the exchange-free admit plan depends on
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(indexTable))
+    val buckets = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
+      s"$indexTable is not bucketed")).numBuckets
+    stagedDelta(fingerprints(admitted, idCol, textCol, ngram)
       .select("fp").distinct()
-      .join(spark.table(indexTable), Seq("fp"), "left_anti")
-      .write.mode("append").format("parquet")
-      .bucketBy(buckets, "fp").sortBy("fp")
-      .saveAsTable(indexTable)
+      .join(spark.table(indexTable), Seq("fp"), "left_anti")) { d =>
+      d.write.mode("append").format("parquet")
+        .bucketBy(buckets, "fp").sortBy("fp")
+        .saveAsTable(indexTable)
+    }
+  }
 
   private def admitAgainst(batch: DataFrame, index: DataFrame,
       idCol: String, textCol: String, ngram: Int): DataFrame = {

@@ -67,6 +67,16 @@ object Mixing {
     // never saw.
     val rows = planned.collect().toIndexedSeq
     val have = rows.map(_.getString(0)).toSet
+    // duplicate inventory rows (e.g. a union of two snapshots) would
+    // give EACH copy the full wt = budget·frac/tokens and double that
+    // source's share — the dual of materializeFromTable's duplicate-
+    // source guard, enforced on the same collected rows as the
+    // missing-inventory check
+    require(rows.size == have.size,
+      s"tokenTotals carries duplicate rows for source(s): " +
+        rows.groupBy(_.getString(0)).collect {
+          case (s, rs) if rs.size > 1 => s
+        }.mkString(", "))
     val missing = targets.collect {
       case (s, f) if f > 0.0 && !have(s) => s
     }

@@ -129,7 +129,13 @@ object Packing {
       budget: Long): DataFrame = {
     require(budget >= 1, s"budget must be >= 1, got $budget")
     val w = Window.partitionBy("n_tokens").orderBy(col(idCol))
-    df.select(col(idCol), col(tokensCol).cast("long").as("n_tokens"))
+    // null token counts normalize to 0 (same as packContiguous): left
+    // null, every unknown-length doc would land in one null-length
+    // partition with __cap = budget — up to `budget` docs of unknown
+    // real length per sequence, silently overflowing the budget the
+    // operator exists to enforce
+    df.select(col(idCol),
+        coalesce(col(tokensCol).cast("long"), lit(0L)).as("n_tokens"))
       .withColumn("__cap",
         greatest(lit(1L), expr(s"${budget}L div greatest(n_tokens, 1L)")))
       .withColumn("__rn", row_number().over(w).cast("long") - 1L)

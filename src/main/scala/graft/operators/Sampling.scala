@@ -24,16 +24,20 @@ import graft.functions.PortableHash
  */
 object Sampling {
 
-  /** `k` rows per group, inclusion odds ∝ `weightCol` (must be > 0 —
-    * non-positive-weight rows are excluded, matching "weight 0 means
-    * never sampled"), rank appended as `rankCol`. */
+  /** `k` rows per group, inclusion odds ∝ `weightCol` (must be a
+    * FINITE value > 0 — non-positive, NULL and NaN weights are
+    * excluded; "weight 0 means never sampled", and Spark orders NaN
+    * ABOVE every number, so an unfiltered NaN weight would both pass
+    * `> 0` and then monopolize every sample slot: pow(u, 1/NaN) = NaN
+    * sorts as the largest A-ES key), rank appended as `rankCol`. */
   def weightedPerGroup(df: DataFrame, groupCols: Seq[String],
       idCol: String, weightCol: String, k: Int, salt: String = "",
       rankCol: String = "rk"): DataFrame = {
     require(k > 0, "k must be positive")
     val u = (PortableHash.h60(PortableHash.saltedKey(col(idCol), salt))
       .cast("double") + 0.5) / math.pow(2.0, 60).toLong.toDouble
-    val keyed = df.filter(col(weightCol) > 0)
+    val w = col(weightCol).cast("double")
+    val keyed = df.filter(w > 0 && !isnan(w))
       .withColumn("__es_key",
         pow(u, lit(1.0) / col(weightCol).cast("double")))
     TopK.perGroup(keyed, groupCols,

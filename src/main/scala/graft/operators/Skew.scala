@@ -22,6 +22,13 @@ object Skew {
    */
   def saltedJoin(large: DataFrame, small: DataFrame, key: String,
       salt: Int = 8): DataFrame = {
+    // salt = 0 would make pmod(x, 0) NULL on every large row and the
+    // join silently EMPTY (null keys never match); negative salts
+    // would mismatch the two sides' salt domains the same silent way
+    require(salt >= 1, s"salt must be >= 1, got $salt")
+    require(!large.columns.contains("__salt") &&
+      !small.columns.contains("__salt"),
+      "inputs already carry a __salt column")
     val l = large.withColumn("__salt",
       pmod(xxhash64(struct(large.columns.map(col): _*)), lit(salt)).cast("int"))
     val r = small.withColumn("__salt",

@@ -88,22 +88,33 @@ object ZoneMap {
   def build(spark: SparkSession, dataDir: String, statsDir: String,
       cols: Seq[String]): Unit = {
     require(cols.nonEmpty, "track at least one column")
+    // listed BEFORE the scan job: only files that existed when the
+    // scan started may be reconciled as "empty" afterwards — a file a
+    // concurrent writer lands DURING the (possibly long) scan must
+    // stay unknown, so the staleness guard catches it and append()
+    // indexes it, instead of being permanently mis-marked empty
+    val preScan = dataFiles(spark, dataDir)
     statsFor(spark.read.parquet(dataDir), cols)
       .repartition(1) // ~one narrow row per file: a single stats file
       .write.mode("overwrite").parquet(statsDir)
-    reconcileEmptyFiles(spark, dataDir, statsDir)
+    reconcileEmptyFiles(spark, preScan, statsDir)
   }
 
-  /** Cover data files the stats scan never saw because they hold ZERO
-    * rows (hash and dynamic-partition writes can emit empty files; a
-    * groupBy over the data produces no row for them). Appends schema-
-    * matched rows with n_rows = 0 and null stats — null min/max/bloom
-    * prunes the file under ANY predicate, which is correct: an empty
-    * file has no rows to lose. Without this, the staleness guard would
-    * refuse to scan forever. Shared with [[BloomIndex]]. */
+  /** Cover scan-candidate files the stats scan never saw because they
+    * hold ZERO rows (hash and dynamic-partition writes can emit empty
+    * files; a groupBy over the data produces no row for them).
+    * `candidates` is the PRE-SCAN listing of exactly the files the
+    * just-finished scan covered — never a fresh listing, which would
+    * sweep up files landed concurrently during the scan and mark them
+    * (non-empty!) as empty, silently pruning their rows forever.
+    * Appends schema-matched rows with n_rows = 0 and null stats —
+    * null min/max/bloom prunes the file under ANY predicate, which is
+    * correct: an empty file has no rows to lose. Without this, the
+    * staleness guard would refuse to scan forever. Shared with
+    * [[BloomIndex]]. */
   private[operators] def reconcileEmptyFiles(spark: SparkSession,
-      dataDir: String, statsDir: String): Unit = {
-    val missing = dataFiles(spark, dataDir).filterNot(
+      candidates: Seq[String], statsDir: String): Unit = {
+    val missing = candidates.filterNot(
       normalizedKnown(spark, statsDir))
     if (missing.nonEmpty) {
       val schema = spark.read.parquet(statsDir).schema
@@ -152,7 +163,9 @@ object ZoneMap {
       statsFor(spark.read.parquet(missing: _*), cols)
         .repartition(1)
         .write.mode("append").parquet(statsDir)
-      reconcileEmptyFiles(spark, dataDir, statsDir)
+      // reconcile only the files THIS append scanned (still unknown
+      // after the scan ⇒ genuinely zero-row), never a fresh listing
+      reconcileEmptyFiles(spark, missing, statsDir)
     }
   }
 
@@ -167,6 +180,46 @@ object ZoneMap {
   }
 
   private def stripScheme(p: String): String = new Path(p).toUri.getPath
+
+  /** URI scheme+authority prefix (matches both `file:/x` and
+    * `hdfs://nn:8020/x` forms) — the SQL twin of [[stripScheme]], so
+    * path comparison can run inside Spark instead of on the driver. */
+  private[operators] val SchemeRe = "^[a-zA-Z][a-zA-Z0-9+.\\-]*:(//[^/]*)?"
+
+  /** Both-direction staleness gate for a skip-scan, DISTRIBUTED
+    * (anti-joins + limit-1 existence probes): unlike the survivor
+    * collect this check is uncappable — it guards correctness, not IO
+    * — so it must never collect the full indexed-file list to the
+    * driver (at ~10⁶ files that collect was the exact hazard
+    * [[MaxFilesKey]] bounds elsewhere). The FS listing itself stays
+    * driver-side (metadata-only, the unavoidable part every file
+    * index pays).
+    *
+    *  - unsafe direction: data files the stats never saw — their rows
+    *    would silently vanish from every skip-scan; run append().
+    *  - wedged direction: stats rows whose data file no longer exists
+    *    (the dir was rewritten — a compaction, a manual delete) —
+    *    every matching scan would die path-not-found mid-read, and
+    *    append() cannot heal it; fail up front naming the fix. */
+  private[operators] def requireFresh(spark: SparkSession, dataDir: String,
+      statsDir: String, what: String): Unit = {
+    import spark.implicits._
+    def norm(df: DataFrame) =
+      df.select(regexp_replace(col("file"), SchemeRe, "").as("__n"))
+    val listing = norm(dataFiles(spark, dataDir).toDF("file"))
+    val known = norm(spark.read.parquet(statsDir).select("file"))
+    val unknown = listing.join(known, Seq("__n"), "left_anti")
+      .limit(1).as[String].collect()
+    require(unknown.isEmpty,
+      s"$what at $statsDir is stale: unindexed data file " +
+        s"${unknown.headOption.getOrElse("")}; run append()")
+    val dead = known.join(listing, Seq("__n"), "left_anti")
+      .limit(1).as[String].collect()
+    require(dead.isEmpty,
+      s"$what at $statsDir references a deleted data file " +
+        s"${dead.headOption.getOrElse("")} — the data dir was " +
+        "rewritten (compaction? manual delete?); rebuild with build()")
+  }
 
   /** Closed-interval range predicate on a tracked column. `lo`/`hi`
     * are literal values (numeric, string, date — anything ordered). */
@@ -207,11 +260,7 @@ object ZoneMap {
     * must never silently drop rows. */
   def scanRange(spark: SparkSession, dataDir: String, statsDir: String,
       ranges: Seq[Range]): DataFrame = {
-    val unknown = dataFiles(spark, dataDir).filterNot(
-      normalizedKnown(spark, statsDir))
-    require(unknown.isEmpty,
-      s"zone map at $statsDir is stale: ${unknown.size} unindexed data " +
-        s"files (first: ${unknown.headOption.getOrElse("")}); run append()")
+    requireFresh(spark, dataDir, statsDir, "zone map")
     val residual = ranges.map(r =>
       col(r.column).between(lit(r.lo), lit(r.hi))).reduce(_ && _)
     prunedFilesCapped(spark, statsDir, ranges) match {

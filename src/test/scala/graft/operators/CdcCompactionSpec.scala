@@ -66,4 +66,21 @@ class CdcCompactionSpec extends SparkSpec {
     // content preserved
     assert(spark.read.parquet(dir).agg(sum("v")).head().getLong(0) === 499500L)
   }
+
+  test("compactParquet recovers a crash between park and promote") {
+    val dir = java.nio.file.Files.createTempDirectory("compact-rec")
+      .toString + "/t"
+    spark.range(0, 100).toDF("v").repartition(4).write.parquet(dir)
+    // simulate the crash window: live dir parked, promote never ran
+    val live = new org.apache.hadoop.fs.Path(dir)
+    val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+    val parked = new org.apache.hadoop.fs.Path(
+      live.getParent, "." + live.getName + ".compact_bak")
+    assert(fs.rename(live, parked))
+    // the recovery preamble restores the parked data before compacting
+    val (before, after) = Compaction.compactParquet(spark, dir)
+    assert(before === 4 && after === 1)
+    assert(spark.read.parquet(dir).agg(sum("v")).head().getLong(0) === 4950L)
+    assert(!fs.exists(parked))
+  }
 }

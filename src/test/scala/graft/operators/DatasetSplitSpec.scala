@@ -20,6 +20,16 @@ class DatasetSplitSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("NULL ids get NULL labels, never silently inflate 'test'") {
+    // a null hash fails both when() guards — without the explicit null
+    // branch, otherwise("test") would label every unkeyed row 'test'
+    val df = Seq(Some(1L), None, Some(2L)).toDF("id")
+      .select(col("id"), DatasetSplit.splitCol(col("id")).as("s"))
+    val byId = df.as[(Option[Long], Option[String])].collect().toMap
+    assert(byId(None) === None)
+    assert(byId(Some(1L)).isDefined && byId(Some(2L)).isDefined)
+  }
+
   test("default seed hashes the bare id (pre-seed assignments stable)") {
     val withDefault = ids
       .select(DatasetSplit.bucket(col("id")).as("b")).as[Long].collect()

@@ -80,7 +80,7 @@ class FingerprintIndexSpec extends SparkSpec {
       // the admitted doc, the same text is a history dup tomorrow
       val n0 = spark.table("fp_idx_bkt").count()
       FingerprintIndex.appendBucketed(spark,
-        batch.filter(col("doc_id") === 1002L), "fp_idx_bkt", buckets = 8)
+        batch.filter(col("doc_id") === 1002L), "fp_idx_bkt")
       assert(spark.table("fp_idx_bkt").count() === n0 + 1)
       val day2 = Seq((2001L, "a genuinely new document")).toDF("doc_id", "text")
       val a2 = FingerprintIndex.admitBucketed(spark, day2, "fp_idx_bkt")
@@ -88,7 +88,7 @@ class FingerprintIndexSpec extends SparkSpec {
       assert(a2.map(r => (r._1, r._3)).toSeq === Seq((2001L, true)))
       // re-append adds nothing (anti-joined), bucket layout intact
       FingerprintIndex.appendBucketed(spark,
-        batch.filter(col("doc_id") === 1002L), "fp_idx_bkt", buckets = 8)
+        batch.filter(col("doc_id") === 1002L), "fp_idx_bkt")
       assert(spark.table("fp_idx_bkt").count() === n0 + 1)
     } finally spark.sql("DROP TABLE IF EXISTS fp_idx_bkt")
   }

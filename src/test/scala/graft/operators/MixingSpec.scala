@@ -149,4 +149,16 @@ class MixingSpec extends SparkSpec {
       Map("a" -> 1.0, "code" -> 0.0), 10000L)
     assert(ok.count() === 1)
   }
+
+  test("token-budget plan rejects duplicate inventory rows (doubled share)") {
+    // a union of two inventory snapshots: each copy would get the FULL
+    // wt = budget·frac/tokens, doubling the source's planned share
+    val dup = Seq(("a", 60000L), ("a", 60000L), ("b", 1000L))
+      .toDF("src", "tokens")
+    val e = intercept[IllegalArgumentException] {
+      Mixing.planTokenBudget(dup, "src", "tokens",
+        Map("a" -> 0.5, "b" -> 0.5), 10000L)
+    }
+    assert(e.getMessage.contains("duplicate") && e.getMessage.contains("a"))
+  }
 }

@@ -63,6 +63,16 @@ class PackingSpec extends SparkSpec {
     assert(out.toSet === again.toSet)
   }
 
+  test("packBinned: null token counts normalize to 0, never cap at the full budget") {
+    // left null, unknown-length docs would all land in one null-length
+    // partition with __cap = budget — silently overflowing sequences
+    val df = Seq((1L, Some(5L)), (2L, None), (3L, None))
+      .toDF("doc_id", "n")
+    val got = Packing.packBinned(df, "doc_id", "n", budget = 10L)
+      .select("doc_id", "n_tokens").as[(Long, Long)].collect().toMap
+    assert(got(2L) === 0L && got(3L) === 0L && got(1L) === 5L)
+  }
+
   test("packBinned: docs longer than the budget get singleton bins") {
     val df = Seq((1L, 100L), (2L, 100L), (3L, 5L)).toDF("id", "n")
     val out = Packing.packBinned(df, "id", "n", budget = 64L)

@@ -35,6 +35,19 @@ class SamplingSpec extends SparkSpec {
     assert((s1 & s3).size < 50)
   }
 
+  test("NaN weights are excluded, never monopolize the sample") {
+    // Spark orders NaN above every number, so an unfiltered NaN weight
+    // passes `> 0` AND its A-ES key pow(u, 1/NaN) = NaN sorts first —
+    // NaN rows would deterministically fill all k slots
+    val rows = (1L to 20L).map(i => (i, "g", 1.0)) ++
+      Seq((90L, "g", Double.NaN), (91L, "g", 0.0 / 0.0))
+    val got = Sampling.weightedPerGroup(rows.toDF("id", "grp", "w"),
+        Seq("grp"), "id", "w", 5)
+      .select("id").as[Long].collect().toSet
+    assert(got.size === 5)
+    assert(!got.contains(90L) && !got.contains(91L))
+  }
+
   test("per-group isolation and rank determinism") {
     val df = (1L to 60L).map(i => (i, if (i % 2 == 0) "a" else "b", 1.0))
       .toDF("id", "grp", "w")

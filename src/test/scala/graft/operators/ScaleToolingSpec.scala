@@ -19,6 +19,21 @@ class ScaleToolingSpec extends SparkSpec {
     assert(salted.length === 902) // 900 hot + 2 cold
   }
 
+  test("saltedJoin rejects salts that would silently empty the join") {
+    val large = Seq((1L, 1)).toDF("k", "payload")
+    val small = Seq((1L, "x")).toDF("k", "tag")
+    // pmod(x, 0) is NULL in non-ANSI Spark → every join key NULL →
+    // silently empty result; must fail loudly instead
+    val e = intercept[IllegalArgumentException] {
+      Skew.saltedJoin(large, small, "k", salt = 0)
+    }
+    assert(e.getMessage.contains("salt"))
+    val e2 = intercept[IllegalArgumentException] {
+      Skew.saltedJoin(large.withColumn("__salt", lit(1)), small, "k")
+    }
+    assert(e2.getMessage.contains("__salt"))
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {

@@ -66,6 +66,33 @@ class ZoneMapSpec extends SparkSpec {
     assert(got.as[(Long, String)].collect().toSet === Set((10L, "c")))
   }
 
+  test("stats referencing a deleted data file fail loudly, naming the rebuild") {
+    val data = scratch("zm-dead-data")
+    val stats = scratch("zm-dead-stats")
+    Seq((1L, "a")).toDF("k", "v").repartition(1)
+      .write.mode("overwrite").parquet(data)
+    Seq((2L, "b")).toDF("k", "v").repartition(1)
+      .write.mode("append").parquet(data)
+    ZoneMap.build(spark, data, stats, Seq("k"))
+    // a file vanishes (manual delete / external rewrite): the scan must
+    // fail up front with the fix named, not die path-not-found mid-read
+    // — and append() cannot heal this direction
+    val p = new org.apache.hadoop.fs.Path(data)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val victim = fs.listStatus(p).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).head
+    fs.delete(victim, false)
+    val e = intercept[IllegalArgumentException] {
+      ZoneMap.scanRange(spark, data, stats, Seq(Range("k", 0L, 100L)))
+    }
+    assert(e.getMessage.contains("deleted data file") &&
+      e.getMessage.contains("build()"))
+    // rebuild heals
+    ZoneMap.build(spark, data, stats, Seq("k"))
+    assert(ZoneMap.scanRange(spark, data, stats, Seq(Range("k", 0L, 100L)))
+      .count() === 1)
+  }
+
   test("all-null tracked column skips under a range; empty survivor set keeps schema") {
     val data = scratch("zm-data3")
     val stats = scratch("zm-stats3")
