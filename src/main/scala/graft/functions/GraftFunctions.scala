@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import graft.functions.expressions.{BloomProbeAny, DotProduct, FreqItemsAgg, H60Hash, LongArrayMatchCount, MinHashSigAgg, SimHashSigAgg}
 
@@ -31,37 +31,58 @@ object GraftFunctions {
   val CardName = "graft_card"
   val ConstraintsName = "graft_constraints"
 
+  /** Arity gate for the scalar/aggregate builders: the same up-front
+    * WRONG_NUM_ARGS discipline the TVF builders follow — without it a
+    * wrong SQL arg count threw a raw IndexOutOfBoundsException from
+    * `exprs(1)`, and EXTRA args were silently ignored. */
+  private def arity[A](name: String, exprs: Seq[Expression], n: Int)(
+      build: => A): A = {
+    if (exprs.size != n)
+      throw new org.apache.spark.sql.AnalysisException(
+        "WRONG_NUM_ARGS.WITHOUT_SUGGESTION", Map(
+          "functionName" -> name, "expectedNum" -> n.toString,
+          "actualNum" -> exprs.size.toString,
+          "docroot" -> "https://spark.apache.org/docs/latest"))
+    build
+  }
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction(DotName,
-      exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+      exprs => arity(DotName, exprs, 2)(DotProduct(exprs(0), exprs(1))),
+      "built-in")
     reg.createOrReplaceTempFunction(MatchName,
-      exprs => LongArrayMatchCount(exprs(0), exprs(1)), "built-in")
+      exprs => arity(MatchName, exprs, 2)(
+        LongArrayMatchCount(exprs(0), exprs(1))), "built-in")
     reg.createOrReplaceTempFunction(MinHashName,
-      exprs => MinHashSigAgg(exprs(0),
+      exprs => arity(MinHashName, exprs, 2)(MinHashSigAgg(exprs(0),
         graft.GraftExtensions.foldableIntArgExact(MinHashName, exprs, 1))
-        .toAggregateExpression(), "built-in")
+        .toAggregateExpression()), "built-in")
     reg.createOrReplaceTempFunction(SimHashName,
-      exprs => SimHashSigAgg(exprs(0)).toAggregateExpression(), "built-in")
+      exprs => arity(SimHashName, exprs, 1)(
+        SimHashSigAgg(exprs(0)).toAggregateExpression()), "built-in")
     // Spark's internal runtime-filter expressions, surfaced for the
     // explicit BloomJoin operator (and SQL users via GraftExtensions).
     // Number (not Int): SQL callers naturally write INT literals.
     reg.createOrReplaceTempFunction(BloomAggName,
-      exprs => new BloomFilterAggregate(exprs(0),
-        graft.GraftExtensions.foldableIntArg(BloomAggName, exprs, 1).longValue)
-        .toAggregateExpression(), "built-in")
+      exprs => arity(BloomAggName, exprs, 2)(
+        new BloomFilterAggregate(exprs(0),
+          graft.GraftExtensions.foldableIntArg(BloomAggName, exprs, 1).longValue)
+          .toAggregateExpression()), "built-in")
     reg.createOrReplaceTempFunction(MightContainName,
-      exprs => BloomFilterMightContain(exprs(0), exprs(1)), "built-in")
+      exprs => arity(MightContainName, exprs, 2)(
+        BloomFilterMightContain(exprs(0), exprs(1))), "built-in")
     // bloom-PER-ROW probe (might_contain demands a constant bloom) —
     // the BloomIndex stats-table pruning predicate
     reg.createOrReplaceTempFunction(BloomProbeAnyName,
-      exprs => BloomProbeAny(exprs(0), exprs(1)), "built-in")
+      exprs => arity(BloomProbeAnyName, exprs, 2)(
+        BloomProbeAny(exprs(0), exprs(1))), "built-in")
     reg.createOrReplaceTempFunction(FreqItemsName,
-      exprs => FreqItemsAgg(exprs(0),
+      exprs => arity(FreqItemsName, exprs, 2)(FreqItemsAgg(exprs(0),
         graft.GraftExtensions.foldableIntArgExact(FreqItemsName, exprs, 1))
-        .toAggregateExpression(), "built-in")
+        .toAggregateExpression()), "built-in")
     reg.createOrReplaceTempFunction(H60Name,
-      exprs => H60Hash(exprs(0)), "built-in")
+      exprs => arity(H60Name, exprs, 1)(H60Hash(exprs(0))), "built-in")
     // table-valued: snapshot reads (incl. time travel) for SQL users —
     // SELECT * FROM graft_snapshot('/path/to/snap'[, version])
     spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(

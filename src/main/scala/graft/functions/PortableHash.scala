@@ -66,14 +66,13 @@ object PortableHash {
   /** Plan-time Scala evaluation of [[h60]] — used to derive literals
     * (LSH hyperplanes) embedded identically in the Spark plan and the
     * oracle SQL, so neither engine needs to hash at run time. */
-  def h60s(s: String): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    var v = 0L
-    var i = 0
-    while (i < 7) { v = (v << 8) | (d(i) & 0xFFL); i += 1 }
-    (v << 4) | ((d(7) & 0xF0L) >> 4)
-  }
+  def h60s(s: String): Long =
+    // delegates to the runtime expression's own extraction: a drifted
+    // reimplementation here would desynchronize plan-time LSH
+    // hyperplane literals from the runtime hash (and this reuses its
+    // thread-local MessageDigest)
+    expressions.H60Hash.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s))
 
   /**
    * Deterministic pseudo-random hyperplanes for sign-bit LSH: component

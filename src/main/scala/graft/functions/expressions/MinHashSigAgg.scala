@@ -31,8 +31,9 @@ case class MinHashSigAgg(
     val b = new Array[Long](numHashes)
     var i = 0
     while (i < numHashes) {
-      a(i) = 1L + 2 * ((1103515245L * i + 12345) % 1073741823L)
-      b(i) = (1103515245L * (i + 7919) + 12345) % MinHashSigAgg.P
+      val (ai, bi) = MinHashSigAgg.permCoeffs(i)
+      a(i) = ai
+      b(i) = bi
       i += 1
     }
     (a, b)
@@ -89,4 +90,15 @@ case class MinHashSigAgg(
 
 object MinHashSigAgg {
   val P = 2147483647L // 2^31 - 1
+
+  /** THE canonical permutation-coefficient derivation — the SQL
+    * aggregate, `Dedup`'s codegen'd explode+agg path, and the
+    * generated oracle SQL must all draw the same (a, b) per hash
+    * index or signatures silently stop matching across paths; every
+    * caller delegates here. */
+  def permCoeffs(i: Int): (Long, Long) = {
+    val a = 1L + 2 * ((1103515245L * i + 12345) % 1073741823L) // odd, < 2^31
+    val b = (1103515245L * (i + 7919) + 12345) % P
+    (a, b)
+  }
 }

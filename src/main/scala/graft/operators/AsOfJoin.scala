@@ -58,6 +58,15 @@ object AsOfJoin {
       forwardDir: Boolean): DataFrame = {
 
     val leftCols = left.columns.toSeq
+    // valueCols must not collide with the left side's columns: the
+    // union-based plan would emit two same-named columns and crash
+    // far downstream with an ambiguous-reference error that never
+    // names this contract — rename the left column (or drop it) first
+    val overlap = valueCols.filter(c =>
+      leftCols.contains(c) && !keyCols.contains(c) && c != timeCol)
+    require(overlap.isEmpty,
+      s"valueCols ${overlap.mkString(", ")} already exist on the left " +
+        "side — rename or drop them before the as-of join")
     // tag sides; align schemas: left gets null value-cols, right gets
     // null left-only cols
     val rightOnly = valueCols

@@ -42,7 +42,10 @@ object CdcMaterializer {
         .as("__latest"))
       .select(keyCols.map(col) ++
         payload.map(c => col(s"__latest.`$c`").as(c)): _*)
-    latest.filter(col(opCol) =!= deleteOp)
+    // null-safe: a latest row with a NULL op is DATA whose operation
+    // was never stamped, not a delete — a bare =!= would null-propagate
+    // and silently drop the key from the snapshot as if deleted
+    latest.filter(col(opCol).isNull || col(opCol) =!= deleteOp)
   }
 
   /**

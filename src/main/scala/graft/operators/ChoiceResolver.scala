@@ -107,13 +107,27 @@ object ChoiceResolver {
    */
   def resolveUnion(frames: Seq[DataFrame], policy: ChoicePolicy): DataFrame = {
     import scala.collection.mutable
+    // types are collected in NULLABILITY-NORMALIZED form: two frames
+    // whose field differs only in containsNull/nullable metadata are
+    // the same choice, not two — unnormalized, both would simpleString
+    // to the same name and MakeCols/MakeStruct would emit duplicate
+    // columns/fields that crash the union
+    def norm(t: DataType): DataType = t match {
+      case ArrayType(e, _) => ArrayType(norm(e), containsNull = true)
+      case MapType(k, v, _) =>
+        MapType(norm(k), norm(v), valueContainsNull = true)
+      case StructType(fs) => StructType(fs.map(f =>
+        f.copy(dataType = norm(f.dataType), nullable = true)))
+      case other => other
+    }
     val fieldTypes = mutable.LinkedHashMap.empty[String, mutable.LinkedHashSet[DataType]]
     frames.foreach(_.schema.fields.foreach { f =>
-      fieldTypes.getOrElseUpdate(f.name, mutable.LinkedHashSet.empty) += f.dataType
+      fieldTypes.getOrElseUpdate(f.name, mutable.LinkedHashSet.empty) +=
+        norm(f.dataType)
     })
     def typed(df: DataFrame, name: String, t: DataType): Column =
       df.schema.find(_.name == name) match {
-        case Some(f) if f.dataType == t => col(s"`$name`")
+        case Some(f) if norm(f.dataType) == t => col(s"`$name`")
         case _ => lit(null).cast(t)
       }
     policy match {

@@ -56,11 +56,12 @@ object Dedup {
     array(sig: _*)
   }
 
-  private[graft] def permCoeffs(i: Int): (Long, Long) = {
-    val a = 1L + 2 * ((1103515245L * i + 12345) % 1073741823L) // odd, < 2^31
-    val b = (1103515245L * (i + 7919) + 12345) % P
-    (a, b)
-  }
+  /** Delegates to the one canonical derivation — see
+    * [[graft.functions.expressions.MinHashSigAgg.permCoeffs]]: a
+    * drifted copy here would silently desynchronize the explode+agg
+    * signatures from the SQL aggregate's and the oracle's. */
+  private[graft] def permCoeffs(i: Int): (Long, Long) =
+    graft.functions.expressions.MinHashSigAgg.permCoeffs(i)
 
   /**
    * Signature table (id, sig) computed the scale path: explode shingle

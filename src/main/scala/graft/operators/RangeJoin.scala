@@ -29,10 +29,21 @@ object RangeJoin {
       points: DataFrame, pointCol: String,
       intervals: DataFrame, startCol: String, endCol: String,
       bucketWidth: Double): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be > 0, got $bucketWidth")
     val w = lit(bucketWidth)
-    val iBucketed = intervals.withColumn("__bucket",
-      explode(sequence(floor(col(startCol) / w).cast("long"),
-        floor((col(endCol) - lit(1e-9)) / w).cast("long"))))
+    // empty/inverted intervals (end <= start) match no point under the
+    // residual filter, so dropping them up front is an identity — and
+    // it is LOAD-BEARING: sequence(a, b) with a > b generates a
+    // DESCENDING range (default step -1), so one malformed row with a
+    // large start and small end would explode into a ~|start-end|/w
+    // element array and OOM its executor before the residual ever ran
+    val loB = floor(col(startCol) / w).cast("long")
+    // clamped to loB: an interval narrower than the epsilon would
+    // otherwise still put the upper bucket below the lower one — any
+    // non-empty interval covers at least its start's bucket
+    val hiB = greatest(floor((col(endCol) - lit(1e-9)) / w).cast("long"), loB)
+    val iBucketed = intervals.filter(col(endCol) > col(startCol))
+      .withColumn("__bucket", explode(sequence(loB, hiB)))
     val pBucketed = points.withColumn("__bucket",
       floor(col(pointCol) / w).cast("long"))
     pBucketed.join(iBucketed, Seq("__bucket"))

@@ -25,6 +25,11 @@ object TopK {
   def perGroup(df: DataFrame, groupCols: Seq[String],
       orderBy: Seq[(String, Boolean)], k: Int,
       rankName: String = "rank"): DataFrame = {
+    // the rank attribute is APPENDED to the child's output — a name
+    // already present would yield a duplicate-named result that only
+    // fails at the caller's next ambiguous reference, far from here
+    require(!df.columns.contains(rankName),
+      s"input already has a '$rankName' column; pass a different rankName")
     val spark = df.sparkSession
     if (!spark.experimental.extraStrategies.contains(TopKPerGroupStrategy)) {
       spark.experimental.extraStrategies =

@@ -93,6 +93,19 @@ class FunctionsSpec extends SparkSpec {
     assert(r.getAs[Int]("m") === 1)
   }
 
+  test("wrong arity fails analysis with WRONG_NUM_ARGS, never IndexOutOfBounds") {
+    // one arg short
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_dot(array(1.0D))").collect()
+    }
+    assert(e1.getMessage.contains("graft_dot"))
+    // one arg extra (was silently ignored)
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_h60('a', 'b')").collect()
+    }
+    assert(e2.getMessage.contains("graft_h60"))
+  }
+
   test("GraftExtensions installs into a SparkSessionExtensions instance") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new graft.GraftExtensions().apply(ext) // must not throw; functional

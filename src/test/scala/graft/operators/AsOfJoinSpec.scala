@@ -84,6 +84,17 @@ class AsOfJoinSpec extends SparkSpec {
       (1L, 10L, "a", None, None)))
   }
 
+  test("valueCols colliding with left columns are rejected up front") {
+    val left = Seq((1L, 10L, 9.99)).toDF("k", "t", "price")
+    val right = Seq((1L, 5L, 42.0)).toDF("k", "t", "price")
+    // silently, the union plan would emit two 'price' columns and fail
+    // far downstream with an ambiguous reference
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.backward(left, right, Seq("k"), "t", Seq("price"))
+    }
+    assert(e.getMessage.contains("price"))
+  }
+
   test("left columns and row count are preserved") {
     val left = Seq((1L, 1L, "a"), (1L, 2L, "b")).toDF("k", "t", "tag")
     val right = Seq((9L, 1L, 1.0)).toDF("k", "t", "price")

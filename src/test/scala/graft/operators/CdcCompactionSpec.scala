@@ -22,6 +22,21 @@ class CdcCompactionSpec extends SparkSpec {
     assert(snap === Map(1L -> "b", 3L -> "e"))
   }
 
+  test("latestSnapshot: a NULL latest op is data, never a silent delete") {
+    // a source that stamps op only on updates/deletes: the bare =!=
+    // would null-propagate in the filter and drop the key as deleted
+    val log = Seq(
+      (1L, 10L, 0L, Option.empty[String], "a"),
+      (2L, 10L, 1L, Some("insert"), "b"),
+      (2L, 20L, 2L, Option.empty[String], "b2"), // null-op latest: keep
+      (3L, 10L, 3L, Some("delete"), "c")
+    ).toDF("k", "t", "seq", "op", "v")
+    val snap = CdcMaterializer.latestSnapshot(log, Seq("k"),
+        Seq(col("t"), col("seq")), "op")
+      .select("k", "v").as[(Long, String)].collect().toMap
+    assert(snap === Map(1L -> "a", 2L -> "b2"))
+  }
+
   test("scd2History: intervals chain gaplessly; deletes close without emitting") {
     val log = Seq(
       (1L, 10L, 0L, "insert", "a"),

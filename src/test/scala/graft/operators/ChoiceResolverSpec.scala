@@ -66,6 +66,27 @@ class ChoiceResolverSpec extends SparkSpec {
       && rows(1).isNullAt(2) && rows(1).getInt(3) === 20)
   }
 
+  test("nullability-only type differences are ONE choice, not duplicate columns") {
+    import org.apache.spark.sql.types._
+    // same array<int> element type, differing only in containsNull —
+    // unnormalized both simpleString to "array<int>" and make_cols
+    // would emit two columns named f_array<int>, crashing the union
+    val s1 = StructType(Seq(StructField("f",
+      ArrayType(IntegerType, containsNull = true)), StructField("tag", StringType)))
+    val s2 = StructType(Seq(StructField("f",
+      ArrayType(IntegerType, containsNull = false)), StructField("tag", StringType)))
+    val f1 = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(Seq(1, 2), "a"))), s1)
+    val f2 = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(Seq(3), "b"))), s2)
+    val out = ChoiceResolver.resolveUnion(Seq(f1, f2),
+      ChoiceResolver.ChoicePolicy.MakeCols)
+    assert(out.columns.toSeq === Seq("f", "tag")) // one column, no choice
+    assert(out.count() === 2)
+  }
+
   test("resolveUnion make_struct: union value as a typed struct") {
     val out = ChoiceResolver.resolveUnion(choiceFrames, ChoiceResolver.ChoicePolicy.MakeStruct)
     assert(out.schema("ticket_price").dataType.isInstanceOf[StructType])

@@ -31,6 +31,14 @@ class TopKPerGroupSpec extends SparkSpec {
       Seq("o_custkey", "o_orderkey", "o_totalprice", "rk"))
   }
 
+  test("a rankName colliding with an input column is rejected up front") {
+    val e = intercept[IllegalArgumentException] {
+      TopK.perGroup(orders.withColumn("rk", lit(1)), Seq("o_custkey"),
+        Seq(("o_totalprice", false)), k = 1, rankName = "rk")
+    }
+    assert(e.getMessage.contains("rk"))
+  }
+
   test("plan uses TopKPerGroupExec with no Sort or Window operator") {
     val got = TopK.perGroup(orders, Seq("o_custkey"),
       Seq(("o_totalprice", false)), k = 2)
