@@ -26,49 +26,57 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        DotProduct(exprs(0), exprs(1))))
+        graft.functions.GraftFunctions.arity("graft_dot", exprs, 2)(
+          DotProduct(exprs(0), exprs(1)))))
     e.injectFunction((FunctionIdentifier("graft_match_count"),
       new ExpressionInfo(classOf[LongArrayMatchCount].getName, "graft_match_count"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        LongArrayMatchCount(exprs(0), exprs(1))))
+        graft.functions.GraftFunctions.arity("graft_match_count", exprs, 2)(
+          LongArrayMatchCount(exprs(0), exprs(1)))))
     e.injectFunction((FunctionIdentifier("graft_minhash_sig"),
       new ExpressionInfo(classOf[MinHashSigAgg].getName, "graft_minhash_sig"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        MinHashSigAgg(exprs(0),
-          GraftExtensions.foldableIntArgExact("graft_minhash_sig", exprs, 1))
-          .toAggregateExpression()))
+        graft.functions.GraftFunctions.arity("graft_minhash_sig", exprs, 2)(
+          MinHashSigAgg(exprs(0),
+            GraftExtensions.foldableIntArgExact("graft_minhash_sig", exprs, 1))
+            .toAggregateExpression())))
     e.injectFunction((FunctionIdentifier("graft_simhash_sig"),
       new ExpressionInfo(classOf[SimHashSigAgg].getName, "graft_simhash_sig"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        SimHashSigAgg(exprs(0)).toAggregateExpression()))
+        graft.functions.GraftFunctions.arity("graft_simhash_sig", exprs, 1)(
+          SimHashSigAgg(exprs(0)).toAggregateExpression())))
     e.injectFunction((FunctionIdentifier("graft_bloom_agg"),
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
         "graft_bloom_agg"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
-          exprs(0),
-          GraftExtensions.foldableIntArg("graft_bloom_agg", exprs, 1).longValue)
-          .toAggregateExpression()))
+        graft.functions.GraftFunctions.arity("graft_bloom_agg", exprs, 2)(
+          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+            exprs(0),
+            GraftExtensions.foldableIntArg("graft_bloom_agg", exprs, 1).longValue)
+            .toAggregateExpression())))
     e.injectFunction((FunctionIdentifier("graft_freq_items"),
       new ExpressionInfo(classOf[graft.functions.expressions.FreqItemsAgg].getName,
         "graft_freq_items"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        graft.functions.expressions.FreqItemsAgg(exprs(0),
-          GraftExtensions.foldableIntArgExact("graft_freq_items", exprs, 1))
-          .toAggregateExpression()))
+        graft.functions.GraftFunctions.arity("graft_freq_items", exprs, 2)(
+          graft.functions.expressions.FreqItemsAgg(exprs(0),
+            GraftExtensions.foldableIntArgExact("graft_freq_items", exprs, 1))
+            .toAggregateExpression())))
     e.injectFunction((FunctionIdentifier("graft_h60"),
       new ExpressionInfo(classOf[graft.functions.expressions.H60Hash].getName,
         "graft_h60"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        graft.functions.expressions.H60Hash(exprs(0))))
+        graft.functions.GraftFunctions.arity("graft_h60", exprs, 1)(
+          graft.functions.expressions.H60Hash(exprs(0)))))
     e.injectFunction((FunctionIdentifier("graft_might_contain"),
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
         "graft_might_contain"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
-          exprs(0), exprs(1))))
+        graft.functions.GraftFunctions.arity("graft_might_contain", exprs, 2)(
+          org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+            exprs(0), exprs(1)))))
     // snapshot reads (incl. time travel) as a table function:
     // SELECT * FROM graft_snapshot('/path'[, version])
     e.injectTableFunction((FunctionIdentifier("graft_snapshot"),

@@ -35,7 +35,7 @@ object GraftFunctions {
     * WRONG_NUM_ARGS discipline the TVF builders follow — without it a
     * wrong SQL arg count threw a raw IndexOutOfBoundsException from
     * `exprs(1)`, and EXTRA args were silently ignored. */
-  private def arity[A](name: String, exprs: Seq[Expression], n: Int)(
+  private[graft] def arity[A](name: String, exprs: Seq[Expression], n: Int)(
       build: => A): A = {
     if (exprs.size != n)
       throw new org.apache.spark.sql.AnalysisException(

@@ -327,9 +327,18 @@ object Multimodal {
           walkRiff(bb, s + 4, e) { (t2, s2, e2) =>
             if (t2 == "avih" && e2 - s2 >= 40) {
               val usPerFrame = u32le(bb, s2)
-              probe.frames = u32le(bb, s2 + 16).toInt
-              probe.w = u32le(bb, s2 + 32).toInt
-              probe.h = u32le(bb, s2 + 36).toInt
+              val frames = u32le(bb, s2 + 16)
+              val w = u32le(bb, s2 + 32)
+              val h = u32le(bb, s2 + 36)
+              // u32 fields above Int.MaxValue are corrupt headers —
+              // route to the error row (same discipline as
+              // AudioCodec.frameCount), never let toInt wrap into a
+              // negative count that masquerades as real metadata
+              require(frames <= Int.MaxValue && w <= Int.MaxValue &&
+                h <= Int.MaxValue, "avih u32 field overflows Int")
+              probe.frames = frames.toInt
+              probe.w = w.toInt
+              probe.h = h.toInt
               probe.timescale = 1000000L
               probe.duration = usPerFrame * probe.frames
             }
@@ -367,11 +376,19 @@ object Multimodal {
         }
         else if (lt == "movi" && streamIdx >= 0) {
           val tag = f"$streamIdx%02d"
-          walkRiff(bb, s + 4, e) { (t2, s2, e2) =>
-            if (t2.startsWith(tag) &&
-                (t2.endsWith("dc") || t2.endsWith("db")) && e2 > s2)
-              frames += ((s2, e2 - s2))
-          }
+          // frames may be DIRECT children of movi or grouped inside
+          // 'LIST rec ' interleave chunks (the layout interleaved
+          // writers produce) — walk both, or a standard interleaved
+          // MJPEG AVI would silently fall back to derived features
+          def walkMovi(from: Int, to: Int): Unit =
+            walkRiff(bb, from, to) { (t2, s2, e2) =>
+              if (t2 == "LIST" && listType(s2, e2) == "rec ")
+                walkMovi(s2 + 4, e2)
+              else if (t2.startsWith(tag) &&
+                  (t2.endsWith("dc") || t2.endsWith("db")) && e2 > s2)
+                frames += ((s2, e2 - s2))
+            }
+          walkMovi(s + 4, e)
         }
       }
       frames.result()
@@ -538,8 +555,10 @@ object Multimodal {
    * init (library handles, GPU context) across a whole partition — the
    * Scala-side analog of `mapInPandas` batch shape. Input partitioning is
    * preserved; no shuffle. Image-mime rows hit the real [[ImageCodec]],
-   * audio-mime rows the real [[AudioCodec]]; everything else (video)
-   * the deterministic stub.
+   * audio-mime rows the real [[AudioCodec]], video-mime rows the real
+   * [[VideoCodec]] container probe (or its -1 error row for
+   * unparseable containers); only unrecognized mimes fall to the
+   * deterministic stub.
    */
   def decodeAssets(assets: Dataset[Asset])(implicit spark: SparkSession): Dataset[DecodedAsset] = {
     import spark.implicits._
@@ -585,6 +604,17 @@ object Multimodal {
   /** One sampled frame of a (video) asset. */
   final case class Frame(
       asset_id: Long, frame_index: Int, features: Array[Float])
+
+  /** THE derived per-frame feature rule (deterministic perturbation of
+    * the asset's features by frame index) — one definition shared by
+    * [[sampleFrames]] and [[sampleFramesDecoded]]'s non-MJPEG
+    * fallback, so the mixed-corpus path and the pure-derived path can
+    * never drift apart for identical assets. */
+  private def derivedFrames(d: DecodedAsset, everyN: Int): Iterator[Frame] =
+    (0 until d.n_frames by everyN).iterator.map { f =>
+      Frame(d.asset_id, f,
+        d.features.map(v => (v + f.toFloat / 100f) % 1f))
+    }
 
   /**
    * REAL per-frame pixel decode, for the one video codec the JDK can
@@ -636,11 +666,7 @@ object Multimodal {
           }
         } else {
           // non-AVI (or frameless) video: the derived-feature fallback
-          val d = VideoCodec.decode(a)
-          (0 until d.n_frames by everyN).iterator.map { f =>
-            Frame(d.asset_id, f,
-              d.features.map(v => (v + f.toFloat / 100f) % 1f))
-          }
+          derivedFrames(VideoCodec.decode(a), everyN)
         }
       }
     }
@@ -658,14 +684,9 @@ object Multimodal {
     require(everyN >= 1, s"everyN must be >= 1, got $everyN")
     import spark.implicits._
     decoded.mapPartitions { it =>
-      it.flatMap { d =>
-        (0 until d.n_frames by everyN).iterator.map { f =>
-          // real impl: seek + decode frame f; stub perturbs the asset
-          // features deterministically per frame index
-          Frame(d.asset_id, f,
-            d.features.map(v => (v + f.toFloat / 100f) % 1f))
-        }
-      }
+      // real impl: seek + decode frame f; the stub perturbs the asset
+      // features deterministically per frame index (derivedFrames)
+      it.flatMap(derivedFrames(_, everyN))
     }
   }
 

@@ -20,20 +20,40 @@ import org.apache.spark.sql.functions._
  * broadcast anti-join against a table bounded by the un-compacted
  * delete count — catalog-scale, not data-scale.
  *
+ * Tombstones are VERSION-STAMPED (`__asof` = the manifest version live
+ * when the delete ran) and apply only while that version is still
+ * live. This is what makes deletes and later upserts compose: every
+ * [[Merge.mergeWholeManifest]] FOLDS the applicable tombstones into
+ * the generation it writes (the subtraction rides a rewrite that was
+ * happening anyway), so after the commit the tombstones are durable in
+ * the data and their sidecar rows are inert — and a change row
+ * re-asserting a deleted key simply wins the merge, instead of being
+ * silently re-hidden by a stale tombstone (and then destroyed by the
+ * next compact, which was the failure mode before the stamping).
+ * Writers must be serialized per store (the MERGE family's existing
+ * single-writer discipline): a delete racing a concurrent merge could
+ * stamp a version that is no longer live by the time it lands.
+ *
  * Crash/idempotency contract:
  *  - [[delete]] is an append of immutable tombstone files; re-running
  *    a delete of already-deleted keys changes nothing a reader sees
  *    (the anti-join is idempotent by construction).
- *  - [[compact]] commits the cleaned generation THROUGH the manifest
- *    pointer first, then clears tombstones. A crash between the two
- *    leaves tombstones that re-subtract already-absent keys — a
- *    no-op — and the next compact clears them. Readers racing a
- *    compact see either (old gen + tombstones) or (new gen +
- *    maybe-stale tombstones): the same final row set either way.
+ *  - [[compact]] (and the merge-time fold) commits the cleaned
+ *    generation THROUGH the manifest pointer first, then clears the
+ *    pinned sidecar files. A crash between the two leaves files whose
+ *    `__asof` is below the new live version — INERT by the version
+ *    rule, removed by the next compact/fold. Readers racing a compact
+ *    see either (old gen + applicable tombstones) or (new gen + inert
+ *    tombstones): the same final row set either way.
  */
 object DeletionVectors {
 
   private def tombDir(dir: Path) = new Path(dir, "_tombstones")
+
+  private def liveVersion(spark: SparkSession, dir: Path): Long = {
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    ManifestCommit.read(fs, dir).map(_.version).getOrElse(0L)
+  }
 
   /** The sidecar's data files right now (commit markers excluded). A
     * compact clears files individually — the dir may outlive its last
@@ -47,32 +67,84 @@ object DeletionVectors {
     }).map(_.getPath)
   }
 
-  /** Logical delete: append the keys to the tombstone sidecar. Cost ∝
-    * keys; no snapshot data is opened. */
+  /** Logical delete: append the keys to the tombstone sidecar, stamped
+    * with the live manifest version. Cost ∝ keys; no snapshot data is
+    * opened. Manifest snapshots ONLY: a rename-mode sink swaps the
+    * whole snapshot dir per batch, which would carry the sidecar into
+    * the parked copy and delete it — silently undoing the delete. */
   def delete(spark: SparkSession, snapshotDir: String, keys: DataFrame,
-      keyCol: String): Unit =
+      keyCol: String): Unit = {
+    val dir = new Path(snapshotDir)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    require(ManifestCommit.exists(fs, dir),
+      s"deletion vectors need a manifest snapshot at $snapshotDir — a " +
+        "rename-mode sink's whole-dir swap would destroy the tombstone " +
+        "sidecar on its next batch; commit with manifestCommit = true")
     keys.select(col(keyCol)).distinct()
-      .write.mode("append").parquet(tombDir(new Path(snapshotDir)).toString)
+      .withColumn("__asof", lit(liveVersion(spark, dir)))
+      .write.mode("append").parquet(tombDir(dir).toString)
+  }
 
-  /** The live view: snapshot minus tombstoned keys. The tombstone side
-    * is broadcast (bounded by un-compacted delete volume); the
-    * snapshot side streams through the anti-join unshuffled. */
+  /** Distinct keys of the APPLICABLE tombstones in `files` — rows
+    * stamped with the current live version. Rows below it are inert:
+    * a merge/compact already folded them into the data (or is mid-
+    * cleanup after its pointer flip). */
+  private def applicableKeys(spark: SparkSession, dir: Path,
+      files: Array[Path]): DataFrame =
+    spark.read.parquet(files.map(_.toString): _*)
+      .filter(col("__asof") === lit(liveVersion(spark, dir)))
+      .drop("__asof").distinct()
+
+  /** The live view: snapshot minus applicable tombstoned keys. The
+    * tombstone side is broadcast (bounded by un-compacted delete
+    * volume); the snapshot side streams through the anti-join
+    * unshuffled. */
   def read(spark: SparkSession, snapshotDir: String,
       keyCol: String): DataFrame = {
+    val dir = new Path(snapshotDir)
     val snap = Merge.readSnapshot(spark, snapshotDir)
-    val files = tombFiles(spark, tombDir(new Path(snapshotDir)))
+    val files = tombFiles(spark, tombDir(dir))
     if (files.isEmpty) snap
-    else snap.join(broadcast(spark.read.parquet(files.map(_.toString): _*)
-        .select(col(keyCol)).distinct()),
+    else snap.join(
+      broadcast(applicableKeys(spark, dir, files).select(col(keyCol))),
       Seq(keyCol), "left_anti")
   }
 
-  /** Un-compacted tombstone count — the read-tax gauge a maintenance
-    * scheduler polls to decide when [[compact]] pays for itself. */
+  /** Un-compacted applicable tombstone count — the read-tax gauge a
+    * maintenance scheduler polls to decide when [[compact]] pays for
+    * itself. */
   def pendingDeletes(spark: SparkSession, snapshotDir: String): Long = {
-    val files = tombFiles(spark, tombDir(new Path(snapshotDir)))
+    val dir = new Path(snapshotDir)
+    val files = tombFiles(spark, tombDir(dir))
     if (files.isEmpty) 0L
-    else spark.read.parquet(files.map(_.toString): _*).distinct().count()
+    else applicableKeys(spark, dir, files).count()
+  }
+
+  /** The merge-time fold ([[Merge.mergeWholeManifest]] calls this on
+    * the target it is about to rewrite): subtract the applicable
+    * tombstones from `target` and return the pinned sidecar files for
+    * [[clearPinned]] after the pointer flip. The tombstone key column
+    * is discovered from the sidecar's own schema. */
+  private[operators] def foldInto(spark: SparkSession, snapshotDir: String,
+      target: DataFrame): (DataFrame, Array[Path]) = {
+    val dir = new Path(snapshotDir)
+    val pinned = tombFiles(spark, tombDir(dir))
+    if (pinned.isEmpty) (target, pinned)
+    else {
+      val keys = applicableKeys(spark, dir, pinned)
+      val keyCol = keys.columns.filterNot(_ == "__asof").head
+      (target.join(broadcast(keys.select(col(keyCol))), Seq(keyCol),
+        "left_anti"), pinned)
+    }
+  }
+
+  /** Post-commit sidecar cleanup (best-effort: survivors are inert by
+    * the version rule and the next fold/compact removes them). */
+  private[operators] def clearPinned(spark: SparkSession,
+      snapshotDir: String, pinned: Array[Path]): Unit = {
+    val fs = tombDir(new Path(snapshotDir))
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    pinned.foreach(fs.delete(_, false))
   }
 
   /** Physically apply the tombstones: commit the subtracted snapshot
@@ -96,16 +168,23 @@ object DeletionVectors {
   private[operators] def compactPinned(spark: SparkSession,
       snapshotDir: String, keyCol: String,
       pinned: Array[Path]): Unit = {
-    val td = tombDir(new Path(snapshotDir))
-    val fs = td.getFileSystem(spark.sessionState.newHadoopConf())
+    val dir = new Path(snapshotDir)
+    val fs = tombDir(dir).getFileSystem(spark.sessionState.newHadoopConf())
     if (pinned.isEmpty) return
+    // APPLICABLE rows only: a stale inert file left by a crashed
+    // cleanup must never become a D row — its key may have been
+    // legitimately re-asserted by a merge since, and re-deleting it
+    // here would be exactly the resurrection-destruction bug the
+    // version stamp closes
+    val dels0 = applicableKeys(spark, dir, pinned)
+      .select(col(keyCol)).withColumn("op", lit("D"))
+    if (dels0.isEmpty) { pinned.foreach(fs.delete(_, false)); return }
     // route through the MERGE protocol as a pure-delete change set so
     // the gc/guard/commit tail stays in one place; null-fill the
     // snapshot's data columns (mergeBatch resolves every target column
-    // on the change side — D rows never read them)
-    val dels0 = spark.read.parquet(pinned.map(_.toString): _*)
-      .select(col(keyCol)).distinct().withColumn("op", lit("D"))
-    if (dels0.isEmpty) { pinned.foreach(fs.delete(_, false)); return }
+    // on the change side — D rows never read them). The merge's own
+    // tombstone fold makes the D rows no-ops, and also sweeps in any
+    // delete that landed between our pin and this call.
     val dels = Merge.readSnapshot(spark, snapshotDir).schema.fields
       .filterNot(_.name == keyCol)
       .foldLeft(dels0)((d, f) =>

@@ -502,14 +502,27 @@ object Merge {
         s"changes carry multiple non-D rows for one '$key' — compact the " +
           "batch to at most one surviving change per key " +
           "(CdcMaterializer.latestSnapshot) before merging")
+      var pinnedTombs: Array[org.apache.hadoop.fs.Path] = Array.empty
       commitWholeGeneration(spark, snapshotDir) { (genPath, st) =>
         val data = ManifestCommit.dataDir(new Path(snapshotDir))
-        val target = st.filter(_.live.nonEmpty)
+        val target0 = st.filter(_.live.nonEmpty)
           .map(s => spark.read.parquet(new Path(data, s.live.head).toString))
           .getOrElse(changes.filter(lit(false)).drop(opCol))
+        // fold APPLICABLE deletion-vector tombstones into the
+        // generation being written (the subtraction rides a rewrite
+        // that was happening anyway): this is what lets a change row
+        // re-assert a previously deleted key — the merge wins over the
+        // tombstone, instead of the key staying silently hidden and
+        // then being destroyed by the next compact
+        val (target, pinned) =
+          DeletionVectors.foldInto(spark, snapshotDir, target0)
+        pinnedTombs = pinned
         mergeBatch(target, changes, key, opCol)
           .write.mode("overwrite").parquet(genPath)
       }
+      // post-flip: the folded sidecar files are inert (version rule) —
+      // best-effort removal; a crash here is healed by the next fold
+      DeletionVectors.clearPinned(spark, snapshotDir, pinnedTombs)
     } finally if (cachedHere) { changes.unpersist(); () }
   }
 

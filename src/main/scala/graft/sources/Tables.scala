@@ -72,20 +72,57 @@ object Tables {
   def registerAllAsTables(spark: SparkSession, sfDir: String,
       db: String = "graft", force: Boolean = false): Unit = {
     graft.functions.GraftFunctions.register(spark)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // same claim-only-if-unset discipline as load() — never override an
+    // explicit caller setting
+    if (spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").isEmpty)
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val catalog = spark.sessionState.catalog
     if (!catalog.databaseExists(db)) spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    // location comparison in QUALIFIED Hadoop-Path form: java.io.File
+    // canonicalization is wrong for any non-local sfDir (an s3a:// URI
+    // resolves against the driver cwd, so the idempotency check never
+    // matches and every call pays the full DDL round)
+    def qualified(p: String): String = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(spark.sessionState.newHadoopConf())
+        .makeQualified(hp).toString
+    }
     all.foreach { n =>
-      val id = org.apache.spark.sql.catalyst.TableIdentifier(n, Some(db))
-      val want = new java.io.File(s"$sfDir/$n.parquet").getCanonicalPath
+      val loc = s"$sfDir/$n.parquet"
+      // events may carry TIMESTAMP(NANOS) read as bigint: the catalog
+      // entry then exposes epoch-nanos a SQL user would misread as
+      // seconds. Register the raw table as events_raw and serve a
+      // persisted VIEW `events` with the same normalized TIMESTAMP ts
+      // the registerAll() views expose — catalog consumers see one
+      // consistent schema either way.
+      val nanosTs = n == "events" && {
+        val f = spark.read.parquet(loc).schema.fields.find(_.name == "ts")
+        f.exists(_.dataType == org.apache.spark.sql.types.LongType)
+      }
+      val tbl = if (nanosTs) s"${n}_raw" else n
+      val id = org.apache.spark.sql.catalyst.TableIdentifier(tbl, Some(db))
+      val want = qualified(loc)
       val current =
         if (catalog.tableExists(id))
-          Option(catalog.getTableMetadata(id).location.getPath)
-            .map(p => new java.io.File(p).getCanonicalPath)
+          Some(qualified(catalog.getTableMetadata(id).location.toString))
         else None
       if (force || !current.contains(want)) {
-        spark.sql(s"DROP TABLE IF EXISTS $db.$n")
-        spark.sql(s"CREATE TABLE $db.$n USING PARQUET LOCATION '$sfDir/$n.parquet'")
+        spark.sql(s"DROP TABLE IF EXISTS $db.$tbl")
+        spark.sql(s"CREATE TABLE $db.$tbl USING PARQUET LOCATION '$loc'")
+      }
+      if (nanosTs) {
+        val sel = spark.table(s"$db.$tbl").schema.fields.map { f =>
+          if (f.name == "ts") "timestamp_micros(ts div 1000) AS ts"
+          else s"`${f.name}`"
+        }
+        // a stale entry registered as a raw TABLE by an older run must
+        // drop via DROP TABLE; an existing VIEW just replaces
+        val vid = org.apache.spark.sql.catalyst.TableIdentifier(n, Some(db))
+        if (catalog.tableExists(vid) && catalog.getTableMetadata(vid)
+            .tableType != org.apache.spark.sql.catalyst.catalog.CatalogTableType.VIEW)
+          spark.sql(s"DROP TABLE IF EXISTS $db.$n")
+        spark.sql(s"CREATE OR REPLACE VIEW $db.$n AS " +
+          s"SELECT ${sel.mkString(", ")} FROM $db.$tbl")
       }
     }
   }
@@ -101,7 +138,14 @@ object Tables {
    * reference's crawler publishing table metadata alongside locations.
    */
   def analyzeAll(spark: SparkSession, db: String = "graft"): Unit =
-    all.foreach { n =>
+    all.foreach { n0 =>
+      // ANALYZE targets the physical table: `events` may be the
+      // normalized VIEW over `events_raw` (see registerAllAsTables)
+      val id = org.apache.spark.sql.catalyst.TableIdentifier(n0, Some(db))
+      val isView = spark.sessionState.catalog.tableExists(id) &&
+        spark.sessionState.catalog.getTableMetadata(id).tableType ==
+          org.apache.spark.sql.catalyst.catalog.CatalogTableType.VIEW
+      val n = if (isView) s"${n0}_raw" else n0
       // column stats only exist for scalar types — skip array/map/struct
       // columns (e.g. embeddings.embedding) rather than failing the table
       import org.apache.spark.sql.types.{ArrayType, MapType, StructType}

@@ -49,8 +49,11 @@ object StreamJoins {
     val l = left.withWatermark(leftTs, watermark)
     val r = right.withWatermark(rightTs, watermark)
     val keyCond = keys.map(k => l(k) === r(k)).reduce(_ && _)
-    val rangeCond = col(rightTs) >= col(leftTs) - expr(s"INTERVAL $maxDelay") &&
-      col(rightTs) <= col(leftTs)
+    // side-anchored like keyCond: unanchored col() resolves ambiguously
+    // when both inputs carry both timestamp names (two projections of
+    // one wide demuxed schema — a common shape)
+    val rangeCond = r(rightTs) >= l(leftTs) - expr(s"INTERVAL $maxDelay") &&
+      r(rightTs) <= l(leftTs)
     keys.foldLeft(l.join(r, keyCond && rangeCond))((df, k) => df.drop(r(k)))
   }
 }

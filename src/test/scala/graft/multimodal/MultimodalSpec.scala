@@ -386,6 +386,36 @@ class MultimodalSpec extends SparkSpec {
     assert(strided.map(_.frame_index).sorted.toSeq === Seq(0, 2))
   }
 
+  test("rec-interleaved AVI decodes its frames (grandchildren of movi)") {
+    implicit val s = spark
+    import spark.implicits._
+    // interleaved writers group frames inside 'LIST rec ' chunks: the
+    // walker must recurse into them or a standard interleaved MJPEG
+    // AVI silently falls back to derived features
+    val levels = Seq(60, 200)
+    val frames = levels.map(jpegOfGray(32, 32, _))
+    val avih = le32(40000L) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      le32(frames.length.toLong) ++ le32(0) ++ le32(1) ++ le32(0) ++
+      le32(32L) ++ le32(32L) ++ Array.fill[Byte](16)(0)
+    val strh = "vids".getBytes("ASCII") ++ "MJPG".getBytes("ASCII") ++
+      Array.fill[Byte](48)(0)
+    val hdrl = riffList("hdrl", riffChunk("avih", avih),
+      riffList("strl", riffChunk("strh", strh)))
+    val movi = riffList("movi",
+      frames.map(fr => riffList("rec ", riffChunk("00dc", fr))): _*)
+    val body = "AVI ".getBytes("ASCII") ++ hdrl ++ movi
+    val avi = "RIFF".getBytes("ASCII") ++ le32(body.length.toLong) ++ body
+
+    val got = Multimodal.sampleFramesDecoded(
+        Seq(Multimodal.Asset(7L, "video/x-msvideo", avi, "t")).toDS(), 1)
+      .collect().sortBy(_.frame_index)
+    assert(got.map(_.frame_index).toSeq === Seq(0, 1))
+    got.zip(levels).foreach { case (fr, lvl) =>
+      assert(fr.features.length === 8)
+      fr.features.foreach(f => assert(math.abs(f - lvl / 255f) < 0.02f))
+    }
+  }
+
   test("non-MJPEG AVI routes to the derived fallback, never all-empty rows") {
     implicit val s = spark
     import spark.implicits._

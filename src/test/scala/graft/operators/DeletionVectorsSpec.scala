@@ -98,7 +98,7 @@ class DeletionVectorsSpec extends SparkSpec {
       lines.slice(joinAt, joinAt + 2).mkString("\n"))
   }
 
-  test("tombstones appended during a compact survive it unapplied") {
+  test("tombstones appended during a compact are swept in by the merge fold, never lost") {
     val dir = tmp("dv-race")
     initSnap(dir)
     DeletionVectors.delete(spark, dir, Seq(3L).toDF("k"), "k")
@@ -114,18 +114,51 @@ class DeletionVectorsSpec extends SparkSpec {
     DeletionVectors.delete(spark, dir, Seq(8L).toDF("k"), "k")
     DeletionVectors.compactPinned(spark, dir, "k", pinned)
 
-    // 3 is physically applied; 8 is still PENDING and still subtracted
+    // BOTH applied: the merge-time tombstone fold lists the sidecar at
+    // generation-write time, so the delete that landed after the pin
+    // is folded along with the pinned one (applied early, not dropped
+    // — and under the version rule, leaving it pending across the
+    // commit would have made it inert)
     val all = (1L to 20L).toSet
     assert(Merge.readSnapshot(spark, dir)
-      .select("k").as[Long].collect().toSet === all - 3L)
-    assert(DeletionVectors.pendingDeletes(spark, dir) === 1L)
+      .select("k").as[Long].collect().toSet === all -- Set(3L, 8L))
+    assert(DeletionVectors.pendingDeletes(spark, dir) === 0L)
     assert(DeletionVectors.read(spark, dir, "k")
       .select("k").as[Long].collect().toSet === all -- Set(3L, 8L))
 
-    // the next compact applies the survivor
+    // a further compact is a clean no-op
     DeletionVectors.compact(spark, dir, "k")
-    assert(DeletionVectors.pendingDeletes(spark, dir) === 0L)
     assert(Merge.readSnapshot(spark, dir)
       .select("k").as[Long].collect().toSet === all -- Set(3L, 8L))
+  }
+
+  test("a merge re-asserting a tombstoned key wins: no silent hide, no destruction") {
+    val dir = tmp("dv-reassert")
+    initSnap(dir)
+    DeletionVectors.delete(spark, dir, Seq(4L, 9L).toDF("k"), "k")
+    // an upsert re-inserts key 4 before any compact ran: the merge
+    // folds the tombstones into its generation and the change row wins
+    Merge.mergeWholeManifest(spark, dir,
+      Seq((4L, "revived", 99.0, "I")).toDF("k", "name", "bal", "op"), "k")
+    val all = (1L to 20L).toSet
+    assert(DeletionVectors.read(spark, dir, "k")
+      .select("k").as[Long].collect().toSet === all - 9L)
+    assert(DeletionVectors.read(spark, dir, "k")
+      .filter(col("k") === 4L).select("name").as[String].head() === "revived")
+    // …and a compact afterwards must NOT destroy the revived key
+    DeletionVectors.compact(spark, dir, "k")
+    assert(Merge.readSnapshot(spark, dir)
+      .select("k").as[Long].collect().toSet === all - 9L)
+    assert(DeletionVectors.pendingDeletes(spark, dir) === 0L)
+  }
+
+  test("delete refuses a rename-layout snapshot (the sidecar would be destroyed)") {
+    val dir = tmp("dv-rename") + "/snap"
+    // a rename-mode MergeSink snapshot: plain parquet dir, no manifest
+    (1L to 5L).toDF("k").write.parquet(dir)
+    val e = intercept[IllegalArgumentException] {
+      DeletionVectors.delete(spark, dir, Seq(1L).toDF("k"), "k")
+    }
+    assert(e.getMessage.contains("manifest"))
   }
 }

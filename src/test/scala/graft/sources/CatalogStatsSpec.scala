@@ -21,4 +21,25 @@ class CatalogStatsSpec extends SparkSpec {
     assert(custStats.distinctCount.exists(_ > 0), custStats)
     assert(custStats.nullCount.contains(BigInt(0)), custStats)
   }
+
+  test("catalog events exposes a real TIMESTAMP ts, same as the session views") {
+    Tables.registerAllAsTables(spark, sf0001)
+    // nanos-generation parquet reads ts as bigint; the catalog entry
+    // then serves a persisted VIEW with the normalized TIMESTAMP so a
+    // SQL user's cast/date arithmetic is not silently off by 1e9. The
+    // invariant either way: catalog ts is a timestamp (same type the
+    // session views expose), never a raw bigint
+    val t = spark.table("graft.events").schema("ts").dataType
+    assert(t === Tables.load(spark, sf0001, "events").schema("ts").dataType, t)
+    assert(t !== org.apache.spark.sql.types.LongType, t)
+    // the view row set equals the session-view load() path
+    val viaView = spark.table("graft.events").count()
+    assert(viaView === Tables.load(spark, sf0001, "events").count())
+    val tsSample = spark.sql(
+      "SELECT year(ts) AS y FROM graft.events LIMIT 1").head().getInt(0)
+    assert(tsSample > 2000 && tsSample < 2100, s"year=$tsSample")
+    // idempotency: a second call does not fail on the existing view
+    Tables.registerAllAsTables(spark, sf0001)
+    assert(spark.table("graft.events").count() === viaView)
+  }
 }
