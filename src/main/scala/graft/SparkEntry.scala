@@ -96,7 +96,10 @@ object SparkEntry {
       ).as("metadata"))
   }
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  // lazy val, not def: a def rebuilds the whole 132-entry closure map
+  // on EVERY access — Profile's timed loop and each Verify/Bench lookup
+  // paid that construction per call
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---------------- core SQL surface (SURVEY §2.6/§2.7) ----------------
 
@@ -1743,8 +1746,12 @@ object SparkEntry {
 
     // SemDeDup-shaped semantic dedup: coarse-quantizer clusters bound
     // the pairwise candidate set (zero-shuffle literal-centroid
-    // assignment, the q96 quantizer), greedy first-wins keep-list
-    // within each cluster (the q91 admission rule).
+    // assignment, the q96 quantizer); within each cluster a PAIRWISE
+    // drop rule — b is dropped when ANY lower-cosc item (kept or
+    // itself dropped) is >= threshold-similar to it. NOT the greedy
+    // first-wins chain rule: on a chain a<b<c with sim(a,b) and
+    // sim(b,c) but not sim(a,c), greedy keeps {a,c} while this (and
+    // the DuckDB oracle, which mirrors it) keeps {a} only.
     "q106_semantic_dedup" -> ((s, dir) => {
       Dedup.semanticDedup(t(s, dir, "embeddings"), k = 8, threshold = 0.95)
         .orderBy(col("vec_id"))
@@ -2573,7 +2580,7 @@ object SparkEntry {
       s"SELECT vec_id, $tb AS tbl, $bucket AS bucket FROM $src"
     }.mkString(" UNION ALL ")
 
-  def oracleSql: Map[String, String] = Map(
+  lazy val oracleSql: Map[String, String] = Map(
     "q01_agg" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -106,8 +106,12 @@ object PipelineDemo {
     val q = IngestPipeline.start(raw, cfg, onBatch = m => metrics.synchronized {
       metrics += m; ()
     })
-    q.awaitTermination(600000)
+    // fail loudly on timeout: proceeding would verify half-built state
+    // and read the metrics buffer concurrently with the writer
+    require(q.awaitTermination(600000),
+      "pipeline did not drain within 600s — backlog too large for the demo")
     val wallS = (System.nanoTime() - t0) / 1e9
+    val ms0 = metrics.synchronized { metrics.toIndexedSeq }
 
     // --- verification: snapshot == independent latest-per-key fold
     val env = spark.read
@@ -149,13 +153,13 @@ object PipelineDemo {
       .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
     val opsOk = opsGot == opsWantAll
 
-    val ms = metrics.map(_.millis.toDouble).sorted
+    val ms = ms0.map(_.millis.toDouble).sorted
     def pct(p: Double) =
       if (ms.isEmpty) 0.0 else ms(((ms.size - 1) * p).toInt)
-    val clean = metrics.map(_.clean).sum
-    val bad = metrics.map(_.quarantined).sum
+    val clean = ms0.map(_.clean).sum
+    val bad = ms0.map(_.quarantined).sum
     println(
-      f"""{"records":$n,"batches":${metrics.size},"wall_s":$wallS%.1f,""" +
+      f"""{"records":$n,"batches":${ms0.size},"wall_s":$wallS%.1f,""" +
         f""""records_per_s":${n / wallS}%.0f,"batch_ms":{"p50":${pct(0.5)}%.0f,""" +
         f""""p95":${pct(0.95)}%.0f,"max":${if (ms.isEmpty) 0.0 else ms.last}%.0f},""" +
         f""""clean":$clean,"quarantined":$bad,""" +

@@ -132,24 +132,52 @@ object ScaleFixture {
       remap("event_id", eidS), col("ts"), remap("user_id", uidS),
       col("event_type"), col("value"), col("props")), "events", k)
 
-    // documents: copy 0 verbatim; copy i>0 salts every whitespace token
-    // with "~i" so cross-copy shingle overlap is zero. n_chars tracks the
-    // rewritten text (the salt adds ~2 chars per token).
-    val salted = when(col("__copy") === 0, col("text")).otherwise(
-      concat_ws(" ", transform(split(col("text"), " "),
-        w => concat(w, lit("~"), col("__copy")))))
+    // documents: copy 0 verbatim; copy i>0 applies a per-copy BIJECTIVE
+    // character rotation (a Caesar shift of [a-z0-9], case folded into
+    // the same wheel). A bijection preserves every intra-copy shingle
+    // relationship EXACTLY — token boundaries, lengths, repetition
+    // structure, and Jaccard between any two docs are invariant — so
+    // the true near-dup pair count at factor k is exactly k times the
+    // source count, for BOTH token-level and char-n-gram shingles.
+    // (The earlier token-suffix salt got this wrong for char shingles:
+    // 'hello~1' vs 'hello~2' still share their interior 5-grams, so
+    // cross-copy similarity was materially above zero for long tokens
+    // and the fixture itself could inject super-linear pair growth.)
+    // Cross-copy, every letter/digit maps to a different character, so
+    // shared shingles are limited to all-punctuation/whitespace grams —
+    // far below any working threshold. n_chars is exactly preserved.
+    // upper and lower case are DISTINCT wheel positions (a case fold
+    // would not be injective — two case-variant docs could collapse
+    // into one, inflating intra-copy pair counts)
+    val wheel = "abcdefghijklmnopqrstuvwxyz" +
+      "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+    def shifted(i: Int): String = {
+      val s = 1 + (i - 1) % (wheel.length - 1) // non-zero shift always
+      wheel.drop(s) ++ wheel.take(s)
+    }
+    val rotated = (1 until k).foldLeft(
+        when(col("__copy") === 0, col("text"))) { (acc, i) =>
+      acc.when(col("__copy") === i,
+        translate(col("text"), wheel, shifted(i)))
+    }
     wr(replicate(documents, k)
-      .withColumn("text", salted)
+      .withColumn("text", rotated)
       .select(remap("doc_id", didS), col("text"), col("lang"),
         col("source"), length(col("text")).cast("long").as("n_chars")),
       "documents", k)
 
-    // embeddings: copy i rotated left by i positions. |v| is unchanged, so
-    // normalized-cosine paths behave identically within a copy.
+    // embeddings: copy i rotated left by 1 + (i-1) % (dim-1) positions —
+    // always a NON-ZERO rotation (a bare `i % dim` degenerates for
+    // copies at multiples of dim: a zero-length second slice would emit
+    // the copy byte-identical to copy 0, cosine 1.0 across copies —
+    // exactly the cross-copy cluster collapse the fixture promises not
+    // to inject). |v| is unchanged, so normalized-cosine paths behave
+    // identically within a copy.
     val dim = size(col("embedding"))
+    val shift = (col("__copy") - 1) % (dim - 1) + 1
     val rot = concat(
-      slice(col("embedding"), (col("__copy") % dim) + 1, dim),
-      slice(col("embedding"), lit(1), col("__copy") % dim))
+      slice(col("embedding"), shift + 1, dim),
+      slice(col("embedding"), lit(1), shift))
     wr(replicate(embeddings, k)
       .withColumn("embedding",
         when(col("__copy") === 0, col("embedding")).otherwise(rot))
