@@ -154,10 +154,15 @@ object TextFunctions {
       regexp_replace(text, "https?://\\S+", ""),
       "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", "")
 
-  /** Stopword-hit count for a language's function words (langid signal). */
+  /** Stopword-hit count for a language's function words (langid
+    * signal). Words are regex-QUOTED: a caller-supplied word carrying
+    * regex syntax ("c++", "(x)") would otherwise compile to a
+    * different pattern — or fail to compile mid-job. (\Q…\E is valid
+    * and identical in Java regex and RE2, so oracles can mirror it.) */
   def stopwordHits(text: Column, words: Seq[String]): Column =
     size(regexp_extract_all(lower(text),
-      lit("\\b(" + words.mkString("|") + ")\\b"), lit(0)))
+      lit("\\b(" + words.map(java.util.regex.Pattern.quote).mkString("|") +
+        ")\\b"), lit(0)))
 
   /**
    * N-gram/function-word language ID over the langs the heuristic knows;

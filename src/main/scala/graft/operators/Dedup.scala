@@ -50,7 +50,11 @@ object Dedup {
   def minhashFromHashes(sh: Column, numHashes: Int): Column = {
     val sig = (0 until numHashes).map { i =>
       val (a, b) = permCoeffs(i)
-      when(size(sh) === 0, lit(P))
+      // coalesce: size(NULL) is NULL, which would fall through to an
+      // all-NULL signature for null-text docs — diverging from the
+      // internal minhashSignatures path's [P,…] sentinel and turning
+      // every verify estimate against such a doc NULL
+      when(coalesce(size(sh), lit(0)) === 0, lit(P))
         .otherwise(array_min(transform(sh, h => (h * a + b) % P)))
     }
     array(sig: _*)
@@ -928,6 +932,14 @@ object Dedup {
       .join(vecs.select(col("id").as("id_a"), col("v").as("va")), "id_a")
       .join(vecs.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
       .select(col("id_a"), col("id_b"),
+        // the threshold applies to the 4-dp ROUNDED cosine by design —
+        // the opposite of the exact-ratio paths (verifyPairs,
+        // ngramJaccardPairs), which threshold unrounded: a float dot
+        // differs from DuckDB's list_cosine_similarity in last ulps,
+        // so quantizing to 4 decimals BEFORE the decision is what
+        // makes the pair set identical cross-engine. Cost: the
+        // decision boundary sits at threshold - 5e-5 of true cosine —
+        // a quantization the caller's threshold choice absorbs.
         round(V.dot(col("va"), col("vb")), 4).as("cos"))
       .filter(col("cos") >= threshold)
   }
@@ -984,6 +996,9 @@ object Dedup {
       .join(assigned.select(col("cluster_id"), col("id").as("id_b"),
         col("v").as("vb"), col("cosc").as("cosc_b")), Seq("cluster_id"))
       .filter(precedes)
+      // 4-dp-rounded threshold: the embeddingNearDup cross-engine
+      // quantization contract (see its scaladoc note) — NOT an
+      // oversight; the oracle replays the same rounded decision
       .filter(round(V.dot(col("va"), col("vb")), 4) >= threshold)
       .select(col("id_b").as("id")).distinct()
     assigned.select(col("id"), col("cluster_id"))

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions => T}
@@ -24,9 +23,12 @@ import graft.functions.{TextFunctions => T}
  * Scale shape: tokens staged as an attribute (shingle-family rule),
  * passages via one doc-local codegen'd `transform` (no explode of
  * overlapping shingles — exactly n/w rows emitted per doc), corpus
- * multiplicity via ONE window count over the passage key (one shuffle;
- * the count-then-join-back form pays that shuffle twice), per-doc
- * rollup via one more keyed aggregate.
+ * multiplicity via a map-side-combined aggregate on the passage key
+ * joined back (duplicated keys only) — deliberately NOT a window
+ * count: the boilerplate passage is the hot key, and a window sorts
+ * all its occurrences in one unsplittable task, while the
+ * aggregate+join form partial-combines before the shuffle and AQE
+ * can skew-split the join — then a per-doc keyed rollup.
  *
  * Key width: `hashKey = true` replaces the passage STRING key with its
  * xxhash64 — the SAME two-exchange plan with an 8-byte key instead of
@@ -60,11 +62,20 @@ object PassageDedup {
     val keyed = passages(df, idCol, textCol, w)
       .select(col("id"),
         (if (hashKey) xxhash64(col("p")) else col("p")).as("k"))
-    val occ = keyed
-      .withColumn("occ", count(lit(1)).over(Window.partitionBy("k")))
-    val perDoc = occ.groupBy("id")
+    // multiplicity via MAP-SIDE-COMBINED aggregate + join-back, never
+    // count().over(partitionBy(k)): the boilerplate passage this
+    // operator exists for IS the hot key, and a window would sort all
+    // of its occurrences in ONE task (unsplittable straggler/OOM),
+    // while the aggregate partials combine before the shuffle and the
+    // join-back is an SMJ that AQE's skew-join can split. Only the
+    // DUPLICATED keys join back — the common unique passage never
+    // re-shuffles its occurrence rows.
+    val dups = keyed.groupBy("k").agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2).select(col("k"), lit(true).as("__dup"))
+    val perDoc = keyed.join(dups, Seq("k"), "left")
+      .groupBy("id")
       .agg(count(lit(1)).as("n_passages"),
-        sum(when(col("occ") >= 2, 1L).otherwise(0L)).as("n_dup"))
+        sum(when(col("__dup"), 1L).otherwise(0L)).as("n_dup"))
     df.select(col(idCol).as("id")).join(perDoc, Seq("id"), "left")
       .select(col("id").as(idCol),
         coalesce(col("n_passages"), lit(0L)).as("n_passages"),

@@ -78,6 +78,17 @@ object Rollup {
     require(vars.forall(sums.contains),
       s"vars columns must also be listed in sums: " +
         s"${vars.filterNot(sums.contains).mkString(", ")}")
+    // duplicates corrupt SILENTLY: two HistSpecs on one column make the
+    // second staged __bin__ overwrite the first (counts computed
+    // against the wrong edges) and both emit duplicate h{i}__ state
+    // columns that only fail later with AMBIGUOUS_REFERENCE; duplicate
+    // measure names duplicate their state columns the same way
+    Seq("sums" -> sums, "mins" -> mins, "maxs" -> maxs, "ndvs" -> ndvs,
+      "vars" -> vars, "hists" -> hists.map(_.col)).foreach { case (what, cs) =>
+      require(cs.distinct == cs,
+        s"$what carries duplicate columns: " +
+          cs.diff(cs.distinct).distinct.mkString(", "))
+    }
   }
 
   /** lgConfigK pinned explicitly: merges require equal K, and the
@@ -89,12 +100,18 @@ object Rollup {
     * map-side-combined aggregate — the only shuffle a fold pays. */
   def state(df: DataFrame, spec: Spec): DataFrame = {
     // stage each histogram's clamped bin id once (CSE across the bins'
-    // conditional sums; nulls get a null bin and count into nothing)
+    // conditional sums; nulls AND NaNs get a null bin and count into
+    // nothing — floor(NaN) is 0L, so an unfiltered NaN would silently
+    // inflate bin 0 and skew quantiles/PSI). The clamp happens on the
+    // LONG floor BEFORE any int cast: an outlier value whose raw bin
+    // exceeds Int.MaxValue must land in the edge bin as documented,
+    // not throw CAST_OVERFLOW under ANSI mode and kill the whole fold.
     val staged = spec.hists.foldLeft(df) { (d, h) =>
+      val v = col(h.col)
       d.withColumn(binCol(h),
-        when(col(h.col).isNotNull,
-          least(lit(h.bins - 1), greatest(lit(0),
-            floor((col(h.col) - h.lo) / h.width).cast("int")))))
+        when(v.isNotNull && !isnan(v.cast("double")),
+          least(lit(h.bins - 1L), greatest(lit(0L),
+            floor((v - h.lo) / h.width))).cast("int")))
     }
     val aggs = count(lit(1)).as("n_rows") +:
       (spec.sums.flatMap { c =>

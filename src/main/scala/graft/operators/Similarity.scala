@@ -28,6 +28,20 @@ object Similarity {
         V.norm(col("embedding")).as("nrm"))
       .select(col(idName), V.normalized(col("v"), col("nrm")).as(vecName))
 
+  /** [[unitVecs]] with a LOUD dimension guard for the PQ family: a
+    * vector whose length differs from the configured `dim` would
+    * otherwise slice past its end — empty subspace slices dot to 0,
+    * so every code degenerates to the same argmin and rankings are
+    * silently meaningless (the lshBucketPlanes review-finding class,
+    * which fails loudly for the same reason). */
+  private def unitVecsDim(df: DataFrame, idName: String, vecName: String,
+      dim: Int, who: String): DataFrame =
+    unitVecs(df, idName, vecName).withColumn(vecName,
+      when(size(col(vecName)) === dim, col(vecName))
+        .otherwise(raise_error(concat(
+          lit(s"$who: configured dim $dim != vector dim "),
+          size(col(vecName)).cast("string")))))
+
   /** Per-query top-k re-rank of a scored candidate set, via the engine's
     * whole-operator TopKPerGroup (bounded heap per query — never a full
     * sort of a query's candidate list; row_number-identical ranks, so
@@ -194,8 +208,8 @@ object Similarity {
       m: Int = 4, ksub: Int = 8, candN: Int = 20, dim: Int = 64): DataFrame = {
     require(dim % m == 0, s"dim=$dim not divisible by m=$m")
     val subdim = dim / m
-    val c = unitVecs(corpus, "item_id", "item_vec")
-    val q = unitVecs(queries, "query_id", "query_vec")
+    val c = unitVecsDim(corpus, "item_id", "item_vec", dim, "pqTopK")
+    val q = unitVecsDim(queries, "query_id", "query_vec", dim, "pqTopK")
     // books(j)(code) = codeword vector for subspace j
     val seeds = hashPickCentroids(c, ksub).map(_._2)
     require(seeds.nonEmpty, "empty corpus")
@@ -218,16 +232,17 @@ object Similarity {
     import org.apache.spark.storage.StorageLevel
     // persisted across training actions only, released before search —
     // the ivfTopKTrained persist-lifecycle discipline
-    val c = unitVecs(corpus, "item_id", "item_vec")
+    val c = unitVecsDim(corpus, "item_id", "item_vec", dim, "pqTopKTrained")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val q = unitVecs(queries, "query_id", "query_vec")
+    val q = unitVecsDim(queries, "query_id", "query_vec", dim, "pqTopKTrained")
     val books =
       try {
         val seeds = hashPickCentroids(c, ksub).map(_._2)
         require(seeds.nonEmpty, "empty corpus")
         trainBooks(c, sliceBooks(seeds, m, subdim), iters, subdim)
       } finally c.unpersist(blocking = false)
-    pqSearch(unitVecs(corpus, "item_id", "item_vec"), q, books, k, candN, subdim)
+    pqSearch(unitVecsDim(corpus, "item_id", "item_vec", dim, "pqTopKTrained"),
+      q, books, k, candN, subdim)
   }
 
   /**
@@ -253,7 +268,7 @@ object Similarity {
     require(dim % m == 0, s"dim=$dim not divisible by m=$m")
     val subdim = dim / m
     import org.apache.spark.storage.StorageLevel
-    val q = unitVecs(queries, "query_id", "query_vec")
+    val q = unitVecsDim(queries, "query_id", "query_vec", dim, "ivfPqTopK")
     // both quantizers derive from the same bounded collects; when
     // training, the persist spans the training actions only (the
     // ivfTopKTrained/pqTopKTrained lifecycle discipline)
@@ -276,7 +291,7 @@ object Similarity {
         (picked.take(nlist),
           sliceBooks(picked.take(ksub).map(_._2), m, subdim))
       }
-    val c = unitVecs(corpus, "item_id", "item_vec")
+    val c = unitVecsDim(corpus, "item_id", "item_vec", dim, "ivfPqTopK")
     // ONE projection: coarse list + m codes — this is the stored table
     val encoded = c.select(col("item_id") +:
       array_max(centScores(centers, col("item_vec"))).getField("lid").as("list_id") +:

@@ -135,6 +135,33 @@ class RollupSpec extends SparkSpec {
     assert(q("c") === Some(0.5))  // k=1 of 2 → first bin
   }
 
+  test("hist hostile values: huge outliers clamp (no ANSI overflow), NaN counts nowhere") {
+    val h = Rollup.HistSpec("x", 0.0, 100.0, 100) // width 1
+    val hspec = Rollup.Spec(keys = Seq("k"), hists = Seq(h))
+    val df = Seq(("a", 3.0e9),          // raw bin 3e9 > Int.MaxValue
+      ("a", Double.PositiveInfinity),   // clamps into the top bin
+      ("a", Double.NaN),                // floor(NaN)=0 would inflate bin 0
+      ("a", 50.0)).toDF("k", "x")
+    val st = Rollup.state(df, hspec).collect()(0)
+    // would have thrown CAST_OVERFLOW under ANSI before the long clamp
+    assert(st.getAs[Long]("h99__x") === 2L) // 3e9 + Inf, both edge-clamped
+    assert(st.getAs[Long]("h50__x") === 1L)
+    assert(st.getAs[Long]("h0__x") === 0L)  // NaN excluded, not bin 0
+    assert((0 until 100).map(i => st.getAs[Long](s"h${i}__x")).sum === 3L)
+  }
+
+  test("duplicate measure/hist columns are rejected at Spec construction") {
+    val e = intercept[IllegalArgumentException] {
+      Rollup.Spec(keys = Seq("k"), hists = Seq(
+        Rollup.HistSpec("x", 0, 100, 10), Rollup.HistSpec("x", 0, 1000, 20)))
+    }
+    assert(e.getMessage.contains("hists") && e.getMessage.contains("x"))
+    val e2 = intercept[IllegalArgumentException] {
+      Rollup.Spec(keys = Seq("k"), sums = Seq("x", "x"))
+    }
+    assert(e2.getMessage.contains("sums"))
+  }
+
   test("new keys appear; null measures count into n_rows but not avg") {
     val store = scratch("rollup-nulls")
     val s2 = Rollup.Spec(keys = Seq("k"), sums = Seq("x"))

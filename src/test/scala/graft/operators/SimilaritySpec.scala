@@ -348,4 +348,17 @@ class SimilaritySpec extends SparkSpec {
     val hits = approx.count { case (q, i) => exact(q).contains(i) }
     assert(hits >= 2, s"approx=${approx.toSeq} exact=$exact")
   }
+
+  test("PQ family fails loudly on a dim mismatch, never silently zero-codes") {
+    // 32-dim vectors against dim=64: slices past the array end dot to
+    // 0, every code degenerates to the same argmin, rankings garbage —
+    // the guard must raise instead
+    val short = emb.withColumn("embedding",
+      org.apache.spark.sql.functions.slice(col("embedding"), 1, 32))
+    val e = intercept[Exception] {
+      Similarity.pqTopK(short, short.filter(col("vec_id") < 2), k = 3,
+        dim = 64).collect()
+    }
+    assert(e.getMessage.contains("dim"), e.getMessage)
+  }
 }
