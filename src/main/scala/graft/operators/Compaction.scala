@@ -43,6 +43,12 @@ object Compaction {
       require(fs.rename(a, b), s"rename $a -> $b failed")
     // recovery: a crash between park and promote left the data parked
     if (!fs.exists(live) && fs.exists(parked)) renameOrDie(parked, live)
+    // a stale parked dir (crash after promote, before the final delete)
+    // must clear BEFORE the next park: Hadoop rename into an existing
+    // directory nests live INSIDE parked, and a second crash would then
+    // "recover" a dir holding both the stale pre-compact files and the
+    // nested current data — duplicated rows on read
+    if (fs.exists(parked)) fs.delete(parked, true)
 
     def parquetFiles(p: Path): Seq[Path] = {
       val it = fs.listFiles(p, true)

@@ -69,9 +69,10 @@ object DeletionVectors {
 
   /** Logical delete: append the keys to the tombstone sidecar, stamped
     * with the live manifest version. Cost ∝ keys; no snapshot data is
-    * opened. Manifest snapshots ONLY: a rename-mode sink swaps the
-    * whole snapshot dir per batch, which would carry the sidecar into
-    * the parked copy and delete it — silently undoing the delete. */
+    * opened. WHOLE-snapshot manifest stores ONLY: a rename-mode sink
+    * swaps the whole snapshot dir per batch (destroying the sidecar),
+    * and a partition-scoped manifest merge bumps the version without
+    * folding (inerting every pending tombstone) — both guarded below. */
   def delete(spark: SparkSession, snapshotDir: String, keys: DataFrame,
       keyCol: String): Unit = {
     val dir = new Path(snapshotDir)
@@ -80,6 +81,20 @@ object DeletionVectors {
       s"deletion vectors need a manifest snapshot at $snapshotDir — a " +
         "rename-mode sink's whole-dir swap would destroy the tombstone " +
         "sidecar on its next batch; commit with manifestCommit = true")
+    // WHOLE-snapshot manifests only (live entries carry no '/'): only
+    // mergeWholeManifest folds tombstones into the generation it writes.
+    // A partition-scoped merge bumps the version WITHOUT folding — every
+    // pending tombstone would go inert (__asof below the new live
+    // version) and the deleted keys would silently reappear. A keyed
+    // tombstone cannot be folded partition-scoped either: its key may
+    // live in a partition the merge never touches.
+    require(Merge.newestNonEmptyState(fs, dir)
+        .forall(_.live.forall(!_.contains("/"))),
+      s"snapshot at $snapshotDir is a partition-scoped manifest — " +
+        "deletion vectors compose only with whole-snapshot merges " +
+        "(mergeWholeManifest folds tombstones; partition-scoped merges " +
+        "cannot). Send deletes as op='D' change rows through " +
+        "mergePartitioned instead")
     keys.select(col(keyCol)).distinct()
       .withColumn("__asof", lit(liveVersion(spark, dir)))
       .write.mode("append").parquet(tombDir(dir).toString)
@@ -90,10 +105,20 @@ object DeletionVectors {
     * a merge/compact already folded them into the data (or is mid-
     * cleanup after its pointer flip). */
   private def applicableKeys(spark: SparkSession, dir: Path,
-      files: Array[Path]): DataFrame =
-    spark.read.parquet(files.map(_.toString): _*)
-      .filter(col("__asof") === lit(liveVersion(spark, dir)))
+      files: Array[Path]): DataFrame = {
+    // mergeSchema: a sidecar may mix stamped files with LEGACY files
+    // written before version stamping (no __asof column). Legacy rows
+    // applied until compact under the old scheme — treating a missing
+    // stamp as "current version" (coalesce) preserves exactly that.
+    val raw = spark.read.option("mergeSchema", "true")
+      .parquet(files.map(_.toString): _*)
+    val live = lit(liveVersion(spark, dir))
+    val stamped =
+      if (raw.columns.contains("__asof")) raw
+      else raw.withColumn("__asof", live)
+    stamped.filter(coalesce(col("__asof"), live) === live)
       .drop("__asof").distinct()
+  }
 
   /** The live view: snapshot minus applicable tombstoned keys. The
     * tombstone side is broadcast (bounded by un-compacted delete

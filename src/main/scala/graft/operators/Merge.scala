@@ -448,7 +448,8 @@ object Merge {
     * mode or schema; this is what the whole-vs-partitioned guards and
     * the drained-read fallback consult, so a drain cannot vacuously
     * pass both mode guards and silently flip the layout. */
-  private def newestNonEmptyState(fs: org.apache.hadoop.fs.FileSystem,
+  private[operators] def newestNonEmptyState(
+      fs: org.apache.hadoop.fs.FileSystem,
       dir: Path): Option[ManifestCommit.State] =
     ManifestCommit.versions(fs, dir).reverseIterator
       .flatMap(v => ManifestCommit.readVersion(fs, dir, v))

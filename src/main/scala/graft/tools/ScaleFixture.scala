@@ -17,16 +17,26 @@ import org.apache.spark.sql.functions._
   *    IDENTICAL to the source fixture — a join that was 1:4 at sf0.1 is
   *    still 1:4 at sf1, there are just 10x more keys.
   *  - **Near-dup pair density scales linearly.** Documents in copy i>0 get
-  *    every token salted with "~i", making cross-copy Jaccard/MinHash
-  *    similarity 0 while intra-copy shingle structure is byte-identical.
-  *    The true near-dup pair count at factor k is exactly k times the
-  *    source count — if a pairs-finding query grows super-linearly at sf1,
-  *    that is the ALGORITHM's curvature, not an artifact of the fixture
-  *    quadratically inflating the answer.
+  *    a per-copy BIJECTIVE character rotation (a Caesar shift over one
+  *    case-distinct [a-zA-Z0-9] wheel, shift 1+(i-1)%(|wheel|-1) — never
+  *    zero). A bijection preserves every intra-copy shingle relationship
+  *    exactly (token- AND char-level), while cross-copy shared shingles
+  *    are limited to punctuation/whitespace grams — far below any working
+  *    threshold. The true near-dup pair count at factor k is exactly k
+  *    times the source count — if a pairs-finding query grows
+  *    super-linearly at sf1, that is the ALGORITHM's curvature, not an
+  *    artifact of the fixture quadratically inflating the answer.
   *  - **Embedding geometry scales linearly.** Copy i>0 vectors are rotated
-  *    by i positions (norm-preserving); cross-copy cosine is then
-  *    incidental (~random), so ANN/SemDeDup cluster structure replicates
-  *    per copy instead of collapsing into one dense ball.
+  *    left by 1+(i-1)%(dim-1) positions — always non-zero, norm-preserving
+  *    — so cross-copy cosine is incidental (~random) and ANN/SemDeDup
+  *    cluster structure replicates per copy instead of collapsing into one
+  *    dense ball.
+  *  - **Factor bound.** Both per-copy transform families are finite: the
+  *    text shift cycles after |wheel|-1 = 61 distinct copies and the
+  *    embedding rotation after dim-1. [[scale]] REQUIRES k inside both
+  *    bounds — past them two distinct copies would get byte-identical
+  *    documents/embeddings, silently reinjecting exactly the cross-copy
+  *    duplicate pairs the fixture promises not to create.
   *  - **Stream density is preserved.** Events keep their timestamps but get
   *    fresh user_ids per copy, so per-user/per-minute densities (and thus
   *    sessionization and window costs per key) match the source.
@@ -72,7 +82,32 @@ object ScaleFixture {
     s
   }
 
+  /** One case-distinct [a-zA-Z0-9] wheel: the per-copy text transform is
+    * a Caesar shift over it. Case-distinct because a fold would not be
+    * injective (case-variant docs could collapse, inflating intra-copy
+    * pair counts). */
+  private val wheel = "abcdefghijklmnopqrstuvwxyz" +
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+
   def scale(spark: SparkSession, src: String, dst: String, k: Int): Unit = {
+    require(k >= 1, s"factor must be >= 1, got $k")
+    // transform-distinctness bounds, checked BEFORE any write: the text
+    // shift s = 1+(i-1)%(|wheel|-1) repeats every |wheel|-1 copies and
+    // the embedding rotation every dim-1 copies — k past either bound
+    // would hand two copies the SAME transform, i.e. byte-identical
+    // cross-copy documents/embeddings: exactly the duplicate injection
+    // this fixture promises not to make, and silently.
+    require(k <= wheel.length,
+      s"factor $k exceeds the ${wheel.length - 1} distinct text rotations " +
+        "(+ identity copy 0) this fixture can generate without cross-copy " +
+        "duplicates — enlarge the wheel or scale from a bigger source")
+    val embDim = spark.read.parquet(s"$src/embeddings.parquet")
+      .select(size(col("embedding")).as("d")).head.getInt(0)
+    require(k <= embDim,
+      s"factor $k exceeds the ${embDim - 1} distinct embedding rotations " +
+        s"(+ identity copy 0) available at dim=$embDim — two copies would " +
+        "get identical vectors, collapsing cross-copy cosine to 1.0")
+
     def rd(name: String) = spark.read.parquet(s"$src/$name.parquet")
     def wr(df: DataFrame, name: String, parts: Int): Unit =
       df.repartition(parts).write.mode("overwrite")
@@ -149,8 +184,6 @@ object ScaleFixture {
     // upper and lower case are DISTINCT wheel positions (a case fold
     // would not be injective — two case-variant docs could collapse
     // into one, inflating intra-copy pair counts)
-    val wheel = "abcdefghijklmnopqrstuvwxyz" +
-      "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
     def shifted(i: Int): String = {
       val s = 1 + (i - 1) % (wheel.length - 1) // non-zero shift always
       wheel.drop(s) ++ wheel.take(s)

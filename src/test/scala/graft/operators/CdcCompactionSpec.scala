@@ -98,4 +98,24 @@ class CdcCompactionSpec extends SparkSpec {
     assert(spark.read.parquet(dir).agg(sum("v")).head().getLong(0) === 4950L)
     assert(!fs.exists(parked))
   }
+
+  test("compactParquet clears a stale parked dir (crash after promote) before re-parking") {
+    val dir = java.nio.file.Files.createTempDirectory("compact-stale")
+      .toString + "/t"
+    spark.range(0, 100).toDF("v").repartition(4).write.parquet(dir)
+    val live = new org.apache.hadoop.fs.Path(dir)
+    val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+    val parked = new org.apache.hadoop.fs.Path(
+      live.getParent, "." + live.getName + ".compact_bak")
+    // crash window: promote already ran (live is current) but the
+    // parked pre-compact copy was never deleted — stale old data
+    spark.range(100, 200).toDF("v").write.parquet(parked.toString)
+    // without the pre-park clear, rename(live, parked) would nest live
+    // INSIDE the stale dir and a later recovery would read old+new rows
+    val (before, after) = Compaction.compactParquet(spark, dir)
+    assert(before === 4 && after === 1)
+    assert(spark.read.parquet(dir).agg(sum("v")).head().getLong(0) === 4950L)
+    assert(spark.read.parquet(dir).count() === 100L)
+    assert(!fs.exists(parked))
+  }
 }

@@ -161,4 +161,40 @@ class DeletionVectorsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("manifest"))
   }
+
+  test("delete refuses a partition-scoped manifest (merges there never fold tombstones)") {
+    val dir = tmp("dv-part")
+    Merge.mergePartitioned(spark, dir,
+      Seq((1L, "a", "p1", "I"), (2L, "b", "p2", "I"))
+        .toDF("k", "v", "part", "op"),
+      "k", "part", manifestCommit = true)
+    // a partition-scoped merge bumps the manifest version WITHOUT
+    // folding tombstones — every pending delete would go inert and the
+    // keys would silently reappear; delete() must refuse up front
+    val e = intercept[IllegalArgumentException] {
+      DeletionVectors.delete(spark, dir, Seq(1L).toDF("k"), "k")
+    }
+    assert(e.getMessage.contains("partition-scoped"))
+  }
+
+  test("legacy un-stamped sidecar rows (no __asof) stay applicable until compact") {
+    val dir = tmp("dv-legacy")
+    initSnap(dir)
+    // a sidecar written before version stamping: keys only, no __asof
+    Seq(11L, 12L).toDF("k").write.mode("append")
+      .parquet(dir + "/_tombstones")
+    val want = (1L to 20L).filterNot(Set(11L, 12L)).toSet
+    assert(DeletionVectors.read(spark, dir, "k")
+      .select("k").as[Long].collect().toSet === want)
+    assert(DeletionVectors.pendingDeletes(spark, dir) === 2L)
+    // …and they mix with stamped files in the same sidecar
+    DeletionVectors.delete(spark, dir, Seq(13L).toDF("k"), "k")
+    assert(DeletionVectors.read(spark, dir, "k")
+      .select("k").as[Long].collect().toSet === want - 13L)
+    // compact folds both generations of sidecar format physically
+    DeletionVectors.compact(spark, dir, "k")
+    assert(Merge.readSnapshot(spark, dir)
+      .select("k").as[Long].collect().toSet === want - 13L)
+    assert(DeletionVectors.pendingDeletes(spark, dir) === 0L)
+  }
 }

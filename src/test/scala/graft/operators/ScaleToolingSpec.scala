@@ -34,6 +34,26 @@ class ScaleToolingSpec extends SparkSpec {
     assert(e2.getMessage.contains("__salt"))
   }
 
+  test("ScaleFixture rejects factors past its distinct-transform bounds") {
+    // text: the Caesar shift cycles after |wheel|-1 = 61 copies; k = 63
+    // would give copy 62 the same rotation as copy 1 — byte-identical
+    // cross-copy documents. Checked before any read or write.
+    val e = intercept[IllegalArgumentException] {
+      graft.tools.ScaleFixture.scale(spark, "/nonexistent", "/tmp/never", 63)
+    }
+    assert(e.getMessage.contains("text rotations"))
+    // embeddings: the rotation cycles after dim-1 copies; a dim-4 source
+    // caps the factor at 4 even though the text wheel allows more
+    val src = java.nio.file.Files.createTempDirectory("sfx").toString
+    Seq((1L, Seq(1.0f, 0.0f, 0.0f, 0.0f), "a"))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$src/embeddings.parquet")
+    val e2 = intercept[IllegalArgumentException] {
+      graft.tools.ScaleFixture.scale(spark, src, "/tmp/never", 10)
+    }
+    assert(e2.getMessage.contains("embedding rotations"))
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
