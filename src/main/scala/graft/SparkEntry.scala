@@ -858,11 +858,16 @@ object SparkEntry {
     // is 2 hits/query (20 of 50), far below every observed run but far
     // above a broken quantizer/probe path (~0) — wide enough that the
     // oracle hash can't flip on a different core count (r2 advice).
+    // nlist/nprobe = 0: the scale-ADAPTIVE configuration (√N nlist,
+    // constant probed share) — the knob setting that keeps this recall
+    // bound scale-invariant; the fixed (8, 3) config passed at sf0.01
+    // and failed at sf1 (SCALING.md §round-7), which is exactly the
+    // silent degradation auto-config exists to close.
     "q71_ann_ivf_trained" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val q = e.filter(col("vec_id") < 10)
-      val approx = Similarity.ivfTopKTrained(e, q, k = 5, nlist = 8,
-        nprobe = 3, iters = 3)
+      val approx = Similarity.ivfTopKTrained(e, q, k = 5, nlist = 0,
+        nprobe = 0, iters = 3)
       val exact = Similarity.bruteForceTopK(e, q, k = 5)
       val hits = approx.select(col("query_id"), col("item_id"))
         .join(exact.select(col("query_id"), col("item_id")),
@@ -1783,14 +1788,18 @@ object SparkEntry {
     // that degrades recall is a defect this query turns red. The
     // md5 baseline is fully replayable (q103 mirrors it rank-for-rank)
     // so the comparison is anchored, not two drifting measurements.
+    // nlist/nprobe = 0 (scale-adaptive √N config — see q71): the fixed
+    // (8, 3) config failed its own recall bound at sf1; the adaptive
+    // config is what makes these invariants hold at ANY corpus size
+    // with no manual retuning.
     "q108_ann_ivfpq_trained" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val q = e.filter(col("vec_id") < 10)
       val exact = Similarity.bruteForceTopK(e, q, k = 5)
         .select(col("query_id"), col("item_id"))
       def nHit(iters: Int, as: String) =
-        Similarity.ivfPqTopK(e, q, k = 5, nlist = 8, nprobe = 3,
-            m = 4, ksub = 8, candN = 20, dim = 64, iters = iters)
+        Similarity.ivfPqTopK(e, q, k = 5, nlist = 0, nprobe = 0,
+            m = 4, ksub = 8, candN = 0, dim = 64, iters = iters)
           .select(col("query_id"), col("item_id"))
           .join(exact, Seq("query_id", "item_id"))
           .agg(count(lit(1)).as(as))

@@ -22,6 +22,80 @@ import graft.functions.{VectorFunctions => V}
  */
 object Similarity {
 
+  /**
+   * Scale-adaptive IVF configuration — the √N discipline. A FIXED
+   * (nlist, nprobe) is silently data-size-dependent: grow the corpus
+   * 10× under the same 8 lists and each list is 10× bigger, the coarse
+   * quantizer can no longer separate the new structure, and recall
+   * decays with NO error anywhere (measured: q108's fixed config
+   * passes its recall bound at sf0.01 and fails it at sf1 — SCALING.md
+   * §round-7). The standard discipline:
+   *
+   *  - `nlist ≈ √N` — balances quantizer cost (nlist centroid dots per
+   *    assignment) against list-scan cost (N/nlist items per probed
+   *    list); both grow as √N, the minimum of their sum.
+   *  - `nprobe = ceil(probeFrac · nlist)` — the PROBED SHARE of the
+   *    corpus (what recall actually tracks) stays constant as the
+   *    corpus grows, instead of shrinking the way a fixed nprobe over
+   *    a growing nlist would.
+   *
+   * `maxNlist` caps the plan: centroids ship as plan-time literals
+   * inside one codegen'd expression (the zero-shuffle assignment), so
+   * very large nlist inflates generated code. Past the cap, lists grow
+   * linearly again — at that corpus size, shard the store build.
+   *
+   * The per-query operators and [[buildIvfStore]] accept `nlist = 0` /
+   * `nprobe = 0` to mean "derive from the corpus via this function";
+   * [[ivfStoreAdvice]] applies the same discipline to a LIVE store,
+   * flagging when growth has carried it away from its build-time
+   * configuration (the retrain trigger).
+   */
+  def adaptiveIvfConfig(n: Long, probeFrac: Double = 0.375,
+      maxNlist: Int = 1024): (Int, Int) = {
+    require(n > 0, s"adaptiveIvfConfig needs a non-empty corpus, got n=$n")
+    require(probeFrac > 0 && probeFrac <= 1,
+      s"probeFrac must be in (0, 1], got $probeFrac")
+    val nlist = math.max(1L, math.min(
+      math.round(math.sqrt(n.toDouble)), maxNlist.toLong)).toInt
+    val nprobe = math.max(1, math.ceil(nlist * probeFrac).toInt)
+    (nlist, nprobe)
+  }
+
+  /**
+   * Scale-adaptive ADC shortlist size — the PQ-family companion to
+   * [[adaptiveIvfConfig]]: `candN = max(4k, probedCandidates / 25)`,
+   * where probedCandidates = n · nprobe / nlist. ADC approx scores are
+   * true cosines plus quantization noise; as the probed pool grows,
+   * a CONSTANT candN is overtaken by the noise's order statistics and
+   * true neighbors stop surviving to the exact re-rank (the q108 sf1
+   * recall failure, measured). Keeping a constant FRACTION (1/25,
+   * anchored so the long-verified sf0.01 config is reproduced by the
+   * floor) of the probed pool makes shortlist recall scale-invariant
+   * while still bounding full-vector reads to 4% of the probed codes —
+   * the ADC scan-IO story survives intact.
+   */
+  def adaptivePqCandN(n: Long, nlist: Int, nprobe: Int, k: Int): Int = {
+    require(n > 0 && nlist > 0 && nprobe > 0 && k > 0,
+      s"adaptivePqCandN needs positive inputs: n=$n nlist=$nlist " +
+        s"nprobe=$nprobe k=$k")
+    val probed = n.toDouble * math.min(nprobe, nlist) / nlist
+    math.max(4 * k, math.ceil(probed / 25.0).toInt)
+  }
+
+  /** Resolve an entry point's (nlist, nprobe) knobs: 0 = adaptive.
+    * The corpus count is one bounded action, paid only when a knob is
+    * auto — explicit configs never scan. */
+  private def resolveIvfConfig(corpus: DataFrame, nlist: Int,
+      nprobe: Int): (Int, Int) =
+    if (nlist > 0 && nprobe > 0) (nlist, nprobe)
+    else {
+      val (autoList, autoProbe) = adaptiveIvfConfig(corpus.count())
+      (if (nlist > 0) nlist else autoList,
+        if (nprobe > 0) nprobe
+        else if (nlist > 0) math.max(1, math.ceil(nlist * 0.375).toInt)
+        else autoProbe)
+    }
+
   /** (id, unit-normalized vector) — norms staged once per vector. */
   private[operators] def unitVecs(df: DataFrame, idName: String, vecName: String): DataFrame =
     df.select(col("vec_id").as(idName), col("embedding").as("v"),
@@ -84,7 +158,8 @@ object Similarity {
       nlist: Int = 16, nprobe: Int = 4): DataFrame = {
     val c = unitVecs(corpus, "item_id", "item_vec")
     val q = unitVecs(queries, "query_id", "query_vec")
-    ivfSearch(c, q, hashPickCentroids(c, nlist), k, nprobe)
+    val (nl, np) = resolveIvfConfig(corpus, nlist, nprobe)
+    ivfSearch(c, q, hashPickCentroids(c, nl), k, np)
   }
 
   /** Deterministic "hash-first" centroid pick, keyed by md5 of the id so
@@ -164,6 +239,7 @@ object Similarity {
   def ivfTopKTrained(corpus: DataFrame, queries: DataFrame, k: Int,
       nlist: Int = 16, nprobe: Int = 4, iters: Int = 3): DataFrame = {
     import org.apache.spark.storage.StorageLevel
+    val (nl, np) = resolveIvfConfig(corpus, nlist, nprobe)
     // persisted across the training actions ONLY (one scan per Lloyd
     // iteration + the centroid pick), and released as soon as training
     // returns — the operator owns the persist exactly while it runs
@@ -175,9 +251,9 @@ object Similarity {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val q = unitVecs(queries, "query_id", "query_vec")
     val centers =
-      try trainCentroids(c, hashPickCentroids(c, nlist), iters)
+      try trainCentroids(c, hashPickCentroids(c, nl), iters)
       finally c.unpersist(blocking = false)
-    ivfSearch(unitVecs(corpus, "item_id", "item_vec"), q, centers, k, nprobe)
+    ivfSearch(unitVecs(corpus, "item_id", "item_vec"), q, centers, k, np)
   }
 
   /**
@@ -268,6 +344,18 @@ object Similarity {
     require(dim % m == 0, s"dim=$dim not divisible by m=$m")
     val subdim = dim / m
     import org.apache.spark.storage.StorageLevel
+    // one count serves every auto knob (explicit configs never scan)
+    lazy val n = corpus.count()
+    val (nl, np) =
+      if (nlist > 0 && nprobe > 0) (nlist, nprobe)
+      else {
+        val (al, ap) = adaptiveIvfConfig(n)
+        (if (nlist > 0) nlist else al,
+          if (nprobe > 0) nprobe
+          else if (nlist > 0) math.max(1, math.ceil(nlist * 0.375).toInt)
+          else ap)
+      }
+    val cN = if (candN > 0) candN else adaptivePqCandN(n, nl, np, k)
     val q = unitVecsDim(queries, "query_id", "query_vec", dim, "ivfPqTopK")
     // both quantizers derive from the same bounded collects; when
     // training, the persist spans the training actions only (the
@@ -280,15 +368,15 @@ object Similarity {
           // ONE md5-ordered top-k collect serves both quantizers: the
           // first nlist/ksub rows of the same ordering are prefixes of
           // each other, so slicing ≡ two independent picks
-          val picked = hashPickCentroids(cp, math.max(nlist, ksub))
-          val cs = trainCentroids(cp, picked.take(nlist), iters)
+          val picked = hashPickCentroids(cp, math.max(nl, ksub))
+          val cs = trainCentroids(cp, picked.take(nl), iters)
           val seeds = picked.take(ksub).map(_._2)
           (cs, trainBooks(cp, sliceBooks(seeds, m, subdim), iters, subdim))
         } finally cp.unpersist(blocking = false)
       } else {
         val c0 = unitVecs(corpus, "item_id", "item_vec")
-        val picked = hashPickCentroids(c0, math.max(nlist, ksub))
-        (picked.take(nlist),
+        val picked = hashPickCentroids(c0, math.max(nl, ksub))
+        (picked.take(nl),
           sliceBooks(picked.take(ksub).map(_._2), m, subdim))
       }
     val c = unitVecsDim(corpus, "item_id", "item_vec", dim, "ivfPqTopK")
@@ -298,7 +386,7 @@ object Similarity {
       (0 until m).map(j => pqCode(books, j, col("item_vec"), subdim).as(s"code$j")): _*)
     // query side: nprobe probes + the ADC tables, broadcast together
     val probes = q.select(col("query_id") +: col("query_vec") +:
-      explode(slice(reverse(array_sort(centScores(centers, col("query_vec")))), 1, nprobe))
+      explode(slice(reverse(array_sort(centScores(centers, col("query_vec")))), 1, np))
         .as("probe") +:
       (0 until m).map(j => array(books(j).map(cw =>
         V.dot(slice(col("query_vec"), j * subdim + 1, subdim), typedlit(cw))): _*)
@@ -310,7 +398,7 @@ object Similarity {
     val cand = encoded.join(broadcast(probes), Seq("list_id"))
       .filter(col("query_id") =!= col("item_id"))
       .select(col("query_id"), col("item_id"), adcApprox(m).as("approx"))
-    adcRank(cand, c, q, Seq("item_id"), k, candN)
+    adcRank(cand, c, q, Seq("item_id"), k, cN)
   }
 
   /** argmin-code of subspace j under `books`: argmin_c |x_j − c|² =
@@ -473,6 +561,12 @@ object Similarity {
    * the quantizer (spherical k-means) before encoding; the build is
    * the FingerprintIndex discipline applied to ANN: pay the scan once
    * at build time, then every query is partition-pruned.
+   *
+   * `nlist = 0` sizes the quantizer adaptively from the corpus
+   * ([[adaptiveIvfConfig]]'s √N discipline) — the production default,
+   * since a store built at one size and grown 10× under a fixed nlist
+   * silently loses recall; [[ivfStoreAdvice]] watches the live store
+   * for exactly that drift.
    */
   def buildIvfStore(corpus: DataFrame, storeDir: String, nlist: Int = 16,
       iters: Int = 0, m: Int = 0, ksub: Int = 8, dim: Int = 64): Unit = {
@@ -481,16 +575,17 @@ object Similarity {
     import org.apache.spark.storage.StorageLevel
     require(m == 0 || dim % m == 0, s"dim=$dim not divisible by m=$m")
     val subdim = if (m > 0) dim / m else 0
+    val nl = if (nlist > 0) nlist else adaptiveIvfConfig(corpus.count())._1
     // ONE md5-ordered pick serves both quantizers (prefix property —
     // the ivfPqTopK derivation, so store searches replay it exactly)
-    val nPick = math.max(nlist, if (m > 0) ksub else 0)
+    val nPick = math.max(nl, if (m > 0) ksub else 0)
     val (centers, books) =
       if (iters > 0) {
         val cp = unitVecs(corpus, "item_id", "item_vec")
           .persist(StorageLevel.MEMORY_AND_DISK)
         try {
           val picked = hashPickCentroids(cp, nPick)
-          val cs = trainCentroids(cp, picked.take(nlist), iters)
+          val cs = trainCentroids(cp, picked.take(nl), iters)
           val bk = if (m > 0) trainBooks(cp,
             sliceBooks(picked.take(ksub).map(_._2), m, subdim), iters, subdim)
           else Nil
@@ -499,7 +594,7 @@ object Similarity {
       } else {
         val picked = hashPickCentroids(
           unitVecs(corpus, "item_id", "item_vec"), nPick)
-        (picked.take(nlist),
+        (picked.take(nl),
           if (m > 0) sliceBooks(picked.take(ksub).map(_._2), m, subdim)
           else Nil)
       }
@@ -586,9 +681,14 @@ object Similarity {
       storeDir: String, k: Int, nprobe: Int = 4): DataFrame = {
     import spark.implicits._
     val centers = readCentroids(spark, storeDir)
+    // nprobe = 0: derive from the STORED quantizer size — the probed
+    // corpus share stays the adaptive default whatever nlist the store
+    // was built with
+    val np = if (nprobe > 0) nprobe
+      else math.max(1, math.ceil(centers.size * 0.375).toInt)
     val q = unitVecs(queries, "query_id", "query_vec")
     val probes = q.select(col("query_id"), col("query_vec"),
-        explode(slice(reverse(array_sort(centScores(centers, col("query_vec")))), 1, nprobe))
+        explode(slice(reverse(array_sort(centScores(centers, col("query_vec")))), 1, np))
           .as("probe"))
       .select(col("query_id"), col("query_vec"), col("probe.lid").as("list_id"))
     val probedLists = probes.select("list_id").distinct()
@@ -622,11 +722,20 @@ object Similarity {
     val books = readBooks(spark, storeDir)
     val m = books.size
     val subdim = books.head.head.size
+    val np = if (nprobe > 0) nprobe
+      else math.max(1, math.ceil(centers.size * 0.375).toInt)
+    // candN = 0: adaptive shortlist — sized from the STORE's item count
+    // (one narrow count over the encoded table), so a store grown by
+    // appends keeps its shortlist recall without the caller retuning
+    val cN = if (candN > 0) candN
+      else adaptivePqCandN(
+        spark.read.parquet(storeDir + "/encoded").count(),
+        centers.size, np, k)
     val q = unitVecs(queries, "query_id", "query_vec")
     // nprobe probes + the per-query ADC tables, broadcast together —
     // the ivfPqTopK query side, replayed against stored quantizers
     val probes = q.select(col("query_id") +: col("query_vec") +:
-        explode(slice(reverse(array_sort(centScores(centers, col("query_vec")))), 1, nprobe))
+        explode(slice(reverse(array_sort(centScores(centers, col("query_vec")))), 1, np))
           .as("probe") +:
         (0 until m).map(j => array(books(j).map(cw =>
           V.dot(slice(col("query_vec"), j * subdim + 1, subdim), typedlit(cw))): _*)
@@ -644,7 +753,7 @@ object Similarity {
     val vecs = spark.read.parquet(storeDir + "/encoded")
       .filter(col("list_id").isin(probedLists: _*))
       .select("item_id", "list_id", "item_vec")
-    adcRank(cand, vecs, q, Seq("item_id", "list_id"), k, candN)
+    adcRank(cand, vecs, q, Seq("item_id", "list_id"), k, cN)
   }
 
   /**
@@ -674,6 +783,47 @@ object Similarity {
       .join(files, Seq("list_id"), "full_outer")
       .na.fill(0, Seq("n_items", "n_files"))
       .orderBy("list_id")
+  }
+
+  /**
+   * Maintenance advisory for a live store — [[ivfStoreStats]] folded
+   * into the two decisions a scheduler needs, with the √N discipline as
+   * the yardstick. One row:
+   *
+   *  - `n_items`, `n_lists` — current size and built nlist;
+   *  - `recommended_nlist` — [[adaptiveIvfConfig]] at today's n_items;
+   *  - `imbalance` — max list size / mean list size (a drifted
+   *    quantizer concentrates new data in few lists: hot lists probe
+   *    slow AND recall decays because one list holds many structures);
+   *  - `max_files` — worst per-list file count (append debris);
+   *  - `retrain_advised` — recommended_nlist ≥ 2× built nlist (the
+   *    corpus has grown ≥4× past the build) or imbalance > 4.0: rebuild
+   *    with `buildIvfStore(iters > 0, nlist = 0)` into a fresh dir and
+   *    swap. This is the trigger that keeps recall scale-invariant —
+   *    cost already was (probe pruning), recall was not (q108's sf1
+   *    finding).
+   *  - `compact_advised` — max_files > 8: run [[compactIvfStore]].
+   *
+   * Cost: the stats scan (item counts per list — one narrow aggregate
+   * over the encoded table) + an nlist-bounded listing. No vectors move.
+   */
+  def ivfStoreAdvice(spark: SparkSession, storeDir: String): DataFrame = {
+    val nLists = readCentroids(spark, storeDir).size
+    ivfStoreStats(spark, storeDir)
+      .agg(sum(col("n_items")).as("n_items"),
+        max(col("n_items")).as("max_items"),
+        avg(col("n_items")).as("mean_items"),
+        max(col("n_files")).as("max_files"))
+      .select(col("n_items"), lit(nLists).as("n_lists"),
+        ceil(sqrt(col("n_items").cast("double"))).cast("int")
+          .as("recommended_nlist"),
+        round(col("max_items") / col("mean_items"), 2).as("imbalance"),
+        col("max_files").cast("int").as("max_files"))
+      .select(col("n_items"), col("n_lists"), col("recommended_nlist"),
+        col("imbalance"), col("max_files"),
+        (col("recommended_nlist") >= col("n_lists") * 2 ||
+          col("imbalance") > 4.0).as("retrain_advised"),
+        (col("max_files") > 8).as("compact_advised"))
   }
 
   /**
