@@ -1050,19 +1050,37 @@ object SparkEntry {
     // vocabulary / heavy hitters: top tokens via the Misra–Gries
     // mergeable summary (custom object aggregate — k-bounded state per
     // partition, associative merge; the 100 TB substitute for an exact
-    // all-tokens groupBy). At k=64 > the 31-token vocabulary the
-    // summary is provably exact, so the oracle recomputes it with a
-    // plain GROUP BY — a hash check of the whole aggregate path
-    // (update, partial serialization, merge, eval).
+    // all-tokens groupBy). BOUND-AWARE oracle (the q31/q57/q70/q71
+    // invariant-flag pattern): rows are the EXACT top-10 (mirrorable
+    // at any scale), and the sketch is asserted against its OWN
+    // contract — an item with true count > N/k must be reported, and
+    // a reported estimate may undercount by at most N/k. An exactness
+    // oracle holds only while the frequency gap exceeds N/k (true at
+    // the sf0.01 gate, false at sf1 — SCALING.md §round-7); the bound
+    // flags hold at EVERY scale by the sketch's theorem.
     "q82_heavy_hitters" -> ((s, dir) => {
-      val toks = t(s, dir, "documents")
-        .select(explode(T.tokens(col("text"))).as("tok"))
-      toks.agg(graft.functions.GraftFunctions.graftFreqItems(col("tok"), 64)
+      val base = operators.Caches.releaseAfterUse(t(s, dir, "documents")
+        .select(explode(T.tokens(col("text"))).as("tok")))
+      val mg = base
+        .agg(graft.functions.GraftFunctions.graftFreqItems(col("tok"), 64)
           .as("summary"))
         .select(explode(col("summary")).as("e"))
-        .select(col("e.item").as("tok"), col("e.cnt").as("cnt"))
+        .select(col("e.item").as("tok"), col("e.cnt").as("mg_cnt"))
+      val top = base.groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok")).limit(10)
+      val n = base.agg(count(lit(1)).cast("double").as("n_total"))
+      top.join(broadcast(mg), Seq("tok"), "left")
+        .crossJoin(broadcast(n))
+        .select(col("tok"), col("cnt"),
+          // MG theorem 1: frequency > N/k ⇒ the item survives
+          (col("cnt") <= col("n_total") / 64 || col("mg_cnt").isNotNull)
+            .as("reported_ok"),
+          // MG theorem 2: 0 ≤ true − estimate ≤ N/k for reported items
+          (col("mg_cnt").isNull ||
+            ((col("cnt") - col("mg_cnt")) >= 0 &&
+              (col("cnt") - col("mg_cnt")) <= col("n_total") / 64))
+            .as("bound_ok"))
         .orderBy(col("cnt").desc, col("tok"))
-        .limit(10)
     }),
 
     // repetition metrics (Gopher-style quality filters): duplicate
@@ -1468,13 +1486,19 @@ object SparkEntry {
     // model-shaped quality gate: a fixed-weight linear classifier over
     // the q16/q69 feature family — the fastText-style keep/drop filter
     // pretraining pipelines run, minus the (environment-absent) learned
-    // weights. Every feature is 4-dp-rounded and the combination is
-    // rational arithmetic in a fixed association order, so the score is
-    // bit-identical cross-engine (no sigmoid: exp() is the one libm
-    // call the two engines may round differently).
+    // weights. Every feature is 4-dp-rounded (each independently
+    // hash-verified by q16/q69 at sf1), then the combination runs in
+    // EXACT DECIMAL: casting a 4-dp-rounded double to DECIMAL(18,4)
+    // recovers the intended decimal exactly in both engines, decimal
+    // weights keep every intermediate a rational with denominator
+    // 10^6, and the result needs NO final rounding — the last-ulp
+    // double-accumulation boundary that flipped one doc's 4-dp
+    // rounding at sf1 (SCALING.md §round-7) cannot exist here.
     "q92_quality_classifier" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val ent = charEntropyPerDoc(docs)
+      def dlit(v: String) = lit(new java.math.BigDecimal(v))
+      def d4(c: Column) = c.cast("decimal(18,4)")
       docs.select(col("doc_id"),
           T.stopwordRatio(col("text")).as("stop_r"),
           T.digitRatio(col("text")).as("digit_r"),
@@ -1482,10 +1506,13 @@ object SparkEntry {
           T.meanTokenLen(col("text")).as("mtl"))
         .join(ent, Seq("doc_id"), "left")
         .select(col("doc_id"),
-          round(lit(0.2) + lit(1.2) * col("stop_r") - lit(2.0) * col("digit_r")
-            - lit(1.5) * col("upper_r") + lit(0.02) * col("mtl")
-            + lit(0.06) * coalesce(col("entropy"), lit(0.0)), 4).as("score"))
-        .withColumn("keep", col("score") >= 0.5)
+          (dlit("0.2") + dlit("1.2") * d4(col("stop_r"))
+            - dlit("2.0") * d4(col("digit_r"))
+            - dlit("1.5") * d4(col("upper_r"))
+            + dlit("0.02") * d4(col("mtl"))
+            + dlit("0.06") * d4(coalesce(col("entropy"), lit(0.0))))
+            .cast("decimal(18,6)").as("score"))
+        .withColumn("keep", col("score") >= dlit("0.5"))
         .orderBy(col("doc_id"))
     }),
 
@@ -3851,12 +3878,16 @@ object SparkEntry {
                FROM sc)
          SELECT doc_id, tok AS term, score AS tfidf
          FROM r WHERE rk = 1 ORDER BY doc_id""",
+    // exact top-10 mirrored; the sketch-contract flags are invariants
+    // the Spark side must prove TRUE (Misra–Gries theorems — scale-
+    // independent, unlike the old exact-equality oracle)
     "q82_heavy_hitters" ->
       """WITH tk AS (
            SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
                                      x -> len(x) > 0)) AS tok
            FROM documents)
-         SELECT tok, count(*) AS cnt FROM tk
+         SELECT tok, count(*) AS cnt,
+           TRUE AS reported_ok, TRUE AS bound_ok FROM tk
          GROUP BY tok ORDER BY cnt DESC, tok LIMIT 10""",
     "q79_repetition" ->
       """WITH t AS (
@@ -4038,8 +4069,11 @@ object SparkEntry {
            (b.doc_id <> min(b.doc_id) OVER (PARTITION BY b.fp)) AS dup_in_batch
          FROM b ORDER BY b.doc_id""",
     // fixed-weight linear quality gate over the q16/q69 features —
-    // every feature pre-rounded, combination in the same association
-    // order as the Spark expression.
+    // every feature pre-rounded to 4 dp, then combined in EXACT
+    // DECIMAL (DuckDB parses 0.2/1.2/… literals as DECIMAL natively):
+    // every intermediate is a rational with denominator 10^6, so the
+    // DECIMAL(18,6) result is bit-identical to Spark's at any scale —
+    // no final double rounding to sit on a boundary.
     "q92_quality_classifier" ->
       """WITH f AS (
            SELECT doc_id,
@@ -4063,10 +4097,18 @@ object SparkEntry {
                         ELSE round(log2(CAST(n AS DOUBLE)) - sc / n, 4) END AS entropy
                  FROM e)
          SELECT f.doc_id,
-           round(0.2 + 1.2 * f.stop_r - 2.0 * f.digit_r - 1.5 * f.upper_r
-                 + 0.02 * f.mtl + 0.06 * coalesce(ent.entropy, 0.0), 4) AS score,
-           (round(0.2 + 1.2 * f.stop_r - 2.0 * f.digit_r - 1.5 * f.upper_r
-                  + 0.02 * f.mtl + 0.06 * coalesce(ent.entropy, 0.0), 4) >= 0.5) AS keep
+           CAST(0.2 + 1.2 * CAST(f.stop_r AS DECIMAL(18,4))
+                - 2.0 * CAST(f.digit_r AS DECIMAL(18,4))
+                - 1.5 * CAST(f.upper_r AS DECIMAL(18,4))
+                + 0.02 * CAST(f.mtl AS DECIMAL(18,4))
+                + 0.06 * CAST(coalesce(ent.entropy, 0.0) AS DECIMAL(18,4))
+             AS DECIMAL(18,6)) AS score,
+           (CAST(0.2 + 1.2 * CAST(f.stop_r AS DECIMAL(18,4))
+                 - 2.0 * CAST(f.digit_r AS DECIMAL(18,4))
+                 - 1.5 * CAST(f.upper_r AS DECIMAL(18,4))
+                 + 0.02 * CAST(f.mtl AS DECIMAL(18,4))
+                 + 0.06 * CAST(coalesce(ent.entropy, 0.0) AS DECIMAL(18,4))
+              AS DECIMAL(18,6)) >= 0.5) AS keep
          FROM f LEFT JOIN ent ON ent.doc_id = f.doc_id
          ORDER BY f.doc_id""",
     // temperature-scaled mix weights: sqrt fold over name-sorted sources.

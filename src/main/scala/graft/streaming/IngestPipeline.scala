@@ -63,10 +63,23 @@ object IngestPipeline {
       snapshotRoot: String,
       tables: Seq[TableSink],
       opsRollupDir: String,
-      checkpoint: String)
+      checkpoint: String,
+      /** Concurrent per-table merge jobs per micro-batch. Each table's
+        * merge touches only its own snapshot dir and is batch-sized, so
+        * with the reference's 16 tables a serial loop leaves the
+        * cluster idle between 16 small jobs — batch latency grows
+        * linearly in table count for no reason. The bounded pool (the
+        * [[graft.operators.Merge.mergePartitioned]] write-pool pattern)
+        * overlaps them; 1 restores the serial behavior. */
+      mergeParallelism: Int = 4)
 
+  /** Per-batch instrumentation; the stage millis decompose `millis`
+    * into the three sinks (landing+quarantine writes, the per-table
+    * merge fan-out, the rollup fold) — the breakdown a table-count
+    * latency profile reads (tools/PipelineDemo prints their p50s). */
   final case class BatchMetric(batchId: Long, input: Long, clean: Long,
-      quarantined: Long, millis: Long)
+      quarantined: Long, millis: Long,
+      landMillis: Long = 0, mergeMillis: Long = 0, rollupMillis: Long = 0)
 
   /** Standing per-(table, operation) counts: keys + `n` (long). */
   private[graft] val opsSpec =
@@ -106,6 +119,7 @@ object IngestPipeline {
             .drop("violated")
           val bad = flagged.filter(size(col("violated")) > 0)
           // 2. contract-gated landing (Firehose analog + quarantine)
+          val tLand0 = System.nanoTime()
           clean.drop("event_ts")
             .write.mode(org.apache.spark.sql.SaveMode.Append)
             .option("compression", "gzip")
@@ -114,29 +128,54 @@ object IngestPipeline {
             .write.mode(org.apache.spark.sql.SaveMode.Append)
             .option("compression", "gzip")
             .partitionBy("ingest_date").json(cfg.quarantineDir)
-          // 3. per-table standing snapshots
-          cfg.tables.foreach { t =>
-            val changes = StreamSplitter
-              .demux(clean, t.schemaName, t.tableName)
-              .select(
-                from_json(col("data"), t.dataSchema).as("__d"),
-                mergeOp(col("metadata.operation")).as("op"),
-                col("event_ts").as("__seq"))
-              .select(col("__d.*"), col("op"), col("__seq"))
-            // no outer isEmpty guard: applyBatch runs crash recovery
-            // FIRST and then handles the empty batch itself — guarding
-            // here would both duplicate the job and skip the recovery
-            MergeSink.applyBatch(spark, changes,
-              s"${cfg.snapshotRoot}/${t.tableName}", t.key, "op", "__seq",
-              manifestCommit = true)
-          }
+          val tLand = (System.nanoTime() - tLand0) / 1000000
+          // 3. per-table standing snapshots — CONCURRENT, bounded:
+          // each table merges into its own snapshot dir (no shared
+          // state; the merge path mutates no session conf), each job is
+          // batch-sized, and a serial loop would grow batch latency
+          // linearly in table count while the cluster idles between
+          // jobs. Failures propagate: Await rethrows the first one, the
+          // batch aborts before the idempotency marker, and the retry
+          // re-runs every table (each merge is idempotent by its own
+          // commit protocol).
+          require(cfg.mergeParallelism >= 1,
+            s"mergeParallelism must be >= 1, got ${cfg.mergeParallelism}")
+          val tMerge0 = System.nanoTime()
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(
+            math.max(1, math.min(cfg.mergeParallelism, cfg.tables.size)))
+          implicit val ec: scala.concurrent.ExecutionContext =
+            scala.concurrent.ExecutionContext.fromExecutor(pool)
+          try
+            scala.concurrent.Await.result(
+              scala.concurrent.Future.traverse(cfg.tables) { t =>
+                scala.concurrent.Future {
+                  val changes = StreamSplitter
+                    .demux(clean, t.schemaName, t.tableName)
+                    .select(
+                      from_json(col("data"), t.dataSchema).as("__d"),
+                      mergeOp(col("metadata.operation")).as("op"),
+                      col("event_ts").as("__seq"))
+                    .select(col("__d.*"), col("op"), col("__seq"))
+                  // no isEmpty guard: applyBatch runs crash recovery
+                  // FIRST and then handles the empty batch itself —
+                  // guarding here would both duplicate the job and
+                  // skip the recovery
+                  MergeSink.applyBatch(spark, changes,
+                    s"${cfg.snapshotRoot}/${t.tableName}", t.key, "op",
+                    "__seq", manifestCommit = true)
+                }
+              }, scala.concurrent.duration.Duration.Inf)
+          finally pool.shutdown()
+          val tMerge = (System.nanoTime() - tMerge0) / 1000000
           // 4. standing ops counters (exact under re-delivery: tagged)
+          val tRoll0 = System.nanoTime()
           val ops = clean.select(
             col("metadata.`table-name`").as("table_name"),
             col("metadata.operation").as("operation"),
             lit(1L).as("n"))
           RollupStream.foldBatch(spark, ops, batchId, cfg.opsRollupDir,
             opsSpec, token)
+          val tRoll = (System.nanoTime() - tRoll0) / 1000000
           // one aggregate job for all three counters (input derives)
           val m = flagged.agg(
             count(lit(1)).as("n"),
@@ -146,7 +185,9 @@ object IngestPipeline {
             input = m.getLong(0),
             clean = m.getLong(0) - m.getLong(1),
             quarantined = m.getLong(1),
-            millis = (System.nanoTime() - t0) / 1000000))
+            millis = (System.nanoTime() - t0) / 1000000,
+            landMillis = tLand, mergeMillis = tMerge,
+            rollupMillis = tRoll))
         } finally { flagged.unpersist(); () }
       })
       .start()

@@ -17,22 +17,42 @@ import graft.streaming.IngestPipeline
  * report per-batch latency and sustained throughput — the numbers
  * SCALING.md's streaming section records.
  *
- * Usage: runMain graft.tools.PipelineDemo [nRecords] [maxPerTrigger]
+ * Usage: runMain graft.tools.PipelineDemo
+ *          [nRecords] [maxPerTrigger] [nTables] [mergeParallelism]
+ *
+ * `nTables` CDC sink tables (named after the reference's dms_sample
+ * schema — 16 = the full reference layout, image/image3.png) share the
+ * backlog; `mergeParallelism` sets the per-batch merge fan-out (1 =
+ * the serial loop, for before/after latency comparison).
  *
  * Prints one JSON line:
- * `{"records":N,"batches":B,"wall_s":…,"records_per_s":…,
- *   "batch_ms":{"p50":…,"p95":…,"max":…},"clean":…,"quarantined":…,
- *   "snapshot_ok":bool,"ops_ok":bool}`
- * where snapshot_ok verifies the standing person snapshot against the
- * latest-per-key fold of the backlog computed independently, and
+ * `{"records":N,"tables":T,"merge_parallelism":M,"batches":B,
+ *   "wall_s":…,"records_per_s":…,"batch_ms":{"p50":…,"p95":…,"max":…},
+ *   "stage_p50_ms":{"land":…,"merge":…,"rollup":…},"clean":…,
+ *   "quarantined":…,"snapshot_ok":bool,"ops_ok":bool}`
+ * where snapshot_ok verifies EVERY table's standing snapshot against
+ * the latest-per-key fold of the backlog computed independently, and
  * ops_ok verifies the standing ops counters against the clean input's
  * group counts.
  */
 object PipelineDemo {
+  /** The reference's dms_sample tables (image/image3.png). */
+  private val refTables = Seq(
+    "person", "seat_type", "sporting_event", "sporting_event_ticket",
+    "sport_type", "sport_location", "sport_team", "sport_division",
+    "sport_league", "ticket_purchase_hist", "player", "name_data",
+    "mlb_data", "nfl_data", "nfl_stadium_data", "seat_level")
+
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(20000)
     val perTrigger = args.lift(1).map(_.toInt).getOrElse(2000)
-    val spark = SparkSession.builder().master("local[8]")
+    val nTables = args.lift(2).map(_.toInt).getOrElse(1)
+    val mergePar = args.lift(3).map(_.toInt).getOrElse(4)
+    require(nTables >= 1 && nTables <= refTables.size,
+      s"nTables in 1..${refTables.size}")
+    val sinkTables = refTables.take(nTables)
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("PIPE_MASTER", "local[8]"))
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -53,14 +73,16 @@ object PipelineDemo {
     val persons = 0 until n
     val lines = persons.map { i =>
       val ctl = i % 97 == 0
-      val tbl = if (i % 5 == 4) "seat" else "person"
+      // 1/5 of rows go to "seat" (landed + counted, never a sink) —
+      // the demux-miss path; the rest spread over the sink tables
+      val tbl = if (i % 5 == 4) "seat" else sinkTables(i % sinkTables.size)
       val key = i % (n / 4 + 1) // keys collide → genuine U/D churn
       val bad = !ctl && i % 50 == 13
       val id = if (bad) -key else key
       val op =
         if (i < n / 10) "load"
-        else if (i % 11 == 0 && tbl == "person") "delete"
-        else if (i % 3 == 0 && tbl == "person") "update"
+        else if (i % 11 == 0 && tbl != "seat") "delete"
+        else if (i % 3 == 0 && tbl != "seat") "update"
         else "insert"
       val rt = if (ctl) "control" else "data"
       val data =
@@ -88,10 +110,11 @@ object PipelineDemo {
           ),
         Constraints.NotNull("event_ts")),
       snapshotRoot = s"$root/snapshots",
-      tables = Seq(IngestPipeline.TableSink(
-        "dms_sample", "person", personSchema, "ID")),
+      tables = sinkTables.map(tb => IngestPipeline.TableSink(
+        "dms_sample", tb, personSchema, "ID")),
       opsRollupDir = s"$root/ops",
-      checkpoint = s"$root/ckpt")
+      checkpoint = s"$root/ckpt",
+      mergeParallelism = mergePar)
 
     val raw = spark.readStream.format("graft-kinesis-sim")
       .option("path", backlog.toString)
@@ -120,23 +143,24 @@ object PipelineDemo {
       .select(col("data"), col("metadata"))
     val dataRows = env.filter(col("data").isNotNull &&
       get_json_object(col("data"), "$.ID").cast("long") >= 0)
-    val personTail = dataRows
-      .filter(col("metadata.`table-name`") === "person")
-      .select(from_json(col("data"), personSchema).as("d"),
-        col("metadata.operation").as("op"),
-        to_timestamp(col("metadata.timestamp")).as("seq"))
-      .select(col("d.*"), col("op"), col("seq"))
-    val expected = personTail
-      .groupBy(col("ID"))
-      .agg(max_by(struct(col("val"), col("bal"), col("op")), col("seq"))
-        .as("p"))
-      .filter(col("p.op") =!= "delete")
-      .select(col("ID"), col("p.val").as("val"), col("p.bal").as("bal"))
-    val got = IngestPipeline.readSnapshot(spark, cfg, "person")
-    val snapshotOk =
+    val snapshotOk = sinkTables.forall { tb =>
+      val tail = dataRows
+        .filter(col("metadata.`table-name`") === tb)
+        .select(from_json(col("data"), personSchema).as("d"),
+          col("metadata.operation").as("op"),
+          to_timestamp(col("metadata.timestamp")).as("seq"))
+        .select(col("d.*"), col("op"), col("seq"))
+      val expected = tail
+        .groupBy(col("ID"))
+        .agg(max_by(struct(col("val"), col("bal"), col("op")), col("seq"))
+          .as("p"))
+        .filter(col("p.op") =!= "delete")
+        .select(col("ID"), col("p.val").as("val"), col("p.bal").as("bal"))
+      val got = IngestPipeline.readSnapshot(spark, cfg, tb)
       got.count() == expected.count() &&
         got.join(expected, Seq("ID", "val", "bal"), "inner").count() ==
           expected.count()
+    }
 
     val opsGot = IngestPipeline.opCounts(spark, cfg.opsRollupDir)
       .orderBy("table_name", "operation").collect()
@@ -156,12 +180,20 @@ object PipelineDemo {
     val ms = ms0.map(_.millis.toDouble).sorted
     def pct(p: Double) =
       if (ms.isEmpty) 0.0 else ms(((ms.size - 1) * p).toInt)
+    def p50(xs: Seq[Long]): Double = {
+      val v = xs.map(_.toDouble).sorted
+      if (v.isEmpty) 0.0 else v((v.size - 1) / 2)
+    }
     val clean = ms0.map(_.clean).sum
     val bad = ms0.map(_.quarantined).sum
     println(
-      f"""{"records":$n,"batches":${ms0.size},"wall_s":$wallS%.1f,""" +
+      f"""{"records":$n,"tables":$nTables,"merge_parallelism":$mergePar,""" +
+        f""""batches":${ms0.size},"wall_s":$wallS%.1f,""" +
         f""""records_per_s":${n / wallS}%.0f,"batch_ms":{"p50":${pct(0.5)}%.0f,""" +
         f""""p95":${pct(0.95)}%.0f,"max":${if (ms.isEmpty) 0.0 else ms.last}%.0f},""" +
+        f""""stage_p50_ms":{"land":${p50(ms0.map(_.landMillis))}%.0f,""" +
+        f""""merge":${p50(ms0.map(_.mergeMillis))}%.0f,""" +
+        f""""rollup":${p50(ms0.map(_.rollupMillis))}%.0f},""" +
         f""""clean":$clean,"quarantined":$bad,""" +
         s""""snapshot_ok":$snapshotOk,"ops_ok":$opsOk}""")
     spark.stop()

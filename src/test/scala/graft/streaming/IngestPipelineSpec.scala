@@ -119,4 +119,59 @@ class IngestPipelineSpec extends SparkSpec {
     assert(IngestPipeline.opCounts(spark, cfg.opsRollupDir)
       .as[(String, String, Long)].collect().toSet === got)
   }
+
+  test("concurrent per-table merges ≡ the serial loop (multi-table batch)") {
+    // 4 tables, interleaved I/U/D ops in one backlog: the bounded-pool
+    // merge fan-out must land byte-equivalent snapshots and counters
+    // to mergeParallelism = 1 (each table's merge is independent; the
+    // pool only overlaps them)
+    val tables = (0 until 4).map(i => s"tab$i")
+    val ls = tables.zipWithIndex.flatMap { case (tb, ti) => Seq(
+      line(ti * 4, tb, "load", 1L),
+      line(ti * 4 + 1, tb, "load", 2L),
+      line(ti * 4 + 2, tb, "update", 1L),
+      line(ti * 4 + 3, tb, "delete", 2L))
+    }
+    val backlog = Files.createTempFile("pipe-par", ".jsonl")
+    Files.write(backlog, ls.mkString("\n").getBytes("UTF-8"))
+    def runWith(parallelism: Int): (String, IngestPipeline.Config) = {
+      val root = Files.createTempDirectory(s"pipe-par$parallelism").toString
+      val cfg = IngestPipeline.Config(
+        landingDir = s"$root/landing",
+        quarantineDir = s"$root/quarantine",
+        checks = Seq(Constraints.Predicate("valid_id",
+          col("data").isNull ||
+            coalesce(get_json_object(col("data"), "$.ID").cast("long") >= 0,
+              lit(false)))),
+        snapshotRoot = s"$root/snapshots",
+        tables = tables.map(tb =>
+          IngestPipeline.TableSink("dms_sample", tb, personSchema, "ID")),
+        opsRollupDir = s"$root/ops",
+        checkpoint = s"$root/ckpt",
+        mergeParallelism = parallelism)
+      val raw = spark.readStream.format("graft-kinesis-sim")
+        .option("path", backlog.toString).option("shards", "2")
+        .option("maxRecordsPerTrigger", "6")
+        .option("keyRegex", "\"ID\": (-?[0-9]+)")
+        .load()
+        .select(col("data").as("value"))
+      val q = IngestPipeline.start(raw, cfg)
+      q.awaitTermination(120000)
+      (root, cfg)
+    }
+    val (_, serial) = runWith(1)
+    val (_, par) = runWith(4)
+    tables.foreach { tb =>
+      val s = IngestPipeline.readSnapshot(spark, serial, tb)
+        .select("ID", "val").as[(Long, String)].collect().toSet
+      val p = IngestPipeline.readSnapshot(spark, par, tb)
+        .select("ID", "val").as[(Long, String)].collect().toSet
+      assert(p === s, s"table $tb diverged")
+      assert(p === Set((1L, "v" + (tables.indexOf(tb) * 4 + 2))))
+    }
+    assert(IngestPipeline.opCounts(spark, par.opsRollupDir)
+      .as[(String, String, Long)].collect().toSet ===
+      IngestPipeline.opCounts(spark, serial.opsRollupDir)
+        .as[(String, String, Long)].collect().toSet)
+  }
 }

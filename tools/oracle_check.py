@@ -1,7 +1,10 @@
 #!/usr/bin/env python3
 """Dev-only oracle parity checker (mimics the driver's DuckDB compare).
 
-Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir>
+Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir> [jsonOut]
+
+With jsonOut, also writes per-query results in the driver's
+CORRECTNESS_r{N}.json shape (rows/schema/hash match + row counts).
 
 For each query dir under verifyOutDir: read the Spark parquet result,
 run the matching oracle SQL from oracle_sql.json in DuckDB over the
@@ -25,6 +28,7 @@ for t in ["region","nation","customer","supplier","part","orders",
 
 oracle = json.load(open(f"{out}/oracle_sql.json"))
 fails = 0
+results = {}
 for name in sorted(os.listdir(out)):
     d = os.path.join(out, name)
     if not os.path.isdir(d):
@@ -34,6 +38,9 @@ for name in sorted(os.listdir(out)):
     if name not in oracle:
         print(f"{name:22s} rows-only: {len(got)} rows"
               + ("  [EMPTY!]" if len(got) == 0 else ""))
+        results[name] = {"rows_match": len(got) > 0, "schema_match": None,
+                         "hash_match": None, "spark_rows": len(got),
+                         "oracle_rows": None, "err": None}
         continue
     exp = con.sql(oracle[name]).df()
     g = got.reindex(sorted(got.columns), axis=1)
@@ -56,10 +63,18 @@ for name in sorted(os.listdir(out)):
                 except Exception:
                     ne = (gs[c].astype(str) != es[c].astype(str)).sum()
                     status.append(f"VAL {c} ndiff={ne}")
+    results[name] = {
+        "rows_match": not any(x.startswith("ROWS") for x in status),
+        "schema_match": not any(x.startswith(("COLS", "DTYPE")) for x in status),
+        "hash_match": not status,
+        "spark_rows": len(g), "oracle_rows": len(e),
+        "err": "; ".join(status) or None}
     if status:
         fails += 1
         print(f"{name:22s} FAIL  " + "; ".join(status))
     else:
         print(f"{name:22s} OK    ({len(g)} rows)")
+if len(sys.argv) > 3:
+    json.dump(results, open(sys.argv[3], "w"), indent=2, sort_keys=True)
 print(f"\n{fails} failures")
 sys.exit(1 if fails else 0)
