@@ -31,10 +31,19 @@ import org.apache.hadoop.fs.{FileSystem, Path}
  *    exist; [[graft.operators.Merge.vacuum]] trims explicitly.
  *
  * Single writer per snapshot (the same assumption the rename protocol
- * makes — foreachBatch serializes batches). Readers racing a commit may
- * see the previous generation until they re-resolve; a reader holding
- * paths into a superseded generation across a later cleanup must retry,
- * the same exposure the rename swap has with a dropped parked dir.
+ * makes — foreachBatch serializes batches). A VIOLATION is detected
+ * loudly rather than corrupting silently: writers pre-check their
+ * target generation path after the preamble GC, compare the live
+ * version again between staging and the flip ([[requireUnchanged]]),
+ * and the pointer write itself is an exclusive create — the late
+ * writer of a race fails with an explicit conflict error telling the
+ * operator to fsck and replay. (Loud detection, not locking: a true
+ * multi-writer deployment needs an external coordinator, exactly as
+ * Delta on S3 needs a LogStore with conditional puts.) Readers racing
+ * a commit may see the previous generation until they re-resolve; a
+ * reader holding paths into a superseded generation across a later
+ * cleanup must retry, the same exposure the rename swap has with a
+ * dropped parked dir.
  */
 private[graft] object ManifestCommit {
 
@@ -141,15 +150,53 @@ private[graft] object ManifestCommit {
 
   /** One small object, created once, never overwritten or renamed — the
     * flip IS the object's existence. Line format with an entry-count
-    * trailer so a partial upload is detectably torn. */
+    * trailer so a partial upload is detectably torn.
+    *
+    * Create is EXCLUSIVE (overwrite = false): two writers racing to
+    * commit the same version serialize on the store's create-if-absent,
+    * and the loser fails with an explicit conflict error instead of a
+    * raw I/O exception — the last line of the multi-writer defense
+    * (the writers' preamble checks catch the race earlier; see
+    * [[graft.operators.Merge.commitWholeGeneration]]). */
   def write(fs: FileSystem, dir: Path, st: State): Unit = {
-    val out = fs.create(new Path(dir, commitName(st.version)), false)
+    val p = new Path(dir, commitName(st.version))
+    val out =
+      try fs.create(p, false)
+      catch {
+        case e: java.io.IOException if fs.exists(p) =>
+          throw new IllegalStateException(
+            s"commit ${p.getName} already exists at $dir — a concurrent " +
+              "writer committed this version first. Snapshots are " +
+              "single-writer; stop the second stream and run Merge.fsck " +
+              "before trusting the snapshot", e)
+      }
     val head = s"graft-commit v1 ${st.version}" +
       st.tag.map(" " + _).getOrElse("")
     try out.write((s"$head\n" +
       st.live.map(_ + "\n").mkString + s"end ${st.live.size}\n")
       .getBytes("UTF-8"))
     finally out.close()
+  }
+
+  /** The writers' expected-version compare, run between staging a
+    * generation and flipping the pointer: the live version must still
+    * be the one this commit derived from. A mismatch means a concurrent
+    * writer flipped the pointer mid-commit — fail the LATE writer
+    * loudly (its staged generation may have overwritten the winner's:
+    * fsck, then replay the loser's batch against the new live state).
+    * TOCTOU-narrowing, not locking — [[write]]'s exclusive create is
+    * the atomic backstop; single-writer remains the documented
+    * contract, this makes violating it loud instead of silent. */
+  def requireUnchanged(fs: FileSystem, dir: Path,
+      basedOn: Option[State]): Unit = {
+    val expect = basedOn.map(_.version).getOrElse(0L)
+    val now = read(fs, dir).map(_.version).getOrElse(0L)
+    if (now != expect)
+      throw new IllegalStateException(
+        s"snapshot at $dir moved from version $expect to $now while this " +
+          "commit was staging — a concurrent writer is active. Snapshots " +
+          "are single-writer; stop the second stream, run Merge.fsck, and " +
+          "replay this batch against the new live state")
   }
 
   /** Read-only integrity audit: (kind, detail) findings —

@@ -364,6 +364,16 @@ object Merge {
     try {
       val newVer = st.map(_.version + 1).getOrElse(1L)
       val gen = ManifestCommit.genName(newVer)
+      // multi-writer guard 1 (see commitWholeGeneration): post-GC, a
+      // touched partition's target generation dir can only exist if a
+      // concurrent writer is staging/committed the same version
+      touched.map(v => new Path(new Path(data, leafName(v)), gen))
+        .find(fs.exists).foreach { p =>
+          throw new IllegalArgumentException(
+            s"generation dir $p already exists — a concurrent writer is " +
+              "active (snapshots are single-writer); stop the second " +
+              "stream and run Merge.fsck before trusting the snapshot")
+        }
       // partitions whose merged content is empty (every row deleted)
       // drop out of the manifest instead of staging an empty dir
       val counts = merged.groupBy(col(partCol).cast("string").as("__p"))
@@ -394,6 +404,9 @@ object Merge {
       finally pool.shutdown()
       val newLive = (liveMap -- touched.map(leafName)) ++
         nonEmpty.map(v => leafName(v) -> gen)
+      // multi-writer guards 2+3: expected-version compare, then the
+      // commit file's exclusive create (see commitWholeGeneration)
+      ManifestCommit.requireUnchanged(fs, dir, st)
       // the flip: one small commit object names the live generations
       ManifestCommit.write(fs, dir,
         ManifestCommit.State(newVer,
@@ -550,7 +563,19 @@ object Merge {
         "partitionCol to keep merging it partition-scoped")
     val newVer = st.map(_.version + 1).getOrElse(1L)
     val gen = ManifestCommit.genName(newVer)
-    writeGen(new Path(ManifestCommit.dataDir(dir), gen).toString, st)
+    val genPath = new Path(ManifestCommit.dataDir(dir), gen)
+    // multi-writer guard 1: after the preamble GC, this generation path
+    // can only exist if a concurrent writer staged or committed the same
+    // version between our GC and now — writing over it would corrupt a
+    // (possibly committed) generation SILENTLY. Fail the late writer.
+    require(!fs.exists(genPath),
+      s"generation $gen already exists at $dir — a concurrent writer is " +
+        "active (snapshots are single-writer); stop the second stream " +
+        "and run Merge.fsck before trusting the snapshot")
+    writeGen(genPath.toString, st)
+    // multi-writer guard 2: expected-version compare before the flip;
+    // guard 3 is the commit file's own exclusive create
+    ManifestCommit.requireUnchanged(fs, dir, st)
     ManifestCommit.write(fs, dir,
       ManifestCommit.State(newVer, Seq(gen), tag))
     // post-commit cleanup beyond retention (best-effort — a crash here

@@ -108,7 +108,11 @@ object Tables {
         else None
       if (force || !current.contains(want)) {
         spark.sql(s"DROP TABLE IF EXISTS $db.$tbl")
-        spark.sql(s"CREATE TABLE $db.$tbl USING PARQUET LOCATION '$loc'")
+        // the QUALIFIED location: a relative sfDir handed to the DDL
+        // resolves against the warehouse dir (not the cwd a direct
+        // read uses) — the table then points at nothing and every scan
+        // fails schema inference
+        spark.sql(s"CREATE TABLE $db.$tbl USING PARQUET LOCATION '$want'")
       }
       if (nanosTs) {
         val sel = spark.table(s"$db.$tbl").schema.fields.map { f =>

@@ -169,6 +169,42 @@ class MergeTimeTravelSpec extends SparkSpec {
     assert(Merge.snapshotVersions(spark, dir).nonEmpty)
   }
 
+  test("two racing committers: the late writer loses loudly, the winner's pointer stays live") {
+    val dir = tmp("tt-race")
+    import org.apache.spark.sql.functions.lit
+    MergeSink.applyBatch(spark, b((1L, "I", "a", 1.0, 1L)), dir,
+      "k", "op", "seq", manifestCommit = true) // v1
+    // writer B passes its preamble (sees v1, targets v2); writer A
+    // commits v2 while B is still staging — the expected-version
+    // compare before B's pointer flip must fail B loudly
+    val e = intercept[IllegalStateException] {
+      Merge.commitWholeGeneration(spark, dir) { (genPath, _) =>
+        MergeSink.applyBatch(spark, b((2L, "I", "winner", 2.0, 2L)), dir,
+          "k", "op", "seq") // A wins v2 mid-flight
+        Seq((9L, "loser", 9.9)).toDF("k", "name", "bal")
+          .write.mode("overwrite").parquet(genPath) // B's stale stage
+      }
+    }
+    assert(e.getMessage.contains("concurrent writer"))
+    // the winner's pointer is live; no half-flipped state
+    assert(Merge.snapshotVersions(spark, dir).max === 2L)
+    // guard 3 (the atomic backstop): re-creating an existing commit
+    // version fails with the explicit conflict error, never overwrites
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val e3 = intercept[IllegalStateException] {
+      ManifestCommit.write(fs, new org.apache.hadoop.fs.Path(dir),
+        ManifestCommit.State(2L, Seq(ManifestCommit.genName(2L))))
+    }
+    assert(e3.getMessage.contains("concurrent writer") ||
+      e3.getMessage.contains("committed this version first"))
+    // the NEXT single writer proceeds normally from the winner's state
+    MergeSink.applyBatch(spark, b((3L, "I", "c", 3.0, 3L)), dir,
+      "k", "op", "seq")
+    assert(state(dir).map(_._1).toSet === Set(1L, 2L, 3L))
+    assert(lit(1) != null) // keep the import used
+  }
+
   test("whole-manifest merge rejects two surviving changes per key; D+I stays legal") {
     val dir = tmp("dupguard")
     def c(rows: (Long, String, String)*) = rows.toDF("k", "op", "name")
