@@ -1493,7 +1493,14 @@ object SparkEntry {
     // weights keep every intermediate a rational with denominator
     // 10^6, and the result needs NO final rounding — the last-ulp
     // double-accumulation boundary that flipped one doc's 4-dp
-    // rounding at sf1 (SCALING.md §round-7) cannot exist here.
+    // rounding at sf1 (SCALING.md §round-7) cannot exist here. The
+    // keep flag compares in decimal (exact); the EMITTED score is the
+    // decimal cast to DOUBLE — both engines correctly-round the same
+    // rational n/10^6 to the same double bits (Spark via
+    // BigDecimal.doubleValue, DuckDB via exact-int64/1e6 IEEE divide),
+    // and a double is what the driver comparator canonicalizes
+    // representation-stably (a raw DECIMAL(18,6) round-tripped
+    // differently through it at sf0.01 — r8 gate regression).
     "q92_quality_classifier" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val ent = charEntropyPerDoc(docs)
@@ -1511,8 +1518,10 @@ object SparkEntry {
             - dlit("1.5") * d4(col("upper_r"))
             + dlit("0.02") * d4(col("mtl"))
             + dlit("0.06") * d4(coalesce(col("entropy"), lit(0.0))))
-            .cast("decimal(18,6)").as("score"))
-        .withColumn("keep", col("score") >= dlit("0.5"))
+            .cast("decimal(18,6)").as("score_d"))
+        .select(col("doc_id"),
+          col("score_d").cast("double").as("score"),
+          (col("score_d") >= dlit("0.5")).as("keep"))
         .orderBy(col("doc_id"))
     }),
 
@@ -4073,7 +4082,10 @@ object SparkEntry {
     // DECIMAL (DuckDB parses 0.2/1.2/… literals as DECIMAL natively):
     // every intermediate is a rational with denominator 10^6, so the
     // DECIMAL(18,6) result is bit-identical to Spark's at any scale —
-    // no final double rounding to sit on a boundary.
+    // no final double rounding to sit on a boundary. The emitted
+    // score is that decimal cast to DOUBLE (same correctly-rounded
+    // bits in both engines; representation-stable in the driver
+    // comparator); keep still compares in exact decimal.
     "q92_quality_classifier" ->
       """WITH f AS (
            SELECT doc_id,
@@ -4097,12 +4109,12 @@ object SparkEntry {
                         ELSE round(log2(CAST(n AS DOUBLE)) - sc / n, 4) END AS entropy
                  FROM e)
          SELECT f.doc_id,
-           CAST(0.2 + 1.2 * CAST(f.stop_r AS DECIMAL(18,4))
+           CAST(CAST(0.2 + 1.2 * CAST(f.stop_r AS DECIMAL(18,4))
                 - 2.0 * CAST(f.digit_r AS DECIMAL(18,4))
                 - 1.5 * CAST(f.upper_r AS DECIMAL(18,4))
                 + 0.02 * CAST(f.mtl AS DECIMAL(18,4))
                 + 0.06 * CAST(coalesce(ent.entropy, 0.0) AS DECIMAL(18,4))
-             AS DECIMAL(18,6)) AS score,
+             AS DECIMAL(18,6)) AS DOUBLE) AS score,
            (CAST(0.2 + 1.2 * CAST(f.stop_r AS DECIMAL(18,4))
                  - 2.0 * CAST(f.digit_r AS DECIMAL(18,4))
                  - 1.5 * CAST(f.upper_r AS DECIMAL(18,4))

@@ -394,6 +394,80 @@ object Multimodal {
       frames.result()
     }
 
+    /** The first `vids` stream's BITMAPINFOHEADER when the AVI is
+      * UNCOMPRESSED — `biCompression == 0` (BI_RGB) at 24/32 bpp, the
+      * `DIB ` codec family: every frame chunk is a raw bottom-up
+      * BGR(X) bitmap decodable with byte arithmetic alone, no codec.
+      * Returns (width, height, bytesPerPixel, topDown) — a NEGATIVE
+      * biHeight means top-down row order. None for compressed streams
+      * (MJPEG dispatches on the JPEG SOI instead) and for palettized
+      * or exotic depths. */
+    private[multimodal] def aviDibFormat(
+        p: Array[Byte]): Option[(Int, Int, Int, Boolean)] = {
+      if (!isAvi(p)) return None
+      val bb = ByteBuffer.wrap(p)
+      var found: Option[(Int, Int, Int, Boolean)] = None
+      var sawVids = false
+      def listType(s: Int, e: Int): String =
+        if (e - s >= 4) new String(Array(bb.get(s), bb.get(s + 1),
+          bb.get(s + 2), bb.get(s + 3)), "ASCII") else ""
+      walkRiff(bb, 12, p.length) { (tp, s, e) =>
+        if (tp == "LIST" && listType(s, e) == "hdrl")
+          walkRiff(bb, s + 4, e) { (t2, s2, e2) =>
+            if (t2 == "LIST" && listType(s2, e2) == "strl" && found.isEmpty &&
+                !sawVids) {
+              var thisVids = false
+              walkRiff(bb, s2 + 4, e2) { (t3, s3, e3) =>
+                if (t3 == "strh" && e3 - s3 >= 4 &&
+                    new String(Array(bb.get(s3), bb.get(s3 + 1),
+                      bb.get(s3 + 2), bb.get(s3 + 3)), "ASCII") == "vids")
+                  thisVids = true
+                else if (t3 == "strf" && thisVids && e3 - s3 >= 40) {
+                  sawVids = true
+                  val w = java.lang.Integer.reverseBytes(bb.getInt(s3 + 4))
+                  val hRaw = java.lang.Integer.reverseBytes(bb.getInt(s3 + 8))
+                  val bitCount = ((bb.get(s3 + 14) & 0xFF) |
+                    ((bb.get(s3 + 15) & 0xFF) << 8))
+                  val compression = u32le(bb, s3 + 16)
+                  if (compression == 0L && w > 0 && hRaw != 0 &&
+                      (bitCount == 24 || bitCount == 32))
+                    found = Some((w, math.abs(hRaw), bitCount / 8, hRaw < 0))
+                }
+              }
+            }
+          }
+      }
+      found
+    }
+
+    /** Decode one raw `DIB ` frame chunk into a BufferedImage so the
+      * ONE luminance definition ([[ImageCodec.lumGrid]]) serves stills,
+      * MJPEG frames, and uncompressed frames alike. Rows pad to 4-byte
+      * boundaries; bottom-up unless `topDown`. None when the chunk is
+      * shorter than the geometry demands (mid-stream corruption —
+      * DATA, the codec-family contract). */
+    private[multimodal] def dibFrameImage(p: Array[Byte], off: Int,
+        len: Int, w: Int, h: Int, bytesPP: Int,
+        topDown: Boolean): Option[java.awt.image.BufferedImage] = {
+      val rowStride = ((w * bytesPP + 3) / 4) * 4
+      if (len < rowStride.toLong * h) return None
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        val srcRow = off + (if (topDown) y else h - 1 - y) * rowStride
+        var x = 0
+        while (x < w) {
+          val i = srcRow + x * bytesPP // BGR(X) byte order
+          img.setRGB(x, y, ((p(i + 2) & 0xFF) << 16) |
+            ((p(i + 1) & 0xFF) << 8) | (p(i) & 0xFF))
+          x += 1
+        }
+        y += 1
+      }
+      Some(img)
+    }
+
     // ---- MP4 / ISO BMFF ------------------------------------------------
 
     private def parseMp4(p: Array[Byte]): Probe = {
@@ -630,13 +704,19 @@ object Multimodal {
    * frame whose bytes fail to decode yields an empty features row
    * (decode failures are DATA, the codec-family contract).
    *
+   * The second fully-decodable family is UNCOMPRESSED AVI (`DIB ` —
+   * BI_RGB 24/32 bpp): each frame chunk is a raw bottom-up bitmap,
+   * decoded with plain byte arithmetic ([[VideoCodec.dibFrameImage]])
+   * into the SAME luminance grid, so MJPEG and RGB AVIs in one corpus
+   * produce directly comparable frame features.
+   *
    * Codec dispatch is per ASSET, not per frame: an AVI whose video
-   * chunks are not JPEGs (Xvid, cinepak — no SOI marker on the first
-   * chunk) routes to the SAME derived-feature fallback as MP4/MKV,
-   * instead of emitting all-empty rows — a mixed-container corpus
-   * must not systematically degrade one container type. Empty
-   * features remain only for mid-stream corruption INSIDE a genuine
-   * MJPEG stream.
+   * chunks are neither JPEGs (no SOI marker on the first chunk) nor
+   * raw BI_RGB bitmaps (Xvid, cinepak) routes to the SAME
+   * derived-feature fallback as MP4/MKV, instead of emitting
+   * all-empty rows — a mixed-container corpus must not systematically
+   * degrade one container type. Empty features remain only for
+   * mid-stream corruption INSIDE a genuine MJPEG or DIB stream.
    */
   def sampleFramesDecoded(assets: Dataset[Asset], everyN: Int)(
       implicit spark: SparkSession): Dataset[Frame] = {
@@ -647,12 +727,13 @@ object Multimodal {
     assets.mapPartitions { it =>
       it.flatMap { a =>
         val p = a.payload
-        val ranges0 = if (p != null) VideoCodec.aviVideoFrames(p)
-                      else IndexedSeq.empty
-        val ranges = if (ranges0.nonEmpty &&
-            isJpegSoi(p, ranges0.head._1, ranges0.head._2)) ranges0
-          else IndexedSeq.empty // non-MJPEG AVI → derived fallback
-        if (ranges.nonEmpty) {
+        val ranges = if (p != null) VideoCodec.aviVideoFrames(p)
+                     else IndexedSeq.empty
+        val mjpeg = ranges.nonEmpty &&
+          isJpegSoi(p, ranges.head._1, ranges.head._2)
+        val dib = if (ranges.nonEmpty && !mjpeg) VideoCodec.aviDibFormat(p)
+                  else None
+        if (mjpeg) {
           (0 until ranges.length by everyN).iterator.map { f =>
             val (off, len) = ranges(f)
             val feats =
@@ -664,8 +745,17 @@ object Multimodal {
               } catch { case _: Exception => Array.empty[Float] }
             Frame(a.asset_id, f, feats)
           }
+        } else if (dib.isDefined) {
+          val (w, h, bpp, topDown) = dib.get
+          (0 until ranges.length by everyN).iterator.map { f =>
+            val (off, len) = ranges(f)
+            val feats = VideoCodec.dibFrameImage(p, off, len, w, h, bpp, topDown)
+              .map(ImageCodec.lumGrid).getOrElse(Array.empty[Float])
+            Frame(a.asset_id, f, feats)
+          }
         } else {
-          // non-AVI (or frameless) video: the derived-feature fallback
+          // non-AVI (or frameless, or compressed-codec) video: the
+          // derived-feature fallback
           derivedFrames(VideoCodec.decode(a), everyN)
         }
       }

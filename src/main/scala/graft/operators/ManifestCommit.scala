@@ -8,12 +8,18 @@ import org.apache.hadoop.fs.{FileSystem, Path}
  * stores, the reference pipeline's actual substrate
  * (`/root/reference/README.md:76` lands data on S3): an S3 "directory
  * rename" is a non-atomic per-object copy+delete, so the park/promote
- * swap that is safe on HDFS can tear there. This protocol never renames
- * and never overwrites:
+ * swap that is safe on HDFS can tear there. This protocol never
+ * renames and never overwrites:
  *
  *  - data lives in IMMUTABLE generation dirs, written once at their
- *    final path: `<dir>/data/g-<v>` (whole-snapshot mode) or
- *    `<dir>/data/<partCol>=<val>/g-<v>` (partition-scoped mode);
+ *    final path: `<dir>/data/g-<v>-<nonce>` (whole-snapshot mode) or
+ *    `<dir>/data/<partCol>=<val>/g-<v>-<nonce>` (partition-scoped
+ *    mode). The per-writer random nonce ([[stagedGenName]]) makes
+ *    concurrent writers of the same version collision-free BY PATH —
+ *    no writer ever writes bytes into a directory another writer may
+ *    own, so a racing loser can never clobber a committed generation;
+ *    its unreferenced dir is debris the next preamble GC reclaims.
+ *    The commit file records the ACTUAL dir names;
  *  - the atomic flip is the EXISTENCE of a new small commit file
  *    `<dir>/_graft_commit-<v>` naming the live generation dir(s); a
  *    commit object is created once and never rewritten;
@@ -67,6 +73,34 @@ private[graft] object ManifestCommit {
   def dataDir(dir: Path): Path = new Path(dir, "data")
 
   def genName(v: Long): String = f"g-$v%012d"
+
+  /** Writer-unique FINAL generation dir name for version `v`:
+    * `g-<v>-<nonce>`. The random nonce makes concurrent writers of the
+    * same version collision-free BY PATH — no writer ever writes bytes
+    * into a directory another writer (committed or not) may own, so a
+    * racing loser can corrupt nothing: its dir is simply never
+    * referenced by a commit and the next preamble [[gc]] reclaims it.
+    * The commit file records the ACTUAL dir name (entries are names,
+    * not versions), so readers resolve the winner's dir exactly, and
+    * NO RENAME is ever needed — the dir is written once at its final
+    * path, preserving the protocol's object-store contract. Sorts
+    * after the plain `g-<v>` form of the same version, which only
+    * matters to humans listing the dir. */
+  def stagedGenName(v: Long): String =
+    s"${genName(v)}-${java.util.UUID.randomUUID.toString.take(8)}"
+
+  /** True iff some generation dir for version `v` (either name form)
+    * already exists under `data/` at `parent` — the writers' early
+    * concurrent-same-version probe: after a preamble GC only a live
+    * commit's generations and a CONCURRENT writer's freshly staged
+    * dirs can be present. */
+  def versionDirExists(fs: FileSystem, parent: Path, v: Long): Boolean = {
+    val g = genName(v)
+    fs.exists(parent) && fs.listStatus(parent).exists { s =>
+      val n = s.getPath.getName
+      s.isDirectory && (n == g || n.startsWith(g + "-"))
+    }
+  }
 
   private def commitName(v: Long): String = f"$Prefix$v%012d"
 
@@ -204,7 +238,8 @@ private[graft] object ManifestCommit {
     * `missing_generation` (a parseable commit references a data dir
     * that is absent or empty — the serious one: that version cannot be
     * read), `orphan_generation` (a staged dir no parseable commit
-    * references; crash debris the next GC reclaims — informational),
+    * references — a crashed or race-losing writer's debris the next
+    * GC reclaims; informational),
     * `no_live_commit` (nothing resolvable at all). Empty = healthy.
     * Never mutates: fsck is what an operator runs BEFORE trusting a
     * snapshot, not a repair tool (repair = the writers' preamble GC). */

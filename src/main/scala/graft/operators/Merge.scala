@@ -363,25 +363,30 @@ object Merge {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val newVer = st.map(_.version + 1).getOrElse(1L)
-      val gen = ManifestCommit.genName(newVer)
       // multi-writer guard 1 (see commitWholeGeneration): post-GC, a
-      // touched partition's target generation dir can only exist if a
-      // concurrent writer is staging/committed the same version
-      touched.map(v => new Path(new Path(data, leafName(v)), gen))
-        .find(fs.exists).foreach { p =>
+      // touched partition can only hold a generation dir for this
+      // version if a concurrent writer is staging/committed it
+      touched.map(v => new Path(data, leafName(v)))
+        .find(ManifestCommit.versionDirExists(fs, _, newVer)).foreach { p =>
           throw new IllegalArgumentException(
-            s"generation dir $p already exists — a concurrent writer is " +
-              "active (snapshots are single-writer); stop the second " +
-              "stream and run Merge.fsck before trusting the snapshot")
+            s"a generation for version $newVer already exists under $p — " +
+              "a concurrent writer is active (snapshots are " +
+              "single-writer); stop the second stream and run Merge.fsck " +
+              "before trusting the snapshot")
         }
+      // one writer-unique generation name for the whole commit — every
+      // touched leaf stages under it, the commit records it per leaf
+      val gen = ManifestCommit.stagedGenName(newVer)
       // partitions whose merged content is empty (every row deleted)
       // drop out of the manifest instead of staging an empty dir
       val counts = merged.groupBy(col(partCol).cast("string").as("__p"))
         .count().collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
       val nonEmpty = touched.filter(v => counts.getOrElse(v, 0L) > 0L)
-      // each touched partition writes ONCE into its final immutable home
-      // — no staging dir, no rename. One small job per touched partition
+      // each touched partition writes ONCE into its final immutable,
+      // WRITER-UNIQUE home (leaf/g-<v>-<nonce>) — no staging dir, no
+      // rename, and no path a racing writer may own (see
+      // commitWholeGeneration). One small job per touched partition
       // (they run concurrently, bounded); the per-job overhead is the
       // price of never asking the store for a directory rename. Each
       // job filters the PERSISTED merged set — cached-batch min/max
@@ -545,10 +550,12 @@ object Merge {
     * ONE place, shared by [[mergeWholeManifest]] and the standing-state
     * stores ([[Rollup]] and everything built on it): a protocol fix
     * lands once, and every store gets the layout guards. `writeGen`
-    * receives the staged generation path plus the pre-commit state
-    * (to read the live generation); the pointer flips only after it
-    * returns, so a crash mid-write leaves the old commit live and the
-    * next preamble GC clears the orphan. */
+    * receives a writer-unique STAGING path plus the pre-commit state
+    * (to read the live generation); the staged dir is promoted to the
+    * final generation path only after the expected-version re-check
+    * passes, and the pointer flips only after that — a crash or a lost
+    * race at any point leaves the old commit live and the next
+    * preamble GC clears the staging debris. */
   private[graft] def commitWholeGeneration(spark: SparkSession,
       snapshotDir: String, tag: Option[String] = None)(
       writeGen: (String, Option[ManifestCommit.State]) => Unit): Unit = {
@@ -562,16 +569,21 @@ object Merge {
       s"snapshot at $dir is a partition-scoped manifest — pass " +
         "partitionCol to keep merging it partition-scoped")
     val newVer = st.map(_.version + 1).getOrElse(1L)
-    val gen = ManifestCommit.genName(newVer)
+    // multi-writer guard 1: after the preamble GC, a generation dir for
+    // this version can only exist if a concurrent writer is staging or
+    // committed it between our GC and now — detect it before any work
+    require(!ManifestCommit.versionDirExists(fs,
+        ManifestCommit.dataDir(dir), newVer),
+      s"a generation for version $newVer already exists at $dir — a " +
+        "concurrent writer is active (snapshots are single-writer); stop " +
+        "the second stream and run Merge.fsck before trusting the snapshot")
+    // the generation is written ONCE at its final, WRITER-UNIQUE path
+    // (g-<v>-<nonce>): this writer's bytes never touch a path another
+    // writer — committed or staging — may own, so a racing loser can
+    // never clobber the winner's generation; the loser fails below and
+    // its unreferenced dir becomes GC debris. No rename anywhere.
+    val gen = ManifestCommit.stagedGenName(newVer)
     val genPath = new Path(ManifestCommit.dataDir(dir), gen)
-    // multi-writer guard 1: after the preamble GC, this generation path
-    // can only exist if a concurrent writer staged or committed the same
-    // version between our GC and now — writing over it would corrupt a
-    // (possibly committed) generation SILENTLY. Fail the late writer.
-    require(!fs.exists(genPath),
-      s"generation $gen already exists at $dir — a concurrent writer is " +
-        "active (snapshots are single-writer); stop the second stream " +
-        "and run Merge.fsck before trusting the snapshot")
     writeGen(genPath.toString, st)
     // multi-writer guard 2: expected-version compare before the flip;
     // guard 3 is the commit file's own exclusive create

@@ -22,6 +22,12 @@ import graft.functions.{VectorFunctions => V}
  */
 object Similarity {
 
+  /** Shared nlist ceiling for [[adaptiveIvfConfig]] and
+    * [[ivfStoreAdvice]]'s recommendation — keeping them equal is what
+    * makes the retrain advisory CONVERGENT (an adaptive rebuild always
+    * satisfies the advisor that triggered it). */
+  val DefaultMaxNlist: Int = 1024
+
   /**
    * Scale-adaptive IVF configuration — the √N discipline. A FIXED
    * (nlist, nprobe) is silently data-size-dependent: grow the corpus
@@ -51,7 +57,7 @@ object Similarity {
    * configuration (the retrain trigger).
    */
   def adaptiveIvfConfig(n: Long, probeFrac: Double = 0.375,
-      maxNlist: Int = 1024): (Int, Int) = {
+      maxNlist: Int = DefaultMaxNlist): (Int, Int) = {
     require(n > 0, s"adaptiveIvfConfig needs a non-empty corpus, got n=$n")
     require(probeFrac > 0 && probeFrac <= 1,
       s"probeFrac must be in (0, 1], got $probeFrac")
@@ -815,8 +821,11 @@ object Similarity {
         avg(col("n_items")).as("mean_items"),
         max(col("n_files")).as("max_files"))
       .select(col("n_items"), lit(nLists).as("n_lists"),
-        ceil(sqrt(col("n_items").cast("double"))).cast("int")
-          .as("recommended_nlist"),
+        // same cap as adaptiveIvfConfig: past maxNlist items² the
+        // uncapped √N would exceed any adaptive rebuild's nlist and a
+        // scheduler acting on retrain_advised would rebuild in a loop
+        least(ceil(sqrt(col("n_items").cast("double"))).cast("int"),
+          lit(DefaultMaxNlist)).as("recommended_nlist"),
         round(col("max_items") / col("mean_items"), 2).as("imbalance"),
         col("max_files").cast("int").as("max_files"))
       .select(col("n_items"), col("n_lists"), col("recommended_nlist"),

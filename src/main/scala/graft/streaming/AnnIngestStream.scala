@@ -30,14 +30,35 @@ import graft.operators.Similarity
  * batch, so read amplification stays bounded without an external
  * maintenance job. Compaction after a re-delivered batch is a no-op
  * rewrite of already-single-file lists.
+ *
+ * Long-running ingest ALSO outgrows the stored quantizer: batches
+ * encode with the build-time centroids (the store's contract), so a
+ * corpus that grows well past its build size silently loses recall —
+ * the q108 finding, batch-side. `adviseEvery = n` runs
+ * [[graft.operators.Similarity.ivfStoreAdvice]] after every n-th batch
+ * and surfaces the result (`retrain_advised`, `compact_advised`, item
+ * and list counts, imbalance) through `onAdvice`, making recall decay
+ * OPERATOR-VISIBLE from inside the stream — the consumer schedules a
+ * `buildIvfStore(nlist = 0, iters > 0)` rebuild into a fresh dir and
+ * swaps, exactly what the advisory's own convergence cap guarantees
+ * terminates. The advice scan is a narrow aggregate over the encoded
+ * table (no vectors move), so a small `adviseEvery` is safe.
  */
 object AnnIngestStream {
+
+  /** What `adviseEvery` surfaces per advisory run: the
+    * [[graft.operators.Similarity.ivfStoreAdvice]] row for the store
+    * as of this batch's commit. */
+  final case class StoreAdvice(batchId: Long, nItems: Long, nLists: Int,
+      recommendedNlist: Int, imbalance: Double, maxFiles: Int,
+      retrainAdvised: Boolean, compactAdvised: Boolean)
 
   /** Continuous ingest into a [[graft.operators.Similarity.buildIvfStore]]
     * directory store. `vecs` is a streaming DataFrame carrying `vec_id`
     * + `embedding` (the corpus vector convention). */
   def ingest(vecs: DataFrame, storeDir: String, checkpoint: String,
-      compactEvery: Int = 0,
+      compactEvery: Int = 0, adviseEvery: Int = 0,
+      onAdvice: StoreAdvice => Unit = _ => (),
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val spark = vecs.sparkSession
     vecs.writeStream
@@ -45,7 +66,8 @@ object AnnIngestStream {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        ingestBatch(spark, batch, batchId, storeDir, compactEvery)
+        ingestBatch(spark, batch, batchId, storeDir, compactEvery,
+          adviseEvery, onAdvice)
       }
       .start()
   }
@@ -54,10 +76,20 @@ object AnnIngestStream {
     * re-delivery tests — the streaming wrapper only adds checkpointed
     * batch ids). */
   private[streaming] def ingestBatch(spark: SparkSession, batch: DataFrame,
-      batchId: Long, storeDir: String, compactEvery: Int): Unit = {
+      batchId: Long, storeDir: String, compactEvery: Int,
+      adviseEvery: Int = 0,
+      onAdvice: StoreAdvice => Unit = _ => ()): Unit = {
     if (batch.isEmpty) return
     Similarity.appendToIvfStore(spark, batch, storeDir)
     if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
       Similarity.compactIvfStore(spark, storeDir)
+    if (adviseEvery > 0 && (batchId + 1) % adviseEvery == 0) {
+      val r = Similarity.ivfStoreAdvice(spark, storeDir).head()
+      onAdvice(StoreAdvice(batchId,
+        r.getAs[Long]("n_items"), r.getAs[Int]("n_lists"),
+        r.getAs[Int]("recommended_nlist"), r.getAs[Double]("imbalance"),
+        r.getAs[Int]("max_files"), r.getAs[Boolean]("retrain_advised"),
+        r.getAs[Boolean]("compact_advised")))
+    }
   }
 }

@@ -134,8 +134,14 @@ object IngestPipeline {
           // state; the merge path mutates no session conf), each job is
           // batch-sized, and a serial loop would grow batch latency
           // linearly in table count while the cluster idles between
-          // jobs. Failures propagate: Await rethrows the first one, the
-          // batch aborts before the idempotency marker, and the retry
+          // jobs. Failures propagate AFTER every sibling settles: each
+          // future is lifted to a Try and the full set is awaited
+          // before the first failure rethrows — aborting on the first
+          // error while siblings still run would let zombie merges
+          // outlive the batch and race the restarted batch's re-runs
+          // on the same snapshot dirs (the exact single-writer
+          // violation the manifest guards exist to catch). The batch
+          // then aborts before the idempotency marker and the retry
           // re-runs every table (each merge is idempotent by its own
           // commit protocol).
           require(cfg.mergeParallelism >= 1,
@@ -145,8 +151,8 @@ object IngestPipeline {
             math.max(1, math.min(cfg.mergeParallelism, cfg.tables.size)))
           implicit val ec: scala.concurrent.ExecutionContext =
             scala.concurrent.ExecutionContext.fromExecutor(pool)
-          try
-            scala.concurrent.Await.result(
+          try {
+            val settled = scala.concurrent.Await.result(
               scala.concurrent.Future.traverse(cfg.tables) { t =>
                 scala.concurrent.Future {
                   val changes = StreamSplitter
@@ -163,9 +169,10 @@ object IngestPipeline {
                   MergeSink.applyBatch(spark, changes,
                     s"${cfg.snapshotRoot}/${t.tableName}", t.key, "op",
                     "__seq", manifestCommit = true)
-                }
+                }.transform(scala.util.Success(_)) // settle, don't fail-fast
               }, scala.concurrent.duration.Duration.Inf)
-          finally pool.shutdown()
+            settled.foreach(_.get) // every merge finished; now rethrow
+          } finally pool.shutdown()
           val tMerge = (System.nanoTime() - tMerge0) / 1000000
           // 4. standing ops counters (exact under re-delivery: tagged)
           val tRoll0 = System.nanoTime()

@@ -416,6 +416,94 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  // ---- uncompressed (DIB / BI_RGB) AVI builder -------------------------
+
+  private def le16(v: Int): Array[Byte] = Array(v.toByte, (v >>> 8).toByte)
+
+  /** Uncompressed AVI: strh vids/`DIB ` + strf BITMAPINFOHEADER
+    * (biCompression = 0), frames as raw BGR(X) rows padded to 4-byte
+    * stride, `00db` chunks. */
+  private def dibAviBytes(w: Int, h: Int, bitCount: Int, topDown: Boolean,
+      frames: Seq[Array[Byte]]): Array[Byte] = {
+    val avih = le32(40000L) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      le32(frames.length.toLong) ++ le32(0) ++ le32(1) ++ le32(0) ++
+      le32(w.toLong) ++ le32(h.toLong) ++ Array.fill[Byte](16)(0)
+    val strh = "vids".getBytes("ASCII") ++ "DIB ".getBytes("ASCII") ++
+      Array.fill[Byte](48)(0)
+    val strf = le32(40L) ++ le32(w.toLong) ++
+      le32(if (topDown) -h.toLong else h.toLong) ++ le16(1) ++
+      le16(bitCount) ++ le32(0L) ++ Array.fill[Byte](20)(0)
+    val hdrl = riffList("hdrl", riffChunk("avih", avih),
+      riffList("strl", riffChunk("strh", strh), riffChunk("strf", strf)))
+    val movi = riffList("movi", frames.map(riffChunk("00db", _)): _*)
+    val body = "AVI ".getBytes("ASCII") ++ hdrl ++ movi
+    "RIFF".getBytes("ASCII") ++ le32(body.length.toLong) ++ body
+  }
+
+  /** One raw frame: gray level per (x, y) in IMAGE orientation (y = 0
+    * is the top row), laid out in the container's row order. */
+  private def dibFrame(w: Int, h: Int, bitCount: Int, topDown: Boolean)(
+      lvl: (Int, Int) => Int): Array[Byte] = {
+    val bypp = bitCount / 8
+    val stride = ((w * bypp + 3) / 4) * 4
+    val out = Array.fill[Byte](stride * h)(0)
+    for (y <- 0 until h; x <- 0 until w) {
+      val row = if (topDown) y else h - 1 - y
+      val i = row * stride + x * bypp
+      val l = lvl(x, y).toByte
+      out(i) = l; out(i + 1) = l; out(i + 2) = l
+    }
+    out
+  }
+
+  test("uncompressed DIB AVI: true per-frame luminance from raw bitmaps") {
+    implicit val s = spark
+    import spark.implicits._
+    val (w, h) = (20, 10) // stride = 60 at 24bpp — exercises padding
+    // frame 0/1 solid; frame 2 a split — bright TOP half, dark BOTTOM
+    // half in image orientation, so a row-order bug (reading the
+    // bottom-up rows as top-down) flips the grid halves and fails
+    val fs24 = Seq(
+      dibFrame(w, h, 24, topDown = false)((_, _) => 40),
+      dibFrame(w, h, 24, topDown = false)((_, _) => 220),
+      dibFrame(w, h, 24, topDown = false)((_, y) => if (y < h / 2) 200 else 50))
+    val assets = Seq(
+      Multimodal.Asset(1L, "video/x-msvideo",
+        dibAviBytes(w, h, 24, topDown = false, fs24), "t"),
+      // 32bpp BGRX and a NEGATIVE biHeight (top-down rows) — both
+      // must land on identical features for identical pixel content
+      Multimodal.Asset(2L, "video/x-msvideo",
+        dibAviBytes(w, h, 32, topDown = true,
+          Seq(dibFrame(w, h, 32, topDown = true)((_, y) =>
+            if (y < h / 2) 200 else 50))), "t")).toDS()
+    val got = Multimodal.sampleFramesDecoded(assets, everyN = 1)
+      .collect().groupBy(_.asset_id)
+    val a1 = got(1L).sortBy(_.frame_index)
+    assert(a1.map(_.frame_index).toSeq === Seq(0, 1, 2))
+    Seq(40, 220).zip(a1).foreach { case (lvl, fr) =>
+      assert(fr.features.length === 8)
+      fr.features.foreach(f => assert(math.abs(f - lvl / 255f) < 1e-3f,
+        s"frame ${fr.frame_index}: $f vs ${lvl / 255f}"))
+    }
+    // split frame: grid cells 0-3 are the top half, 4-7 the bottom
+    val split = a1(2).features
+    split.take(4).foreach(f => assert(math.abs(f - 200 / 255f) < 1e-3f, f))
+    split.drop(4).foreach(f => assert(math.abs(f - 50 / 255f) < 1e-3f, f))
+    // 32bpp top-down variant sees the same pixels
+    assert(got(2L).head.features.toSeq === split.toSeq)
+    // a truncated frame chunk is DATA: empty features, no exception
+    val corrupt = dibAviBytes(w, h, 24, topDown = false,
+      Seq(fs24.head, fs24.head.take(30)))
+    val cf = Multimodal.sampleFramesDecoded(
+        Seq(Multimodal.Asset(3L, "video/x-msvideo", corrupt, "t")).toDS(), 1)
+      .collect().sortBy(_.frame_index)
+    assert(cf(0).features.nonEmpty && cf(1).features.isEmpty)
+    // everyN strides DIB frames like MJPEG ones
+    val strided = Multimodal.sampleFramesDecoded(
+      assets.filter(_.asset_id == 1L), everyN = 2).collect()
+    assert(strided.map(_.frame_index).sorted.toSeq === Seq(0, 2))
+  }
+
   test("non-MJPEG AVI routes to the derived fallback, never all-empty rows") {
     implicit val s = spark
     import spark.implicits._

@@ -83,7 +83,8 @@ class MergeTimeTravelSpec extends SparkSpec {
       val data = new org.apache.hadoop.fs.Path(dir + "/data")
       val fs = data.getFileSystem(spark.sessionState.newHadoopConf())
       val gens = fs.listStatus(data).map(_.getPath.getName).toSeq.sorted
-      assert(gens === Seq("g-000000000003"))
+      assert(gens.length === 1 &&
+        gens.head.startsWith("g-000000000003"), gens.toString)
     } finally spark.conf.unset("spark.graft.merge.retainCommits")
   }
 

@@ -191,6 +191,13 @@ class SimilaritySpec extends SparkSpec {
     assert(grown._1 === 1100L && grown._2 === 10)
     assert(grown._3 === 34 && grown._4 === true,
       s"outgrown store must advise retrain: $grown")
+    // convergence past the cap: the advisory recommends through the
+    // SAME DefaultMaxNlist ceiling adaptiveIvfConfig builds with, so
+    // an adaptive rebuild always satisfies the advisor that triggered
+    // it — uncapped √N at >= cap² items would keep retrain_advised
+    // true forever and loop a scheduler on rebuilds
+    assert(Similarity.adaptiveIvfConfig(5L * 1000 * 1000)._1 ===
+      Similarity.DefaultMaxNlist)
   }
 
   test("ivfTopK: one list per item (no duplicate candidates), sane recall") {

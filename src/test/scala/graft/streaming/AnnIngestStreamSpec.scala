@@ -79,4 +79,41 @@ class AnnIngestStreamSpec extends SparkSpec {
       .as[(Long, Long, Double, Double, Int)].collect().toSet
     assert(grown === oneShot)
   }
+
+  test("adviseEvery surfaces retrain_advised from inside the ingest once the store outgrows its quantizer") {
+    val dir = tmp("annadvise") + "/store"
+    val rnd = new scala.util.Random(47)
+    def vecs(from: Int, until: Int) = (from until until)
+      .map(i => (i.toLong, Seq.fill(16)(rnd.nextGaussian())))
+      .toDF("vec_id", "embedding")
+    // adaptive build at N=100 → nlist = 10; healthy store, no advice
+    Similarity.buildIvfStore(vecs(0, 100), dir, nlist = 0, dim = 16)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[AnnIngestStream.StoreAdvice]
+    // five 200-vector batches under the STORED quantizer: after them
+    // the corpus sits at 1100 items — √N wants 34 lists vs the built
+    // 10 (≥ 2×, i.e. ≥ 4× growth) — and the advisory must have flipped
+    (0 until 5).foreach { b =>
+      AnnIngestStream.ingestBatch(spark, vecs(100 + b * 200, 100 + (b + 1) * 200),
+        b.toLong, dir, compactEvery = 0, adviseEvery = 1, onAdvice = seen += _)
+    }
+    assert(seen.size === 5)
+    assert(seen.map(_.nItems).toSeq === Seq(300L, 500L, 700L, 900L, 1100L))
+    assert(seen.forall(_.nLists == 10))
+    // the flip point: recommended_nlist crosses 2× built nlist at 400
+    // items — every advisory from batch 1 on flags the retrain
+    assert(!seen.head.retrainAdvised, seen.head.toString)
+    assert(seen.tail.forall(_.retrainAdvised), seen.toSeq.toString)
+    assert(seen.last.recommendedNlist === 34)
+    // acting on the advice converges: an adaptive rebuild of the grown
+    // corpus satisfies the advisor that triggered it
+    val rebuilt = tmp("annadvise-rebuilt") + "/store"
+    // the encoded table keeps unit vectors — normalizing is idempotent,
+    // and the advisory only counts items and lists
+    Similarity.buildIvfStore(spark.read.parquet(s"$dir/encoded")
+        .select(col("item_id").as("vec_id"), col("item_vec").as("embedding")),
+      rebuilt, nlist = 0, dim = 16)
+    val after = Similarity.ivfStoreAdvice(spark, rebuilt)
+      .select("retrain_advised").as[Boolean].head()
+    assert(!after, "adaptive rebuild must clear retrain_advised")
+  }
 }

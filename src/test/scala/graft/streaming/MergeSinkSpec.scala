@@ -428,7 +428,15 @@ class MergeSinkSpec extends SparkSpec {
       .toDF("k", "op", "name", "lang", "seq")
     MergeSink.applyBatch(spark, b1, dir, "k", "op", "seq", Some("lang"),
       manifestCommit = true)
-    val deGen = s"$dir/data/lang=de/g-000000000001"
+    // resolve v1's actual (writer-unique) generation dir name under de
+    val deGen = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/data/lang=de")
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      val gens = fs.listStatus(p).map(_.getPath.getName)
+        .filter(_.startsWith("g-000000000001"))
+      assert(gens.length === 1, gens.toSeq.toString)
+      s"$dir/data/lang=de/${gens.head}"
+    }
     val deBefore = fileSig(deGen)
     // batch 2 touches only en
     val b2 = Seq((1L, "U", "a2", "en", 4L), (9L, "I", "z", "en", 5L))
