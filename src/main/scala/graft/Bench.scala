@@ -55,16 +55,23 @@ object Bench {
       if (subset.isDefined) "BENCH_SUBSET.json" else "BENCH_FULL.json")
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => subset.forall(_.contains(n)) }
-    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // a failing query must be VISIBLE, not a ~0s "fast" sample: the
+    // swallow keeps the sweep alive (one broken query must not zero the
+    // whole bench), but its name is recorded and reported — a bench
+    // where q_x silently stopped executing would otherwise read as a
+    // q_x speedup
+    val failed = scala.collection.mutable.Set.empty[String]
+    def once(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try run(fn(spark, sfDir))
-      catch { case _: Throwable => () }
+      catch { case _: Throwable => failed += name }
       val t = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
       t
     }
-    val pass1 = names.map { case (name, fn) => name -> once(fn) }.toMap
-    val pass2 = names.map { case (name, fn) => name -> once(fn) }.toMap
+    val pass1 = names.map { case (name, fn) => name -> once(name, fn) }.toMap
+    val pass2 = names.map { case (name, fn) => name -> once(name, fn) }.toMap
     // Third sweep membership (r6 verdict): queries whose two samples
     // disagree by >1.5x (noise suspected) PLUS every query whose best
     // sample is >=2s — the expensive families are exactly where a
@@ -74,7 +81,7 @@ object Bench {
       val (a, b) = (pass1(name), pass2(name))
       math.max(a, b) / math.min(a, b) > 1.5 || math.min(a, b) >= 2.0
     }
-    val pass3 = noisy.map { case (name, fn) => name -> once(fn) }.toMap
+    val pass3 = noisy.map { case (name, fn) => name -> once(name, fn) }.toMap
     def samples(name: String): Seq[Double] =
       Seq(pass1(name), pass2(name)) ++ pass3.get(name)
     val results = names.map { case (name, _) => name -> samples(name).min }
@@ -107,8 +114,9 @@ object Bench {
           .map(v => f"$v%.3f").mkString(",") + "]"
     }.mkString("{", ",", "}")
     val suspectJson = loadSuspect.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"queries":${render(headline)},"sf":"$sfDir"}"""
-    val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"queries":${render(results)},"passes":$passes,"load_suspect":$suspectJson,"sf":"$sfDir"}"""
+    val errorsJson = failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"queries":${render(headline)},"errors":$errorsJson,"sf":"$sfDir"}"""
+    val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"queries":${render(results)},"passes":$passes,"load_suspect":$suspectJson,"errors":$errorsJson,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (full + "\n").getBytes("UTF-8"))
     println(line)

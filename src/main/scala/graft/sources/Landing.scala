@@ -29,8 +29,8 @@ object Landing {
     require(formats(format), s"unsupported landing format: $format")
     val w0 = df.write.format(format).mode(mode)
     val w1 = format match {
-      case "json" | "csv" => w0.option("compression", "gzip")
-        .option("header", "true")
+      case "json" => w0.option("compression", "gzip")
+      case "csv" => w0.option("compression", "gzip").option("header", "true")
       case _ => w0
     }
     (if (partitionKeys.nonEmpty) w1.partitionBy(partitionKeys: _*) else w1)

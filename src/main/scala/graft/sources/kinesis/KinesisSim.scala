@@ -145,10 +145,25 @@ class KinesisSimStream(options: CaseInsensitiveStringMap) extends MicroBatchStre
     if (maxPerTrigger == Long.MaxValue) ReadLimit.allAvailable()
     else ReadLimit.maxRows(maxPerTrigger)
 
+  /** A checkpointed offset naming a shard this configuration doesn't
+    * have means `shards` shrank across a restart: `(0 until shards)`
+    * loops would silently DROP the extra shards' positions — and their
+    * unread records — from every subsequent offset. Kinesis resharding
+    * is a new stream epoch, not a config edit; fail loudly. */
+  private def requireKnownShards(pos: Map[Int, Long]): Unit = {
+    val unknown = pos.keys.filter(_ >= shards)
+    require(unknown.isEmpty,
+      s"graft-kinesis-sim: checkpoint offset names shard(s) " +
+        s"${unknown.toSeq.sorted.mkString(",")} but 'shards'=$shards — " +
+        "the shard count shrank across a restart; restore the original " +
+        "count or start a fresh checkpoint")
+  }
+
   /** Admission control: per-shard GetRecords-limit analog — each batch
     * advances a shard by at most `maxRecordsPerTrigger`. */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[ShardOffsets].pos
+    requireKnownShards(s)
     val target = availableNowTarget.getOrElse(backlogEnd)
     ShardOffsets((0 until shards).map { sh =>
       val from = s.getOrElse(sh, 0L)
@@ -170,6 +185,7 @@ class KinesisSimStream(options: CaseInsensitiveStringMap) extends MicroBatchStre
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[ShardOffsets].pos
     val e = end.asInstanceOf[ShardOffsets].pos
+    requireKnownShards(s)
     (0 until shards).flatMap { shard =>
       val from = s.getOrElse(shard, 0L)
       val to = e.getOrElse(shard, 0L)

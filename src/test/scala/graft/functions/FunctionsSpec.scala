@@ -141,4 +141,42 @@ class FunctionsSpec extends SparkSpec {
     assert(fps(0) === fps(1))
     assert(fps(0) !== fps(2))
   }
+
+  test("astral-plane text (non-BMP codepoints) is handled whole, never torn at surrogates") {
+    // 𝕏 U+1D54F, 😀 U+1F600, 𠀀 U+20000 — all surrogate PAIRS in the
+    // JVM's UTF-16. Spark's UTF8String operates on codepoints, so
+    // length/split("")/substring must count and slice whole characters;
+    // a code-unit implementation would tear pairs and double-count.
+    val xs = "𝕏" // 𝕏
+    val emo = "😀" // 😀
+    val cjkB = "𠀀" // 𠀀
+    val df = Seq(
+      (1L, xs * 4), // 4 identical astral chars
+      (2L, s"$emo a $emo b"), // astral mixed with ASCII tokens
+      (3L, s"$xs$emo$cjkB") // 3 distinct astral chars
+    ).toDF("id", "text")
+    val m = df.select($"id", length($"text").as("len"),
+        T.charEntropy($"text").as("ent"),
+        T.meanTokenLen($"text").as("mtl"),
+        T.subwordCount($"text").as("nsub"))
+      .as[(Long, Int, Double, Double, Int)].collect()
+      .map(r => r._1 -> r).toMap
+    // codepoint counting: 4 astral chars are length 4, not 8
+    assert(m(1L)._2 === 4 && m(1L)._4 === 4.0)
+    // entropy over the character DISTRIBUTION: 4 identical chars = 0,
+    // 3 distinct = log2(3); code-unit splitting would see the shared
+    // high surrogate U+D835/U+D83D/U+D840 as repeat "characters"
+    assert(m(1L)._3 === 0.0)
+    assert(m(3L)._3 === 1.585)
+    // each astral char is ONE subword-regex hit ([^A-Za-z0-9\s])
+    assert(m(1L)._5 === 4 && m(3L)._5 === 3)
+    // char shingles keep pairs intact: every shingle is 2 CODEPOINTS
+    val sh = df.filter($"id" === 3L)
+      .select(T.charShingles($"text", 2)).as[Seq[String]].head()
+    assert(sh === Seq(xs + emo, emo + cjkB))
+    assert(sh.forall(s => s.codePointCount(0, s.length) === 2))
+    // fingerprints on astral-only text: deterministic and distinct
+    val fps = df.select(T.fingerprint($"text", 1)).as[Long].collect()
+    assert(fps.distinct.length === 3)
+  }
 }

@@ -90,4 +90,32 @@ class KinesisSimSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("maxRecordsPerTrigger"))
   }
+
+  test("a checkpoint from a larger shard count fails loudly instead of dropping shards") {
+    // restart with shards=2 against a checkpoint written at shards=4:
+    // the (0 until shards) loops would silently drop shards 2-3's
+    // positions — and their unread records — from every later offset
+    val path = writeBacklog((0 until 4).map(i => envLine("person", i)))
+    val stream = new KinesisSimStream(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        scala.jdk.CollectionConverters.MapHasAsJava(
+          Map("path" -> path, "shards" -> "2")).asJava))
+    val stale = ShardOffsets(Map(0 -> 1L, 1 -> 0L, 2 -> 2L, 3 -> 0L))
+    val e = intercept[IllegalArgumentException] {
+      stream.latestOffset(stale,
+        org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable())
+    }
+    assert(e.getMessage.contains("shards") && e.getMessage.contains("2,3"))
+    val e2 = intercept[IllegalArgumentException] {
+      stream.planInputPartitions(stale, stale)
+    }
+    assert(e2.getMessage.contains("shrank"))
+    // same count restored: the stale offset is readable again
+    val ok = new KinesisSimStream(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        scala.jdk.CollectionConverters.MapHasAsJava(
+          Map("path" -> path, "shards" -> "4")).asJava))
+    ok.latestOffset(stale,
+      org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable())
+  }
 }

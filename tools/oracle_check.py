@@ -74,6 +74,17 @@ for name in sorted(os.listdir(out)):
         print(f"{name:22s} FAIL  " + "; ".join(status))
     else:
         print(f"{name:22s} OK    ({len(g)} rows)")
+# a query declared in oracle_sql.json but ABSENT from the dump failed
+# inside Verify (its write threw) — that must read as a failure, not
+# silently shrink the artifact (r8: q29's sf1 write failed and the
+# 131-entry artifact looked complete at a glance)
+for name in sorted(set(oracle) - set(results)):
+    results[name] = {"rows_match": False, "schema_match": False,
+                     "hash_match": False, "spark_rows": 0,
+                     "oracle_rows": None,
+                     "err": "MISSING: no Verify output (query failed)"}
+    fails += 1
+    print(f"{name:22s} FAIL  missing from Verify output")
 if len(sys.argv) > 3:
     json.dump(results, open(sys.argv[3], "w"), indent=2, sort_keys=True)
 print(f"\n{fails} failures")
