@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-import graft.functions.expressions.{BloomProbeAny, DotProduct, FreqItemsAgg, H60Hash, LongArrayMatchCount, MinHashSigAgg, SimHashSigAgg}
+import graft.functions.expressions.{ArgmaxDot, BloomProbeAny, DotProduct, FreqItemsAgg, H60Hash, LongArrayMatchCount, MinHashSigAgg, SimHashSigAgg, UnitVector}
 
 /**
  * Registration of the engine's native Catalyst expressions as SQL
@@ -18,6 +18,8 @@ import graft.functions.expressions.{BloomProbeAny, DotProduct, FreqItemsAgg, H60
 object GraftFunctions {
 
   val DotName     = "graft_dot"
+  val ArgmaxDotName = "graft_argmax_dot"
+  val UnitVecName = "graft_unit_vec"
   val MatchName   = "graft_match_count"
   val MinHashName = "graft_minhash_sig"
   val SimHashName = "graft_simhash_sig"
@@ -50,6 +52,12 @@ object GraftFunctions {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction(DotName,
       exprs => arity(DotName, exprs, 2)(DotProduct(exprs(0), exprs(1))),
+      "built-in")
+    reg.createOrReplaceTempFunction(ArgmaxDotName,
+      exprs => arity(ArgmaxDotName, exprs, 2)(
+        ArgmaxDot(exprs(0), exprs(1))), "built-in")
+    reg.createOrReplaceTempFunction(UnitVecName,
+      exprs => arity(UnitVecName, exprs, 1)(UnitVector(exprs(0))),
       "built-in")
     reg.createOrReplaceTempFunction(MatchName,
       exprs => arity(MatchName, exprs, 2)(
@@ -258,6 +266,17 @@ object GraftFunctions {
 
   /** Codegen'd dot product (double) of two float/double arrays. */
   def graftDot(a: Column, b: Column): Column = call_function(DotName, a, b)
+
+  /** Codegen'd argmax-by-dot-product: index of the matrix row (an
+    * array<array<double>>, typically a centroid literal) with the
+    * largest dot against `vec`; ties → largest index. */
+  def graftArgmaxDot(vec: Column, mat: Column): Column =
+    call_function(ArgmaxDotName, vec, mat)
+
+  /** Codegen'd L2 unit-normalization of a float/double array (double
+    * out; zero-norm passes through). See
+    * [[expressions.UnitVector]] for why this must not be a HOF. */
+  def graftUnitVec(vec: Column): Column = call_function(UnitVecName, vec)
 
   /** Codegen'd count of agreeing positions in two long arrays. */
   def graftMatchCount(a: Column, b: Column): Column = call_function(MatchName, a, b)

@@ -912,8 +912,7 @@ object Dedup {
     // RAW vector (sign bits are scale-invariant — same bucket either way).
     val vecs = Caches.releaseAfterUse( // released after the caller's action
       df.select(col(idCol).as("id"), col(vecCol).as("v0"),
-          V.norm(col(vecCol)).as("nrm"))
-        .select(col("id"), col("v0"), V.normalized(col("v0"), col("nrm")).as("v"))) // bucketing + both verify sides
+        V.unitVec(col(vecCol)).as("v"))) // bucketing + both verify sides
     val bucketExprs =
       if (portableDim > 0) (0 until tables).map(t =>
         V.lshBucketPlanes(col("v0"),

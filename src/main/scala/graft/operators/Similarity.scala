@@ -102,11 +102,12 @@ object Similarity {
         else autoProbe)
     }
 
-  /** (id, unit-normalized vector) — norms staged once per vector. */
+  /** (id, unit-normalized vector) — ONE codegen'd node
+    * ([[graft.functions.VectorFunctions.unitVec]]): every downstream
+    * expression referencing the vector (assignment, PQ codes, dots)
+    * pays an attribute read, never an interpreted re-normalization. */
   private[operators] def unitVecs(df: DataFrame, idName: String, vecName: String): DataFrame =
-    df.select(col("vec_id").as(idName), col("embedding").as("v"),
-        V.norm(col("embedding")).as("nrm"))
-      .select(col(idName), V.normalized(col("v"), col("nrm")).as(vecName))
+    df.select(col("vec_id").as(idName), V.unitVec(col("embedding")).as(vecName))
 
   /** [[unitVecs]] with a LOUD dimension guard for the PQ family: a
     * vector whose length differs from the configured `dim` would
@@ -184,19 +185,65 @@ object Similarity {
       subdim: Int): Seq[Seq[Seq[Double]]] =
     (0 until m).map(j => seeds.map(_.slice(j * subdim, (j + 1) * subdim)))
 
+  /** Past this many centroids the per-centroid literal form stops being
+    * "codegen'd": the generated projection inlines one dot-product loop
+    * PER centroid, blowing through the JIT/Janino method budgets into
+    * splits and interpreted fallback — measured at sf1 (nlist = 141
+    * from the adaptive √N config): ~7 s PER assignment scan of a 20k
+    * corpus, i.e. the whole trained-ANN cost was expression-form
+    * overhead, not flops. The matrix form below is one Literal node +
+    * an indexed `transform`: the lambda runs interpreted, but each
+    * element is a single custom-Expression dot (tight eval loop), so
+    * cost returns to O(n·nlist·dim) arithmetic. The literal form stays
+    * for small nlist where it whole-stage-compiles and wins. */
+  private val CentScoresLiteralMax = 32
+
   /** (cos-to-centroid, list_id) per centroid; array_max = argmax by cos
     * (list_id tiebreak) — struct comparison is field-ordered. Centroids
-    * ship as literals: assignment is a pure codegen'd map, ZERO shuffle. */
+    * ship as literals (small nlist: per-centroid codegen'd expressions;
+    * large nlist: ONE 2-D array literal walked by an indexed HOF), so
+    * assignment is a pure map either way: ZERO shuffle. The large form
+    * is for QUERY-side consumers (probe ordering over few rows) —
+    * corpus-side assignment goes through [[assignList]]'s native
+    * kernel, which the optimizer can clone freely. */
   private[operators] def centScores(centers: Seq[(Int, Seq[Double])], vec: Column): Column =
-    array(centers.map { case (lid, cv) =>
-      struct(V.dot(vec, typedlit(cv)).as("d"), lit(lid).as("lid")) }: _*)
+    if (centers.size <= CentScoresLiteralMax)
+      array(centers.map { case (lid, cv) =>
+        struct(V.dot(vec, typedlit(cv)).as("d"), lit(lid).as("lid")) }: _*)
+    else {
+      val mat = typedlit(centers.map(_._2))
+      val lids = typedlit(centers.map(_._1))
+      transform(mat, (cv, i) =>
+        struct(V.dot(vec, cv).as("d"),
+          element_at(lids, i + 1).as("lid")))
+    }
+
+  /** Argmax list id for a corpus vector — the HOT assignment column,
+    * evaluated once per corpus row in every build/append/train/search
+    * scan AND re-derived by optimizer clones (join-key null filters).
+    * Small nlist keeps the whole-stage-codegen'd literal argmax; large
+    * nlist uses the native [[graft.functions.expressions.ArgmaxDot]]
+    * kernel (identical tie semantics: equal dots → larger lid), which
+    * needs lids to be POSITIONAL — true of every quantizer here
+    * ([[hashPickCentroids]] zipWithIndex, [[readCentroids]] re-index,
+    * [[trainCentroids]] preserves), guarded loudly. */
+  private[operators] def assignList(centers: Seq[(Int, Seq[Double])],
+      vec: Column): Column =
+    if (centers.size <= CentScoresLiteralMax)
+      array_max(centScores(centers, vec)).getField("lid")
+    else {
+      require(centers.zipWithIndex.forall { case ((lid, _), i) => lid == i },
+        "assignList requires positional list ids (lid == index)")
+      graft.functions.GraftFunctions.graftArgmaxDot(vec,
+        typedlit(centers.map(_._2)))
+    }
 
   /** The shared IVF tail: argmax list assignment, nprobe probing, exact
     * re-rank within the probed lists only. */
   private def ivfSearch(c: DataFrame, q: DataFrame,
       centers: Seq[(Int, Seq[Double])], k: Int, nprobe: Int): DataFrame = {
     val assigned = c.withColumn("list_id",
-      array_max(centScores(centers, col("item_vec"))).getField("lid"))
+      assignList(centers, col("item_vec")))
     val probes = q.select(col("query_id"), col("query_vec"),
         explode(slice(reverse(array_sort(centScores(centers, col("query_vec")))), 1, nprobe))
           .as("probe"))
@@ -223,7 +270,7 @@ object Similarity {
     for (_ <- 0 until iters) {
       val sums = c
         .withColumn("list_id",
-          array_max(centScores(centers, col("item_vec"))).getField("lid"))
+          assignList(centers, col("item_vec")))
         .select(col("list_id"), posexplode(col("item_vec")).as(Seq("d", "x")))
         .groupBy("list_id", "d").agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
         .collect()
@@ -388,7 +435,7 @@ object Similarity {
     val c = unitVecsDim(corpus, "item_id", "item_vec", dim, "ivfPqTopK")
     // ONE projection: coarse list + m codes — this is the stored table
     val encoded = c.select(col("item_id") +:
-      array_max(centScores(centers, col("item_vec"))).getField("lid").as("list_id") +:
+      assignList(centers, col("item_vec")).as("list_id") +:
       (0 until m).map(j => pqCode(books, j, col("item_vec"), subdim).as(s"code$j")): _*)
     // query side: nprobe probes + the ADC tables, broadcast together
     val probes = q.select(col("query_id") +: col("query_vec") +:
@@ -641,7 +688,7 @@ object Similarity {
     val centers = readCentroids(spark, storeDir)
     val assigned = unitVecs(newVecs, "item_id", "item_vec")
       .withColumn("list_id",
-        array_max(centScores(centers, col("item_vec"))).getField("lid"))
+        assignList(centers, col("item_vec")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val touched = assigned.select("list_id").distinct()
@@ -760,6 +807,88 @@ object Similarity {
       .filter(col("list_id").isin(probedLists: _*))
       .select("item_id", "list_id", "item_vec")
     adcRank(cand, vecs, q, Seq("item_id", "list_id"), k, cN)
+  }
+
+  /**
+   * Measured recall-vs-cost calibration for a built IVF store — the
+   * knob SCALING.md's round-9 note promised: instead of the constant
+   * probed share (`probeFrac = 0.375`, recall-safe but linear-cost in
+   * corpus size), measure the recall@k each nprobe actually achieves
+   * on THIS store and THIS query distribution, and probe no deeper
+   * than the target demands.
+   *
+   * One exhaustive pass yields the WHOLE curve: ground-truth top-k per
+   * sampled query comes from an exact scan over the store's vectors
+   * (each true neighbor carries its stored `list_id`), and each true
+   * neighbor's `probe_rank` — the 1-based position of its list in the
+   * query's descending centroid ordering — decides the smallest nprobe
+   * that would have found it. recall(p) is then a cumulative count
+   * over probe_rank ≤ p, computed for every p in 1..nlist from the one
+   * pass; no per-candidate re-search.
+   *
+   * Returns (smallest nprobe whose measured recall ≥ `targetRecall` —
+   * nlist if none reaches it, i.e. exhaustive probing — and the full
+   * `(nprobe, recall)` curve for observability/monitoring). Feed the
+   * chosen value to [[searchIvfStore]]/[[searchIvfStoreAdc]] (for ADC
+   * the curve bounds list recall; shortlist re-ranking cannot recover
+   * a neighbor whose list was never probed).
+   *
+   * Cost: ONE exact scan of the encoded table against `sampleN`
+   * broadcast queries (the explicit price of measuring; run it as
+   * maintenance alongside [[ivfStoreAdvice]], not per query) plus an
+   * nlist-bounded cumulative window. The query sample is md5-picked —
+   * deterministic, reproducible, partitioning-independent.
+   */
+  def calibrateIvfNprobe(spark: SparkSession, storeDir: String,
+      queries: DataFrame, k: Int, targetRecall: Double = 0.9,
+      sampleN: Int = 32): (Int, DataFrame) = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(targetRecall > 0 && targetRecall <= 1,
+      s"targetRecall must be in (0, 1], got $targetRecall")
+    require(sampleN >= 1, s"sampleN must be >= 1, got $sampleN")
+    val centers = readCentroids(spark, storeDir)
+    val nlist = centers.size
+    val q = unitVecs(queries, "query_id", "query_vec")
+      .orderBy(md5(col("query_id").cast("string")), col("query_id"))
+      .limit(sampleN)
+    val stored = spark.read.parquet(storeDir + "/encoded")
+      .select("item_id", "item_vec", "list_id")
+    // exact ground truth, stored list_id riding through the top-k as a
+    // payload column (TopKPerGroup keeps the full row)
+    val truth = TopK.perGroup(
+      stored.join(broadcast(q))
+        .filter(col("query_id") =!= col("item_id"))
+        .select(col("query_id"), col("item_id"), col("list_id"),
+          V.dot(col("query_vec"), col("item_vec")).as("cos")),
+      Seq("query_id"), Seq(("cos", false), ("item_id", true)), k)
+      .select("query_id", "item_id", "list_id")
+    // probe_rank of every list per query: 1-based position in the
+    // query's descending centroid-similarity order
+    val ranks = q.select(col("query_id"),
+        posexplode(reverse(array_sort(centScores(centers, col("query_vec")))))
+          .as(Seq("p0", "probe")))
+      .select(col("query_id"), (col("p0") + 1).as("probe_rank"),
+        col("probe.lid").as("list_id"))
+    val hits = truth.join(ranks, Seq("query_id", "list_id"))
+    val total = hits.count() // = Σ per-query min(k, |corpus|-1)
+    require(total > 0, s"calibrateIvfNprobe: no ground-truth neighbors — " +
+      "empty store or empty query sample")
+    // cumulative hits by probe_rank over ≤ nlist rows: bounded
+    // single-task window, the same pass-2 shape as Packing
+    val curve = hits.groupBy(col("probe_rank").as("nprobe"))
+      .agg(count(lit(1)).as("__h"))
+      .withColumn("recall",
+        sum(col("__h")).over(org.apache.spark.sql.expressions.Window
+          .orderBy("nprobe")
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)) / lit(total.toDouble))
+      .select(col("nprobe").cast("int").as("nprobe"), col("recall"))
+    val rows = curve.collect().map(r => r.getInt(0) -> r.getDouble(1))
+      .sortBy(_._1)
+    val chosen = rows.collectFirst {
+      case (p, r) if r >= targetRecall => p
+    }.getOrElse(nlist)
+    (chosen, curve)
   }
 
   /**
@@ -887,7 +1016,7 @@ object Similarity {
       storeDir: String, overwrite: Boolean): Unit =
     unitVecs(vecs, "item_id", "item_vec")
       .withColumn("list_id",
-        array_max(centScores(centers, col("item_vec"))).getField("lid"))
+        assignList(centers, col("item_vec")))
       .write.mode(if (overwrite) "overwrite" else "append")
       .partitionBy("list_id").parquet(storeDir + "/encoded")
 
@@ -896,7 +1025,7 @@ object Similarity {
       overwrite: Boolean): Unit =
     unitVecs(vecs, "item_id", "item_vec")
       .select(col("item_id") +:
-        array_max(centScores(centers, col("item_vec"))).getField("lid")
+        assignList(centers, col("item_vec"))
           .as("list_id") +:
         books.indices.map(j =>
           pqCode(books, j, col("item_vec"), subdim).as(s"code$j")): _*)

@@ -200,6 +200,43 @@ class SimilaritySpec extends SparkSpec {
       Similarity.DefaultMaxNlist)
   }
 
+  test("calibrateIvfNprobe: measured recall curve is monotone, exhaustive probing is recall 1, chosen nprobe meets the target") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfcal")
+      .toString + "/store"
+    Similarity.buildIvfStore(emb, dir, nlist = 8, dim = 64)
+    val queries = emb.filter(col("vec_id") < 10)
+    val (np, curveDf) = Similarity.calibrateIvfNprobe(spark, dir, queries,
+      k = 5, targetRecall = 0.9, sampleN = 8)
+    val curve = curveDf.orderBy("nprobe")
+      .as[(Int, Double)].collect().toSeq
+    // cumulative construction ⇒ monotone non-decreasing recall
+    assert(curve.map(_._2) === curve.map(_._2).sorted)
+    // every true neighbor sits in SOME list ⇒ probing all lists is
+    // recall 1 exactly
+    assert(math.abs(curve.last._2 - 1.0) < 1e-12)
+    assert(curve.last._1 <= 8)
+    // the chosen nprobe's measured recall meets the target, and no
+    // smaller candidate on the curve does
+    val at = curve.find(_._1 >= np).map(_._2).getOrElse(1.0)
+    assert(at >= 0.9, s"chosen nprobe=$np recall=$at")
+    assert(curve.takeWhile(_._1 < np).forall(_._2 < 0.9), curve.toString)
+    // the knob closes the loop: searching at the calibrated nprobe
+    // reaches the target recall on the SAME md5-picked sample the
+    // calibration measured
+    val sample = queries
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(8)
+    val got = Similarity.searchIvfStore(spark, sample, dir,
+        k = 5, nprobe = np)
+      .select("query_id", "item_id").as[(Long, Long)].collect().toSet
+    val want = Similarity.bruteForceTopK(emb, sample, k = 5)
+      .select("query_id", "item_id").as[(Long, Long)].collect().toSet
+    assert(got.intersect(want).size.toDouble / want.size >= 0.9)
+    // a target of 1.0 can only be met by a curve point at recall 1
+    val (npAll, _) = Similarity.calibrateIvfNprobe(spark, dir, queries,
+      k = 5, targetRecall = 1.0, sampleN = 8)
+    assert(npAll >= np)
+  }
+
   test("ivfTopK: one list per item (no duplicate candidates), sane recall") {
     val queries = emb.filter(col("vec_id") < 3)
     val out = Similarity.ivfTopK(emb, queries, k = 5, nlist = 4, nprobe = 4)
