@@ -12,6 +12,13 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // cap generated-method size at the JVM JIT HugeMethodLimit: a
+      // whole-stage method past 8 KB bytecode is NEVER JIT-compiled
+      // (runs in the bytecode interpreter), so Spark's 65535 default
+      // silently trades compiled-but-interpreted for the faster
+      // non-codegen fallback — measured 11x on the PQ-encode stage
+      // (SCALING.md round-9)
+      .config("spark.sql.codegen.hugeMethodLimit", "8000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

@@ -10,6 +10,13 @@ object Profile {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
+      // cap generated-method size at the JVM JIT HugeMethodLimit: a
+      // whole-stage method past 8 KB bytecode is NEVER JIT-compiled
+      // (runs in the bytecode interpreter), so Spark's 65535 default
+      // silently trades compiled-but-interpreted for the faster
+      // non-codegen fallback — measured 11x on the PQ-encode stage
+      // (SCALING.md round-9)
+      .config("spark.sql.codegen.hugeMethodLimit", "8000")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
