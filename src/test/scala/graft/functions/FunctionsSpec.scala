@@ -70,6 +70,49 @@ class FunctionsSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("n") - math.sqrt(14)) < 1e-12)
   }
 
+  test("unitVec kernel ≡ the HOF normalization, bit for bit; zero and empty vectors pass through") {
+    // float input, double input, zero vector, empty vector
+    val f = Seq((1L, Array(3.0f, 4.0f)), (2L, Array(0.0f, 0.0f)),
+      (3L, Array.empty[Float])).toDF("id", "v")
+    val got = f.select($"id", V.unitVec($"v").as("u"))
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(got(1L) === Seq(0.6, 0.8))
+    assert(got(2L) === Seq(0.0, 0.0)) // zero norm: cast copy, no NaN
+    assert(got(3L) === Seq.empty)
+    // bit-identity with the builtin composition on arbitrary values —
+    // the ANN family's correctness claim rests on this
+    val d = Seq((1L, Seq(0.1, -2.7, 3.14159, 0.0, 1e-9))).toDF("id", "v")
+    val both = d.select(
+      V.unitVec($"v").as("k"),
+      V.normalized($"v", V.norm($"v")).as("h")).head()
+    assert(both.getSeq[Double](0) === both.getSeq[Double](1))
+  }
+
+  test("argmaxDot kernel ≡ array_max over (dot, lid) structs, including the larger-index tie") {
+    val mat = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0), Seq(0.0, 1.0))
+    val df = Seq(
+      (1L, Array(0.9f, 0.1f)), // row 0 wins
+      (2L, Array(0.1f, 0.9f)), // rows 1 and 2 TIE → larger index (2)
+      (3L, Array(-1.0f, -1.0f))).toDF("id", "v") // ALL tie → largest (2)
+    val got = df.select($"id",
+        GraftFunctions.graftArgmaxDot($"v", typedlit(mat)).as("lid"))
+      .as[(Long, Int)].collect().toMap
+    assert(got === Map(1L -> 0, 2L -> 2, 3L -> 2))
+    // reference: the literal-struct argmax form used at small nlist
+    val ref = df.select($"id",
+        array_max(array(mat.zipWithIndex.map { case (cv, i) =>
+          struct(V.dot($"v", typedlit(cv)).as("d"), lit(i).as("lid"))
+        }: _*)).getField("lid").as("lid"))
+      .as[(Long, Int)].collect().toMap
+    assert(ref === got)
+    // SQL surface
+    spark.sql("SELECT graft_argmax_dot(array(0.1D, 0.9D), " +
+        "array(array(1.0D, 0.0D), array(0.0D, 1.0D))) AS lid")
+      .as[Int].collect().toSeq match {
+      case Seq(lid) => assert(lid === 1)
+    }
+  }
+
   test("cosine: identical=1, orthogonal=0, zero-vector=0") {
     val df = Seq(
       (Array(1.0f, 0.0f), Array(1.0f, 0.0f)),
