@@ -1793,8 +1793,11 @@ object SparkEntry {
     // first-wins chain rule: on a chain a<b<c with sim(a,b) and
     // sim(b,c) but not sim(a,c), greedy keeps {a,c} while this (and
     // the DuckDB oracle, which mirrors it) keeps {a} only.
+    // k = 0: scale-adaptive √N clustering (floor 8) — the oracle
+    // derives the identical k from its own count, so the gate replays
+    // the same clustering at every scale
     "q106_semantic_dedup" -> ((s, dir) => {
-      Dedup.semanticDedup(t(s, dir, "embeddings"), k = 8, threshold = 0.95)
+      Dedup.semanticDedup(t(s, dir, "embeddings"), k = 0, threshold = 0.95)
         .orderBy(col("vec_id"))
     }),
 
@@ -4331,10 +4334,12 @@ object SparkEntry {
                        ELSE list_transform(v, x -> x / sqrt(list_inner_product(v, v)))
                   END AS nv
                 FROM e),
+         kk AS (SELECT greatest(8, CAST(round(sqrt(count(*))) AS BIGINT)) AS k
+                FROM en),
          cent AS (SELECT nv AS cv, CAST(rn - 1 AS INT) AS lid FROM (
                     SELECT nv, row_number() OVER
                       (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
-                    FROM en) WHERE rn <= 8),
+                    FROM en) WHERE rn <= (SELECT k FROM kk)),
          asn AS (SELECT item_id, lid, d FROM (
                    SELECT en.vec_id AS item_id, cent.lid,
                      list_inner_product(en.nv, cent.cv) AS d,

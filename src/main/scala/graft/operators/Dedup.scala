@@ -969,11 +969,18 @@ object Dedup {
    * uses k≈10⁵ for 10⁹ embeddings); skewed giant clusters split by
    * raising k or pre-collapsing exact dups ([[nearDupCollapsed]]).
    */
-  def semanticDedup(df: DataFrame, k: Int = 8, threshold: Double = 0.95,
+  def semanticDedup(df: DataFrame, k: Int = 0, threshold: Double = 0.95,
       keepFarthest: Boolean = true): DataFrame = {
     val c = Similarity.unitVecs(df, "id", "v")
+    // k = 0 → √N with a floor of 8 (SemDeDup's own discipline: cluster
+    // count grows with the corpus). Pairwise cost is Σ m_c² ≈ n²/k, so
+    // a FIXED k is silently quadratic — measured ×7.6 per 4× rows at
+    // sf1 before this (SCALING.md round-9); √N keeps it n^1.5-bounded
+    // with balanced clusters. One count, only when adaptive.
+    val kk = if (k > 0) k
+      else math.max(8, math.round(math.sqrt(df.count().toDouble)).toInt)
     val centers = Similarity.hashPickCentroids(
-      c.select(col("id").as("item_id"), col("v").as("item_vec")), k)
+      c.select(col("id").as("item_id"), col("v").as("item_vec")), kk)
     // normalize + assign once; both the pair join's sides and the final
     // keep-list read it (released after the caller's action). cosc (the
     // argmax cosine itself) is kept: it IS the keep-policy sort key.
