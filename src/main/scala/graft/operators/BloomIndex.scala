@@ -74,7 +74,8 @@ object BloomIndex {
     val missing = ZoneMap.dataFiles(spark, dataDir).filterNot(
       ZoneMap.normalizedKnown(spark, statsDir))
     if (missing.nonEmpty) {
-      statsFor(spark.read.parquet(missing: _*), cols, expectedItems)
+      statsFor(spark.read.option("basePath", dataDir)
+        .parquet(missing: _*), cols, expectedItems)
         .repartition(1)
         .write.mode("append").parquet(statsDir)
       ZoneMap.reconcileEmptyFiles(spark, missing, statsDir)
@@ -137,7 +138,8 @@ object BloomIndex {
       case Some(files) if files.isEmpty =>
         spark.read.parquet(dataDir).filter(lit(false)) // schema-only
       case Some(files) =>
-        spark.read.parquet(files: _*).filter(residual)
+        spark.read.option("basePath", dataDir)
+          .parquet(files: _*).filter(residual)
     }
   }
 }

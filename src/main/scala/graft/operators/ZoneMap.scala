@@ -160,7 +160,8 @@ object ZoneMap {
     val missing = dataFiles(spark, dataDir).filterNot(
       normalizedKnown(spark, statsDir))
     if (missing.nonEmpty) {
-      statsFor(spark.read.parquet(missing: _*), cols)
+      statsFor(spark.read.option("basePath", dataDir)
+        .parquet(missing: _*), cols)
         .repartition(1)
         .write.mode("append").parquet(statsDir)
       // reconcile only the files THIS append scanned (still unknown
@@ -270,7 +271,8 @@ object ZoneMap {
       case Some(files) if files.isEmpty =>
         spark.read.parquet(dataDir).filter(lit(false)) // schema-only
       case Some(files) =>
-        spark.read.parquet(files: _*).filter(residual)
+        spark.read.option("basePath", dataDir)
+          .parquet(files: _*).filter(residual)
     }
   }
 }

@@ -148,4 +148,32 @@ class ZoneMapSpec extends SparkSpec {
     try assert(ZoneMap.prunedFilesCapped(spark, stats, ranges).get.size === 4)
     finally spark.conf.unset(ZoneMap.MaxFilesKey)
   }
+
+  test("hive-partitioned data dir: skip-scan keeps the partition column and matches the full scan") {
+    // the streaming sinks write hive-partitioned layouts; reading a
+    // pruned EXPLICIT file list without basePath would silently drop
+    // the partition column — a schema change between the skipped and
+    // fallback paths, and a crash for scans filtering on it
+    val data = scratch("zm-part")
+    val stats = scratch("zm-part-stats")
+    (1L to 40L).map(i => (i, s"p${i % 4}", s"v$i")).toDF("k", "part", "v")
+      .repartition(4, col("part"))
+      .write.mode("overwrite").partitionBy("part").parquet(data)
+    ZoneMap.build(spark, data, stats, Seq("k"))
+    val got = ZoneMap.scanRange(spark, data, stats, Seq(Range("k", 5L, 12L)))
+    // partition column present and correct on the SKIPPED path
+    assert(got.columns.toSet === Set("k", "part", "v"))
+    val want = spark.read.parquet(data).filter(col("k").between(5, 12))
+      .select("k", "part", "v").as[(Long, String, String)].collect().toSet
+    assert(got.select("k", "part", "v").as[(Long, String, String)]
+      .collect().toSet === want)
+    assert(want.nonEmpty)
+    // append path re-reads explicit files too — same basePath contract
+    (41L to 44L).map(i => (i, s"p${i % 4}", s"v$i")).toDF("k", "part", "v")
+      .coalesce(1).write.mode("append").partitionBy("part").parquet(data)
+    ZoneMap.append(spark, data, stats, Seq("k"))
+    val after = ZoneMap.scanRange(spark, data, stats, Seq(Range("k", 41L, 44L)))
+      .select("k", "part").as[(Long, String)].collect().toSet
+    assert(after === (41L to 44L).map(i => (i, s"p${i % 4}")).toSet)
+  }
 }
