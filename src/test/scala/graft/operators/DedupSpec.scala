@@ -299,6 +299,28 @@ class DedupSpec extends SparkSpec {
     assert(all.filter(col("keep")).count() === 4)
   }
 
+  test("semanticDedup k=0 derives sqrt(N) clusters (floor 8) and equals the explicit-k call") {
+    // 144 vectors → k = round(sqrt(144)) = 12; pairwise cost is n²/k,
+    // so a FIXED default was silently quadratic (SCALING.md round-9)
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 144)
+      .map(i => (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val auto = Dedup.semanticDedup(vecs, k = 0, threshold = 0.95)
+    val explicit = Dedup.semanticDedup(vecs, k = 12, threshold = 0.95)
+    assert(auto.select("vec_id", "cluster_id", "keep")
+      .as[(Long, Int, Boolean)].collect().toSet ===
+      explicit.select("vec_id", "cluster_id", "keep")
+        .as[(Long, Int, Boolean)].collect().toSet)
+    assert(auto.select("cluster_id").distinct().count() <= 12)
+    // small corpora keep the floor: 4 vectors → k = 8 clusters ≥ rows,
+    // degenerating to at-most-one-vector clusters — nothing drops
+    val tiny = (0 until 4)
+      .map(i => (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    assert(Dedup.semanticDedup(tiny, k = 0).filter(col("keep")).count() === 4)
+  }
+
   test("semanticDedup keep policy: farthest-from-centroid survives the dup group") {
     // k=1: the centroid is the md5-first id — md5('1') < md5('2') <
     // md5('0') in hex order, so id 1's vector is the centroid. Angles
