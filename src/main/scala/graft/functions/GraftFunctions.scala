@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-import graft.functions.expressions.{ArgmaxDot, BloomProbeAny, DotProduct, FreqItemsAgg, H60Hash, LongArrayMatchCount, MinHashSigAgg, SimHashSigAgg, UnitVector}
+import graft.functions.expressions.{ArgmaxDot, BloomProbeAny, DotProduct, FreqItemsAgg, H60Hash, LongArrayMatchCount, MinHashSigAgg, SimHashSigAgg, SurprisalFold, UnitVector}
 
 /**
  * Registration of the engine's native Catalyst expressions as SQL
@@ -27,6 +27,7 @@ object GraftFunctions {
   val MightContainName = "graft_might_contain"
   val BloomProbeAnyName = "graft_bloom_probe_any"
   val FreqItemsName = "graft_freq_items"
+  val SurprisalFoldName = "graft_surprisal_fold"
   val H60Name = "graft_h60"
   val SnapshotName = "graft_snapshot"
   val RollupName = "graft_rollup"
@@ -89,6 +90,18 @@ object GraftFunctions {
       exprs => arity(FreqItemsName, exprs, 2)(FreqItemsAgg(exprs(0),
         graft.GraftExtensions.foldableIntArgExact(FreqItemsName, exprs, 1))
         .toAggregateExpression()), "built-in")
+    reg.createOrReplaceTempFunction(SurprisalFoldName,
+      exprs => arity(SurprisalFoldName, exprs, 3)({
+        val mode = graft.GraftExtensions.foldableStringArg(SurprisalFoldName, exprs, 2)
+        // gate BEFORE construction: the case-class require is an
+        // internal contract, SQL callers get a named analysis error
+        if (!SurprisalFold.CntOrdinal.contains(mode))
+          throw new org.apache.spark.sql.AnalysisException(
+            "INVALID_PARAMETER_VALUE.STRING", Map(
+              "parameter" -> "argument 3", "functionName" -> SurprisalFoldName,
+              "invalidValue" -> s"'$mode'"))
+        SurprisalFold(exprs(0), exprs(1), mode)
+      }), "built-in")
     reg.createOrReplaceTempFunction(H60Name,
       exprs => arity(H60Name, exprs, 1)(H60Hash(exprs(0))), "built-in")
     // table-valued: snapshot reads (incl. time travel) for SQL users —
@@ -280,6 +293,15 @@ object GraftFunctions {
 
   /** Codegen'd count of agreeing positions in two long arrays. */
   def graftMatchCount(a: Column, b: Column): Column = call_function(MatchName, a, b)
+
+  /** Codegen'd sorted-fold for the corpus-LM text scores: one array
+    * pass over the per-doc `sort_array(collect_list(struct(...)))`
+    * column → `struct<n: bigint, s: double>`, bit-identical to the two
+    * HOF `aggregate` folds it replaces (see
+    * [[expressions.SurprisalFold]] for modes and layouts). */
+  def graftSurprisalFold(cc: Column, scalar: Column, mode: String): Column =
+    call_function(SurprisalFoldName, cc, scalar.cast("double"),
+      org.apache.spark.sql.functions.lit(mode))
 
   /** MinHash signature aggregate over a long-hash column (one buffer,
     * tight-loop update; see MinHashSigAgg). */

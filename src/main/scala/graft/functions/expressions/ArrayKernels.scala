@@ -226,6 +226,143 @@ case class ArgmaxDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/**
+ * Deterministic sorted-fold kernel behind the corpus-LM text scores
+ * (q69/q92 char entropy, q77 unigram surprisal, q84 bigram surprisal).
+ * Input is the per-doc `sort_array(collect_list(struct(...)))` column
+ * those queries build; output is `struct<n: bigint, s: double>` — the
+ * count fold and the weighted-log fold in ONE array pass.
+ *
+ * Bit-identical to the two HOF `aggregate` folds it replaces: same
+ * ascending element order (the array is pre-sorted), same per-term
+ * shape `acc + cnt_d * f(log2 …)` with `log2(x) = Math.log(x) /
+ * Math.log(2)` — exactly what the interpreted `Log2.nullSafeEval`
+ * computes (the HOF lambda never codegens). The HOF form is a
+ * CodegenFallback evaluated per element with boxing; per-doc distinct
+ * n-gram arrays make that the dominant cost of the whole query at
+ * sf1 (q84: 4.1× sf0.1→sf1, the suite's worst curvature). This node
+ * is a plain Java loop inside whole-stage codegen.
+ *
+ * Modes (element struct layouts are the queries' own, counts never
+ * null or ≤ 0 — group-by keys with `count(*)` values):
+ *  - `entropy`  (ch, cnt):            s += cnt · log2(cnt)
+ *  - `unigram`  (tok, cnt, gcnt):     s += cnt · (log2(scalar) − log2(gcnt))
+ *  - `bigram`   (prev, cur, cnt, cab, ca):
+ *                                     s += cnt · (log2(ca + scalar) − log2(cab + 1))
+ */
+case class SurprisalFold(arr: Expression, scalar: Expression, mode: String)
+    extends BinaryExpression {
+
+  require(SurprisalFold.CntOrdinal.contains(mode),
+    s"graft_surprisal_fold: unknown mode '$mode' " +
+      s"(expected one of ${SurprisalFold.CntOrdinal.keys.mkString(", ")})")
+
+  override def left: Expression = arr
+  override def right: Expression = scalar
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n", LongType, nullable = false),
+    StructField("s", DoubleType, nullable = false)))
+
+  private def numFields: Int = arr.dataType.asInstanceOf[ArrayType]
+    .elementType.asInstanceOf[StructType].size
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val sc = b.asInstanceOf[Double]
+    val nf = numFields
+    val ln2 = math.log(2.0)
+    val m = x.numElements()
+    var n = 0L
+    var s = 0.0
+    var i = 0
+    mode match {
+      case "entropy" =>
+        while (i < m) {
+          val c = x.getStruct(i, nf).getLong(1)
+          n += c
+          s += c.toDouble * (math.log(c.toDouble) / ln2)
+          i += 1
+        }
+      case "unigram" =>
+        val lt = math.log(sc) / ln2
+        while (i < m) {
+          val r = x.getStruct(i, nf)
+          val c = r.getLong(1)
+          n += c
+          s += c.toDouble * (lt - math.log(r.getLong(2).toDouble) / ln2)
+          i += 1
+        }
+      case "bigram" =>
+        while (i < m) {
+          val r = x.getStruct(i, nf)
+          val c = r.getLong(2)
+          n += c
+          s += c.toDouble * (math.log(r.getLong(4).toDouble + sc) / ln2
+            - math.log(r.getLong(3).toDouble + 1.0) / ln2)
+          i += 1
+        }
+    }
+    org.apache.spark.sql.catalyst.InternalRow(n, s)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val nf = numFields
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val m = ctx.freshName("m")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val r = ctx.freshName("r")
+      val c = ctx.freshName("c")
+      val ln2 = ctx.freshName("ln2")
+      val lt = ctx.freshName("lt")
+      val rowT = "org.apache.spark.sql.catalyst.InternalRow"
+      val (pre, term) = mode match {
+        case "entropy" => ("",
+          s"""long $c = $r.getLong(1);
+             |  $n += $c;
+             |  $s += ((double) $c)
+             |    * (java.lang.Math.log((double) $c) / $ln2);""".stripMargin)
+        case "unigram" => (s"double $lt = java.lang.Math.log($b) / $ln2;",
+          s"""long $c = $r.getLong(1);
+             |  $n += $c;
+             |  $s += ((double) $c)
+             |    * ($lt - java.lang.Math.log((double) $r.getLong(2)) / $ln2);""".stripMargin)
+        case "bigram" => ("",
+          s"""long $c = $r.getLong(2);
+             |  $n += $c;
+             |  $s += ((double) $c)
+             |    * (java.lang.Math.log((double) $r.getLong(4) + $b) / $ln2
+             |      - java.lang.Math.log((double) $r.getLong(3) + 1.0) / $ln2);""".stripMargin)
+      }
+      s"""
+         |int $m = $a.numElements();
+         |double $ln2 = java.lang.Math.log(2.0);
+         |$pre
+         |long $n = 0L;
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $m; $i++) {
+         |  $rowT $r = $a.getStruct($i, $nf);
+         |  $term
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.expressions
+         |  .GenericInternalRow(new Object[]{$n, $s});
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(arr = newLeft, scalar = newRight)
+}
+
+object SurprisalFold {
+  /** mode → ordinal of the count field (doc: layout table above). */
+  val CntOrdinal: Map[String, Int] =
+    Map("entropy" -> 1, "unigram" -> 1, "bigram" -> 2)
+}
+
 /** Count of positions where two long arrays agree — the MinHash
   * signature-agreement kernel (est. Jaccard = matches / numHashes). */
 case class LongArrayMatchCount(left: Expression, right: Expression)

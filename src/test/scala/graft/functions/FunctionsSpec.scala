@@ -222,4 +222,73 @@ class FunctionsSpec extends SparkSpec {
     val fps = df.select(T.fingerprint($"text", 1)).as[Long].collect()
     assert(fps.distinct.length === 3)
   }
+
+  test("surprisalFold kernel ≡ the HOF folds bit for bit, all three modes; empty array = (0, 0.0)") {
+    def check(df: org.apache.spark.sql.DataFrame): Unit =
+      df.select($"f.n".as("kn"), $"f.s".as("ks"), $"hn", $"hs")
+        .as[(Long, Double, Long, Double)].collect().foreach {
+          case (kn, ks, hn, hs) => assert(kn === hn); assert(ks === hs)
+        }
+    val docs = Seq((1L, "hello world hello"), (2L, "aa ab aa ba aa"),
+      (3L, "x")).toDF("doc_id", "text")
+    // entropy: (doc, char) counts — q69/q92's exact cc shape
+    val ecc = docs.select($"doc_id", explode(split($"text", "")).as("ch"))
+      .groupBy("doc_id", "ch").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct($"ch", $"cnt"))).as("cc"))
+    check(ecc.select(
+      GraftFunctions.graftSurprisalFold($"cc", lit(0.0), "entropy").as("f"),
+      aggregate($"cc", lit(0L), (a, x) => a + x.getField("cnt")).as("hn"),
+      aggregate($"cc", lit(0.0), (a, x) => a + x.getField("cnt").cast("double")
+        * log2(x.getField("cnt").cast("double"))).as("hs")))
+    // unigram: (doc, tok) vs corpus counts — q77's cc shape
+    val toks = docs.select($"doc_id", explode(T.tokens($"text")).as("tok"))
+    val total = toks.count().toDouble
+    val ucc = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+      .join(toks.groupBy("tok").agg(count(lit(1)).as("gcnt")), "tok")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct($"tok", $"cnt", $"gcnt"))).as("cc"))
+    check(ucc.select(
+      GraftFunctions.graftSurprisalFold($"cc", lit(total), "unigram").as("f"),
+      aggregate($"cc", lit(0L), (a, x) => a + x.getField("cnt")).as("hn"),
+      aggregate($"cc", lit(0.0), (a, x) => a + x.getField("cnt").cast("double")
+        * (log2(lit(total)) - log2(x.getField("gcnt").cast("double")))).as("hs")))
+    // bigram: q84's cc shape, scalar (vocab) as a COLUMN
+    val bg = toks.groupBy("doc_id")
+      .agg(collect_list($"tok").as("ts"))
+      .select($"doc_id", explode(T.shinglesFromTokens($"ts", 2)).as("b"))
+      .select($"doc_id", substring_index($"b", " ", 1).as("prev"),
+        substring_index($"b", " ", -1).as("cur"))
+    val dcnt = bg.groupBy("doc_id", "prev", "cur").agg(count(lit(1)).as("cnt"))
+    val cab = dcnt.groupBy("prev", "cur").agg(sum("cnt").as("cab"))
+    val vocab = toks.agg(countDistinct($"tok").cast("double").as("vocab"))
+    val bcc = dcnt.join(cab, Seq("prev", "cur"))
+      .join(cab.groupBy("prev").agg(sum("cab").as("ca")), Seq("prev"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct($"prev", $"cur", $"cnt", $"cab", $"ca")))
+        .as("cc"))
+      .crossJoin(broadcast(vocab))
+    check(bcc.select(
+      GraftFunctions.graftSurprisalFold($"cc", $"vocab", "bigram").as("f"),
+      aggregate($"cc", lit(0L), (a, x) => a + x.getField("cnt")).as("hn"),
+      aggregate($"cc", lit(0.0), (a, x) => a + x.getField("cnt").cast("double")
+        * (log2(x.getField("ca").cast("double") + $"vocab")
+          - log2(x.getField("cab").cast("double") + 1.0))).as("hs")))
+    // empty array folds to the inits, like the HOFs
+    val z = ecc.limit(1)
+      .select(GraftFunctions.graftSurprisalFold(
+        slice($"cc", 1, 0), lit(0.0), "entropy").as("f"))
+      .select($"f.n", $"f.s").as[(Long, Double)].head()
+    assert(z === ((0L, 0.0)))
+    // SQL surface + the named analysis error for a bad mode
+    val viaSql = spark.sql("SELECT graft_surprisal_fold(" +
+      "array(named_struct('ch', 'a', 'cnt', 4L)), 0.0D, 'entropy') AS f")
+      .select($"f.s").as[Double].head()
+    assert(viaSql === 8.0) // 4 * log2(4)
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_surprisal_fold(array(named_struct('ch', 'a', " +
+        "'cnt', 1L)), 0.0D, 'nope')").collect()
+    }
+    assert(e.getMessage.contains("graft_surprisal_fold"))
+  }
 }
