@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-import graft.functions.expressions.{ArgmaxDot, BloomProbeAny, DotProduct, FreqItemsAgg, H60Hash, LongArrayMatchCount, MinHashSigAgg, SimHashSigAgg, SurprisalFold, UnitVector}
+import graft.functions.expressions.{ArgmaxDot, BloomProbeAny, CharShingles, DotProduct, FreqItemsAgg, H60Hash, LongArrayMatchCount, MinHashSigAgg, SimHashSigAgg, SurprisalFold, UnitVector, WordShingles}
 
 /**
  * Registration of the engine's native Catalyst expressions as SQL
@@ -28,6 +28,8 @@ object GraftFunctions {
   val BloomProbeAnyName = "graft_bloom_probe_any"
   val FreqItemsName = "graft_freq_items"
   val SurprisalFoldName = "graft_surprisal_fold"
+  val WordShinglesName = "graft_word_shingles"
+  val CharShinglesName = "graft_char_shingles"
   val H60Name = "graft_h60"
   val SnapshotName = "graft_snapshot"
   val RollupName = "graft_rollup"
@@ -102,6 +104,14 @@ object GraftFunctions {
               "invalidValue" -> s"'$mode'"))
         SurprisalFold(exprs(0), exprs(1), mode)
       }), "built-in")
+    reg.createOrReplaceTempFunction(WordShinglesName,
+      exprs => arity(WordShinglesName, exprs, 2)(WordShingles(exprs(0),
+        graft.GraftExtensions.foldableIntArgExact(WordShinglesName, exprs, 1))),
+      "built-in")
+    reg.createOrReplaceTempFunction(CharShinglesName,
+      exprs => arity(CharShinglesName, exprs, 2)(CharShingles(exprs(0),
+        graft.GraftExtensions.foldableIntArgExact(CharShinglesName, exprs, 1))),
+      "built-in")
     reg.createOrReplaceTempFunction(H60Name,
       exprs => arity(H60Name, exprs, 1)(H60Hash(exprs(0))), "built-in")
     // table-valued: snapshot reads (incl. time travel) for SQL users —
@@ -302,6 +312,16 @@ object GraftFunctions {
   def graftSurprisalFold(cc: Column, scalar: Column, mode: String): Column =
     call_function(SurprisalFoldName, cc, scalar.cast("double"),
       org.apache.spark.sql.functions.lit(mode))
+
+  /** Codegen'd word n-gram shingles over a token array (see
+    * [[expressions.WordShingles]] — bit-identical to the HOF form). */
+  def graftWordShingles(ts: Column, n: Int): Column =
+    call_function(WordShinglesName, ts, org.apache.spark.sql.functions.lit(n))
+
+  /** Codegen'd codepoint n-gram shingles over a string (see
+    * [[expressions.CharShingles]] — bit-identical to the HOF form). */
+  def graftCharShingles(s: Column, n: Int): Column =
+    call_function(CharShinglesName, s, org.apache.spark.sql.functions.lit(n))
 
   /** MinHash signature aggregate over a long-hash column (one buffer,
     * tight-loop update; see MinHashSigAgg). */

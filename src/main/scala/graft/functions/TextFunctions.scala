@@ -4,10 +4,15 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /**
- * Text-analysis primitives for a training-data pipeline, composed entirely
- * from `org.apache.spark.sql.functions` so every operator stays inside
+ * Text-analysis primitives for a training-data pipeline, composed from
+ * `org.apache.spark.sql.functions` plus the engine's own codegen'd
+ * Catalyst kernels (ArrayKernels.scala) so every operator stays inside
  * whole-stage codegen — no UDFs, no JVM⇄interpreter boundaries (the exact
  * failure mode of the reference's per-record Python lambda, SURVEY §3.1).
+ * The shingle family in particular is kernel-backed: the builtin
+ * `transform`-HOF forms are CodegenFallbacks re-entering the interpreter
+ * once per SHINGLE, which made corpus shingling the engine's widest
+ * interpreted hot spot (it feeds the whole dedup/contamination family).
  *
  * ANSI-mode note (Spark 4 default): all hash arithmetic here is built from
  * 32-bit `hash()` values widened to long before multiply/add, so no
@@ -15,9 +20,14 @@ import org.apache.spark.sql.functions._
  */
 object TextFunctions {
 
-  /** Whitespace tokens, empty-safe: `""` and all-blank → empty array. */
+  /** Whitespace tokens, empty-safe: `""` and all-blank → empty array.
+    * `array_remove(_, "")` rather than a `filter` HOF (interpreted):
+    * `\s+`-split can only produce empty strings at the array edges
+    * (empty input, or non-space leading whitespace that `trim` — which
+    * strips 0x20 only — leaves behind), so removing `""` keeps exactly
+    * the `filter(length > 0)` result while staying codegen'd. */
   def tokens(text: Column): Column =
-    filter(split(trim(text), "\\s+"), t => length(t) > 0)
+    array_remove(split(trim(text), "\\s+"), "")
 
   /** Token count without materializing the token array. */
   def tokenCount(text: Column): Column = size(tokens(text))
@@ -31,19 +41,21 @@ object TextFunctions {
     size(regexp_extract_all(text, lit("[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
 
   /**
-   * PERFORMANCE RULE for the shingle family: Spark evaluates higher-order
-   * -function lambdas interpreted, re-computing any non-attribute
-   * expression captured in the lambda body once PER ELEMENT. So the
-   * `*From*` variants below must be fed a *materialized column*
-   * (stage `tokens`/`normText` in a prior projection); the convenience
-   * text-input forms are for tests/small data only.
+   * PERFORMANCE RULE for the shingle family: prefer the `*From*`
+   * variants fed a *materialized column* (stage `tokens`/`normText` in
+   * a prior projection) so the tokenization isn't re-derived under
+   * every expression that references the shingles. The historical
+   * per-ELEMENT hazard — HOF lambdas re-computing captured expressions
+   * once per shingle — is gone now that the family is kernel-backed,
+   * but per-REFERENCE re-computation of an unmaterialized input is
+   * still real (CollapseProject duplicates cheap-looking inputs).
    */
 
-  /** Word n-gram shingles from a materialized token-array column. */
+  /** Word n-gram shingles from a materialized token-array column
+    * (codegen'd kernel; spec-asserted ≡ the HOF form element for
+    * element). */
   def shinglesFromTokens(ts: Column, n: Int): Column =
-    when(size(ts) < n, array().cast("array<string>")).otherwise(
-      transform(sequence(lit(0), size(ts) - n),
-        i => concat_ws(" ", slice(ts, i + 1, lit(n)))))
+    GraftFunctions.graftWordShingles(ts, n)
 
   /** Word n-gram shingles (n ≥ 1), joined with single spaces. */
   def shingles(text: Column, n: Int): Column =
@@ -53,11 +65,11 @@ object TextFunctions {
   def normText(text: Column): Column =
     regexp_replace(lower(trim(text)), "\\s+", " ")
 
-  /** Character n-gram shingles from a materialized normalized column. */
+  /** Character n-gram shingles from a materialized normalized column
+    * (codegen'd codepoint-addressed kernel; spec-asserted ≡ the
+    * `substring`-HOF form, astral-plane cases included). */
   def charShinglesFromNorm(norm: Column, n: Int): Column =
-    when(length(norm) < n, array().cast("array<string>")).otherwise(
-      transform(sequence(lit(0), length(norm) - n),
-        i => substring(norm, lit(1) + i, lit(n)).cast("string")))
+    GraftFunctions.graftCharShingles(norm, n)
 
   /** Character n-gram shingles over the lowercased, space-normalized text. */
   def charShingles(text: Column, n: Int): Column =
@@ -109,10 +121,14 @@ object TextFunctions {
     round(size(regexp_extract_all(text, lit("[A-Z]"), lit(0))) /
       greatest(length(text), lit(1)).cast("double"), 4)
 
+  /** Mean token length. Σ token lengths is computed as
+    * `length(concat_ws("", ts))` — codepoint count of the separator-
+    * free concatenation, exactly the `aggregate(ts, 0, acc + length(t))`
+    * fold it replaces (that HOF re-entered the interpreter per token). */
   def meanTokenLen(text: Column): Column = {
     val ts = tokens(text)
     round(
-      aggregate(ts, lit(0L), (acc, t) => acc + length(t)) /
+      length(concat_ws("", ts)).cast("long") /
         greatest(size(ts), lit(1)).cast("double"), 4)
   }
 

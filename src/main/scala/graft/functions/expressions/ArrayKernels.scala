@@ -4,6 +4,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /**
  * Native Catalyst kernels for the hot per-pair inner loops of the
@@ -361,6 +362,105 @@ object SurprisalFold {
   /** mode → ordinal of the count field (doc: layout table above). */
   val CntOrdinal: Map[String, Int] =
     Map("entropy" -> 1, "unigram" -> 1, "bigram" -> 2)
+}
+
+/**
+ * Word n-gram shingles from a token array — the native kernel behind
+ * [[graft.functions.TextFunctions.shinglesFromTokens]]. Bit-identical
+ * to the HOF form it replaces
+ * (`transform(sequence(0, size-n), i => concat_ws(" ", slice(ts, i+1, n)))`,
+ * empty for size < n): same [[UTF8String.concatWs]] the `ConcatWs`
+ * expression evaluates, same element order. The HOF is a
+ * CodegenFallback that re-enters the interpreter once PER SHINGLE with
+ * a fresh `slice` allocation each time; shingling runs over every doc
+ * in a dozen corpus queries, which made it the engine's single widest
+ * interpreted hot spot. Here: one method call per ROW, a tight loop
+ * inside, reachable from whole-stage codegen via a reference object.
+ */
+case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+
+  require(n >= 1, s"graft_word_shingles: n must be >= 1, got $n")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  private val space = UTF8String.fromString(" ")
+
+  def compute(ts: ArrayData): GenericArrayData = {
+    val m = ts.numElements()
+    if (m < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](m - n + 1)
+    val buf = new Array[UTF8String](n)
+    var i = 0
+    while (i + n <= m) {
+      var j = 0
+      while (j < n) { buf(j) = ts.getUTF8String(i + j); j += 1 }
+      out(i) = UTF8String.concatWs(space, buf: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(a: Any): Any = compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wordShingles", this, classOf[WordShingles].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
+ * Character n-gram shingles from a (normalized) string — the native
+ * kernel behind [[graft.functions.TextFunctions.charShinglesFromNorm]].
+ * Bit-identical to the HOF form
+ * (`transform(sequence(0, length-n), i => substring(norm, 1+i, n))`,
+ * empty for length < n): CODEPOINT-addressed like `Substring`/
+ * `UTF8String.substringSQL` (never tears astral-plane surrogate
+ * pairs — the spec's astral case pins this), but computed with ONE
+ * byte-offset walk per row instead of substringSQL's per-shingle
+ * from-the-start rescan — O(len) rather than O(len²) — and without the
+ * per-element interpreter re-entry of the CodegenFallback HOF.
+ */
+case class CharShingles(child: Expression, n: Int) extends UnaryExpression {
+
+  require(n >= 1, s"graft_char_shingles: n must be >= 1, got $n")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  def compute(s: UTF8String): GenericArrayData = {
+    val bytes = s.getBytes
+    val nb = bytes.length
+    // byte offset of each codepoint start (+ end sentinel)
+    var numChars = 0
+    var off = 0
+    val offs = new Array[Int](nb + 1)
+    while (off < nb) {
+      offs(numChars) = off
+      off += UTF8String.numBytesForFirstByte(bytes(off))
+      numChars += 1
+    }
+    offs(numChars) = nb
+    if (numChars < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](numChars - n + 1)
+    var i = 0
+    while (i + n <= numChars) {
+      out(i) = UTF8String.fromBytes(bytes, offs(i), offs(i + n) - offs(i))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(a: Any): Any = compute(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("charShingles", this, classOf[CharShingles].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** Count of positions where two long arrays agree — the MinHash

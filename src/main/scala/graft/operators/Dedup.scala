@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 import org.apache.spark.storage.StorageLevel
 import graft.functions.{TextFunctions => T, VectorFunctions => V}
 
@@ -505,6 +506,21 @@ object Dedup {
    * Shuffles: shingle-df count, per-doc re-sort, prefix index join,
    * pair verify join — all keyed, all bounded; the prefix theorem is
    * what keeps this exact AND skew-safe at 100 TB.
+   *
+   * The candidate machinery (df count → rarity re-sort → index
+   * self-join) is keyed on `xxhash64(shingle)` rather than the shingle
+   * STRING: a 5-gram text shingle is ~40 bytes, its hash 8, and those
+   * three legs dominate the operator's shuffle volume. Exactness is
+   * preserved, not approximated: (a) the final verification intersects
+   * the full STRING sets, so a spurious hash-bucket candidate can never
+   * emit a pair; (b) prefix completeness needs only a consistent total
+   * order on the corpus' distinct shingles, and (df(h), h) IS one as
+   * long as `xxhash64` is injective on the corpus — which the df
+   * aggregate certifies in passing (min(s) ≟ max(s) per hash group,
+   * costing nothing: the partial aggregate already reduces to one row
+   * per (partition, hash)). The astronomically-rare collision
+   * (P ≈ D²/2⁶⁵; ~10⁻⁸ at 10⁶ distinct shingles) fails LOUDLY via
+   * `raise_error` rather than silently missing a qualifying pair.
    */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.8): DataFrame = {
@@ -516,9 +532,20 @@ object Dedup {
         array_distinct(T.shinglesFromTokens(col("ts"), n)).as("set"))
       .withColumn("n_sh", size(col("set"))))
     val base = sets.select(col("id"), col("n_sh"), explode(col("set")).as("s"))
-    // global rarity order (document frequency, shingle as tiebreak)
-    val dfc = base.groupBy("s").agg(count(lit(1)).as("df"))
-    val wDoc = Window.partitionBy("id").orderBy(col("df"), col("s"))
+      .withColumn("h", xxhash64(col("s")))
+    // global rarity order (document frequency of the hash, hash as
+    // tiebreak — a total order on shingles given injectivity, which
+    // the min/max guard below certifies corpus-wide)
+    val dfc = base.groupBy("h").agg(count(lit(1)).as("df"),
+        min("s").as("smin"), max("s").as("smax"))
+      .select(col("h"),
+        when(col("smin") === col("smax"), col("df"))
+          .otherwise(raise_error(concat(
+            lit("ngramJaccardPairs: xxhash64 collision between distinct " +
+              "shingles ("), col("smin"), lit(" / "), col("smax"),
+            lit(") — prefix order no longer total; dedupe at a different " +
+              "shingle width or report upstream")))).as("df"))
+    val wDoc = Window.partitionBy("id").orderBy(col("df"), col("h"))
     // prefix length n − ⌈t·n⌉ + 1 of each doc's rarest shingles — the
     // exact completeness bound. NOT ⌊(1−t)·n⌋+1: in floating point
     // 1.0−0.8 = 0.19999…96, so ⌊(1−t)·n⌋ under-counts exactly when
@@ -526,12 +553,12 @@ object Dedup {
     // instead of 3) and qualifying pairs are silently missed. The
     // 1e-9 nudge guards the mirror-image rounding of t·n (0.8·10 =
     // 8.000…004 would otherwise ceil to 9).
-    val prefix = base.join(dfc, "s")
+    val prefix = base.select("id", "n_sh", "h").join(dfc, "h")
       .withColumn("rank", row_number().over(wDoc))
       .filter(col("rank") <=
         col("n_sh") - ceil(lit(threshold) * col("n_sh") - lit(1e-9)) + 1)
-    val cand = prefix.select(col("s"), col("id").as("id_a"))
-      .join(prefix.select(col("s"), col("id").as("id_b")), "s")
+    val cand = prefix.select(col("h"), col("id").as("id_a"))
+      .join(prefix.select(col("h"), col("id").as("id_b")), "h")
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
     // exact verification on candidates only
@@ -601,6 +628,49 @@ object Dedup {
   private def snapshot(df: DataFrame, reliable: Boolean): DataFrame =
     if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
 
+  /** Driver-local union-find over a BOUNDED directed edge list (the
+    * [[connectedComponents]] fast path — see the gate there for why).
+    * Union-by-min keeps every set's root at its minimum id, so root
+    * lookup IS the canonical component label the distributed loop
+    * converges to. Ids are integral by the caller's gate; output
+    * columns carry the input id type. */
+  private def localCcByMin(
+      spark: org.apache.spark.sql.SparkSession, edges: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val idType = edges.schema.head.dataType
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x // path compression
+      while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    edges.collect().foreach { row =>
+      val a = row.getAs[Number](0).longValue
+      val b = row.getAs[Number](1).longValue
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra < rb) parent(rb) = ra
+      else if (rb < ra) parent(ra) = rb
+    }
+    def typed(v: Long): Any = idType match {
+      case LongType => v
+      case IntegerType => v.toInt
+      case ShortType => v.toShort
+      case _ => v.toByte
+    }
+    val rows = parent.keys.toSeq.sorted
+      .map(id => Row(typed(id), typed(find(id))))
+    val schema = StructType(Seq(StructField("id", idType, nullable = false),
+      StructField("comp", idType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows,
+        math.max(1, math.min(rows.size / 50000 + 1, 32))), schema)
+  }
+
   /** Await an `observe`d metrics row fulfilled by an already-completed
     * action. QueryExecutionListener delivery is async, so bound the
     * wait; None on the (never-seen) timeout, so callers recompute from
@@ -623,7 +693,8 @@ object Dedup {
     }.getOrElse(fallback)
 
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 20, reliable: Boolean = false): DataFrame = {
+      maxIter: Int = 20, reliable: Boolean = false,
+      localMaxEdges: Long = 1000000L): DataFrame = {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct().persist(StorageLevel.MEMORY_AND_DISK)
@@ -632,6 +703,25 @@ object Dedup {
     // a long session retrying CC with a larger maxIter would
     // otherwise accumulate dead cached edge tables per attempt
     try {
+    // SIZE-GATED LOCAL FAST PATH (AQE-style runtime adaptivity): each
+    // distributed round is a fixed-cost job chain (join → aggregate →
+    // checkpoint), so a SMALL edge set pays several seconds of pure
+    // scheduling for milliseconds of work. Under `localMaxEdges`
+    // DIRECTED edges (measured on the already-persisted dedup'd list —
+    // the loop would materialize it anyway) and an integral id type,
+    // one bounded collect + union-find-by-min yields the IDENTICAL
+    // canonical labeling (comp = component-min id; property-tested
+    // against the distributed loop). Near-dup batch deduplication
+    // lives under this gate in practice — verified pairs are rare by
+    // construction — while a pathological dup-heavy corpus at 100 TB
+    // falls through to the distributed loop unchanged. Set
+    // `localMaxEdges = 0` to force the distributed path.
+    val integralIds = edges.schema.head.dataType match {
+      case LongType | IntegerType | ShortType | ByteType => true
+      case _ => false
+    }
+    if (integralIds && localMaxEdges > 0 && edges.count() <= localMaxEdges)
+      return localCcByMin(pairs.sparkSession, edges) // finally drops the cache
     // checkpoint per round: persist alone caches DATA but the LOGICAL
     // plan still nests every previous round — by round ~15 the driver
     // OOMs re-analyzing an exponentially growing tree (found by the

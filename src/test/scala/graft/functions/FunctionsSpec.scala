@@ -291,4 +291,43 @@ class FunctionsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("graft_surprisal_fold"))
   }
+
+  test("shingle kernels ≡ the HOF forms element for element; tokens ≡ the filter form") {
+    val texts = Seq("the quick brown fox jumps over the lazy dog",
+      "  leading  and   trailing  ", "one two", "x", "", "\t\n ",
+      "a b c d e f g h i j k l m n o p", "ünïcödé tëxt wïth Ünïcödé",
+      "𝓐 😀  0 mixed astral 𝓐😀")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    // tokens: array_remove form ≡ the filter-HOF form
+    val tokBoth = df.select(T.tokens($"text").as("k"),
+        filter(split(trim($"text"), "\\s+"), t => length(t) > 0).as("h"))
+      .as[(Seq[String], Seq[String])].collect()
+    tokBoth.foreach { case (k, h) => assert(k === h) }
+    // word shingles for several n, incl. n > token count
+    for (n <- Seq(1, 2, 5, 20)) {
+      val both = df.select($"id", T.tokens($"text").as("ts"))
+        .select(T.shinglesFromTokens($"ts", n).as("k"),
+          when(size($"ts") < n, array().cast("array<string>")).otherwise(
+            transform(sequence(lit(0), size($"ts") - n),
+              i => concat_ws(" ", slice($"ts", i + 1, lit(n))))).as("h"))
+        .as[(Seq[String], Seq[String])].collect()
+      both.foreach { case (k, h) => assert(k === h, s"n=$n") }
+    }
+    // char shingles: codepoint-addressed ≡ the substring-HOF form
+    for (n <- Seq(1, 3, 7)) {
+      val both = df.select(T.normText($"text").as("nt"))
+        .select(T.charShinglesFromNorm($"nt", n).as("k"),
+          when(length($"nt") < n, array().cast("array<string>")).otherwise(
+            transform(sequence(lit(0), length($"nt") - n),
+              i => substring($"nt", lit(1) + i, lit(n)).cast("string"))).as("h"))
+        .as[(Seq[String], Seq[String])].collect()
+      both.foreach { case (k, h) => assert(k === h, s"n=$n") }
+    }
+    // SQL surface
+    val viaShSql = spark.sql(
+      "SELECT graft_word_shingles(array('a','b','c'), 2) AS s")
+      .as[Seq[String]].head()
+    assert(viaShSql === Seq("a b", "b c"))
+  }
 }

@@ -44,6 +44,23 @@ object ComponentsProperties extends Properties("components") {
       edges.isEmpty || run(Dedup.connectedComponents(_, _, _), edges) == oracle(edges)
     }
 
+  // the size gate routes small graphs (every graph above) through the
+  // LOCAL union-find; these two pin the DISTRIBUTED loop explicitly so
+  // both paths stay property-covered, and assert path-equivalence
+  property("the distributed loop (fast path disabled) matches union-find") =
+    Prop.forAll(Gen.listOfN(25, edgeGen)) { edges =>
+      edges.isEmpty ||
+        run(Dedup.connectedComponents(_, _, _, localMaxEdges = 0), edges) ==
+          oracle(edges)
+    }
+
+  property("local fast path ≡ distributed loop on random graphs") =
+    Prop.forAll(Gen.listOfN(25, edgeGen)) { edges =>
+      edges.isEmpty ||
+        run(Dedup.connectedComponents(_, _, _), edges) ==
+          run(Dedup.connectedComponents(_, _, _, localMaxEdges = 0), edges)
+    }
+
   property("large-star/small-star matches union-find on random graphs") =
     Prop.forAll(Gen.listOfN(25, edgeGen)) { edges =>
       edges.isEmpty || run(Dedup.connectedComponentsStar(_, _, _), edges) == oracle(edges)
@@ -66,7 +83,8 @@ object ComponentsProperties extends Properties("components") {
   property("both algorithms agree on a path graph (the worst case for propagation)") = {
     val path = (0L until 16L).map(i => (i, i + 1)).toSeq
     val want = (0L to 16L).map(_ -> 0L).toMap
-    Prop(run(Dedup.connectedComponents(_, _, _), path) == want &&
+    Prop(run(Dedup.connectedComponents(_, _, _, localMaxEdges = 0), path) == want &&
+      run(Dedup.connectedComponents(_, _, _), path) == want &&
       run(Dedup.connectedComponentsStar(_, _, _), path) == want)
   }
 
@@ -77,8 +95,10 @@ object ComponentsProperties extends Properties("components") {
     spark.sparkContext.setCheckpointDir(dir.toString)
     val path = (0L until 12L).map(i => (i, i + 1)).toSeq
     val want = (0L to 12L).map(_ -> 0L).toMap
-    val ok =
-      run(Dedup.connectedComponents(_, _, _, 20, reliable = true), path) == want &&
+    val ok = // localMaxEdges = 0: the reliable mode only exists on the
+      // distributed loop, so pin that path explicitly
+      run(Dedup.connectedComponents(_, _, _, 20, reliable = true,
+        localMaxEdges = 0), path) == want &&
         run(Dedup.connectedComponentsStar(_, _, _, 30, reliable = true), path) == want
     Prop(ok)
   }
