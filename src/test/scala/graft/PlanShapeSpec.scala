@@ -143,4 +143,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("LeftSemi"), p)
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
   }
+
+  test("q22: the rarity re-sort runs on hashed shingles — no string reaches the window") {
+    // ngramJaccardPairs keys its candidate machinery on xxhash64(s);
+    // the per-doc rank window is the widest of those legs, and its
+    // input carrying the ~40-byte shingle strings (instead of the 8-byte
+    // hash) is exactly the shuffle-volume regression this pins against
+    val df = SparkEntry.queries("q22_jaccard")(spark, sf0001)
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      assert(!w.child.output.exists(
+          _.dataType == org.apache.spark.sql.types.StringType),
+        s"window input carries a string column: ${w.child.output.mkString(", ")}")
+    }
+  }
 }
