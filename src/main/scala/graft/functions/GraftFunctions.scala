@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-import graft.functions.expressions.{ArgmaxDot, BloomProbeAny, CharShingles, DotProduct, FreqItemsAgg, H60Hash, LongArrayMatchCount, MinHashSigAgg, SimHashSigAgg, SurprisalFold, UnitVector, WordShingles}
+import graft.functions.expressions.{ArgmaxDot, BloomProbeAny, CharDistEntropy, CharShingles, DotProduct, FreqItemsAgg, H60Hash, LongArrayMatchCount, MinHashSigAgg, SimHashSigAgg, SurprisalFold, UnitVector, WordShingles}
 
 /**
  * Registration of the engine's native Catalyst expressions as SQL
@@ -30,6 +30,7 @@ object GraftFunctions {
   val SurprisalFoldName = "graft_surprisal_fold"
   val WordShinglesName = "graft_word_shingles"
   val CharShinglesName = "graft_char_shingles"
+  val CharEntropyName = "graft_char_entropy"
   val H60Name = "graft_h60"
   val SnapshotName = "graft_snapshot"
   val RollupName = "graft_rollup"
@@ -111,6 +112,9 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(CharShinglesName,
       exprs => arity(CharShinglesName, exprs, 2)(CharShingles(exprs(0),
         graft.GraftExtensions.foldableIntArgExact(CharShinglesName, exprs, 1))),
+      "built-in")
+    reg.createOrReplaceTempFunction(CharEntropyName,
+      exprs => arity(CharEntropyName, exprs, 1)(CharDistEntropy(exprs(0))),
       "built-in")
     reg.createOrReplaceTempFunction(H60Name,
       exprs => arity(H60Name, exprs, 1)(H60Hash(exprs(0))), "built-in")
@@ -322,6 +326,12 @@ object GraftFunctions {
     * [[expressions.CharShingles]] — bit-identical to the HOF form). */
   def graftCharShingles(s: Column, n: Int): Column =
     call_function(CharShinglesName, s, org.apache.spark.sql.functions.lit(n))
+
+  /** Codegen'd character-distribution Shannon entropy (unrounded; see
+    * [[expressions.CharDistEntropy]] — bit-identical to the sorted
+    * HOF fold). */
+  def graftCharEntropy(cs: Column): Column =
+    call_function(CharEntropyName, cs)
 
   /** MinHash signature aggregate over a long-hash column (one buffer,
     * tight-loop update; see MinHashSigAgg). */

@@ -138,18 +138,14 @@ object TextFunctions {
    * repeated padding, ≫ for random bytes). Exact frequencies via
    * entropy = log2(n) − (Σ cnt·log2 cnt)/n, folded over the SORTED
    * distinct characters so the float accumulation order is deterministic
-   * and oracle-mirrorable. Two-stage (pass the materialized char array)
-   * per the shingle-family performance rule.
+   * and oracle-mirrorable. Kernel-backed ([[expressions.CharDistEntropy]];
+   * the HOF composition re-scanned the array interpreted once per
+   * distinct character — O(distinct × len) per row). For corpus-scale
+   * per-doc entropy prefer the explode + groupBy path (SparkEntry's
+   * charEntropyPerDoc) which shares counting across the shuffle.
    */
-  def charEntropyFromChars(cs: Column): Column = {
-    val n = size(cs)
-    val sumClogC = aggregate(
-      transform(array_sort(array_distinct(cs)),
-        c => size(filter(cs, x => x === c)).cast("double")),
-      lit(0.0), (acc, cnt) => acc + cnt * log2(cnt))
-    when(n <= 0, lit(0.0))
-      .otherwise(round(log2(n.cast("double")) - sumClogC / n, 4))
-  }
+  def charEntropyFromChars(cs: Column): Column =
+    round(GraftFunctions.graftCharEntropy(cs), 4)
 
   /** Convenience form (tests / small inputs). */
   def charEntropy(text: Column): Column =

@@ -463,6 +463,57 @@ case class CharShingles(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/**
+ * Shannon entropy (bits/char, UNROUNDED) of a character-array column —
+ * the native kernel behind
+ * [[graft.functions.TextFunctions.charEntropyFromChars]]. Bit-identical
+ * to the builtin composition it replaces
+ * (`aggregate(transform(array_sort(array_distinct(cs)), c =>
+ * size(filter(cs, _ === c))), 0.0, acc + cnt·log2 cnt)` then
+ * `log2(n) − s/n`): same ascending binary-order fold over the distinct
+ * characters (a TreeMap over UTF8String keys iterates exactly
+ * `array_sort`'s order), same `Math.log(x)/Math.log(2)` per term, same
+ * final subtraction; empty input → 0.0, null → null. The builtin form
+ * re-scanned the whole array INTERPRETED once per distinct character —
+ * O(distinct × len) lambda evaluations per row; this is one counting
+ * pass + one distinct-sized fold.
+ */
+case class CharDistEntropy(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  def compute(a: ArrayData): Double = {
+    val n = a.numElements()
+    if (n <= 0) return 0.0
+    val counts = new java.util.TreeMap[UTF8String, java.lang.Long]()
+    var i = 0
+    while (i < n) {
+      val c = a.getUTF8String(i)
+      val prev = counts.get(c)
+      counts.put(c, if (prev == null) 1L else prev + 1L)
+      i += 1
+    }
+    val ln2 = math.log(2.0)
+    var s = 0.0
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val cnt = it.next().toDouble
+      s += cnt * (math.log(cnt) / ln2)
+    }
+    math.log(n.toDouble) / ln2 - s / n
+  }
+
+  override def nullSafeEval(a: Any): Any = compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("charEntropy", this, classOf[CharDistEntropy].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Count of positions where two long arrays agree — the MinHash
   * signature-agreement kernel (est. Jaccard = matches / numHashes). */
 case class LongArrayMatchCount(left: Expression, right: Expression)

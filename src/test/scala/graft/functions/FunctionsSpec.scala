@@ -329,5 +329,20 @@ class FunctionsSpec extends SparkSpec {
       "SELECT graft_word_shingles(array('a','b','c'), 2) AS s")
       .as[Seq[String]].head()
     assert(viaShSql === Seq("a b", "b c"))
+    // char-entropy kernel ≡ the sorted HOF fold it replaced
+    val entBoth = df.select(
+        T.charEntropyFromChars(split($"text", "")).as("k"),
+        {
+          val cs = split($"text", "")
+          val n = size(cs)
+          val s = aggregate(
+            transform(array_sort(array_distinct(cs)),
+              c => size(filter(cs, x => x === c)).cast("double")),
+            lit(0.0), (acc, cnt) => acc + cnt * log2(cnt))
+          when(n <= 0, lit(0.0))
+            .otherwise(round(log2(n.cast("double")) - s / n, 4)).as("h")
+        })
+      .as[(Double, Double)].collect()
+    entBoth.foreach { case (k, h) => assert(k === h) }
   }
 }
