@@ -482,9 +482,16 @@ object SparkEntry {
 
     // embedding near-dup pairs over literal-plane LSH buckets — oracle
     // replays the bucketing + cosine verify.
+    // bits = 0: SCALE-ADAPTIVE bucket width (Dedup.adaptiveLshBits —
+    // expected bucket ≤ 256, so the per-bucket self-join stays linear
+    // in corpus size instead of n²/2^bits at a fixed width). The
+    // derivation is integer-only and the oracle replays it from
+    // count(*), so the adaptive choice is exact cross-engine at EVERY
+    // scale — the same treatment q106's cluster count and q71/q108's
+    // nlist got, closing the last fixed-capacity knob in the family.
     "q25_embed_neardup" -> ((s, dir) => {
       Dedup.embeddingNearDup(t(s, dir, "embeddings"), "vec_id", "embedding",
-          threshold = 0.2, bits = 6, tables = 2, portableDim = 64)
+          threshold = 0.2, bits = 0, tables = 2, portableDim = 64)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -2627,6 +2634,24 @@ object SparkEntry {
       s"SELECT vec_id, $tb AS tbl, $bucket AS bucket FROM $src"
     }.mkString(" UNION ALL ")
 
+  /** [[lshBucketUnion]] with the SCALE-ADAPTIVE width: emits all
+    * `maxBits` plane terms, each gated on `b < (SELECT bits FROM bb)` —
+    * the caller's `bb` CTE derives `bits` from count(*) with the same
+    * integer ladder as [[graft.operators.Dedup.adaptiveLshBits]]
+    * (planes(seed, bits, dim) is a prefix of planes(seed, maxBits,
+    * dim), so gating ≡ truncation). */
+  private def lshBucketUnionGated(src: String, seed0: Int, tables: Int,
+      maxBits: Int, dim: Int): String =
+    (0 until tables).map { tb =>
+      val bucket = PortableHash.planes(seed0 + tb, maxBits, dim).zipWithIndex.map {
+        case (w, b) =>
+          s"(CASE WHEN $b < (SELECT bits FROM bb) AND " +
+            s"list_inner_product(v, ${PortableHash.sqlPlane(w)}) >= 0" +
+            s" THEN ${1L << b} ELSE 0 END)"
+      }.mkString("(", " + ", ")")
+      s"SELECT vec_id, $tb AS tbl, $bucket AS bucket FROM $src"
+    }.mkString(" UNION ALL ")
+
   lazy val oracleSql: Map[String, String] = Map(
     "q01_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -3400,8 +3425,16 @@ object SparkEntry {
     // and replays candidates + cosine verify/re-rank (list_cosine_
     // similarity parity established by q23).
     "q25_embed_neardup" -> {
-      val bk = lshBucketUnion("e", 58, tables = 2, bits = 6, dim = 64)
+      // bb replays Dedup.adaptiveLshBits(count, 256, 6, 20) with the
+      // same integer ladder: bits = 6 + |{j in 1..14 : n > 256·2^(5+j)}|
+      // (the thresholds are monotone, so counting ≡ the while loop);
+      // the gated bucket terms then truncate the maxBits plane list to
+      // exactly the prefix Spark's plan embedded.
+      val bk = lshBucketUnionGated("e", 58, tables = 2, maxBits = 20, dim = 64)
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         bb AS (SELECT CAST(6 + count(*) AS INT) AS bits
+                FROM range(1, 15) t(j), (SELECT count(*) AS n FROM e) c
+                WHERE c.n > 256 * (1::BIGINT << (5 + j))),
          bk AS ($bk),
          cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
                   FROM bk a JOIN bk b

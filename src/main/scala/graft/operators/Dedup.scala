@@ -986,17 +986,47 @@ object Dedup {
     cross.unionByName(within)
   }
 
+  /** SCALE-ADAPTIVE LSH width: the smallest `bits` in [minBits,
+    * maxBits] with 2^bits buckets ≥ nItems / targetBucket, i.e. the
+    * width that keeps the EXPECTED bucket size ≤ targetBucket so the
+    * per-bucket self-join stays ~targetBucket·n (linear), never
+    * n²/2^bits (quadratic — the fixed-width failure at growing n,
+    * same class as the fixed-k semantic-dedup and fixed-nlist IVF
+    * hazards closed in rounds 8-9). INTEGER arithmetic only — the
+    * DuckDB oracle derives the identical value from count(*) with the
+    * same ladder, so the adaptive choice is exactly replayable
+    * cross-engine (no float log2 whose last-ulp could flip a ceil).
+    *
+    * Recall law (document, don't hide): a qualifying pair at angle θ
+    * shares a table's bucket w.p. (1−θ/π)^bits, so +Δbits multiplies
+    * per-table recall by (1−θ/π)^Δ — hold overall recall by growing
+    * `tables` ∝ (1−θ/π)^−Δ (LSH amplification), a COST knob the
+    * caller owns; measure with an exact-pair sample before trusting
+    * any (bits, tables) at a new scale. */
+  def adaptiveLshBits(nItems: Long, targetBucket: Long = 256L,
+      minBits: Int = 6, maxBits: Int = 20): Int = {
+    require(targetBucket >= 1 && minBits >= 1 && maxBits >= minBits)
+    var b = minBits
+    while (b < maxBits && nItems > targetBucket * (1L << b)) b += 1
+    b
+  }
+
   /**
    * Embedding near-dup: cosine ≥ threshold pairs, candidate-limited to
    * shared LSH buckets (multi-probe over `tables` independent tables so
    * recall survives unlucky hyperplanes). `portableDim > 0` switches to
    * plan-time hyperplane literals over that dimensionality
    * ([[graft.functions.PortableHash.planes]]) so the DuckDB oracle can
-   * replay the bucketing on the identical constants.
+   * replay the bucketing on the identical constants. `bits = 0` picks
+   * the scale-adaptive width ([[adaptiveLshBits]] at this corpus'
+   * count — one bounded metadata-count action at plan time), keeping
+   * bucket population bounded as the corpus grows; see the recall law
+   * there before raising data volume without raising `tables`.
    */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double = 0.95, bits: Int = 6, tables: Int = 2,
+      threshold: Double = 0.95, bits: Int = 0, tables: Int = 2,
       portableDim: Int = 0): DataFrame = {
+    val nbits = if (bits > 0) bits else adaptiveLshBits(df.count())
     // unit-normalize once per vector (norm staged as attribute) so the
     // per-pair verification is a single dot product. Buckets hash the
     // RAW vector (sign bits are scale-invariant — same bucket either way).
@@ -1006,8 +1036,8 @@ object Dedup {
     val bucketExprs =
       if (portableDim > 0) (0 until tables).map(t =>
         V.lshBucketPlanes(col("v0"),
-          graft.functions.PortableHash.planes(58 + t, bits, portableDim)))
-      else (0 until tables).map(t => V.lshBucket(col("v0"), bits, seed = 58 + t))
+          graft.functions.PortableHash.planes(58 + t, nbits, portableDim)))
+      else (0 until tables).map(t => V.lshBucket(col("v0"), nbits, seed = 58 + t))
     val bucketed = vecs.select(col("id"),
       posexplode(array(bucketExprs: _*)).as(Seq("tbl", "bucket")))
     // distinct pairs first (multi-table collisions dedup'd before the

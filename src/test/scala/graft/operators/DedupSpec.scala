@@ -159,6 +159,28 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("adaptiveLshBits: integer ladder boundaries; adaptive ≡ fixed width below the first step") {
+    // the ladder: smallest b in [min, max] with n <= target * 2^b
+    assert(Dedup.adaptiveLshBits(0L) === 6)
+    assert(Dedup.adaptiveLshBits(256L * 64) === 6)      // exactly at the step: stays
+    assert(Dedup.adaptiveLshBits(256L * 64 + 1) === 7)  // one past: widens
+    assert(Dedup.adaptiveLshBits(20000L) === 7)          // the sf1 embeddings count
+    assert(Dedup.adaptiveLshBits(Long.MaxValue) === 20)  // capped
+    assert(Dedup.adaptiveLshBits(1L << 40, targetBucket = 1, minBits = 1,
+      maxBits = 62) === 40)
+    // below the first step the adaptive pick IS the fixed default —
+    // the driver-gate behavior is unchanged by bits = 0
+    val vecs = (0L until 50L).map(i =>
+      (i, Array.tabulate(8)(d => ((i * 7 + d) % 13).toFloat))).toDF("vec_id", "embedding")
+    val fixed = Dedup.embeddingNearDup(vecs, "vec_id", "embedding",
+        threshold = 0.2, bits = 6, tables = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val adaptive = Dedup.embeddingNearDup(vecs, "vec_id", "embedding",
+        threshold = 0.2, bits = 0, tables = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(adaptive === fixed)
+  }
+
   test("signature store: incremental near-dup equals the full run on batch-touching pairs") {
     val dir = java.nio.file.Files.createTempDirectory("sigstore").toString + "/sigs"
     val history = Seq(
