@@ -234,15 +234,23 @@ case class ArgmaxDot(left: Expression, right: Expression)
  * those queries build; output is `struct<n: bigint, s: double>` — the
  * count fold and the weighted-log fold in ONE array pass.
  *
- * Bit-identical to the two HOF `aggregate` folds it replaces: same
+ * Same fold as the two HOF `aggregate` lambdas it replaces — same
  * ascending element order (the array is pre-sorted), same per-term
- * shape `acc + cnt_d * f(log2 …)` with `log2(x) = Math.log(x) /
- * Math.log(2)` — exactly what the interpreted `Log2.nullSafeEval`
- * computes (the HOF lambda never codegens). The HOF form is a
- * CodegenFallback evaluated per element with boxing; per-doc distinct
- * n-gram arrays make that the dominant cost of the whole query at
- * sf1 (q84: 4.1× sf0.1→sf1, the suite's worst curvature). This node
- * is a plain Java loop inside whole-stage codegen.
+ * shape `acc + cnt_d * f(log2 …)` — but with `log2(x) =
+ * StrictMath.log(x) / StrictMath.log(2)`, which is STRONGER than the
+ * HOF's determinism: `Math.log` (what the interpreted `Log2` calls)
+ * is JIT-intrinsifiable and may differ by 1 ulp between a JVM's
+ * interpreter and compiled code — the property sweep caught exactly
+ * that flip — while `StrictMath.log` is fdlibm-exact in every
+ * compilation state. So this node is ≤1 ulp from the HOF fold on any
+ * input and EXACTLY reproducible run to run (the sorted-fold
+ * determinism contract, now ulp-tight; the 4-dp round at the query
+ * surface absorbed the HOF's instability, and keeps absorbing the
+ * ≤1-ulp HOF delta here). The HOF form was also a CodegenFallback
+ * evaluated per element with boxing; per-doc distinct n-gram arrays
+ * made that the dominant cost of the whole query at sf1 (q84: 4.1×
+ * sf0.1→sf1, the suite's worst curvature). This node is a plain Java
+ * loop inside whole-stage codegen.
  *
  * Modes (element struct layouts are the queries' own, counts never
  * null or ≤ 0 — group-by keys with `count(*)` values):
@@ -272,7 +280,7 @@ case class SurprisalFold(arr: Expression, scalar: Expression, mode: String)
     val x = a.asInstanceOf[ArrayData]
     val sc = b.asInstanceOf[Double]
     val nf = numFields
-    val ln2 = math.log(2.0)
+    val ln2 = java.lang.StrictMath.log(2.0)
     val m = x.numElements()
     var n = 0L
     var s = 0.0
@@ -282,16 +290,16 @@ case class SurprisalFold(arr: Expression, scalar: Expression, mode: String)
         while (i < m) {
           val c = x.getStruct(i, nf).getLong(1)
           n += c
-          s += c.toDouble * (math.log(c.toDouble) / ln2)
+          s += c.toDouble * (java.lang.StrictMath.log(c.toDouble) / ln2)
           i += 1
         }
       case "unigram" =>
-        val lt = math.log(sc) / ln2
+        val lt = java.lang.StrictMath.log(sc) / ln2
         while (i < m) {
           val r = x.getStruct(i, nf)
           val c = r.getLong(1)
           n += c
-          s += c.toDouble * (lt - math.log(r.getLong(2).toDouble) / ln2)
+          s += c.toDouble * (lt - java.lang.StrictMath.log(r.getLong(2).toDouble) / ln2)
           i += 1
         }
       case "bigram" =>
@@ -299,8 +307,8 @@ case class SurprisalFold(arr: Expression, scalar: Expression, mode: String)
           val r = x.getStruct(i, nf)
           val c = r.getLong(2)
           n += c
-          s += c.toDouble * (math.log(r.getLong(4).toDouble + sc) / ln2
-            - math.log(r.getLong(3).toDouble + 1.0) / ln2)
+          s += c.toDouble * (java.lang.StrictMath.log(r.getLong(4).toDouble + sc) / ln2
+            - java.lang.StrictMath.log(r.getLong(3).toDouble + 1.0) / ln2)
           i += 1
         }
     }
@@ -324,22 +332,22 @@ case class SurprisalFold(arr: Expression, scalar: Expression, mode: String)
           s"""long $c = $r.getLong(1);
              |  $n += $c;
              |  $s += ((double) $c)
-             |    * (java.lang.Math.log((double) $c) / $ln2);""".stripMargin)
-        case "unigram" => (s"double $lt = java.lang.Math.log($b) / $ln2;",
+             |    * (java.lang.StrictMath.log((double) $c) / $ln2);""".stripMargin)
+        case "unigram" => (s"double $lt = java.lang.StrictMath.log($b) / $ln2;",
           s"""long $c = $r.getLong(1);
              |  $n += $c;
              |  $s += ((double) $c)
-             |    * ($lt - java.lang.Math.log((double) $r.getLong(2)) / $ln2);""".stripMargin)
+             |    * ($lt - java.lang.StrictMath.log((double) $r.getLong(2)) / $ln2);""".stripMargin)
         case "bigram" => ("",
           s"""long $c = $r.getLong(2);
              |  $n += $c;
              |  $s += ((double) $c)
-             |    * (java.lang.Math.log((double) $r.getLong(4) + $b) / $ln2
-             |      - java.lang.Math.log((double) $r.getLong(3) + 1.0) / $ln2);""".stripMargin)
+             |    * (java.lang.StrictMath.log((double) $r.getLong(4) + $b) / $ln2
+             |      - java.lang.StrictMath.log((double) $r.getLong(3) + 1.0) / $ln2);""".stripMargin)
       }
       s"""
          |int $m = $a.numElements();
-         |double $ln2 = java.lang.Math.log(2.0);
+         |double $ln2 = java.lang.StrictMath.log(2.0);
          |$pre
          |long $n = 0L;
          |double $s = 0.0;
@@ -466,14 +474,16 @@ case class CharShingles(child: Expression, n: Int) extends UnaryExpression {
 /**
  * Shannon entropy (bits/char, UNROUNDED) of a character-array column —
  * the native kernel behind
- * [[graft.functions.TextFunctions.charEntropyFromChars]]. Bit-identical
- * to the builtin composition it replaces
+ * [[graft.functions.TextFunctions.charEntropyFromChars]]. Same fold as
+ * the builtin composition it replaces
  * (`aggregate(transform(array_sort(array_distinct(cs)), c =>
  * size(filter(cs, _ === c))), 0.0, acc + cnt·log2 cnt)` then
  * `log2(n) − s/n`): same ascending binary-order fold over the distinct
  * characters (a TreeMap over UTF8String keys iterates exactly
- * `array_sort`'s order), same `Math.log(x)/Math.log(2)` per term, same
- * final subtraction; empty input → 0.0, null → null. The builtin form
+ * `array_sort`'s order), same final subtraction; empty input → 0.0,
+ * null → null. `log2` via StrictMath — exactly reproducible in every
+ * JVM compilation state, ≤1 ulp from the `Math.log`-based HOF (see
+ * [[SurprisalFold]]'s determinism note). The builtin form
  * re-scanned the whole array INTERPRETED once per distinct character —
  * O(distinct × len) lambda evaluations per row; this is one counting
  * pass + one distinct-sized fold.
@@ -493,14 +503,14 @@ case class CharDistEntropy(child: Expression) extends UnaryExpression {
       counts.put(c, if (prev == null) 1L else prev + 1L)
       i += 1
     }
-    val ln2 = math.log(2.0)
+    val ln2 = java.lang.StrictMath.log(2.0)
     var s = 0.0
     val it = counts.values().iterator()
     while (it.hasNext) {
       val cnt = it.next().toDouble
-      s += cnt * (math.log(cnt) / ln2)
+      s += cnt * (java.lang.StrictMath.log(cnt) / ln2)
     }
-    math.log(n.toDouble) / ln2 - s / n
+    java.lang.StrictMath.log(n.toDouble) / ln2 - s / n
   }
 
   override def nullSafeEval(a: Any): Any = compute(a.asInstanceOf[ArrayData])

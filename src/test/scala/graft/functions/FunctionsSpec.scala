@@ -223,11 +223,19 @@ class FunctionsSpec extends SparkSpec {
     assert(fps.distinct.length === 3)
   }
 
-  test("surprisalFold kernel ≡ the HOF folds bit for bit, all three modes; empty array = (0, 0.0)") {
+  test("surprisalFold kernel ≡ the HOF folds (counts exact, log sums ≤1 ulp), all three modes; empty array = (0, 0.0)") {
+    // the log sum compares within 1 ulp, NOT exactly: the HOF's Log2
+    // calls Math.log, whose JIT intrinsic may differ from its
+    // interpreted result by 1 ulp — the kernel uses StrictMath (stable
+    // in every compilation state), so the HOF is the ulp-wobbly side
+    // here. KernelProperties pins the kernel EXACTLY against a
+    // driver-side StrictMath reference.
     def check(df: org.apache.spark.sql.DataFrame): Unit =
       df.select($"f.n".as("kn"), $"f.s".as("ks"), $"hn", $"hs")
         .as[(Long, Double, Long, Double)].collect().foreach {
-          case (kn, ks, hn, hs) => assert(kn === hn); assert(ks === hs)
+          case (kn, ks, hn, hs) =>
+            assert(kn === hn)
+            assert(math.abs(ks - hs) <= math.ulp(hs), s"$ks vs $hs")
         }
     val docs = Seq((1L, "hello world hello"), (2L, "aa ab aa ba aa"),
       (3L, "x")).toDF("doc_id", "text")
