@@ -1170,16 +1170,25 @@ object SparkEntry {
     // oracle-mirrorable; corpus total is one bounded count.
     "q77_unigram_surprisal" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val toks = docs.select(col("doc_id"), explode(T.tokens(col("text"))).as("tok"))
-      val dc = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
-      val gc = toks.groupBy("tok").agg(count(lit(1)).as("gcnt"))
-      val total = toks.count().toDouble
-      val folded = dc.join(gc, "tok")
+      // one tokenize pass (cached for the fold AND the total), corpus
+      // token counts as a WINDOW sum over the per-doc counts (same
+      // q84 reshape: bit-identical integer sums, half the wire
+      // crossings of the former groupBy+join), and the corpus total as
+      // a broadcast 1-row scalar instead of a construction-time
+      // count() that re-tokenized everything
+      val dc = operators.Caches.releaseAfterUse(
+        docs.select(col("doc_id"), explode(T.tokens(col("text"))).as("tok"))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt")))
+      val withG = dc.withColumn("gcnt",
+        sum("cnt").over(Window.partitionBy("tok")))
+      val total = dc.agg(sum("cnt").cast("double").as("total"))
+      val folded = withG
         .groupBy("doc_id")
         .agg(sort_array(collect_list(struct(col("tok"), col("cnt"), col("gcnt"))))
           .as("cc"))
+        .crossJoin(broadcast(total))
         .select(col("doc_id"), graft.functions.GraftFunctions
-          .graftSurprisalFold(col("cc"), lit(total), "unigram").as("f"))
+          .graftSurprisalFold(col("cc"), col("total"), "unigram").as("f"))
         .select(col("doc_id"), col("f.n").as("n"), col("f.s").as("s"))
       docs.select("doc_id").join(folded, Seq("doc_id"), "left")
         .select(col("doc_id"),
