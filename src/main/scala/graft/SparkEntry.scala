@@ -1038,17 +1038,21 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val toks = docs.select(col("doc_id"), explode(T.tokens(col("text"))).as("tok"))
       val dtf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
-      // doc lengths roll up from dtf — one explode scan, not two
-      val dlen = dtf.groupBy("doc_id").agg(sum("cnt").as("n_tok"))
-      val dfT = dtf.groupBy("tok").agg(count(lit(1)).as("df"))
       val nDocs = docs.count().toDouble
+      // doc lengths and document frequencies roll up from dtf as
+      // WINDOW aggregates (the q84/q77 reshape: bit-identical integer
+      // sums/counts, and dtf crosses the wire twice instead of four
+      // times with the token strings aboard)
+      val withTotals = dtf
+        .withColumn("n_tok", sum("cnt").over(Window.partitionBy("doc_id")))
+        .withColumn("df", count(lit(1)).over(Window.partitionBy("tok")))
       // rank on the ROUNDED score (both engines): the raw argmax would
       // compare unrounded doubles whose last ulp can differ between
       // Spark's StrictMath.log and DuckDB's libm ln — rounding first
       // turns near-ties into exact ties that the tok tiebreak resolves
       // identically (review finding; same class as the unrounded-
       // threshold rule).
-      val scored = dtf.join(dlen, "doc_id").join(dfT, "tok")
+      val scored = withTotals
         .select(col("doc_id"), col("tok"),
           round(col("cnt") / col("n_tok") * log((lit(nDocs) + 1.0)
             / (col("df") + lit(1.0))), 6).as("score"))
