@@ -944,9 +944,12 @@ object SparkEntry {
       val quality = docs.filter(size(col("ts")) >= 20 &&
         lit(10) * size(regexp_extract_all(col("text"), lit("[0-9]"), lit(0)))
           <= lit(3) * greatest(length(col("text")), lit(1)))
-      // stage 2: exact dedup — keep min doc_id per text
-      val keepIds = quality.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
-      val deduped = quality.join(keepIds.select("doc_id"), Seq("doc_id"), "left_semi")
+      // stage 2: exact dedup — keep min doc_id per text (window min
+      // over the text partition, the q84/q77/q83 rollup reshape: one
+      // shuffle of the quality rows instead of groupBy + semi-join)
+      val deduped = quality
+        .withColumn("__keep", min(col("doc_id")).over(Window.partitionBy("text")))
+        .filter(col("doc_id") === col("__keep")).drop("__keep")
       // stage 3: decontamination — distinct 5-gram containment vs the
       // held-out bench set (doc_id < 10), integer compare 2·hits < n_sh
       val sh = operators.Caches.releaseAfterUse(docs.select(col("doc_id"),
