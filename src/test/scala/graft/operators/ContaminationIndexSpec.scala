@@ -62,6 +62,28 @@ class ContaminationIndexSpec extends SparkSpec {
     assert(spark.read.parquet(idx).distinct().count() === n2)
   }
 
+  test("check tolerates duplicate index rows (racing appends converge, never double-count)") {
+    // two concurrent append()s can both pass the anti-join and write
+    // the same shingles — the index then holds duplicates. That must
+    // be INVISIBLE to check(): the hit probe is a LEFT SEMI join, so a
+    // shingle matches at most once per doc no matter how many index
+    // copies exist. This pins the semi-join choice — an inner join
+    // here would silently double n_hit.
+    val idx = tmp("ci-dup")
+    ContaminationIndex.build(spark, idx, bench.toDF("id", "text"), "text", 5)
+    val clean = ContaminationIndex.check(spark,
+        corpus.toDF("doc_id", "text"), "doc_id", "text", idx, 5)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect().toSeq
+    // duplicate EVERY index row (worst-case racing-append debris)
+    spark.read.parquet(idx).write.mode("append").parquet(idx)
+    assert(spark.read.parquet(idx).count() ===
+      spark.read.parquet(idx).distinct().count() * 2)
+    val dup = ContaminationIndex.check(spark,
+        corpus.toDF("doc_id", "text"), "doc_id", "text", idx, 5)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(dup === clean)
+  }
+
   test("index is broadcast in the check plan (no index-side shuffle)") {
     val idx = tmp("ci-plan")
     ContaminationIndex.build(spark, idx, bench.toDF("id", "text"), "text", 5)
