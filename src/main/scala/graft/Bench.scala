@@ -68,14 +68,19 @@ object Bench {
     // where q_x silently stopped executing would otherwise read as a
     // q_x speedup
     val failed = scala.collection.mutable.Set.empty[String]
+    // a failed attempt's time-to-throw is NOT a sample: a query that
+    // starts failing fast must neither shrink `total` nor report a
+    // misleading per-query "time" — it returns NaN (rendered null in
+    // the passes record) and is excluded from results/total below,
+    // surviving only in the errors list
     def once(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try run(fn(spark, sfDir))
-      catch { case _: Throwable => failed += name }
+      val ok = try { run(fn(spark, sfDir)); true }
+        catch { case _: Throwable => failed += name; false }
       val t = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
-      t
+      if (ok) t else Double.NaN
     }
     val pass1 = names.map { case (name, fn) => name -> once(name, fn) }.toMap
     val pass2 = names.map { case (name, fn) => name -> once(name, fn) }.toMap
@@ -86,19 +91,24 @@ object Bench {
     // always get three sweep-separated chances.
     val noisy = names.filter { case (name, _) =>
       val (a, b) = (pass1(name), pass2(name))
-      math.max(a, b) / math.min(a, b) > 1.5 || math.min(a, b) >= 2.0
+      !failed(name) &&
+        (math.max(a, b) / math.min(a, b) > 1.5 || math.min(a, b) >= 2.0)
     }
     val pass3 = noisy.map { case (name, fn) => name -> once(name, fn) }.toMap
     def samples(name: String): Seq[Double] =
-      Seq(pass1(name), pass2(name)) ++ pass3.get(name)
-    val results = names.map { case (name, _) => name -> samples(name).min }
+      (Seq(pass1(name), pass2(name)) ++ pass3.get(name)).filterNot(_.isNaN)
+    // failed queries (any attempt threw) contribute no result row at
+    // all — a partially-failing query's surviving samples are not
+    // trustworthy either (its plan changed state mid-sweep)
+    val results = names.collect {
+      case (name, _) if !failed(name) => name -> samples(name).min }
     // load_suspect: after all sweeps the samples STILL spread >1.5x.
     // The min is reported either way (it is the best lower bound on the
     // plan's cost), but the flag tells the consumer that ambient load
     // touched this query in at least one sweep — distinguishing "noisy
     // environment" from "genuinely slow plan" without a re-run.
     val loadSuspect = names.collect { case (name, _)
-      if samples(name).max / samples(name).min > 1.5 => name }
+      if !failed(name) && samples(name).max / samples(name).min > 1.5 => name }
     val total = results.map(_._2).sum
     def render(rs: Seq[(String, Double)]): String = rs.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
@@ -118,7 +128,7 @@ object Bench {
     val passes = names.map { case (name, _) =>
       "\"" + name + "\":[" +
         (Seq(pass1(name), pass2(name)) ++ pass3.get(name))
-          .map(v => f"$v%.3f").mkString(",") + "]"
+          .map(v => if (v.isNaN) "null" else f"$v%.3f").mkString(",") + "]"
     }.mkString("{", ",", "}")
     val suspectJson = loadSuspect.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val errorsJson = failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")

@@ -2653,22 +2653,27 @@ object SparkEntry {
       s"SELECT vec_id, $tb AS tbl, $bucket AS bucket FROM $src"
     }.mkString(" UNION ALL ")
 
-  /** [[lshBucketUnion]] with the SCALE-ADAPTIVE width: emits all
-    * `maxBits` plane terms, each gated on `b < (SELECT bits FROM bb)` —
-    * the caller's `bb` CTE derives `bits` from count(*) with the same
-    * integer ladder as [[graft.operators.Dedup.adaptiveLshBits]]
-    * (planes(seed, bits, dim) is a prefix of planes(seed, maxBits,
-    * dim), so gating ≡ truncation). */
-  private def lshBucketUnionGated(src: String, seed0: Int, tables: Int,
+  /** [[lshBucketUnion]] with the SCALE-ADAPTIVE width AND table count:
+    * emits all `maxBits` plane terms, each gated on `b < (SELECT bits
+    * FROM bb)`, and all `maxTables` table branches, each gated on
+    * `tb < (SELECT tbls FROM bb)` — the caller's `bb` CTE derives both
+    * from count(*) with the same integer ladders as
+    * [[graft.operators.Dedup.adaptiveLshBits]] /
+    * [[graft.operators.Dedup.adaptiveLshTables]] (planes(seed, bits,
+    * dim) is a prefix of planes(seed, maxBits, dim), so gating ≡
+    * truncation; an ungated table branch past tbls would add rows, so
+    * its gate is a row filter). */
+  private def lshBucketUnionGated(src: String, seed0: Int, maxTables: Int,
       maxBits: Int, dim: Int): String =
-    (0 until tables).map { tb =>
+    (0 until maxTables).map { tb =>
       val bucket = PortableHash.planes(seed0 + tb, maxBits, dim).zipWithIndex.map {
         case (w, b) =>
           s"(CASE WHEN $b < (SELECT bits FROM bb) AND " +
             s"list_inner_product(v, ${PortableHash.sqlPlane(w)}) >= 0" +
             s" THEN ${1L << b} ELSE 0 END)"
       }.mkString("(", " + ", ")")
-      s"SELECT vec_id, $tb AS tbl, $bucket AS bucket FROM $src"
+      s"SELECT vec_id, $tb AS tbl, $bucket AS bucket FROM $src " +
+        s"WHERE $tb < (SELECT tbls FROM bb)"
     }.mkString(" UNION ALL ")
 
   lazy val oracleSql: Map[String, String] = Map(
@@ -3446,14 +3451,18 @@ object SparkEntry {
     "q25_embed_neardup" -> {
       // bb replays Dedup.adaptiveLshBits(count, 256, 6, 20) with the
       // same integer ladder: bits = 6 + |{j in 1..14 : n > 256·2^(5+j)}|
-      // (the thresholds are monotone, so counting ≡ the while loop);
-      // the gated bucket terms then truncate the maxBits plane list to
-      // exactly the prefix Spark's plan embedded.
-      val bk = lshBucketUnionGated("e", 58, tables = 2, maxBits = 20, dim = 64)
+      // (the thresholds are monotone, so counting ≡ the while loop),
+      // and Dedup.adaptiveLshTables(2, 6, bits, 16) as
+      // tbls = least(16, 2·2^((bits-5)//2)) — both integer-exact; the
+      // gated bucket terms then truncate the maxBits plane list to
+      // exactly the prefix Spark's plan embedded and the gated table
+      // branches to exactly the tables it amplified to.
+      val bk = lshBucketUnionGated("e", 58, maxTables = 16, maxBits = 20, dim = 64)
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         bb AS (SELECT CAST(6 + count(*) AS INT) AS bits
-                FROM range(1, 15) t(j), (SELECT count(*) AS n FROM e) c
-                WHERE c.n > 256 * (1::BIGINT << (5 + j))),
+         bb AS (SELECT bits, CAST(LEAST(16, 2 * (1 << ((bits - 5) // 2))) AS INT) AS tbls
+                FROM (SELECT CAST(6 + count(*) AS INT) AS bits
+                      FROM range(1, 15) t(j), (SELECT count(*) AS n FROM e) c
+                      WHERE c.n > 256 * (1::BIGINT << (5 + j)))),
          bk AS ($bk),
          cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
                   FROM bk a JOIN bk b

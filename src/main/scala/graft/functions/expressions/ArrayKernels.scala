@@ -1,10 +1,39 @@
 package graft.functions.expressions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
+
+/** Analysis-time input gates for the kernels below. All are SQL-
+  * registered ([[graft.functions.GraftFunctions.register]]), so a
+  * wrong-typed SQL call must fail as a named AnalysisException during
+  * analysis, not a ClassCastException from `dataType`/`eval` at
+  * runtime. Spark 4's `TypeCollection`/`ExpectsInputTypes` sugar is
+  * `private[sql]` for mixed float/double acceptance, so these are
+  * plain `checkInputDataTypes` implementations. */
+private[expressions] object KernelTypeCheck {
+  def ok: TypeCheckResult = TypeCheckResult.TypeCheckSuccess
+
+  def fail(fn: String, pos: String, want: String, got: DataType): TypeCheckResult =
+    TypeCheckResult.TypeCheckFailure(
+      s"$fn: $pos must be $want, got ${got.catalogString}")
+
+  def numericArray(fn: String, pos: String, e: Expression): TypeCheckResult =
+    e.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => ok
+      case other => fail(fn, pos, "array<float> or array<double>", other)
+    }
+
+  def arrayOf(fn: String, pos: String, e: Expression, elem: DataType,
+      want: String): TypeCheckResult =
+    e.dataType match {
+      case ArrayType(t, _) if t == elem => ok
+      case other => fail(fn, pos, want, other)
+    }
+}
 
 /**
  * Native Catalyst kernels for the hot per-pair inner loops of the
@@ -23,9 +52,13 @@ import org.apache.spark.unsafe.types.UTF8String
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  // accepts array<float> / array<double> on either side; callers are the
-  // engine's own operators (TypeCollection is private[sql] in Spark 4, so
-  // no analysis-time input check here)
+  // accepts array<float> / array<double> on either side
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val l = KernelTypeCheck.numericArray("graft_dot", "argument 1", left)
+    if (l.isFailure) l
+    else KernelTypeCheck.numericArray("graft_dot", "argument 2", right)
+  }
+
   override def dataType: DataType = DoubleType
 
   private def elemIsFloat(e: Expression): Boolean =
@@ -86,6 +119,9 @@ case class DotProduct(left: Expression, right: Expression)
  * contract — embedding arrays carry none.
  */
 case class UnitVector(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    KernelTypeCheck.numericArray("graft_unit_vec", "argument 1", child)
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
 
@@ -160,9 +196,30 @@ case class UnitVector(child: Expression) extends UnaryExpression {
  * among equal dots the LARGEST index wins (`>=` on an ascending scan),
  * so results are bit-identical to the literal form — lids are
  * positional by construction in every quantizer this engine builds.
+ *
+ * FINITE-INPUT CONTRACT (like the null-element one): the bit-identical
+ * claim holds for finite dot products only. A NaN dot (NaN element, or
+ * `+Inf · -Inf` etc.) never displaces the incumbent here (`NaN >= x`
+ * is false), while Spark's struct ordering in the `array_max` form
+ * treats NaN as the GREATEST value — so a vector with non-finite
+ * elements could be assigned a different list depending on which form
+ * ran. Every caller in this engine feeds unit-normalized finite
+ * embeddings (the quantizers reject/never produce non-finite
+ * centroids), so the divergence is unreachable in-engine; SQL callers
+ * own the contract.
  */
 case class ArgmaxDot(left: Expression, right: Expression)
     extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val l = KernelTypeCheck.numericArray("graft_argmax_dot", "argument 1", left)
+    if (l.isFailure) l
+    else right.dataType match {
+      case ArrayType(ArrayType(DoubleType, _), _) => KernelTypeCheck.ok
+      case other => KernelTypeCheck.fail("graft_argmax_dot", "argument 2",
+        "array<array<double>> (the centroid matrix)", other)
+    }
+  }
 
   override def dataType: DataType = IntegerType
 
@@ -268,6 +325,24 @@ case class SurprisalFold(arr: Expression, scalar: Expression, mode: String)
 
   override def left: Expression = arr
   override def right: Expression = scalar
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val fn = "graft_surprisal_fold"
+    // the struct ordinals each mode's fold reads as long (doc table)
+    val longOrds = mode match {
+      case "entropy" => Seq(1); case "unigram" => Seq(1, 2)
+      case "bigram" => Seq(2, 3, 4)
+    }
+    arr.dataType match {
+      case ArrayType(st: StructType, _) if st.size > longOrds.max &&
+          longOrds.forall(o => st(o).dataType == LongType) =>
+        if (scalar.dataType == DoubleType) KernelTypeCheck.ok
+        else KernelTypeCheck.fail(fn, "argument 2", "double", scalar.dataType)
+      case other => KernelTypeCheck.fail(fn, "argument 1",
+        s"array<struct> with bigint fields at ordinals " +
+          s"${longOrds.mkString(",")} (mode '$mode')", other)
+    }
+  }
 
   override def dataType: DataType = StructType(Seq(
     StructField("n", LongType, nullable = false),
@@ -389,6 +464,10 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
 
   require(n >= 1, s"graft_word_shingles: n must be >= 1, got $n")
 
+  override def checkInputDataTypes(): TypeCheckResult =
+    KernelTypeCheck.arrayOf("graft_word_shingles", "argument 1", child,
+      StringType, "array<string> (token array)")
+
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
   private val space = UTF8String.fromString(" ")
@@ -434,6 +513,11 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
 case class CharShingles(child: Expression, n: Int) extends UnaryExpression {
 
   require(n >= 1, s"graft_char_shingles: n must be >= 1, got $n")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) KernelTypeCheck.ok
+    else KernelTypeCheck.fail("graft_char_shingles", "argument 1",
+      "string", child.dataType)
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
@@ -490,6 +574,10 @@ case class CharShingles(child: Expression, n: Int) extends UnaryExpression {
  */
 case class CharDistEntropy(child: Expression) extends UnaryExpression {
 
+  override def checkInputDataTypes(): TypeCheckResult =
+    KernelTypeCheck.arrayOf("graft_char_entropy", "argument 1", child,
+      StringType, "array<string> (character array)")
+
   override def dataType: DataType = DoubleType
 
   def compute(a: ArrayData): Double = {
@@ -528,6 +616,14 @@ case class CharDistEntropy(child: Expression) extends UnaryExpression {
   * signature-agreement kernel (est. Jaccard = matches / numHashes). */
 case class LongArrayMatchCount(left: Expression, right: Expression)
     extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val l = KernelTypeCheck.arrayOf("graft_match_count", "argument 1",
+      left, LongType, "array<bigint> (signature)")
+    if (l.isFailure) l
+    else KernelTypeCheck.arrayOf("graft_match_count", "argument 2",
+      right, LongType, "array<bigint> (signature)")
+  }
 
   override def dataType: DataType = IntegerType
 

@@ -1011,6 +1011,25 @@ object Dedup {
     b
   }
 
+  /** LSH AMPLIFICATION companion of [[adaptiveLshBits]]: the table
+    * count that compensates the per-table recall the extra width
+    * costs — doubling `base` per +2 bits over `minBits` (an integer
+    * power-of-2 ladder, so the DuckDB oracle replays it exactly from
+    * the same `bits`; a float `acos(threshold)`-derived factor could
+    * flip a ceil in the last ulp cross-engine). The doubling holds
+    * overall recall EXACTLY when a qualifying pair agrees per bit
+    * w.p. 2^(-1/2) (cosine ≈ 0.61); every near-dup threshold above
+    * that (the 0.9+ settings dedup actually runs) agrees MORE often,
+    * so the ladder over-compensates — recall at (bits, tables') ≥
+    * recall at (minBits, base). Capped at `maxTables`: past the cap,
+    * cost stays bounded and the residual per-table recall loss is the
+    * caller's documented lever (raise maxTables or pre-collapse). */
+  def adaptiveLshTables(base: Int, minBits: Int, nbits: Int,
+      maxTables: Int = 16): Int = {
+    require(base >= 1 && nbits >= minBits)
+    math.min(maxTables, base << ((nbits - minBits + 1) / 2))
+  }
+
   /**
    * Embedding near-dup: cosine ≥ threshold pairs, candidate-limited to
    * shared LSH buckets (multi-probe over `tables` independent tables so
@@ -1020,13 +1039,29 @@ object Dedup {
    * replay the bucketing on the identical constants. `bits = 0` picks
    * the scale-adaptive width ([[adaptiveLshBits]] at this corpus'
    * count — one bounded metadata-count action at plan time), keeping
-   * bucket population bounded as the corpus grows; see the recall law
-   * there before raising data volume without raising `tables`.
+   * bucket population bounded as the corpus grows, AND amplifies the
+   * table count with it ([[adaptiveLshTables]] from the same `tables`
+   * base) so the extra width's per-table recall cost is compensated
+   * rather than silently absorbed; both choices are integer-derived
+   * from count(*) and logged, so the oracle replays them exactly.
+   * With explicit `bits > 0`, `tables` is used as passed.
    */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, bits: Int = 0, tables: Int = 2,
       portableDim: Int = 0): DataFrame = {
     val nbits = if (bits > 0) bits else adaptiveLshBits(df.count())
+    // adaptive width WITHOUT amplification would silently shrink
+    // per-table recall by (1-θ/π)^Δbits as the corpus grows — when the
+    // width adapts, the table count adapts with it (r9 advice), and the
+    // choice is logged so a recall change is never invisible
+    val ntables = if (bits > 0) tables
+      else adaptiveLshTables(tables, minBits = 6, nbits = nbits)
+    if (nbits != 6 || ntables != tables)
+      org.slf4j.LoggerFactory.getLogger(getClass).info(
+        s"embeddingNearDup adaptive LSH: bits=$nbits tables=$ntables " +
+          s"(base tables=$tables at 6 bits; per-table recall scales by " +
+          s"(1-theta/pi)^${nbits - 6}, amplification compensates at " +
+          "cosine >= 0.61)")
     // unit-normalize once per vector (norm staged as attribute) so the
     // per-pair verification is a single dot product. Buckets hash the
     // RAW vector (sign bits are scale-invariant — same bucket either way).
@@ -1034,10 +1069,10 @@ object Dedup {
       df.select(col(idCol).as("id"), col(vecCol).as("v0"),
         V.unitVec(col(vecCol)).as("v"))) // bucketing + both verify sides
     val bucketExprs =
-      if (portableDim > 0) (0 until tables).map(t =>
+      if (portableDim > 0) (0 until ntables).map(t =>
         V.lshBucketPlanes(col("v0"),
           graft.functions.PortableHash.planes(58 + t, nbits, portableDim)))
-      else (0 until tables).map(t => V.lshBucket(col("v0"), nbits, seed = 58 + t))
+      else (0 until ntables).map(t => V.lshBucket(col("v0"), nbits, seed = 58 + t))
     val bucketed = vecs.select(col("id"),
       posexplode(array(bucketExprs: _*)).as(Seq("tbl", "bucket")))
     // distinct pairs first (multi-table collisions dedup'd before the

@@ -18,8 +18,10 @@ import org.apache.hadoop.fs.{FileSystem, Path}
  *    concurrent writers of the same version collision-free BY PATH —
  *    no writer ever writes bytes into a directory another writer may
  *    own, so a racing loser can never clobber a committed generation;
- *    its unreferenced dir is debris the next preamble GC reclaims.
- *    The commit file records the ACTUAL dir names;
+ *    its unreferenced dir is debris a LATER preamble GC reclaims
+ *    (age-gated by [[stagedGrace]] so an in-flight peer's stage is
+ *    never mistaken for debris mid-write). The commit file records
+ *    the ACTUAL dir names;
  *  - the atomic flip is the EXISTENCE of a new small commit file
  *    `<dir>/_graft_commit-<v>` naming the live generation dir(s); a
  *    commit object is created once and never rewritten;
@@ -76,13 +78,17 @@ private[graft] object ManifestCommit {
 
   /** Writer-unique FINAL generation dir name for version `v`:
     * `g-<v>-<nonce>`. The random nonce makes concurrent writers of the
-    * same version collision-free BY PATH — no writer ever writes bytes
-    * into a directory another writer (committed or not) may own, so a
-    * racing loser can corrupt nothing: its dir is simply never
-    * referenced by a commit and the next preamble [[gc]] reclaims it.
-    * The commit file records the ACTUAL dir name (entries are names,
-    * not versions), so readers resolve the winner's dir exactly, and
-    * NO RENAME is ever needed — the dir is written once at its final
+    * same version collision-free BY PATH: no writer ever writes bytes
+    * into a directory another writer (committed or not) may own, so
+    * DIRECT clobbering is impossible. Path uniqueness alone is NOT the
+    * whole race story — a peer's preamble [[gc]] could still reclaim
+    * an in-flight stage it takes for debris; the [[stagedGrace]] age
+    * gate keeps fresh stages out of GC's reach and [[requireIntact]]
+    * backstops the rest, but SINGLE-WRITER remains the safety
+    * contract (races are detected loudly, not coordinated). The
+    * commit file records the ACTUAL dir name (entries are names, not
+    * versions), so readers resolve the winner's dir exactly, and NO
+    * RENAME is ever needed — the dir is written once at its final
     * path, preserving the protocol's object-store contract. Sorts
     * after the plain `g-<v>` form of the same version, which only
     * matters to humans listing the dir. */
@@ -117,6 +123,91 @@ private[graft] object ManifestCommit {
   def retention(spark: org.apache.spark.sql.SparkSession): Int =
     math.max(1, spark.conf.getOption("spark.graft.merge.retainCommits")
       .map(_.toInt).getOrElse(2))
+
+  /** Grace window (ms) during which an UNREFERENCED generation dir is
+    * presumed to be an in-flight concurrent writer's stage and
+    * survives [[gc]] — from `spark.graft.merge.stagedGraceMs`
+    * (default 60 s; 0 disables the gate). Rationale: a peer's
+    * preamble GC deleting a racing writer's stage mid-write was the
+    * one way the nonce-dir design could lose data files SILENTLY
+    * (r9 advice) — with the gate, a fresh stage is left alone and the
+    * peer aborts on its own version-dir probe instead. Consequence:
+    * after a CRASH, a restart within the grace window aborts on that
+    * same probe (the debris still looks in-flight) until the window
+    * passes — a supervisor retry rides it out; crash-simulation tests
+    * set the conf to 0 or age the debris. */
+  def stagedGrace(spark: org.apache.spark.sql.SparkSession): Long =
+    math.max(0L, spark.conf.getOption("spark.graft.merge.stagedGraceMs")
+      .map(_.toLong).getOrElse(60000L))
+
+  /** Newest modification time at-or-under `p`: the dir's own mtime or
+    * any entry below it (an actively-writing stage has fresh task/
+    * _temporary files even when the dir mtime has gone stale).
+    * Plain listStatus recursion — `listFiles(recursive)` resolves
+    * LocatedFileStatus permissions through the raw local FS, which
+    * breaks under custom-scheme FS wrappers (the NoRenameFs specs)
+    * and buys nothing on a generation-sized tree. */
+  private def newestMTime(fs: FileSystem, p: Path): Long = {
+    val st = fs.getFileStatus(p)
+    var m = st.getModificationTime
+    if (st.isDirectory)
+      fs.listStatus(p).foreach(c =>
+        m = math.max(m, newestMTime(fs, c.getPath)))
+    m
+  }
+
+  /** Data files of a generation dir as `(path, length)`, sorted —
+    * hidden/system entries (`_SUCCESS`, `_temporary`, dotfiles)
+    * excluded, exactly the set a parquet reader resolves. Writers
+    * capture this right after staging and [[requireIntact]] re-checks
+    * it just before the pointer flip. */
+  def dataFileListing(fs: FileSystem, p: Path): Seq[(String, Long)] = {
+    if (!fs.exists(p)) return Seq.empty
+    val buf = Seq.newBuilder[(String, Long)]
+    def walk(d: Path): Unit = fs.listStatus(d).foreach { s =>
+      val n = s.getPath.getName
+      if (!n.startsWith("_") && !n.startsWith(".")) {
+        if (s.isDirectory) walk(s.getPath)
+        else buf += ((s.getPath.toString, s.getLen))
+      }
+    }
+    walk(p)
+    buf.result().sortBy(_._1)
+  }
+
+  /** The writers' staged-files compare, run between staging and the
+    * pointer flip (the same TOCTOU-narrowing role [[requireUnchanged]]
+    * plays for the version): the staged generation must still hold
+    * exactly the files the write produced. A mismatch means an
+    * external actor — in practice a concurrent writer's preamble GC
+    * reclaiming what it took for debris — touched the stage, and
+    * committing would publish a generation with silently missing
+    * data; fail THIS writer loudly instead. With the
+    * [[stagedGrace]]-gated GC this should be unreachable (the peer
+    * skips fresh stages and aborts on its version probe); the check
+    * is the independent backstop for stages older than the grace. */
+  def requireIntact(fs: FileSystem, dir: Path, genPath: Path,
+      staged: Seq[(String, Long)]): Unit = {
+    // the dir itself vanishing covers the pre-capture window too: a
+    // reclaim between write-completion and the caller's listing left
+    // an empty `staged`, which would otherwise compare equal to the
+    // equally-empty re-listing — but Spark's committed write always
+    // leaves the directory itself, so its absence is unambiguous
+    if (!fs.exists(genPath))
+      throw new IllegalStateException(
+        s"staged generation $genPath vanished between write and commit — " +
+          "another process (a concurrent writer's GC?) reclaimed it. " +
+          "Snapshots are single-writer; stop the second stream, run " +
+          "Merge.fsck, and replay this batch")
+    val now = dataFileListing(fs, genPath)
+    if (now != staged)
+      throw new IllegalStateException(
+        s"staged generation $genPath changed between write and commit " +
+          s"(staged ${staged.size} data files, found ${now.size}) — " +
+          "another process (a concurrent writer's GC?) touched it. " +
+          "Snapshots are single-writer; stop the second stream, run " +
+          "Merge.fsck, and replay this batch")
+  }
 
   /** Versions whose commit files still exist and parse whole —
     * the versions [[readVersion]] can resolve, ascending. */
@@ -288,10 +379,24 @@ private[graft] object ManifestCommit {
     * [[versions]] lists stays readable (time travel) and the
     * lost-pointer fallback commit resolves to dirs that still exist.
     * Runs BEFORE any staging, so a re-delivered batch re-stages into
-    * clean paths. */
-  def gc(fs: FileSystem, dir: Path, retain: Int = 2): Unit = {
+    * clean paths.
+    *
+    * `graceMs` > 0 AGE-GATES the generation-dir reclaim: an
+    * unreferenced dir whose newest mtime (dir or any file under it)
+    * is within the window is left alone — it may be a concurrent
+    * writer's IN-FLIGHT stage, and deleting it mid-write was the one
+    * silent-data-loss hole in the nonce-dir design (r9 advice; see
+    * [[stagedGrace]]). Commit FILES are never age-gated: a torn or
+    * superseded commit object is inert (readers skip it), while a
+    * file above the live pointer must clear out for re-delivery. */
+  def gc(fs: FileSystem, dir: Path, retain: Int = 2,
+      graceMs: Long = 0L): Unit = {
     if (!fs.exists(dir)) return
     val keep = math.max(1, retain)
+    val now = System.currentTimeMillis()
+    def reclaim(p: Path): Unit =
+      if (graceMs <= 0L || now - newestMTime(fs, p) >= graceMs)
+        fs.delete(p, true)
     val st = read(fs, dir)
     val commits = fs.listStatus(dir).map(_.getPath)
       .filter(_.getName.startsWith(Prefix)).sortBy(_.getName)
@@ -306,6 +411,13 @@ private[graft] object ManifestCommit {
       case (p, i) if i <= liveIdx && i > liveIdx - keep => p
     }
     val retainedNames = retained.map(_.getName).toSet
+    // generations a DROPPED commit referenced were committed once —
+    // definitely not an in-flight stage, so they reclaim immediately
+    // regardless of age (vacuum of fresh superseded history); only
+    // NEVER-referenced dirs — the ones that might be a peer's
+    // in-flight stage — get the grace gate
+    val droppedLive = commits.filterNot(p => retainedNames(p.getName))
+      .flatMap(p => parse(fs, p)).flatMap(_.live).toSet
     commits.foreach(p => if (!retainedNames(p.getName)) fs.delete(p, false))
     val data = dataDir(dir)
     if (fs.exists(data)) {
@@ -313,13 +425,17 @@ private[graft] object ManifestCommit {
       // torn retained predecessor contributes nothing and its
       // generations are reclaimed)
       val live = retained.flatMap(p => parse(fs, p)).flatMap(_.live).toSet
+      def drop(rel: String, p: Path): Unit =
+        if (!live(rel)) {
+          if (droppedLive(rel)) fs.delete(p, true) else reclaim(p)
+        }
       fs.listStatus(data).filter(_.isDirectory).foreach { child =>
         val n = child.getPath.getName
         if (n.startsWith("g-")) {
-          if (!live(n)) fs.delete(child.getPath, true)
+          drop(n, child.getPath)
         } else {
           fs.listStatus(child.getPath).filter(_.isDirectory).foreach { g =>
-            if (!live(n + "/" + g.getPath.getName)) fs.delete(g.getPath, true)
+            drop(n + "/" + g.getPath.getName, g.getPath)
           }
           if (fs.listStatus(child.getPath).isEmpty)
             fs.delete(child.getPath, false)

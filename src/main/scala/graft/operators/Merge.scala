@@ -321,9 +321,11 @@ object Merge {
       partCol: String, opCol: String, dataSchema: DataFrame,
       touched: Seq[String], leafName: String => String): Seq[String] = {
     // preamble GC = the whole recovery story: torn commits and
-    // staged-but-uncommitted generations from any crash point clear out
+    // staged-but-uncommitted generations from any crash point clear
+    // out (fresh stages survive the grace window — see stagedGrace)
     val retain = ManifestCommit.retention(spark)
-    ManifestCommit.gc(fs, dir, retain)
+    val grace = ManifestCommit.stagedGrace(spark)
+    ManifestCommit.gc(fs, dir, retain, grace)
     val st = ManifestCommit.read(fs, dir)
     requireManifestLayout(fs, dir, st)
     require(newestNonEmptyState(fs, dir).forall(_.live.forall(_.contains("/"))),
@@ -409,9 +411,17 @@ object Merge {
       finally pool.shutdown()
       val newLive = (liveMap -- touched.map(leafName)) ++
         nonEmpty.map(v => leafName(v) -> gen)
+      // the staged files as written — re-checked below (requireIntact)
+      // so a peer's GC reclaiming a stage mid-commit fails THIS writer
+      // loudly instead of publishing generations with missing files
+      val stagedPaths = nonEmpty.map(v => new Path(new Path(data, leafName(v)), gen))
+      val stagedListings = stagedPaths.map(p =>
+        p -> ManifestCommit.dataFileListing(fs, p))
       // multi-writer guards 2+3: expected-version compare, then the
       // commit file's exclusive create (see commitWholeGeneration)
       ManifestCommit.requireUnchanged(fs, dir, st)
+      stagedListings.foreach { case (p, l) =>
+        ManifestCommit.requireIntact(fs, dir, p, l) }
       // the flip: one small commit object names the live generations
       ManifestCommit.write(fs, dir,
         ManifestCommit.State(newVer,
@@ -419,7 +429,7 @@ object Merge {
       // post-commit cleanup of generations older than the retention
       // window (best-effort — a crash here is repaired by the next
       // preamble GC)
-      ManifestCommit.gc(fs, dir, retain)
+      ManifestCommit.gc(fs, dir, retain, grace)
     } finally merged.unpersist()
     touched
   }
@@ -562,7 +572,8 @@ object Merge {
     val dir = new Path(snapshotDir)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     val retain = ManifestCommit.retention(spark)
-    ManifestCommit.gc(fs, dir, retain)
+    val grace = ManifestCommit.stagedGrace(spark)
+    ManifestCommit.gc(fs, dir, retain, grace)
     val st = ManifestCommit.read(fs, dir)
     requireManifestLayout(fs, dir, st)
     require(newestNonEmptyState(fs, dir).forall(_.live.forall(!_.contains("/"))),
@@ -585,14 +596,19 @@ object Merge {
     val gen = ManifestCommit.stagedGenName(newVer)
     val genPath = new Path(ManifestCommit.dataDir(dir), gen)
     writeGen(genPath.toString, st)
+    // the staged files as written — re-checked below so GC
+    // interference from a racing peer fails THIS commit loudly
+    // instead of publishing a generation with missing files
+    val stagedFiles = ManifestCommit.dataFileListing(fs, genPath)
     // multi-writer guard 2: expected-version compare before the flip;
     // guard 3 is the commit file's own exclusive create
     ManifestCommit.requireUnchanged(fs, dir, st)
+    ManifestCommit.requireIntact(fs, dir, genPath, stagedFiles)
     ManifestCommit.write(fs, dir,
       ManifestCommit.State(newVer, Seq(gen), tag))
     // post-commit cleanup beyond retention (best-effort — a crash here
     // is repaired by the next preamble GC)
-    ManifestCommit.gc(fs, dir, retain)
+    ManifestCommit.gc(fs, dir, retain, grace)
   }
 
   /** Read-only integrity audit of a manifest snapshot (any store that
@@ -639,8 +655,11 @@ object Merge {
     * `spark.graft.merge.retainCommits` automatically. */
   def vacuum(spark: SparkSession, snapshotDir: String, keepLast: Int): Unit = {
     val dir = new Path(snapshotDir)
+    // the same staged-grace gate as the writers' preamble: vacuum run
+    // while a writer is staging must not reclaim the fresh stage
     ManifestCommit.gc(
-      dir.getFileSystem(spark.sessionState.newHadoopConf()), dir, keepLast)
+      dir.getFileSystem(spark.sessionState.newHadoopConf()), dir, keepLast,
+      ManifestCommit.stagedGrace(spark))
   }
 
   /** Restore partitions parked (`.merge_old_*`) by a crashed

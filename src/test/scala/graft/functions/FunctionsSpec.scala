@@ -149,6 +149,29 @@ class FunctionsSpec extends SparkSpec {
     assert(e2.getMessage.contains("graft_h60"))
   }
 
+  test("wrong input TYPES fail analysis as named errors, never ClassCastException") {
+    def bad(sql: String, fn: String): Unit = {
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(sql).collect()
+      }
+      assert(e.getMessage.contains(fn), s"$fn: got ${e.getMessage}")
+    }
+    bad("SELECT graft_unit_vec('abc')", "graft_unit_vec")
+    bad("SELECT graft_dot(array('a'), array(1.0D))", "graft_dot")
+    bad("SELECT graft_argmax_dot(array(1.0D), array(1.0D))", "graft_argmax_dot")
+    bad("SELECT graft_match_count(array('x'), array('y'))", "graft_match_count")
+    bad("SELECT graft_word_shingles('not an array', 2)", "graft_word_shingles")
+    bad("SELECT graft_char_shingles(array('a'), 2)", "graft_char_shingles")
+    bad("SELECT graft_char_entropy('abc')", "graft_char_entropy")
+    bad("SELECT graft_surprisal_fold(array(named_struct('c', 'x', 'n', 1)), 2.0D, 'entropy')",
+      "graft_surprisal_fold")
+    // well-typed calls still pass analysis + run
+    assert(spark.sql("SELECT graft_unit_vec(array(3.0D, 4.0D)) AS v")
+      .head().getSeq[Double](0) === Seq(0.6, 0.8))
+    assert(spark.sql("SELECT graft_match_count(array(1L, 2L), array(1L, 3L)) AS m")
+      .head().getInt(0) === 1)
+  }
+
   test("GraftExtensions installs into a SparkSessionExtensions instance") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new graft.GraftExtensions().apply(ext) // must not throw; functional

@@ -181,6 +181,33 @@ class DedupSpec extends SparkSpec {
     assert(adaptive === fixed)
   }
 
+  test("adaptiveLshTables: amplification ladder doubles per +2 bits, capped") {
+    // Δbits = 0 → unchanged; the ladder is ceil-ing (Δ=1 already 2×)
+    assert(Dedup.adaptiveLshTables(2, 6, 6) === 2)
+    assert(Dedup.adaptiveLshTables(2, 6, 7) === 4)
+    assert(Dedup.adaptiveLshTables(2, 6, 8) === 4)
+    assert(Dedup.adaptiveLshTables(2, 6, 10) === 8)
+    assert(Dedup.adaptiveLshTables(2, 6, 12) === 16)
+    assert(Dedup.adaptiveLshTables(2, 6, 20) === 16) // the cost cap
+    assert(Dedup.adaptiveLshTables(4, 6, 8, maxTables = 64) === 8)
+    // recall compensation in effect: widening the signature WITHOUT
+    // amplification loses pairs this synthetic set still finds WITH it
+    val vecs = (0L until 64L).flatMap(i => Seq(
+      (2 * i, Array.tabulate(8)(d => ((i * 5 + d) % 11).toFloat)),
+      (2 * i + 1, Array.tabulate(8)(d =>
+        ((i * 5 + d) % 11).toFloat + (if (d == 7) 0.01f else 0f)))))
+      .toDF("vec_id", "embedding")
+    val amplified = Dedup.embeddingNearDup(vecs, "vec_id", "embedding",
+        threshold = 0.99, bits = 10,
+        tables = Dedup.adaptiveLshTables(2, 6, 10))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val unamplified = Dedup.embeddingNearDup(vecs, "vec_id", "embedding",
+        threshold = 0.99, bits = 10, tables = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(unamplified.subsetOf(amplified))
+    assert(amplified.size >= unamplified.size)
+  }
+
   test("signature store: incremental near-dup equals the full run on batch-touching pairs") {
     val dir = java.nio.file.Files.createTempDirectory("sigstore").toString + "/sigs"
     val history = Seq(

@@ -1,0 +1,227 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+
+import graft.SparkSpec
+import graft.streaming.MergeSink
+
+/** Abrupt-death recovery for the manifest commit protocol — the 100 TB
+  * failure mode #1 is a writer process dying mid-anything, so every
+  * death point must leave readers on committed state and let a
+  * restarted writer proceed (after the staged-grace window for debris
+  * that still looks in-flight):
+  *
+  *  1. death mid-`writeGen` — a partial generation dir, no commit file;
+  *  2. death mid-pointer-write — a torn commit file above the live one;
+  *  3. death after the flip, before post-commit cleanup — superseded
+  *     generations linger;
+  *  4. the staged-grace gate itself: fresh crash debris aborts a
+  *     restart LOUDLY (indistinguishable from a live concurrent
+  *     writer) until it ages; a peer's GC never reclaims a fresh
+  *     stage, and when the gate is off the [[ManifestCommit
+  *     .requireIntact]] backstop still makes the loss loud, not
+  *     silent.
+  */
+class MergeCrashSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String) =
+    Files.createTempDirectory(prefix).toString + "/snap"
+
+  private def b(rows: (Long, String, String, Double, Long)*) =
+    rows.toDF("k", "op", "name", "bal", "seq")
+
+  private def state(dir: String): Seq[(Long, String, Double)] =
+    Merge.readSnapshot(spark, dir).orderBy("k")
+      .as[(Long, String, Double)].collect().toSeq
+
+  private def fsOf(dir: String) =
+    new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** age every never-referenced staged dir past the grace window —
+    * what wall-clock time does for real crash debris */
+  private def ageDebris(dir: String): Unit = {
+    val fs = fsOf(dir)
+    val data = ManifestCommit.dataDir(new Path(dir))
+    val old = System.currentTimeMillis() - 600000L
+    def ageTree(p: Path): Unit = {
+      fs.listStatus(p).foreach { c =>
+        if (c.isDirectory) ageTree(c.getPath)
+        else fs.setTimes(c.getPath, old, -1L)
+      }
+      fs.setTimes(p, old, -1L)
+    }
+    if (fs.exists(data)) fs.listStatus(data).filter(_.isDirectory)
+      .foreach(c => ageTree(c.getPath))
+  }
+
+  private def genDirs(dir: String): Set[String] = {
+    val fs = fsOf(dir)
+    val data = ManifestCommit.dataDir(new Path(dir))
+    if (!fs.exists(data)) Set.empty
+    else fs.listStatus(data).filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith("g-")).toSet
+  }
+
+  test("death mid-writeGen: partial stage is debris; restart recovers and commits") {
+    val dir = tmp("crash-midwrite")
+    MergeSink.applyBatch(spark, b((1L, "I", "a", 1.0, 1L)), dir,
+      "k", "op", "seq", manifestCommit = true) // v1
+    // the writer dies halfway through staging v2: some files landed,
+    // no commit file was ever written
+    val boom = intercept[RuntimeException] {
+      Merge.commitWholeGeneration(spark, dir) { (genPath, _) =>
+        Seq((2L, "half", 2.0)).toDF("k", "name", "bal")
+          .write.mode("overwrite").parquet(genPath)
+        throw new RuntimeException("simulated process death mid-write")
+      }
+    }
+    assert(boom.getMessage.contains("death"))
+    // readers: only committed state, the debris is invisible
+    assert(state(dir) === Seq((1L, "a", 1.0)))
+    assert(genDirs(dir).size === 2) // v1 live + v2 debris
+    // restart after the grace window (real debris is old by then)
+    ageDebris(dir)
+    MergeSink.applyBatch(spark, b((2L, "I", "b", 2.0, 2L)), dir,
+      "k", "op", "seq")
+    assert(state(dir) === Seq((1L, "a", 1.0), (2L, "b", 2.0)))
+    // the crashed stage was reclaimed by the preamble GC — what
+    // remains is exactly the retained commits' generations
+    val fs = fsOf(dir)
+    val live = ManifestCommit.read(fs, new Path(dir)).get.live.toSet
+    assert(genDirs(dir).forall(g =>
+      live(g) || ManifestCommit.versions(fs, new Path(dir))
+        .flatMap(v => ManifestCommit.readVersion(fs, new Path(dir), v))
+        .exists(_.live.contains(g))))
+    assert(Merge.fsck(spark, dir)
+      .filter(org.apache.spark.sql.functions
+        .col("kind") === "orphan_generation").count() === 0)
+  }
+
+  test("death mid-pointer-write: torn commit is skipped; re-delivery heals it") {
+    val dir = tmp("crash-midflip")
+    MergeSink.applyBatch(spark, b((1L, "I", "a", 1.0, 1L)), dir,
+      "k", "op", "seq", manifestCommit = true) // v1
+    val fs = fsOf(dir)
+    // v2 staged FULLY, then the process died while uploading the
+    // commit object: content is present but the trailer never landed
+    val gen = ManifestCommit.stagedGenName(2L)
+    Seq((2L, "torn", 2.0)).toDF("k", "name", "bal")
+      .write.parquet(new Path(ManifestCommit.dataDir(new Path(dir)), gen).toString)
+    val torn = fs.create(new Path(dir, "_graft_commit-000000000002"), false)
+    torn.write(s"graft-commit v1 2\n$gen\n".getBytes("UTF-8")) // no trailer
+    torn.close()
+    // readers resolve through the newest WHOLE commit — still v1
+    assert(state(dir) === Seq((1L, "a", 1.0)))
+    // the restarted writer re-delivers batch 2: the torn commit file
+    // and (aged) stale stage clear out, v2 commits cleanly
+    ageDebris(dir)
+    MergeSink.applyBatch(spark, b((2L, "I", "b", 2.0, 2L)), dir,
+      "k", "op", "seq")
+    assert(state(dir) === Seq((1L, "a", 1.0), (2L, "b", 2.0)))
+    assert(Merge.snapshotVersions(spark, dir).max === 2L)
+  }
+
+  test("death after flip, before cleanup: history lingers then GCs; state is the committed one") {
+    val dir = tmp("crash-postflip")
+    // three versions; the post-commit cleanup after v3 "never ran"
+    // (simulated by vacuum-less writes — retention keeps 2, so v1's
+    // generation is cleanup work that a crash could leave behind; a
+    // LATER writer's preamble does it instead)
+    MergeSink.applyBatch(spark, b((1L, "I", "a", 1.0, 1L)), dir,
+      "k", "op", "seq", manifestCommit = true)
+    MergeSink.applyBatch(spark, b((2L, "I", "b", 2.0, 2L)), dir,
+      "k", "op", "seq")
+    MergeSink.applyBatch(spark, b((3L, "I", "c", 3.0, 3L)), dir,
+      "k", "op", "seq")
+    assert(state(dir) ===
+      Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)))
+    // only the retained window's generations remain — the preamble of
+    // each later batch completed the crashed cleanup's work (committed
+    // = referenced-by-dropped-commit dirs reclaim with NO age gate)
+    assert(Merge.snapshotVersions(spark, dir) === Seq(2L, 3L))
+    assert(genDirs(dir).size === 2)
+  }
+
+  test("fresh crash debris aborts a too-early restart loudly, then ages out") {
+    val dir = tmp("crash-grace")
+    MergeSink.applyBatch(spark, b((1L, "I", "a", 1.0, 1L)), dir,
+      "k", "op", "seq", manifestCommit = true) // v1
+    intercept[RuntimeException] {
+      Merge.commitWholeGeneration(spark, dir) { (genPath, _) =>
+        Seq((2L, "half", 2.0)).toDF("k", "name", "bal")
+          .write.mode("overwrite").parquet(genPath)
+        throw new RuntimeException("simulated process death mid-write")
+      }
+    }
+    // within the grace window the debris is indistinguishable from a
+    // live concurrent writer's stage — the restart must NOT delete it
+    // and must abort on the version probe instead
+    val e = intercept[IllegalArgumentException] {
+      MergeSink.applyBatch(spark, b((2L, "I", "b", 2.0, 2L)), dir,
+        "k", "op", "seq")
+    }
+    assert(e.getMessage.contains("concurrent writer"))
+    assert(state(dir) === Seq((1L, "a", 1.0))) // nothing was harmed
+    // after the window (debris mtime ages), the same batch proceeds
+    ageDebris(dir)
+    MergeSink.applyBatch(spark, b((2L, "I", "b", 2.0, 2L)), dir,
+      "k", "op", "seq")
+    assert(state(dir) === Seq((1L, "a", 1.0), (2L, "b", 2.0)))
+  }
+
+  test("a peer's GC spares a fresh stage; with the gate off the loss is loud, not silent") {
+    val dir = tmp("crash-gcrace")
+    MergeSink.applyBatch(spark, b((1L, "I", "a", 1.0, 1L)), dir,
+      "k", "op", "seq", manifestCommit = true) // v1
+    val fs = fsOf(dir)
+    val p = new Path(dir)
+    // graceful peer: a preamble GC (grace on) while our stage is fresh
+    // must leave it untouched
+    Merge.commitWholeGeneration(spark, dir) { (genPath, _) =>
+      Seq((2L, "b", 2.0)).toDF("k", "name", "bal")
+        .write.mode("overwrite").parquet(genPath)
+      ManifestCommit.gc(fs, p, retain = 2, graceMs = 60000L)
+      assert(fs.exists(new Path(genPath)),
+        "grace-gated GC must not reclaim a fresh in-flight stage")
+    }
+    // commitWholeGeneration is the raw whole-snapshot primitive: the
+    // staged gen IS the new snapshot content
+    assert(state(dir) === Seq((2L, "b", 2.0)))
+    // hostile peer: gate off (grace 0) — the stage IS reclaimed, and
+    // the writer's pre-flip intactness check turns silent data loss
+    // into a loud abort; the live commit stays v2
+    val e = intercept[IllegalStateException] {
+      Merge.commitWholeGeneration(spark, dir) { (genPath, _) =>
+        Seq((3L, "c", 3.0)).toDF("k", "name", "bal")
+          .write.mode("overwrite").parquet(genPath)
+        ManifestCommit.gc(fs, p, retain = 2, graceMs = 0L)
+      }
+    }
+    assert(e.getMessage.contains("between write and commit"))
+    assert(state(dir) === Seq((2L, "b", 2.0)))
+    assert(Merge.snapshotVersions(spark, dir).max === 2L)
+  }
+
+  test("vacuum reclaims aged orphaned nonce dirs, spares fresh ones") {
+    val dir = tmp("crash-vacuum")
+    MergeSink.applyBatch(spark, b((1L, "I", "a", 1.0, 1L)), dir,
+      "k", "op", "seq", manifestCommit = true)
+    val fs = fsOf(dir)
+    val data = ManifestCommit.dataDir(new Path(dir))
+    // two orphaned stages from dead writers: one old, one fresh
+    val oldOrphan = new Path(data, ManifestCommit.stagedGenName(7L))
+    val newOrphan = new Path(data, ManifestCommit.stagedGenName(8L))
+    fs.mkdirs(oldOrphan); fs.mkdirs(newOrphan)
+    fs.setTimes(oldOrphan, System.currentTimeMillis() - 600000L, -1L)
+    Merge.vacuum(spark, dir, keepLast = 2)
+    assert(!fs.exists(oldOrphan), "aged orphan must be vacuumed")
+    assert(fs.exists(newOrphan), "fresh orphan may be in-flight — spared")
+    // once aged, the next vacuum takes it too
+    fs.setTimes(newOrphan, System.currentTimeMillis() - 600000L, -1L)
+    Merge.vacuum(spark, dir, keepLast = 2)
+    assert(!fs.exists(newOrphan))
+  }
+}

@@ -404,6 +404,10 @@ class MergeSinkSpec extends SparkSpec {
     // the commit file upload tore half-way (no trailer)
     val orphan = new org.apache.hadoop.fs.Path(dir + "/data/g-000000000002")
     fs.mkdirs(orphan)
+    // age the debris past the staged-grace window: real crash debris is
+    // old by the time the re-delivered batch runs; fresh unreferenced
+    // dirs are deliberately LEFT by GC (they may be an in-flight peer)
+    fs.setTimes(orphan, System.currentTimeMillis() - 600000L, -1L)
     val torn = fs.create(
       new org.apache.hadoop.fs.Path(dir + "/_graft_commit-000000000002"), false)
     torn.write("graft-commit v1 2\ng-000000000002\n".getBytes("UTF-8")) // no trailer
