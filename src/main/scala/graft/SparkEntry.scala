@@ -1884,6 +1884,13 @@ object SparkEntry {
     // at build). Deterministic quantizers ⇒ results equal q103's
     // per-query operator rank for rank, so the oracle is the same full
     // replay — which also pins that build+search introduces no drift.
+    // the store's RECALL-TARGETED operating point live end-to-end:
+    // build → calibrate (the measured recall-vs-nprobe curve persisted
+    // as store metadata) → search at nprobe = 0, which now means "the
+    // calibrated depth", not the constant 37.5% probed share. The
+    // oracle replays the WHOLE calibration — ground-truth top-k, probe
+    // ranks, cumulative recall, the chosen depth — so a drift anywhere
+    // in the measurement or its consumption hash-mismatches.
     "q109_ann_ivf_store" -> ((s, dir) => {
       val store = new java.io.File(sys.props("java.io.tmpdir"),
         s"graft_ivfstore_${Integer.toHexString(dir.hashCode)}_$jvmToken")
@@ -1891,8 +1898,11 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
       Similarity.buildIvfStore(e, store, nlist = 8, iters = 0, m = 4,
         ksub = 8, dim = 64)
-      Similarity.searchIvfStoreAdc(s, e.filter(col("vec_id") < 10), store,
-          k = 5, nprobe = 3, candN = 20)
+      val q = e.filter(col("vec_id") < 10) // 10 ≤ sampleN: sample = all
+      Similarity.calibrateIvfStore(s, store, q, k = 5,
+        targetRecall = 0.9, sampleN = 32)
+      Similarity.searchIvfStoreAdc(s, q, store,
+          k = 5, nprobe = 0, candN = 20)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -2507,7 +2517,48 @@ object SparkEntry {
        SELECT src AS doc_id, least(src, min(dst)) AS component
        FROM r GROUP BY src ORDER BY doc_id"""
 
-  private lazy val ivfPqReplaySql: String = {
+  private lazy val ivfPqReplaySql: String = ivfPqReplaySqlAt("3", "")
+
+  /** [[ivfPqReplaySql]] with the probe depth replayed from the STORE'S
+    * PERSISTED CALIBRATION instead of a constant: the calibration CTEs
+    * recompute [[graft.operators.Similarity.calibrateIvfNprobe]]'s
+    * measured recall curve exactly — exact top-k ground truth per
+    * query (cos DESC, item_id ASC — the TopK.perGroup tiebreak), each
+    * true neighbor's list resolved through the deterministic
+    * assignment, probe_rank as the 1-based position of that list in
+    * the query's descending centroid order (score DESC, lid DESC — the
+    * reverse(array_sort) tiebreak), cumulative hits over probe_rank as
+    * the recall curve, chosen = smallest depth meeting the target
+    * (nlist when none does). Both engines derive recall as the same
+    * integer-count division, so the >= 0.9 threshold compare is
+    * bit-identical. Valid because q109's query set (10 rows) is within
+    * sampleN=32 — the md5 sample is the WHOLE set, so no pick replay
+    * is needed. */
+  private lazy val ivfPqReplayCalibratedSql: String = ivfPqReplaySqlAt(
+    "(SELECT np FROM chosen)",
+    """tru AS (SELECT query_id, lid FROM (
+                 SELECT qn.query_id, asn.lid,
+                   row_number() OVER (PARTITION BY qn.query_id
+                     ORDER BY list_inner_product(qn.qv, en.nv) DESC,
+                              en.vec_id ASC) AS rn
+                 FROM qn, en JOIN asn ON asn.item_id = en.vec_id
+                 WHERE en.vec_id != qn.query_id) WHERE rn <= 5),
+       rk AS (SELECT qn.query_id, cent.lid,
+                row_number() OVER (PARTITION BY qn.query_id
+                  ORDER BY list_inner_product(qn.qv, cent.cv) DESC,
+                           cent.lid DESC) AS probe_rank
+              FROM qn, cent),
+       hits AS (SELECT rk.probe_rank FROM tru
+                JOIN rk ON rk.query_id = tru.query_id AND rk.lid = tru.lid),
+       curve AS (SELECT probe_rank AS np,
+                   CAST(sum(count(*)) OVER (ORDER BY probe_rank) AS DOUBLE)
+                     / (SELECT count(*) FROM hits) AS recall
+                 FROM hits GROUP BY probe_rank),
+       chosen AS (SELECT coalesce(min(np), 8) AS np
+                  FROM curve WHERE recall >= 0.9),""")
+
+  private def ivfPqReplaySqlAt(probeDepth: String,
+      calibCtes: String): String = {
       val (m, subdim, ksub, candN, k) = (4, 16, 8, 20, 5)
       val adc = (0 until m).map(j =>
           s"list_inner_product(pr.qv[${j * subdim + 1}:${(j + 1) * subdim}], b$j.cw)")
@@ -2532,11 +2583,12 @@ object SparkEntry {
                        ORDER BY list_inner_product(en.nv, cent.cv) DESC, cent.lid DESC) AS rn
                    FROM en, cent) WHERE rn = 1),
          qn AS (SELECT vec_id AS query_id, nv AS qv FROM en WHERE vec_id < 10),
+         $calibCtes
          pr AS (SELECT query_id, qv, lid FROM (
                   SELECT qn.query_id, qn.qv, cent.lid,
                     row_number() OVER (PARTITION BY qn.query_id
                       ORDER BY list_inner_product(qn.qv, cent.cv) DESC, cent.lid DESC) AS rn
-                  FROM qn, cent) WHERE rn <= 3),
+                  FROM qn, cent) WHERE rn <= $probeDepth),
          cb AS (SELECT CAST(rn - 1 AS INT) AS code, nv FROM (
                   SELECT nv, row_number() OVER
                     (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
@@ -4357,7 +4409,7 @@ object SparkEntry {
     "q103_ann_ivfpq" -> ivfPqReplaySql,
     // the materialized store's build+ADC-search must replay the exact
     // same pipeline — deterministic quantizers, identical ranking.
-    "q109_ann_ivf_store" -> ivfPqReplaySql,
+    "q109_ann_ivf_store" -> ivfPqReplayCalibratedSql,
     // the bucketed layout must be invisible to results: plain join.
     "q104_bucketed_join" ->
       """SELECT c_mktsegment, count(*) AS n_orders,

@@ -734,11 +734,9 @@ object Similarity {
       storeDir: String, k: Int, nprobe: Int = 4): DataFrame = {
     import spark.implicits._
     val centers = readCentroids(spark, storeDir)
-    // nprobe = 0: derive from the STORED quantizer size — the probed
-    // corpus share stays the adaptive default whatever nlist the store
-    // was built with
-    val np = if (nprobe > 0) nprobe
-      else math.max(1, math.ceil(centers.size * 0.375).toInt)
+    // nprobe = 0: the persisted calibration when fresh, else the
+    // constant probed share derived from the STORED quantizer size
+    val np = resolveStoreNprobe(spark, storeDir, nprobe, centers.size)
     val q = unitVecs(queries, "query_id", "query_vec")
     val probes = q.select(col("query_id"), col("query_vec"),
         explode(slice(reverse(array_sort(centScores(centers, col("query_vec")))), 1, np))
@@ -775,8 +773,11 @@ object Similarity {
     val books = readBooks(spark, storeDir)
     val m = books.size
     val subdim = books.head.head.size
-    val np = if (nprobe > 0) nprobe
-      else math.max(1, math.ceil(centers.size * 0.375).toInt)
+    // nprobe = 0: the persisted calibration when fresh, else the
+    // constant probed share (see resolveStoreNprobe). For ADC the
+    // calibrated curve bounds LIST recall — the shortlist re-rank can
+    // only lose on top of it, never recover an unprobed list
+    val np = resolveStoreNprobe(spark, storeDir, nprobe, centers.size)
     // candN = 0: adaptive shortlist — sized from the STORE's item count
     // (one narrow count over the encoded table), so a store grown by
     // appends keeps its shortlist recall without the caller retuning
@@ -892,6 +893,77 @@ object Similarity {
   }
 
   /**
+   * Run [[calibrateIvfNprobe]] against a built store and PERSIST the
+   * result as store metadata — the wiring that makes the measured
+   * recall curve the store's OPERATING POINT instead of a report:
+   *
+   *  - `<storeDir>/calibration` — one row `(nprobe, target_recall, k,
+   *    sample_n, n_items, n_lists)`: the chosen nprobe plus the store
+   *    size and quantizer size it was measured AGAINST (what
+   *    [[ivfStoreAdvice]] compares to flag staleness);
+   *  - `<storeDir>/calibration_curve` — the full `(nprobe, recall)`
+   *    curve for observability.
+   *
+   * [[searchIvfStore]] / [[searchIvfStoreAdc]] with `nprobe = 0`
+   * consume the persisted value in preference to the constant
+   * probed-share default — the knob that stops per-query cost growing
+   * linearly with the corpus: as N grows under a √N-sized quantizer,
+   * the recall target is typically met at a SHRINKING share of the
+   * lists (neighbors concentrate in the few nearest lists), and the
+   * measured curve is what licenses probing no deeper. Returns the
+   * chosen nprobe. Run at build/compact/maintenance time, not per
+   * query (one exact scan against `sampleN` broadcast queries). */
+  def calibrateIvfStore(spark: SparkSession, storeDir: String,
+      queries: DataFrame, k: Int, targetRecall: Double = 0.9,
+      sampleN: Int = 32): Int = {
+    import spark.implicits._
+    val (chosen, curve) = calibrateIvfNprobe(spark, storeDir, queries, k,
+      targetRecall, sampleN)
+    val nItems = spark.read.parquet(storeDir + "/encoded").count()
+    val nLists = readCentroids(spark, storeDir).size
+    curve.coalesce(1).write.mode("overwrite")
+      .parquet(storeDir + "/calibration_curve")
+    Seq((chosen, targetRecall, k, sampleN, nItems, nLists))
+      .toDF("nprobe", "target_recall", "k", "sample_n", "n_items", "n_lists")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(storeDir + "/calibration")
+    chosen
+  }
+
+  /** The persisted calibration, if any: (nprobe, n_items, n_lists) as
+    * measured at calibration time. */
+  private def readCalibration(spark: SparkSession,
+      storeDir: String): Option[(Int, Long, Int)] = {
+    val p = new org.apache.hadoop.fs.Path(storeDir + "/calibration")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else spark.read.parquet(p.toString).collect().headOption
+      .map(r => (r.getInt(0), r.getLong(4), r.getInt(5)))
+  }
+
+  /** Resolve a store search's `nprobe = 0` ("derive it"): the
+    * persisted calibration when one exists AND was measured against
+    * this quantizer (same list count — a rebuilt quantizer reorders
+    * every probe rank, so a stale calibrated depth is meaningless, not
+    * merely imprecise: fall back and let [[ivfStoreAdvice]] flag the
+    * recalibration); else the constant-share default
+    * (`ceil(0.375 · nlist)` — recall-safe, linear-cost). */
+  private def resolveStoreNprobe(spark: SparkSession, storeDir: String,
+      nprobe: Int, nlist: Int): Int =
+    if (nprobe > 0) nprobe
+    else readCalibration(spark, storeDir) match {
+      case Some((np, _, calLists)) if calLists == nlist =>
+        math.min(math.max(1, np), nlist)
+      case other =>
+        if (other.isDefined)
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"ivf store $storeDir: calibration was measured against " +
+              s"${other.get._3} lists but the store now has $nlist — " +
+              "ignoring it (recalibrate); probing the constant share")
+        math.max(1, math.ceil(nlist * 0.375).toInt)
+    }
+
+  /**
    * Per-list health of a store: item count and data-file count for
    * every `list_id` partition of the encoded table. The two numbers
    * drive the two maintenance decisions — many files per list
@@ -937,13 +1009,36 @@ object Similarity {
    *    swap. This is the trigger that keeps recall scale-invariant —
    *    cost already was (probe pruning), recall was not (q108's sf1
    *    finding).
-   *  - `compact_advised` — max_files > 8: run [[compactIvfStore]].
+   *  - `compact_advised` — max_files > 8: run [[compactIvfStore]];
+   *  - `calibrated_nprobe` / `probed_share` — the persisted
+   *    [[calibrateIvfStore]] operating point (null when never
+   *    calibrated); the share is the advisory's cost readout — at a
+   *    healthy √N store it should FALL as the corpus grows;
+   *  - `recalibrate_advised` — no calibration, a calibration measured
+   *    against a different quantizer (list-count mismatch — the
+   *    searches already ignore it), or the store has grown ≥2× past
+   *    the calibration's item count (the measured curve no longer
+   *    describes this corpus): re-run [[calibrateIvfStore]].
    *
    * Cost: the stats scan (item counts per list — one narrow aggregate
    * over the encoded table) + an nlist-bounded listing. No vectors move.
    */
   def ivfStoreAdvice(spark: SparkSession, storeDir: String): DataFrame = {
     val nLists = readCentroids(spark, storeDir).size
+    val cal = readCalibration(spark, storeDir)
+    // a calibration against a different quantizer is already ignored
+    // by the searches; its nprobe/share read as null here too
+    val calFresh = cal.filter(_._3 == nLists)
+    val calNprobeCol = calFresh.map(c => lit(c._1))
+      .getOrElse(lit(null)).cast("int").as("calibrated_nprobe")
+    val probedShareCol = calFresh
+      .map(c => lit(math.min(c._1, nLists).toDouble / nLists))
+      .getOrElse(lit(null)).cast("double").as("probed_share")
+    val recalCol = (calFresh match {
+      case None => lit(true)
+      case Some((_, calItems, _)) =>
+        col("n_items") >= lit(2L * math.max(1L, calItems))
+    }).as("recalibrate_advised")
     ivfStoreStats(spark, storeDir)
       .agg(sum(col("n_items")).as("n_items"),
         max(col("n_items")).as("max_items"),
@@ -961,7 +1056,8 @@ object Similarity {
         col("imbalance"), col("max_files"),
         (col("recommended_nlist") >= col("n_lists") * 2 ||
           col("imbalance") > 4.0).as("retrain_advised"),
-        (col("max_files") > 8).as("compact_advised"))
+        (col("max_files") > 8).as("compact_advised"),
+        calNprobeCol, probedShareCol, recalCol)
   }
 
   /**

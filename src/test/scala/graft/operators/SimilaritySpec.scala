@@ -237,6 +237,64 @@ class SimilaritySpec extends SparkSpec {
     assert(npAll >= np)
   }
 
+  test("calibrated store: persisted nprobe drives the nprobe=0 searches; staleness falls back and is flagged") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfcalstore")
+      .toString + "/store"
+    Similarity.buildIvfStore(emb, dir, nlist = 8, m = 4, ksub = 8, dim = 64)
+    val queries = emb.filter(col("vec_id") < 10)
+    // uncalibrated: advice says so, searches use the constant share
+    val pre = Similarity.ivfStoreAdvice(spark, dir)
+      .select("calibrated_nprobe", "recalibrate_advised").head()
+    assert(pre.isNullAt(0) && pre.getBoolean(1))
+    val defaultNp = math.max(1, math.ceil(8 * 0.375).toInt) // = 3
+    val viaDefault = Similarity.searchIvfStore(spark, queries, dir,
+      k = 5, nprobe = 0)
+    val viaExplicit = Similarity.searchIvfStore(spark, queries, dir,
+      k = 5, nprobe = defaultNp)
+    assert(viaDefault.as[(Long, Long, Double, Int)].collect().toSet ===
+      viaExplicit.as[(Long, Long, Double, Int)].collect().toSet)
+    // calibrate and persist: nprobe=0 now means the CALIBRATED depth,
+    // for both the exact and the ADC search
+    val np = Similarity.calibrateIvfStore(spark, dir, queries,
+      k = 5, targetRecall = 0.9, sampleN = 32)
+    assert(np >= 1 && np <= 8)
+    val post = Similarity.ivfStoreAdvice(spark, dir)
+      .select("calibrated_nprobe", "probed_share", "recalibrate_advised")
+      .as[(Int, Double, Boolean)].head()
+    assert(post === ((np, np.toDouble / 8, false)))
+    assert(Similarity.searchIvfStore(spark, queries, dir, k = 5, nprobe = 0)
+      .as[(Long, Long, Double, Int)].collect().toSet ===
+      Similarity.searchIvfStore(spark, queries, dir, k = 5, nprobe = np)
+        .as[(Long, Long, Double, Int)].collect().toSet)
+    assert(Similarity.searchIvfStoreAdc(spark, queries, dir,
+        k = 5, nprobe = 0, candN = 20)
+      .as[(Long, Long, Double, Double, Int)].collect().toSet ===
+      Similarity.searchIvfStoreAdc(spark, queries, dir,
+          k = 5, nprobe = np, candN = 20)
+        .as[(Long, Long, Double, Double, Int)].collect().toSet)
+    // growth staleness: doubling the store's items past the measured
+    // corpus flips recalibrate_advised (the curve no longer describes
+    // this data) — the calibrated value itself remains in force
+    val grown = emb.select((col("vec_id") + 500000L).as("vec_id"),
+      col("embedding"))
+    Similarity.appendToIvfStore(spark, grown, dir)
+    val afterGrowth = Similarity.ivfStoreAdvice(spark, dir)
+      .select("calibrated_nprobe", "recalibrate_advised")
+      .as[(Int, Boolean)].head()
+    assert(afterGrowth === ((np, true)))
+    // quantizer staleness: a REBUILD with a different nlist makes the
+    // calibration meaningless (every probe rank changed) — searches
+    // ignore it and fall back to the constant share; advice flags it
+    Similarity.buildIvfStore(emb, dir, nlist = 4, m = 4, ksub = 8, dim = 64)
+    val rebuilt = Similarity.ivfStoreAdvice(spark, dir)
+      .select("calibrated_nprobe", "recalibrate_advised").head()
+    assert(rebuilt.isNullAt(0) && rebuilt.getBoolean(1))
+    assert(Similarity.searchIvfStore(spark, queries, dir, k = 5, nprobe = 0)
+      .as[(Long, Long, Double, Int)].collect().toSet ===
+      Similarity.searchIvfStore(spark, queries, dir, k = 5, nprobe = 2)
+        .as[(Long, Long, Double, Int)].collect().toSet) // ceil(4·0.375)=2
+  }
+
   test("ivfTopK: one list per item (no duplicate candidates), sane recall") {
     val queries = emb.filter(col("vec_id") < 3)
     val out = Similarity.ivfTopK(emb, queries, k = 5, nlist = 4, nprobe = 4)
