@@ -2477,6 +2477,26 @@ object SparkEntry {
         s"""SELECT check AS chk, violations, n_rows, pass
             FROM graft_constraints('$dir/lineitem.parquet', '$spec')
             ORDER BY chk""")
+    }),
+
+    // the SHARDED IVF store end-to-end with REAL probe pruning: the
+    // corpus splits into 2 portable-hash shards, each with its own
+    // md5-picked 4-list sub-quantizer; every query probes 2 lists PER
+    // shard and the per-shard exact candidates merge into one global
+    // top-k. The oracle replays the whole construction — hash split,
+    // per-shard centroid picks, per-shard assignment and probe ranks,
+    // the union, the global ranking — so the exact-merge claim is
+    // hash-checked, not asserted.
+    "q132_ann_sharded" -> ((s, dir) => {
+      val store = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_ivfshard_${Integer.toHexString(dir.hashCode)}_$jvmToken")
+        .getAbsolutePath
+      val e = t(s, dir, "embeddings")
+      Similarity.buildShardedIvfStore(e, store, shards = 2, nlist = 4,
+        iters = 0, dim = 64)
+      Similarity.searchShardedIvfStore(s, e.filter(col("vec_id") < 10),
+          store, k = 5, nprobe = 2)
+        .orderBy(col("query_id"), col("rank"))
     })
   )
 
@@ -4410,6 +4430,44 @@ object SparkEntry {
     // the materialized store's build+ADC-search must replay the exact
     // same pipeline — deterministic quantizers, identical ranking.
     "q109_ann_ivf_store" -> ivfPqReplayCalibratedSql,
+    // sharded-IVF replay: the q50 replay with a portable-hash shard
+    // column threaded through every stage — per-shard md5 centroid
+    // picks (PARTITION BY sh), per-shard assignment, per-shard probe
+    // ranks (PARTITION BY query, sh), union by construction, one
+    // global ranking
+    "q132_ann_sharded" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         en AS (SELECT vec_id,
+                  CASE WHEN list_inner_product(v, v) = 0 THEN v
+                       ELSE list_transform(v, x -> x / sqrt(list_inner_product(v, v)))
+                  END AS nv,
+                  CAST(${PortableHash.sqlH60("CAST(vec_id AS VARCHAR)")} % 2 AS INT) AS sh
+                FROM e),
+         cent AS (SELECT sh, nv AS cv, CAST(rn - 1 AS INT) AS lid FROM (
+                    SELECT sh, nv, row_number() OVER (PARTITION BY sh
+                      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+                    FROM en) WHERE rn <= 4),
+         asn AS (SELECT item_id, sh, lid FROM (
+                   SELECT en.vec_id AS item_id, en.sh, cent.lid,
+                     row_number() OVER (PARTITION BY en.vec_id
+                       ORDER BY list_inner_product(en.nv, cent.cv) DESC, cent.lid DESC) AS rn
+                   FROM en JOIN cent ON cent.sh = en.sh) WHERE rn = 1),
+         qn AS (SELECT vec_id AS query_id, nv AS qv FROM en WHERE vec_id < 10),
+         pr AS (SELECT query_id, qv, sh, lid FROM (
+                  SELECT qn.query_id, qn.qv, cent.sh, cent.lid,
+                    row_number() OVER (PARTITION BY qn.query_id, cent.sh
+                      ORDER BY list_inner_product(qn.qv, cent.cv) DESC, cent.lid DESC) AS rn
+                  FROM qn, cent) WHERE rn <= 2),
+         s AS (SELECT pr.query_id, asn.item_id, list_inner_product(pr.qv, en2.nv) AS cos
+               FROM pr JOIN asn ON asn.sh = pr.sh AND asn.lid = pr.lid
+                       JOIN en en2 ON en2.vec_id = asn.item_id
+               WHERE asn.item_id != pr.query_id),
+         r AS (SELECT query_id, item_id, round(cos, 4) AS cos,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                      ORDER BY s.cos DESC, item_id) AS INT) AS rank
+               FROM s)
+         SELECT query_id, item_id, cos, rank FROM r
+         WHERE rank <= 5 ORDER BY query_id, rank""",
     // the bucketed layout must be invisible to results: plain join.
     "q104_bucketed_join" ->
       """SELECT c_mktsegment, count(*) AS n_orders,

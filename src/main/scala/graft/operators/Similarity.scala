@@ -535,20 +535,31 @@ object Similarity {
     * apart rank-for-rank (the identity SimilaritySpec and the
     * q103/q109 oracles assert). */
   private def adcRank(cand: DataFrame, vecs: DataFrame, q: DataFrame,
-      joinKeys: Seq[String], k: Int, candN: Int): DataFrame = {
-    val shortlist = TopK.perGroup(cand, Seq("query_id"),
-      Seq(("approx", false), ("item_id", true)), candN, "cand_rank")
-    val exact = shortlist
+      joinKeys: Seq[String], k: Int, candN: Int): DataFrame =
+    adcFinalRank(adcShortlistExact(cand, vecs, q, joinKeys, candN), k)
+
+  /** The ADC shortlist + exact re-score, BEFORE the final k-ranking:
+    * full-precision (query_id, item_id, approx, cos) rows — the merge
+    * currency of the sharded search (per-shard shortlists union here,
+    * then rank once globally). */
+  private def adcShortlistExact(cand: DataFrame, vecs: DataFrame,
+      q: DataFrame, joinKeys: Seq[String], candN: Int): DataFrame =
+    TopK.perGroup(cand, Seq("query_id"),
+        Seq(("approx", false), ("item_id", true)), candN, "cand_rank")
       .join(vecs, joinKeys)
       .join(broadcast(q), "query_id")
       .select(col("query_id"), col("item_id"), col("approx"),
         V.dot(col("query_vec"), col("item_vec")).as("cos"))
+
+  /** Final exact-cosine k-ranking with the canonical tiebreaks and
+    * output rounding — the one place the ADC family's result schema is
+    * decided. */
+  private def adcFinalRank(exact: DataFrame, k: Int): DataFrame =
     TopK.perGroup(exact, Seq("query_id"),
         Seq(("cos", false), ("item_id", true)), k, "rank")
       .select(col("query_id"), col("item_id"),
         round(col("approx"), 4).as("approx_pq"),
         round(col("cos"), 4).as("cos"), col("rank"))
-  }
 
   /** The shared PQ search tail: encode, ADC shortlist, exact re-rank. */
   private def pqSearch(c: DataFrame, q: DataFrame,
@@ -731,8 +742,14 @@ object Similarity {
    * [[ivfTopK]] over the same corpus/quantizer.
    */
   def searchIvfStore(spark: SparkSession, queries: DataFrame,
-      storeDir: String, k: Int, nprobe: Int = 4): DataFrame = {
-    import spark.implicits._
+      storeDir: String, k: Int, nprobe: Int = 4): DataFrame =
+    topKRerank(storeProbeCand(spark, queries, storeDir, nprobe), k)
+
+  /** One store's probed, exactly-scored candidates at full precision
+    * (query_id, item_id, cos) — [[searchIvfStore]] ranks these
+    * directly; the sharded search unions them across shards first. */
+  private def storeProbeCand(spark: SparkSession, queries: DataFrame,
+      storeDir: String, nprobe: Int): DataFrame = {
     val centers = readCentroids(spark, storeDir)
     // nprobe = 0: the persisted calibration when fresh, else the
     // constant probed share derived from the STORED quantizer size
@@ -744,13 +761,12 @@ object Similarity {
       .select(col("query_id"), col("query_vec"), col("probe.lid").as("list_id"))
     val probedLists = probes.select("list_id").distinct()
       .collect().map(_.getInt(0)).toSeq
-    val cand = spark.read.parquet(storeDir + "/encoded")
+    spark.read.parquet(storeDir + "/encoded")
       .filter(col("list_id").isin(probedLists: _*))
       .join(broadcast(probes), Seq("list_id"))
       .filter(col("query_id") =!= col("item_id"))
       .select(col("query_id"), col("item_id"),
         V.dot(col("query_vec"), col("item_vec")).as("cos"))
-    topKRerank(cand, k)
   }
 
   /**
@@ -768,7 +784,15 @@ object Similarity {
    */
   def searchIvfStoreAdc(spark: SparkSession, queries: DataFrame,
       storeDir: String, k: Int, nprobe: Int = 4,
-      candN: Int = 20): DataFrame = {
+      candN: Int = 20): DataFrame =
+    adcFinalRank(
+      storeAdcExact(spark, queries, storeDir, nprobe, candN, k), k)
+
+  /** One store's ADC-shortlisted, exactly re-scored rows at full
+    * precision — [[searchIvfStoreAdc]] ranks these directly; the
+    * sharded ADC search unions them across shards first. */
+  private def storeAdcExact(spark: SparkSession, queries: DataFrame,
+      storeDir: String, nprobe: Int, candN: Int, k: Int): DataFrame = {
     val centers = readCentroids(spark, storeDir)
     val books = readBooks(spark, storeDir)
     val m = books.size
@@ -807,7 +831,7 @@ object Similarity {
     val vecs = spark.read.parquet(storeDir + "/encoded")
       .filter(col("list_id").isin(probedLists: _*))
       .select("item_id", "list_id", "item_vec")
-    adcRank(cand, vecs, q, Seq("item_id", "list_id"), k, cN)
+    adcShortlistExact(cand, vecs, q, Seq("item_id", "list_id"), cN)
   }
 
   /**
@@ -1095,6 +1119,157 @@ object Similarity {
         }
       }
     }
+
+  // ---- Sharded IVF store (past the per-plan nlist cap) ----
+
+  /** Shard count the √N discipline needs at corpus size `n`: 1 until
+    * the adaptive nlist would exceed the per-plan centroid ceiling
+    * (~10⁶ items at the default cap), then the smallest split that
+    * brings every shard's quantizer back under it. */
+  def adaptiveIvfShards(n: Long, maxNlist: Int = DefaultMaxNlist): Int = {
+    require(n > 0, s"adaptiveIvfShards needs a non-empty corpus, got n=$n")
+    val want = math.max(1L, math.round(math.sqrt(n.toDouble)))
+    math.max(1, math.ceil(want.toDouble / maxNlist).toInt)
+  }
+
+  /** Portable hash-disjoint shard of an item id — md5-derived
+    * ([[graft.functions.PortableHash.h60]], always nonnegative), so
+    * the DuckDB oracle replays the split bit-for-bit. */
+  private def shardOf(id: Column, shards: Int): Column =
+    (graft.functions.PortableHash.h60(id) % shards).cast("int")
+
+  /**
+   * [[buildIvfStore]] SHARDED past the nlist plan cap — the code path
+   * SCALING.md's "shard the store build" escape hatch promised. The
+   * coarse quantizer's centroids ship as plan-time literals inside one
+   * expression, so a single quantizer cannot grow past
+   * [[DefaultMaxNlist]] lists without blowing the codegen/JIT budgets;
+   * past ~nlist² items the √N discipline therefore splits the CORPUS
+   * first: `shards` hash-disjoint item shards (portable md5 split),
+   * one independent sub-quantizer per shard, each under the cap.
+   *
+   * Layout: `<storeDir>/shard=<i>/` is a complete ordinary IVF store
+   * (encoded + centroids [+ codes/books]); `<storeDir>/sharding` is a
+   * one-row parquet recording the shard count. Every single-store tool
+   * (advice, stats, compaction, calibration) applies per shard dir.
+   *
+   * I/O shape: ONE corpus pass splits the data into a staging table
+   * partitioned by shard; each per-shard build then reads only its
+   * partition directory — total ≈ 2 corpus scans + the per-shard
+   * builds, never `shards` scans of the full corpus. A shard the hash
+   * left empty (tiny corpora) is simply absent; searches skip it.
+   *
+   * `shards = 0` derives the count from the corpus
+   * ([[adaptiveIvfShards]]); `nlist = 0` sizes each sub-quantizer
+   * adaptively from ITS shard's count. Returns the shard count.
+   */
+  def buildShardedIvfStore(corpus: DataFrame, storeDir: String,
+      shards: Int = 0, nlist: Int = 0, iters: Int = 0, m: Int = 0,
+      ksub: Int = 8, dim: Int = 64): Int = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val sh = if (shards > 0) shards else adaptiveIvfShards(corpus.count())
+    val staging = storeDir + "/_byshard"
+    val fs = new org.apache.hadoop.fs.Path(storeDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    corpus.select(col("vec_id"), col("embedding"),
+        shardOf(col("vec_id"), sh).as("shard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(staging)
+    try {
+      (0 until sh).foreach { i =>
+        val p = new org.apache.hadoop.fs.Path(s"$staging/shard=$i")
+        if (fs.exists(p))
+          buildIvfStore(spark.read.parquet(p.toString),
+            s"$storeDir/shard=$i", nlist, iters, m, ksub, dim)
+      }
+    } finally fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    Seq(sh).toDF("shards").coalesce(1)
+      .write.mode("overwrite").parquet(storeDir + "/sharding")
+    sh
+  }
+
+  private def readShardCount(spark: SparkSession, storeDir: String): Int =
+    spark.read.parquet(storeDir + "/sharding").collect().head.getInt(0)
+
+  /** Shard dirs that were actually built (the hash can leave a shard
+    * empty on tiny corpora — it then has no store to search). */
+  private def builtShards(spark: SparkSession,
+      storeDir: String): Seq[String] = {
+    val fs = new org.apache.hadoop.fs.Path(storeDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (0 until readShardCount(spark, storeDir))
+      .map(i => s"$storeDir/shard=$i")
+      .filter(d => fs.exists(
+        new org.apache.hadoop.fs.Path(d + "/centroids")))
+  }
+
+  /**
+   * Search a sharded store: every shard is probed independently
+   * (`nprobe` per sub-quantizer; 0 = each shard's own persisted
+   * calibration or constant share), the per-shard exactly-scored
+   * candidates union at FULL precision, and one global top-k ranks
+   * the union — an EXACT merge: a true global top-k neighbor lives in
+   * exactly one shard and ranks at least as high within it, so the
+   * merge loses nothing beyond each shard's own probe-recall
+   * guarantee (exhaustive per-shard probing ⇒ exact global top-k,
+   * spec-asserted). Identical result schema to [[searchIvfStore]].
+   */
+  def searchShardedIvfStore(spark: SparkSession, queries: DataFrame,
+      storeDir: String, k: Int, nprobe: Int = 0): DataFrame = {
+    val dirs = builtShards(spark, storeDir)
+    require(dirs.nonEmpty, s"sharded store $storeDir has no built shards")
+    topKRerank(dirs.map(storeProbeCand(spark, queries, _, nprobe))
+      .reduce(_ unionByName _), k)
+  }
+
+  /** [[searchIvfStoreAdc]] over a sharded store: per-shard ADC
+    * shortlists re-score exactly within their shard, union at full
+    * precision, one global k-ranking — the same exact-merge argument
+    * as [[searchShardedIvfStore]], on top of each shard's own
+    * shortlist guarantee. */
+  def searchShardedIvfStoreAdc(spark: SparkSession, queries: DataFrame,
+      storeDir: String, k: Int, nprobe: Int = 0,
+      candN: Int = 20): DataFrame = {
+    val dirs = builtShards(spark, storeDir)
+    require(dirs.nonEmpty, s"sharded store $storeDir has no built shards")
+    adcFinalRank(dirs.map(storeAdcExact(spark, queries, _, nprobe, candN, k))
+      .reduce(_ unionByName _), k)
+  }
+
+  /** Route a day's new vectors to their hash shard and append each
+    * slice with the shard's STORED quantizer ([[appendToIvfStore]]'s
+    * idempotency per shard). A batch routed to a shard the build left
+    * empty fails loudly — that shard has no quantizer; rebuild the
+    * store (the hash split makes this vanishingly rare past toy
+    * sizes). */
+  def appendToShardedIvfStore(spark: SparkSession, newVecs: DataFrame,
+      storeDir: String): Unit = {
+    val sh = readShardCount(spark, storeDir)
+    val fs = new org.apache.hadoop.fs.Path(storeDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (0 until sh).foreach { i =>
+      val slice = newVecs.filter(shardOf(col("vec_id"), sh) === i)
+      val dir = s"$storeDir/shard=$i"
+      if (fs.exists(new org.apache.hadoop.fs.Path(dir + "/centroids")))
+        appendToIvfStore(spark, slice, dir)
+      else require(slice.isEmpty,
+        s"sharded store $storeDir: batch routes rows to shard $i, " +
+          "which the build left empty (no quantizer) — rebuild the store")
+    }
+  }
+
+  /** Calibrate every built shard ([[calibrateIvfStore]] per shard dir)
+    * so the sharded searches' `nprobe = 0` resolves to each shard's
+    * own measured operating point. Per-shard recall is measured
+    * against the shard's OWN top-k truth; a global top-k neighbor
+    * ranks at least as high inside its shard, so the per-shard target
+    * is the right local contract. Returns the per-shard chosen
+    * depths. */
+  def calibrateShardedIvfStore(spark: SparkSession, storeDir: String,
+      queries: DataFrame, k: Int, targetRecall: Double = 0.9,
+      sampleN: Int = 32): Seq[Int] =
+    builtShards(spark, storeDir).map(
+      calibrateIvfStore(spark, _, queries, k, targetRecall, sampleN))
 
   private def readCentroids(spark: SparkSession,
       storeDir: String): Seq[(Int, Seq[Double])] =

@@ -295,6 +295,90 @@ class SimilaritySpec extends SparkSpec {
         .as[(Long, Long, Double, Int)].collect().toSet) // ceil(4·0.375)=2
   }
 
+  test("sharded IVF store: exhaustive probing equals brute force; shards are hash-disjoint and complete") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfshard")
+      .toString + "/store"
+    val sh = Similarity.buildShardedIvfStore(emb, dir, shards = 3,
+      nlist = 4, m = 4, ksub = 8, dim = 64)
+    assert(sh === 3)
+    val queries = emb.filter(col("vec_id") < 5)
+    // exhaustive per-shard probing ⇒ the exact-merge claim is testable
+    // EXACTLY: global top-k == brute force
+    val got = Similarity.searchShardedIvfStore(spark, queries, dir,
+        k = 5, nprobe = 4)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(got === exact)
+    // the ADC variant with a corpus-sized shortlist is exact too
+    val gotAdc = Similarity.searchShardedIvfStoreAdc(spark, queries, dir,
+        k = 5, nprobe = 4, candN = 1000000)
+      .select("query_id", "item_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(gotAdc === exact.map(r => (r._1, r._2, r._4)))
+    // every item landed in exactly one shard (hash-disjoint, complete)
+    val all = (0 until 3).map(i =>
+        spark.read.parquet(s"$dir/shard=$i/encoded").select("item_id"))
+      .reduce(_ unionByName _)
+    assert(all.count() === emb.count())
+    assert(all.distinct().count() === emb.count())
+    // staging is gone
+    assert(!new java.io.File(dir + "/_byshard").exists())
+  }
+
+  test("sharded IVF store: effective lists past the plan cap, per-shard quantizers under it") {
+    // dim-4 corpus big enough for 4 shards x 300 lists = 1200 effective
+    // lists > DefaultMaxNlist, while each per-shard PLAN carries only
+    // 300 centroid literals — the sharded build is exactly how the
+    // engine crosses the cap without blowing codegen budgets
+    val n = 2600
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until n).map(i =>
+        (i.toLong, Array.fill(4)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivfshardbig")
+      .toString + "/store"
+    Similarity.buildShardedIvfStore(vecs, dir, shards = 4, nlist = 300,
+      dim = 4)
+    val effective = (0 until 4).map(i =>
+      spark.read.parquet(s"$dir/shard=$i/centroids").count()).sum
+    assert(effective === 1200L && effective > Similarity.DefaultMaxNlist)
+    // exhaustive probing stays exact at this size too
+    val queries = vecs.filter(col("vec_id") < 3)
+    val got = Similarity.searchShardedIvfStore(spark, queries, dir,
+        k = 5, nprobe = 300)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val exact = Similarity.bruteForceTopK(vecs, queries, k = 5)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(got === exact)
+    // the adaptive ladder: shards stay 1 until sqrt(N) crosses the cap
+    assert(Similarity.adaptiveIvfShards(1000000L) === 1)
+    assert(Similarity.adaptiveIvfShards(1100000L) === 2)
+    assert(Similarity.adaptiveIvfShards(17000000000L) === 128)
+  }
+
+  test("sharded IVF store: append routes by hash; per-shard calibration drives nprobe=0") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfshardapp")
+      .toString + "/store"
+    Similarity.buildShardedIvfStore(emb.filter(col("vec_id") % 2 === 0),
+      dir, shards = 3, nlist = 4, dim = 64)
+    Similarity.appendToShardedIvfStore(spark,
+      emb.filter(col("vec_id") % 2 === 1), dir)
+    // appended items are in THEIR hash shard and findable
+    val queries = emb.filter(col("vec_id") < 5)
+    // per-shard calibration at target 1.0 ⇒ every shard probes enough
+    // for full recall ⇒ the nprobe=0 sharded search is EXACT
+    val nps = Similarity.calibrateShardedIvfStore(spark, dir, queries,
+      k = 5, targetRecall = 1.0, sampleN = 32)
+    assert(nps.nonEmpty && nps.forall(np => np >= 1 && np <= 4))
+    val got = Similarity.searchShardedIvfStore(spark, queries, dir,
+        k = 5, nprobe = 0)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(got === exact)
+  }
+
   test("ivfTopK: one list per item (no duplicate candidates), sane recall") {
     val queries = emb.filter(col("vec_id") < 3)
     val out = Similarity.ivfTopK(emb, queries, k = 5, nlist = 4, nprobe = 4)
