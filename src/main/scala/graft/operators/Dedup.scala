@@ -494,6 +494,115 @@ object Dedup {
       .groupBy("id_a", "id_b").agg(min("hamming").as("hamming"))
   }
 
+  /** WIDE (w = 128) SimHash signature table: two independent 64-bit
+    * votes per token — `xxhash64(t)` for bits 0..63 and the seeded
+    * `xxhash64(t, 1)` for bits 64..127 (a second draw from the same
+    * family, independent because the tuple hash mixes the constant
+    * into every bit) — aggregated into TWO longs by the same object
+    * aggregate the 64-bit table uses. Doubling the width is SimHash's
+    * honest scale lever (SCALING.md): at a fixed radius the
+    * pigeonhole banding keeps `maxHamming + 1` chunks, so chunk keys
+    * go from 64/(r+1) to 128/(r+1) bits and the expected bucket
+    * population — hence candidate volume, the n²/buckets term —
+    * drops by ~2^(64/(r+1)) on RANDOM keys (~556× at radius 6). Real
+    * corpora cluster below that: measured 23.7× at sf0.1 (5.14M →
+    * 217k candidates) and 20.8× at sf1 (56.2M → 2.71M) at radius 6 —
+    * see SCALING.md §SimHash; `graft.tools.SimhashVolume` reproduces
+    * the numbers. */
+  private[operators] def simhashSignatures128(df: DataFrame,
+      idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"), T.tokens(col(textCol)).as("ts"))
+      .select(col("id"), explode_outer(col("ts")).as("t"))
+      .select(col("id"), xxhash64(col("t")).as("h0"),
+        xxhash64(col("t"), lit(1)).as("h1"))
+      .groupBy(col("id"))
+      .agg(graft.functions.GraftFunctions.graftSimhashSig(col("h0")).as("sig0"),
+        graft.functions.GraftFunctions.graftSimhashSig(col("h1")).as("sig1"))
+
+  private[operators] def chunkMask(width: Int): Long =
+    if (width >= 64) -1L else (1L << width) - 1L
+
+  /** Bits [start, start+width) of the two-long signature (sig0 holds
+    * bits 0..63, sig1 bits 64..127) as ONE long key — chunks that
+    * straddle the long boundary splice the high part above the low. */
+  private[operators] def wideChunkKey(start: Int, width: Int): Column = {
+    val end = start + width
+    require(width >= 1 && width <= 64 && end <= 128,
+      s"wide chunk [$start, $end) out of range")
+    if (end <= 64)
+      shiftrightunsigned(col("sig0"), start).bitwiseAND(lit(chunkMask(width)))
+    else if (start >= 64)
+      shiftrightunsigned(col("sig1"), start - 64).bitwiseAND(lit(chunkMask(width)))
+    else {
+      val loW = 64 - start
+      shiftrightunsigned(col("sig0"), start).bitwiseAND(lit(chunkMask(loW)))
+        .bitwiseOR(shiftleft(col("sig1").bitwiseAND(lit(chunkMask(end - 64))), loW))
+    }
+  }
+
+  /**
+   * [[simhashPairs]] on the WIDE w = 128 signature — identical
+   * semantics AT THE SIGNATURE LEVEL (pigeonhole-complete banding for
+   * the radius, exact hamming verify = popcount(xor) summed over both
+   * longs, min-hamming dedup across chunk collisions), with the
+   * candidate-volume scale story fixed: see
+   * [[simhashSignatures128]]. Not oracle-replayable (xxhash64 is
+   * engine-specific, like the default 64-bit mode); q21's portable
+   * w = 60 oracle path is unchanged.
+   */
+  def simhashPairs128(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 6): DataFrame = {
+    // radius 0 would band on ONE 128-bit chunk — the whole signature,
+    // which no single long key holds; it is also just exact-signature
+    // equality, which [[Dedup.exact]] / the 64-bit path already serve
+    require(maxHamming >= 1,
+      s"simhashPairs128 needs maxHamming >= 1 (got $maxHamming); " +
+        "radius 0 is exact-signature equality — use Dedup.exact")
+    val sigd = Caches.releaseAfterUse(
+      simhashSignatures128(df, idCol, textCol))
+    val chunkExprs = simhashChunkBounds(128, maxHamming).map {
+      case (start, width) => wideChunkKey(start, width) }
+    val chunked = sigd.select(col("id"), col("sig0"), col("sig1"),
+      posexplode(array(chunkExprs: _*)).as(Seq("chunk", "key")))
+    val l = chunked.select(col("chunk"), col("key"), col("id").as("id_a"),
+      col("sig0").as("sig0_a"), col("sig1").as("sig1_a"))
+    val r = chunked.select(col("chunk"), col("key"), col("id").as("id_b"),
+      col("sig0").as("sig0_b"), col("sig1").as("sig1_b"))
+    l.join(r, Seq("chunk", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (bit_count(col("sig0_a").bitwiseXOR(col("sig0_b"))) +
+          bit_count(col("sig1_a").bitwiseXOR(col("sig1_b"))))
+          .cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .groupBy("id_a", "id_b").agg(min("hamming").as("hamming"))
+  }
+
+  /** Pre-verify candidate volume of the two banding widths on the
+    * same corpus — the measurement behind the w = 128 scale claim
+    * (distinct (id_a, id_b) bucket-collision pairs BEFORE the hamming
+    * verify, the n²/buckets term the width controls). Returns
+    * (candidates at w = 64, candidates at w = 128). */
+  def simhashCandidateVolume(df: DataFrame, idCol: String,
+      textCol: String, maxHamming: Int = 6): (Long, Long) = {
+    def pairs(sigd: DataFrame, keys: Seq[Column]): Long = {
+      val chunked = sigd.select(col("id"),
+        posexplode(array(keys: _*)).as(Seq("chunk", "key")))
+      chunked.as("a").join(chunked.as("b"),
+          col("a.chunk") === col("b.chunk") && col("a.key") === col("b.key") &&
+            col("a.id") < col("b.id"))
+        .select(col("a.id"), col("b.id")).distinct().count()
+    }
+    val narrow = pairs(
+      simhashSignatures(df, idCol, textCol, portable = false),
+      simhashChunkBounds(64, maxHamming).map { case (s, w) =>
+        shiftrightunsigned(col("sig"), s).bitwiseAND(lit(chunkMask(w))) })
+    val wide = pairs(simhashSignatures128(df, idCol, textCol),
+      simhashChunkBounds(128, maxHamming).map { case (s, w) =>
+        wideChunkKey(s, w) })
+    (narrow, wide)
+  }
+
   /**
    * Exact n-gram Jaccard ≥ threshold pairs via PREFIX FILTERING
    * (PPJoin-style): two docs with Jaccard ≥ t must share at least one of

@@ -181,6 +181,54 @@ class DedupSpec extends SparkSpec {
     assert(adaptive === fixed)
   }
 
+  test("wideChunkKey: banding chunks tile [0,128) and reassemble the exact signature bits at every radius") {
+    val rnd = new scala.util.Random(42)
+    val sigPairs = Seq.fill(50)((rnd.nextLong(), rnd.nextLong()))
+    def ub(l: Long) = BigInt(java.lang.Long.toUnsignedString(l))
+    // r >= 1: each chunk then fits a 64-bit key (radius 0 is rejected
+    // by simhashPairs128 — its one chunk would be the whole signature)
+    (1 to 8).foreach { r =>
+      val bounds = Dedup.simhashChunkBounds(128, r)
+      // pigeonhole prerequisite: chunks partition the bit range exactly
+      assert(bounds.map(_._2).sum === 128)
+      assert(bounds.scanLeft(0)(_ + _._2).init === bounds.map(_._1))
+      val keys = sigPairs.toDF("sig0", "sig1")
+        .select(array(bounds.map { case (s, w) =>
+          Dedup.wideChunkKey(s, w) }: _*).as("ks"))
+        .as[Seq[Long]].collect()
+      sigPairs.zip(keys).foreach { case ((s0, s1), ks) =>
+        val big = (ub(s1) << 64) | ub(s0)
+        bounds.zip(ks).foreach { case ((st, w), k) =>
+          val want = ((big >> st) & ((BigInt(1) << w) - 1)).toLong
+          assert(k === want, s"radius $r chunk [$st,+$w)")
+        }
+      }
+    }
+  }
+
+  test("simhashPairs128: exactly the radius-6 pair set of the wide signatures (brute-force parity)") {
+    val d = graft.sources.Tables.load(spark, sf0001, "documents")
+      .select(col("doc_id"), col("text"))
+      // planted near-identical rows guarantee the brute set is non-empty
+      .unionByName(docs.filter(length(col("text")) > 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+    val got = Dedup.simhashPairs128(d, "doc_id", "text", maxHamming = 6)
+      .as[(Long, Long, Int)].collect().toSet
+    val sigs = Dedup.simhashSignatures128(d, "doc_id", "text")
+      .as[(Long, Long, Long)].collect()
+    val brute = (for {
+      (ia, a0, a1) <- sigs; (ib, b0, b1) <- sigs if ia < ib
+      h = java.lang.Long.bitCount(a0 ^ b0) + java.lang.Long.bitCount(a1 ^ b1)
+      if h <= 6
+    } yield (ia, ib, h)).toSet
+    assert(brute.nonEmpty, "vacuous corpus: no radius-6 pairs to check")
+    assert(got === brute) // banding complete AND verify exact
+    // the wide signature's reason to exist: fewer bucket-collision
+    // candidates than w=64 on the same corpus at the same radius
+    val (narrow, wide) = Dedup.simhashCandidateVolume(d, "doc_id", "text", 6)
+    assert(wide <= narrow, s"w=128 candidates $wide > w=64 $narrow")
+  }
+
   test("adaptiveLshTables: amplification ladder doubles per +2 bits, capped") {
     // Δbits = 0 → unchanged; the ladder is ceil-ing (Δ=1 already 2×)
     assert(Dedup.adaptiveLshTables(2, 6, 6) === 2)
