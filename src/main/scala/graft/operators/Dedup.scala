@@ -625,11 +625,18 @@ object Dedup {
    * emit a pair; (b) prefix completeness needs only a consistent total
    * order on the corpus' distinct shingles, and (df(h), h) IS one as
    * long as `xxhash64` is injective on the corpus — which the df
-   * aggregate certifies in passing (min(s) ≟ max(s) per hash group,
-   * costing nothing: the partial aggregate already reduces to one row
-   * per (partition, hash)). The astronomically-rare collision
-   * (P ≈ D²/2⁶⁵; ~10⁻⁸ at 10⁶ distinct shingles) fails LOUDLY via
-   * `raise_error` rather than silently missing a qualifying pair.
+   * aggregate certifies in passing via a SECOND independent draw
+   * (min ≟ max of the seeded `xxhash64(s, 1)` per hash group — two
+   * distinct shingles sharing h almost surely differ in h2), costing
+   * nothing extra: the partial aggregate already reduces to one row
+   * per (partition, hash), and since round 10 that row carries 16
+   * bytes of certificate instead of two ~40-byte shingle strings —
+   * NO string ever crosses the wire before verification. A detected
+   * collision (P ≈ D²/2⁶⁵; ~10⁻⁸ at 10⁶ distinct shingles) fails
+   * LOUDLY via `raise_error` rather than silently missing a
+   * qualifying pair; the detector itself is blind only to a DOUBLE
+   * collision (same h AND same h2, P ≈ D²/2¹²⁹ — beneath the
+   * probability of corrupted arithmetic).
    */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.8): DataFrame = {
@@ -642,17 +649,23 @@ object Dedup {
       .withColumn("n_sh", size(col("set"))))
     val base = sets.select(col("id"), col("n_sh"), explode(col("set")).as("s"))
       .withColumn("h", xxhash64(col("s")))
+      // the certificate draw: an independent second hash of the SAME
+      // string (tuple hashing mixes the constant into every bit) —
+      // computed where the string already is, so the aggregate below
+      // ships 8 bytes, not the shingle
+      .withColumn("h2", xxhash64(col("s"), lit(1)))
     // global rarity order (document frequency of the hash, hash as
     // tiebreak — a total order on shingles given injectivity, which
-    // the min/max guard below certifies corpus-wide)
+    // the min/max guard below certifies corpus-wide on h2, strings
+    // staying out of the shuffle entirely)
     val dfc = base.groupBy("h").agg(count(lit(1)).as("df"),
-        min("s").as("smin"), max("s").as("smax"))
+        min("h2").as("cmin"), max("h2").as("cmax"))
       .select(col("h"),
-        when(col("smin") === col("smax"), col("df"))
+        when(col("cmin") === col("cmax"), col("df"))
           .otherwise(raise_error(concat(
             lit("ngramJaccardPairs: xxhash64 collision between distinct " +
-              "shingles ("), col("smin"), lit(" / "), col("smax"),
-            lit(") — prefix order no longer total; dedupe at a different " +
+              "shingles at h="), col("h"),
+            lit(" — prefix order no longer total; dedupe at a different " +
               "shingle width or report upstream")))).as("df"))
     val wDoc = Window.partitionBy("id").orderBy(col("df"), col("h"))
     // prefix length n − ⌈t·n⌉ + 1 of each doc's rarest shingles — the

@@ -24,15 +24,34 @@ object Profile {
     // PROFILE_FRESH=1 rebuilds the DataFrame each run (Bench's shape —
     // exercises CacheManager plan-match reuse rather than same-object reuse).
     val fresh = sys.env.contains("PROFILE_FRESH")
+    // cumulative shuffle-write bytes across all tasks — the wire-cost
+    // readout SCALING.md's shuffle claims quote (listener delivery is
+    // async; the short settle sleep below keeps per-run deltas honest
+    // for a dev tool)
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null)
+            shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          ()
+        }
+      })
     args.foreach { name =>
       val df = SparkEntry.queries(name)(spark, dir)
       if (sys.env.contains("PROFILE_EXPLAIN")) df.explain("formatted")
       if (sys.env.contains("PROFILE_SHOW")) df.show(50, truncate = false)
       (1 to 2).foreach { i =>
         val t0 = System.nanoTime()
+        val s0 = shuffleBytes.get()
         val d = if (fresh) SparkEntry.queries(name)(spark, dir) else df
         d.write.format("noop").mode("overwrite").save()
-        println(f"$name run$i: ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+        val t = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(500) // let the listener bus drain
+        val sb = (shuffleBytes.get() - s0) / 1e6
+        println(f"$name run$i: $t%8.2f s  shuffle-write $sb%10.2f MB")
       }
     }
     spark.stop()
