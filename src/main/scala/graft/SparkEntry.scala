@@ -2278,7 +2278,14 @@ object SparkEntry {
     // by deltas — two fact folds against the current dim, then a dim
     // delta re-enriching only the affected rows. The oracle is the
     // from-scratch join of the FINAL inputs: the fold sequence must be
-    // invisible.
+    // invisible. Whole-manifest commits BY CHOICE at this view size:
+    // the partition-scoped path (Spec.partCol, spec-covered) was
+    // measured here at sf1 — 1.7× less commit I/O (126 → 74 MB
+    // written) but 1.5× MORE wall time (6.2 → 9.3 s), because a
+    // 15k-row view is group-count-sized and the per-commit constants
+    // (touched-partition collect, duplicate guard, per-leaf writes)
+    // dominate the saved bytes. partCol pays off when the view is
+    // corpus-sized — SCALING.md §JoinView records the crossover.
     "q123_join_view" -> ((s, dir) => {
       val store = new java.io.File(sys.props("java.io.tmpdir"),
         s"graft_jv_${Integer.toHexString(dir.hashCode)}_$jvmToken")

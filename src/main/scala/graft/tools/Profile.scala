@@ -29,13 +29,16 @@ object Profile {
     // async; the short settle sleep below keeps per-run deltas honest
     // for a dev tool)
     val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+    val outputBytes = new java.util.concurrent.atomic.AtomicLong
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onTaskEnd(
             te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
           val m = te.taskMetrics
-          if (m != null)
+          if (m != null) {
             shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+            outputBytes.addAndGet(m.outputMetrics.bytesWritten)
+          }
           ()
         }
       })
@@ -46,12 +49,15 @@ object Profile {
       (1 to 2).foreach { i =>
         val t0 = System.nanoTime()
         val s0 = shuffleBytes.get()
+        val o0 = outputBytes.get()
         val d = if (fresh) SparkEntry.queries(name)(spark, dir) else df
         d.write.format("noop").mode("overwrite").save()
         val t = (System.nanoTime() - t0) / 1e9
         Thread.sleep(500) // let the listener bus drain
         val sb = (shuffleBytes.get() - s0) / 1e6
-        println(f"$name run$i: $t%8.2f s  shuffle-write $sb%10.2f MB")
+        val ob = (outputBytes.get() - o0) / 1e6
+        println(f"$name run$i: $t%8.2f s  shuffle-write $sb%10.2f MB" +
+          f"  output-write $ob%10.2f MB")
       }
     }
     spark.stop()
