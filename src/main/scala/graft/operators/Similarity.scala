@@ -962,7 +962,8 @@ object Similarity {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
     else spark.read.parquet(p.toString).collect().headOption
-      .map(r => (r.getInt(0), r.getLong(4), r.getInt(5)))
+      .map(r => (r.getAs[Int]("nprobe"), r.getAs[Long]("n_items"),
+        r.getAs[Int]("n_lists")))
   }
 
   /** Resolve a store search's `nprobe = 0` ("derive it"): the
@@ -1181,6 +1182,17 @@ object Similarity {
         if (fs.exists(p))
           buildIvfStore(spark.read.parquet(p.toString),
             s"$storeDir/shard=$i", nlist, iters, m, ksub, dim)
+      }
+      // a REBUILD with fewer shards than a previous build leaves stale
+      // shard dirs past the new count — never searched (searches stop
+      // at the recorded count), but deleting them keeps the store's
+      // disk footprint equal to its contents
+      val root = new org.apache.hadoop.fs.Path(storeDir)
+      if (fs.exists(root)) fs.listStatus(root).foreach { c =>
+        val nm = c.getPath.getName
+        if (nm.startsWith("shard=") &&
+            nm.stripPrefix("shard=").toIntOption.exists(_ >= sh))
+          fs.delete(c.getPath, true)
       }
     } finally fs.delete(new org.apache.hadoop.fs.Path(staging), true)
     Seq(sh).toDF("shards").coalesce(1)

@@ -377,6 +377,15 @@ class SimilaritySpec extends SparkSpec {
     val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
       .as[(Long, Long, Double, Int)].collect().toSet
     assert(got === exact)
+    // a REBUILD with fewer shards reclaims the stale shard dirs and
+    // stays searchable (exhaustive probing exact as ever)
+    Similarity.buildShardedIvfStore(emb, dir, shards = 2, nlist = 4,
+      dim = 64)
+    assert(!new java.io.File(dir + "/shard=2").exists())
+    val rebuilt = Similarity.searchShardedIvfStore(spark, queries, dir,
+        k = 5, nprobe = 4)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(rebuilt === exact)
   }
 
   test("ivfTopK: one list per item (no duplicate candidates), sane recall") {
