@@ -2504,6 +2504,19 @@ object SparkEntry {
       Similarity.searchShardedIvfStore(s, e.filter(col("vec_id") < 10),
           store, k = 5, nprobe = 2)
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // the WIDE (w = 120 portable / 128 production) SimHash near-dup
+    // path — SimHash's honest n²/buckets scale lever as a declared
+    // query: two independent md5-derived 60-bit draws per token (the
+    // second salted), two-long signature, pigeonhole banding with
+    // boundary-splicing chunk keys, summed-popcount verify. The oracle
+    // replays both signatures, every spliced chunk key, and the
+    // hamming sum bit for bit.
+    "q133_simhash_wide" -> ((s, dir) => {
+      Dedup.simhashPairs128(t(s, dir, "documents"), "doc_id", "text",
+          maxHamming = 6, portable = true)
+        .orderBy(col("id_a"), col("id_b"))
     })
   )
 
@@ -3784,6 +3797,44 @@ object SparkEntry {
                 FROM sg, (SELECT unnest(range(0, 7)) AS c) cs),
          p AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
                  CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+               FROM ck a JOIN ck b
+                 ON a.c = b.c AND a.key = b.key AND a.doc_id < b.doc_id)
+         SELECT id_a, id_b, hamming FROM p WHERE hamming <= 6
+         ORDER BY id_a, id_b"""
+    },
+    // wide-SimHash replay: both 60-bit signatures (raw + salted draw),
+    // the spliced chunk keys, and the summed hamming — all integer
+    // arithmetic, bit-exact cross-engine.
+    "q133_simhash_wide" -> {
+      val chunkCase = Dedup.simhashChunkBounds(120, 6).zipWithIndex.map {
+        case ((start, width), c) =>
+          s"WHEN $c THEN ${Dedup.sqlWideChunkKey(start, width, 60)}"
+      }.mkString(" ")
+      val salted = graft.functions.PortableHash.sqlSaltedKey("tk",
+        Dedup.WideSimhashSalt)
+      s"""WITH t AS (
+           SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                      x -> len(x) > 0) AS ts
+           FROM documents),
+         tok AS (SELECT doc_id, unnest(ts) AS tk FROM t),
+         hs AS (SELECT doc_id,
+                  ${graft.functions.PortableHash.sqlH60("tk")} AS h0,
+                  ${graft.functions.PortableHash.sqlH60(salted)} AS h1
+                FROM tok),
+         vt AS (SELECT doc_id, b,
+                  sum(CASE WHEN ((h0 >> b) & 1) = 1 THEN 1 ELSE -1 END) AS v0,
+                  sum(CASE WHEN ((h1 >> b) & 1) = 1 THEN 1 ELSE -1 END) AS v1
+                FROM hs, (SELECT unnest(range(0, 60)) AS b) bits
+                GROUP BY doc_id, b),
+         sg AS (SELECT doc_id,
+                  CAST(sum(CASE WHEN v0 > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS sig0,
+                  CAST(sum(CASE WHEN v1 > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS sig1
+                FROM vt GROUP BY doc_id),
+         ck AS (SELECT doc_id, sig0, sig1, c, CASE c $chunkCase END AS key
+                FROM sg, (SELECT unnest(range(0, 7)) AS c) cs),
+         p AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(bit_count(xor(a.sig0, b.sig0))
+                      + bit_count(xor(a.sig1, b.sig1)) AS INT) AS hamming
                FROM ck a JOIN ck b
                  ON a.c = b.c AND a.key = b.key AND a.doc_id < b.doc_id)
          SELECT id_a, id_b, hamming FROM p WHERE hamming <= 6

@@ -510,33 +510,69 @@ object Dedup {
     * see SCALING.md §SimHash; `graft.tools.SimhashVolume` reproduces
     * the numbers. */
   private[operators] def simhashSignatures128(df: DataFrame,
-      idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol).as("id"), T.tokens(col(textCol)).as("ts"))
-      .select(col("id"), explode_outer(col("ts")).as("t"))
-      .select(col("id"), xxhash64(col("t")).as("h0"),
-        xxhash64(col("t"), lit(1)).as("h1"))
-      .groupBy(col("id"))
+      idCol: String, textCol: String,
+      portable: Boolean = false): DataFrame = {
+    val toks = df.select(col(idCol).as("id"), T.tokens(col(textCol)).as("ts"))
+    val hashed =
+      if (portable) {
+        // two md5-derived 60-bit draws: the raw token and its
+        // length-prefixed salted form (the saltedKey encoding, so the
+        // oracle mirrors it verbatim) — inner explode like the 60-bit
+        // portable mode (token-less docs drop)
+        val P = graft.functions.PortableHash
+        toks.select(col("id"), explode(col("ts")).as("t"))
+          .select(col("id"), P.h60(col("t")).as("h0"),
+            P.h60(P.saltedKey(col("t"), WideSimhashSalt)).as("h1"))
+      } else
+        toks.select(col("id"), explode_outer(col("ts")).as("t"))
+          .select(col("id"), xxhash64(col("t")).as("h0"),
+            xxhash64(col("t"), lit(1)).as("h1"))
+    hashed.groupBy(col("id"))
       .agg(graft.functions.GraftFunctions.graftSimhashSig(col("h0")).as("sig0"),
         graft.functions.GraftFunctions.graftSimhashSig(col("h1")).as("sig1"))
+  }
+
+  /** Salt of the wide portable mode's second hash draw — shared with
+    * the generated oracle SQL (change only together). */
+  val WideSimhashSalt = "w2"
 
   private[operators] def chunkMask(width: Int): Long =
     if (width >= 64) -1L else (1L << width) - 1L
 
   /** Bits [start, start+width) of the two-long signature (sig0 holds
-    * bits 0..63, sig1 bits 64..127) as ONE long key — chunks that
-    * straddle the long boundary splice the high part above the low. */
-  private[operators] def wideChunkKey(start: Int, width: Int): Column = {
+    * bits 0..loBits-1, sig1 the next loBits — 64 for the xxhash64
+    * signature, 60 for the portable md5-derived one) as ONE long key —
+    * chunks that straddle the long boundary splice the high part above
+    * the low. */
+  private[operators] def wideChunkKey(start: Int, width: Int,
+      loBits: Int = 64): Column = {
     val end = start + width
-    require(width >= 1 && width <= 64 && end <= 128,
-      s"wide chunk [$start, $end) out of range")
-    if (end <= 64)
+    require(width >= 1 && width <= 64 && end <= 2 * loBits,
+      s"wide chunk [$start, $end) out of range at loBits=$loBits")
+    if (end <= loBits)
       shiftrightunsigned(col("sig0"), start).bitwiseAND(lit(chunkMask(width)))
-    else if (start >= 64)
-      shiftrightunsigned(col("sig1"), start - 64).bitwiseAND(lit(chunkMask(width)))
+    else if (start >= loBits)
+      shiftrightunsigned(col("sig1"), start - loBits)
+        .bitwiseAND(lit(chunkMask(width)))
     else {
-      val loW = 64 - start
+      val loW = loBits - start
       shiftrightunsigned(col("sig0"), start).bitwiseAND(lit(chunkMask(loW)))
-        .bitwiseOR(shiftleft(col("sig1").bitwiseAND(lit(chunkMask(end - 64))), loW))
+        .bitwiseOR(shiftleft(
+          col("sig1").bitwiseAND(lit(chunkMask(end - loBits))), loW))
+    }
+  }
+
+  /** DuckDB mirror of [[wideChunkKey]] for oracle-SQL generation. */
+  private[graft] def sqlWideChunkKey(start: Int, width: Int,
+      loBits: Int): String = {
+    val end = start + width
+    if (end <= loBits) s"((sig0 >> $start) & ${chunkMask(width)})"
+    else if (start >= loBits)
+      s"((sig1 >> ${start - loBits}) & ${chunkMask(width)})"
+    else {
+      val loW = loBits - start
+      s"(((sig0 >> $start) & ${chunkMask(loW)}) | " +
+        s"((sig1 & ${chunkMask(end - loBits)}) << $loW))"
     }
   }
 
@@ -545,23 +581,26 @@ object Dedup {
    * semantics AT THE SIGNATURE LEVEL (pigeonhole-complete banding for
    * the radius, exact hamming verify = popcount(xor) summed over both
    * longs, min-hamming dedup across chunk collisions), with the
-   * candidate-volume scale story fixed: see
-   * [[simhashSignatures128]]. Not oracle-replayable (xxhash64 is
-   * engine-specific, like the default 64-bit mode); q21's portable
-   * w = 60 oracle path is unchanged.
+   * candidate-volume scale story fixed: see [[simhashSignatures128]].
+   * The default draws are xxhash64 (engine-specific, like the 64-bit
+   * mode); `portable = true` switches to two md5-derived 60-bit draws
+   * (w = 120, the second salted — [[WideSimhashSalt]]) that the
+   * DuckDB oracle replays bit for bit (q133). q21's w = 60 oracle
+   * path is unchanged.
    */
   def simhashPairs128(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 6): DataFrame = {
+      maxHamming: Int = 6, portable: Boolean = false): DataFrame = {
     // radius 0 would band on ONE 128-bit chunk — the whole signature,
     // which no single long key holds; it is also just exact-signature
     // equality, which [[Dedup.exact]] / the 64-bit path already serve
     require(maxHamming >= 1,
       s"simhashPairs128 needs maxHamming >= 1 (got $maxHamming); " +
         "radius 0 is exact-signature equality — use Dedup.exact")
+    val loBits = if (portable) 60 else 64
     val sigd = Caches.releaseAfterUse(
-      simhashSignatures128(df, idCol, textCol))
-    val chunkExprs = simhashChunkBounds(128, maxHamming).map {
-      case (start, width) => wideChunkKey(start, width) }
+      simhashSignatures128(df, idCol, textCol, portable))
+    val chunkExprs = simhashChunkBounds(2 * loBits, maxHamming).map {
+      case (start, width) => wideChunkKey(start, width, loBits) }
     val chunked = sigd.select(col("id"), col("sig0"), col("sig1"),
       posexplode(array(chunkExprs: _*)).as(Seq("chunk", "key")))
     val l = chunked.select(col("chunk"), col("key"), col("id").as("id_a"),
