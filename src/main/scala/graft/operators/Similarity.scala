@@ -1204,16 +1204,22 @@ object Similarity {
     spark.read.parquet(storeDir + "/sharding").collect().head.getInt(0)
 
   /** Shard dirs that were actually built (the hash can leave a shard
-    * empty on tiny corpora — it then has no store to search). */
-  private def builtShards(spark: SparkSession,
-      storeDir: String): Seq[String] = {
+    * empty on tiny corpora — it then has no store to search), with
+    * their indices — the per-shard maintenance loop's iteration set
+    * (streaming ingest advisories, compaction). */
+  private[graft] def builtShardDirs(spark: SparkSession,
+      storeDir: String): Seq[(Int, String)] = {
     val fs = new org.apache.hadoop.fs.Path(storeDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     (0 until readShardCount(spark, storeDir))
-      .map(i => s"$storeDir/shard=$i")
-      .filter(d => fs.exists(
-        new org.apache.hadoop.fs.Path(d + "/centroids")))
+      .map(i => (i, s"$storeDir/shard=$i"))
+      .filter { case (_, d) => fs.exists(
+        new org.apache.hadoop.fs.Path(d + "/centroids")) }
   }
+
+  private def builtShards(spark: SparkSession,
+      storeDir: String): Seq[String] =
+    builtShardDirs(spark, storeDir).map(_._2)
 
   /**
    * Search a sharded store: every shard is probed independently

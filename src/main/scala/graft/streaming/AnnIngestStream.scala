@@ -48,10 +48,18 @@ object AnnIngestStream {
 
   /** What `adviseEvery` surfaces per advisory run: the
     * [[graft.operators.Similarity.ivfStoreAdvice]] row for the store
-    * as of this batch's commit. */
+    * as of this batch's commit. `calibratedNprobe` is None until
+    * [[graft.operators.Similarity.calibrateIvfStore]] has persisted an
+    * operating point; `recalibrateAdvised` flips when the store
+    * outgrows the measurement (2× items) or the quantizer changes —
+    * the stream-side trigger to re-run calibration as maintenance.
+    * `shard` is ≥ 0 for sharded-store ingest (one advisory per built
+    * shard), -1 for a single store. */
   final case class StoreAdvice(batchId: Long, nItems: Long, nLists: Int,
       recommendedNlist: Int, imbalance: Double, maxFiles: Int,
-      retrainAdvised: Boolean, compactAdvised: Boolean)
+      retrainAdvised: Boolean, compactAdvised: Boolean,
+      calibratedNprobe: Option[Int] = None,
+      recalibrateAdvised: Boolean = true, shard: Int = -1)
 
   /** Continuous ingest into a [[graft.operators.Similarity.buildIvfStore]]
     * directory store. `vecs` is a streaming DataFrame carrying `vec_id`
@@ -83,13 +91,61 @@ object AnnIngestStream {
     Similarity.appendToIvfStore(spark, batch, storeDir)
     if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
       Similarity.compactIvfStore(spark, storeDir)
-    if (adviseEvery > 0 && (batchId + 1) % adviseEvery == 0) {
-      val r = Similarity.ivfStoreAdvice(spark, storeDir).head()
-      onAdvice(StoreAdvice(batchId,
-        r.getAs[Long]("n_items"), r.getAs[Int]("n_lists"),
-        r.getAs[Int]("recommended_nlist"), r.getAs[Double]("imbalance"),
-        r.getAs[Int]("max_files"), r.getAs[Boolean]("retrain_advised"),
-        r.getAs[Boolean]("compact_advised")))
+    if (adviseEvery > 0 && (batchId + 1) % adviseEvery == 0)
+      onAdvice(adviceOf(spark, storeDir, batchId))
+  }
+
+  private def adviceOf(spark: SparkSession, storeDir: String,
+      batchId: Long, shard: Int = -1): StoreAdvice = {
+    val r = Similarity.ivfStoreAdvice(spark, storeDir).head()
+    StoreAdvice(batchId,
+      r.getAs[Long]("n_items"), r.getAs[Int]("n_lists"),
+      r.getAs[Int]("recommended_nlist"), r.getAs[Double]("imbalance"),
+      r.getAs[Int]("max_files"), r.getAs[Boolean]("retrain_advised"),
+      r.getAs[Boolean]("compact_advised"),
+      Option(r.getAs[Any]("calibrated_nprobe"))
+        .map(_.asInstanceOf[Int]),
+      r.getAs[Boolean]("recalibrate_advised"), shard)
+  }
+
+  /** [[ingest]] for a SHARDED store
+    * ([[graft.operators.Similarity.buildShardedIvfStore]]): each
+    * micro-batch routes by the store's portable hash split and appends
+    * per shard with that shard's stored quantizer — the same
+    * re-delivery safety per shard. `compactEvery`/`adviseEvery` apply
+    * per BUILT shard (advice fires once per shard per advisory batch,
+    * `StoreAdvice.shard` saying which — per-shard quantizer outgrowth
+    * and stale calibration are per-shard facts). */
+  def ingestSharded(vecs: DataFrame, storeDir: String, checkpoint: String,
+      compactEvery: Int = 0, adviseEvery: Int = 0,
+      onAdvice: StoreAdvice => Unit = _ => (),
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val spark = vecs.sparkSession
+    vecs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestShardedBatch(spark, batch, batchId, storeDir, compactEvery,
+          adviseEvery, onAdvice)
+      }
+      .start()
+  }
+
+  private[streaming] def ingestShardedBatch(spark: SparkSession,
+      batch: DataFrame, batchId: Long, storeDir: String,
+      compactEvery: Int, adviseEvery: Int = 0,
+      onAdvice: StoreAdvice => Unit = _ => ()): Unit = {
+    if (batch.isEmpty) return
+    Similarity.appendToShardedIvfStore(spark, batch, storeDir)
+    val maintain = (compactEvery > 0 && (batchId + 1) % compactEvery == 0) ||
+      (adviseEvery > 0 && (batchId + 1) % adviseEvery == 0)
+    if (maintain) Similarity.builtShardDirs(spark, storeDir).foreach {
+      case (i, dir) =>
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+          Similarity.compactIvfStore(spark, dir)
+        if (adviseEvery > 0 && (batchId + 1) % adviseEvery == 0)
+          onAdvice(adviceOf(spark, dir, batchId, i))
     }
   }
 }

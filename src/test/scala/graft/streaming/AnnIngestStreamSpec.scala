@@ -116,4 +116,72 @@ class AnnIngestStreamSpec extends SparkSpec {
       .select("retrain_advised").as[Boolean].head()
     assert(!after, "adaptive rebuild must clear retrain_advised")
   }
+
+  test("sharded ingest: batches route by hash, search stays exact, per-shard advisories carry calibration state") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmp("annshard") + "/store"
+    Similarity.buildShardedIvfStore(emb.filter(col("vec_id") % 3 === 0),
+      dir, shards = 3, nlist = 4, dim = 64)
+    // calibrate the seeded store at target 1.0 so the stream's nprobe=0
+    // searches stay exhaustive-exact while it grows
+    Similarity.calibrateShardedIvfStore(spark, dir,
+      emb.filter(col("vec_id") < 10), k = 5, targetRecall = 1.0)
+    val rest = emb.filter(col("vec_id") % 3 =!= 0)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toSeq
+    val (day1, day2) = rest.splitAt(rest.size / 2)
+    val advices = scala.collection.mutable.ArrayBuffer
+      .empty[AnnIngestStream.StoreAdvice]
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = AnnIngestStream.ingestSharded(
+      mem.toDF().toDF("vec_id", "embedding"), dir,
+      checkpoint = tmp("annshard-ckpt"), compactEvery = 2,
+      adviseEvery = 2, onAdvice = advices += _,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    mem.addData(day1: _*)
+    q.processAllAvailable()
+    mem.addData(day2: _*)
+    q.processAllAvailable()
+    q.stop()
+    // every vector in exactly one shard, exactly once
+    val ids = (0 until 3).map(i =>
+        spark.read.parquet(s"$dir/shard=$i/encoded").select("item_id"))
+      .reduce(_ unionByName _).as[Long].collect().toSeq
+    assert(ids.size === ids.distinct.size)
+    assert(ids.toSet === emb.select("vec_id").as[Long].collect().toSet)
+    // batch 2 compacted every shard: single-file lists everywhere
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (0 until 3).foreach { i =>
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/shard=$i/encoded"))
+        .filter(_.isDirectory)
+        .filter(_.getPath.getName.startsWith("list_id=")).foreach { d =>
+          assert(fs.listStatus(d.getPath)
+            .count(_.getPath.getName.endsWith(".parquet")) === 1,
+            s"shard $i ${d.getPath.getName}")
+        }
+    }
+    // advisory fired once per built shard at batch 2, carrying the
+    // calibration columns: calibrated at target 1.0, then grown ~3x
+    // past the measured corpus → recalibrate_advised
+    assert(advices.map(_.shard).toSet === Set(0, 1, 2))
+    assert(advices.forall(_.calibratedNprobe.isDefined))
+    assert(advices.forall(_.recalibrateAdvised))
+    // re-delivery: a re-run batch appends nothing anywhere
+    val before = ids.size
+    AnnIngestStream.ingestShardedBatch(spark,
+      day1.toDF("vec_id", "embedding"), 0L, dir, compactEvery = 0)
+    val after = (0 until 3).map(i =>
+      spark.read.parquet(s"$dir/shard=$i/encoded").count()).sum
+    assert(after === before.toLong)
+    // streamed-grown sharded store searches exactly (nprobe=4 =
+    // exhaustive per shard) — equals brute force over the full corpus
+    val queries = emb.filter(col("vec_id") < 3)
+    val got = Similarity.searchShardedIvfStore(spark, queries, dir,
+        k = 5, nprobe = 4)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(got === exact)
+  }
 }
