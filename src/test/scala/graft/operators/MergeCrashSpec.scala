@@ -65,6 +65,55 @@ class MergeCrashSpec extends SparkSpec {
       .filter(_.startsWith("g-")).toSet
   }
 
+  test("REAL process death (halt mid-stage in a separate JVM): readers unaffected, restart recovers, GC reclaims") {
+    val dir = tmp("crash-realproc")
+    val addOpens = Seq("java.lang", "java.lang.invoke", "java.lang.reflect",
+      "java.io", "java.net", "java.nio", "java.util",
+      "java.util.concurrent", "java.util.concurrent.atomic",
+      "sun.nio.ch", "sun.nio.cs", "sun.security.action",
+      "sun.util.calendar").flatMap(p =>
+      Seq("--add-opens", s"java.base/$p=ALL-UNNAMED"))
+    def run(mode: String): Int = {
+      val cmd = Seq("java", "-XX:+IgnoreUnrecognizedVMOptions") ++
+        addOpens ++ Seq("-Xmx2g", "-cp", sys.props("java.class.path"),
+        "graft.tools.CrashWriter", dir, mode)
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.redirectErrorStream(true)
+      val p = pb.start()
+      // drain output so the child can't block on a full pipe
+      val drain = new Thread(() => {
+        val buf = new Array[Byte](8192)
+        while (p.getInputStream.read(buf) >= 0) ()
+      })
+      drain.setDaemon(true); drain.start()
+      p.waitFor()
+    }
+    assert(run("seed") === 0)
+    assert(state(dir) === Seq((1L, "a", 1.0)))
+    // the writer REALLY dies — halt(137), no shutdown hooks — with
+    // v2's generation fully staged and no commit file
+    assert(run("die-staged") === 137)
+    val orphans = genDirs(dir).filter(_.startsWith("g-000000000002"))
+    assert(orphans.size === 1, s"expected one dead stage: ${genDirs(dir)}")
+    // readers see only committed state — the dead stage is invisible
+    assert(state(dir) === Seq((1L, "a", 1.0)))
+    // a restarted writer within the grace window aborts LOUDLY (the
+    // debris is indistinguishable from a live concurrent writer)...
+    val boom = intercept[IllegalArgumentException] {
+      MergeSink.applyBatch(spark, b((2L, "I", "b", 2.0, 2L)), dir,
+        "k", "op", "seq", manifestCommit = true)
+    }
+    assert(boom.getMessage.contains("concurrent writer"))
+    // ...and once the debris ages past the grace (what wall-clock does
+    // for real), the re-delivered batch GCs it and commits
+    ageDebris(dir)
+    MergeSink.applyBatch(spark, b((2L, "I", "b", 2.0, 2L)), dir,
+      "k", "op", "seq", manifestCommit = true)
+    assert(state(dir) === Seq((1L, "a", 1.0), (2L, "b", 2.0)))
+    assert(!genDirs(dir).exists(orphans.contains),
+      s"dead stage must be reclaimed: ${genDirs(dir)}")
+  }
+
   test("death mid-writeGen: partial stage is debris; restart recovers and commits") {
     val dir = tmp("crash-midwrite")
     MergeSink.applyBatch(spark, b((1L, "I", "a", 1.0, 1L)), dir,
