@@ -355,6 +355,16 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.adaptiveIvfShards(1000000L) === 1)
     assert(Similarity.adaptiveIvfShards(1100000L) === 2)
     assert(Similarity.adaptiveIvfShards(17000000000L) === 128)
+    // every shard's scan carries its own static list_id partition
+    // filter — the probe pruning survives the union/merge plan
+    val pruned = Similarity.searchShardedIvfStore(spark, queries, dir,
+      k = 5, nprobe = 2)
+    val plan = pruned.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    val pf = plan.linesIterator
+      .filter(_.contains("PartitionFilters: [list_id")).size
+    assert(pf >= 4, s"expected >= 4 per-shard pruned scans, got $pf:\n" +
+      plan.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n"))
   }
 
   test("sharded IVF store: append routes by hash; per-shard calibration drives nprobe=0") {
