@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-import graft.functions.expressions.{ArgmaxDot, BloomProbeAny, CharDistEntropy, CharShingles, DotProduct, FreqItemsAgg, H60Hash, LongArrayMatchCount, MinHashSigAgg, SimHashSigAgg, SurprisalFold, UnitVector, WordShingles}
+import graft.functions.expressions.{ArgmaxDot, BloomProbeAny, CharDistEntropy, CharShingles, DotProduct, FreqItemsAgg, H60Hash, HashLongs, LongArrayMatchCount, MinHashSigAgg, SimHashSigAgg, SurprisalFold, UnitVector, WordShingles}
 
 /**
  * Registration of the engine's native Catalyst expressions as SQL
@@ -31,6 +31,7 @@ object GraftFunctions {
   val WordShinglesName = "graft_word_shingles"
   val CharShinglesName = "graft_char_shingles"
   val CharEntropyName = "graft_char_entropy"
+  val HashLongsName = "graft_hash_longs"
   val H60Name = "graft_h60"
   val SnapshotName = "graft_snapshot"
   val RollupName = "graft_rollup"
@@ -115,6 +116,9 @@ object GraftFunctions {
       "built-in")
     reg.createOrReplaceTempFunction(CharEntropyName,
       exprs => arity(CharEntropyName, exprs, 1)(CharDistEntropy(exprs(0))),
+      "built-in")
+    reg.createOrReplaceTempFunction(HashLongsName,
+      exprs => arity(HashLongsName, exprs, 1)(HashLongs(exprs(0))),
       "built-in")
     reg.createOrReplaceTempFunction(H60Name,
       exprs => arity(H60Name, exprs, 1)(H60Hash(exprs(0))), "built-in")
@@ -326,6 +330,13 @@ object GraftFunctions {
     * [[expressions.CharShingles]] — bit-identical to the HOF form). */
   def graftCharShingles(s: Column, n: Int): Column =
     call_function(CharShinglesName, s, org.apache.spark.sql.functions.lit(n))
+
+  /** Per-element xxhash64 of a string array in one codegen'd node —
+    * bit-identical to `transform(arr, s => xxhash64(s))` without the
+    * HOF's per-element interpreter re-entry (see
+    * [[graft.functions.expressions.HashLongs]]). */
+  def graftHashLongs(arr: Column): Column =
+    call_function(HashLongsName, arr)
 
   /** Codegen'd character-distribution Shannon entropy (unrounded; see
     * [[expressions.CharDistEntropy]] — bit-identical to the sorted

@@ -460,6 +460,51 @@ object SurprisalFold {
  * interpreted hot spot. Here: one method call per ROW, a tight loop
  * inside, reachable from whole-stage codegen via a reference object.
  */
+/**
+ * Per-element `xxhash64` of a string array in ONE codegen-reachable
+ * node — bit-identical to `transform(arr, s -> xxhash64(s))` (seed 42,
+ * null element → seed, matching Spark's `XxHash64Function`;
+ * property-pinned in FunctionsSpec) without the HOF's per-ELEMENT
+ * interpreter re-entry. Exists for the dedup family's hashed shingle
+ * SETS: the exact-Jaccard verification join ships these 8-byte images
+ * instead of ~40-byte shingle strings, and the corpus-wide injectivity
+ * certificate the df build already carries transfers |A∩B| exactness
+ * from the strings to the hashes.
+ */
+case class HashLongs(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    KernelTypeCheck.arrayOf("graft_hash_longs", "argument 1", child,
+      StringType, "array<string>")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private val seed = 42L
+
+  def compute(a: ArrayData): GenericArrayData = {
+    val m = a.numElements()
+    val out = new Array[Any](m)
+    var i = 0
+    while (i < m) {
+      out(i) = if (a.isNullAt(i)) seed
+        else org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUTF8String(a.getUTF8String(i), seed)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(a: Any): Any = compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("hashLongs", this, classOf[HashLongs].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
 
   require(n >= 1, s"graft_word_shingles: n must be >= 1, got $n")

@@ -679,14 +679,27 @@ object Dedup {
    */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.8): DataFrame = {
-    // (id, full shingle set, size) — built once, reused for the index
-    // AND the verification join (no collect_list reconstruction)
-    val sets = Caches.releaseAfterUse(df
+    // (id, HASHED shingle set, size) — built once, reused for the index
+    // AND the verification join. The cached/joined sets hold the 8-byte
+    // xxhash64 images, not the ~40-byte strings: under the corpus-wide
+    // injectivity certificate below, |hashes(A) ∩ hashes(B)| =
+    // |A ∩ B| EXACTLY (distinct-ness and intersections transfer through
+    // an injective map), so the verification join — the operator's
+    // largest remaining shuffle — ships longs, and a collision that
+    // would break the equality aborts the job loudly before any pair
+    // is emitted. The per-element hashing is ONE codegen'd kernel call
+    // per doc (graft_hash_longs), not an interpreted HOF.
+    val shingled = df
       .select(col(idCol).as("id"), T.tokens(col(textCol)).as("ts"))
       .select(col("id"),
-        array_distinct(T.shinglesFromTokens(col("ts"), n)).as("set"))
+        array_distinct(T.shinglesFromTokens(col("ts"), n)).as("sset"))
+    val sets = Caches.releaseAfterUse(shingled
+      .select(col("id"),
+        graft.functions.GraftFunctions.graftHashLongs(col("sset")).as("set"))
       .withColumn("n_sh", size(col("set"))))
-    val base = sets.select(col("id"), col("n_sh"), explode(col("set")).as("s"))
+    val base = shingled
+      .select(col("id"), size(col("sset")).as("n_sh"),
+        explode(col("sset")).as("s"))
       .withColumn("h", xxhash64(col("s")))
       // the certificate draw: an independent second hash of the SAME
       // string (tuple hashing mixes the constant into every bit) —

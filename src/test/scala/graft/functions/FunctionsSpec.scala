@@ -149,6 +149,26 @@ class FunctionsSpec extends SparkSpec {
     assert(e2.getMessage.contains("graft_h60"))
   }
 
+  test("hashLongs kernel ≡ transform(arr, s => xxhash64(s)), incl. empty and unicode") {
+    val rows = Seq(
+      Seq("a", "bb", "ccc"), Seq.empty[String],
+      Seq("", " ", "é世😀"),
+      (0 until 64).map(i => s"shingle $i text"),
+      Seq("dup", "dup", "x")).toDF("arr")
+    val both = rows.select(
+        GraftFunctions.graftHashLongs($"arr").as("k"),
+        transform($"arr", s => xxhash64(s)).as("hof"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    both.foreach { case (k, hof) => assert(k === hof) }
+    // SQL registration + type gate
+    assert(spark.sql("SELECT graft_hash_longs(array('a','b')) AS h")
+      .head().getSeq[Long](0).length === 2)
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_hash_longs(array(1, 2))").collect()
+    }
+    assert(e.getMessage.contains("graft_hash_longs"))
+  }
+
   test("wrong input TYPES fail analysis as named errors, never ClassCastException") {
     def bad(sql: String, fn: String): Unit = {
       val e = intercept[org.apache.spark.sql.AnalysisException] {
