@@ -135,7 +135,18 @@ private[graft] object ManifestCommit {
     * after a CRASH, a restart within the grace window aborts on that
     * same probe (the debris still looks in-flight) until the window
     * passes — a supervisor retry rides it out; crash-simulation tests
-    * set the conf to 0 or age the debris. */
+    * set the conf to 0 or age the debris.
+    *
+    * SIZING CONTRACT: the gate keys off the stage's newest VISIBLE
+    * mtime. On an object store a data file only appears at close, so
+    * a single part-file upload that outlasts the grace leaves the
+    * stage's newest visible mtime stale and a peer GC can reclaim an
+    * ACTIVE stage ([[requireIntact]] then aborts the innocent writer
+    * loudly rather than losing data silently). Set `stagedGraceMs`
+    * comfortably ABOVE the longest expected single-file write (part
+    * size / slowest sustained upload rate — minutes, not seconds, for
+    * GB-scale parts on a congested link); the 60 s default assumes
+    * the engine's own bounded part sizes on a local-FS-like store. */
   def stagedGrace(spark: org.apache.spark.sql.SparkSession): Long =
     math.max(0L, spark.conf.getOption("spark.graft.merge.stagedGraceMs")
       .map(_.toLong).getOrElse(60000L))
@@ -195,18 +206,18 @@ private[graft] object ManifestCommit {
     // leaves the directory itself, so its absence is unambiguous
     if (!fs.exists(genPath))
       throw new IllegalStateException(
-        s"staged generation $genPath vanished between write and commit — " +
-          "another process (a concurrent writer's GC?) reclaimed it. " +
-          "Snapshots are single-writer; stop the second stream, run " +
-          "Merge.fsck, and replay this batch")
+        s"snapshot $dir: staged generation $genPath vanished between " +
+          "write and commit — another process (a concurrent writer's " +
+          "GC?) reclaimed it. Snapshots are single-writer; stop the " +
+          "second stream, run Merge.fsck, and replay this batch")
     val now = dataFileListing(fs, genPath)
     if (now != staged)
       throw new IllegalStateException(
-        s"staged generation $genPath changed between write and commit " +
-          s"(staged ${staged.size} data files, found ${now.size}) — " +
-          "another process (a concurrent writer's GC?) touched it. " +
-          "Snapshots are single-writer; stop the second stream, run " +
-          "Merge.fsck, and replay this batch")
+        s"snapshot $dir: staged generation $genPath changed between " +
+          s"write and commit (staged ${staged.size} data files, found " +
+          s"${now.size}) — another process (a concurrent writer's GC?) " +
+          "touched it. Snapshots are single-writer; stop the second " +
+          "stream, run Merge.fsck, and replay this batch")
   }
 
   /** Versions whose commit files still exist and parse whole —
@@ -282,7 +293,17 @@ private[graft] object ManifestCommit {
     * and the loser fails with an explicit conflict error instead of a
     * raw I/O exception — the last line of the multi-writer defense
     * (the writers' preamble checks catch the race earlier; see
-    * [[graft.operators.Merge.commitWholeGeneration]]). */
+    * [[graft.operators.Merge.commitWholeGeneration]]).
+    *
+    * Success is only reported after a READ-BACK VERIFY: the commit
+    * object is re-read and must parse whole with the written version.
+    * On a POSIX-style FS a peer's GC deleting the in-flight file does
+    * NOT fail the writer's close (the open handle keeps writing into
+    * an unlinked inode), so without the read-back an acknowledged
+    * commit could silently not exist — the streaming checkpoint would
+    * advance past a batch whose data vanished (r10 advice). [[gc]]'s
+    * flip-window grace makes that reclaim not happen; this makes it
+    * LOUD if it somehow does anyway. */
   def write(fs: FileSystem, dir: Path, st: State): Unit = {
     val p = new Path(dir, commitName(st.version))
     val out =
@@ -301,6 +322,17 @@ private[graft] object ManifestCommit {
       st.live.map(_ + "\n").mkString + s"end ${st.live.size}\n")
       .getBytes("UTF-8"))
     finally out.close()
+    val ok =
+      try fs.exists(p) && parse(fs, p).contains(st)
+      catch { case _: java.io.IOException => false }
+    if (!ok)
+      throw new IllegalStateException(
+        s"commit ${p.getName} at $dir did not read back whole after " +
+          "close — an external actor (a concurrent writer's GC or " +
+          "vacuum?) removed or damaged it mid-flip. The flip did NOT " +
+          "happen; do not advance the checkpoint. Snapshots are " +
+          "single-writer; stop the second stream, run Merge.fsck, and " +
+          "replay this batch")
   }
 
   /** The writers' expected-version compare, run between staging a
@@ -386,9 +418,16 @@ private[graft] object ManifestCommit {
     * is within the window is left alone — it may be a concurrent
     * writer's IN-FLIGHT stage, and deleting it mid-write was the one
     * silent-data-loss hole in the nonce-dir design (r9 advice; see
-    * [[stagedGrace]]). Commit FILES are never age-gated: a torn or
-    * superseded commit object is inert (readers skip it), while a
-    * file above the live pointer must clear out for re-delivery. */
+    * [[stagedGrace]]). The SAME gate covers commit files ABOVE the
+    * live pointer: every such file is torn (a parseable one would BE
+    * live), and a FRESH torn file may be a peer's pointer flip in
+    * progress — deleting it mid-write would not fail the peer's
+    * close on a POSIX FS, so its acknowledged commit would silently
+    * vanish (r10 advice; [[write]]'s read-back verify is the loud
+    * backstop). An AGED torn file is crash debris and must clear out
+    * so a re-delivered batch can re-create the same version number.
+    * Superseded commit files at-or-below the live pointer are inert
+    * (readers resolve past them) and reclaim immediately. */
   def gc(fs: FileSystem, dir: Path, retain: Int = 2,
       graceMs: Long = 0L): Unit = {
     if (!fs.exists(dir)) return
@@ -418,7 +457,14 @@ private[graft] object ManifestCommit {
     // in-flight stage — get the grace gate
     val droppedLive = commits.filterNot(p => retainedNames(p.getName))
       .flatMap(p => parse(fs, p)).flatMap(_.live).toSet
-    commits.foreach(p => if (!retainedNames(p.getName)) fs.delete(p, false))
+    commits.zipWithIndex.foreach { case (p, i) =>
+      if (!retainedNames(p.getName)) {
+        // above the live pointer = torn; a FRESH torn file may be a
+        // peer's flip in progress — age-gate it like a staged dir
+        // (at-or-below = superseded and inert: reclaim immediately)
+        if (i > liveIdx) reclaim(p) else fs.delete(p, false)
+      }
+    }
     val data = dataDir(dir)
     if (fs.exists(data)) {
       // a generation stays iff SOME retained commit references it (a

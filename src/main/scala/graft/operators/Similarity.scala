@@ -1173,6 +1173,13 @@ object Similarity {
     val staging = storeDir + "/_byshard"
     val fs = new org.apache.hadoop.fs.Path(storeDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // REBUILD ATOMICITY (r10 advice): invalidate the previous build's
+    // sharding record BEFORE any per-shard work. A crash mid-rebuild
+    // must leave readers failing LOUDLY on the missing record, never
+    // reading a stale shard count over dirs split with a different
+    // modulus (silently missing neighbors). The record is re-written
+    // as the build's final step, after every shard dir is complete.
+    fs.delete(new org.apache.hadoop.fs.Path(storeDir + "/sharding"), true)
     corpus.select(col("vec_id"), col("embedding"),
         shardOf(col("vec_id"), sh).as("shard"))
       .write.mode("overwrite").partitionBy("shard").parquet(staging)
@@ -1200,8 +1207,18 @@ object Similarity {
     sh
   }
 
-  private def readShardCount(spark: SparkSession, storeDir: String): Int =
-    spark.read.parquet(storeDir + "/sharding").collect().head.getInt(0)
+  private def readShardCount(spark: SparkSession, storeDir: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(storeDir + "/sharding")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // absent record = never built OR a rebuild crashed mid-way (the
+    // build invalidates it first, restores it last) — fail loudly
+    // instead of letting a reader guess a shard count
+    require(fs.exists(p),
+      s"sharded store $storeDir has no sharding record — either it was " +
+        "never built or a rebuild crashed mid-way (the record is " +
+        "invalidated first and restored last); re-run the build")
+    spark.read.parquet(p.toString).collect().head.getInt(0)
+  }
 
   /** Shard dirs that were actually built (the hash can leave a shard
     * empty on tiny corpora — it then has no store to search), with

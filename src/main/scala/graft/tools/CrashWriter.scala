@@ -1,21 +1,34 @@
 package graft.tools
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 
+import graft.operators.ManifestCommit
+
 /** REAL-process crash fixture (not part of the driver contract):
-  * stages a generation into a manifest snapshot and then dies ABRUPTLY
-  * (`Runtime.halt` — no shutdown hooks, no finally blocks, no
+  * drives a manifest snapshot to a specific death point and then dies
+  * ABRUPTLY (`Runtime.halt` — no shutdown hooks, no finally blocks, no
   * streaming-side cleanup: the closest a test can get to kill -9
   * without an external supervisor). MergeCrashSpec's in-process death
-  * points simulate the disk states; the subprocess test that runs this
-  * main proves the simulation faithful — a genuinely dead JVM leaves
+  * points simulate the disk states; the subprocess tests that run this
+  * main prove the simulations faithful — a genuinely dead JVM leaves
   * exactly the debris the recovery path is specced against.
   *
   * Usage: CrashWriter <snapshotDir> <mode>
-  *   mode = seed       — commit v1 normally, exit 0
-  *   mode = die-staged — stage v2's generation dir fully, then halt(137)
-  *                       BEFORE the commit file (the mid-death point:
-  *                       staged-but-unreferenced debris)
+  *   mode = seed         — commit v1 normally, exit 0
+  *   mode = die-staged   — stage v2's generation dir fully, then
+  *                         halt(137) BEFORE the commit file (the
+  *                         mid-stage death point: staged-but-
+  *                         unreferenced debris)
+  *   mode = die-torn     — stage v2 fully, then halt(137) MID-FLIP:
+  *                         the commit object's header and body are
+  *                         flushed to disk but the entry-count trailer
+  *                         never lands (a torn pointer write)
+  *   mode = die-postflip — commit v2 normally, then commit v3 through
+  *                         the full real sequence (preamble GC, stage,
+  *                         guards, pointer flip) and halt(137) BETWEEN
+  *                         the flip and the post-commit cleanup GC —
+  *                         superseded history beyond retention lingers
   */
 object CrashWriter {
   def main(args: Array[String]): Unit = {
@@ -26,6 +39,8 @@ object CrashWriter {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
+    val p = new Path(dir)
+    def fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     mode match {
       case "seed" =>
         graft.streaming.MergeSink.applyBatch(spark,
@@ -41,6 +56,45 @@ object CrashWriter {
             // nonce path, no commit file will ever name it
             Runtime.getRuntime.halt(137)
         }
+      case "die-torn" =>
+        // v2's generation staged fully, then the pointer write itself
+        // is interrupted: header + entries reach the disk, the trailer
+        // does not — the exact bytes ManifestCommit.parse calls torn
+        val gen = ManifestCommit.stagedGenName(2L)
+        Seq((2L, "torn", 2.0)).toDF("k", "name", "bal")
+          .write.parquet(
+            new Path(ManifestCommit.dataDir(p), gen).toString)
+        val out = fs.create(new Path(p, f"_graft_commit-${2L}%012d"), false)
+        out.write(s"graft-commit v1 2\n$gen\n".getBytes("UTF-8"))
+        out.hflush() // the partial content is on disk when we die
+        Runtime.getRuntime.halt(137)
+      case "die-postflip" =>
+        // v2 through the normal path (its cleanup runs), then v3
+        // replayed step-for-step from Merge.commitWholeGeneration with
+        // the death between the flip and the post-commit GC — with
+        // retention 2, v1's commit file and generation are exactly the
+        // cleanup work the crash leaves for the next preamble
+        graft.streaming.MergeSink.applyBatch(spark,
+          Seq((2L, "I", "b", 2.0, 2L)).toDF("k", "op", "name", "bal", "seq"),
+          dir, "k", "op", "seq", manifestCommit = true)
+        val retain = ManifestCommit.retention(spark)
+        val grace = ManifestCommit.stagedGrace(spark)
+        ManifestCommit.gc(fs, p, retain, grace)
+        val st = ManifestCommit.read(fs, p)
+        val newVer = st.map(_.version + 1).getOrElse(1L)
+        val gen = ManifestCommit.stagedGenName(newVer)
+        val genPath = new Path(ManifestCommit.dataDir(p), gen)
+        Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))
+          .toDF("k", "name", "bal")
+          .write.mode("overwrite").parquet(genPath.toString)
+        val staged = ManifestCommit.dataFileListing(fs, genPath)
+        ManifestCommit.requireUnchanged(fs, p, st)
+        ManifestCommit.requireIntact(fs, p, genPath, staged)
+        ManifestCommit.write(fs, p,
+          ManifestCommit.State(newVer, Seq(gen)))
+        // the process dies HERE: v3 is live (flip happened and read
+        // back whole) but the post-commit cleanup GC never runs
+        Runtime.getRuntime.halt(137)
       case other => sys.error(s"unknown mode $other")
     }
   }

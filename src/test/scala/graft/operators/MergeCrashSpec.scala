@@ -40,8 +40,10 @@ class MergeCrashSpec extends SparkSpec {
   private def fsOf(dir: String) =
     new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
 
-  /** age every never-referenced staged dir past the grace window —
-    * what wall-clock time does for real crash debris */
+  /** age every never-referenced staged dir AND every commit file past
+    * the grace window — what wall-clock time does for real crash
+    * debris (torn commit files above the live pointer are grace-gated
+    * the same way stages are, so a restart test must age both). */
   private def ageDebris(dir: String): Unit = {
     val fs = fsOf(dir)
     val data = ManifestCommit.dataDir(new Path(dir))
@@ -55,6 +57,33 @@ class MergeCrashSpec extends SparkSpec {
     }
     if (fs.exists(data)) fs.listStatus(data).filter(_.isDirectory)
       .foreach(c => ageTree(c.getPath))
+    fs.listStatus(new Path(dir))
+      .filter(_.getPath.getName.startsWith("_graft_commit-"))
+      .foreach(c => fs.setTimes(c.getPath, old, -1L))
+  }
+
+  /** run CrashWriter in a REAL separate JVM (halt(137) means a
+    * genuinely dead process — no shutdown hooks, no finally blocks). */
+  private def runCrashWriter(dir: String, mode: String): Int = {
+    val addOpens = Seq("java.lang", "java.lang.invoke", "java.lang.reflect",
+      "java.io", "java.net", "java.nio", "java.util",
+      "java.util.concurrent", "java.util.concurrent.atomic",
+      "sun.nio.ch", "sun.nio.cs", "sun.security.action",
+      "sun.util.calendar").flatMap(p =>
+      Seq("--add-opens", s"java.base/$p=ALL-UNNAMED"))
+    val cmd = Seq("java", "-XX:+IgnoreUnrecognizedVMOptions") ++
+      addOpens ++ Seq("-Xmx2g", "-cp", sys.props("java.class.path"),
+      "graft.tools.CrashWriter", dir, mode)
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.redirectErrorStream(true)
+    val p = pb.start()
+    // drain output so the child can't block on a full pipe
+    val drain = new Thread(() => {
+      val buf = new Array[Byte](8192)
+      while (p.getInputStream.read(buf) >= 0) ()
+    })
+    drain.setDaemon(true); drain.start()
+    p.waitFor()
   }
 
   private def genDirs(dir: String): Set[String] = {
@@ -67,27 +96,7 @@ class MergeCrashSpec extends SparkSpec {
 
   test("REAL process death (halt mid-stage in a separate JVM): readers unaffected, restart recovers, GC reclaims") {
     val dir = tmp("crash-realproc")
-    val addOpens = Seq("java.lang", "java.lang.invoke", "java.lang.reflect",
-      "java.io", "java.net", "java.nio", "java.util",
-      "java.util.concurrent", "java.util.concurrent.atomic",
-      "sun.nio.ch", "sun.nio.cs", "sun.security.action",
-      "sun.util.calendar").flatMap(p =>
-      Seq("--add-opens", s"java.base/$p=ALL-UNNAMED"))
-    def run(mode: String): Int = {
-      val cmd = Seq("java", "-XX:+IgnoreUnrecognizedVMOptions") ++
-        addOpens ++ Seq("-Xmx2g", "-cp", sys.props("java.class.path"),
-        "graft.tools.CrashWriter", dir, mode)
-      val pb = new ProcessBuilder(cmd: _*)
-      pb.redirectErrorStream(true)
-      val p = pb.start()
-      // drain output so the child can't block on a full pipe
-      val drain = new Thread(() => {
-        val buf = new Array[Byte](8192)
-        while (p.getInputStream.read(buf) >= 0) ()
-      })
-      drain.setDaemon(true); drain.start()
-      p.waitFor()
-    }
+    def run(mode: String): Int = runCrashWriter(dir, mode)
     assert(run("seed") === 0)
     assert(state(dir) === Seq((1L, "a", 1.0)))
     // the writer REALLY dies — halt(137), no shutdown hooks — with
@@ -252,6 +261,132 @@ class MergeCrashSpec extends SparkSpec {
     assert(e.getMessage.contains("between write and commit"))
     assert(state(dir) === Seq((2L, "b", 2.0)))
     assert(Merge.snapshotVersions(spark, dir).max === 2L)
+  }
+
+  test("REAL process death mid-pointer-flip (die-torn): torn commit skipped, grace-gated, re-delivery heals") {
+    val dir = tmp("crash-realtorn")
+    assert(runCrashWriter(dir, "seed") === 0)
+    // the writer REALLY dies while the commit object is uploading:
+    // header + entries flushed, trailer never lands
+    assert(runCrashWriter(dir, "die-torn") === 137)
+    val fs = fsOf(dir)
+    val tornFile = new Path(dir, "_graft_commit-000000000002")
+    assert(fs.exists(tornFile), "the torn pointer bytes must be on disk")
+    // readers resolve through the newest WHOLE commit — still v1
+    assert(state(dir) === Seq((1L, "a", 1.0)))
+    // a too-early restart aborts loudly (fresh debris looks in-flight)
+    val boom = intercept[IllegalArgumentException] {
+      MergeSink.applyBatch(spark, b((2L, "I", "b", 2.0, 2L)), dir,
+        "k", "op", "seq")
+    }
+    assert(boom.getMessage.contains("concurrent writer"))
+    // crucially, the preamble GC did NOT delete the fresh torn commit
+    // file — it could have been a live peer's flip in progress
+    assert(fs.exists(tornFile),
+      "a fresh torn commit file must survive the grace-gated GC")
+    // once aged (real wall-clock), the re-delivered batch clears the
+    // torn pointer + stale stage and commits v2 cleanly
+    ageDebris(dir)
+    MergeSink.applyBatch(spark, b((2L, "I", "b", 2.0, 2L)), dir,
+      "k", "op", "seq")
+    assert(state(dir) === Seq((1L, "a", 1.0), (2L, "b", 2.0)))
+    assert(Merge.snapshotVersions(spark, dir).max === 2L)
+  }
+
+  test("REAL process death post-flip (die-postflip): committed state live, lingering history GCs on next batch") {
+    val dir = tmp("crash-realpostflip")
+    assert(runCrashWriter(dir, "seed") === 0)
+    // v2 commits normally, v3 flips and the process dies BEFORE the
+    // post-commit cleanup GC
+    assert(runCrashWriter(dir, "die-postflip") === 137)
+    val fs = fsOf(dir)
+    // the flip happened: readers see v3's content immediately
+    assert(state(dir) ===
+      Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)))
+    // the crash left cleanup work: v1's commit file (beyond retention
+    // 2) is still present
+    assert(fs.exists(new Path(dir, "_graft_commit-000000000001")),
+      "post-flip death must leave the superseded history un-GCed")
+    // the next writer's preamble completes the dead writer's cleanup —
+    // superseded commits at-or-below live reclaim with NO age gate
+    MergeSink.applyBatch(spark, b((4L, "I", "d", 4.0, 4L)), dir,
+      "k", "op", "seq")
+    assert(!fs.exists(new Path(dir, "_graft_commit-000000000001")))
+    assert(Merge.snapshotVersions(spark, dir) === Seq(3L, 4L))
+    assert(state(dir) === Seq((1L, "a", 1.0), (2L, "b", 2.0),
+      (3L, "c", 3.0), (4L, "d", 4.0)))
+  }
+
+  test("gc grace-gates a fresh torn commit above live; aged or superseded ones reclaim") {
+    val dir = tmp("crash-gcflip")
+    MergeSink.applyBatch(spark, b((1L, "I", "a", 1.0, 1L)), dir,
+      "k", "op", "seq", manifestCommit = true) // v1 live
+    val fs = fsOf(dir)
+    val p = new Path(dir)
+    val torn = new Path(dir, "_graft_commit-000000000002")
+    val out = fs.create(torn, false)
+    out.write("graft-commit v1 2\ng-junk\n".getBytes("UTF-8")) // no trailer
+    out.close()
+    // fresh torn file ABOVE live: a grace-gated GC leaves it (it may be
+    // a peer's in-progress flip)
+    ManifestCommit.gc(fs, p, retain = 2, graceMs = 60000L)
+    assert(fs.exists(torn), "fresh torn commit above live must survive")
+    // aged past the grace: debris, reclaimed
+    fs.setTimes(torn, System.currentTimeMillis() - 600000L, -1L)
+    ManifestCommit.gc(fs, p, retain = 2, graceMs = 60000L)
+    assert(!fs.exists(torn), "aged torn commit above live must reclaim")
+    // with the gate OFF a torn file above live reclaims immediately
+    val out2 = fs.create(torn, false)
+    out2.write("graft-commit v1 2\ng-junk\n".getBytes("UTF-8"))
+    out2.close()
+    ManifestCommit.gc(fs, p, retain = 2, graceMs = 0L)
+    assert(!fs.exists(torn))
+    // superseded commits AT-OR-BELOW live are inert and reclaim even
+    // fresh: write v2, v3 — v1 goes despite being newly written
+    MergeSink.applyBatch(spark, b((2L, "I", "b", 2.0, 2L)), dir,
+      "k", "op", "seq")
+    MergeSink.applyBatch(spark, b((3L, "I", "c", 3.0, 3L)), dir,
+      "k", "op", "seq")
+    assert(!fs.exists(new Path(dir, "_graft_commit-000000000001")),
+      "superseded commit below live must reclaim without aging")
+    assert(state(dir) ===
+      Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)))
+  }
+
+  test("write() read-back verify: a commit that vanishes mid-flip fails loudly, not silently") {
+    val dir = tmp("crash-flipverify")
+    MergeSink.applyBatch(spark, b((1L, "I", "a", 1.0, 1L)), dir,
+      "k", "op", "seq", manifestCommit = true)
+    val fs = fsOf(dir)
+    val p = new Path(dir)
+    // a hostile actor (peer GC with the gate off) deletes the commit
+    // object right after the writer's close: on POSIX the writer's
+    // stream never failed, so ONLY the read-back can catch it. Model
+    // the post-close deletion with an FS wrapper that drops the file
+    // on close.
+    val raw = new org.apache.hadoop.fs.RawLocalFileSystem { self =>
+      override def create(f: Path, overwrite: Boolean): org.apache.hadoop.fs.FSDataOutputStream = {
+        val out = super.create(f, overwrite)
+        new org.apache.hadoop.fs.FSDataOutputStream(
+          new java.io.FilterOutputStream(out) {
+            override def close(): Unit = {
+              super.close()
+              if (f.getName.startsWith("_graft_commit-"))
+                self.delete(f, false) // the peer's reclaim lands here
+            }
+          }, null)
+      }
+    }
+    raw.initialize(new java.net.URI("file:///"),
+      spark.sessionState.newHadoopConf())
+    val e = intercept[IllegalStateException] {
+      ManifestCommit.write(raw, p,
+        ManifestCommit.State(2L, Seq("g-000000000002-deadbeef")))
+    }
+    assert(e.getMessage.contains("did not read back whole"))
+    assert(e.getMessage.contains("do not advance the checkpoint"))
+    // the snapshot is untouched — still v1
+    assert(state(dir) === Seq((1L, "a", 1.0)))
   }
 
   test("vacuum reclaims aged orphaned nonce dirs, spares fresh ones") {

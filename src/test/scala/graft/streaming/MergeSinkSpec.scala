@@ -408,10 +408,15 @@ class MergeSinkSpec extends SparkSpec {
     // old by the time the re-delivered batch runs; fresh unreferenced
     // dirs are deliberately LEFT by GC (they may be an in-flight peer)
     fs.setTimes(orphan, System.currentTimeMillis() - 600000L, -1L)
-    val torn = fs.create(
-      new org.apache.hadoop.fs.Path(dir + "/_graft_commit-000000000002"), false)
+    val tornPath =
+      new org.apache.hadoop.fs.Path(dir + "/_graft_commit-000000000002")
+    val torn = fs.create(tornPath, false)
     torn.write("graft-commit v1 2\ng-000000000002\n".getBytes("UTF-8")) // no trailer
     torn.close()
+    // the torn pointer is grace-gated too (a fresh one may be a peer's
+    // flip in progress — MergeCrashSpec covers that); age it like the
+    // generation debris
+    fs.setTimes(tornPath, System.currentTimeMillis() - 600000L, -1L)
     // the torn commit must NOT be read as live
     val seen = graft.operators.Merge.readSnapshot(spark, dir)
       .as[(Long, String, Double)].collect().toSeq
