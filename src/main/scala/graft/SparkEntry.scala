@@ -2517,6 +2517,28 @@ object SparkEntry {
       Dedup.simhashPairs128(t(s, dir, "documents"), "doc_id", "text",
           maxHamming = 6, portable = true)
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // the ROUTED sharded IVF store — the per-query COST lever on top
+    // of q132's capacity lever: a 2-centroid super-quantizer files
+    // each item into the shard of its nearest super-centroid
+    // (cluster-disjoint split), and each query probes ONLY its top
+    // routed shard (routeShards=1 ⇒ probed-shard share 1/2) with 2
+    // list probes inside it. The oracle replays the whole construction
+    // — global md5 super pick, argmax shard assignment, per-shard md5
+    // centroid picks, the route rank, per-shard probe ranks within
+    // routed shards only, the global ranking — so the routing math is
+    // hash-checked, not asserted.
+    "q134_ann_routed" -> ((s, dir) => {
+      val store = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_ivfrouted_${Integer.toHexString(dir.hashCode)}_$jvmToken")
+        .getAbsolutePath
+      val e = t(s, dir, "embeddings")
+      Similarity.buildRoutedIvfStore(e, store, shards = 2, nlist = 4,
+        iters = 0, dim = 64)
+      Similarity.searchRoutedIvfStore(s, e.filter(col("vec_id") < 10),
+          store, k = 5, nprobe = 2, routeShards = 1)
+        .orderBy(col("query_id"), col("rank"))
     })
   )
 
@@ -3840,6 +3862,61 @@ object SparkEntry {
          SELECT id_a, id_b, hamming FROM p WHERE hamming <= 6
          ORDER BY id_a, id_b"""
     },
+    // routed-sharded replay: q132's replay with the hash split swapped
+    // for the super-quantizer — sup = global md5-first 2 normalized
+    // vectors, ish = argmax shard assignment (d DESC, sid DESC — the
+    // engine's array_max struct tiebreak), cent/asn per shard as in
+    // q132, rt = each query's TOP routed shard by the same ordering,
+    // pr = probe ranks computed ONLY within routed shards, one global
+    // ranking. Queries outside a shard's route never contribute
+    // candidates there — the pruning is replayed, not approximated.
+    "q134_ann_routed" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         en AS (SELECT vec_id,
+                  CASE WHEN list_inner_product(v, v) = 0 THEN v
+                       ELSE list_transform(v, x -> x / sqrt(list_inner_product(v, v)))
+                  END AS nv
+                FROM e),
+         sup AS (SELECT nv AS cv, CAST(rn - 1 AS INT) AS sid FROM (
+                   SELECT nv, row_number() OVER (
+                     ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+                   FROM en) WHERE rn <= 2),
+         ish AS (SELECT vec_id, nv, sid AS sh FROM (
+                   SELECT en.vec_id, en.nv, sup.sid,
+                     row_number() OVER (PARTITION BY en.vec_id
+                       ORDER BY list_inner_product(en.nv, sup.cv) DESC, sup.sid DESC) AS rn
+                   FROM en, sup) WHERE rn = 1),
+         cent AS (SELECT sh, nv AS cv, CAST(rn - 1 AS INT) AS lid FROM (
+                    SELECT sh, nv, row_number() OVER (PARTITION BY sh
+                      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+                    FROM ish) WHERE rn <= 4),
+         asn AS (SELECT item_id, sh, lid FROM (
+                   SELECT ish.vec_id AS item_id, ish.sh, cent.lid,
+                     row_number() OVER (PARTITION BY ish.vec_id
+                       ORDER BY list_inner_product(ish.nv, cent.cv) DESC, cent.lid DESC) AS rn
+                   FROM ish JOIN cent ON cent.sh = ish.sh) WHERE rn = 1),
+         qn AS (SELECT vec_id AS query_id, nv AS qv FROM en WHERE vec_id < 10),
+         rt AS (SELECT query_id, sid AS sh FROM (
+                  SELECT qn.query_id, sup.sid,
+                    row_number() OVER (PARTITION BY qn.query_id
+                      ORDER BY list_inner_product(qn.qv, sup.cv) DESC, sup.sid DESC) AS rn
+                  FROM qn, sup) WHERE rn <= 1),
+         pr AS (SELECT query_id, qv, sh, lid FROM (
+                  SELECT qn.query_id, qn.qv, cent.sh, cent.lid,
+                    row_number() OVER (PARTITION BY qn.query_id, cent.sh
+                      ORDER BY list_inner_product(qn.qv, cent.cv) DESC, cent.lid DESC) AS rn
+                  FROM qn JOIN rt ON rt.query_id = qn.query_id
+                          JOIN cent ON cent.sh = rt.sh) WHERE rn <= 2),
+         s AS (SELECT pr.query_id, asn.item_id, list_inner_product(pr.qv, en2.nv) AS cos
+               FROM pr JOIN asn ON asn.sh = pr.sh AND asn.lid = pr.lid
+                       JOIN en en2 ON en2.vec_id = asn.item_id
+               WHERE asn.item_id != pr.query_id),
+         r AS (SELECT query_id, item_id, round(cos, 4) AS cos,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                      ORDER BY s.cos DESC, item_id) AS INT) AS rank
+               FROM s)
+         SELECT query_id, item_id, cos, rank FROM r
+         WHERE rank <= 5 ORDER BY query_id, rank""",
     // portable fingerprint ⇒ exact oracle: DuckDB rebuilds the token
     // 3-gram shingles and the md5-derived 60-bit hash (PortableHash
     // parity) and takes the same min — bit-exact.

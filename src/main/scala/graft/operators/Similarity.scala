@@ -1279,6 +1279,10 @@ object Similarity {
     * sizes). */
   def appendToShardedIvfStore(spark: SparkSession, newVecs: DataFrame,
       storeDir: String): Unit = {
+    require(!isRoutedStore(spark, storeDir),
+      s"store $storeDir is ROUTED (cluster-disjoint shards) — the hash " +
+        "rule would file vectors into shards the router never probes " +
+        "(silent recall loss); use appendToRoutedIvfStore")
     val sh = readShardCount(spark, storeDir)
     val fs = new org.apache.hadoop.fs.Path(storeDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1306,9 +1310,347 @@ object Similarity {
     builtShards(spark, storeDir).map(
       calibrateIvfStore(spark, _, queries, k, targetRecall, sampleN))
 
+  // ---- Routed sharded IVF store (cluster-disjoint shards) ----
+
+  /** True iff `storeDir` holds a ROUTED sharded store (cluster-disjoint
+    * shards under a super-quantizer) rather than a hash-disjoint one —
+    * the two must never be appended to or routed with the other's
+    * assignment rule. */
+  def isRoutedStore(spark: SparkSession, storeDir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(storeDir + "/super_centroids")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  private def readSuper(spark: SparkSession,
+      storeDir: String): Seq[(Int, Seq[Double])] = {
+    require(isRoutedStore(spark, storeDir),
+      s"store $storeDir has no super-quantizer — it is a hash-disjoint " +
+        "sharded store (or not sharded at all); use the unrouted " +
+        "search/append, or rebuild with buildRoutedIvfStore")
+    readCentroidsAt(spark, storeDir + "/super_centroids")
+  }
+
+  /**
+   * [[buildShardedIvfStore]] with CLUSTER-DISJOINT shards — the lever
+   * that converts sharding from a capacity knob into a per-query COST
+   * knob. Hash sharding spreads every neighborhood uniformly, so a
+   * correct search must probe every shard: per-query cost × shards.
+   * Here a SUPER-QUANTIZER (one md5-picked — optionally k-means
+   * trained — centroid per shard, the same bounded-collect discipline
+   * as the per-list quantizers, one level up) assigns each item to the
+   * shard of its nearest super-centroid: neighborhoods land together,
+   * so a query only needs the few shards whose super-centroids it is
+   * close to ([[searchRoutedIvfStore]] probes a calibrated subset —
+   * the exact analog, one level up, of what nprobe calibration does
+   * inside one store).
+   *
+   * Layout: the hash-sharded layout plus `<storeDir>/super_centroids`
+   * (same (lid, cv) schema as a store's centroids — its presence marks
+   * the store ROUTED) and, after [[calibrateRoutedIvfStore]],
+   * `<storeDir>/routing` with the measured route depth. Every
+   * single-store tool (advice, stats, compaction, per-shard nprobe
+   * calibration via [[calibrateShardedIvfStore]]) applies unchanged.
+   *
+   * I/O shape: identical to the hash build — ONE corpus pass assigns
+   * and stages `partitionBy(shard)`, per-shard builds read only their
+   * partition. Cluster shards CAN skew (a hot super-centroid owns more
+   * items than others) — each shard's own adaptive nlist absorbs
+   * moderate skew, and [[ivfStoreAdvice]] per shard dir flags a shard
+   * that outgrows its quantizer; `superIters > 0` (Lloyd refinement of
+   * the super-quantizer) is the build-time balance lever.
+   *
+   * Rebuild atomicity: the sharding record, super-quantizer, and
+   * routing calibration are invalidated FIRST and restored LAST, so a
+   * crashed rebuild leaves readers failing loudly, never routing with
+   * a stale super-quantizer over re-clustered shards. Returns the
+   * shard count.
+   */
+  def buildRoutedIvfStore(corpus: DataFrame, storeDir: String,
+      shards: Int = 0, nlist: Int = 0, iters: Int = 0, m: Int = 0,
+      ksub: Int = 8, dim: Int = 64, superIters: Int = 0): Int = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    import org.apache.spark.storage.StorageLevel
+    val sh = if (shards > 0) shards else adaptiveIvfShards(corpus.count())
+    val staging = storeDir + "/_byshard"
+    val fs = new org.apache.hadoop.fs.Path(storeDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // invalidate-first (see buildShardedIvfStore): a crash mid-rebuild
+    // must fail readers loudly on the missing records — for a ROUTED
+    // store that includes the super-quantizer and the routing
+    // calibration, both meaningless over partially rebuilt shards
+    Seq("sharding", "super_centroids", "routing", "routing_curve")
+      .foreach(f => fs.delete(
+        new org.apache.hadoop.fs.Path(s"$storeDir/$f"), true))
+    val supers =
+      if (superIters > 0) {
+        val cp = unitVecs(corpus, "item_id", "item_vec")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        try trainCentroids(cp, hashPickCentroids(cp, sh), superIters)
+        finally cp.unpersist(blocking = false)
+      } else hashPickCentroids(
+        unitVecs(corpus, "item_id", "item_vec"), sh)
+    corpus.select(col("vec_id"), col("embedding"),
+        assignList(supers, V.unitVec(col("embedding"))).as("shard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(staging)
+    try {
+      (0 until sh).foreach { i =>
+        val p = new org.apache.hadoop.fs.Path(s"$staging/shard=$i")
+        if (fs.exists(p))
+          buildIvfStore(spark.read.parquet(p.toString),
+            s"$storeDir/shard=$i", nlist, iters, m, ksub, dim)
+      }
+      val root = new org.apache.hadoop.fs.Path(storeDir)
+      if (fs.exists(root)) fs.listStatus(root).foreach { c =>
+        val nm = c.getPath.getName
+        if (nm.startsWith("shard=") &&
+            nm.stripPrefix("shard=").toIntOption.exists(_ >= sh))
+          fs.delete(c.getPath, true)
+      }
+    } finally fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    supers.toDF("lid", "cv").coalesce(1)
+      .write.mode("overwrite").parquet(storeDir + "/super_centroids")
+    Seq(sh).toDF("shards").coalesce(1)
+      .write.mode("overwrite").parquet(storeDir + "/sharding")
+    sh
+  }
+
+  /** The persisted routing calibration, if any:
+    * (route_shards, n_items, n_shards) as measured. */
+  private def readRouting(spark: SparkSession,
+      storeDir: String): Option[(Int, Long, Int)] = {
+    val p = new org.apache.hadoop.fs.Path(storeDir + "/routing")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else spark.read.parquet(p.toString).collect().headOption
+      .map(r => (r.getAs[Int]("route_shards"), r.getAs[Long]("n_items"),
+        r.getAs[Int]("n_shards")))
+  }
+
+  /** Resolve a routed search's `routeShards = 0` ("derive it"): the
+    * persisted routing calibration when one exists AND was measured
+    * against this super-quantizer (same shard count — a rebuilt super
+    * reorders every route rank); else ALL shards — recall-safe, the
+    * unrouted cost, and [[routedStoreAdvice]] flags the missing
+    * calibration. */
+  private def resolveRouteDepth(spark: SparkSession, storeDir: String,
+      routeShards: Int, nShards: Int): Int =
+    if (routeShards > 0) math.min(routeShards, nShards)
+    else readRouting(spark, storeDir) match {
+      case Some((r, _, calShards)) if calShards == nShards =>
+        math.min(math.max(1, r), nShards)
+      case other =>
+        if (other.isDefined)
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"routed store $storeDir: routing was calibrated against " +
+              s"${other.get._3} shards but the store now has $nShards — " +
+              "ignoring it (recalibrate); probing all shards")
+        nShards
+    }
+
+  /** Each query's routed shards: the `depth` shards whose
+    * super-centroids score highest for the query (d DESC, shard-id
+    * DESC tiebreak — the canonical probe order, one level up). */
+  private def queryRoutes(q: DataFrame, supers: Seq[(Int, Seq[Double])],
+      depth: Int): DataFrame =
+    q.select(col("query_id"),
+        explode(slice(reverse(array_sort(centScores(supers, col("query_vec")))),
+          1, depth)).as("probe"))
+      .select(col("query_id"), col("probe.lid").as("shard"))
+
+  /** The routed candidate union: per routed shard, the queries ROUTED
+    * there (a broadcast semi-join against the route table — queries
+    * the router sent elsewhere never touch this shard's lists) run the
+    * per-store candidate stage; shards no query routes to are never
+    * opened. `perShard` is the store-level candidate stage
+    * ([[storeProbeCand]] or [[storeAdcExact]] curried). */
+  private def routedCand(spark: SparkSession, queries: DataFrame,
+      storeDir: String, routeShards: Int,
+      perShard: (DataFrame, String) => DataFrame): DataFrame = {
+    val supers = readSuper(spark, storeDir)
+    val dirs = builtShardDirs(spark, storeDir).toMap
+    require(dirs.nonEmpty, s"routed store $storeDir has no built shards")
+    val depth = resolveRouteDepth(spark, storeDir, routeShards, supers.size)
+    val routes = queryRoutes(
+      unitVecs(queries, "query_id", "query_vec"), supers, depth)
+    // bounded driver collect: at most `shards` ints — which shard dirs
+    // this query batch needs at all (the per-query assignment stays a
+    // distributed semi-join below)
+    val routedIdx = routes.select("shard").distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
+    val cands = routedIdx.flatMap(i => dirs.get(i).map { d =>
+      val qi = queries.join(
+        routes.filter(col("shard") === i)
+          .select(col("query_id").as("vec_id")),
+        Seq("vec_id"), "left_semi")
+      perShard(qi, d)
+    })
+    require(cands.nonEmpty,
+      s"routed store $storeDir: no routed shard was ever built — " +
+        "rebuild the store (the super-quantizer routes every query to " +
+        "empty shards)")
+    cands.reduce(_ unionByName _)
+  }
+
+  /**
+   * Search a ROUTED sharded store: each query is routed to the
+   * `routeShards` shards whose super-centroids it scores highest
+   * (0 = the store's calibrated route depth, or all shards when never
+   * calibrated — the recall-safe fallback), and only those shards'
+   * lists are probed ([[searchIvfStore]] semantics per shard, each
+   * shard's own nprobe resolution applying). Per-shard exact-scored
+   * candidates union at full precision into one global top-k.
+   *
+   * Cost vs [[searchShardedIvfStore]]: probed-shard share =
+   * routeShards / shards per query instead of 1 — the per-query cost
+   * multiplier the hash-sharded store carries is gone. Recall: a true
+   * neighbor is missed iff its shard is outside the query's routed
+   * set; cluster-disjoint assignment makes that the same tail event
+   * as an unprobed list inside one store, and
+   * [[calibrateRoutedIvfStore]] MEASURES it — routeShards = shards
+   * reproduces the exhaustive sharded search exactly.
+   */
+  def searchRoutedIvfStore(spark: SparkSession, queries: DataFrame,
+      storeDir: String, k: Int, nprobe: Int = 0,
+      routeShards: Int = 0): DataFrame =
+    topKRerank(routedCand(spark, queries, storeDir, routeShards,
+      (q, d) => storeProbeCand(spark, q, d, nprobe)), k)
+
+  /** [[searchIvfStoreAdc]] over a routed store: routed shards only,
+    * per-shard ADC shortlists re-score exactly within their shard,
+    * union at full precision, one global k-ranking. */
+  def searchRoutedIvfStoreAdc(spark: SparkSession, queries: DataFrame,
+      storeDir: String, k: Int, nprobe: Int = 0, candN: Int = 20,
+      routeShards: Int = 0): DataFrame =
+    adcFinalRank(routedCand(spark, queries, storeDir, routeShards,
+      (q, d) => storeAdcExact(spark, q, d, nprobe, candN, k)), k)
+
+  /** Route a day's new vectors with the STORED super-quantizer (the
+    * routing contract — retraining it would strand every already-
+    * stored item) and append each slice with its shard's stored
+    * sub-quantizer. The exact analog of [[appendToShardedIvfStore]]
+    * for cluster-disjoint stores; refuses a hash store loudly. */
+  def appendToRoutedIvfStore(spark: SparkSession, newVecs: DataFrame,
+      storeDir: String): Unit = {
+    val supers = readSuper(spark, storeDir)
+    val sh = readShardCount(spark, storeDir)
+    val fs = new org.apache.hadoop.fs.Path(storeDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (0 until sh).foreach { i =>
+      val slice = newVecs.filter(
+        assignList(supers, V.unitVec(col("embedding"))) === i)
+      val dir = s"$storeDir/shard=$i"
+      if (fs.exists(new org.apache.hadoop.fs.Path(dir + "/centroids")))
+        appendToIvfStore(spark, slice, dir)
+      else require(slice.isEmpty,
+        s"routed store $storeDir: batch routes rows to shard $i, " +
+          "which the build left empty (no quantizer) — rebuild the store")
+    }
+  }
+
+  /**
+   * Measure the routing recall curve and PERSIST the operating point —
+   * the shard-level analog of [[calibrateIvfStore]]: ground truth is
+   * an exact top-k over the union of all shards' stored vectors (each
+   * true neighbor carries the shard it lives in); each neighbor's
+   * ROUTE RANK — the 1-based position of its shard in the query's
+   * descending super-centroid order — decides the smallest route depth
+   * that would have reached it; recall(depth) is one cumulative count.
+   * Persists `<storeDir>/routing` (the chosen depth + the store size
+   * and super size it was measured against) and
+   * `<storeDir>/routing_curve`; routed searches with `routeShards = 0`
+   * consume the depth, with a stale-super guard. Returns the chosen
+   * depth. Cost: one exact scan against `sampleN` broadcast queries —
+   * build/maintenance time, exactly like the nprobe calibration.
+   */
+  def calibrateRoutedIvfStore(spark: SparkSession, storeDir: String,
+      queries: DataFrame, k: Int, targetRecall: Double = 0.9,
+      sampleN: Int = 32): Int = {
+    import spark.implicits._
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(targetRecall > 0 && targetRecall <= 1,
+      s"targetRecall must be in (0, 1], got $targetRecall")
+    require(sampleN >= 1, s"sampleN must be >= 1, got $sampleN")
+    val supers = readSuper(spark, storeDir)
+    val nShards = supers.size
+    val dirs = builtShardDirs(spark, storeDir)
+    require(dirs.nonEmpty, s"routed store $storeDir has no built shards")
+    val q = unitVecs(queries, "query_id", "query_vec")
+      .orderBy(md5(col("query_id").cast("string")), col("query_id"))
+      .limit(sampleN)
+    val stored = dirs.map { case (i, d) =>
+      spark.read.parquet(d + "/encoded")
+        .select(col("item_id"), col("item_vec"), lit(i).as("shard"))
+    }.reduce(_ unionByName _)
+    val truth = TopK.perGroup(
+      stored.join(broadcast(q))
+        .filter(col("query_id") =!= col("item_id"))
+        .select(col("query_id"), col("item_id"), col("shard"),
+          V.dot(col("query_vec"), col("item_vec")).as("cos")),
+      Seq("query_id"), Seq(("cos", false), ("item_id", true)), k)
+      .select("query_id", "shard")
+    val ranks = q.select(col("query_id"),
+        posexplode(reverse(array_sort(centScores(supers, col("query_vec")))))
+          .as(Seq("p0", "probe")))
+      .select(col("query_id"), (col("p0") + 1).as("route_rank"),
+        col("probe.lid").as("shard"))
+    val hits = truth.join(ranks, Seq("query_id", "shard"))
+    val total = hits.count()
+    require(total > 0, "calibrateRoutedIvfStore: no ground-truth " +
+      "neighbors — empty store or empty query sample")
+    val curve = hits.groupBy(col("route_rank").as("route_shards"))
+      .agg(count(lit(1)).as("__h"))
+      .withColumn("recall",
+        sum(col("__h")).over(org.apache.spark.sql.expressions.Window
+          .orderBy("route_shards")
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)) / lit(total.toDouble))
+      .select(col("route_shards").cast("int").as("route_shards"),
+        col("recall"))
+    val rows = curve.collect().map(r => r.getInt(0) -> r.getDouble(1))
+      .sortBy(_._1)
+    val chosen = rows.collectFirst {
+      case (d, r) if r >= targetRecall => d
+    }.getOrElse(nShards)
+    val nItems = stored.count()
+    curve.coalesce(1).write.mode("overwrite")
+      .parquet(storeDir + "/routing_curve")
+    Seq((chosen, targetRecall, k, sampleN, nItems, nShards))
+      .toDF("route_shards", "target_recall", "k", "sample_n",
+        "n_items", "n_shards")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(storeDir + "/routing")
+    chosen
+  }
+
+  /** One-row routing health readout for a routed store: shard count,
+    * item count, the persisted route depth and its probed-shard share
+    * (null when never calibrated or calibrated against a different
+    * super-quantizer), and `recalibrate_advised` — no usable
+    * calibration or the store has grown ≥2× past the calibration's
+    * item count. Per-shard list health stays [[ivfStoreAdvice]] per
+    * shard dir. */
+  def routedStoreAdvice(spark: SparkSession, storeDir: String): DataFrame = {
+    import spark.implicits._
+    val nShards = readSuper(spark, storeDir).size
+    val nItems = builtShards(spark, storeDir)
+      .map(d => spark.read.parquet(d + "/encoded").count()).sum
+    val cal = readRouting(spark, storeDir).filter(_._3 == nShards)
+    val depth = cal.map(c => math.min(c._1, nShards))
+    Seq((nItems, nShards, depth, depth.map(_.toDouble / nShards),
+        cal.forall { case (_, calItems, _) =>
+          nItems >= 2L * math.max(1L, calItems) }))
+      .toDF("n_items", "n_shards", "route_shards", "routed_share",
+        "recalibrate_advised")
+  }
+
   private def readCentroids(spark: SparkSession,
       storeDir: String): Seq[(Int, Seq[Double])] =
-    spark.read.parquet(storeDir + "/centroids").collect()
+    readCentroidsAt(spark, storeDir + "/centroids")
+
+  private def readCentroidsAt(spark: SparkSession,
+      path: String): Seq[(Int, Seq[Double])] =
+    spark.read.parquet(path).collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
 
   private def readBooks(spark: SparkSession,
