@@ -61,13 +61,33 @@ object AnnIngestStream {
       calibratedNprobe: Option[Int] = None,
       recalibrateAdvised: Boolean = true, shard: Int = -1)
 
+  /** Opt-in CLOSED LOOP for the calibration lifecycle: when an
+    * advisory run flips `recalibrateAdvised` (the store has grown ≥2×
+    * past the corpus the operating point was measured on, or was
+    * never/stale-calibrated), the ingest re-runs
+    * [[graft.operators.Similarity.calibrateIvfStore]] right there —
+    * the advisory batch IS the maintenance window (`adviseEvery` is
+    * the cadence gate), so a long-running ingest cannot silently
+    * drift past its measured operating point: the next `nprobe = 0`
+    * search consumes the re-measured depth. The calibration's price
+    * (one exact scan of the store against `sampleN` broadcast
+    * queries) is paid at most once per advisory batch per store/shard
+    * — size `adviseEvery` so that cost amortizes over the batches
+    * between advisories. `queries` is a REPRESENTATIVE query sample
+    * (the recall target is measured against this distribution); it is
+    * captured once at stream start, the usual foreachBatch closure
+    * discipline. */
+  final case class AutoRecalibrate(queries: DataFrame, k: Int,
+      targetRecall: Double = 0.9, sampleN: Int = 32)
+
   /** Continuous ingest into a [[graft.operators.Similarity.buildIvfStore]]
     * directory store. `vecs` is a streaming DataFrame carrying `vec_id`
     * + `embedding` (the corpus vector convention). */
   def ingest(vecs: DataFrame, storeDir: String, checkpoint: String,
       compactEvery: Int = 0, adviseEvery: Int = 0,
       onAdvice: StoreAdvice => Unit = _ => (),
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      recalibrate: Option[AutoRecalibrate] = None): StreamingQuery = {
     val spark = vecs.sparkSession
     vecs.writeStream
       .outputMode("append")
@@ -75,7 +95,7 @@ object AnnIngestStream {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         ingestBatch(spark, batch, batchId, storeDir, compactEvery,
-          adviseEvery, onAdvice)
+          adviseEvery, onAdvice, recalibrate)
       }
       .start()
   }
@@ -86,13 +106,33 @@ object AnnIngestStream {
   private[streaming] def ingestBatch(spark: SparkSession, batch: DataFrame,
       batchId: Long, storeDir: String, compactEvery: Int,
       adviseEvery: Int = 0,
-      onAdvice: StoreAdvice => Unit = _ => ()): Unit = {
+      onAdvice: StoreAdvice => Unit = _ => (),
+      recalibrate: Option[AutoRecalibrate] = None): Unit = {
     if (batch.isEmpty) return
     Similarity.appendToIvfStore(spark, batch, storeDir)
     if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
       Similarity.compactIvfStore(spark, storeDir)
     if (adviseEvery > 0 && (batchId + 1) % adviseEvery == 0)
-      onAdvice(adviceOf(spark, storeDir, batchId))
+      adviseAndRecalibrate(spark, storeDir, batchId, -1, onAdvice,
+        recalibrate)
+  }
+
+  /** The advisory step, with the opt-in closed loop: surface the
+    * advisory; if it flips `recalibrateAdvised` and [[AutoRecalibrate]]
+    * is configured, re-measure the operating point and surface the
+    * POST-calibration advisory too (`recalibrateAdvised` now false,
+    * `calibratedNprobe` the fresh depth) — the consumer sees the full
+    * lifecycle: drift detected → recalibrated → consumed. */
+  private def adviseAndRecalibrate(spark: SparkSession, dir: String,
+      batchId: Long, shard: Int, onAdvice: StoreAdvice => Unit,
+      recalibrate: Option[AutoRecalibrate]): Unit = {
+    val adv = adviceOf(spark, dir, batchId, shard)
+    onAdvice(adv)
+    if (adv.recalibrateAdvised) recalibrate.foreach { rc =>
+      Similarity.calibrateIvfStore(spark, dir, rc.queries, rc.k,
+        rc.targetRecall, rc.sampleN)
+      onAdvice(adviceOf(spark, dir, batchId, shard))
+    }
   }
 
   private def adviceOf(spark: SparkSession, storeDir: String,
@@ -119,7 +159,8 @@ object AnnIngestStream {
   def ingestSharded(vecs: DataFrame, storeDir: String, checkpoint: String,
       compactEvery: Int = 0, adviseEvery: Int = 0,
       onAdvice: StoreAdvice => Unit = _ => (),
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      recalibrate: Option[AutoRecalibrate] = None): StreamingQuery = {
     val spark = vecs.sparkSession
     vecs.writeStream
       .outputMode("append")
@@ -127,7 +168,7 @@ object AnnIngestStream {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         ingestShardedBatch(spark, batch, batchId, storeDir, compactEvery,
-          adviseEvery, onAdvice)
+          adviseEvery, onAdvice, recalibrate)
       }
       .start()
   }
@@ -135,7 +176,8 @@ object AnnIngestStream {
   private[streaming] def ingestShardedBatch(spark: SparkSession,
       batch: DataFrame, batchId: Long, storeDir: String,
       compactEvery: Int, adviseEvery: Int = 0,
-      onAdvice: StoreAdvice => Unit = _ => ()): Unit = {
+      onAdvice: StoreAdvice => Unit = _ => (),
+      recalibrate: Option[AutoRecalibrate] = None): Unit = {
     if (batch.isEmpty) return
     Similarity.appendToShardedIvfStore(spark, batch, storeDir)
     val maintain = (compactEvery > 0 && (batchId + 1) % compactEvery == 0) ||
@@ -145,7 +187,11 @@ object AnnIngestStream {
         if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
           Similarity.compactIvfStore(spark, dir)
         if (adviseEvery > 0 && (batchId + 1) % adviseEvery == 0)
-          onAdvice(adviceOf(spark, dir, batchId, i))
+          // per-shard closed loop: each shard recalibrates against its
+          // OWN grown contents (per-shard operating points are what
+          // the sharded searches' nprobe=0 consumes)
+          adviseAndRecalibrate(spark, dir, batchId, i, onAdvice,
+            recalibrate)
     }
   }
 }

@@ -117,6 +117,63 @@ class AnnIngestStreamSpec extends SparkSpec {
     assert(!after, "adaptive rebuild must clear retrain_advised")
   }
 
+  test("auto-recalibration closes the loop: drift flips the flag, the ingest re-measures, nprobe=0 consumes the new depth") {
+    val dir = tmp("annrecal") + "/store"
+    // store built and calibrated on a third of the corpus
+    Similarity.buildIvfStore(emb.filter(col("vec_id") % 3 === 0), dir,
+      nlist = 8, dim = 64)
+    val queries = emb.filter(col("vec_id") < 10)
+    Similarity.calibrateIvfStore(spark, dir, queries, k = 5,
+      targetRecall = 1.0)
+    val calItems0 = spark.read.parquet(dir + "/calibration")
+      .collect().head.getAs[Long]("n_items")
+    val advices = scala.collection.mutable.ArrayBuffer
+      .empty[AnnIngestStream.StoreAdvice]
+    // one advisory batch grows the store ~3x past the measured corpus
+    // with the closed loop ON
+    AnnIngestStream.ingestBatch(spark,
+      emb.filter(col("vec_id") % 3 =!= 0).select("vec_id", "embedding"),
+      0L, dir, compactEvery = 0, adviseEvery = 1,
+      onAdvice = advices += _,
+      recalibrate = Some(AnnIngestStream.AutoRecalibrate(queries, k = 5,
+        targetRecall = 1.0)))
+    // the full lifecycle is surfaced: drift detected, then consumed
+    assert(advices.size === 2, advices.toString)
+    assert(advices(0).recalibrateAdvised,
+      "pre-advice must flag the drift (3x past the measured corpus)")
+    assert(!advices(1).recalibrateAdvised,
+      "post-advice must show the recalibration consumed")
+    assert(advices(1).calibratedNprobe.isDefined)
+    // the persisted operating point was re-measured against the GROWN
+    // store, not the build-time corpus
+    val cal = spark.read.parquet(dir + "/calibration").collect().head
+    assert(cal.getAs[Long]("n_items") === emb.count())
+    assert(cal.getAs[Long]("n_items") > calItems0)
+    // nprobe=0 searches consume the fresh depth: target 1.0 ⇒ exact,
+    // and identical to passing the re-measured depth explicitly
+    val got = Similarity.searchIvfStore(spark, queries, dir, k = 5,
+        nprobe = 0)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(got === exact)
+    val explicit = Similarity.searchIvfStore(spark, queries, dir, k = 5,
+        nprobe = cal.getAs[Int]("nprobe"))
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(got === explicit)
+    // a healthy store does NOT re-pay the calibration: the next
+    // advisory batch emits exactly one advice (no drift, no re-run)
+    advices.clear()
+    AnnIngestStream.ingestBatch(spark,
+      emb.filter(col("vec_id") < 3).select("vec_id", "embedding"),
+      1L, dir, compactEvery = 0, adviseEvery = 1,
+      onAdvice = advices += _,
+      recalibrate = Some(AnnIngestStream.AutoRecalibrate(queries, k = 5,
+        targetRecall = 1.0)))
+    assert(advices.size === 1)
+    assert(!advices(0).recalibrateAdvised)
+  }
+
   test("sharded ingest: batches route by hash, search stays exact, per-shard advisories carry calibration state") {
     implicit val sqlCtx = spark.sqlContext
     val dir = tmp("annshard") + "/store"
