@@ -617,6 +617,92 @@ object Dedup {
       .groupBy("id_a", "id_b").agg(min("hamming").as("hamming"))
   }
 
+  /**
+   * Materialized WIDE-SimHash signature store — the
+   * [[buildSignatureStore]] discipline for the w = 128 path, making
+   * the measured 21-24× candidate-volume lever REACHABLE from the
+   * incremental/streaming admission seam instead of batch-only:
+   * [[buildWideSimhashStore]] pays the token + two-draw signature
+   * scan once into a narrow `(id, sig0, sig1)` table (16 bytes of
+   * signature per doc — history text is never re-read);
+   * [[simhashWideIncremental]] checks a day's batch against all of
+   * history through the pigeonhole chunk index;
+   * [[appendWideSimhashSignatures]] folds the admitted batch in with
+   * the same re-delivery-safe anti join. `maxHamming`/`portable` must
+   * match between build, admission, and append (the chunk layout and
+   * the draws are derived from them).
+   */
+  def buildWideSimhashStore(df: DataFrame, idCol: String, textCol: String,
+      storeDir: String, portable: Boolean = false): Unit =
+    simhashSignatures128(df, idCol, textCol, portable)
+      .write.mode("overwrite").parquet(storeDir)
+
+  def appendWideSimhashSignatures(spark: SparkSession, admitted: DataFrame,
+      idCol: String, textCol: String, storeDir: String,
+      portable: Boolean = false): Unit =
+    simhashSignatures128(admitted, idCol, textCol, portable)
+      .join(spark.read.parquet(storeDir).select(col("id")),
+        Seq("id"), "left_anti")
+      .write.mode("append").parquet(storeDir)
+
+  /** Near-dup pairs (hamming ≤ maxHamming on the w = 128/120
+    * signature) of a new batch against the standing
+    * [[buildWideSimhashStore]] AND within the batch — the
+    * [[minhashLshIncremental]] admission orientation (`id_a` = store
+    * doc or lower batch id, `id_b` = the genuinely-new batch doc), so
+    * [[graft.streaming.NearDupStream]]'s drop-id_b policy and
+    * re-delivery idempotency ([[restrictToNew]]: a re-delivered doc
+    * participates only through its store copy, a fully re-delivered
+    * batch emits NOTHING) carry over unchanged. Candidates share one
+    * of the `maxHamming + 1` spliced chunk keys — pigeonhole-complete
+    * against history exactly as within one batch, with the wide keys'
+    * n²/buckets advantage now applying to the store-vs-batch arm,
+    * where n is ALL of history. */
+  def simhashWideIncremental(spark: SparkSession, batch: DataFrame,
+      idCol: String, textCol: String, storeDir: String,
+      maxHamming: Int = 6, portable: Boolean = false): DataFrame = {
+    require(maxHamming >= 1,
+      s"simhashWideIncremental needs maxHamming >= 1 (got $maxHamming); " +
+        "radius 0 is exact-signature equality — use Dedup.exact")
+    val loBits = if (portable) 60 else 64
+    val ssig = spark.read.parquet(storeDir)
+    val bsig = Caches.releaseAfterUse(restrictToNew(
+      simhashSignatures128(batch, idCol, textCol, portable), ssig))
+    val chunkExprs = simhashChunkBounds(2 * loBits, maxHamming).map {
+      case (start, width) => wideChunkKey(start, width, loBits) }
+    def index(sig: DataFrame): DataFrame =
+      sig.select(col("id"),
+        posexplode(array(chunkExprs: _*)).as(Seq("chunk", "key")))
+    val bIdx = index(bsig)
+    val sIdx = index(ssig)
+    def verify(cand: DataFrame, sa: DataFrame, sb: DataFrame): DataFrame =
+      cand
+        .join(sa.select(col("id").as("id_a"), col("sig0").as("sig0_a"),
+          col("sig1").as("sig1_a")), "id_a")
+        .join(sb.select(col("id").as("id_b"), col("sig0").as("sig0_b"),
+          col("sig1").as("sig1_b")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          (bit_count(col("sig0_a").bitwiseXOR(col("sig0_b"))) +
+            bit_count(col("sig1_a").bitwiseXOR(col("sig1_b"))))
+            .cast("int").as("hamming"))
+        .filter(col("hamming") <= maxHamming)
+    // store-vs-batch: history precedes, so the store id is id_a
+    val candSB = sIdx.select(col("chunk"), col("key"), col("id").as("id_a"))
+      .join(bIdx.select(col("chunk"), col("key"), col("id").as("id_b")),
+        Seq("chunk", "key"))
+      .select("id_a", "id_b").distinct()
+    // batch-vs-batch among new docs: canonical ordering
+    val candBB = bIdx.select(col("chunk"), col("key"), col("id").as("id_a"))
+      .join(bIdx.select(col("chunk"), col("key"), col("id").as("id_b")),
+        Seq("chunk", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    // the arms are disjoint (id_a is a store doc in one, a new doc in
+    // the other) and candidates are distinct per arm, so no final
+    // min-hamming grouping is needed
+    verify(candSB, ssig, bsig).unionByName(verify(candBB, bsig, bsig))
+  }
+
   /** Pre-verify candidate volume of the two banding widths on the
     * same corpus — the measurement behind the w = 128 scale claim
     * (distinct (id_a, id_b) bucket-collision pairs BEFORE the hamming

@@ -135,4 +135,92 @@ class NearDupStreamSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS nds_bkt_store_bands")
     }
   }
+
+  test("wide-SimHash admission: incremental equals batch wide-pairs on a replayed day; re-delivery emits nothing") {
+    val base = (0 until 12).map(i =>
+      s"alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima token$i")
+    val day0 = (0 until 12).map(i => (i.toLong, base(i)))
+      .toDF("doc_id", "text")
+    val newRows = Seq(
+      (100L, base(0)), // exact dup of store doc 0 (store-vs-batch arm)
+      (101L, "zulu yankee xray whiskey victor uniform tango sierra"),
+      (102L, "zulu yankee xray whiskey victor uniform tango sierra"), // in-batch dup of 101
+      (103L, base(3) + " extra"), // near variant of store doc 3
+      (104L, "completely different text with its own tokens entirely now"))
+    val day1 = newRows.toDF("doc_id", "text")
+    val newIds = newRows.map(_._1).toSet
+    val store = tmp("widesim") + "/sigs"
+    Dedup.buildWideSimhashStore(day0, "doc_id", "text", store)
+    val inc = Dedup.simhashWideIncremental(spark, day1, "doc_id", "text",
+        store, maxHamming = 6)
+      .as[(Long, Long, Int)].collect().toSet
+    // the admission orientation: id_b is always the genuinely-new doc
+    assert(inc.nonEmpty)
+    assert(inc.forall(p => newIds(p._2)), inc.toString)
+    // incremental ≡ the BATCH wide operator replaying the whole corpus,
+    // restricted to pairs touching a new doc (old-old pairs are
+    // history-internal and out of the admission's scope)
+    val all = day0.unionByName(day1)
+    val expected = Dedup.simhashPairs128(all, "doc_id", "text",
+        maxHamming = 6)
+      .as[(Long, Long, Int)].collect().toSet
+      .filter(p => newIds(p._1) || newIds(p._2))
+    def unordered(s: Set[(Long, Long, Int)]) =
+      s.map(p => (math.min(p._1, p._2), math.max(p._1, p._2), p._3))
+    assert(unordered(inc) === unordered(expected))
+    // both arms fired: the store dup and the in-batch dup, hamming 0
+    assert(inc.contains((0L, 100L, 0)))
+    assert(inc.contains((101L, 102L, 0)))
+    // fold the batch in; a full re-delivery then emits NOTHING (the
+    // idempotency the streaming admission's crash story needs)
+    Dedup.appendWideSimhashSignatures(spark, day1, "doc_id", "text", store)
+    assert(Dedup.simhashWideIncremental(spark, day1, "doc_id", "text",
+      store, maxHamming = 6).count() === 0L)
+    // store ids folded exactly once
+    assert(spark.read.parquet(store).select("id").as[Long].collect().toSet
+      === (0L until 12L).toSet ++ newIds)
+    Dedup.appendWideSimhashSignatures(spark, day1, "doc_id", "text", store)
+    assert(spark.read.parquet(store).count() === 17L)
+  }
+
+  test("admitWideSimhash: end-to-end streaming wide-SimHash gate drops exactly the pairs' id_b docs") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = (0 until 12).map(i =>
+      s"alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima token$i")
+    val day0 = (0 until 12).map(i => (i.toLong, base(i)))
+      .toDF("doc_id", "text")
+    val newRows = Seq(
+      (100L, base(0)),
+      (101L, "zulu yankee xray whiskey victor uniform tango sierra"),
+      (102L, "zulu yankee xray whiskey victor uniform tango sierra"),
+      (103L, base(3) + " extra"),
+      (104L, "completely different text with its own tokens entirely now"))
+    val store = tmp("widesim-e2e") + "/sigs"
+    Dedup.buildWideSimhashStore(day0, "doc_id", "text", store)
+    // expected drops derived from the operator itself (orientation is
+    // already pinned by the previous test)
+    val dropped = Dedup.simhashWideIncremental(spark,
+        newRows.toDF("doc_id", "text"), "doc_id", "text", store,
+        maxHamming = 6)
+      .select("id_b").as[Long].collect().toSet
+    val admittedDir = tmp("widesim-adm")
+    val pairsDir = tmp("widesim-pairs")
+    val mem = MemoryStream[(Long, String)]
+    val q = NearDupStream.admitWideSimhash(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", store,
+      admittedDir, pairsDir, checkpoint = tmp("widesim-ckpt"),
+      maxHamming = 6,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    mem.addData(newRows: _*)
+    q.processAllAvailable()
+    q.stop()
+    val admitted = spark.read.parquet(admittedDir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(admitted === newRows.map(_._1).toSet -- dropped)
+    assert(admitted.contains(101L) && !admitted.contains(100L) &&
+      !admitted.contains(102L))
+    // the admitted docs' signatures joined the store
+    assert(spark.read.parquet(store).select("id").as[Long].collect().toSet
+      === (0L until 12L).toSet ++ admitted)
+  }
 }
