@@ -116,6 +116,38 @@ class DedupSpec extends SparkSpec {
     assert(j02 > 0.5 && j02 < 1.0)
   }
 
+  // Adversarial shingle distributions for the HASH-ONLY candidate +
+  // verify pipeline (round-10's no-strings-on-the-wire change): the
+  // degenerate df shapes — every doc identical (df = corpus size for
+  // every shingle, the hottest possible dictionary), single-shingle
+  // docs (prefix length must still admit the one shingle), and
+  // sub-shingle-width docs (empty sets must be excluded, not crash or
+  // 0/0-pair) — all verified against hand-derived exact answers.
+  test("hash-only verify survives adversarial shingle distributions: all-identical, single-shingle, sub-shingle docs") {
+    val same = (0L until 20L).map(i => (i, "a b c d e f g h"))
+    val single = Seq((100L, "p q r s t"), (101L, "p q r s t"),
+      (102L, "v w x y z"))
+    val tiny = Seq((200L, "only three words"), (201L, "only three words"))
+    val df = (same ++ single ++ tiny).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(df, "doc_id", "text", n = 5,
+        threshold = 0.5)
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    // 20 identical docs: ALL 190 pairs at exactly 1.0 — a missed pair
+    // here means the hot-shingle prefix or the hash-image intersect
+    // dropped a candidate
+    val expectSame = (for {
+      a <- 0L until 20L; b <- (a + 1) until 20L
+    } yield (a, b, 1.0)).toSet
+    // single-shingle twins pair at 1.0; the different single-shingle
+    // doc pairs with no one
+    assert(pairs === expectSame + ((100L, 101L, 1.0)))
+    // sub-shingle-width docs (empty shingle sets) are excluded even
+    // from each other — Jaccard over two empty sets is undefined, not
+    // a dup claim (and the candidate index has nothing to join them on)
+    assert(!pairs.exists(p => p._1 >= 200L || p._2 >= 200L))
+  }
+
   // The pre-collapse composition must be output-equivalent to running
   // the matcher on the raw corpus — same pairs, same scores — while
   // generating candidates only over distinct texts. Exercised with

@@ -396,6 +396,23 @@ class SimilaritySpec extends SparkSpec {
         k = 5, nprobe = 4)
       .as[(Long, Long, Double, Int)].collect().toSet
     assert(rebuilt === exact)
+    // a rebuild that CRASHES leaves the store failing loudly — the
+    // sharding record is invalidated first, so a reader can never
+    // consume a stale shard count over dirs split with a different
+    // modulus (r10 advice)
+    val poison = emb.select(col("vec_id"),
+      when(lit(false), col("embedding"))
+        .otherwise(raise_error(lit("simulated rebuild crash")))
+        .as("embedding"))
+    intercept[Exception] {
+      Similarity.buildShardedIvfStore(poison, dir, shards = 3, nlist = 4,
+        dim = 64)
+    }
+    val e = intercept[IllegalArgumentException] {
+      Similarity.searchShardedIvfStore(spark, queries, dir, k = 5,
+        nprobe = 4)
+    }
+    assert(e.getMessage.contains("no sharding record"))
   }
 
   test("ivfTopK: one list per item (no duplicate candidates), sane recall") {
