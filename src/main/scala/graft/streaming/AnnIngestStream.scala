@@ -180,6 +180,17 @@ object AnnIngestStream {
       recalibrate: Option[AutoRecalibrate] = None): Unit = {
     if (batch.isEmpty) return
     Similarity.appendToShardedIvfStore(spark, batch, storeDir)
+    shardMaintenance(spark, batchId, storeDir, compactEvery, adviseEvery,
+      onAdvice, recalibrate)
+  }
+
+  /** The per-built-shard compact/advise/recalibrate loop — shared by
+    * the hash-sharded and routed ingest bodies (shard dirs are
+    * ordinary stores in both layouts). */
+  private def shardMaintenance(spark: SparkSession, batchId: Long,
+      storeDir: String, compactEvery: Int, adviseEvery: Int,
+      onAdvice: StoreAdvice => Unit,
+      recalibrate: Option[AutoRecalibrate]): Unit = {
     val maintain = (compactEvery > 0 && (batchId + 1) % compactEvery == 0) ||
       (adviseEvery > 0 && (batchId + 1) % adviseEvery == 0)
     if (maintain) Similarity.builtShardDirs(spark, storeDir).foreach {
@@ -193,5 +204,76 @@ object AnnIngestStream {
           adviseAndRecalibrate(spark, dir, batchId, i, onAdvice,
             recalibrate)
     }
+  }
+
+  /** What the routed ingest surfaces per advisory batch about the
+    * ROUTING layer (the per-shard [[StoreAdvice]]s cover the list
+    * layer): store size, the persisted route depth and its
+    * probed-shard share (None when never calibrated or calibrated
+    * against a different super-quantizer), and the growth-based
+    * recalibration flag. */
+  final case class RoutingAdvice(batchId: Long, nItems: Long,
+      nShards: Int, routeShards: Option[Int], routedShare: Option[Double],
+      recalibrateAdvised: Boolean)
+
+  /** [[ingestSharded]] for a ROUTED store
+    * ([[graft.operators.Similarity.buildRoutedIvfStore]]): batches
+    * route by the STORED super-quantizer
+    * ([[graft.operators.Similarity.appendToRoutedIvfStore]] — the hash
+    * append refuses routed stores, and vice versa), the per-shard
+    * maintenance loop is identical, and the advisory batch ALSO checks
+    * the ROUTING layer: [[graft.operators.Similarity.routedStoreAdvice]]
+    * surfaces through `onRoutingAdvice`, and with [[AutoRecalibrate]]
+    * configured a flipped `recalibrateAdvised` re-runs
+    * [[graft.operators.Similarity.calibrateRoutedIvfStore]] in the
+    * same window — so a long-running routed ingest keeps BOTH measured
+    * operating points (per-shard nprobe AND route depth) from
+    * drifting, and `routeShards = 0` searches stay honest. */
+  def ingestRouted(vecs: DataFrame, storeDir: String, checkpoint: String,
+      compactEvery: Int = 0, adviseEvery: Int = 0,
+      onAdvice: StoreAdvice => Unit = _ => (),
+      onRoutingAdvice: RoutingAdvice => Unit = _ => (),
+      trigger: Trigger = Trigger.AvailableNow(),
+      recalibrate: Option[AutoRecalibrate] = None): StreamingQuery = {
+    val spark = vecs.sparkSession
+    vecs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestRoutedBatch(spark, batch, batchId, storeDir, compactEvery,
+          adviseEvery, onAdvice, onRoutingAdvice, recalibrate)
+      }
+      .start()
+  }
+
+  private[streaming] def ingestRoutedBatch(spark: SparkSession,
+      batch: DataFrame, batchId: Long, storeDir: String,
+      compactEvery: Int, adviseEvery: Int = 0,
+      onAdvice: StoreAdvice => Unit = _ => (),
+      onRoutingAdvice: RoutingAdvice => Unit = _ => (),
+      recalibrate: Option[AutoRecalibrate] = None): Unit = {
+    if (batch.isEmpty) return
+    Similarity.appendToRoutedIvfStore(spark, batch, storeDir)
+    shardMaintenance(spark, batchId, storeDir, compactEvery, adviseEvery,
+      onAdvice, recalibrate)
+    if (adviseEvery > 0 && (batchId + 1) % adviseEvery == 0) {
+      val adv = routingAdviceOf(spark, storeDir, batchId)
+      onRoutingAdvice(adv)
+      if (adv.recalibrateAdvised) recalibrate.foreach { rc =>
+        Similarity.calibrateRoutedIvfStore(spark, storeDir, rc.queries,
+          rc.k, rc.targetRecall, rc.sampleN)
+        onRoutingAdvice(routingAdviceOf(spark, storeDir, batchId))
+      }
+    }
+  }
+
+  private def routingAdviceOf(spark: SparkSession, storeDir: String,
+      batchId: Long): RoutingAdvice = {
+    val r = Similarity.routedStoreAdvice(spark, storeDir).head()
+    RoutingAdvice(batchId, r.getAs[Long]("n_items"), r.getAs[Int]("n_shards"),
+      Option(r.getAs[Any]("route_shards")).map(_.asInstanceOf[Int]),
+      Option(r.getAs[Any]("routed_share")).map(_.asInstanceOf[Double]),
+      r.getAs[Boolean]("recalibrate_advised"))
   }
 }

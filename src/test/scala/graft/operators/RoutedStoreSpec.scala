@@ -129,6 +129,18 @@ class RoutedStoreSpec extends SparkSpec {
       .select("query_id", "item_id").as[(Long, Long)].collect()
     assert(survivors.nonEmpty)
     assert(survivors.forall { case (_, item) => memberOf(item) === routedShard })
+    // and INSIDE the one routed shard, the list-level probe pruning
+    // survives the plan (the q132 spec's assertion, one level down):
+    // the scan carries a static list_id partition filter
+    val plan = Similarity.searchRoutedIvfStore(spark, q0, dir,
+        k = 5, nprobe = 1, routeShards = 1)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.linesIterator.exists(l =>
+        l.contains("PartitionFilters: [") && l.contains("list_id")),
+      "routed per-shard scans must stay list_id partition-pruned:\n" +
+        plan.linesIterator.filter(_.contains("PartitionFilters"))
+          .mkString("\n"))
   }
 
   test("routing calibration: monotone curve, persisted depth drives routeShards=0, stale routing falls back loudly") {

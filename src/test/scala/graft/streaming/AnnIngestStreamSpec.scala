@@ -174,6 +174,68 @@ class AnnIngestStreamSpec extends SparkSpec {
     assert(!advices(0).recalibrateAdvised)
   }
 
+  test("routed ingest: batches route by the stored super-quantizer; both calibration loops close") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmp("annrouted") + "/store"
+    Similarity.buildRoutedIvfStore(emb.filter(col("vec_id") % 3 === 0),
+      dir, shards = 3, nlist = 4, dim = 64)
+    val queries = emb.filter(col("vec_id") < 10)
+    Similarity.calibrateRoutedIvfStore(spark, dir, queries, k = 5,
+      targetRecall = 1.0)
+    val items0 = spark.read.parquet(dir + "/routing")
+      .collect().head.getAs[Long]("n_items")
+    val rest = emb.filter(col("vec_id") % 3 =!= 0)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toSeq
+    val radvices = scala.collection.mutable.ArrayBuffer
+      .empty[AnnIngestStream.RoutingAdvice]
+    val advices = scala.collection.mutable.ArrayBuffer
+      .empty[AnnIngestStream.StoreAdvice]
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = AnnIngestStream.ingestRouted(
+      mem.toDF().toDF("vec_id", "embedding"), dir,
+      checkpoint = tmp("annrouted-ckpt"), compactEvery = 0,
+      adviseEvery = 1, onAdvice = advices += _,
+      onRoutingAdvice = radvices += _,
+      recalibrate = Some(AnnIngestStream.AutoRecalibrate(queries, k = 5,
+        targetRecall = 1.0)),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    mem.addData(rest: _*)
+    q.processAllAvailable()
+    q.stop()
+    // every vector landed in exactly one shard, exactly once
+    val ids = (0 until 3).map(i =>
+        spark.read.parquet(s"$dir/shard=$i/encoded").select("item_id"))
+      .reduce(_ unionByName _).as[Long].collect().toSeq
+    assert(ids.size === ids.distinct.size)
+    assert(ids.toSet === emb.select("vec_id").as[Long].collect().toSet)
+    // ROUTING loop lifecycle: the ~3x growth flips the flag, the
+    // ingest re-measures, the post-advisory shows it consumed
+    assert(radvices.exists(_.recalibrateAdvised))
+    assert(!radvices.last.recalibrateAdvised)
+    assert(radvices.last.routeShards.isDefined)
+    val routing = spark.read.parquet(dir + "/routing").collect().head
+    assert(routing.getAs[Long]("n_items") === emb.count())
+    assert(routing.getAs[Long]("n_items") > items0)
+    // per-SHARD loop closed too (shards were never nprobe-calibrated
+    // at build: the stream did it at target 1.0 against grown
+    // contents), so the all-knobs-derived search is EXACT
+    assert(advices.nonEmpty)
+    val got = Similarity.searchRoutedIvfStore(spark, queries, dir,
+        k = 5, nprobe = 0, routeShards = 3)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(got === exact)
+    // a hash-sharded ingest pointed at this routed store refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      AnnIngestStream.ingestShardedBatch(spark,
+        rest.take(2).toDF("vec_id", "embedding"), 0L, dir,
+        compactEvery = 0)
+    }
+    assert(e.getMessage.contains("ROUTED"))
+  }
+
   test("sharded ingest: batches route by hash, search stays exact, per-shard advisories carry calibration state") {
     implicit val sqlCtx = spark.sqlContext
     val dir = tmp("annshard") + "/store"
