@@ -450,27 +450,37 @@ private[graft] object ManifestCommit {
       case (p, i) if i <= liveIdx && i > liveIdx - keep => p
     }
     val retainedNames = retained.map(_.getName).toSet
-    // generations a DROPPED commit referenced were committed once —
-    // definitely not an in-flight stage, so they reclaim immediately
-    // regardless of age (vacuum of fresh superseded history); only
-    // NEVER-referenced dirs — the ones that might be a peer's
-    // in-flight stage — get the grace gate
-    val droppedLive = commits.filterNot(p => retainedNames(p.getName))
-      .flatMap(p => parse(fs, p)).flatMap(_.live).toSet
-    commits.zipWithIndex.foreach { case (p, i) =>
-      if (!retainedNames(p.getName)) {
-        // above the live pointer = torn; a FRESH torn file may be a
-        // peer's flip in progress — age-gate it like a staged dir
-        // (at-or-below = superseded and inert: reclaim immediately)
-        if (i > liveIdx) reclaim(p) else fs.delete(p, false)
-      }
+    // commit files to DELETE: everything non-retained, except a fresh
+    // file above the live pointer — usually a torn peer flip in
+    // progress, but possibly a peer's COMPLETED commit that landed
+    // between our read() and this listing, so it must keep both its
+    // file AND (below) its generations until it ages or a later read()
+    // adopts it as live
+    val deletable = commits.zipWithIndex.collect {
+      case (p, i) if !retainedNames(p.getName) &&
+        (i <= liveIdx || graceMs <= 0L ||
+          now - newestMTime(fs, p) >= graceMs) => p
     }
+    // parse BEFORE deleting: generations a dropped commit referenced
+    // were committed once — definitely not an in-flight stage, so
+    // they reclaim immediately regardless of age (vacuum of fresh
+    // superseded history); only NEVER-referenced dirs — the ones that
+    // might be a peer's in-flight stage — get the grace gate
+    val droppedLive = deletable
+      .flatMap(p => parse(fs, p)).flatMap(_.live).toSet
+    deletable.foreach(p => fs.delete(p, false))
     val data = dataDir(dir)
     if (fs.exists(data)) {
-      // a generation stays iff SOME retained commit references it (a
-      // torn retained predecessor contributes nothing and its
-      // generations are reclaimed)
-      val live = retained.flatMap(p => parse(fs, p)).flatMap(_.live).toSet
+      // a generation stays iff some SURVIVING commit file references
+      // it: the retained window, plus a fresh parseable commit above
+      // live (the racing-peer case above — deleting its data while
+      // its pointer survives would manufacture a missing_generation
+      // on committed state). A torn survivor contributes nothing —
+      // its staged dir is never-referenced and fresh, so the grace
+      // gate protects it independently.
+      val deletableNames = deletable.map(_.getName).toSet
+      val live = commits.filterNot(p => deletableNames(p.getName))
+        .flatMap(p => parse(fs, p)).flatMap(_.live).toSet
       def drop(rel: String, p: Path): Unit =
         if (!live(rel)) {
           if (droppedLive(rel)) fs.delete(p, true) else reclaim(p)

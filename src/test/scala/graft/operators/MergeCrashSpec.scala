@@ -353,6 +353,57 @@ class MergeCrashSpec extends SparkSpec {
       Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)))
   }
 
+  test("gc spares a racing peer's COMPLETED commit above a STALE live pointer — pointer AND generations") {
+    val dir = tmp("crash-gcrace2")
+    MergeSink.applyBatch(spark, b((1L, "I", "a", 1.0, 1L)), dir,
+      "k", "op", "seq", manifestCommit = true) // v1 live
+    val realFs = fsOf(dir)
+    val p = new Path(dir)
+    val gen2 = ManifestCommit.stagedGenName(2L)
+    val gen2Path = new Path(ManifestCommit.dataDir(p), gen2)
+    val c2 = new Path(dir, "_graft_commit-000000000002")
+    // the race window is INSIDE gc: between its read() (which lists
+    // the dir once) and its own commit listing (the second list), a
+    // peer completes v2 — pointer flipped whole, generation on disk.
+    // gc then sees a fresh PARSEABLE commit above its stale liveIdx.
+    // It must spare the pointer AND the generation: deleting the data
+    // while the pointer survives manufactures a missing_generation on
+    // COMMITTED, acknowledged state (the r11 review finding).
+    var injected = false
+    var listCalls = 0
+    val fs2 = new org.apache.hadoop.fs.RawLocalFileSystem {
+      override def listStatus(f: Path): Array[org.apache.hadoop.fs.FileStatus] = {
+        if (f.toUri.getPath == p.toUri.getPath) {
+          listCalls += 1
+          if (listCalls == 2 && !injected) {
+            injected = true
+            // the peer lands NOW, through the real FS (no recursion)
+            realFs.mkdirs(gen2Path)
+            val d = realFs.create(new Path(gen2Path, "part-0.bin"), false)
+            d.write(Array[Byte](1, 2, 3)); d.close()
+            ManifestCommit.write(realFs, p,
+              ManifestCommit.State(2L, Seq(gen2)))
+          }
+        }
+        super.listStatus(f)
+      }
+    }
+    fs2.initialize(new java.net.URI("file:///"),
+      spark.sessionState.newHadoopConf())
+    ManifestCommit.gc(fs2, p, retain = 2, graceMs = 60000L)
+    assert(injected, "the race window was never exercised")
+    // the peer's pointer AND its generation both survived the gc
+    assert(realFs.exists(c2),
+      "a fresh parseable commit above the stale live pointer must survive")
+    assert(realFs.exists(gen2Path),
+      "the surviving pointer's generation must survive WITH it")
+    // the snapshot is intact: v2 resolves with its data present
+    assert(ManifestCommit.read(realFs, p).map(_.version).contains(2L))
+    assert(ManifestCommit.fsck(realFs, p)
+      .forall(_._1 != "missing_generation"),
+      ManifestCommit.fsck(realFs, p).toString)
+  }
+
   test("write() read-back verify: a commit that vanishes mid-flip fails loudly, not silently") {
     val dir = tmp("crash-flipverify")
     MergeSink.applyBatch(spark, b((1L, "I", "a", 1.0, 1L)), dir,
