@@ -1238,6 +1238,26 @@ object Similarity {
       storeDir: String): Seq[String] =
     builtShardDirs(spark, storeDir).map(_._2)
 
+  /** Run the per-shard candidate constructions CONCURRENTLY: each one
+    * is driver-side prep — a centroids read, a calibration read, a
+    * probed-list collect, all SMALL Spark jobs — and running them
+    * back to back serializes 2-3 tiny jobs per shard into the
+    * query's critical path (at 10+ shards, most of a search's fixed
+    * latency). Concurrent actions on one SparkSession are a
+    * supported Spark pattern; result order is preserved, so the
+    * union — and therefore the ranking and the oracle hash — is
+    * byte-identical to the sequential form (spec-asserted). */
+  private def perShardCand[A](shards: Seq[A])(
+      f: A => DataFrame): Seq[DataFrame] =
+    if (shards.size <= 1) shards.map(f)
+    else {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      Await.result(
+        Future.sequence(shards.map(a => Future(f(a)))),
+        scala.concurrent.duration.Duration.Inf)
+    }
+
   /**
    * Search a sharded store: every shard is probed independently
    * (`nprobe` per sub-quantizer; 0 = each shard's own persisted
@@ -1253,7 +1273,7 @@ object Similarity {
       storeDir: String, k: Int, nprobe: Int = 0): DataFrame = {
     val dirs = builtShards(spark, storeDir)
     require(dirs.nonEmpty, s"sharded store $storeDir has no built shards")
-    topKRerank(dirs.map(storeProbeCand(spark, queries, _, nprobe))
+    topKRerank(perShardCand(dirs)(storeProbeCand(spark, queries, _, nprobe))
       .reduce(_ unionByName _), k)
   }
 
@@ -1267,8 +1287,9 @@ object Similarity {
       candN: Int = 20): DataFrame = {
     val dirs = builtShards(spark, storeDir)
     require(dirs.nonEmpty, s"sharded store $storeDir has no built shards")
-    adcFinalRank(dirs.map(storeAdcExact(spark, queries, _, nprobe, candN, k))
-      .reduce(_ unionByName _), k)
+    adcFinalRank(
+      perShardCand(dirs)(storeAdcExact(spark, queries, _, nprobe, candN, k))
+        .reduce(_ unionByName _), k)
   }
 
   /** Route a day's new vectors to their hash shard and append each
@@ -1478,13 +1499,14 @@ object Similarity {
     // distributed semi-join below)
     val routedIdx = routes.select("shard").distinct()
       .collect().map(_.getInt(0)).sorted.toSeq
-    val cands = routedIdx.flatMap(i => dirs.get(i).map { d =>
+    val routedDirs = routedIdx.flatMap(i => dirs.get(i).map((i, _)))
+    val cands = perShardCand(routedDirs) { case (i, d) =>
       val qi = queries.join(
         routes.filter(col("shard") === i)
           .select(col("query_id").as("vec_id")),
         Seq("vec_id"), "left_semi")
       perShard(qi, d)
-    })
+    }
     require(cands.nonEmpty,
       s"routed store $storeDir: no routed shard was ever built — " +
         "rebuild the store (the super-quantizer routes every query to " +
