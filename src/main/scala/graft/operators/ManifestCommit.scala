@@ -310,11 +310,32 @@ private[graft] object ManifestCommit {
       try fs.create(p, false)
       catch {
         case e: java.io.IOException if fs.exists(p) =>
+          // distinguish the two ways a file can already be here: a WHOLE
+          // file is a committed version (a concurrent writer won); a
+          // TORN one is crash debris — possibly THIS writer's own
+          // mid-flip crash, grace-gated by the preamble gc for
+          // stagedGraceMs so a racing peer's in-flight flip isn't
+          // reclaimed (r11 advice: blaming "a concurrent writer" for
+          // one's own debris misdiagnoses the common single-writer
+          // restart)
+          val torn =
+            try parse(fs, p).isEmpty
+            catch { case _: java.io.IOException => false }
           throw new IllegalStateException(
-            s"commit ${p.getName} already exists at $dir — a concurrent " +
-              "writer committed this version first. Snapshots are " +
-              "single-writer; stop the second stream and run Merge.fsck " +
-              "before trusting the snapshot", e)
+            if (torn)
+              s"commit ${p.getName} at $dir exists but is TORN — either " +
+                "a concurrent writer is flipping this version right now, " +
+                "or this writer's OWN earlier crash left it (fresh torn " +
+                "files are grace-gated for spark.graft.merge.stagedGraceMs " +
+                "so a peer's in-flight flip survives gc). If no second " +
+                "writer is running, retry after the grace window — the " +
+                "preamble gc will clear the aged debris; otherwise stop " +
+                "the second stream and run Merge.fsck"
+            else
+              s"commit ${p.getName} already exists at $dir — a concurrent " +
+                "writer committed this version first. Snapshots are " +
+                "single-writer; stop the second stream and run Merge.fsck " +
+                "before trusting the snapshot", e)
       }
     val head = s"graft-commit v1 ${st.version}" +
       st.tag.map(" " + _).getOrElse("")

@@ -1189,6 +1189,13 @@ object Similarity {
         if (fs.exists(p))
           buildIvfStore(spark.read.parquet(p.toString),
             s"$storeDir/shard=$i", nlist, iters, m, ksub, dim)
+        else
+          // in-place REBUILD whose new partition is empty: a previous
+          // build's populated shard=<i> must not survive — its stale
+          // vectors and old quantizer would silently serve the prior
+          // corpus (r11 advice)
+          fs.delete(new org.apache.hadoop.fs.Path(s"$storeDir/shard=$i"),
+            true)
       }
       // a REBUILD with fewer shards than a previous build leaves stale
       // shard dirs past the new count — never searched (searches stop
@@ -1238,6 +1245,11 @@ object Similarity {
       storeDir: String): Seq[String] =
     builtShardDirs(spark, storeDir).map(_._2)
 
+  /** Upper bound on concurrent per-shard prep threads — the prep jobs
+    * are tiny (metadata reads + bounded collects), so past this width
+    * extra threads only contend on the scheduler. */
+  private val PerShardPrepThreads = 16
+
   /** Run the per-shard candidate constructions CONCURRENTLY: each one
     * is driver-side prep — a centroids read, a calibration read, a
     * probed-list collect, all SMALL Spark jobs — and running them
@@ -1246,16 +1258,34 @@ object Similarity {
     * latency). Concurrent actions on one SparkSession are a
     * supported Spark pattern; result order is preserved, so the
     * union — and therefore the ranking and the oracle hash — is
-    * byte-identical to the sequential form (spec-asserted). */
-  private def perShardCand[A](shards: Seq[A])(
+    * byte-identical to the sequential form (spec-asserted).
+    *
+    * Runs on a DEDICATED bounded pool, not the JVM-global
+    * ExecutionContext (r11 advice): the bodies BLOCK on Spark
+    * actions, and blocking futures on the shared fork-join default
+    * can starve every other library using it at high shard counts.
+    * The await is finite (`graft.ann.prepTimeoutSec`, default 900 s)
+    * so one hung shard's FS call fails the query loudly instead of
+    * wedging it forever, and the pool's shutdownNow on that failure
+    * interrupts the in-flight siblings. */
+  private def perShardCand[A](spark: SparkSession, shards: Seq[A])(
       f: A => DataFrame): Seq[DataFrame] =
     if (shards.size <= 1) shards.map(f)
     else {
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.ExecutionContext.Implicits.global
-      Await.result(
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      val timeoutSec = spark.conf
+        .getOption("graft.ann.prepTimeoutSec").map(_.toLong).getOrElse(900L)
+      val es = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(shards.size, PerShardPrepThreads),
+        (r: Runnable) => {
+          val t = new Thread(r, "graft-shard-prep")
+          t.setDaemon(true); t
+        })
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(es)
+      try Await.result(
         Future.sequence(shards.map(a => Future(f(a)))),
-        scala.concurrent.duration.Duration.Inf)
+        scala.concurrent.duration.Duration(timeoutSec, "s"))
+      finally es.shutdownNow()
     }
 
   /**
@@ -1273,8 +1303,9 @@ object Similarity {
       storeDir: String, k: Int, nprobe: Int = 0): DataFrame = {
     val dirs = builtShards(spark, storeDir)
     require(dirs.nonEmpty, s"sharded store $storeDir has no built shards")
-    topKRerank(perShardCand(dirs)(storeProbeCand(spark, queries, _, nprobe))
-      .reduce(_ unionByName _), k)
+    topKRerank(
+      perShardCand(spark, dirs)(storeProbeCand(spark, queries, _, nprobe))
+        .reduce(_ unionByName _), k)
   }
 
   /** [[searchIvfStoreAdc]] over a sharded store: per-shard ADC
@@ -1288,7 +1319,8 @@ object Similarity {
     val dirs = builtShards(spark, storeDir)
     require(dirs.nonEmpty, s"sharded store $storeDir has no built shards")
     adcFinalRank(
-      perShardCand(dirs)(storeAdcExact(spark, queries, _, nprobe, candN, k))
+      perShardCand(spark, dirs)(
+        storeAdcExact(spark, queries, _, nprobe, candN, k))
         .reduce(_ unionByName _), k)
   }
 
@@ -1305,17 +1337,41 @@ object Similarity {
         "rule would file vectors into shards the router never probes " +
         "(silent recall loss); use appendToRoutedIvfStore")
     val sh = readShardCount(spark, storeDir)
+    appendStaged(spark, newVecs, storeDir, sh, shardOf(col("vec_id"), sh))
+  }
+
+  /** Shared append staging for the sharded/routed stores: assign the
+    * batch's shard column ONCE and write `partitionBy(shard)` into a
+    * staging dir (the build's own staging shape), then feed each shard
+    * exactly its staged slice. Previously each shard re-evaluated the
+    * assignment over the WHOLE batch — O(shards) full passes per
+    * streaming micro-batch, painful when the assignment is the routed
+    * store's argmax over super-centroids (r11 advice). A staged
+    * partition routed to a shard the build left empty fails loudly —
+    * that shard has no quantizer to encode with. Idempotency is
+    * untouched: each [[appendToIvfStore]] still anti-joins its slice
+    * against the shard's stored ids, so a crash after SOME shards
+    * appended heals on replay (the done shards admit nothing). */
+  private def appendStaged(spark: SparkSession, newVecs: DataFrame,
+      storeDir: String, sh: Int, shardCol: Column): Unit = {
+    val staging = storeDir + "/_append_staging"
     val fs = new org.apache.hadoop.fs.Path(storeDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    (0 until sh).foreach { i =>
-      val slice = newVecs.filter(shardOf(col("vec_id"), sh) === i)
-      val dir = s"$storeDir/shard=$i"
-      if (fs.exists(new org.apache.hadoop.fs.Path(dir + "/centroids")))
-        appendToIvfStore(spark, slice, dir)
-      else require(slice.isEmpty,
-        s"sharded store $storeDir: batch routes rows to shard $i, " +
-          "which the build left empty (no quantizer) — rebuild the store")
-    }
+    newVecs.select(col("vec_id"), col("embedding"), shardCol.as("shard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(staging)
+    try {
+      (0 until sh).foreach { i =>
+        val p = new org.apache.hadoop.fs.Path(s"$staging/shard=$i")
+        if (fs.exists(p)) {
+          val dir = s"$storeDir/shard=$i"
+          require(fs.exists(
+            new org.apache.hadoop.fs.Path(dir + "/centroids")),
+            s"store $storeDir: batch routes rows to shard $i, which " +
+              "the build left empty (no quantizer) — rebuild the store")
+          appendToIvfStore(spark, spark.read.parquet(p.toString), dir)
+        }
+      }
+    } finally fs.delete(new org.apache.hadoop.fs.Path(staging), true)
   }
 
   /** Calibrate every built shard ([[calibrateIvfStore]] per shard dir)
@@ -1420,6 +1476,12 @@ object Similarity {
         if (fs.exists(p))
           buildIvfStore(spark.read.parquet(p.toString),
             s"$storeDir/shard=$i", nlist, iters, m, ksub, dim)
+        else
+          // see buildShardedIvfStore: an in-place rebuild must not let
+          // a previous build's populated shard=<i> survive an empty
+          // new partition (stale corpus under the new super-quantizer)
+          fs.delete(new org.apache.hadoop.fs.Path(s"$storeDir/shard=$i"),
+            true)
       }
       val root = new org.apache.hadoop.fs.Path(storeDir)
       if (fs.exists(root)) fs.listStatus(root).foreach { c =>
@@ -1500,7 +1562,7 @@ object Similarity {
     val routedIdx = routes.select("shard").distinct()
       .collect().map(_.getInt(0)).sorted.toSeq
     val routedDirs = routedIdx.flatMap(i => dirs.get(i).map((i, _)))
-    val cands = perShardCand(routedDirs) { case (i, d) =>
+    val cands = perShardCand(spark, routedDirs) { case (i, d) =>
       val qi = queries.join(
         routes.filter(col("shard") === i)
           .select(col("query_id").as("vec_id")),
@@ -1556,18 +1618,8 @@ object Similarity {
       storeDir: String): Unit = {
     val supers = readSuper(spark, storeDir)
     val sh = readShardCount(spark, storeDir)
-    val fs = new org.apache.hadoop.fs.Path(storeDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    (0 until sh).foreach { i =>
-      val slice = newVecs.filter(
-        assignList(supers, V.unitVec(col("embedding"))) === i)
-      val dir = s"$storeDir/shard=$i"
-      if (fs.exists(new org.apache.hadoop.fs.Path(dir + "/centroids")))
-        appendToIvfStore(spark, slice, dir)
-      else require(slice.isEmpty,
-        s"routed store $storeDir: batch routes rows to shard $i, " +
-          "which the build left empty (no quantizer) — rebuild the store")
-    }
+    appendStaged(spark, newVecs, storeDir, sh,
+      assignList(supers, V.unitVec(col("embedding"))))
   }
 
   /**

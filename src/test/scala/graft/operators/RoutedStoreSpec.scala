@@ -19,16 +19,17 @@ class RoutedStoreSpec extends SparkSpec {
   private def tmpStore(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString + "/store"
 
-  /** 4 tight clusters around near-orthogonal 16-dim directions — the
-    * corpus shape cluster-disjoint sharding exists for: neighborhoods
-    * land whole inside one shard. */
-  private def clustered(n: Int = 200): org.apache.spark.sql.DataFrame = {
+  /** `k` tight clusters around near-orthogonal `dim`-dim directions —
+    * the corpus shape cluster-disjoint sharding exists for:
+    * neighborhoods land whole inside one shard. */
+  private def clustered(n: Int = 200, k: Int = 4,
+      dim: Int = 16): org.apache.spark.sql.DataFrame = {
     val rnd = new scala.util.Random(11)
-    val dirs = Seq.tabulate(4) { c =>
-      Array.tabulate(16)(d => if (d % 4 == c) 1.0 else 0.05 * rnd.nextGaussian())
+    val dirs = Seq.tabulate(k) { c =>
+      Array.tabulate(dim)(d => if (d % k == c) 1.0 else 0.05 * rnd.nextGaussian())
     }
     (0 until n).map { i =>
-      val c = i % 4
+      val c = i % k
       (i.toLong, dirs(c).map(x => x + 0.08 * rnd.nextGaussian()).toSeq)
     }.toDF("vec_id", "embedding")
   }
@@ -232,6 +233,78 @@ class RoutedStoreSpec extends SparkSpec {
       Similarity.searchRoutedIvfStore(spark, queries, hashDir, k = 5)
     }
     assert(e3.getMessage.contains("no super-quantizer"))
+  }
+
+  test("16-shard routed search on the bounded prep pool stays exact (many-shard smoke)") {
+    // 16 shards exercises perShardCand past its own thread cap — the
+    // dedicated bounded pool (r11 advice: the global fork-join pool
+    // could starve under blocking per-shard prep at high shard counts)
+    val df = clustered(n = 480, k = 16, dim = 16)
+    val dir = tmpStore("ivfrouted16")
+    val sh = Similarity.buildRoutedIvfStore(df, dir, shards = 16,
+      nlist = 2, dim = 16, superIters = 3)
+    assert(sh === 16)
+    val queries = df.filter(col("vec_id") < 4)
+    // full route depth + exhaustive per-shard probing ⇒ exact, with
+    // all 16 per-shard preps racing on the bounded pool
+    val got = Similarity.searchRoutedIvfStore(spark, queries, dir,
+        k = 5, nprobe = 2, routeShards = 16)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val exact = Similarity.bruteForceTopK(df, queries, k = 5)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(got === exact)
+  }
+
+  test("in-place rebuild deletes shards whose new staging partition is empty — no stale corpus survives") {
+    val dir = tmpStore("ivfroutedstale")
+    Similarity.buildRoutedIvfStore(emb, dir, shards = 3, nlist = 4,
+      dim = 64)
+    (0 until 3).foreach(i => assert(
+      new java.io.File(s"$dir/shard=$i/encoded").exists()))
+    // rebuild IN PLACE with 21 copies of one vector: every item
+    // argmax-assigns to the same super-centroid, so two of the three
+    // staging partitions are empty — their previous shard dirs (old
+    // vectors, old quantizers) must be DELETED, not silently served
+    // under the new super-quantizer (r11 advice)
+    val one = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).collect()
+      .head.getSeq[Double](0)
+    val tiny = (100L until 121L).map(i => (i, one))
+      .toDF("vec_id", "embedding")
+    Similarity.buildRoutedIvfStore(tiny, dir, shards = 3, nlist = 2,
+      dim = 64)
+    val stored = (0 until 3).flatMap { i =>
+      val p = new java.io.File(s"$dir/shard=$i/encoded")
+      if (p.exists()) spark.read.parquet(p.toString)
+        .select("item_id").as[Long].collect()
+      else Nil
+    }
+    assert(stored.toSet === (100L until 121L).toSet,
+      s"rebuilt store must hold exactly the new corpus, got ${stored.sorted}")
+    val got = Similarity.searchRoutedIvfStore(spark,
+        tiny.filter(col("vec_id") === 100), dir, k = 30, nprobe = 4,
+        routeShards = 3)
+      .select("item_id").as[Long].collect().toSet
+    assert(got.nonEmpty && got.forall(_ >= 100L),
+      s"search must never surface the previous build's corpus: $got")
+    // same contract on the hash-sharded build: rebuild with a batch
+    // that hashes entirely into one shard
+    val hashDir = tmpStore("ivfhashstale")
+    Similarity.buildShardedIvfStore(emb, hashDir, shards = 2, nlist = 4,
+      dim = 64)
+    val oneShard = emb.withColumn("s",
+        graft.functions.PortableHash.h60(col("vec_id")) % 2)
+      .filter(col("s") === 0).drop("s").limit(20)
+    Similarity.buildShardedIvfStore(oneShard, hashDir, shards = 2,
+      nlist = 2, dim = 64)
+    val keptIds = oneShard.select("vec_id").as[Long].collect().toSet
+    val hashStored = (0 until 2).flatMap { i =>
+      val p = new java.io.File(s"$hashDir/shard=$i/encoded")
+      if (p.exists()) spark.read.parquet(p.toString)
+        .select("item_id").as[Long].collect()
+      else Nil
+    }
+    assert(hashStored.toSet === keptIds)
   }
 
   test("a crashed rebuild leaves the store failing LOUDLY, never routing with stale records") {
