@@ -1623,6 +1623,120 @@ object Similarity {
   }
 
   /**
+   * Incremental hot-shard rebalance for a ROUTED store — the skew
+   * remedy short of a full rebuild. Cluster-disjoint shards skew when
+   * one super-centroid owns a disproportionate share of the corpus
+   * (measured 1.5–1.75× at 16 clusters / 4 shards, SCALING.md); at
+   * 10⁸+ vectors that hot shard is both the per-query tail latency and
+   * the append hotspot, and until now the only lever was
+   * [[buildRoutedIvfStore]] from scratch (`superIters > 0`).
+   *
+   * This splits ONLY the worst shard: a 2-means over the hot shard's
+   * own stored vectors (md5-picked init + `splitIters` Lloyd rounds —
+   * the store family's one bounded-collect training discipline)
+   * replaces the hot super-centroid with one child and appends the
+   * other as a NEW shard index; then only the hot shard's items are
+   * re-filed — by GLOBAL argmax over the new super set, preserving the
+   * store invariant that every item lives in its nearest
+   * super-centroid's shard, so an item the split reveals to be nearer
+   * an untouched shard's centroid migrates there (an
+   * [[appendToIvfStore]] straggler append) instead of lingering
+   * misfiled. Untouched shards' data is never rewritten: the work is
+   * proportional to the HOT shard's size, not the corpus (the
+   * incremental-maintenance contract; cost measured vs full rebuild in
+   * SCALING.md).
+   *
+   * Convergence is over REPEATED applications, not one shot
+   * (tools.SplitCost measures the trajectory): 2-means on a hot shard
+   * holding a dominant cluster plus a minority cluster settles on the
+   * cluster separation — it PEELS the minority first, and only a later
+   * split bisects the dominant mass. Each call costs ∝ the then-hot
+   * shard; watch per-shard sizes / [[routedStoreAdvice]] and stop when
+   * balanced.
+   *
+   * Crash story, same protocol as the rebuild: all fallible compute
+   * (training, the staged re-assignment) runs FIRST while the store
+   * stays fully live; then the records (routing, super-quantizer,
+   * sharding) are invalidated, the shard dirs mutate, and the new
+   * records are written LAST — a crash mid-mutation leaves readers
+   * failing loudly, never routing with a super-quantizer that
+   * disagrees with the dirs. The routing calibration is invalidated by
+   * design (route ranks change); run [[calibrateRoutedIvfStore]]
+   * after, and [[calibrateShardedIvfStore]] refreshes the two rebuilt
+   * shards' nprobe points (fresh dirs fall back to the constant probed
+   * share until then).
+   *
+   * PQ config is detected from the hot shard dir (its books fix m,
+   * ksub, dim), so the rebuilt shards match the store's existing
+   * layout without the caller re-stating build params. `shard = -1`
+   * picks the largest built shard. Returns the new shard count.
+   */
+  def splitHotShard(spark: SparkSession, storeDir: String,
+      shard: Int = -1, splitIters: Int = 4, nlist: Int = 0,
+      iters: Int = 0): Int = {
+    import spark.implicits._
+    val supers = readSuper(spark, storeDir)
+    val sh = readShardCount(spark, storeDir)
+    val dirs = builtShardDirs(spark, storeDir)
+    require(dirs.nonEmpty, s"routed store $storeDir has no built shards")
+    val hot =
+      if (shard >= 0) shard
+      else dirs.map { case (i, d) =>
+        (spark.read.parquet(d + "/encoded").count(), i) }.max._2
+    val hotDir = dirs.toMap.getOrElse(hot, throw new IllegalArgumentException(
+      s"routed store $storeDir: shard $hot is not built — nothing to split"))
+    val fs = new org.apache.hadoop.fs.Path(storeDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the rebuilt shards must match the store's existing layout
+    val (m, ksub, dim) =
+      if (fs.exists(new org.apache.hadoop.fs.Path(hotDir + "/books"))) {
+        val books = readBooks(spark, hotDir)
+        (books.size, books.head.size, books.size * books.head.head.size)
+      } else (0, 8, 64)
+    val hotItems = spark.read.parquet(hotDir + "/encoded")
+      .select("item_id", "item_vec")
+    require(hotItems.count() >= 2,
+      s"routed store $storeDir: shard $hot holds fewer than 2 items — " +
+        "nothing to split")
+    // ---- fallible compute first: store stays fully live through it ----
+    val children = trainCentroids(hotItems,
+      hashPickCentroids(hotItems, 2), math.max(1, splitIters))
+    val newSupers = supers.map { case (lid, cv) =>
+      if (lid == hot) (hot, children(0)._2) else (lid, cv)
+    } :+ (sh, children(1)._2)
+    val staging = storeDir + "/_split_staging"
+    hotItems
+      .select(col("item_id").as("vec_id"), col("item_vec").as("embedding"),
+        assignList(newSupers, col("item_vec")).as("shard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(staging)
+    // ---- point of no return: invalidate-first, mutate, restore-last ----
+    try {
+      Seq("sharding", "super_centroids", "routing", "routing_curve")
+        .foreach(f => fs.delete(
+          new org.apache.hadoop.fs.Path(s"$storeDir/$f"), true))
+      fs.delete(new org.apache.hadoop.fs.Path(hotDir), true)
+      (0 until sh + 1).foreach { j =>
+        val p = new org.apache.hadoop.fs.Path(s"$staging/shard=$j")
+        if (fs.exists(p)) {
+          val slice = spark.read.parquet(p.toString)
+          val dir = s"$storeDir/shard=$j"
+          if (fs.exists(new org.apache.hadoop.fs.Path(dir + "/centroids")))
+            // a straggler whose global argmax moved to an untouched
+            // shard — filed with that shard's STORED quantizer
+            appendToIvfStore(spark, slice, dir)
+          else
+            buildIvfStore(slice, dir, nlist, iters, m, ksub, dim)
+        }
+      }
+      newSupers.toDF("lid", "cv").coalesce(1)
+        .write.mode("overwrite").parquet(storeDir + "/super_centroids")
+      Seq(sh + 1).toDF("shards").coalesce(1)
+        .write.mode("overwrite").parquet(storeDir + "/sharding")
+    } finally fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    sh + 1
+  }
+
+  /**
    * Measure the routing recall curve and PERSIST the operating point —
    * the shard-level analog of [[calibrateIvfStore]]: ground truth is
    * an exact top-k over the union of all shards' stored vectors (each

@@ -307,6 +307,100 @@ class RoutedStoreSpec extends SparkSpec {
     assert(hashStored.toSet === keptIds)
   }
 
+  test("splitHotShard: same neighbors as pre-split, invariant preserved, imbalance reduced, work stays incremental") {
+    import graft.functions.{VectorFunctions => VF}
+    // skewed fixture: cluster 0 owns half the corpus, 7 small clusters
+    // share the rest — shards=4 under a trained super leaves cluster
+    // 0's shard hot
+    val rnd = new scala.util.Random(7)
+    val dirs8 = Seq.tabulate(8) { c =>
+      Array.tabulate(16)(d => if (d % 8 == c) 1.0 else 0.05 * rnd.nextGaussian())
+    }
+    val df = (0 until 400).map { i =>
+      val c = if (i % 2 == 0) 0 else 1 + (i / 2) % 7
+      (i.toLong, dirs8(c).map(x => x + 0.08 * rnd.nextGaussian()).toSeq)
+    }.toDF("vec_id", "embedding")
+    val dir = tmpStore("ivfsplit")
+    val sh = Similarity.buildRoutedIvfStore(df, dir, shards = 4,
+      nlist = 4, dim = 16, superIters = 5)
+    val queries = df.filter(col("vec_id") < 8)
+    Similarity.calibrateRoutedIvfStore(spark, dir, queries, k = 5,
+      targetRecall = 0.9, sampleN = 8)
+    def shardSizes(n: Int): Seq[Long] = (0 until n).map { i =>
+      val p = new java.io.File(s"$dir/shard=$i/encoded")
+      if (p.exists()) spark.read.parquet(p.toString).count() else 0L
+    }
+    val before = shardSizes(sh)
+    val imbalBefore = before.max.toDouble / (before.sum.toDouble / sh)
+    val exact = Similarity.bruteForceTopK(df, queries, k = 5)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    // record which items the COLD shards held — the incremental
+    // contract: untouched shards' stored files are never rewritten
+    val hot = before.zipWithIndex.max._2
+    val coldFiles = (0 until sh).filter(_ != hot).map { i =>
+      i -> new java.io.File(s"$dir/shard=$i/encoded").listFiles()
+        .map(f => f.getName -> f.lastModified()).toSet
+    }.toMap
+    val newSh = Similarity.splitHotShard(spark, dir, splitIters = 4,
+      nlist = 4)
+    assert(newSh === sh + 1)
+    // post-split exhaustive search ≡ pre-split exhaustive ≡ brute force
+    val got = Similarity.searchRoutedIvfStore(spark, queries, dir,
+        k = 5, nprobe = 4, routeShards = newSh)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(got === exact, "split must not change the stored corpus")
+    // routing calibration is stale by construction — invalidated
+    assert(!new java.io.File(dir + "/routing").exists(),
+      "split must invalidate the routing calibration")
+    // disjoint + complete, and every item still lives in its argmax
+    // super shard (the store invariant, re-derived independently)
+    val supers = spark.read.parquet(dir + "/super_centroids").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
+    assert(supers.length === newSh)
+    val members = (0 until newSh).flatMap { i =>
+      val p = new java.io.File(s"$dir/shard=$i/encoded")
+      if (p.exists()) spark.read.parquet(p.toString)
+        .select("item_id").as[Long].collect().map(_ -> i)
+      else Nil
+    }
+    assert(members.size === 400)
+    assert(members.map(_._1).distinct.size === 400)
+    val vecs = df.select(col("vec_id"), VF.unitVec(col("embedding")).as("v"))
+      .as[(Long, Seq[Double])].collect().toMap
+    def dot(a: Seq[Double], b: Seq[Double]): Double =
+      a.iterator.zip(b.iterator).map { case (x, y) => x * y }.sum
+    members.foreach { case (id, s) =>
+      val want = supers.map { case (sid, cv) => (dot(vecs(id), cv), sid) }
+        .max._2
+      assert(s === want, s"item $id in shard $s, argmax super is $want")
+    }
+    // imbalance strictly reduced on this skewed fixture
+    val after = shardSizes(newSh)
+    val imbalAfter = after.max.toDouble / (after.sum.toDouble / newSh)
+    assert(imbalAfter < imbalBefore,
+      s"imbalance $imbalBefore -> $imbalAfter must fall")
+    // incremental contract: a cold shard that received no stragglers
+    // kept its files byte-untouched (same names + mtimes)
+    val untouched = coldFiles.filter { case (i, files) =>
+      new java.io.File(s"$dir/shard=$i/encoded").listFiles().map(f =>
+        f.getName -> f.lastModified()).toSet == files
+    }
+    assert(untouched.nonEmpty,
+      "at least one cold shard must survive the split without a rewrite")
+    // post-split maintenance continues to work: recalibrate + append
+    val depth = Similarity.calibrateRoutedIvfStore(spark, dir, queries,
+      k = 5, targetRecall = 0.9, sampleN = 8)
+    assert(depth >= 1 && depth <= newSh)
+    Similarity.appendToRoutedIvfStore(spark,
+      Seq((1000L, dirs8(0).map(_ + 0.01).toSeq)).toDF("vec_id", "embedding"),
+      dir)
+    val aug = Similarity.searchRoutedIvfStore(spark,
+        df.filter(col("vec_id") === 0), dir, k = 400, nprobe = 4,
+        routeShards = newSh)
+      .select("item_id").as[Long].collect().toSet
+    assert(aug.contains(1000L))
+  }
+
   test("a crashed rebuild leaves the store failing LOUDLY, never routing with stale records") {
     val dir = tmpStore("ivfroutedcrash")
     Similarity.buildRoutedIvfStore(emb, dir, shards = 2, nlist = 4,
