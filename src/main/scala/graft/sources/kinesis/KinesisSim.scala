@@ -33,6 +33,24 @@ import org.apache.spark.unsafe.types.UTF8String
  * unlimited), `keyRegex` (regex with 1 capture group extracting the
  * partition key from the raw line; default = whole line).
  *
+ * RESHARDING (the one stream-transport behavior a fixed-shard sim
+ * missed — real streams split/merge shards under load, and S2's
+ * pk→shard contract changes mid-stream at that epoch):
+ * `reshardAtLine` = N marks an epoch at global line index N;
+ * `reshardOp` = `split` (default) closes parent `reshardShard` and
+ * opens two NEW child shard ids (`shards`, `shards+1`) that divide the
+ * parent's key space (hash parity — the hash-range-split analog), or
+ * `merge` closes the two shards in `reshardShards` = "a,b" and opens
+ * one child (`shards`) owning both key spaces. Lines before the epoch
+ * route with the original mapping; lines at/after it route split/merge
+ * keys to their child. Closed shards stop growing; child shards start
+ * their own sequence numbers at 0 (new shards, not renamed ones — the
+ * Kinesis model). Admission control enforces the KCL's parent-before-
+ * child ordering: child shards do not advance until every closed
+ * parent is fully drained, so per-key record order survives the epoch
+ * boundary (spec-asserted, including through the demux + idempotent
+ * sinks).
+ *
  * Usage: `spark.readStream.format("graft-kinesis-sim").option("path", f)`.
  * A production deployment swaps this for the real Kinesis connector; the
  * downstream demux pipeline (StreamingDemux) is unchanged — that
@@ -63,6 +81,21 @@ object KinesisSim {
   /** Deterministic shard routing: non-negative hash of the key mod N. */
   def shardFor(key: String, shards: Int): Int =
     math.floorMod(scala.util.hashing.MurmurHash3.stringHash(key, 42), shards)
+
+  /** Which of a split parent's two children owns `key` — hash parity,
+    * the hash-range-split analog (independent seed from [[shardFor]] so
+    * the child split doesn't correlate with the parent routing). */
+  def childFor(key: String): Int =
+    math.floorMod(scala.util.hashing.MurmurHash3.stringHash(key, 43), 2)
+
+  /** A mid-stream reshard event at global line index `atLine`. */
+  sealed trait Reshard { def atLine: Long }
+  /** Shard `parent` closes; children (ids `shards`, `shards+1`) divide
+    * its key space by [[childFor]]. */
+  case class Split(atLine: Long, parent: Int) extends Reshard
+  /** Shards `a` and `b` close; one child (id `shards`) owns both key
+    * spaces. */
+  case class Merge(atLine: Long, a: Int, b: Int) extends Reshard
 }
 
 class KinesisSimTable(options: CaseInsensitiveStringMap)
@@ -116,27 +149,88 @@ class KinesisSimStream(options: CaseInsensitiveStringMap) extends MicroBatchStre
     s"graft-kinesis-sim: keyRegex '$r' has no capture group — group 1 " +
       "is the partition key"))
 
+  /** Optional mid-stream reshard epoch (see the class doc). */
+  private val reshard: Option[KinesisSim.Reshard] =
+    Option(options.get("reshardAtLine")).map(_.toLong).map { at =>
+      require(at >= 0,
+        s"graft-kinesis-sim: reshardAtLine must be >= 0 (got $at)")
+      options.getOrDefault("reshardOp", "split") match {
+        case "split" =>
+          val p = options.getInt("reshardShard", 0)
+          require(p >= 0 && p < shards,
+            s"graft-kinesis-sim: reshardShard $p out of range " +
+              s"[0, $shards)")
+          KinesisSim.Split(at, p)
+        case "merge" =>
+          val spec = Option(options.get("reshardShards")).getOrElse(
+            throw new IllegalArgumentException(
+              "graft-kinesis-sim: reshardOp=merge needs " +
+                "reshardShards=\"a,b\""))
+          val Array(a, b) = spec.split(",").map(_.trim.toInt)
+          require(a != b && a >= 0 && a < shards && b >= 0 && b < shards,
+            s"graft-kinesis-sim: reshardShards '$spec' must name two " +
+              s"distinct shards in [0, $shards)")
+          KinesisSim.Merge(at, a, b)
+        case other => throw new IllegalArgumentException(
+          s"graft-kinesis-sim: reshardOp must be split or merge, got " +
+            s"'$other'")
+      }
+    }
+
+  /** NEW shard ids the reshard opens (children) — empty without one. */
+  private val childIds: Seq[Int] = reshard match {
+    case Some(_: KinesisSim.Split) => Seq(shards, shards + 1)
+    case Some(_: KinesisSim.Merge) => Seq(shards)
+    case None                      => Seq.empty
+  }
+
+  /** Shards the reshard CLOSES — they stop growing at the epoch and
+    * must drain before any child advances (KCL parent-before-child). */
+  private val closedIds: Seq[Int] = reshard match {
+    case Some(KinesisSim.Split(_, p))    => Seq(p)
+    case Some(KinesisSim.Merge(_, a, b)) => Seq(a, b)
+    case None                            => Seq.empty
+  }
+
+  /** Every shard id this stream configuration can emit. */
+  private val allShardIds: Seq[Int] = (0 until shards) ++ childIds
+
+  /** The shard a line routes to, honoring the reshard epoch. */
+  private def routeFor(lineIdx: Long, key: String): Int = {
+    val base = KinesisSim.shardFor(key, shards)
+    reshard match {
+      case Some(r) if lineIdx >= r.atLine => r match {
+        case KinesisSim.Split(_, p) if base == p =>
+          shards + KinesisSim.childFor(key)
+        case KinesisSim.Merge(_, a, b) if base == a || base == b =>
+          shards
+        case _ => base
+      }
+      case _ => base
+    }
+  }
+
   /** Driver-side backlog, sharded once. Bounded by design: this is a
     * simulator for tests/benchmarks, not a service client. */
   private lazy val backlog: Map[Int, IndexedSeq[(String, String)]] = {
     val src = scala.io.Source.fromFile(path, "UTF-8")
     val lines = try src.getLines().toVector finally src.close()
-    lines.map { line =>
+    lines.zipWithIndex.map { case (line, idx) =>
       val key = keyRegex.flatMap(_.findFirstMatchIn(line).map(_.group(1))).getOrElse(line)
-      (KinesisSim.shardFor(key, shards), (line, key))
+      (routeFor(idx.toLong, key), (line, key))
     }.groupBy(_._1).map { case (s, rs) => s -> rs.map(_._2) }
       .withDefaultValue(IndexedSeq.empty)
   }
 
   /** End of the bounded backlog, per shard. */
   private def backlogEnd: Map[Int, Long] =
-    (0 until shards).map(s => s -> backlog(s).length.toLong).toMap
+    allShardIds.map(s => s -> backlog(s).length.toLong).toMap
 
   /** Target frozen by Trigger.AvailableNow (drain up to here, paced). */
   @volatile private var availableNowTarget: Option[Map[Int, Long]] = None
 
   override def initialOffset(): Offset =
-    ShardOffsets((0 until shards).map(_ -> 0L).toMap)
+    ShardOffsets(allShardIds.map(_ -> 0L).toMap)
 
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowTarget = Some(backlogEnd)
@@ -151,12 +245,15 @@ class KinesisSimStream(options: CaseInsensitiveStringMap) extends MicroBatchStre
     * unread records — from every subsequent offset. Kinesis resharding
     * is a new stream epoch, not a config edit; fail loudly. */
   private def requireKnownShards(pos: Map[Int, Long]): Unit = {
-    val unknown = pos.keys.filter(_ >= shards)
+    val known = allShardIds.toSet
+    val unknown = pos.keys.filterNot(known)
     require(unknown.isEmpty,
       s"graft-kinesis-sim: checkpoint offset names shard(s) " +
-        s"${unknown.toSeq.sorted.mkString(",")} but 'shards'=$shards — " +
-        "the shard count shrank across a restart; restore the original " +
-        "count or start a fresh checkpoint")
+        s"${unknown.toSeq.sorted.mkString(",")} but 'shards'=$shards" +
+        (if (reshard.isEmpty) "" else s" (+children ${childIds.mkString(",")})") +
+        " — the shard count shrank across a restart (or a reshard " +
+        "option was removed); restore the original configuration or " +
+        "start a fresh checkpoint")
   }
 
   /** Admission control: per-shard GetRecords-limit analog — each batch
@@ -165,12 +262,20 @@ class KinesisSimStream(options: CaseInsensitiveStringMap) extends MicroBatchStre
     val s = start.asInstanceOf[ShardOffsets].pos
     requireKnownShards(s)
     val target = availableNowTarget.getOrElse(backlogEnd)
-    ShardOffsets((0 until shards).map { sh =>
+    // KCL parent-before-child: until every closed parent is fully
+    // drained (as of this batch's START), the reshard's child shards
+    // hold at their current position — per-key order survives the
+    // epoch (a key's pre-epoch records all live in its parent)
+    val parentsDrained = closedIds.forall(p =>
+      s.getOrElse(p, 0L) >= backlog(p).length.toLong)
+    ShardOffsets(allShardIds.map { sh =>
       val from = s.getOrElse(sh, 0L)
       val capped = // saturating: from + maxPerTrigger can overflow Long
         if (maxPerTrigger > Long.MaxValue - from) Long.MaxValue
         else from + maxPerTrigger
-      sh -> math.min(target.getOrElse(sh, 0L), capped)
+      sh ->
+        (if (childIds.contains(sh) && !parentsDrained) from
+         else math.min(target.getOrElse(sh, 0L), capped))
     }.toMap)
   }
 
@@ -186,7 +291,7 @@ class KinesisSimStream(options: CaseInsensitiveStringMap) extends MicroBatchStre
     val s = start.asInstanceOf[ShardOffsets].pos
     val e = end.asInstanceOf[ShardOffsets].pos
     requireKnownShards(s)
-    (0 until shards).flatMap { shard =>
+    allShardIds.flatMap { shard =>
       val from = s.getOrElse(shard, 0L)
       val to = e.getOrElse(shard, 0L)
       if (to > from)

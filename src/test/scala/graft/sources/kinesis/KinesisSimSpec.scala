@@ -73,6 +73,141 @@ class KinesisSimSpec extends SparkSpec {
     assert(split.filter(col("table_name") === "seat").count() === 1)
   }
 
+  test("reshard SPLIT: parent closes, children divide its keys, parent drains before children, per-key order survives") {
+    // 40 lines over 10 repeating keys; the epoch at line 20 splits
+    // shard 0 into children 2 and 3
+    val lines = (0 until 40).map(i => s"k${i % 10}:$i")
+    val path = writeBacklog(lines)
+    val buf = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Int, String, Long, String)]
+    val q = spark.readStream.format("graft-kinesis-sim")
+      .option("path", path).option("shards", "2")
+      .option("keyRegex", "k([0-9]+):")
+      .option("reshardAtLine", "20").option("reshardShard", "0")
+      .option("maxRecordsPerTrigger", "4")
+      .load()
+      .writeStream.trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        val rows = df.select("shardId", "partitionKey", "sequenceNumber",
+            "data")
+          .collect()
+          .map(r => (id, r.getInt(0), r.getString(1), r.getLong(2),
+            r.getString(3)))
+        buf.synchronized { buf ++= rows }; ()
+      }.start()
+    q.awaitTermination(120000)
+    val rows = buf.toSeq
+    // conservation: every line exactly once
+    assert(rows.map(_._5).sorted === lines.sorted)
+    // routing: pre-epoch by the base mapping; post-epoch split keys to
+    // their hash-parity child, other keys unchanged — re-derived here
+    rows.foreach { case (_, shard, key, _, data) =>
+      val lineIdx = data.split(":")(1).toInt
+      val base = KinesisSim.shardFor(key, 2)
+      val want =
+        if (lineIdx >= 20 && base == 0) 2 + KinesisSim.childFor(key)
+        else base
+      assert(shard === want, s"line $lineIdx key $key in shard $shard")
+    }
+    // the parent closed: it only ever held pre-epoch records
+    assert(rows.filter(_._2 == 0).forall(_._5.split(":")(1).toInt < 20))
+    // children start their own sequences at 0
+    Seq(2, 3).foreach { c =>
+      val seqs = rows.filter(_._2 == c).map(_._4).sorted
+      assert(seqs === (0L until seqs.length).toSeq, s"child $c seqs: $seqs")
+    }
+    // KCL ordering: no child batch before the parent fully drained
+    val parentBatches = rows.filter(_._2 == 0).map(_._1)
+    val childBatches = rows.filter(r => r._2 == 2 || r._2 == 3).map(_._1)
+    assert(parentBatches.nonEmpty && childBatches.nonEmpty)
+    assert(parentBatches.max < childBatches.min,
+      s"children advanced (batch ${childBatches.min}) before the parent " +
+        s"drained (batch ${parentBatches.max})")
+    // ⇒ per-key record order survives the epoch: sort each key's
+    // records by (batch, seq) and the embedded line numbers ascend
+    rows.groupBy(_._3).foreach { case (key, rs) =>
+      val ordered = rs.sortBy(r => (r._1, r._4))
+        .map(_._5.split(":")(1).toInt)
+      assert(ordered === ordered.sorted,
+        s"key $key delivered out of order: $ordered")
+    }
+  }
+
+  test("reshard MERGE: both parents close, one child owns both key spaces, conservation + ordering hold") {
+    val lines = (0 until 30).map(i => s"k${i % 6}:$i")
+    val path = writeBacklog(lines)
+    val buf = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Int, String, String)]
+    val q = spark.readStream.format("graft-kinesis-sim")
+      .option("path", path).option("shards", "3")
+      .option("keyRegex", "k([0-9]+):")
+      .option("reshardAtLine", "15")
+      .option("reshardOp", "merge").option("reshardShards", "0,2")
+      .option("maxRecordsPerTrigger", "3")
+      .load()
+      .writeStream.trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        val rows = df.select("shardId", "partitionKey", "data").collect()
+          .map(r => (id, r.getInt(0), r.getString(1), r.getString(2)))
+        buf.synchronized { buf ++= rows }; ()
+      }.start()
+    q.awaitTermination(120000)
+    val rows = buf.toSeq
+    assert(rows.map(_._4).sorted === lines.sorted)
+    rows.foreach { case (_, shard, key, data) =>
+      val lineIdx = data.split(":")(1).toInt
+      val base = KinesisSim.shardFor(key, 3)
+      val want =
+        if (lineIdx >= 15 && (base == 0 || base == 2)) 3 else base
+      assert(shard === want, s"line $lineIdx key $key in shard $shard")
+    }
+    // both parents closed at the epoch
+    assert(rows.filter(r => r._2 == 0 || r._2 == 2)
+      .forall(_._4.split(":")(1).toInt < 15))
+    // the child waits for BOTH parents
+    val parentBatches = rows.filter(r => r._2 == 0 || r._2 == 2).map(_._1)
+    val childBatches = rows.filter(_._2 == 3).map(_._1)
+    if (parentBatches.nonEmpty && childBatches.nonEmpty)
+      assert(parentBatches.max < childBatches.min)
+  }
+
+  test("end-to-end: demux + idempotent sink survive the reshard epoch (conservation, replay-safe)") {
+    // envelope lines whose partition key is the record ID; the epoch
+    // mid-stream splits shard 0 — the pk→shard contract changes, the
+    // demux pipeline must neither lose nor duplicate records
+    def line(table: String, id: Int): String =
+      s"""{"data": {"ID": $id}, "metadata": {"timestamp": "2019-11-13T09:59:${10 + id % 40}.000000Z", "record-type": "data", "operation": "load", "partition-key-type": "primary-key", "schema-name": "dms_sample", "table-name": "$table"}}"""
+    val lines = (0 until 30).map(i =>
+      line(if (i % 3 == 0) "seat" else "person", i))
+    val path = writeBacklog(lines)
+    val out = Files.createTempDirectory("ksplit_reshard").toString
+    val ckpt = Files.createTempDirectory("kckpt_reshard").toString
+    def run(): Unit = {
+      val raw = spark.readStream.format("graft-kinesis-sim")
+        .option("path", path)
+        .option("keyRegex", "\"ID\": ([0-9]+)")
+        .option("reshardAtLine", "15").option("reshardShard", "0")
+        .option("maxRecordsPerTrigger", "4")
+        .load()
+        .select(col("data").as("value"))
+      val q = StreamingDemux.splitStream(
+        StreamingDemux.parseEnvelopes(raw), out, ckpt,
+        trigger = Trigger.AvailableNow())
+      q.awaitTermination(120000)
+    }
+    run()
+    val split = spark.read.parquet(out)
+    assert(split.count() === 30)
+    assert(split.filter(col("table_name") === "seat").count() === 10)
+    assert(split.filter(col("table_name") === "person").count() === 20)
+    assert(split.select(get_json_object(col("data"), "$.ID"))
+      .distinct().count() === 30)
+    // replay from the same checkpoint: nothing re-lands (idempotent
+    // across the epoch boundary, not just within one topology)
+    run()
+    assert(spark.read.parquet(out).count() === 30)
+  }
+
   test("bad options fail fast at stream construction, naming the option") {
     def stream(opts: (String, String)*) = new KinesisSimStream(
       new org.apache.spark.sql.util.CaseInsensitiveStringMap(
