@@ -151,6 +151,53 @@ private[graft] object ManifestCommit {
     math.max(0L, spark.conf.getOption("spark.graft.merge.stagedGraceMs")
       .map(_.toLong).getOrElse(60000L))
 
+  /** Optimistic concurrency for PARTITION-scoped manifest merges
+    * (`spark.graft.merge.occ`, default false). When on, a writer that
+    * loses the commit race re-reads the winner's state and — iff every
+    * partition the winners changed since this writer's base state is
+    * DISJOINT from the partitions this writer touched — rebases: its
+    * already-staged generations are still derived from current state
+    * (nobody moved its partitions), so it re-flips at the next version
+    * carrying the winners' entries forward. Overlapping writers still
+    * fail loudly (the merged content was computed from superseded
+    * partition state — no rebase can fix that; replay the batch).
+    * Whole-snapshot commits never rebase: they touch everything, so
+    * any concurrent commit overlaps by definition. Default OFF keeps
+    * the single-writer-loud contract. */
+  def occEnabled(spark: org.apache.spark.sql.SparkSession): Boolean =
+    spark.conf.getOption("spark.graft.merge.occ").exists(_.toBoolean)
+
+  /** Max rebase attempts per [[occEnabled]] merge before giving up
+    * loudly (`spark.graft.merge.occRetries`, default 5) — bounds
+    * livelock under pathological contention. */
+  def occRetries(spark: org.apache.spark.sql.SparkSession): Int =
+    math.max(1, spark.conf.getOption("spark.graft.merge.occRetries")
+      .map(_.toInt).getOrElse(5))
+
+  /** [[write]]'s exclusive create lost to an existing file at the same
+    * version. `peerMidFlip` = the existing file is TORN: a peer's flip
+    * is in progress (its create landed, its content hasn't) — or a
+    * crashed writer's debris. An OCC merge waits a beat and re-reads
+    * on `peerMidFlip`; a WHOLE existing file is a committed version
+    * and rebases immediately. Extends IllegalStateException so callers
+    * that match the untyped conflict keep working. */
+  final class CommitConflictException(msg: String, cause: Throwable,
+      val peerMidFlip: Boolean) extends IllegalStateException(msg, cause)
+
+  /** A partition-scoped state's live entries as leaf -> generation. */
+  def liveLeafMap(st: Option[State]): Map[String, String] =
+    st.map(_.live.map { e =>
+      val i = e.lastIndexOf('/'); (e.substring(0, i), e.substring(i + 1))
+    }.toMap).getOrElse(Map.empty)
+
+  /** Leaves whose generation mapping differs between two states —
+    * added, removed, or repointed: exactly the partitions the commits
+    * between the two states touched (generations are immutable, so a
+    * leaf whose mapping is unchanged has unchanged DATA). */
+  def changedLeaves(from: Map[String, String],
+      to: Map[String, String]): Set[String] =
+    (from.keySet ++ to.keySet).filter(l => from.get(l) != to.get(l))
+
   /** Newest modification time at-or-under `p`: the dir's own mtime or
     * any entry below it (an actively-writing stage has fresh task/
     * _temporary files even when the dir mtime has gone stale).
@@ -321,7 +368,7 @@ private[graft] object ManifestCommit {
           val torn =
             try parse(fs, p).isEmpty
             catch { case _: java.io.IOException => false }
-          throw new IllegalStateException(
+          throw new CommitConflictException(
             if (torn)
               s"commit ${p.getName} at $dir exists but is TORN — either " +
                 "a concurrent writer is flipping this version right now, " +
@@ -335,7 +382,7 @@ private[graft] object ManifestCommit {
               s"commit ${p.getName} already exists at $dir — a concurrent " +
                 "writer committed this version first. Snapshots are " +
                 "single-writer; stop the second stream and run Merge.fsck " +
-                "before trusting the snapshot", e)
+                "before trusting the snapshot", e, torn)
       }
     val head = s"graft-commit v1 ${st.version}" +
       st.tag.map(" " + _).getOrElse("")

@@ -332,10 +332,7 @@ object Merge {
       s"snapshot at $dir is a whole-snapshot manifest — it cannot be " +
         "partition-scope merged; rebuild it partitioned")
     val data = ManifestCommit.dataDir(dir)
-    val liveMap: Map[String, String] = st
-      .map(_.live.map { e =>
-        val i = e.lastIndexOf('/'); (e.substring(0, i), e.substring(i + 1))
-      }.toMap).getOrElse(Map.empty)
+    val liveMap: Map[String, String] = ManifestCommit.liveLeafMap(st)
     // partitioned on THIS column (see the rename-mode twin)
     val leafPrefix = ExternalCatalogUtils.escapePathName(partCol) + "="
     liveMap.keys.foreach { l =>
@@ -365,17 +362,22 @@ object Merge {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val newVer = st.map(_.version + 1).getOrElse(1L)
+      val occ = ManifestCommit.occEnabled(spark)
       // multi-writer guard 1 (see commitWholeGeneration): post-GC, a
       // touched partition can only hold a generation dir for this
-      // version if a concurrent writer is staging/committed it
-      touched.map(v => new Path(data, leafName(v)))
-        .find(ManifestCommit.versionDirExists(fs, _, newVer)).foreach { p =>
-          throw new IllegalArgumentException(
-            s"a generation for version $newVer already exists under $p — " +
-              "a concurrent writer is active (snapshots are " +
-              "single-writer); stop the second stream and run Merge.fsck " +
-              "before trusting the snapshot")
-        }
+      // version if a concurrent writer is staging/committed it. Under
+      // OCC concurrent staging is EXPECTED (nonce paths keep writers
+      // collision-free; the flip loop below serializes them), so the
+      // probe would only abort innocent disjoint peers — skipped.
+      if (!occ)
+        touched.map(v => new Path(data, leafName(v)))
+          .find(ManifestCommit.versionDirExists(fs, _, newVer)).foreach { p =>
+            throw new IllegalArgumentException(
+              s"a generation for version $newVer already exists under $p — " +
+                "a concurrent writer is active (snapshots are " +
+                "single-writer); stop the second stream and run Merge.fsck " +
+                "before trusting the snapshot")
+          }
       // one writer-unique generation name for the whole commit — every
       // touched leaf stages under it, the commit records it per leaf
       val gen = ManifestCommit.stagedGenName(newVer)
@@ -409,8 +411,7 @@ object Merge {
             }
           }, scala.concurrent.duration.Duration.Inf)
       finally pool.shutdown()
-      val newLive = (liveMap -- touched.map(leafName)) ++
-        nonEmpty.map(v => leafName(v) -> gen)
+      val ourLeaves = touched.map(leafName).toSet
       // the staged files as written — re-checked below (requireIntact)
       // so a peer's GC reclaiming a stage mid-commit fails THIS writer
       // loudly instead of publishing generations with missing files
@@ -418,14 +419,70 @@ object Merge {
       val stagedListings = stagedPaths.map(p =>
         p -> ManifestCommit.dataFileListing(fs, p))
       // multi-writer guards 2+3: expected-version compare, then the
-      // commit file's exclusive create (see commitWholeGeneration)
-      ManifestCommit.requireUnchanged(fs, dir, st)
-      stagedListings.foreach { case (p, l) =>
-        ManifestCommit.requireIntact(fs, dir, p, l) }
-      // the flip: one small commit object names the live generations
-      ManifestCommit.write(fs, dir,
-        ManifestCommit.State(newVer,
-          newLive.toSeq.sorted.map { case (l, g) => s"$l/$g" }))
+      // commit file's exclusive create (see commitWholeGeneration).
+      // Under OCC, losing either guard to a DISJOINT winner rebases:
+      // re-read the winner's state, verify no commit since `st`
+      // repointed one of OUR leaves (generations are immutable, so an
+      // unchanged mapping means our staged merge is still derived
+      // from current data), carry the winners' entries forward, and
+      // re-flip at the next version. Overlap aborts loudly — the
+      // merge was computed from superseded partition state.
+      var base = st
+      var attempt = 0
+      var flipped = false
+      while (!flipped) {
+        val ver = base.map(_.version + 1).getOrElse(1L)
+        val newLive = (ManifestCommit.liveLeafMap(base) -- ourLeaves) ++
+          nonEmpty.map(v => leafName(v) -> gen)
+        try {
+          ManifestCommit.requireUnchanged(fs, dir, base)
+          stagedListings.foreach { case (p, l) =>
+            ManifestCommit.requireIntact(fs, dir, p, l) }
+          // the flip: one small commit object names the live generations
+          ManifestCommit.write(fs, dir,
+            ManifestCommit.State(ver,
+              newLive.toSeq.sorted.map { case (l, g) => s"$l/$g" }))
+          flipped = true
+        } catch {
+          case e: IllegalStateException if occ &&
+              attempt < ManifestCommit.occRetries(spark) =>
+            attempt += 1
+            val cur = ManifestCommit.read(fs, dir)
+            if (cur.map(_.version).getOrElse(0L) <=
+                base.map(_.version).getOrElse(0L)) e match {
+              case c: ManifestCommit.CommitConflictException
+                  if c.peerMidFlip =>
+                // the exclusive create lost to a peer MID-FLIP: its
+                // commit file exists but its content hasn't landed, so
+                // read() still resolves the old version. Wait a beat
+                // for the flip to become readable, then loop — the
+                // next requireUnchanged sees the moved version and the
+                // ordinary rebase takes over. A peer that CRASHED
+                // mid-flip never completes; the retry budget runs out
+                // and the torn-conflict error (with its grace-window
+                // guidance) surfaces loudly.
+                Thread.sleep(math.min(1000L, 50L * attempt))
+              case _ =>
+                // any other cause with no newer winner (our stage
+                // reclaimed, live state torn) keeps the loud path
+                throw e
+            } else {
+              val winnersTouched = ManifestCommit.changedLeaves(
+                ManifestCommit.liveLeafMap(st),
+                ManifestCommit.liveLeafMap(cur))
+              val overlap = winnersTouched.intersect(ourLeaves)
+              if (overlap.nonEmpty)
+                throw new IllegalStateException(
+                  s"optimistic merge at $dir lost to a concurrent commit " +
+                    s"that touched the SAME partition(s) " +
+                    s"${overlap.toSeq.sorted.mkString(", ")} — this batch's " +
+                    "merge was derived from superseded partition state and " +
+                    "cannot rebase; replay it against the new live state " +
+                    "(run Merge.fsck first)", e)
+              base = cur
+            }
+        }
+      }
       // post-commit cleanup of generations older than the retention
       // window (best-effort — a crash here is repaired by the next
       // preamble GC)

@@ -29,6 +29,14 @@ import graft.operators.ManifestCommit
   *                         guards, pointer flip) and halt(137) BETWEEN
   *                         the flip and the post-commit cleanup GC —
   *                         superseded history beyond retention lingers
+  *   mode = occ-loop     — NOT a crash mode: a real concurrent-writer
+  *                         process for the optimistic-concurrency spec.
+  *                         args(2) = this writer's partition value,
+  *                         args(3) = batch count; runs that many
+  *                         partition-scoped merges on its OWN partition
+  *                         with spark.graft.merge.occ=true, exits 0.
+  *                         Two of these racing on disjoint partitions
+  *                         must BOTH land every batch.
   */
 object CrashWriter {
   def main(args: Array[String]): Unit = {
@@ -95,7 +103,26 @@ object CrashWriter {
         // the process dies HERE: v3 is live (flip happened and read
         // back whole) but the post-commit cleanup GC never runs
         Runtime.getRuntime.halt(137)
-      case other => sys.error(s"unknown mode $other")
+      case "occ-loop" =>
+        val part = args(2)
+        val n = args(3).toInt
+        spark.conf.set("spark.graft.merge.occ", "true")
+        // short grace: the peers' preamble GCs run constantly in this
+        // loop; fresh stages must still survive them
+        spark.conf.set("spark.graft.merge.stagedGraceMs", "60000")
+        // two writers flipping back to back can cost several rebase
+        // rounds per merge — budget generously (the default 5 is sized
+        // for occasional contention, not a deliberate tight race)
+        spark.conf.set("spark.graft.merge.occRetries", "20")
+        (1 to n).foreach { i =>
+          graft.operators.Merge.mergePartitioned(spark,
+            dir,
+            Seq((part.hashCode.toLong * 10000 + i, "I",
+              s"$part-$i", part))
+              .toDF("k", "op", "name", "lang"),
+            "k", "lang")
+        }
+        spark.stop()
     }
   }
 }
