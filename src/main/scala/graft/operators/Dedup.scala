@@ -633,17 +633,50 @@ object Dedup {
    * the draws are derived from them).
    */
   def buildWideSimhashStore(df: DataFrame, idCol: String, textCol: String,
-      storeDir: String, portable: Boolean = false): Unit =
+      storeDir: String, portable: Boolean = false): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
     simhashSignatures128(df, idCol, textCol, portable)
       .write.mode("overwrite").parquet(storeDir)
+    // persist WHICH draws built this store (underscore dir — parquet
+    // readers of the signature table skip it): portable (two
+    // md5-derived 60-bit draws) and production (xxhash64) signatures
+    // are bit-incompatible, and an admission call with the wrong flag
+    // would compute garbage hamming distances SILENTLY — the r12
+    // review finding on this seam (the scaladoc contract alone did
+    // not enforce it)
+    Seq((portable, if (portable) 60 else 64)).toDF("portable", "lo_bits")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(storeDir + "/_wide_meta")
+  }
+
+  /** Loud draw-compatibility gate for the wide store: `portable` must
+    * match the build's. Pre-meta stores (none in this repo) fall
+    * through to the documented contract. */
+  private def requireWideDraws(spark: SparkSession, storeDir: String,
+      portable: Boolean, who: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(storeDir + "/_wide_meta")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      val built = spark.read.parquet(p.toString).collect()
+        .head.getAs[Boolean]("portable")
+      require(built == portable,
+        s"$who: store $storeDir was built with portable=$built but this " +
+          s"call passes portable=$portable — the two draw families are " +
+          "bit-incompatible, so every hamming distance would be silently " +
+          "meaningless; pass the build's flag or rebuild the store")
+    }
+  }
 
   def appendWideSimhashSignatures(spark: SparkSession, admitted: DataFrame,
       idCol: String, textCol: String, storeDir: String,
-      portable: Boolean = false): Unit =
+      portable: Boolean = false): Unit = {
+    requireWideDraws(spark, storeDir, portable, "appendWideSimhashSignatures")
     simhashSignatures128(admitted, idCol, textCol, portable)
       .join(spark.read.parquet(storeDir).select(col("id")),
         Seq("id"), "left_anti")
       .write.mode("append").parquet(storeDir)
+  }
 
   /** Near-dup pairs (hamming ≤ maxHamming on the w = 128/120
     * signature) of a new batch against the standing
@@ -664,6 +697,7 @@ object Dedup {
     require(maxHamming >= 1,
       s"simhashWideIncremental needs maxHamming >= 1 (got $maxHamming); " +
         "radius 0 is exact-signature equality — use Dedup.exact")
+    requireWideDraws(spark, storeDir, portable, "simhashWideIncremental")
     val loBits = if (portable) 60 else 64
     val ssig = spark.read.parquet(storeDir)
     val bsig = Caches.releaseAfterUse(restrictToNew(

@@ -692,7 +692,19 @@ object Similarity {
     * at any store size). A crash between the encoded and codes writes
     * heals on re-run: the table that committed admits nothing, the
     * one that didn't gets exactly the missing rows — no double-append,
-    * no permanent ADC recall hole. */
+    * no permanent ADC recall hole.
+    *
+    * CONCURRENT READERS (r12 review of this seam): a search running
+    * while an append commits sees an eventually-consistent corpus —
+    * either without the batch, with it, or (between the encoded and
+    * codes job commits) with the batch visible to exact searches but
+    * not yet ADC ones. Never torn results: encoded writes BEFORE
+    * codes, and the ADC path shortlists FROM codes and re-scores
+    * against encoded, so an item can never rank without its full
+    * vector being readable; in-flight task files live under
+    * `_temporary` (hidden from readers) until the job commit. The
+    * staleness window is one batch — the semantics streaming ANN
+    * ingest wants, not a defect. */
   def appendToIvfStore(spark: SparkSession, newVecs: DataFrame,
       storeDir: String): Unit = {
     import org.apache.spark.storage.StorageLevel
@@ -1515,7 +1527,11 @@ object Similarity {
     * against this super-quantizer (same shard count — a rebuilt super
     * reorders every route rank); else ALL shards — recall-safe, the
     * unrouted cost, and [[routedStoreAdvice]] flags the missing
-    * calibration. */
+    * calibration. `routing_curve` is deliberately NOT consulted (r12
+    * review of this seam): it is a write-only measurement record, so
+    * a curve surviving a vacuumed/invalidated `routing` is inert —
+    * the fallback stays all-shards, never a depth re-derived from a
+    * possibly-stale curve. */
   private def resolveRouteDepth(spark: SparkSession, storeDir: String,
       routeShards: Int, nShards: Int): Int =
     if (routeShards > 0) math.min(routeShards, nShards)

@@ -183,6 +183,40 @@ class NearDupStreamSpec extends SparkSpec {
     assert(spark.read.parquet(store).count() === 17L)
   }
 
+  test("wide store refuses mismatched signature draws loudly (portable vs production)") {
+    // the r12 review finding: build/admission draw families
+    // (md5-portable vs xxhash64) are bit-incompatible, and the match
+    // was a scaladoc contract only — a mismatched admission computed
+    // garbage hamming distances SILENTLY. Now the store records its
+    // draws and the admission/append gate on them.
+    val docs = (0 until 6).map(i => (i.toLong, s"alpha bravo token$i"))
+      .toDF("doc_id", "text")
+    val store = tmp("widemeta") + "/sigs"
+    Dedup.buildWideSimhashStore(docs, "doc_id", "text", store,
+      portable = true)
+    val e1 = intercept[IllegalArgumentException] {
+      Dedup.simhashWideIncremental(spark,
+        Seq((100L, "zulu yankee")).toDF("doc_id", "text"),
+        "doc_id", "text", store, maxHamming = 6, portable = false)
+    }
+    assert(e1.getMessage.contains("portable=true") &&
+      e1.getMessage.contains("bit-incompatible"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.appendWideSimhashSignatures(spark,
+        Seq((100L, "zulu yankee")).toDF("doc_id", "text"),
+        "doc_id", "text", store, portable = false)
+    }
+    assert(e2.getMessage.contains("bit-incompatible"))
+    // matching draws pass, and the meta dir is invisible to the
+    // signature-table read (underscore-prefixed)
+    Dedup.appendWideSimhashSignatures(spark,
+      Seq((100L, "zulu yankee")).toDF("doc_id", "text"),
+      "doc_id", "text", store, portable = true)
+    assert(spark.read.parquet(store).columns.toSet ===
+      Set("id", "sig0", "sig1"))
+    assert(spark.read.parquet(store).count() === 7)
+  }
+
   test("admitWideSimhash: end-to-end streaming wide-SimHash gate drops exactly the pairs' id_b docs") {
     implicit val sqlCtx = spark.sqlContext
     val base = (0 until 12).map(i =>
