@@ -2539,6 +2539,32 @@ object SparkEntry {
       Similarity.searchRoutedIvfStore(s, e.filter(col("vec_id") < 10),
           store, k = 5, nprobe = 2, routeShards = 1)
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // hot-shard SPLIT on the routed store (the r12 incremental
+    // rebalance): build 2 cluster-disjoint shards, split the hot one —
+    // its items re-file by global argmax over the NEW super set (one
+    // trained child centroid pair; training is float-order dependent,
+    // so the split GEOMETRY is machine-specific) — then search with
+    // full route depth and exhaustive per-shard probes. The invariant
+    // the oracle pins is the one that matters and the one that IS
+    // deterministic: however the split lands, the store must still
+    // serve exactly the corpus — the exhaustive routed search equals
+    // plain brute-force top-k bit for bit (disjointness, completeness,
+    // no loss/duplication through delete-rebuild-append, hash-checked
+    // cross-engine; the q71/q108 invariant-flag discipline, except
+    // here the whole result set is mirrorable).
+    "q135_ann_split" -> ((s, dir) => {
+      val store = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_ivfsplit_${Integer.toHexString(dir.hashCode)}_$jvmToken")
+        .getAbsolutePath
+      val e = t(s, dir, "embeddings")
+      Similarity.buildRoutedIvfStore(e, store, shards = 2, nlist = 4,
+        iters = 0, dim = 64)
+      Similarity.splitHotShard(s, store, splitIters = 2, nlist = 4)
+      Similarity.searchRoutedIvfStore(s, e.filter(col("vec_id") < 8),
+          store, k = 6, nprobe = 64, routeShards = 3)
+        .orderBy(col("query_id"), col("rank"))
     })
   )
 
@@ -3917,6 +3943,28 @@ object SparkEntry {
                FROM s)
          SELECT query_id, item_id, cos, rank FROM r
          WHERE rank <= 5 ORDER BY query_id, rank""",
+    // the split's deterministic invariant (see the query comment): the
+    // post-split exhaustive routed search must equal brute-force top-k
+    // exactly — the oracle is the plain q23-shaped scan, because any
+    // item the split lost, duplicated, or misfiled would change some
+    // query's ranking and flip the hash.
+    "q135_ann_split" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         en AS (SELECT vec_id,
+                  CASE WHEN list_inner_product(v, v) = 0 THEN v
+                       ELSE list_transform(v, x -> x / sqrt(list_inner_product(v, v)))
+                  END AS nv
+                FROM e),
+         q AS (SELECT vec_id AS query_id, nv AS qv FROM en WHERE vec_id < 8),
+         s AS (SELECT query_id, en.vec_id AS item_id,
+                 list_inner_product(qv, en.nv) AS cos
+               FROM q, en WHERE en.vec_id != query_id),
+         r AS (SELECT query_id, item_id, round(cos, 4) AS cos,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                      ORDER BY s.cos DESC, item_id) AS INT) AS rank
+               FROM s)
+         SELECT query_id, item_id, cos, rank FROM r
+         WHERE rank <= 6 ORDER BY query_id, rank""",
     // portable fingerprint ⇒ exact oracle: DuckDB rebuilds the token
     // 3-gram shingles and the md5-derived 60-bit hash (PortableHash
     // parity) and takes the same min — bit-exact.
