@@ -166,7 +166,11 @@ class KinesisSimStream(options: CaseInsensitiveStringMap) extends MicroBatchStre
             throw new IllegalArgumentException(
               "graft-kinesis-sim: reshardOp=merge needs " +
                 "reshardShards=\"a,b\""))
-          val Array(a, b) = spec.split(",").map(_.trim.toInt)
+          val parts = spec.split(",").map(_.trim)
+          require(parts.length == 2 && parts.forall(_.toIntOption.isDefined),
+            s"graft-kinesis-sim: reshardShards '$spec' must be two " +
+              "comma-separated shard ids, e.g. \"0,2\"")
+          val Array(a, b) = parts.map(_.toInt)
           require(a != b && a >= 0 && a < shards && b >= 0 && b < shards,
             s"graft-kinesis-sim: reshardShards '$spec' must name two " +
               s"distinct shards in [0, $shards)")
