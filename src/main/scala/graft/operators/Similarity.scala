@@ -1353,37 +1353,43 @@ object Similarity {
   }
 
   /** Shared append staging for the sharded/routed stores: assign the
-    * batch's shard column ONCE and write `partitionBy(shard)` into a
-    * staging dir (the build's own staging shape), then feed each shard
-    * exactly its staged slice. Previously each shard re-evaluated the
-    * assignment over the WHOLE batch — O(shards) full passes per
-    * streaming micro-batch, painful when the assignment is the routed
-    * store's argmax over super-centroids (r11 advice). A staged
-    * partition routed to a shard the build left empty fails loudly —
-    * that shard has no quantizer to encode with. Idempotency is
-    * untouched: each [[appendToIvfStore]] still anti-joins its slice
-    * against the shard's stored ids, so a crash after SOME shards
-    * appended heals on replay (the done shards admit nothing). */
+    * batch's shard column ONCE into a persisted frame and feed each
+    * shard a filter of the CACHED assignment. Previously each shard
+    * re-evaluated the assignment over the WHOLE batch — O(shards)
+    * full passes per streaming micro-batch, painful when the
+    * assignment is the routed store's argmax over super-centroids
+    * (r11 advice; the advice's partitionBy-staging alternative was
+    * measured and loses at streaming batch sizes — the parquet
+    * write+read roundtrip costs more than `shards` scans of a cached
+    * micro-batch, see SCALING.md r12). A batch row routed to a shard
+    * the build left empty fails loudly — that shard has no quantizer
+    * to encode with. Idempotency is untouched: each
+    * [[appendToIvfStore]] still anti-joins its slice against the
+    * shard's stored ids, so a crash after SOME shards appended heals
+    * on replay (the done shards admit nothing). */
   private def appendStaged(spark: SparkSession, newVecs: DataFrame,
       storeDir: String, sh: Int, shardCol: Column): Unit = {
-    val staging = storeDir + "/_append_staging"
+    import org.apache.spark.storage.StorageLevel
     val fs = new org.apache.hadoop.fs.Path(storeDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    newVecs.select(col("vec_id"), col("embedding"), shardCol.as("shard"))
-      .write.mode("overwrite").partitionBy("shard").parquet(staging)
+    val assigned = newVecs
+      .select(col("vec_id"), col("embedding"), shardCol.as("shard"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      (0 until sh).foreach { i =>
-        val p = new org.apache.hadoop.fs.Path(s"$staging/shard=$i")
-        if (fs.exists(p)) {
-          val dir = s"$storeDir/shard=$i"
-          require(fs.exists(
-            new org.apache.hadoop.fs.Path(dir + "/centroids")),
-            s"store $storeDir: batch routes rows to shard $i, which " +
-              "the build left empty (no quantizer) — rebuild the store")
-          appendToIvfStore(spark, spark.read.parquet(p.toString), dir)
-        }
+      // bounded driver collect: at most `sh` ints — which shards this
+      // batch touches at all (the per-row routing stays distributed)
+      val present = assigned.select("shard").distinct()
+        .collect().map(_.getInt(0)).sorted
+      present.foreach { i =>
+        val dir = s"$storeDir/shard=$i"
+        require(fs.exists(
+          new org.apache.hadoop.fs.Path(dir + "/centroids")),
+          s"store $storeDir: batch routes rows to shard $i, which " +
+            "the build left empty (no quantizer) — rebuild the store")
+        appendToIvfStore(spark,
+          assigned.filter(col("shard") === i).drop("shard"), dir)
       }
-    } finally fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    } finally assigned.unpersist(blocking = false)
   }
 
   /** Calibrate every built shard ([[calibrateIvfStore]] per shard dir)
