@@ -1833,25 +1833,40 @@ object Similarity {
     chosen
   }
 
+  /** Past this max/mean stored-count imbalance, [[routedStoreAdvice]]
+    * flips `split_advised` — the measured 1.5–1.75× skew of untrained
+    * cluster shards is where the hot shard starts dominating tail
+    * latency, and [[splitHotShard]] is the incremental remedy. */
+  private val SplitAdviseImbalance = 1.5
+
   /** One-row routing health readout for a routed store: shard count,
     * item count, the persisted route depth and its probed-shard share
     * (null when never calibrated or calibrated against a different
-    * super-quantizer), and `recalibrate_advised` — no usable
+    * super-quantizer), `recalibrate_advised` — no usable
     * calibration or the store has grown ≥2× past the calibration's
-    * item count. Per-shard list health stays [[ivfStoreAdvice]] per
-    * shard dir. */
+    * item count — and the skew pair: `shard_imbalance` (max/mean
+    * stored count over built shards) with `split_advised` once it
+    * passes [[SplitAdviseImbalance]] ([[splitHotShard]] is the lever;
+    * it is deliberately NOT auto-run from streams — a split re-keys
+    * the router, a maintenance-window decision like a rebuild).
+    * Per-shard list health stays [[ivfStoreAdvice]] per shard dir. */
   def routedStoreAdvice(spark: SparkSession, storeDir: String): DataFrame = {
     import spark.implicits._
     val nShards = readSuper(spark, storeDir).size
-    val nItems = builtShards(spark, storeDir)
-      .map(d => spark.read.parquet(d + "/encoded").count()).sum
+    val counts = builtShards(spark, storeDir)
+      .map(d => spark.read.parquet(d + "/encoded").count())
+    val nItems = counts.sum
+    val imbalance =
+      if (counts.isEmpty || nItems == 0L) 1.0
+      else counts.max.toDouble / (nItems.toDouble / nShards)
     val cal = readRouting(spark, storeDir).filter(_._3 == nShards)
     val depth = cal.map(c => math.min(c._1, nShards))
     Seq((nItems, nShards, depth, depth.map(_.toDouble / nShards),
         cal.forall { case (_, calItems, _) =>
-          nItems >= 2L * math.max(1L, calItems) }))
+          nItems >= 2L * math.max(1L, calItems) },
+        imbalance, imbalance >= SplitAdviseImbalance && nShards >= 2))
       .toDF("n_items", "n_shards", "route_shards", "routed_share",
-        "recalibrate_advised")
+        "recalibrate_advised", "shard_imbalance", "split_advised")
   }
 
   private def readCentroids(spark: SparkSession,

@@ -210,11 +210,16 @@ object AnnIngestStream {
     * ROUTING layer (the per-shard [[StoreAdvice]]s cover the list
     * layer): store size, the persisted route depth and its
     * probed-shard share (None when never calibrated or calibrated
-    * against a different super-quantizer), and the growth-based
-    * recalibration flag. */
+    * against a different super-quantizer), the growth-based
+    * recalibration flag, and the skew pair (max/mean stored count +
+    * the split advisory). `splitAdvised` is surfaced, never acted on:
+    * [[graft.operators.Similarity.splitHotShard]] re-keys the router
+    * — a maintenance-window decision like a rebuild, not something a
+    * micro-batch should do mid-stream. */
   final case class RoutingAdvice(batchId: Long, nItems: Long,
       nShards: Int, routeShards: Option[Int], routedShare: Option[Double],
-      recalibrateAdvised: Boolean)
+      recalibrateAdvised: Boolean, shardImbalance: Double,
+      splitAdvised: Boolean)
 
   /** [[ingestSharded]] for a ROUTED store
     * ([[graft.operators.Similarity.buildRoutedIvfStore]]): batches
@@ -274,6 +279,8 @@ object AnnIngestStream {
     RoutingAdvice(batchId, r.getAs[Long]("n_items"), r.getAs[Int]("n_shards"),
       Option(r.getAs[Any]("route_shards")).map(_.asInstanceOf[Int]),
       Option(r.getAs[Any]("routed_share")).map(_.asInstanceOf[Double]),
-      r.getAs[Boolean]("recalibrate_advised"))
+      r.getAs[Boolean]("recalibrate_advised"),
+      r.getAs[Double]("shard_imbalance"),
+      r.getAs[Boolean]("split_advised"))
   }
 }

@@ -332,6 +332,12 @@ class RoutedStoreSpec extends SparkSpec {
     }
     val before = shardSizes(sh)
     val imbalBefore = before.max.toDouble / (before.sum.toDouble / sh)
+    // the fixture is built hot on purpose — the advisory must say so
+    val preAdv = Similarity.routedStoreAdvice(spark, dir).collect().head
+    assert(math.abs(preAdv.getAs[Double]("shard_imbalance") - imbalBefore)
+      < 1e-9)
+    assert(imbalBefore >= 1.5 && preAdv.getAs[Boolean]("split_advised"),
+      s"skewed fixture must trip split_advised (imbalance $imbalBefore)")
     val exact = Similarity.bruteForceTopK(df, queries, k = 5)
       .as[(Long, Long, Double, Int)].collect().toSet
     // record which items the COLD shards held — the incremental
@@ -379,6 +385,14 @@ class RoutedStoreSpec extends SparkSpec {
     val imbalAfter = after.max.toDouble / (after.sum.toDouble / newSh)
     assert(imbalAfter < imbalBefore,
       s"imbalance $imbalBefore -> $imbalAfter must fall")
+    // the advisory reads the same numbers: it flagged the skew before
+    // (this fixture is built ≥1.5× imbalanced) and reports the
+    // post-split measurement — the operational loop is advice →
+    // splitHotShard in a maintenance window → advice again
+    val adv = Similarity.routedStoreAdvice(spark, dir).collect().head
+    assert(math.abs(adv.getAs[Double]("shard_imbalance") - imbalAfter)
+      < 1e-9)
+    assert(adv.getAs[Boolean]("split_advised") === (imbalAfter >= 1.5))
     // incremental contract: a cold shard that received no stragglers
     // kept its files byte-untouched (same names + mtimes)
     val untouched = coldFiles.filter { case (i, files) =>
