@@ -245,6 +245,17 @@ object Merge {
       fs: org.apache.hadoop.fs.FileSystem, changes: DataFrame, key: String,
       partCol: String, opCol: String, dataSchema: DataFrame,
       touched: Seq[String], leafName: String => String): Seq[String] = {
+    // OCC is a MANIFEST-commit capability (the rebase needs immutable
+    // generations + an atomic pointer flip to reason about winners);
+    // the park/promote rename swap has neither, so a user who set the
+    // conf expecting concurrent writers here must hear that it does
+    // not apply rather than discover it in interleaved renames
+    if (ManifestCommit.occEnabled(spark))
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"spark.graft.merge.occ is set but snapshot $dir uses the " +
+          "rename-swap layout — optimistic concurrency applies to " +
+          "manifest-commit snapshots only; this merge remains " +
+          "single-writer (rebuild with manifestCommit = true to get OCC)")
     def renameOrDie(a: Path, b: Path): Unit =
       require(fs.rename(a, b), s"rename $a -> $b failed")
     def parkedName(v: String): String = ".merge_old_" + leafName(v)
