@@ -205,14 +205,25 @@ private[graft] object ManifestCommit {
     * LocatedFileStatus permissions through the raw local FS, which
     * breaks under custom-scheme FS wrappers (the NoRenameFs specs)
     * and buys nothing on a generation-sized tree. */
-  private def newestMTime(fs: FileSystem, p: Path): Long = {
-    val st = fs.getFileStatus(p)
-    var m = st.getModificationTime
-    if (st.isDirectory)
-      fs.listStatus(p).foreach(c =>
-        m = math.max(m, newestMTime(fs, c.getPath)))
-    m
-  }
+  private def newestMTime(fs: FileSystem, p: Path): Long =
+    try {
+      val st = fs.getFileStatus(p)
+      var m = st.getModificationTime
+      if (st.isDirectory)
+        fs.listStatus(p).foreach(c =>
+          m = math.max(m, newestMTime(fs, c.getPath)))
+      m
+    } catch {
+      // an entry vanishing between the listing and its stat means the
+      // tree is being ACTIVELY mutated right now — a peer's in-flight
+      // write renaming its _temporary task files, or a completed peer
+      // clearing its own staging (the r12 three-real-writer race found
+      // this: an innocent writer's preamble gc died walking a sibling's
+      // live stage). For the grace gate "mutating now" IS "fresh":
+      // report NOW so this cycle skips the reclaim; a genuinely dead
+      // tree stops changing and ages out normally on a later pass.
+      case _: java.io.FileNotFoundException => System.currentTimeMillis()
+    }
 
   /** Data files of a generation dir as `(path, length)`, sorted —
     * hidden/system entries (`_SUCCESS`, `_temporary`, dotfiles)
@@ -305,7 +316,18 @@ private[graft] object ManifestCommit {
     * no exception path: a partial upload parses but fails the
     * entry-count trailer. */
   private def parse(fs: FileSystem, p: Path): Option[State] = {
-    val in = fs.open(p)
+    // a file that VANISHED between the caller's listing and this open
+    // is a definitive absence, not a transient store error: the only
+    // deleters of commit files are gc (superseded / aged-torn — never
+    // the live one) and vacuum, so a concurrent peer's preamble gc
+    // reclaiming a superseded file mid-iteration must read as "never
+    // listed", not kill this writer (the r12 three-real-writer race
+    // found this). TRANSIENT errors (the FlakyOpenFs 503 case) still
+    // propagate below — swallowing those is what could make gc
+    // mistake the live commit for torn.
+    val in =
+      try fs.open(p)
+      catch { case _: java.io.FileNotFoundException => return None }
     val txt =
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()

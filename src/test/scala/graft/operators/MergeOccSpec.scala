@@ -42,6 +42,39 @@ class CommitRaceFs extends org.apache.hadoop.fs.RawLocalFileSystem {
   }
 }
 
+/** Simulates entries VANISHING between a directory listing and their
+  * stat/open — what a racing peer's rename/delete looks like to a
+  * concurrent walker (the r12 three-real-writer race died exactly
+  * here, twice: gc's grace walk hitting a sibling's in-flight
+  * `_temporary` renames, and gc's commit parse hitting a peer gc's
+  * reclaim of a superseded commit file). */
+object VanishFs {
+  @volatile var statVanish: Option[String] = None // file NAME to vanish on stat
+  @volatile var openVanish: Option[String] = None // file NAME to vanish on open
+  @volatile var statCalls: Int = 0 // stats seen for the marked name
+}
+class VanishFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "vanish"
+  override def getUri: java.net.URI = java.net.URI.create("vanish:///")
+  // the marked file is PRESENT at listing time and gone at the explicit
+  // re-stat — the exact interleaving the three-writer race produced.
+  // (Throwing on EVERY stat would never reach the walk: Hadoop's
+  // RawLocalFileSystem.listStatus swallows per-child FNF, silently
+  // dropping the entry from the listing.)
+  override def getFileStatus(f: Path): org.apache.hadoop.fs.FileStatus =
+    if (VanishFs.statVanish.contains(f.getName)) {
+      VanishFs.statCalls += 1
+      if (VanishFs.statCalls > 1)
+        throw new java.io.FileNotFoundException(s"vanished mid-walk: $f")
+      else super.getFileStatus(f)
+    } else super.getFileStatus(f)
+  override def open(f: Path, bufferSize: Int)
+      : org.apache.hadoop.fs.FSDataInputStream =
+    if (VanishFs.openVanish.contains(f.getName))
+      throw new java.io.FileNotFoundException(s"vanished before open: $f")
+    else super.open(f, bufferSize)
+}
+
 /** MERGE optimistic concurrency (`spark.graft.merge.occ`): disjoint
   * concurrent writers both land (rebase), overlapping writers still
   * fail loudly, and the default (occ off) keeps the single-writer-loud
@@ -190,6 +223,55 @@ class MergeOccSpec extends SparkSpec {
     assert(e.getMessage.contains("concurrent writer"), e.getMessage)
   }
 
+  test("gc survives entries vanishing mid-walk: a sibling's live stage reads as fresh, a reclaimed commit file as absent") {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.vanish.impl", classOf[VanishFs].getName)
+    val dir = "vanish://" + tmp("occ-vanish") + "/snap"
+    seed(dir)
+    // second version so gc has a superseded commit to iterate
+    Merge.mergePartitioned(spark, dir,
+      Seq((1L, "U", "a2", "en")).toDF("k", "op", "name", "lang"),
+      "k", "lang")
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    // an UNREFERENCED fresh gen dir = a sibling writer's in-flight
+    // stage; its data file "vanishes" when gc's grace walk stats it
+    // (the peer renaming _temporary task files mid-commit)
+    val stage = s"$dir/data/lang=de/g-000000000009-peerstage"
+    Seq((9L, "live")).toDF("k", "name").write.parquet(stage)
+    val dataFile = new java.io.File(new java.net.URI(stage).getPath)
+      .listFiles().filter(_.getName.endsWith(".parquet")).head.getName
+    try {
+      VanishFs.statVanish = Some(dataFile)
+      // without the newestMTime fix this walk THREW FileNotFoundException
+      // and killed the (innocent) writer running its preamble gc
+      ManifestCommit.gc(fs, new Path(dir), retain = 2, graceMs = 60000L)
+      assert(VanishFs.statCalls > 1,
+        "the grace walk must actually have re-statted the vanished entry")
+      assert(fs.exists(new Path(stage)),
+        "an actively-mutating stage must read as FRESH and survive")
+      // a commit file reclaimed by a peer's gc between listing and
+      // open must read as absent, not kill the reader
+      VanishFs.openVanish = Some(f"_graft_commit-${1L}%012d")
+      assert(ManifestCommit.versions(fs, new Path(dir)) === Seq(2L))
+      ManifestCommit.gc(fs, new Path(dir), retain = 2, graceMs = 60000L)
+      assert(Merge.readSnapshot(spark, dir).count() === 2)
+    } finally {
+      VanishFs.statVanish = None
+      VanishFs.openVanish = None
+      VanishFs.statCalls = 0
+    }
+    // once the tree stops changing it ages out normally
+    def ageTree(p: Path): Unit = {
+      val old = System.currentTimeMillis() - 7200000L
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).foreach(c => ageTree(c.getPath))
+      fs.setTimes(p, old, -1L)
+    }
+    ageTree(new Path(stage))
+    ManifestCommit.gc(fs, new Path(dir), retain = 2, graceMs = 60000L)
+    assert(!fs.exists(new Path(stage)), "aged dead stage must reclaim")
+  }
+
   test("TWO REAL writer processes race on disjoint partitions: every batch lands, fsck clean") {
     val dir = tmp("occ-real") + "/snap"
     seed(dir)
@@ -224,20 +306,26 @@ class MergeOccSpec extends SparkSpec {
       outputs.get(part).synchronized {
         outputs.get(part).takeRight(3000).toString }
     val n = 6
+    // THREE writers: two on the seeded partitions, one creating a new
+    // leaf mid-race — deeper consecutive-loss chains through the
+    // rebase loop than any two-writer interleaving produces
     val a = launch("en", n)
     val b = launch("de", n)
+    val c = launch("fr", n)
     assert(a.waitFor() === 0, s"writer A must exit clean:\n${tailOf("en")}")
     assert(b.waitFor() === 0, s"writer B must exit clean:\n${tailOf("de")}")
+    assert(c.waitFor() === 0, s"writer C must exit clean:\n${tailOf("fr")}")
     // every batch of both writers landed: the seed rows plus n inserts
     // per writer, and one commit per merge so the version counts them
     val got = Merge.readSnapshot(spark, dir)
       .select("name", "lang").as[(String, String)].collect()
-    assert(got.length === 2 + 2 * n)
+    assert(got.length === 2 + 3 * n)
     (1 to n).foreach { i =>
       assert(got.contains((s"en-$i", "en")), s"writer A batch $i lost")
       assert(got.contains((s"de-$i", "de")), s"writer B batch $i lost")
+      assert(got.contains((s"fr-$i", "fr")), s"writer C batch $i lost")
     }
-    assert(Merge.snapshotVersions(spark, dir).max === 1L + 2 * n)
+    assert(Merge.snapshotVersions(spark, dir).max === 1L + 3 * n)
     assert(Merge.fsck(spark, dir).collect().isEmpty)
   }
 }
