@@ -658,8 +658,18 @@ object Dedup {
     val p = new org.apache.hadoop.fs.Path(storeDir + "/_wide_meta")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) {
-      val built = spark.read.parquet(p.toString).collect()
-        .head.getAs[Boolean]("portable")
+      // a crash between the overwrite's delete and its commit can leave
+      // _wide_meta existing but empty/torn — that must read as "meta is
+      // torn, rebuild", not a NoSuchElementException/parquet error on
+      // every subsequent call
+      val built = (try {
+        spark.read.parquet(p.toString).collect().headOption
+      } catch {
+        case _: org.apache.spark.sql.AnalysisException => None
+      }).getOrElse(throw new IllegalStateException(
+        s"$who: store $storeDir has a torn/empty _wide_meta (a crashed " +
+          "meta write) — the draw family can no longer be verified; " +
+          "rebuild the store")).getAs[Boolean]("portable")
       require(built == portable,
         s"$who: store $storeDir was built with portable=$built but this " +
           s"call passes portable=$portable — the two draw families are " +

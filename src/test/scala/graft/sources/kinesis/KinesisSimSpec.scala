@@ -208,6 +208,197 @@ class KinesisSimSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() === 30)
   }
 
+  test("MULTI-EPOCH reshard: a split child re-splits — conservation, chained routing, transitive ancestor ordering") {
+    // shards=2; epoch 0 at line 20 splits shard 0 -> children 2,3
+    // (event-0 parity); epoch 1 at line 40 splits CHILD 2 -> children
+    // 4,5 (event-1 parity — a fresh draw, else every key in child 2
+    // would land in one grandchild)
+    val lines = (0 until 60).map(i => s"b${i % 10}:$i")
+    val path = writeBacklog(lines)
+    val buf = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Int, String, Long, String)]
+    val q = spark.readStream.format("graft-kinesis-sim")
+      .option("path", path).option("shards", "2")
+      .option("keyRegex", "(b[0-9]+):")
+      .option("reshards", "split@20:0;split@40:2")
+      .option("maxRecordsPerTrigger", "4")
+      .load()
+      .writeStream.trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        val rows = df.select("shardId", "partitionKey", "sequenceNumber",
+            "data")
+          .collect()
+          .map(r => (id, r.getInt(0), r.getString(1), r.getLong(2),
+            r.getString(3)))
+        buf.synchronized { buf ++= rows }; ()
+      }.start()
+    q.awaitTermination(120000)
+    val rows = buf.toSeq
+    // conservation across BOTH epochs: every line exactly once
+    assert(rows.map(_._5).sorted === lines.sorted)
+    // chained routing re-derived independently
+    rows.foreach { case (_, shard, key, _, data) =>
+      val lineIdx = data.split(":")(1).toInt
+      var want = KinesisSim.shardFor(key, 2)
+      if (lineIdx >= 20 && want == 0) want = 2 + KinesisSim.childFor(key, 0)
+      if (lineIdx >= 40 && want == 2) want = 4 + KinesisSim.childFor(key, 1)
+      assert(shard === want, s"line $lineIdx key $key in shard $shard")
+    }
+    // the event-1 parity genuinely divides child 2's keys: both
+    // grandchildren received records (under one fixed parity every
+    // key in child 2 would land in the same grandchild)
+    assert(rows.exists(_._2 == 4) && rows.exists(_._2 == 5),
+      "re-splitting a child must divide its keys across both " +
+        "grandchildren")
+    // closed shards only ever held their epoch's records
+    assert(rows.filter(_._2 == 0).forall(_._5.split(":")(1).toInt < 20))
+    assert(rows.filter(_._2 == 2).forall { r =>
+      val i = r._5.split(":")(1).toInt; i >= 20 && i < 40
+    })
+    // transitive KCL ordering: child 2 after parent 0 drains;
+    // grandchildren 4,5 after BOTH ancestors (0 and 2) drain
+    def batches(s: Int) = rows.filter(_._2 == s).map(_._1)
+    assert(batches(0).max < batches(2).min,
+      "child 2 advanced before parent 0 drained")
+    val grand = (batches(4) ++ batches(5))
+    assert(batches(2).max < grand.min,
+      "grandchildren advanced before their parent (2) drained")
+    assert(batches(0).max < grand.min,
+      "grandchildren advanced before their grandparent (0) drained")
+    // ⇒ per-key order survives both epochs
+    rows.groupBy(_._3).foreach { case (key, rs) =>
+      val ordered = rs.sortBy(r => (r._1, r._4))
+        .map(_._5.split(":")(1).toInt)
+      assert(ordered === ordered.sorted,
+        s"key $key delivered out of order: $ordered")
+    }
+  }
+
+  test("MULTI-EPOCH split-then-merge: a merge child waits on ancestors from BOTH lineages (incl. through an empty intermediate)") {
+    // shards=2; epoch 0 at line 15 splits shard 0 -> 2,3; epoch 1 at
+    // line 30 merges shard 1 with CHILD 2 -> 4. Child 4's transitive
+    // ancestors are {1, 2, 0}: even if the intermediate child 2 held
+    // few (or zero) records, 4 must not advance before 0 drains.
+    val lines = (0 until 45).map(i => s"b${i % 8}:$i")
+    val path = writeBacklog(lines)
+    val buf = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Int, String, Long, String)]
+    val q = spark.readStream.format("graft-kinesis-sim")
+      .option("path", path).option("shards", "2")
+      .option("keyRegex", "(b[0-9]+):")
+      .option("reshards", "split@15:0;merge@30:1+2")
+      .option("maxRecordsPerTrigger", "3")
+      .load()
+      .writeStream.trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        val rows = df.select("shardId", "partitionKey", "sequenceNumber",
+            "data")
+          .collect()
+          .map(r => (id, r.getInt(0), r.getString(1), r.getLong(2),
+            r.getString(3)))
+        buf.synchronized { buf ++= rows }; ()
+      }.start()
+    q.awaitTermination(120000)
+    val rows = buf.toSeq
+    assert(rows.map(_._5).sorted === lines.sorted)
+    rows.foreach { case (_, shard, key, _, data) =>
+      val lineIdx = data.split(":")(1).toInt
+      var want = KinesisSim.shardFor(key, 2)
+      if (lineIdx >= 15 && want == 0) want = 2 + KinesisSim.childFor(key, 0)
+      if (lineIdx >= 30 && (want == 1 || want == 2)) want = 4
+      assert(shard === want, s"line $lineIdx key $key in shard $shard")
+    }
+    def batches(s: Int) = rows.filter(_._2 == s).map(_._1)
+    val child4 = batches(4)
+    assert(child4.nonEmpty)
+    Seq(0, 1, 2).filter(batches(_).nonEmpty).foreach { anc =>
+      assert(batches(anc).max < child4.min,
+        s"merge child advanced before ancestor $anc drained")
+    }
+    rows.groupBy(_._3).foreach { case (key, rs) =>
+      val ordered = rs.sortBy(r => (r._1, r._4))
+        .map(_._5.split(":")(1).toInt)
+      assert(ordered === ordered.sorted,
+        s"key $key delivered out of order: $ordered")
+    }
+  }
+
+  test("the committed offsets RECORD the topology: editing reshard options across a restart fails loudly") {
+    def stream(opts: (String, String)*) = new KinesisSimStream(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        scala.jdk.CollectionConverters.MapHasAsJava(
+          (Seq("path" -> "/dev/null") ++ opts).toMap).asJava))
+    val all = org.apache.spark.sql.connector.read.streaming
+      .ReadLimit.allAvailable()
+    // the token round-trips through the offset JSON
+    val withTopo = ShardOffsets(Map(0 -> 1L, 1 -> 2L),
+      Some("split@20:0;merge@30:1+2"))
+    assert(ShardOffsets.parse(withTopo.json()) === withTopo)
+    assert(ShardOffsets.parse(ShardOffsets(Map(0 -> 1L)).json()) ===
+      ShardOffsets(Map(0 -> 1L)))
+    // reshard ADDED after the checkpoint was built: same shard count
+    // would even be possible post-drain — requireKnownShards can't see
+    // it, the topology token does
+    val legacy = ShardOffsets(Map(0 -> 0L, 1 -> 0L))
+    val e1 = intercept[IllegalStateException] {
+      stream("shards" -> "2", "reshardAtLine" -> "5")
+        .latestOffset(legacy, all)
+    }
+    assert(e1.getMessage.contains("topology") &&
+      e1.getMessage.contains("<none>"))
+    // reshard REMOVED (or changed) after the checkpoint recorded one
+    val ckptd = ShardOffsets(Map(0 -> 0L, 1 -> 0L, 2 -> 0L, 3 -> 0L),
+      Some("split@5:0"))
+    val e2 = intercept[IllegalStateException] {
+      stream("shards" -> "4").latestOffset(ckptd, all)
+    }
+    assert(e2.getMessage.contains("topology"))
+    val e3 = intercept[IllegalStateException] {
+      stream("shards" -> "2", "reshardAtLine" -> "7")
+        .latestOffset(ckptd, all)
+    }
+    assert(e3.getMessage.contains("split@5:0") &&
+      e3.getMessage.contains("split@7:0"))
+    // matching topology (written via either syntax) passes
+    val path = writeBacklog((0 until 4).map(i => envLine("person", i)))
+    stream("path" -> path, "shards" -> "2", "reshardAtLine" -> "5")
+      .latestOffset(ShardOffsets(Map(0 -> 0L, 1 -> 0L, 2 -> 0L, 3 -> 0L),
+        Some("split@5:0")), all)
+    stream("path" -> path, "shards" -> "2", "reshards" -> "split@5:0")
+      .latestOffset(ShardOffsets(Map(0 -> 0L, 1 -> 0L, 2 -> 0L, 3 -> 0L),
+        Some("split@5:0")), all)
+  }
+
+  test("a RESTART under edited reshard options fails the query loudly, end to end through the checkpoint") {
+    val lines = (0 until 12).map(i => s"k${i % 4}:$i")
+    val path = writeBacklog(lines)
+    val ckpt = Files.createTempDirectory("kckpt_topo").toString
+    val out = Files.createTempDirectory("kout_topo").toString
+    def run(reshards: String): Unit = {
+      val q = spark.readStream.format("graft-kinesis-sim")
+        .option("path", path).option("shards", "2")
+        .option("keyRegex", "k([0-9]+):")
+        .option("reshards", reshards)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    run("split@6:0")
+    assert(spark.read.parquet(out).count() === 12)
+    // restart with the epoch MOVED: post-epoch lines would leave the
+    // parent's backlog and reappear in children at sequence 0 — the
+    // recorded topology refuses instead
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      run("split@9:0")
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.getMessage +: chain(t.getCause)
+    assert(chain(e).exists(m => m != null && m.contains("topology")))
+  }
+
   test("bad options fail fast at stream construction, naming the option") {
     def stream(opts: (String, String)*) = new KinesisSimStream(
       new org.apache.spark.sql.util.CaseInsensitiveStringMap(
