@@ -2565,6 +2565,35 @@ object SparkEntry {
       Similarity.searchRoutedIvfStore(s, e.filter(col("vec_id") < 8),
           store, k = 6, nprobe = 64, routeShards = 3)
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Item-level DELETE/forget for the ANN store (round-13 lead): the
+    // takedown path a training-data pipeline runs routinely, priced as
+    // tombstones instead of a store rebuild. The query gates the WHOLE
+    // lifecycle deterministically: build a routed store, tombstone one
+    // known subset, COMPACT (physical reclaim + tombstone clear),
+    // tombstone a second subset (still standing at search time), then
+    // an exhaustive routed search must equal brute-force top-k over
+    // exactly the remaining corpus — any resurrected, lingering, or
+    // over-deleted item flips some query's ranking and the hash.
+    "q136_ann_delete" -> ((s, dir) => {
+      val store = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_ivfdelete_${Integer.toHexString(dir.hashCode)}_$jvmToken")
+        .getAbsolutePath
+      val e = t(s, dir, "embeddings")
+      Similarity.buildRoutedIvfStore(e, store, shards = 2, nlist = 4,
+        iters = 0, dim = 64)
+      Similarity.deleteFromShardedIvfStore(s,
+        e.filter(col("vec_id") % 7 === 3).select("vec_id"), store)
+      (0 until 2).foreach { i =>
+        if (new java.io.File(s"$store/shard=$i").exists())
+          Similarity.compactIvfStore(s, s"$store/shard=$i")
+      }
+      Similarity.deleteFromShardedIvfStore(s,
+        e.filter(col("vec_id") % 11 === 5).select("vec_id"), store)
+      Similarity.searchRoutedIvfStore(s, e.filter(col("vec_id") < 8),
+          store, k = 6, nprobe = 64, routeShards = 2)
+        .orderBy(col("query_id"), col("rank"))
     })
   )
 
@@ -3959,6 +3988,30 @@ object SparkEntry {
          s AS (SELECT query_id, en.vec_id AS item_id,
                  list_inner_product(qv, en.nv) AS cos
                FROM q, en WHERE en.vec_id != query_id),
+         r AS (SELECT query_id, item_id, round(cos, 4) AS cos,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                      ORDER BY s.cos DESC, item_id) AS INT) AS rank
+               FROM s)
+         SELECT query_id, item_id, cos, rank FROM r
+         WHERE rank <= 6 ORDER BY query_id, rank""",
+    // the delete lifecycle's deterministic invariant (see the query
+    // comment): after tombstoning %7=3 (then compacting it away) and
+    // tombstoning %11=5 (still standing), the exhaustive routed search
+    // must be brute-force top-k over EXACTLY the remaining corpus —
+    // the oracle is the plain scan with both subsets filtered out.
+    "q136_ann_delete" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         en AS (SELECT vec_id,
+                  CASE WHEN list_inner_product(v, v) = 0 THEN v
+                       ELSE list_transform(v, x -> x / sqrt(list_inner_product(v, v)))
+                  END AS nv
+                FROM e),
+         q AS (SELECT vec_id AS query_id, nv AS qv FROM en WHERE vec_id < 8),
+         live AS (SELECT * FROM en
+                  WHERE vec_id % 7 != 3 AND vec_id % 11 != 5),
+         s AS (SELECT query_id, live.vec_id AS item_id,
+                 list_inner_product(qv, live.nv) AS cos
+               FROM q, live WHERE live.vec_id != query_id),
          r AS (SELECT query_id, item_id, round(cos, 4) AS cos,
                  CAST(row_number() OVER (PARTITION BY query_id
                       ORDER BY s.cos DESC, item_id) AS INT) AS rank

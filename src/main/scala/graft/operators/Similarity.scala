@@ -638,6 +638,12 @@ object Similarity {
     import spark.implicits._
     import org.apache.spark.storage.StorageLevel
     require(m == 0 || dim % m == 0, s"dim=$dim not divisible by m=$m")
+    // a rebuild starts a fresh lifecycle: tombstones describe the OLD
+    // corpus — left standing they would silently hide rebuilt rows
+    // that happen to share ids
+    new org.apache.hadoop.fs.Path(deletedPath(storeDir))
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(deletedPath(storeDir)), true)
     val subdim = if (m > 0) dim / m else 0
     val nl = if (nlist > 0) nlist else adaptiveIvfConfig(corpus.count())._1
     // ONE md5-ordered pick serves both quantizers (prefix property —
@@ -709,7 +715,11 @@ object Similarity {
       storeDir: String): Unit = {
     import org.apache.spark.storage.StorageLevel
     val centers = readCentroids(spark, storeDir)
-    val assigned = unitVecs(newVecs, "item_id", "item_vec")
+    // takedown wins over late re-delivery: a tombstoned id never
+    // re-enters through an append ([[deleteFromIvfStore]]); compact
+    // first to genuinely re-add one
+    val assigned = minusDeleted(spark,
+        unitVecs(newVecs, "item_id", "item_vec"), storeDir, "item_id")
       .withColumn("list_id",
         assignList(centers, col("item_vec")))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -773,8 +783,10 @@ object Similarity {
       .select(col("query_id"), col("query_vec"), col("probe.lid").as("list_id"))
     val probedLists = probes.select("list_id").distinct()
       .collect().map(_.getInt(0)).toSeq
-    spark.read.parquet(storeDir + "/encoded")
-      .filter(col("list_id").isin(probedLists: _*))
+    minusDeleted(spark,
+      spark.read.parquet(storeDir + "/encoded")
+        .filter(col("list_id").isin(probedLists: _*)),
+      storeDir, "item_id")
       .join(broadcast(probes), Seq("list_id"))
       .filter(col("query_id") =!= col("item_id"))
       .select(col("query_id"), col("item_id"),
@@ -834,8 +846,12 @@ object Similarity {
         (0 until m).map(j => col(s"qtab$j")): _*)
     val probedLists = probes.select("list_id").distinct()
       .collect().map(_.getInt(0)).toSeq
-    val cand = spark.read.parquet(storeDir + "/codes")
-      .filter(col("list_id").isin(probedLists: _*))
+    // tombstones excluded BEFORE the shortlist so a deleted item can
+    // never consume a candN slot (nor rank, trivially)
+    val cand = minusDeleted(spark,
+      spark.read.parquet(storeDir + "/codes")
+        .filter(col("list_id").isin(probedLists: _*)),
+      storeDir, "item_id")
       .join(broadcast(probes), Seq("list_id"))
       .filter(col("query_id") =!= col("item_id"))
       .select(col("query_id"), col("item_id"), col("list_id"),
@@ -888,7 +904,10 @@ object Similarity {
     val q = unitVecs(queries, "query_id", "query_vec")
       .orderBy(md5(col("query_id").cast("string")), col("query_id"))
       .limit(sampleN)
-    val stored = spark.read.parquet(storeDir + "/encoded")
+    // calibrate against the LIVE corpus: a tombstoned item is neither
+    // ground truth nor a reachable neighbor
+    val stored = minusDeleted(spark,
+      spark.read.parquet(storeDir + "/encoded"), storeDir, "item_id")
       .select("item_id", "item_vec", "list_id")
     // exact ground truth, stored list_id riding through the top-k as a
     // payload column (TopKPerGroup keeps the full row)
@@ -1046,7 +1065,11 @@ object Similarity {
    *    swap. This is the trigger that keeps recall scale-invariant —
    *    cost already was (probe pruning), recall was not (q108's sf1
    *    finding).
-   *  - `compact_advised` — max_files > 8: run [[compactIvfStore]];
+   *  - `n_deleted` — standing tombstones ([[deleteFromIvfStore]]);
+   *    n_items stays PHYSICAL (dead rows still cost scan I/O until
+   *    compaction — exactly what this advisory prices);
+   *  - `compact_advised` — max_files > 8, or tombstones past 10% of
+   *    the physical rows: run [[compactIvfStore]];
    *  - `calibrated_nprobe` / `probed_share` — the persisted
    *    [[calibrateIvfStore]] operating point (null when never
    *    calibrated); the share is the advisory's cost readout — at a
@@ -1062,6 +1085,8 @@ object Similarity {
    */
   def ivfStoreAdvice(spark: SparkSession, storeDir: String): DataFrame = {
     val nLists = readCentroids(spark, storeDir).size
+    val nDeleted = readDeleted(spark, storeDir)
+      .map(_.count()).getOrElse(0L)
     val cal = readCalibration(spark, storeDir)
     // a calibration against a different quantizer is already ignored
     // by the searches; its nprobe/share read as null here too
@@ -1091,22 +1116,130 @@ object Similarity {
         col("max_files").cast("int").as("max_files"))
       .select(col("n_items"), col("n_lists"), col("recommended_nlist"),
         col("imbalance"), col("max_files"),
+        lit(nDeleted).as("n_deleted"),
         (col("recommended_nlist") >= col("n_lists") * 2 ||
           col("imbalance") > 4.0).as("retrain_advised"),
-        (col("max_files") > 8).as("compact_advised"),
+        // file debris OR a tombstone share past 10% of the physical
+        // rows: dead rows are scanned by every probe of their list
+        // until compaction reclaims them
+        (col("max_files") > 8 ||
+          lit(nDeleted) * 10 > col("n_items")).as("compact_advised"),
         calNprobeCol, probedShareCol, recalCol)
   }
 
+  // ---- Item-level delete: tombstones + compaction reclaim ----------
+
+  private def deletedPath(storeDir: String): String = storeDir + "/deleted"
+
+  /** The store's tombstone set as a one-column (item_id) frame, or
+    * None when nothing was ever deleted. */
+  private def readDeleted(spark: SparkSession,
+      storeDir: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(deletedPath(storeDir))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+  }
+
+  /** Exclude the store's tombstoned items from `df` (no-op when none
+    * exist). The tombstone side is takedown-sized, never corpus-sized
+    * (compaction reclaims it), so the anti join BROADCASTS it — the
+    * probe path gains no shuffle and no store-side scan. */
+  private def minusDeleted(spark: SparkSession, df: DataFrame,
+      storeDir: String, idCol: String): DataFrame =
+    readDeleted(spark, storeDir) match {
+      case Some(d) => df.join(
+        broadcast(d.select(col("item_id").as(idCol))), Seq(idCol),
+        "left_anti")
+      case None => df
+    }
+
   /**
-   * Merge append debris: rewrite every list partition holding more
-   * than one data file back to ONE file per list, in the encoded table
-   * and (when present) the code table. Only fragmented partitions are
-   * read or written — dynamic partition overwrite replaces exactly the
-   * directories in the written data, untouched lists keep their files
-   * byte-identical (spec-asserted). One `repartition` on `list_id`
-   * puts each list in one task, so each rewritten dir lands one file.
+   * Item-level delete for a built IVF store — the takedown/forget path
+   * a training-data pipeline needs routinely, without the full rebuild
+   * that was previously the only option. TOMBSTONE semantics: the ids
+   * land in `<storeDir>/deleted`; every search, calibration, append,
+   * and split excludes them exactly from that moment; the vectors are
+   * physically reclaimed by the next [[compactIvfStore]] (which also
+   * clears the tombstones). The write is an append of the
+   * takedown-sized id set — cost is independent of the corpus except
+   * for one semi join against the encoded table (ids never stored are
+   * not tombstoned, keeping the set tight and the call idempotent:
+   * re-delivering a takedown batch appends nothing).
+   *
+   * TAKEDOWN WINS on re-delivery: a tombstoned id is dropped from any
+   * later [[appendToIvfStore]] batch — a late re-delivery of a
+   * taken-down item must not resurrect it. To genuinely re-add an id,
+   * compact first (reclaiming the tombstone), then append.
+   *
+   * Run deletes from the maintenance writer, like compaction — the
+   * store family is single-writer by contract. Returns the number of
+   * NEW tombstones filed.
    */
-  def compactIvfStore(spark: SparkSession, storeDir: String): Unit =
+  def deleteFromIvfStore(spark: SparkSession, ids: DataFrame,
+      storeDir: String): Long = {
+    import org.apache.spark.storage.StorageLevel
+    val want = ids.select(col(ids.columns.head).as("item_id")).distinct()
+    val stored = spark.read.parquet(storeDir + "/encoded")
+      .select("item_id")
+    val fresh0 = want.join(stored, Seq("item_id"), "left_semi")
+    val fresh = (readDeleted(spark, storeDir) match {
+      case Some(d) => fresh0.join(d, Seq("item_id"), "left_anti")
+      case None => fresh0
+    }).persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = fresh.count()
+      if (n > 0)
+        fresh.coalesce(1).write.mode("append")
+          .parquet(deletedPath(storeDir))
+      n
+    } finally fresh.unpersist(blocking = false)
+  }
+
+  /**
+   * [[deleteFromIvfStore]] across a sharded store — hash-disjoint or
+   * routed. Hash shards locate each id arithmetically ([[shardOf]] is
+   * the append contract), so each shard's delete only semi-joins its
+   * own slice; a ROUTED store locates by actual membership (one probe
+   * of each shard's encoded ids) — immune to the post-split
+   * moved-argmax caveat, an id is tombstoned exactly where it lives.
+   * Refuses to run over a staged split: resume would re-file the hot
+   * shard from the staging and silently resurrect anything tombstoned
+   * there in between. Returns the number of new tombstones.
+   */
+  def deleteFromShardedIvfStore(spark: SparkSession, ids: DataFrame,
+      storeDir: String): Long = {
+    val sh = readShardCount(spark, storeDir)
+    val routed = isRoutedStore(spark, storeDir)
+    if (routed) requireNoStagedSplit(spark, storeDir)
+    val idCol = ids.columns.head
+    builtShardDirs(spark, storeDir).map { case (i, d) =>
+      val slice =
+        if (routed) ids
+        else ids.filter(shardOf(col(idCol), sh) === i)
+      deleteFromIvfStore(spark, slice, d)
+    }.sum
+  }
+
+  /**
+   * Merge append debris AND reclaim tombstoned items: rewrite every
+   * list partition holding more than one data file or at least one
+   * deleted row back to ONE file of live rows per list, in the encoded
+   * table and (when present) the code table; lists whose every row is
+   * tombstoned are dropped outright (dynamic overwrite never touches a
+   * partition it writes no rows for — those dirs are deleted
+   * explicitly, first). Only affected partitions are read or written —
+   * untouched lists keep their files byte-identical (spec-asserted).
+   * One `repartition` on `list_id` puts each list in one task, so each
+   * rewritten dir lands one file. The tombstone record is cleared LAST,
+   * after both tables are physically clean — a crash anywhere earlier
+   * leaves the tombstones standing over already-reclaimed (or
+   * yet-to-be-reclaimed) rows, which reads correctly either way, and a
+   * re-run completes the reclaim.
+   */
+  def compactIvfStore(spark: SparkSession, storeDir: String): Unit = {
+    val rootFs = new org.apache.hadoop.fs.Path(storeDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dead = readDeleted(spark, storeDir)
     Seq("encoded", "codes").foreach { t =>
       val dir = new org.apache.hadoop.fs.Path(s"$storeDir/$t")
       val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1115,23 +1248,53 @@ object Similarity {
           .filter(_.getPath.getName.startsWith("list_id="))
           .filter(d => fs.listStatus(d.getPath)
             .count(_.getPath.getName.endsWith(".parquet")) > 1)
-          .map(_.getPath.toString)
-        if (fragmented.nonEmpty) {
+          .map(_.getPath.getName.stripPrefix("list_id=").toInt).toSet
+        // lists holding tombstoned rows, split into still-alive (live
+        // rows remain -> rewrite) and fully-dead (drop the dir) — both
+        // bounded by nlist
+        val (aliveDead, fullyDead) = dead match {
+          case Some(d) =>
+            val touched = spark.read.parquet(dir.toString)
+              .join(broadcast(d), Seq("item_id"), "left_semi")
+              .select("list_id").distinct()
+              .collect().map(_.getInt(0)).toSet
+            if (touched.isEmpty) (Set.empty[Int], Set.empty[Int])
+            else {
+              val alive = spark.read.parquet(dir.toString)
+                .filter(col("list_id").isin(touched.toSeq: _*))
+                .join(broadcast(d), Seq("item_id"), "left_anti")
+                .select("list_id").distinct()
+                .collect().map(_.getInt(0)).toSet
+              (alive, touched -- alive)
+            }
+          case None => (Set.empty[Int], Set.empty[Int])
+        }
+        fullyDead.foreach(l => fs.delete(
+          new org.apache.hadoop.fs.Path(s"$storeDir/$t/list_id=$l"), true))
+        val rewrite = ((fragmented ++ aliveDead) -- fullyDead)
+          .toSeq.sorted.map(l => s"$storeDir/$t/list_id=$l")
+        if (rewrite.nonEmpty) {
           val mode = "spark.sql.sources.partitionOverwriteMode"
           val saved = spark.conf.get(mode, "static")
           spark.conf.set(mode, "dynamic")
           // self-overwrite is safe here: dynamic overwrite stages the
           // rewritten files and deletes the matched partition dirs only
           // at commit, after the read side of the job has finished
-          try spark.read.option("basePath", s"$storeDir/$t")
-            .parquet(fragmented: _*)
-            .repartition(fragmented.length, col("list_id"))
+          try minusDeleted(spark,
+            spark.read.option("basePath", s"$storeDir/$t")
+              .parquet(rewrite: _*), storeDir, "item_id")
+            .repartition(rewrite.length, col("list_id"))
             .write.mode("overwrite").partitionBy("list_id")
             .parquet(s"$storeDir/$t")
           finally spark.conf.set(mode, saved)
         }
       }
     }
+    // both tables physically clean — the tombstones have no referent
+    // left; clearing them re-opens the ids for future appends
+    rootFs.delete(
+      new org.apache.hadoop.fs.Path(deletedPath(storeDir)), true)
+  }
 
   // ---- Sharded IVF store (past the per-plan nlist cap) ----
 
@@ -1422,7 +1585,23 @@ object Similarity {
       s"store $storeDir has no super-quantizer — it is a hash-disjoint " +
         "sharded store (or not sharded at all); use the unrouted " +
         "search/append, or rebuild with buildRoutedIvfStore")
-    readCentroidsAt(spark, storeDir + "/super_centroids")
+    // an existing-but-torn record (a mutation died mid-restore: after
+    // the overwrite's delete, before its commit) must fail as loudly
+    // and as TYPED as an absent one — not as a schema-inference error
+    val rows = try {
+      readCentroidsAt(spark, storeDir + "/super_centroids")
+    } catch {
+      case _: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalArgumentException(
+          s"store $storeDir: the super-quantizer record exists but is " +
+            "unreadable — a mutation crashed mid-restore; resume the " +
+            "staged split if one exists, else rebuild the store")
+    }
+    require(rows.nonEmpty,
+      s"store $storeDir: the super-quantizer record is empty — a " +
+        "mutation crashed mid-restore; resume the staged split if one " +
+        "exists, else rebuild the store")
+    rows
   }
 
   /**
@@ -1470,6 +1649,10 @@ object Similarity {
     val staging = storeDir + "/_byshard"
     val fs = new org.apache.hadoop.fs.Path(storeDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a full in-place rebuild supersedes a staged split: the rebuild
+    // re-files the ENTIRE caller-supplied corpus, so a crashed split's
+    // recovery copy is moot — drop it rather than refuse
+    fs.delete(new org.apache.hadoop.fs.Path(splitStagingDir(storeDir)), true)
     // invalidate-first (see buildShardedIvfStore): a crash mid-rebuild
     // must fail readers loudly on the missing records — for a ROUTED
     // store that includes the super-quantizer and the routing
@@ -1638,6 +1821,7 @@ object Similarity {
     * for cluster-disjoint stores; refuses a hash store loudly. */
   def appendToRoutedIvfStore(spark: SparkSession, newVecs: DataFrame,
       storeDir: String): Unit = {
+    requireNoStagedSplit(spark, storeDir)
     val supers = readSuper(spark, storeDir)
     val sh = readShardCount(spark, storeDir)
     appendStaged(spark, newVecs, storeDir, sh,
@@ -1658,15 +1842,22 @@ object Similarity {
    * the store family's one bounded-collect training discipline)
    * replaces the hot super-centroid with one child and appends the
    * other as a NEW shard index; then only the hot shard's items are
-   * re-filed — by GLOBAL argmax over the new super set, preserving the
-   * store invariant that every item lives in its nearest
-   * super-centroid's shard, so an item the split reveals to be nearer
-   * an untouched shard's centroid migrates there (an
-   * [[appendToIvfStore]] straggler append) instead of lingering
-   * misfiled. Untouched shards' data is never rewritten: the work is
-   * proportional to the HOT shard's size, not the corpus (the
-   * incremental-maintenance contract; cost measured vs full rebuild in
-   * SCALING.md).
+   * re-filed — by GLOBAL argmax over the new super set, so a hot-shard
+   * item the split reveals to be nearer an untouched shard's centroid
+   * migrates there (an [[appendToIvfStore]] straggler append) instead
+   * of lingering misfiled. ONLY the hot shard's items are re-filed: a
+   * COLD shard's item whose global argmax moves to one of the new
+   * child centroids stays where it was, so after a split the
+   * nearest-super invariant is exact for re-filed items but only
+   * approximate store-wide. Exhaustive search (`routeShards = shards`)
+   * stays exact regardless; an explicit partial `routeShards <
+   * shards` can lose recall on such moved-argmax items until
+   * [[calibrateRoutedIvfStore]] re-measures the curve (the split
+   * invalidates the routing record precisely so `routeShards = 0`
+   * can never consume a pre-split depth). Untouched shards' data is
+   * never rewritten: the work is proportional to the HOT shard's
+   * size, not the corpus (the incremental-maintenance contract; cost
+   * measured vs full rebuild in SCALING.md).
    *
    * Convergence is over REPEATED applications, not one shot
    * (tools.SplitCost measures the trajectory): 2-means on a hot shard
@@ -1676,17 +1867,23 @@ object Similarity {
    * shard; watch per-shard sizes / [[routedStoreAdvice]] and stop when
    * balanced.
    *
-   * Crash story, same protocol as the rebuild: all fallible compute
-   * (training, the staged re-assignment) runs FIRST while the store
-   * stays fully live; then the records (routing, super-quantizer,
-   * sharding) are invalidated, the shard dirs mutate, and the new
-   * records are written LAST — a crash mid-mutation leaves readers
-   * failing loudly, never routing with a super-quantizer that
-   * disagrees with the dirs. The routing calibration is invalidated by
-   * design (route ranks change); run [[calibrateRoutedIvfStore]]
-   * after, and [[calibrateShardedIvfStore]] refreshes the two rebuilt
-   * shards' nprobe points (fresh dirs fall back to the constant probed
-   * share until then).
+   * Crash story — invalidate-first like the rebuild, PLUS a staged
+   * recovery copy: all fallible compute (training, the staged
+   * re-assignment, the staged new super set and meta) runs FIRST
+   * while the store stays fully live; the staging's `meta` marker is
+   * the point of no return. Past it the records (routing,
+   * super-quantizer, sharding) are invalidated, the shard dirs
+   * mutate, the new records are written LAST, and the staging is
+   * deleted ONLY after full success — a death (or a caught failure)
+   * in any mutation window leaves readers failing loudly and the
+   * staging in place as the recovery copy; [[resumeSplitHotShard]]
+   * re-applies it idempotently (real-process death coverage:
+   * SplitCrashSpec). Appends refuse to run over a staged split. The
+   * routing calibration is invalidated by design (route ranks
+   * change); run [[calibrateRoutedIvfStore]] after, and
+   * [[calibrateShardedIvfStore]] refreshes the two rebuilt shards'
+   * nprobe points (fresh dirs fall back to the constant probed share
+   * until then).
    *
    * PQ config is detected from the hot shard dir (its books fix m,
    * ksub, dim), so the rebuilt shards match the store's existing
@@ -1696,7 +1893,22 @@ object Similarity {
   def splitHotShard(spark: SparkSession, storeDir: String,
       shard: Int = -1, splitIters: Int = 4, nlist: Int = 0,
       iters: Int = 0): Int = {
+    stageSplit(spark, storeDir, shard, splitIters, nlist, iters)
+    val fs = new org.apache.hadoop.fs.Path(storeDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    applySplitStaging(spark, storeDir, fs)
+  }
+
+  /** The split's fallible-compute half: train, stage the
+    * re-assignment, stage the new super set, land the `meta` marker —
+    * the store is untouched and fully live throughout. Package-private
+    * seam so the crash specs (and graft.tools.CrashWriter's real-JVM
+    * death modes) can drive the mutation to a precise window. */
+  private[graft] def stageSplit(spark: SparkSession, storeDir: String,
+      shard: Int = -1, splitIters: Int = 4, nlist: Int = 0,
+      iters: Int = 0): Unit = {
     import spark.implicits._
+    requireNoStagedSplit(spark, storeDir)
     val supers = readSuper(spark, storeDir)
     val sh = readShardCount(spark, storeDir)
     val dirs = builtShardDirs(spark, storeDir)
@@ -1715,7 +1927,11 @@ object Similarity {
         val books = readBooks(spark, hotDir)
         (books.size, books.head.size, books.size * books.head.head.size)
       } else (0, 8, 64)
-    val hotItems = spark.read.parquet(hotDir + "/encoded")
+    // LIVE items only: tombstoned rows neither train the children nor
+    // re-file — the split doubles as the hot shard's physical reclaim
+    // (the hot dir is replaced wholesale, its tombstones die with it)
+    val hotItems = minusDeleted(spark,
+      spark.read.parquet(hotDir + "/encoded"), hotDir, "item_id")
       .select("item_id", "item_vec")
     require(hotItems.count() >= 2,
       s"routed store $storeDir: shard $hot holds fewer than 2 items — " +
@@ -1726,36 +1942,121 @@ object Similarity {
     val newSupers = supers.map { case (lid, cv) =>
       if (lid == hot) (hot, children(0)._2) else (lid, cv)
     } :+ (sh, children(1)._2)
-    val staging = storeDir + "/_split_staging"
+    val staging = splitStagingDir(storeDir)
     hotItems
       .select(col("item_id").as("vec_id"), col("item_vec").as("embedding"),
         assignList(newSupers, col("item_vec")).as("shard"))
-      .write.mode("overwrite").partitionBy("shard").parquet(staging)
-    // ---- point of no return: invalidate-first, mutate, restore-last ----
-    try {
-      Seq("sharding", "super_centroids", "routing", "routing_curve")
-        .foreach(f => fs.delete(
-          new org.apache.hadoop.fs.Path(s"$storeDir/$f"), true))
-      fs.delete(new org.apache.hadoop.fs.Path(hotDir), true)
-      (0 until sh + 1).foreach { j =>
-        val p = new org.apache.hadoop.fs.Path(s"$staging/shard=$j")
-        if (fs.exists(p)) {
-          val slice = spark.read.parquet(p.toString)
-          val dir = s"$storeDir/shard=$j"
-          if (fs.exists(new org.apache.hadoop.fs.Path(dir + "/centroids")))
-            // a straggler whose global argmax moved to an untouched
-            // shard — filed with that shard's STORED quantizer
-            appendToIvfStore(spark, slice, dir)
-          else
-            buildIvfStore(slice, dir, nlist, iters, m, ksub, dim)
-        }
+      .write.mode("overwrite").partitionBy("shard").parquet(staging + "/items")
+    newSupers.toDF("lid", "cv").coalesce(1)
+      .write.mode("overwrite").parquet(staging + "/supers")
+    // meta lands LAST: its presence is the completeness marker AND the
+    // point of no return — everything the mutation needs (which shard
+    // is hot, the old shard count, the store's PQ layout, the rebuild
+    // knobs) is now derivable from the staging alone, so a crash
+    // anywhere past this line is recovered by re-running the mutation
+    // from the staging ([[resumeSplitHotShard]]), never by discarding
+    // it: once the hot dir is deleted the staging holds the ONLY copy
+    // of the hot shard's vectors.
+    Seq((hot, sh, m, ksub, dim, nlist, iters))
+      .toDF("hot", "shards", "m", "ksub", "dim", "nlist", "iters")
+      .coalesce(1).write.mode("overwrite").parquet(staging + "/meta")
+  }
+
+  private def splitStagingDir(storeDir: String): String =
+    storeDir + "/_split_staging"
+
+  /** Mutations on a routed store refuse to run over a staged split —
+    * after a split crash the staging is the RECOVERY COPY of the split
+    * shard's vectors, and resuming it rewinds the shard dirs to the
+    * staged assignment, which would silently drop anything appended in
+    * between. [[resumeSplitHotShard]] is the one way forward. */
+  private def requireNoStagedSplit(spark: SparkSession,
+      storeDir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(splitStagingDir(storeDir))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(p),
+      s"routed store $storeDir holds a staged split ($p): a previous " +
+        "splitHotShard crashed mid-mutation and the staging is the " +
+        "recovery copy of the split shard's vectors — run " +
+        "resumeSplitHotShard(spark, storeDir) before mutating the store")
+  }
+
+  /** The split's point-of-no-return block, driven ENTIRELY from the
+    * staging so it can re-run after a crash in any window: invalidate
+    * the records first (readers fail loudly, never route against dirs
+    * mid-mutation), delete the hot shard dir, re-file every staged
+    * slice (fresh dirs rebuild — [[buildIvfStore]] overwrites a
+    * partial prior attempt; straggler appends to untouched shards are
+    * re-delivery-safe by [[appendToIvfStore]]'s anti-join), restore
+    * the records last, and ONLY THEN drop the staging. Every step is
+    * idempotent, so the recovery action for a death in any window is
+    * simply to run it again. */
+  private[graft] def applySplitStaging(spark: SparkSession, storeDir: String,
+      fs: org.apache.hadoop.fs.FileSystem): Int = {
+    import spark.implicits._
+    val staging = splitStagingDir(storeDir)
+    val meta = spark.read.parquet(staging + "/meta").collect().head
+    val (hot, sh) = (meta.getAs[Int]("hot"), meta.getAs[Int]("shards"))
+    val (m, ksub, dim) = (meta.getAs[Int]("m"), meta.getAs[Int]("ksub"),
+      meta.getAs[Int]("dim"))
+    val (nlist, iters) = (meta.getAs[Int]("nlist"), meta.getAs[Int]("iters"))
+    val newSupers = spark.read.parquet(staging + "/supers").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+    // ---- invalidate-first, mutate, restore-last ----
+    Seq("sharding", "super_centroids", "routing", "routing_curve")
+      .foreach(f => fs.delete(
+        new org.apache.hadoop.fs.Path(s"$storeDir/$f"), true))
+    fs.delete(new org.apache.hadoop.fs.Path(s"$storeDir/shard=$hot"), true)
+    (0 until sh + 1).foreach { j =>
+      val p = new org.apache.hadoop.fs.Path(s"$staging/items/shard=$j")
+      if (fs.exists(p)) {
+        val slice = spark.read.parquet(p.toString)
+        val dir = s"$storeDir/shard=$j"
+        if (fs.exists(new org.apache.hadoop.fs.Path(dir + "/centroids")))
+          // a straggler whose global argmax moved to an untouched
+          // shard — filed with that shard's STORED quantizer
+          appendToIvfStore(spark, slice, dir)
+        else
+          buildIvfStore(slice, dir, nlist, iters, m, ksub, dim)
       }
-      newSupers.toDF("lid", "cv").coalesce(1)
-        .write.mode("overwrite").parquet(storeDir + "/super_centroids")
-      Seq(sh + 1).toDF("shards").coalesce(1)
-        .write.mode("overwrite").parquet(storeDir + "/sharding")
-    } finally fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    }
+    newSupers.toDF("lid", "cv").coalesce(1)
+      .write.mode("overwrite").parquet(storeDir + "/super_centroids")
+    Seq(sh + 1).toDF("shards").coalesce(1)
+      .write.mode("overwrite").parquet(storeDir + "/sharding")
+    // success only — on ANY failure above the staging survives as the
+    // recovery copy; a caught exception must not be more destructive
+    // than a hard crash
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
     sh + 1
+  }
+
+  /** Recover a [[splitHotShard]] that died mid-mutation. Two cases,
+    * decided by the staging's completeness marker: (a) the crash
+    * happened BEFORE the point of no return (no `meta`) — the store
+    * was never touched, the incomplete staging is debris; it is
+    * removed and this throws, telling the caller to re-run the split.
+    * (b) the crash happened during the mutation (`meta` present) —
+    * the staged re-assignment re-applies idempotently
+    * ([[applySplitStaging]]) and the store ends exactly where the
+    * original split would have: records restored, staging gone,
+    * calibrations invalidated (recalibrate after, as for any split).
+    * Safe to call repeatedly; each death window lands in one of the
+    * two cases. Real-process death coverage: SplitCrashSpec. */
+  def resumeSplitHotShard(spark: SparkSession, storeDir: String): Int = {
+    val fs = new org.apache.hadoop.fs.Path(storeDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = splitStagingDir(storeDir)
+    require(fs.exists(new org.apache.hadoop.fs.Path(staging)),
+      s"routed store $storeDir: no staged split to resume")
+    if (!fs.exists(new org.apache.hadoop.fs.Path(staging + "/meta"))) {
+      fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+      throw new IllegalStateException(
+        s"routed store $storeDir: the staged split died before its " +
+          "point of no return — the store is intact and the incomplete " +
+          "staging has been removed; re-run splitHotShard")
+    }
+    applySplitStaging(spark, storeDir, fs)
   }
 
   /**
@@ -1789,7 +2090,9 @@ object Similarity {
       .orderBy(md5(col("query_id").cast("string")), col("query_id"))
       .limit(sampleN)
     val stored = dirs.map { case (i, d) =>
-      spark.read.parquet(d + "/encoded")
+      // live rows only — per-shard tombstones excluded, same contract
+      // as the searches this calibration parameterizes
+      minusDeleted(spark, spark.read.parquet(d + "/encoded"), d, "item_id")
         .select(col("item_id"), col("item_vec"), lit(i).as("shard"))
     }.reduce(_ unionByName _)
     val truth = TopK.perGroup(

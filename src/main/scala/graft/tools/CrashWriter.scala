@@ -29,6 +29,11 @@ import graft.operators.ManifestCommit
   *                         guards, pointer flip) and halt(137) BETWEEN
   *                         the flip and the post-commit cleanup GC —
   *                         superseded history beyond retention lingers
+  *   mode = split-seed / split-die-staging / split-die-postinvalidate /
+  *          split-die-midrefile / split-die-prerestore
+  *                       — routed-ANN-store splitHotShard death
+  *                         windows; see the case comments and
+  *                         SplitCrashSpec
   *   mode = occ-loop     — NOT a crash mode: a real concurrent-writer
   *                         process for the optimistic-concurrency spec.
   *                         args(2) = this writer's partition value,
@@ -46,6 +51,9 @@ object CrashWriter {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // the split modes run Similarity paths, which use the registered
+    // graft kernels (graft_unit_vec etc.) — same as every other main
+    graft.functions.GraftFunctions.register(spark)
     import spark.implicits._
     val p = new Path(dir)
     def fs = p.getFileSystem(spark.sessionState.newHadoopConf())
@@ -123,6 +131,87 @@ object CrashWriter {
             "k", "lang")
         }
         spark.stop()
+      // ---- splitHotShard death windows (SplitCrashSpec) ----------------
+      // Each mode drives a REAL routed store's split to a precise point
+      // and halt(137)s there — the disk states resumeSplitHotShard is
+      // specced against are left by a genuinely dead JVM, same
+      // discipline as the manifest modes above.
+      case "split-seed" =>
+        // build the shared fixture store; the spec regenerates the same
+        // deterministic corpus for its brute-force ground truth
+        graft.operators.Similarity.buildRoutedIvfStore(
+          splitFixture(spark), dir, shards = 2, nlist = 2, dim = 8,
+          superIters = 3)
+        spark.stop()
+      case "split-die-staging" =>
+        // die AFTER the items staging but BEFORE the meta marker: the
+        // point of no return was never crossed, the store is untouched,
+        // the staging is incomplete debris
+        val staging = dir + "/_split_staging"
+        graft.operators.Similarity.stageSplit(spark, dir)
+        fs.delete(new Path(staging + "/meta"), true)
+        Runtime.getRuntime.halt(137)
+      case "split-die-postinvalidate" =>
+        // die between the record invalidation and the hot-dir delete:
+        // readers must fail loudly, the hot dir still holds its data,
+        // resume re-applies from the staging
+        graft.operators.Similarity.stageSplit(spark, dir)
+        Seq("sharding", "super_centroids", "routing", "routing_curve")
+          .foreach(f => fs.delete(new Path(s"$dir/$f"), true))
+        Runtime.getRuntime.halt(137)
+      case "split-die-midrefile" =>
+        // die right after the hot-dir delete: the staging now holds the
+        // ONLY copy of the hot shard's vectors — the window the r12
+        // advice flagged (a finally-block staging delete here would be
+        // permanent data loss)
+        graft.operators.Similarity.stageSplit(spark, dir)
+        val hot = spark.read.parquet(dir + "/_split_staging/meta")
+          .collect().head.getAs[Int]("hot")
+        Seq("sharding", "super_centroids", "routing", "routing_curve")
+          .foreach(f => fs.delete(new Path(s"$dir/$f"), true))
+        fs.delete(new Path(s"$dir/shard=$hot"), true)
+        Runtime.getRuntime.halt(137)
+      case "split-die-prerestore" =>
+        // die after every slice is re-filed but BEFORE the records are
+        // restored — the dirs are final, the store still reads loud,
+        // resume only has to redo no-op appends and the record writes
+        val staging = dir + "/_split_staging"
+        graft.operators.Similarity.stageSplit(spark, dir)
+        val meta = spark.read.parquet(staging + "/meta").collect().head
+        val (hot, sh) = (meta.getAs[Int]("hot"), meta.getAs[Int]("shards"))
+        Seq("sharding", "super_centroids", "routing", "routing_curve")
+          .foreach(f => fs.delete(new Path(s"$dir/$f"), true))
+        fs.delete(new Path(s"$dir/shard=$hot"), true)
+        (0 until sh + 1).foreach { j =>
+          val p = new Path(s"$staging/items/shard=$j")
+          if (fs.exists(p)) {
+            val slice = spark.read.parquet(p.toString)
+            val sd = s"$dir/shard=$j"
+            if (fs.exists(new Path(sd + "/centroids")))
+              graft.operators.Similarity.appendToIvfStore(spark, slice, sd)
+            else graft.operators.Similarity.buildIvfStore(slice, sd,
+              meta.getAs[Int]("nlist"), meta.getAs[Int]("iters"),
+              meta.getAs[Int]("m"), meta.getAs[Int]("ksub"),
+              meta.getAs[Int]("dim"))
+          }
+        }
+        Runtime.getRuntime.halt(137)
     }
+  }
+
+  /** Deterministic skewed corpus shared by the split crash modes and
+    * SplitCrashSpec's ground truth: 4 directions in dim 8, cluster 0
+    * holding half the items so a 2-shard trained super leaves one
+    * shard hot. No RNG — both JVMs must derive identical vectors. */
+  def splitFixture(spark: SparkSession): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    (0 until 200).map { i =>
+      val c = if (i % 2 == 0) 0 else 1 + (i / 2) % 3
+      val v = (0 until 8).map { d =>
+        (if (d % 4 == c) 1.0 else 0.0) +
+          0.05 * math.sin(1.0 + i * 7 + d * 13)
+      }
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
   }
 }

@@ -359,7 +359,10 @@ class RoutedStoreSpec extends SparkSpec {
     assert(!new java.io.File(dir + "/routing").exists(),
       "split must invalidate the routing calibration")
     // disjoint + complete, and every item still lives in its argmax
-    // super shard (the store invariant, re-derived independently)
+    // super shard — exact for THIS fixture (its cold clusters sit far
+    // from the split children, so no cold item's argmax moves); in
+    // general the invariant is exact only for re-filed hot items, see
+    // the splitHotShard scaladoc
     val supers = spark.read.parquet(dir + "/super_centroids").collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
     assert(supers.length === newSh)
