@@ -2594,6 +2594,33 @@ object SparkEntry {
       Similarity.searchRoutedIvfStore(s, e.filter(col("vec_id") < 8),
           store, k = 6, nprobe = 64, routeShards = 2)
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Item-level DELETE for the SIGNATURE store (the q136 lifecycle,
+    // dedup side): build the q111 history store, tombstone one history
+    // subset, COMPACT (physical reclaim via the rename-swap), tombstone
+    // a second subset (standing at admission time), then admit the
+    // q111 batch — the emitted near-dup pairs must be exactly the full
+    // q111 replay minus every pair whose history side was deleted: a
+    // deleted doc stops being a dup source, whether its rows are
+    // physically gone or merely tombstoned.
+    "q137_sigstore_delete" -> ((s, dir) => {
+      val store = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_sigdel_${Integer.toHexString(dir.hashCode)}_$jvmToken")
+        .getAbsolutePath
+      val docs = t(s, dir, "documents")
+      val history = docs.filter(col("doc_id") % 3 =!= 0)
+      Dedup.buildSignatureStore(history, "doc_id", "text", store,
+        numHashes = 64, shingleN = 5, portable = true)
+      Dedup.deleteSignatures(s,
+        history.filter(col("doc_id") % 5 === 1).select("doc_id"), store)
+      Dedup.compactSignatureStoreDir(s, store)
+      Dedup.deleteSignatures(s,
+        history.filter(col("doc_id") % 7 === 2).select("doc_id"), store)
+      Dedup.minhashLshIncremental(s, docs.filter(col("doc_id") % 3 === 0),
+          "doc_id", "text", store, numHashes = 64, bands = 8,
+          shingleN = 5, threshold = 0.4, portable = true)
+        .orderBy(col("id_a"), col("id_b"))
     })
   )
 
@@ -3789,6 +3816,26 @@ object SparkEntry {
                  est_jaccard
                FROM p WHERE p.id_a % 3 = 0 OR p.id_b % 3 = 0)
          SELECT oa AS id_a, ob AS id_b, est_jaccard FROM o
+         ORDER BY id_a, id_b""",
+    // the q111 replay minus every pair whose history side was deleted
+    // (%5=1 compacted away, %7=2 still tombstoned — the engine must
+    // make the two states indistinguishable to admission).
+    "q137_sigstore_delete" ->
+      s"""WITH d AS (
+           SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+           FROM documents),
+         $minhashPipelineSql,
+         p AS (SELECT id_a, id_b, round(nm / 64.0, 4) AS est_jaccard
+               FROM v WHERE nm / 64.0 >= 0.4),
+         o AS (SELECT
+                 CASE WHEN p.id_a % 3 = 0 AND p.id_b % 3 <> 0
+                      THEN p.id_b ELSE p.id_a END AS oa,
+                 CASE WHEN p.id_a % 3 = 0 AND p.id_b % 3 <> 0
+                      THEN p.id_a ELSE p.id_b END AS ob,
+                 est_jaccard
+               FROM p WHERE p.id_a % 3 = 0 OR p.id_b % 3 = 0)
+         SELECT oa AS id_a, ob AS id_b, est_jaccard FROM o
+         WHERE NOT (oa % 3 <> 0 AND (oa % 5 = 1 OR oa % 7 = 2))
          ORDER BY id_a, id_b""",
     // time-travel delta: v_old = the base batch alone, v_live = the
     // q94/q110 merge arbitration replay; the delta is the full-outer

@@ -66,7 +66,12 @@ object Bucketing {
     * between drop and rename — only the staged table; run compaction
     * from the single maintenance writer, not concurrently with the
     * daily append. */
-  def compactTable(spark: SparkSession, table: String): Unit = {
+  /** `exclude = Some((ids, key))` drops the table's rows whose `key`
+    * appears in `ids` while compacting — one broadcast anti join
+    * folded into the rewrite the compaction pays anyway (the
+    * signature stores' tombstone reclaim rides this). */
+  def compactTable(spark: SparkSession, table: String,
+      exclude: Option[(DataFrame, String)] = None): Unit = {
     val meta = spark.sessionState.catalog.getTableMetadata(
       org.apache.spark.sql.catalyst.TableIdentifier(table))
     val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
@@ -87,7 +92,14 @@ object Bucketing {
     val saved = spark.conf.get(autoScan, "true")
     spark.conf.set(autoScan, "false")
     try {
-      val w = spark.table(table)
+      val src = exclude match {
+        case Some((ids, key)) => spark.table(table).join(
+          org.apache.spark.sql.functions.broadcast(
+            ids.select(col(ids.columns.head).as(key))),
+          Seq(key), "left_anti")
+        case None => spark.table(table)
+      }
+      val w = src
         .repartition(spec.numBuckets, bcols.map(col): _*)
         .write.mode("overwrite").format(meta.provider.getOrElse("parquet"))
         .bucketBy(spec.numBuckets, bcols.head, bcols.tail: _*)

@@ -216,9 +216,120 @@ object Dedup {
       idCol: String, textCol: String, storeDir: String,
       numHashes: Int = 64, shingleN: Int = 5,
       portable: Boolean = false): Unit =
-    minhashSignatures(admitted, idCol, textCol, numHashes, shingleN, portable)
-      .join(spark.read.parquet(storeDir).select(col("id")), Seq("id"), "left_anti")
+    // first anti: re-delivery (physical ids, so a tombstoned id's
+    // standing row is never doubled); second anti: takedown wins —
+    // a deleted id re-enters only after compaction reclaims it
+    minusDeletedSigs(spark,
+      minhashSignatures(admitted, idCol, textCol, numHashes, shingleN,
+        portable)
+        .join(spark.read.parquet(storeDir).select(col("id")), Seq("id"),
+          "left_anti"),
+      storeDir)
       .write.mode("append").parquet(storeDir)
+
+  // ---- Item-level delete for the signature stores (tombstones) -----
+
+  /** `<storeDir>/_deleted` — the underscore keeps it invisible to the
+    * parquet reads of the signature table itself. */
+  private def deletedSigsPath(storeDir: String): String =
+    storeDir + "/_deleted"
+
+  private def readDeletedSigs(spark: SparkSession,
+      storeDir: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(deletedSigsPath(storeDir))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+  }
+
+  /** Exclude tombstoned ids (broadcast anti — the tombstone side is
+    * takedown-sized, compaction reclaims it). */
+  private def minusDeletedSigs(spark: SparkSession, df: DataFrame,
+      storeDir: String): DataFrame =
+    readDeletedSigs(spark, storeDir) match {
+      case Some(d) => df.join(broadcast(d.select("id")), Seq("id"),
+        "left_anti")
+      case None => df
+    }
+
+  /** The store's LIVE signature rows — what every admission compares
+    * against: a deleted doc stops being a duplicate source the moment
+    * its tombstone lands. */
+  private def liveSigs(spark: SparkSession, storeDir: String): DataFrame =
+    minusDeletedSigs(spark, spark.read.parquet(storeDir), storeDir)
+
+  /**
+   * Item-level delete for a directory signature store
+   * ([[buildSignatureStore]] MinHash or [[buildWideSimhashStore]]) —
+   * takedowns and dedup-driven removals without a store rebuild.
+   * Tombstones land in `<storeDir>/_deleted`; from that moment the
+   * deleted docs stop matching as near-dup sources in
+   * [[minhashLshIncremental]]/[[simhashWideIncremental]], re-delivered
+   * copies of them are treated as NEW docs (compared against the live
+   * store only), and appends drop the tombstoned ids (takedown wins —
+   * a late re-delivery of a taken-down doc must not resurrect it;
+   * compact first to genuinely re-admit one).
+   * [[compactSignatureStoreDir]] physically reclaims the rows and
+   * clears the tombstones. Idempotent: ids not stored (or already
+   * tombstoned) file nothing. Returns the number of new tombstones.
+   */
+  def deleteSignatures(spark: SparkSession, ids: DataFrame,
+      storeDir: String): Long = {
+    import org.apache.spark.storage.StorageLevel
+    val want = ids.select(col(ids.columns.head).as("id")).distinct()
+      .join(spark.read.parquet(storeDir).select("id"), Seq("id"),
+        "left_semi")
+    val fresh = (readDeletedSigs(spark, storeDir) match {
+      case Some(d) => want.join(d, Seq("id"), "left_anti")
+      case None => want
+    }).persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = fresh.count()
+      if (n > 0)
+        fresh.coalesce(1).write.mode("append")
+          .parquet(deletedSigsPath(storeDir))
+      n
+    } finally fresh.unpersist(blocking = false)
+  }
+
+  /**
+   * Physically reclaim a directory signature store's tombstoned rows.
+   * Rename-swap protocol, so the wide store's `_wide_meta` draw record
+   * is NEVER in a deleted-but-not-yet-rewritten state (a missing meta
+   * silently downgrades [[requireWideDraws]] to the documented
+   * contract — the one window this protocol refuses to open): the live
+   * rows land in a sibling staging dir together with a copy of the
+   * meta, then two renames swap it in. A crash before the first rename
+   * leaves the original store untouched (staging debris is reclaimed
+   * by the next run's preamble); between the renames the store dir is
+   * ABSENT — reads fail loudly with both copies intact on disk (rename
+   * `<storeDir>__compact` into place to finish by hand); after the
+   * second rename only superseded `__old` debris remains (reclaimed at
+   * the end and by the next run). Tombstones live inside the old dir,
+   * so the swap clears them atomically with the rewrite. Run from the
+   * maintenance writer, like every compaction in this repo.
+   */
+  def compactSignatureStoreDir(spark: SparkSession,
+      storeDir: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(storeDir + "__compact")
+    val old = new org.apache.hadoop.fs.Path(storeDir + "__old")
+    // preamble: debris of a previous crashed run
+    fs.delete(tmp, true)
+    fs.delete(old, true)
+    if (readDeletedSigs(spark, storeDir).isEmpty) return
+    liveSigs(spark, storeDir).write.mode("overwrite").parquet(tmp.toString)
+    val metaP = new org.apache.hadoop.fs.Path(storeDir + "/_wide_meta")
+    if (fs.exists(metaP))
+      spark.read.parquet(metaP.toString).coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString + "/_wide_meta")
+    require(fs.rename(root, old),
+      s"compactSignatureStoreDir: could not rename $root aside")
+    require(fs.rename(tmp, root),
+      s"compactSignatureStoreDir: could not swap $tmp into place — " +
+        s"the store is at $old; rename it back (or $tmp in) to recover")
+    fs.delete(old, true)
+  }
 
   /** Near-dup pairs (est_jaccard ≥ threshold) of a new batch against
     * the standing store AND within the batch itself — `id_a` is the
@@ -230,7 +341,10 @@ object Dedup {
       numHashes: Int = 64, bands: Int = 8, shingleN: Int = 5,
       threshold: Double = 0.5, portable: Boolean = false): DataFrame = {
     val rows = bandRows(numHashes, bands)
-    val ssig = spark.read.parquet(storeDir)
+    // LIVE rows only: a deleted doc neither matches as a dup source
+    // nor re-deliveries anyone through restrictToNew (a re-delivered
+    // deleted id is a NEW doc against the live store)
+    val ssig = liveSigs(spark, storeDir)
     val bsig = Caches.releaseAfterUse(restrictToNew(
       minhashSignatures(batch, idCol, textCol, numHashes, shingleN, portable),
       ssig))
@@ -349,12 +463,58 @@ object Dedup {
       bands: Int = 8, shingleN: Int = 5,
       threshold: Double = 0.5): DataFrame = {
     val rows = bandRows(numHashes, bands)
-    val ssig = spark.table(s"${table}_sigs")
+    // LIVE rows only (see minhashLshIncremental): the tombstone anti
+    // join BROADCASTS, so the store side still never re-shuffles; a
+    // deleted doc's band rows can still produce candidates, but they
+    // die at the verify join against the live sigs
+    val ssig = minusDeletedBucketed(spark, spark.table(s"${table}_sigs"),
+      table)
     val bsig = Caches.releaseAfterUse(restrictToNew(minhashSignatures(
       batch, idCol, textCol, numHashes, shingleN, portable = false), ssig))
     incrementalPairs(bsig, ssig,
       bandedIndex(bsig, bands, rows, portable = false),
       spark.table(s"${table}_bands"), numHashes, threshold)
+  }
+
+  private def deletedTable(table: String): String = s"${table}_deleted"
+
+  private def readDeletedBucketed(spark: SparkSession,
+      table: String): Option[DataFrame] =
+    if (spark.catalog.tableExists(deletedTable(table)))
+      Some(spark.table(deletedTable(table)))
+    else None
+
+  private def minusDeletedBucketed(spark: SparkSession, df: DataFrame,
+      table: String): DataFrame =
+    readDeletedBucketed(spark, table) match {
+      case Some(d) => df.join(broadcast(d.select("id")), Seq("id"),
+        "left_anti")
+      case None => df
+    }
+
+  /** [[deleteSignatures]] for a [[buildSignatureStoreBucketed]] store:
+    * tombstones land in the plain `<table>_deleted` table (takedown-
+    * sized — never bucketed, always broadcast). Same contract: deleted
+    * docs stop matching immediately, appends drop them (takedown
+    * wins), [[compactSignatureStore]] physically reclaims both tables
+    * and drops the tombstone table. Returns the new tombstone count. */
+  def deleteSignaturesBucketed(spark: SparkSession, ids: DataFrame,
+      table: String): Long = {
+    import org.apache.spark.storage.StorageLevel
+    val want = ids.select(col(ids.columns.head).as("id")).distinct()
+      .join(spark.table(s"${table}_sigs").select("id"), Seq("id"),
+        "left_semi")
+    val fresh = (readDeletedBucketed(spark, table) match {
+      case Some(d) => want.join(d, Seq("id"), "left_anti")
+      case None => want
+    }).persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = fresh.count()
+      if (n > 0)
+        fresh.coalesce(1).write.mode("append").format("parquet")
+          .saveAsTable(deletedTable(table))
+      n
+    } finally fresh.unpersist(blocking = false)
   }
 
   /** Fold a day's admitted batch into a bucketed store: one anti join on
@@ -366,10 +526,13 @@ object Dedup {
       idCol: String, textCol: String, table: String, buckets: Int,
       numHashes: Int = 64, bands: Int = 8, shingleN: Int = 5): Unit = {
     val rows = bandRows(numHashes, bands)
-    val fresh = minhashSignatures(admitted, idCol, textCol, numHashes,
-        shingleN, portable = false)
-      .join(spark.table(s"${table}_sigs").select(col("id")),
-        Seq("id"), "left_anti")
+    // physical-id anti (re-delivery) + tombstone anti (takedown wins)
+    val fresh = minusDeletedBucketed(spark,
+        minhashSignatures(admitted, idCol, textCol, numHashes,
+          shingleN, portable = false)
+          .join(spark.table(s"${table}_sigs").select(col("id")),
+            Seq("id"), "left_anti"),
+        table)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       // bands BEFORE sigs, load-bearing both ways: (a) appending to
@@ -392,11 +555,18 @@ object Dedup {
   /** Compact both of a bucketed signature store's standing tables back
     * to one file per bucket ([[Bucketing.compactTable]]) — the
     * small-file maintenance each [[appendSignaturesBucketed]] cadence
-    * eventually owes. Run from the maintenance writer, not concurrently
-    * with an admission append. */
+    * eventually owes — AND physically reclaim any
+    * [[deleteSignaturesBucketed]] tombstones, dropping the tombstone
+    * table last (a crash between the rewrites and the drop leaves the
+    * tombstones standing over already-reclaimed rows — reads stay
+    * correct, a re-run completes the reclaim). Run from the
+    * maintenance writer, not concurrently with an admission append. */
   def compactSignatureStore(spark: SparkSession, table: String): Unit = {
-    Bucketing.compactTable(spark, s"${table}_bands")
-    Bucketing.compactTable(spark, s"${table}_sigs")
+    val dead = readDeletedBucketed(spark, table).map((_, "id"))
+    Bucketing.compactTable(spark, s"${table}_bands", dead)
+    Bucketing.compactTable(spark, s"${table}_sigs", dead)
+    if (dead.isDefined)
+      spark.sql(s"DROP TABLE IF EXISTS ${deletedTable(table)}")
   }
 
   /**
@@ -682,9 +852,13 @@ object Dedup {
       idCol: String, textCol: String, storeDir: String,
       portable: Boolean = false): Unit = {
     requireWideDraws(spark, storeDir, portable, "appendWideSimhashSignatures")
-    simhashSignatures128(admitted, idCol, textCol, portable)
-      .join(spark.read.parquet(storeDir).select(col("id")),
-        Seq("id"), "left_anti")
+    // physical-id anti (re-delivery) + tombstone anti (takedown wins)
+    // — see appendSignatures
+    minusDeletedSigs(spark,
+      simhashSignatures128(admitted, idCol, textCol, portable)
+        .join(spark.read.parquet(storeDir).select(col("id")),
+          Seq("id"), "left_anti"),
+      storeDir)
       .write.mode("append").parquet(storeDir)
   }
 
@@ -709,7 +883,8 @@ object Dedup {
         "radius 0 is exact-signature equality — use Dedup.exact")
     requireWideDraws(spark, storeDir, portable, "simhashWideIncremental")
     val loBits = if (portable) 60 else 64
-    val ssig = spark.read.parquet(storeDir)
+    // LIVE rows only — see minhashLshIncremental
+    val ssig = liveSigs(spark, storeDir)
     val bsig = Caches.releaseAfterUse(restrictToNew(
       simhashSignatures128(batch, idCol, textCol, portable), ssig))
     val chunkExprs = simhashChunkBounds(2 * loBits, maxHamming).map {
