@@ -2621,6 +2621,25 @@ object SparkEntry {
           "doc_id", "text", store, numHashes = 64, bands = 8,
           shingleN = 5, threshold = 0.4, portable = true)
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // mergeColdShards' deterministic invariant (the q135 pattern, in
+    // reverse): build a 3-shard routed store, merge the two coldest
+    // into one (last shard renamed into the freed slot — ids stay
+    // dense), then the exhaustive routed search over the 2 remaining
+    // shards must equal brute-force top-k over the FULL corpus — any
+    // item the merge lost, duplicated, or misfiled flips the hash.
+    "q138_ann_merge" -> ((s, dir) => {
+      val store = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_ivfmerge_${Integer.toHexString(dir.hashCode)}_$jvmToken")
+        .getAbsolutePath
+      val e = t(s, dir, "embeddings")
+      Similarity.buildRoutedIvfStore(e, store, shards = 3, nlist = 4,
+        iters = 0, dim = 64)
+      Similarity.mergeColdShards(s, store, nlist = 4)
+      Similarity.searchRoutedIvfStore(s, e.filter(col("vec_id") < 8),
+          store, k = 6, nprobe = 64, routeShards = 2)
+        .orderBy(col("query_id"), col("rank"))
     })
   )
 
@@ -3837,6 +3856,25 @@ object SparkEntry {
          SELECT oa AS id_a, ob AS id_b, est_jaccard FROM o
          WHERE NOT (oa % 3 <> 0 AND (oa % 5 = 1 OR oa % 7 = 2))
          ORDER BY id_a, id_b""",
+    // the merge invariant is the split's, in reverse — same plain
+    // brute-force oracle over the full corpus (q135's SQL, k=6).
+    "q138_ann_merge" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         en AS (SELECT vec_id,
+                  CASE WHEN list_inner_product(v, v) = 0 THEN v
+                       ELSE list_transform(v, x -> x / sqrt(list_inner_product(v, v)))
+                  END AS nv
+                FROM e),
+         q AS (SELECT vec_id AS query_id, nv AS qv FROM en WHERE vec_id < 8),
+         s AS (SELECT query_id, en.vec_id AS item_id,
+                 list_inner_product(qv, en.nv) AS cos
+               FROM q, en WHERE en.vec_id != query_id),
+         r AS (SELECT query_id, item_id, round(cos, 4) AS cos,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                      ORDER BY s.cos DESC, item_id) AS INT) AS rank
+               FROM s)
+         SELECT query_id, item_id, cos, rank FROM r
+         WHERE rank <= 6 ORDER BY query_id, rank""",
     // time-travel delta: v_old = the base batch alone, v_live = the
     // q94/q110 merge arbitration replay; the delta is the full-outer
     // mismatch between them. The snapshot protocol must be invisible:

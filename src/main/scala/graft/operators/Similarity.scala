@@ -1649,10 +1649,11 @@ object Similarity {
     val staging = storeDir + "/_byshard"
     val fs = new org.apache.hadoop.fs.Path(storeDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // a full in-place rebuild supersedes a staged split: the rebuild
-    // re-files the ENTIRE caller-supplied corpus, so a crashed split's
-    // recovery copy is moot — drop it rather than refuse
+    // a full in-place rebuild supersedes a staged split/merge: the
+    // rebuild re-files the ENTIRE caller-supplied corpus, so a crashed
+    // rebalance's recovery copy is moot — drop it rather than refuse
     fs.delete(new org.apache.hadoop.fs.Path(splitStagingDir(storeDir)), true)
+    fs.delete(new org.apache.hadoop.fs.Path(mergeStagingDir(storeDir)), true)
     // invalidate-first (see buildShardedIvfStore): a crash mid-rebuild
     // must fail readers loudly on the missing records — for a ROUTED
     // store that includes the super-quantizer and the routing
@@ -1965,20 +1966,32 @@ object Similarity {
   private def splitStagingDir(storeDir: String): String =
     storeDir + "/_split_staging"
 
-  /** Mutations on a routed store refuse to run over a staged split —
-    * after a split crash the staging is the RECOVERY COPY of the split
-    * shard's vectors, and resuming it rewinds the shard dirs to the
-    * staged assignment, which would silently drop anything appended in
-    * between. [[resumeSplitHotShard]] is the one way forward. */
+  private def mergeStagingDir(storeDir: String): String =
+    storeDir + "/_merge_staging"
+
+  /** Mutations on a routed store refuse to run over a staged split or
+    * merge — after a rebalance crash the staging is the RECOVERY COPY
+    * of the mutated shards' vectors, and resuming it rewinds the shard
+    * dirs to the staged assignment, which would silently drop anything
+    * appended (and resurrect anything deleted) in between.
+    * [[resumeSplitHotShard]] / [[resumeMergeColdShards]] are the one
+    * way forward. */
   private def requireNoStagedSplit(spark: SparkSession,
       storeDir: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(splitStagingDir(storeDir))
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(!fs.exists(p),
-      s"routed store $storeDir holds a staged split ($p): a previous " +
+    val fs = new org.apache.hadoop.fs.Path(storeDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val split = new org.apache.hadoop.fs.Path(splitStagingDir(storeDir))
+    val merge = new org.apache.hadoop.fs.Path(mergeStagingDir(storeDir))
+    require(!fs.exists(split),
+      s"routed store $storeDir holds a staged split ($split): a previous " +
         "splitHotShard crashed mid-mutation and the staging is the " +
         "recovery copy of the split shard's vectors — run " +
         "resumeSplitHotShard(spark, storeDir) before mutating the store")
+    require(!fs.exists(merge),
+      s"routed store $storeDir holds a staged merge ($merge): a previous " +
+        "mergeColdShards crashed mid-mutation and the staging is the " +
+        "recovery copy of the merged shards' vectors — run " +
+        "resumeMergeColdShards(spark, storeDir) before mutating the store")
   }
 
   /** The split's point-of-no-return block, driven ENTIRELY from the
@@ -2057,6 +2070,203 @@ object Similarity {
           "staging has been removed; re-run splitHotShard")
     }
     applySplitStaging(spark, storeDir, fs)
+  }
+
+  /**
+   * Incremental cold-shard consolidation for a ROUTED store — the
+   * INVERSE of [[splitHotShard]], closing the shard-count monotonicity
+   * gap: splits only ever grow the shard set, and the streaming-ingest
+   * soak measured per-shard FIXED job cost dominating small batches —
+   * after drift or deletes, cold/underfull shards inflate every
+   * query's fixed cost for no recall benefit. This merges exactly TWO
+   * shards (the two smallest built ones when `a`/`b` are -1): their
+   * LIVE items union under one merged super-centroid (the measured
+   * mean of the union's unit vectors — one aggregate over data the
+   * staging reads anyway, not a drift-blind average of the two stored
+   * centroids), and the union re-files by GLOBAL argmax over the new
+   * super set — same contract as the split: an item the merge reveals
+   * to be nearer an untouched shard's centroid migrates there, and the
+   * nearest-super invariant is exact for re-filed items, approximate
+   * store-wide (see [[splitHotShard]]'s recall caveat).
+   *
+   * Shard ids stay DENSE: the merged shard takes id `a`; the last
+   * shard moves into `b`'s slot by a directory rename (its per-shard
+   * calibration travels with the dir; no data is rewritten). Work is
+   * proportional to the two merged shards, not the corpus; tombstones
+   * of both merged dirs are physically reclaimed for free (LIVE items
+   * only are staged, and the dirs are replaced wholesale).
+   *
+   * Crash story: identical to the split — staging (items by new
+   * assignment + new supers + `meta` marker) lands first while the
+   * store stays live; past the marker the records invalidate, the dirs
+   * mutate, the records restore LAST, and the staging is reclaimed
+   * only on full success. Any death window resumes via
+   * [[resumeMergeColdShards]]; mutations refuse to run over the staged
+   * merge. Routing calibration is invalidated by design — run
+   * [[calibrateRoutedIvfStore]] after. Returns the new shard count.
+   */
+  def mergeColdShards(spark: SparkSession, storeDir: String,
+      a: Int = -1, b: Int = -1, nlist: Int = 0, iters: Int = 0): Int = {
+    stageMerge(spark, storeDir, a, b, nlist, iters)
+    val fs = new org.apache.hadoop.fs.Path(storeDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    applyMergeStaging(spark, storeDir, fs)
+  }
+
+  /** The merge's fallible-compute half (see [[stageSplit]]): pick the
+    * cold pair, train the merged centroid, stage the re-assignment and
+    * the new dense super set, land the `meta` marker. Store untouched
+    * and fully live throughout. */
+  private[graft] def stageMerge(spark: SparkSession, storeDir: String,
+      a: Int = -1, b: Int = -1, nlist: Int = 0, iters: Int = 0): Unit = {
+    import spark.implicits._
+    requireNoStagedSplit(spark, storeDir)
+    val supers = readSuper(spark, storeDir)
+    val sh = readShardCount(spark, storeDir)
+    require(sh >= 3,
+      s"routed store $storeDir has $sh shards — merging below 2 would " +
+        "collapse routing entirely; rebuild unrouted instead")
+    val dirs = builtShardDirs(spark, storeDir)
+    require(dirs.size >= 2, s"routed store $storeDir has fewer than 2 " +
+      "built shards — nothing to merge")
+    val (lo, hi) =
+      if (a >= 0 || b >= 0) {
+        require(a >= 0 && b >= 0 && a != b && a < sh && b < sh,
+          s"mergeColdShards: a=$a b=$b must be two distinct shard ids " +
+            s"in [0, $sh)")
+        (math.min(a, b), math.max(a, b))
+      } else {
+        val bySize = dirs.map { case (i, d) =>
+          (spark.read.parquet(d + "/encoded").count(), i) }.sorted
+        (math.min(bySize(0)._2, bySize(1)._2),
+          math.max(bySize(0)._2, bySize(1)._2))
+      }
+    val dirMap = dirs.toMap
+    require(dirMap.contains(lo) && dirMap.contains(hi),
+      s"mergeColdShards: shards $lo and $hi must both be built")
+    val fs = new org.apache.hadoop.fs.Path(storeDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (m, ksub, dim) =
+      if (fs.exists(new org.apache.hadoop.fs.Path(dirMap(lo) + "/books"))) {
+        val books = readBooks(spark, dirMap(lo))
+        (books.size, books.head.size, books.size * books.head.head.size)
+      } else (0, 8, 64)
+    // LIVE items of both shards — tombstones reclaimed with the dirs
+    val union = Seq(lo, hi).map { i =>
+      minusDeleted(spark, spark.read.parquet(dirMap(i) + "/encoded"),
+        dirMap(i), "item_id").select("item_id", "item_vec")
+    }.reduce(_ unionByName _)
+    require(union.count() >= 1,
+      s"mergeColdShards: shards $lo+$hi hold no live items — delete " +
+        "the dirs and rebuild instead")
+    // merged centroid = measured mean of the union's unit vectors
+    // (one Lloyd round with a single centroid IS that mean)
+    val merged = trainCentroids(union,
+      hashPickCentroids(union, 1), 1).head._2
+    // dense new super set: merged centroid at lo, the LAST shard's
+    // super moves into hi's slot (its dir renames the same way)
+    val newSupers = supers
+      .filter { case (lid, _) => lid != hi && lid != sh - 1 }
+      .map { case (lid, cv) => if (lid == lo) (lo, merged) else (lid, cv) } ++
+      (if (hi == sh - 1) Nil
+       else Seq((hi, supers.find(_._1 == sh - 1).get._2)))
+    val staging = mergeStagingDir(storeDir)
+    union
+      .select(col("item_id").as("vec_id"), col("item_vec").as("embedding"),
+        assignList(newSupers.sortBy(_._1), col("item_vec")).as("shard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(staging + "/items")
+    newSupers.sortBy(_._1).toDF("lid", "cv").coalesce(1)
+      .write.mode("overwrite").parquet(staging + "/supers")
+    // whether the LAST shard is built decides the rename step — and,
+    // on resume, whether an absent shard=(sh-1) means "rename already
+    // happened, shard=hi now holds its data, do NOT delete it" or
+    // simply "never existed"
+    val lastBuilt = hi != sh - 1 && dirMap.contains(sh - 1)
+    // meta lands LAST — the point of no return (see stageSplit)
+    Seq((lo, hi, sh, m, ksub, dim, nlist, iters, lastBuilt))
+      .toDF("lo", "hi", "shards", "m", "ksub", "dim", "nlist", "iters",
+        "last_built")
+      .coalesce(1).write.mode("overwrite").parquet(staging + "/meta")
+  }
+
+  /** The merge's point-of-no-return block, idempotent end to end (see
+    * [[applySplitStaging]]): invalidate records, delete the two merged
+    * dirs, rename the last shard into the freed slot (skipped when
+    * already done — a resume must not rename twice), re-file every
+    * staged slice, restore records, reclaim staging on success only. */
+  private[graft] def applyMergeStaging(spark: SparkSession, storeDir: String,
+      fs: org.apache.hadoop.fs.FileSystem): Int = {
+    import spark.implicits._
+    val staging = mergeStagingDir(storeDir)
+    val meta = spark.read.parquet(staging + "/meta").collect().head
+    val (lo, hi, sh) = (meta.getAs[Int]("lo"), meta.getAs[Int]("hi"),
+      meta.getAs[Int]("shards"))
+    val (m, ksub, dim) = (meta.getAs[Int]("m"), meta.getAs[Int]("ksub"),
+      meta.getAs[Int]("dim"))
+    val (nlist, iters) = (meta.getAs[Int]("nlist"), meta.getAs[Int]("iters"))
+    val newSupers = spark.read.parquet(staging + "/supers").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+    val lastBuilt = meta.getAs[Boolean]("last_built")
+    Seq("sharding", "super_centroids", "routing", "routing_curve")
+      .foreach(f => fs.delete(
+        new org.apache.hadoop.fs.Path(s"$storeDir/$f"), true))
+    fs.delete(new org.apache.hadoop.fs.Path(s"$storeDir/shard=$lo"), true)
+    // move the last shard into the freed slot (ids stay dense). The
+    // delete of shard=hi is GATED on the rename not having happened
+    // yet: on a resume after the rename, shard=hi already holds the
+    // moved shard's data — whose ONLY copy it is (the staging holds
+    // lo+hi items, not the last shard's) — so deleting it again would
+    // be permanent loss. `last_built` (recorded at stage time)
+    // disambiguates "source absent because the rename happened" from
+    // "source never existed".
+    if (lastBuilt) {
+      val from = new org.apache.hadoop.fs.Path(s"$storeDir/shard=${sh - 1}")
+      if (fs.exists(from)) {
+        fs.delete(new org.apache.hadoop.fs.Path(s"$storeDir/shard=$hi"), true)
+        require(fs.rename(from,
+          new org.apache.hadoop.fs.Path(s"$storeDir/shard=$hi")),
+          s"mergeColdShards: could not rename shard=${sh - 1} to " +
+            s"shard=$hi — resolve and resumeMergeColdShards")
+      } // else: resume after the rename — shard=hi is the moved shard
+    } else
+      fs.delete(new org.apache.hadoop.fs.Path(s"$storeDir/shard=$hi"), true)
+    (0 until sh - 1).foreach { j =>
+      val p = new org.apache.hadoop.fs.Path(s"$staging/items/shard=$j")
+      if (fs.exists(p)) {
+        val slice = spark.read.parquet(p.toString)
+        val dir = s"$storeDir/shard=$j"
+        if (fs.exists(new org.apache.hadoop.fs.Path(dir + "/centroids")))
+          appendToIvfStore(spark, slice, dir)
+        else
+          buildIvfStore(slice, dir, nlist, iters, m, ksub, dim)
+      }
+    }
+    newSupers.toDF("lid", "cv").coalesce(1)
+      .write.mode("overwrite").parquet(storeDir + "/super_centroids")
+    Seq(sh - 1).toDF("shards").coalesce(1)
+      .write.mode("overwrite").parquet(storeDir + "/sharding")
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    sh - 1
+  }
+
+  /** Recover a [[mergeColdShards]] that died mid-mutation — the exact
+    * analog of [[resumeSplitHotShard]]: no `meta` marker means the
+    * store was never touched (debris removed, re-run the merge); with
+    * the marker, [[applyMergeStaging]] re-applies idempotently. */
+  def resumeMergeColdShards(spark: SparkSession, storeDir: String): Int = {
+    val fs = new org.apache.hadoop.fs.Path(storeDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = mergeStagingDir(storeDir)
+    require(fs.exists(new org.apache.hadoop.fs.Path(staging)),
+      s"routed store $storeDir: no staged merge to resume")
+    if (!fs.exists(new org.apache.hadoop.fs.Path(staging + "/meta"))) {
+      fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+      throw new IllegalStateException(
+        s"routed store $storeDir: the staged merge died before its " +
+          "point of no return — the store is intact and the incomplete " +
+          "staging has been removed; re-run mergeColdShards")
+    }
+    applyMergeStaging(spark, storeDir, fs)
   }
 
   /**
@@ -2152,24 +2362,39 @@ object Similarity {
     * passes [[SplitAdviseImbalance]] ([[splitHotShard]] is the lever;
     * it is deliberately NOT auto-run from streams — a split re-keys
     * the router, a maintenance-window decision like a rebuild).
-    * Per-shard list health stays [[ivfStoreAdvice]] per shard dir. */
+    * `merge_advised` + `cold_shards` is the inverse readout: the two
+    * smallest built shards that together still fit under the mean are
+    * pure per-query fixed cost ([[mergeColdShards]] is the lever, same
+    * never-auto-run rule). Per-shard list health stays
+    * [[ivfStoreAdvice]] per shard dir. */
   def routedStoreAdvice(spark: SparkSession, storeDir: String): DataFrame = {
     import spark.implicits._
     val nShards = readSuper(spark, storeDir).size
-    val counts = builtShards(spark, storeDir)
-      .map(d => spark.read.parquet(d + "/encoded").count())
+    val sized = builtShardDirs(spark, storeDir)
+      .map { case (i, d) => (spark.read.parquet(d + "/encoded").count(), i) }
+    val counts = sized.map(_._1)
     val nItems = counts.sum
     val imbalance =
       if (counts.isEmpty || nItems == 0L) 1.0
       else counts.max.toDouble / (nItems.toDouble / nShards)
+    // the COLD pair: per-shard fixed job cost dominates small batches
+    // (soak-measured), so two shards that together still fit under the
+    // mean are pure overhead — mergeColdShards is the lever (surfaced,
+    // never auto-run: a merge re-keys the router, maintenance-window
+    // work exactly like the split)
+    val coldPair = sized.sorted.take(2).map(_._2).sorted
+    val mergeAdvised = nShards >= 3 && sized.size >= 2 &&
+      sized.sorted.take(2).map(_._1).sum <= nItems.toDouble / nShards
     val cal = readRouting(spark, storeDir).filter(_._3 == nShards)
     val depth = cal.map(c => math.min(c._1, nShards))
     Seq((nItems, nShards, depth, depth.map(_.toDouble / nShards),
         cal.forall { case (_, calItems, _) =>
           nItems >= 2L * math.max(1L, calItems) },
-        imbalance, imbalance >= SplitAdviseImbalance && nShards >= 2))
+        imbalance, imbalance >= SplitAdviseImbalance && nShards >= 2,
+        mergeAdvised, if (mergeAdvised) coldPair else Seq.empty[Int]))
       .toDF("n_items", "n_shards", "route_shards", "routed_share",
-        "recalibrate_advised", "shard_imbalance", "split_advised")
+        "recalibrate_advised", "shard_imbalance", "split_advised",
+        "merge_advised", "cold_shards")
   }
 
   private def readCentroids(spark: SparkSession,

@@ -219,7 +219,8 @@ object AnnIngestStream {
   final case class RoutingAdvice(batchId: Long, nItems: Long,
       nShards: Int, routeShards: Option[Int], routedShare: Option[Double],
       recalibrateAdvised: Boolean, shardImbalance: Double,
-      splitAdvised: Boolean)
+      splitAdvised: Boolean, mergeAdvised: Boolean = false,
+      coldShards: Seq[Int] = Seq.empty)
 
   /** [[ingestSharded]] for a ROUTED store
     * ([[graft.operators.Similarity.buildRoutedIvfStore]]): batches
@@ -281,6 +282,10 @@ object AnnIngestStream {
       Option(r.getAs[Any]("routed_share")).map(_.asInstanceOf[Double]),
       r.getAs[Boolean]("recalibrate_advised"),
       r.getAs[Double]("shard_imbalance"),
-      r.getAs[Boolean]("split_advised"))
+      r.getAs[Boolean]("split_advised"),
+      // surfaced like the split advisory, never auto-run — a merge
+      // re-keys the router, maintenance-window work
+      r.getAs[Boolean]("merge_advised"),
+      r.getSeq[Int](r.fieldIndex("cold_shards")))
   }
 }
