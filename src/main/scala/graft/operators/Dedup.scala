@@ -238,7 +238,16 @@ object Dedup {
       storeDir: String): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(deletedSigsPath(storeDir))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+    if (!fs.exists(p)) None
+    else try {
+      // _temporary-only debris (a delete crashed pre-commit) = no
+      // tombstone committed; see Similarity.readDeleted
+      val d = spark.read.parquet(p.toString)
+      d.schema
+      Some(d)
+    } catch {
+      case _: org.apache.spark.sql.AnalysisException => None
+    }
   }
 
   /** Exclude tombstoned ids (broadcast anti — the tombstone side is

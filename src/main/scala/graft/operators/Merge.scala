@@ -455,6 +455,28 @@ object Merge {
               newLive.toSeq.sorted.map { case (l, g) => s"$l/$g" }))
           flipped = true
         } catch {
+          case e: ManifestCommit.CommitConflictException if occ &&
+              e.peerMidFlip &&
+              attempt >= ManifestCommit.occRetries(spark) =>
+            // budget exhausted while a peer was mid-flip: one final
+            // read decides the DIAGNOSIS. A peer that completed its
+            // flip exactly as our budget ran out leaves the version
+            // moved — the store is healthy, just contended, and the
+            // torn-conflict guidance (grace windows, fsck) would send
+            // the operator chasing a corruption that never happened.
+            // An unmoved version means the peer really crashed
+            // mid-flip — the torn guidance stands.
+            val cur = ManifestCommit.read(fs, dir)
+            if (cur.map(_.version).getOrElse(0L) >
+                base.map(_.version).getOrElse(0L))
+              throw new IllegalStateException(
+                s"optimistic merge at $dir lost the flip race " +
+                  s"$attempt times and the retry budget " +
+                  "(spark.graft.merge.occRetries) is exhausted — the " +
+                  "snapshot is HEALTHY (a peer's commit landed) but " +
+                  "contended; replay this batch, and raise the retry " +
+                  "budget if contention is routine", e)
+            else throw e
           case e: IllegalStateException if occ &&
               attempt < ManifestCommit.occRetries(spark) =>
             attempt += 1

@@ -1132,12 +1132,23 @@ object Similarity {
   private def deletedPath(storeDir: String): String = storeDir + "/deleted"
 
   /** The store's tombstone set as a one-column (item_id) frame, or
-    * None when nothing was ever deleted. */
+    * None when nothing was ever deleted. A dir holding only
+    * `_temporary` debris (a delete that crashed before its job commit)
+    * reads as None — no tombstone COMMITTED, and the crashed takedown
+    * batch is re-delivered idempotently; without this, the debris
+    * would poison every later search with a schema-inference error. */
   private def readDeleted(spark: SparkSession,
       storeDir: String): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(deletedPath(storeDir))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+    if (!fs.exists(p)) None
+    else try {
+      val d = spark.read.parquet(p.toString)
+      d.schema // force schema inference while the read is still cheap
+      Some(d)
+    } catch {
+      case _: org.apache.spark.sql.AnalysisException => None
+    }
   }
 
   /** Exclude the store's tombstoned items from `df` (no-op when none
@@ -1885,6 +1896,15 @@ object Similarity {
    * [[calibrateShardedIvfStore]] refreshes the two rebuilt shards'
    * nprobe points (fresh dirs fall back to the constant probed share
    * until then).
+   *
+   * CONCURRENCY (r13 review of this seam): the staged-split guard
+   * protects against mutations AFTER a crash, not DURING the split — a
+   * routed append racing a live split can write rows into the hot dir
+   * after its items were staged and lose them with the dir delete. The
+   * store family is SINGLE-WRITER by contract (same as a rebuild);
+   * quiesce appends for the split's maintenance window. Concurrent
+   * READERS get the invalidate-first guarantee: loud failure, never a
+   * silently partial corpus.
    *
    * PQ config is detected from the hot shard dir (its books fix m,
    * ksub, dim), so the rebuilt shards match the store's existing

@@ -131,6 +131,17 @@ object CrashWriter {
             "k", "lang")
         }
         spark.stop()
+      case "vacuum-loop" =>
+        // NOT a crash mode: an aggressive maintenance process for the
+        // occ-vs-vacuum race — repeatedly trims history to the last 2
+        // commits while OCC writers flip. args(2) = iteration count.
+        val n = args(2).toInt
+        spark.conf.set("spark.graft.merge.stagedGraceMs", "60000")
+        (1 to n).foreach { _ =>
+          graft.operators.Merge.vacuum(spark, dir, keepLast = 2)
+          Thread.sleep(50)
+        }
+        spark.stop()
       // ---- splitHotShard death windows (SplitCrashSpec) ----------------
       // Each mode drives a REAL routed store's split to a precise point
       // and halt(137)s there — the disk states resumeSplitHotShard is

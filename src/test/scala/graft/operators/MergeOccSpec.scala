@@ -13,16 +13,48 @@ import graft.SparkSpec
   * step later). One-shot; data-file creates pass through untouched. */
 object CommitRaceFs {
   @volatile var inject: Option[(String, String)] = None // (fileName, content)
+  // a peer that COMPLETES its torn flip late: once `minCreates` creates
+  // of the named file have been attempted, the next OPEN rewrites it
+  // with the complete content first — deterministically places the
+  // completion between the loser's final failed create and its
+  // terminal diagnosis read (no sleeps, no luck)
+  // (fileName, content, minCreates, skipOpens): after `minCreates`
+  // creates, skip `skipOpens` further opens (the loser's own torn-check
+  // inside write()), then complete on the next one
+  @volatile var completeOnOpen: Option[(String, String, Int, Int)] = None
+  @volatile var createCount: Int = 0
+  @volatile var opensAfter: Int = 0
 }
 class CommitRaceFs extends org.apache.hadoop.fs.RawLocalFileSystem {
   override def getScheme: String = "commitrace"
   override def getUri: java.net.URI = java.net.URI.create("commitrace:///")
-  private def fire(f: Path): Unit = CommitRaceFs.inject match {
-    case Some((name, content)) if f.getName == name =>
-      CommitRaceFs.inject = None
-      java.nio.file.Files.write(pathToFile(f).toPath,
-        content.getBytes("UTF-8"))
-    case _ =>
+  private def fire(f: Path): Unit = {
+    CommitRaceFs.inject match {
+      case Some((name, content)) if f.getName == name =>
+        CommitRaceFs.inject = None
+        java.nio.file.Files.write(pathToFile(f).toPath,
+          content.getBytes("UTF-8"))
+      case _ =>
+    }
+    CommitRaceFs.completeOnOpen.foreach { case (name, _, _, _) =>
+      if (f.getName == name) CommitRaceFs.createCount += 1
+    }
+  }
+  override def open(f: Path, bufferSize: Int)
+      : org.apache.hadoop.fs.FSDataInputStream = {
+    CommitRaceFs.completeOnOpen match {
+      case Some((name, content, minCreates, skipOpens))
+          if f.getName == name && CommitRaceFs.createCount >= minCreates =>
+        if (CommitRaceFs.opensAfter < skipOpens)
+          CommitRaceFs.opensAfter += 1
+        else {
+          CommitRaceFs.completeOnOpen = None
+          java.nio.file.Files.write(pathToFile(f).toPath,
+            content.getBytes("UTF-8"))
+        }
+      case _ =>
+    }
+    super.open(f, bufferSize)
   }
   override def create(f: Path, overwrite: Boolean, bufferSize: Int,
       replication: Short, blockSize: Long,
@@ -205,6 +237,47 @@ class MergeOccSpec extends SparkSpec {
     assert(got === Set((1L, "a", "en"), (2L, "b", "de")))
   }
 
+  test("a peer that COMPLETES its flip exactly at budget exhaustion: diagnosed 'healthy but contended', not torn (r13 review)") {
+    val dir = "commitrace://" + tmp("occ-lateflip") + "/snap"
+    seed(dir)
+    // the peer's v2 commit is TORN through BOTH of our create attempts
+    // (occRetries = 1 ⇒ exactly two), then completes — via the
+    // complete-on-open hook — precisely before our terminal diagnosis
+    // read. Before the r13 fix this surfaced the torn-commit guidance
+    // (grace windows, fsck) for a snapshot that is perfectly healthy.
+    val peerGen = "g-000000000002-peer0042"
+    Seq((40L, "d")).toDF("k", "name").write
+      .parquet(s"$dir/data/lang=fr/$peerGen")
+    val torn = s"graft-commit v1 2\nlang=fr/$peerGen\n"
+    spark.conf.set("spark.graft.merge.occRetries", "1")
+    val e = withOcc(on = true) {
+      CommitRaceFs.createCount = 0
+      CommitRaceFs.opensAfter = 0
+      CommitRaceFs.inject = Some((commitName(2L), torn))
+      // skip ONE open after the final create: write()'s own torn-check
+      // must still see the torn file (midflip conflict), the terminal
+      // diagnosis read right after it sees the completed one
+      CommitRaceFs.completeOnOpen =
+        Some((commitName(2L), peerContent(dir, "lang=fr", peerGen), 2, 1))
+      try intercept[IllegalStateException] {
+        Merge.mergePartitioned(spark, dir,
+          Seq((1L, "U", "a2", "en")).toDF("k", "op", "name", "lang"),
+          "k", "lang")
+      } finally {
+        spark.conf.unset("spark.graft.merge.occRetries")
+        CommitRaceFs.completeOnOpen = None
+      }
+    }
+    assert(e.getMessage.contains("HEALTHY") &&
+      e.getMessage.contains("contended"), e.getMessage)
+    assert(!e.getMessage.contains("TORN"))
+    // the peer's commit IS the live state — nothing of ours landed,
+    // nothing of the peer's was damaged
+    val got = Merge.readSnapshot(spark, dir)
+      .select("k", "name").as[(Long, String)].collect().toSet
+    assert(got === Set((1L, "a"), (2L, "b"), (40L, "d")))
+  }
+
   test("occ off (default): the same lost race keeps the single-writer-loud contract") {
     val dir = "commitrace://" + tmp("occ-off") + "/snap"
     seed(dir)
@@ -326,6 +399,66 @@ class MergeOccSpec extends SparkSpec {
       assert(got.contains((s"fr-$i", "fr")), s"writer C batch $i lost")
     }
     assert(Merge.snapshotVersions(spark, dir).max === 1L + 3 * n)
+    assert(Merge.fsck(spark, dir).collect().isEmpty)
+  }
+
+  test("REAL occ writers racing an aggressive VACUUM process: no batch lost, history trimmed, fsck clean") {
+    // the r13 review seam: vacuum is the writers' own gc with a
+    // caller-chosen (here minimal) retention, run from a THIRD process
+    // while OCC writers rebase — the staged-grace gate must keep fresh
+    // stages alive, requireIntact must keep any reclaimed stage LOUD
+    // (never a published generation with missing files), and the gc
+    // walk-then-stat hardening must hold against a concurrent deleter.
+    val dir = tmp("occ-vacuum") + "/snap"
+    seed(dir)
+    val outputs = new java.util.concurrent.ConcurrentHashMap[String, StringBuilder]()
+    def launch(tag: String, extra: Seq[String]): Process = {
+      val addOpens = Seq("java.lang", "java.lang.invoke",
+        "java.lang.reflect", "java.io", "java.net", "java.nio",
+        "java.util", "java.util.concurrent",
+        "java.util.concurrent.atomic", "sun.nio.ch", "sun.nio.cs",
+        "sun.security.action", "sun.util.calendar").flatMap(p =>
+        Seq("--add-opens", s"java.base/$p=ALL-UNNAMED"))
+      val cmd = Seq("java", "-XX:+IgnoreUnrecognizedVMOptions") ++
+        addOpens ++ Seq("-Xmx2g", "-cp", sys.props("java.class.path"),
+        "graft.tools.CrashWriter", dir) ++ extra
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.redirectErrorStream(true)
+      val p = pb.start()
+      val sb = new StringBuilder
+      outputs.put(tag, sb)
+      val drain = new Thread(() => {
+        val buf = new Array[Byte](8192)
+        var r = p.getInputStream.read(buf)
+        while (r >= 0) {
+          sb.synchronized { sb.append(new String(buf, 0, r, "UTF-8")) }
+          r = p.getInputStream.read(buf)
+        }
+      })
+      drain.setDaemon(true); drain.start()
+      p
+    }
+    def tailOf(tag: String): String =
+      outputs.get(tag).synchronized {
+        outputs.get(tag).takeRight(3000).toString }
+    val n = 5
+    val a = launch("en", Seq("occ-loop", "en", n.toString))
+    val b = launch("de", Seq("occ-loop", "de", n.toString))
+    val v = launch("vac", Seq("vacuum-loop", "40"))
+    assert(a.waitFor() === 0, s"writer A must exit clean:\n${tailOf("en")}")
+    assert(b.waitFor() === 0, s"writer B must exit clean:\n${tailOf("de")}")
+    assert(v.waitFor() === 0, s"vacuum must exit clean:\n${tailOf("vac")}")
+    val got = Merge.readSnapshot(spark, dir)
+      .select("name", "lang").as[(String, String)].collect()
+    assert(got.length === 2 + 2 * n)
+    (1 to n).foreach { i =>
+      assert(got.contains((s"en-$i", "en")), s"writer A batch $i lost")
+      assert(got.contains((s"de-$i", "de")), s"writer B batch $i lost")
+    }
+    assert(Merge.snapshotVersions(spark, dir).max === 1L + 2 * n)
+    // the vacuum actually trimmed: retained history is bounded by the
+    // writers' own retention, not the full 1+2n commit chain
+    assert(Merge.snapshotVersions(spark, dir).size < 1 + 2 * n)
     assert(Merge.fsck(spark, dir).collect().isEmpty)
   }
 }
