@@ -2640,6 +2640,46 @@ object SparkEntry {
       Similarity.searchRoutedIvfStore(s, e.filter(col("vec_id") < 8),
           store, k = 6, nprobe = 64, routeShards = 2)
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // The CDC UPSERT lifecycle (round 13): a routed store built from a
+    // base corpus, then TWO CDC batches applied through the same core
+    // the streaming ingest dispatches to (applyCdcBatch) — inserts of
+    // the held-out ids, updates that REPLACE vectors (reversed
+    // embeddings — re-filed wherever the new vector routes), deletes,
+    // same-batch I+D and U+D resolution (latest seq wins), and a
+    // second batch that REVIVES a taken-down subset via explicit
+    // upsert. The exhaustive routed search must equal brute-force
+    // top-k over exactly the NET state — any resurrected old vector,
+    // lost replacement, lingering tombstone, or misresolved op flips
+    // some query's ranking and the hash.
+    "q139_ann_cdc" -> ((s, dir) => {
+      val store = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_ivfcdc_${Integer.toHexString(dir.hashCode)}_$jvmToken")
+        .getAbsolutePath
+      val e = t(s, dir, "embeddings")
+      Similarity.buildRoutedIvfStore(e.filter(col("vec_id") % 5 =!= 4),
+        store, shards = 2, nlist = 4, iters = 0, dim = 64)
+      val b1 = e.filter(col("vec_id") % 5 === 4)
+          .select(col("vec_id"), col("embedding"),
+            lit("I").as("op"), lit(1L).as("seq"))
+        .unionByName(e.filter(col("vec_id") % 9 === 2)
+          .select(col("vec_id"), reverse(col("embedding")).as("embedding"),
+            lit("U").as("op"), lit(2L).as("seq")))
+        .unionByName(e.filter(col("vec_id") % 7 === 1)
+          .select(col("vec_id"), col("embedding"),
+            lit("D").as("op"), lit(3L).as("seq")))
+      Similarity.applyCdcBatch(s, b1, store)
+      val b2 = e.filter(col("vec_id") % 7 === 1 && col("vec_id") % 3 === 0)
+          .select(col("vec_id"), col("embedding"),
+            lit("U").as("op"), lit(10L).as("seq"))
+        .unionByName(e.filter(col("vec_id") % 13 === 6)
+          .select(col("vec_id"), col("embedding"),
+            lit("D").as("op"), lit(11L).as("seq")))
+      Similarity.applyCdcBatch(s, b2, store)
+      Similarity.searchRoutedIvfStore(s, e.filter(col("vec_id") < 8),
+          store, k = 6, nprobe = 64, routeShards = 2)
+        .orderBy(col("query_id"), col("rank"))
     })
   )
 
@@ -4097,6 +4137,43 @@ object SparkEntry {
          s AS (SELECT query_id, live.vec_id AS item_id,
                  list_inner_product(qv, live.nv) AS cos
                FROM q, live WHERE live.vec_id != query_id),
+         r AS (SELECT query_id, item_id, round(cos, 4) AS cos,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                      ORDER BY s.cos DESC, item_id) AS INT) AS rank
+               FROM s)
+         SELECT query_id, item_id, cos, rank FROM r
+         WHERE rank <= 6 ORDER BY query_id, rank""",
+    // the CDC upsert lifecycle's deterministic invariant (see the
+    // query comment): the oracle replays the NET state in SQL — base
+    // %5!=4 plus inserted %5==4 is ALL ids; %9==2 carry the replaced
+    // (reversed) vector; batch-1 deletes %7==1 except the subset
+    // batch 2 revives (%3==0, back to the ORIGINAL vector — the
+    // revival supersedes the reversal); batch-2 deletes %13==6 win
+    // over everything (same-batch U+D resolves to D). Brute-force
+    // top-k over that state, the q135 scan shape.
+    "q139_ann_cdc" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         en AS (SELECT vec_id,
+                  CASE WHEN list_inner_product(v, v) = 0 THEN v
+                       ELSE list_transform(v, x -> x / sqrt(list_inner_product(v, v)))
+                  END AS nv
+                FROM e),
+         lv AS (SELECT vec_id,
+                  CASE WHEN vec_id % 7 = 1 AND vec_id % 3 = 0 THEN v
+                       WHEN vec_id % 9 = 2 THEN list_reverse(v)
+                       ELSE v END AS v
+                FROM e
+                WHERE vec_id % 13 != 6
+                  AND (vec_id % 7 != 1 OR vec_id % 3 = 0)),
+         ln AS (SELECT vec_id,
+                  CASE WHEN list_inner_product(v, v) = 0 THEN v
+                       ELSE list_transform(v, x -> x / sqrt(list_inner_product(v, v)))
+                  END AS nv
+                FROM lv),
+         q AS (SELECT vec_id AS query_id, nv AS qv FROM en WHERE vec_id < 8),
+         s AS (SELECT query_id, ln.vec_id AS item_id,
+                 list_inner_product(qv, ln.nv) AS cos
+               FROM q, ln WHERE ln.vec_id != query_id),
          r AS (SELECT query_id, item_id, round(cos, 4) AS cos,
                  CAST(row_number() OVER (PARTITION BY query_id
                       ORDER BY s.cos DESC, item_id) AS INT) AS rank

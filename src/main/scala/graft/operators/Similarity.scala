@@ -1131,25 +1131,74 @@ object Similarity {
 
   private def deletedPath(storeDir: String): String = storeDir + "/deleted"
 
-  /** The store's tombstone set as a one-column (item_id) frame, or
-    * None when nothing was ever deleted. A dir holding only
-    * `_temporary` debris (a delete that crashed before its job commit)
-    * reads as None — no tombstone COMMITTED, and the crashed takedown
-    * batch is re-delivered idempotently; without this, the debris
-    * would poison every later search with a schema-inference error. */
-  private def readDeleted(spark: SparkSession,
+  /** The store's tombstone record as a RAW, normalized op log —
+    * (item_id, seq, op) with op ∈ {D, R} — or None when nothing was
+    * ever deleted. The record is APPEND-ONLY: deletes append D rows,
+    * [[reclaimTombstones]] appends R (revive) rows after the physical
+    * rewrite, and the latest seq per id wins. Append-only is what
+    * makes targeted reclaim crash-safe: there is never a window where
+    * the record is absent-but-meaningful (an absent record reads as
+    * "no tombstones", so any rewrite-in-place protocol would open a
+    * resurrection window for the ids it was KEEPING). Legacy stores
+    * (pre-op-log) hold one-column D-only files; their rows read as
+    * (item_id, 0, D) — `mergeSchema` fills the missing columns with
+    * nulls when old and new files coexist in one log.
+    *
+    * A dir holding only `_temporary` debris (a write that crashed
+    * before its job commit) reads as None — nothing COMMITTED, and
+    * the crashed batch is re-delivered idempotently; without this,
+    * the debris would poison every later search with a
+    * schema-inference error. */
+  private def readDeletedLog(spark: SparkSession,
       storeDir: String): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(deletedPath(storeDir))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
     else try {
-      val d = spark.read.parquet(p.toString)
+      val d = spark.read.option("mergeSchema", "true").parquet(p.toString)
       d.schema // force schema inference while the read is still cheap
-      Some(d)
+      val withSeq =
+        if (d.columns.contains("seq"))
+          d.withColumn("seq", coalesce(col("seq"), lit(0L)))
+        else d.withColumn("seq", lit(0L))
+      Some(
+        if (withSeq.columns.contains("op"))
+          withSeq.withColumn("op", coalesce(col("op"), lit("D")))
+        else withSeq.withColumn("op", lit("D")))
     } catch {
       case _: org.apache.spark.sql.AnalysisException => None
     }
   }
+
+  /** The store's EFFECTIVE tombstone set as a one-column (item_id)
+    * frame — the op log resolved latest-seq-wins per id, D rows kept —
+    * or None when nothing was ever deleted. Takedown-sized like the
+    * log itself (compaction clears it), so resolution is a broadcast-
+    * scale aggregation, never a corpus-side shuffle. A same-seq D/R
+    * tie resolves to R (struct max is lexicographic and 'R' > 'D') —
+    * unreachable under the single-writer contract, which increments
+    * the seq per append, but deterministic if it ever happens. */
+  private def readDeleted(spark: SparkSession,
+      storeDir: String): Option[DataFrame] =
+    readDeletedLog(spark, storeDir).map { log =>
+      log.groupBy("item_id")
+        .agg(max(struct(col("seq"), col("op"))).as("last"))
+        .filter(col("last.op") === "D")
+        .select("item_id")
+    }
+
+  /** The next op-log sequence number — one past the log's max (0 on a
+    * fresh log). One aggregation over the takedown-sized log. */
+  private def nextTombstoneSeq(spark: SparkSession,
+      storeDir: String): Long =
+    readDeletedLog(spark, storeDir) match {
+      case None => 0L
+      case Some(log) =>
+        log.agg(max(col("seq"))).head() match {
+          case r if r.isNullAt(0) => 0L
+          case r => r.getLong(0) + 1L
+        }
+    }
 
   /** Exclude the store's tombstoned items from `df` (no-op when none
     * exist). The tombstone side is takedown-sized, never corpus-sized
@@ -1200,10 +1249,126 @@ object Similarity {
     try {
       val n = fresh.count()
       if (n > 0)
-        fresh.coalesce(1).write.mode("append")
+        fresh.withColumn("seq", lit(nextTombstoneSeq(spark, storeDir)))
+          .withColumn("op", lit("D"))
+          .coalesce(1).write.mode("append")
           .parquet(deletedPath(storeDir))
       n
     } finally fresh.unpersist(blocking = false)
+  }
+
+  /**
+   * Targeted physical reclaim — the UPSERT enabler. Where
+   * [[compactIvfStore]] reclaims the store's ENTIRE tombstone set (and
+   * merges append debris while at it), this removes exactly the given
+   * ids' rows and re-opens exactly those ids, leaving every other
+   * standing tombstone standing — so a replacement batch pays for the
+   * lists IT touches, never for unrelated takedowns. Per table
+   * (encoded, codes): the lists holding the target rows are found by
+   * one broadcast semi join (target is batch-sized), lists whose every
+   * row is a target are dropped outright, the rest are rewritten
+   * without the target rows — rows of OTHER tombstoned ids are KEPT
+   * physically (their tombstones still hide them; the next full
+   * compaction reclaims them). Then an R (revive) row per id appends
+   * to the op log, re-opening the id for [[appendToIvfStore]].
+   *
+   * Crash windows, in order: after the encoded rewrite — the
+   * tombstones still stand, reads exclude the ids regardless of which
+   * table holds stale rows; after both rewrites, before the revive
+   * append — tombstones stand over nothing, reads correct, a re-run
+   * finds no rows to rewrite and lands the revive; the revive append
+   * itself is one job commit (torn = invisible `_temporary` debris).
+   * Single-writer like every store mutation. Returns the number of
+   * ids reclaimed (ids not currently tombstoned are ignored — revive
+   * without a standing D would be meaningless and is never written).
+   */
+  def reclaimTombstones(spark: SparkSession, ids: DataFrame,
+      storeDir: String): Long = {
+    import org.apache.spark.storage.StorageLevel
+    val dead = readDeleted(spark, storeDir).getOrElse(return 0L)
+    val idCol = ids.columns.head
+    val target = ids.select(col(idCol).as("item_id")).distinct()
+      .join(dead, Seq("item_id"), "left_semi")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = target.count()
+      if (n == 0L) return 0L
+      val fs = new org.apache.hadoop.fs.Path(storeDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      Seq("encoded", "codes").foreach { t =>
+        val dir = new org.apache.hadoop.fs.Path(s"$storeDir/$t")
+        if (fs.exists(dir)) {
+          val tbl = spark.read.parquet(dir.toString)
+          val touched = tbl
+            .join(broadcast(target), Seq("item_id"), "left_semi")
+            .select("list_id").distinct()
+            .collect().map(_.getInt(0)).toSet // bounded by batch size
+          if (touched.nonEmpty) {
+            // lists with at least one surviving row (rows of OTHER
+            // tombstoned ids survive — only the target is reclaimed)
+            val alive = tbl
+              .filter(col("list_id").isin(touched.toSeq: _*))
+              .join(broadcast(target), Seq("item_id"), "left_anti")
+              .select("list_id").distinct()
+              .collect().map(_.getInt(0)).toSet
+            (touched -- alive).foreach(l => fs.delete(
+              new org.apache.hadoop.fs.Path(s"$storeDir/$t/list_id=$l"),
+              true))
+            val rewrite = alive.toSeq.sorted
+              .map(l => s"$storeDir/$t/list_id=$l")
+            if (rewrite.nonEmpty) {
+              val mode = "spark.sql.sources.partitionOverwriteMode"
+              val saved = spark.conf.get(mode, "static")
+              spark.conf.set(mode, "dynamic")
+              try spark.read.option("basePath", s"$storeDir/$t")
+                .parquet(rewrite: _*)
+                .join(broadcast(target), Seq("item_id"), "left_anti")
+                .repartition(rewrite.length, col("list_id"))
+                .write.mode("overwrite").partitionBy("list_id")
+                .parquet(s"$storeDir/$t")
+              finally spark.conf.set(mode, saved)
+            }
+          }
+        }
+      }
+      // rows physically gone — re-open the ids LAST, so a death
+      // anywhere above leaves the tombstones standing (reads correct)
+      target.withColumn("seq", lit(nextTombstoneSeq(spark, storeDir)))
+        .withColumn("op", lit("R"))
+        .coalesce(1).write.mode("append")
+        .parquet(deletedPath(storeDir))
+      n
+    } finally target.unpersist(blocking = false)
+  }
+
+  /**
+   * REPLACE a batch of items in one store — the CDC `U` path, priced
+   * as the lists the batch touches instead of the whole-store
+   * compaction that was previously the only way to re-admit an id
+   * ([[deleteFromIvfStore]]'s compact-first contract). Three steps,
+   * each idempotent, so a death in any window heals by re-running the
+   * upsert: tombstone the ids' standing rows ([[deleteFromIvfStore]]
+   * — ids not stored tombstone nothing), physically reclaim and
+   * re-open exactly those ids ([[reclaimTombstones]]), then admit the
+   * new vectors ([[appendToIvfStore]] — each vector re-files by the
+   * STORED quantizer, wherever the new embedding actually belongs).
+   *
+   * SEMANTICS vs takedown-wins: a plain append DROPS tombstoned ids —
+   * a late re-delivery of a taken-down item must not resurrect it. An
+   * upsert is the opposite kind of write: an EXPLICIT, intentional
+   * replacement, so it revives a previously tombstoned id by design
+   * (CDC per-key ordering is the transport's contract — a `U`
+   * arriving after the `D` that should supersede it is an upstream
+   * ordering bug, not something this layer can detect). Route `I`
+   * events through the append and `U` events through here
+   * ([[applyCdcBatch]] does exactly that).
+   */
+  def upsertIntoIvfStore(spark: SparkSession, newVecs: DataFrame,
+      storeDir: String): Unit = {
+    val ids = newVecs.select(newVecs.columns.head)
+    deleteFromIvfStore(spark, ids, storeDir)
+    reclaimTombstones(spark, ids, storeDir)
+    appendToIvfStore(spark, newVecs, storeDir)
   }
 
   /**
@@ -1229,6 +1394,105 @@ object Similarity {
         else ids.filter(shardOf(col(idCol), sh) === i)
       deleteFromIvfStore(spark, slice, d)
     }.sum
+  }
+
+  /**
+   * [[upsertIntoIvfStore]] across a sharded store — hash-disjoint or
+   * routed. Delete and reclaim locate each id where it actually LIVES
+   * (hash shards arithmetically, routed shards by membership — each
+   * shard's reclaim semi-joins the id set against its own tombstones,
+   * so a shard holding none of the batch does no work); the new
+   * vectors then re-file by the store's CURRENT assignment rule. On a
+   * ROUTED store that matters: a replaced embedding whose nearest
+   * super-centroid differs from its old copy's shard lands in its NEW
+   * home — legal precisely because the old copy is physically gone,
+   * and exactly what a post-split/merge router wants. Refuses to run
+   * over a staged rebalance (via the delete/append guards). Single
+   * writer, like every store mutation.
+   */
+  def upsertIntoShardedIvfStore(spark: SparkSession, newVecs: DataFrame,
+      storeDir: String): Unit = {
+    val ids = newVecs.select(newVecs.columns.head)
+    deleteFromShardedIvfStore(spark, ids, storeDir)
+    builtShardDirs(spark, storeDir).foreach { case (_, d) =>
+      reclaimTombstones(spark, ids, d)
+    }
+    if (isRoutedStore(spark, storeDir))
+      appendToRoutedIvfStore(spark, newVecs, storeDir)
+    else appendToShardedIvfStore(spark, newVecs, storeDir)
+  }
+
+  /**
+   * Apply one CDC micro-batch — (id, vector, op, seq) rows with op ∈
+   * {I, U, D} — to an IVF store of ANY layout (single dir, hash-
+   * sharded, routed): the batch core
+   * [[graft.streaming.AnnIngestStream.ingestCdc]] dispatches to. The
+   * batch first resolves to ONE terminal op per id (latest seq wins;
+   * a same-seq tie resolves D > U > I — conservative takedown-wins),
+   * then applies deletes as tombstones ([[deleteFromIvfStore]] — a
+   * re-delivered D files nothing), updates as replacements
+   * ([[upsertIntoIvfStore]] — revives by design, see its scaladoc)
+   * and inserts as appends (tombstoned ids DROP — takedown wins over
+   * a late re-delivered I). Cross-id apply order is irrelevant after
+   * resolution (one op per id); the D→U→I order here just front-loads
+   * the cheap tombstone writes. Replaying the whole batch (a restart
+   * of an uncommitted foreachBatch) converges to the same store
+   * state: D and I re-apply to nothing, U re-replaces with the same
+   * vector. Returns (inserted, updated, deleted) counts of ids
+   * DISPATCHED per lane (an I of an already-stored or tombstoned id
+   * still counts as dispatched — admission drops it downstream).
+   */
+  def applyCdcBatch(spark: SparkSession, batch: DataFrame,
+      storeDir: String, idCol: String = "vec_id",
+      vecCol: String = "embedding", opCol: String = "op",
+      seqCol: String = "seq"): (Long, Long, Long) = {
+    import org.apache.spark.storage.StorageLevel
+    // op rank breaks same-seq ties: D > U > I
+    val rank = when(col("op") === "D", 2)
+      .when(col("op") === "U", 1)
+      .when(col("op") === "I", 0)
+    val last = batch
+      .select(col(idCol).as("vec_id"), col(vecCol).as("embedding"),
+        col(opCol).as("op"), col(seqCol).cast("long").as("seq"))
+      .withColumn("_r", rank)
+      .groupBy("vec_id")
+      .agg(max(struct(col("seq"), col("_r"), col("op"),
+        col("embedding"))).as("last"))
+      .select(col("vec_id"), col("last.embedding").as("embedding"),
+        col("last.op").as("op"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val badOps = last.filter(col("op").isNull ||
+        !col("op").isin("I", "U", "D"))
+      require(badOps.isEmpty, "applyCdcBatch: ops must be I, U or D — " +
+        s"got ${badOps.select("op").distinct().collect().mkString(", ")}")
+      val counts = last.groupBy("op").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val sharded = {
+        val p = new org.apache.hadoop.fs.Path(storeDir + "/sharding")
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+      }
+      def lane(op: String): DataFrame =
+        last.filter(col("op") === op).select("vec_id", "embedding")
+      if (counts.getOrElse("D", 0L) > 0) {
+        val ids = lane("D").select("vec_id")
+        if (sharded) deleteFromShardedIvfStore(spark, ids, storeDir)
+        else deleteFromIvfStore(spark, ids, storeDir)
+      }
+      if (counts.getOrElse("U", 0L) > 0) {
+        if (sharded) upsertIntoShardedIvfStore(spark, lane("U"), storeDir)
+        else upsertIntoIvfStore(spark, lane("U"), storeDir)
+      }
+      if (counts.getOrElse("I", 0L) > 0) {
+        val ins = lane("I")
+        if (!sharded) appendToIvfStore(spark, ins, storeDir)
+        else if (isRoutedStore(spark, storeDir))
+          appendToRoutedIvfStore(spark, ins, storeDir)
+        else appendToShardedIvfStore(spark, ins, storeDir)
+      }
+      (counts.getOrElse("I", 0L), counts.getOrElse("U", 0L),
+        counts.getOrElse("D", 0L))
+    } finally last.unpersist(blocking = false)
   }
 
   /**

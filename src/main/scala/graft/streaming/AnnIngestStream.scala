@@ -288,4 +288,85 @@ object AnnIngestStream {
       r.getAs[Boolean]("merge_advised"),
       r.getSeq[Int](r.fieldIndex("cold_shards")))
   }
+
+  /**
+   * CDC-op-aware ingest — the lifecycle loop CLOSED FROM INSIDE THE
+   * STREAM: `events` carries `(vec_id, embedding, op, seq)` rows (the
+   * CDC envelope convention the demux pipeline lands, op ∈ I/U/D) and
+   * each micro-batch applies
+   * [[graft.operators.Similarity.applyCdcBatch]] — inserts append
+   * (takedown wins over a late re-delivered I), updates REPLACE
+   * (tombstone → targeted reclaim → re-file by the store's current
+   * assignment), deletes tombstone. Until now the stream could only
+   * grow a store ([[ingest]]/[[ingestSharded]]/[[ingestRouted]]);
+   * takedowns and upstream row updates — routine in a training-data
+   * pipeline — had to be applied out-of-band. Works against any store
+   * layout (single dir, hash-sharded, routed — detected from the
+   * store, like the batch core), with the same per-shard maintenance
+   * loop and, on routed stores, the same routing advisory + opt-in
+   * auto-recalibration as [[ingestRouted]].
+   *
+   * Replay safety: a restarted, uncommitted micro-batch re-applies to
+   * the same store state (D and I converge via the tombstone/id
+   * anti-joins, U re-replaces with the same vector — see
+   * `applyCdcBatch`). `compactEvery` here ALSO bounds the op-log's
+   * churn growth: every U appends a D and an R record, and compaction
+   * clears the log along with the physical reclaim.
+   *
+   * `onBatch` surfaces the per-batch (inserted, updated, deleted)
+   * dispatch counts — the stream-side audit a takedown pipeline wants.
+   */
+  def ingestCdc(events: DataFrame, storeDir: String, checkpoint: String,
+      compactEvery: Int = 0, adviseEvery: Int = 0,
+      onBatch: (Long, (Long, Long, Long)) => Unit = (_, _) => (),
+      onAdvice: StoreAdvice => Unit = _ => (),
+      onRoutingAdvice: RoutingAdvice => Unit = _ => (),
+      trigger: Trigger = Trigger.AvailableNow(),
+      recalibrate: Option[AutoRecalibrate] = None): StreamingQuery = {
+    val spark = events.sparkSession
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestCdcBatch(spark, batch, batchId, storeDir, compactEvery,
+          adviseEvery, onBatch, onAdvice, onRoutingAdvice, recalibrate)
+      }
+      .start()
+  }
+
+  private[streaming] def ingestCdcBatch(spark: SparkSession,
+      batch: DataFrame, batchId: Long, storeDir: String,
+      compactEvery: Int, adviseEvery: Int = 0,
+      onBatch: (Long, (Long, Long, Long)) => Unit = (_, _) => (),
+      onAdvice: StoreAdvice => Unit = _ => (),
+      onRoutingAdvice: RoutingAdvice => Unit = _ => (),
+      recalibrate: Option[AutoRecalibrate] = None): Unit = {
+    if (batch.isEmpty) return
+    onBatch(batchId, Similarity.applyCdcBatch(spark, batch, storeDir))
+    val sharded = {
+      val p = new org.apache.hadoop.fs.Path(storeDir + "/sharding")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
+    if (sharded) {
+      shardMaintenance(spark, batchId, storeDir, compactEvery,
+        adviseEvery, onAdvice, recalibrate)
+      if (Similarity.isRoutedStore(spark, storeDir) &&
+          adviseEvery > 0 && (batchId + 1) % adviseEvery == 0) {
+        val adv = routingAdviceOf(spark, storeDir, batchId)
+        onRoutingAdvice(adv)
+        if (adv.recalibrateAdvised) recalibrate.foreach { rc =>
+          Similarity.calibrateRoutedIvfStore(spark, storeDir, rc.queries,
+            rc.k, rc.targetRecall, rc.sampleN)
+          onRoutingAdvice(routingAdviceOf(spark, storeDir, batchId))
+        }
+      }
+    } else {
+      if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+        Similarity.compactIvfStore(spark, storeDir)
+      if (adviseEvery > 0 && (batchId + 1) % adviseEvery == 0)
+        adviseAndRecalibrate(spark, storeDir, batchId, -1, onAdvice,
+          recalibrate)
+    }
+  }
 }

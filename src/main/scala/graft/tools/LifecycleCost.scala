@@ -78,9 +78,23 @@ object LifecycleCost {
         shards = shards, nlist = 0, iters = 0, dim = dim, superIters = 3))
       exhaustive(shards) // untimed warm-up: codegen + file listing
       val (_, searchBase) = exhaustive(shards)
-      // ~10% takedown batch
+      // UPSERT a ~5% replacement batch (reversed vectors — the CDC U
+      // path: tombstone → targeted reclaim → re-file by the router);
+      // the displaced rival is the same full rebuild the delete is
+      // measured against
+      val upd = cached.filter(col("vec_id") % 20 === 3)
+        .select(col("vec_id"), reverse(col("embedding")).as("embedding"))
+      val updated = cached.withColumn("embedding",
+        when(col("vec_id") % 20 === 3, reverse(col("embedding")))
+          .otherwise(col("embedding")))
+      val bruteUpdated = brute(updated)
+      val (_, upsertSec) = time(
+        S.upsertIntoShardedIvfStore(spark, upd, store))
+      val (upsRows, searchUps) = exhaustive(shards)
+      val upsEquiv = upsRows == bruteUpdated
+      // ~10% takedown batch (applied on the post-upsert store)
       val gone = cached.filter(col("vec_id") % 10 === 7).select("vec_id")
-      val remaining = cached.filter(col("vec_id") % 10 =!= 7)
+      val remaining = updated.filter(col("vec_id") % 10 =!= 7)
       val bruteRemaining = brute(remaining)
       val (nDel, deleteSec) = time(
         S.deleteFromShardedIvfStore(spark, gone, store))
@@ -104,10 +118,12 @@ object LifecycleCost {
       cached.unpersist(blocking = false)
       println(s"""{"corpus":"$label","n":$n,"n_deleted":$nDel,""" +
         f""""build_sec":$buildSec%.2f,"search_base_sec":$searchBase%.2f,""" +
+        f""""upsert_sec":$upsertSec%.2f,"search_ups_sec":$searchUps%.2f,""" +
         f""""delete_sec":$deleteSec%.2f,"search_tomb_sec":$searchTomb%.2f,""" +
         f""""compact_sec":$compactSec%.2f,"search_clean_sec":$searchClean%.2f,""" +
         f""""rebuild_sec":$rebuildSec%.2f,"merge_sec":$mergeSec%.2f,""" +
-        s""""shards_end":$newSh,"tomb_equiv":$tombEquiv,""" +
+        s""""shards_end":$newSh,"ups_equiv":$upsEquiv,""" +
+        s""""tomb_equiv":$tombEquiv,""" +
         s""""clean_equiv":$cleanEquiv,"merge_equiv":$mergeEquiv}""")
     }
     spark.stop()

@@ -303,4 +303,78 @@ class AnnIngestStreamSpec extends SparkSpec {
       .as[(Long, Long, Double, Int)].collect().toSet
     assert(got === exact)
   }
+
+  test("CDC ingest: streamed I/U/D batches close the lifecycle loop — replacements re-file, takedowns exclude, compaction folds in, replay converges") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmp("anncdc") + "/store"
+    Similarity.buildRoutedIvfStore(emb.filter(col("vec_id") % 5 =!= 4),
+      dir, shards = 2, nlist = 4, dim = 64)
+    def rows(df: org.apache.spark.sql.DataFrame, op: String, seq: Long,
+        rev: Boolean = false) =
+      df.select(col("vec_id"),
+          (if (rev) reverse(col("embedding")) else col("embedding"))
+            .as("embedding"))
+        .as[(Long, Array[Float])].collect()
+        .map { case (id, v) => (id, v, op, seq) }.toSeq
+    val b1 = rows(emb.filter(col("vec_id") % 5 === 4), "I", 1L) ++
+      rows(emb.filter(col("vec_id") % 9 === 2), "U", 2L, rev = true) ++
+      rows(emb.filter(col("vec_id") % 7 === 1), "D", 3L)
+    val b2 = rows(emb.filter(col("vec_id") % 7 === 1 &&
+        col("vec_id") % 3 === 0), "U", 10L) ++
+      rows(emb.filter(col("vec_id") % 13 === 6), "D", 11L)
+    val counts = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, (Long, Long, Long))]
+    val mem = MemoryStream[(Long, Array[Float], String, Long)]
+    // compactEvery = 2: the second batch ALSO physically reclaims and
+    // clears the op log — the takedowns must stay excluded through it
+    val q = AnnIngestStream.ingestCdc(
+      mem.toDF().toDF("vec_id", "embedding", "op", "seq"), dir,
+      checkpoint = tmp("anncdc-ckpt"), compactEvery = 2,
+      onBatch = (id, c) => counts += ((id, c)),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    mem.addData(b1: _*)
+    q.processAllAvailable()
+    mem.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(counts.size === 2)
+    assert(counts.head._2._1 > 0 && counts.head._2._2 > 0 &&
+      counts.head._2._3 > 0, "batch 1 dispatched all three lanes")
+    // the net state, replayed as a plain DataFrame: batch-2's revival
+    // (%7==1 && %3==0, original vector) supersedes both batch-1's
+    // delete and (where overlapping) the reversal; batch-2's deletes
+    // win over everything; %9==2 otherwise carries the replacement
+    val net = emb
+      .filter(col("vec_id") % 13 =!= 6 &&
+        (col("vec_id") % 7 =!= 1 || col("vec_id") % 3 === 0))
+      .withColumn("embedding",
+        when(col("vec_id") % 7 === 1 && col("vec_id") % 3 === 0,
+          col("embedding"))
+        .when(col("vec_id") % 9 === 2, reverse(col("embedding")))
+        .otherwise(col("embedding")))
+    val queries = emb.filter(col("vec_id") < 3)
+    val truth = Similarity.bruteForceTopK(net, queries, k = 5)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    def got = Similarity.searchRoutedIvfStore(spark, queries, dir,
+        k = 5, nprobe = 4, routeShards = 2)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(got === truth)
+    // post-compaction: no op log stands, no tombstoned row lingers
+    (0 until 2).foreach { i =>
+      assert(!new java.io.File(s"$dir/shard=$i/deleted").exists(),
+        s"shard $i op log survived the in-stream compaction")
+    }
+    // replaying the LAST batch (a restarted, uncommitted foreachBatch)
+    // converges to the same store state
+    AnnIngestStream.ingestCdcBatch(spark,
+      b2.toDF("vec_id", "embedding", "op", "seq"), 1L, dir,
+      compactEvery = 2)
+    assert(got === truth)
+    // membership is single everywhere after replacements moved shards
+    val ids = (0 until 2).flatMap { i =>
+      spark.read.parquet(s"$dir/shard=$i/encoded")
+        .select("item_id").as[Long].collect()
+    }
+    assert(ids.size === ids.distinct.size)
+  }
 }
