@@ -2680,6 +2680,38 @@ object SparkEntry {
       Similarity.searchRoutedIvfStore(s, e.filter(col("vec_id") < 8),
           store, k = 6, nprobe = 64, routeShards = 2)
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // The signature-store UPSERT lifecycle (round 13, the q139
+    // pattern on the dedup side): build the q111 history store, take
+    // one subset down (still standing at admission), then UPSERT a
+    // mutated subset — token-reversed text under the SAME ids, the
+    // mutable-id case the mutatedRedeliveries audit flags — including
+    // ids the takedown hit (the upsert revives them with the new
+    // content). Admitting the q111 batch must emit exactly the pairs
+    // of a from-scratch replay over the NET history: old content that
+    // keeps matching, new content that fails to, or a takedown that
+    // resurrects all flip the hash.
+    "q140_sigstore_upsert" -> ((s, dir) => {
+      val store = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_sigups_${Integer.toHexString(dir.hashCode)}_$jvmToken")
+        .getAbsolutePath
+      val docs = t(s, dir, "documents")
+      val history = docs.filter(col("doc_id") % 3 =!= 0)
+      Dedup.buildSignatureStore(history, "doc_id", "text", store,
+        numHashes = 64, shingleN = 5, portable = true)
+      Dedup.deleteSignatures(s,
+        history.filter(col("doc_id") % 7 === 2).select("doc_id"), store)
+      val mutated = history.filter(col("doc_id") % 5 === 1)
+        .select(col("doc_id"),
+          concat_ws(" ", reverse(split(col("text"), "\\s+")))
+            .as("text"))
+      Dedup.upsertSignatures(s, mutated, "doc_id", "text", store,
+        numHashes = 64, shingleN = 5, portable = true)
+      Dedup.minhashLshIncremental(s, docs.filter(col("doc_id") % 3 === 0),
+          "doc_id", "text", store, numHashes = 64, bands = 8,
+          shingleN = 5, threshold = 0.4, portable = true)
+        .orderBy(col("id_a"), col("id_b"))
     })
   )
 
@@ -3895,6 +3927,34 @@ object SparkEntry {
                FROM p WHERE p.id_a % 3 = 0 OR p.id_b % 3 = 0)
          SELECT oa AS id_a, ob AS id_b, est_jaccard FROM o
          WHERE NOT (oa % 3 <> 0 AND (oa % 5 = 1 OR oa % 7 = 2))
+         ORDER BY id_a, id_b""",
+    // the upsert lifecycle replay: the q111 pipeline over the NET
+    // history — %5=1 history docs carry the token-REVERSED text (the
+    // replacement; token reversal commutes with the lower/trim/
+    // collapse normalization, so reversing the norm's tokens replays
+    // the engine's raw-text mutation exactly), %7=2 history docs are
+    // excluded UNLESS %5=1 revived them with the new content.
+    "q140_sigstore_upsert" ->
+      s"""WITH d0 AS (
+           SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+           FROM documents),
+         d AS (SELECT doc_id,
+                 CASE WHEN doc_id % 3 <> 0 AND doc_id % 5 = 1
+                      THEN array_to_string(list_reverse(string_split(norm, ' ')), ' ')
+                      ELSE norm END AS norm
+               FROM d0),
+         $minhashPipelineSql,
+         p AS (SELECT id_a, id_b, round(nm / 64.0, 4) AS est_jaccard
+               FROM v WHERE nm / 64.0 >= 0.4),
+         o AS (SELECT
+                 CASE WHEN p.id_a % 3 = 0 AND p.id_b % 3 <> 0
+                      THEN p.id_b ELSE p.id_a END AS oa,
+                 CASE WHEN p.id_a % 3 = 0 AND p.id_b % 3 <> 0
+                      THEN p.id_a ELSE p.id_b END AS ob,
+                 est_jaccard
+               FROM p WHERE p.id_a % 3 = 0 OR p.id_b % 3 = 0)
+         SELECT oa AS id_a, ob AS id_b, est_jaccard FROM o
+         WHERE NOT (oa % 3 <> 0 AND oa % 7 = 2 AND oa % 5 <> 1)
          ORDER BY id_a, id_b""",
     // the merge invariant is the split's, in reverse — same plain
     // brute-force oracle over the full corpus (q135's SQL, k=6).

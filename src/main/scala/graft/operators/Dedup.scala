@@ -234,21 +234,13 @@ object Dedup {
   private def deletedSigsPath(storeDir: String): String =
     storeDir + "/_deleted"
 
+  /** The store's EFFECTIVE tombstone set — the shared append-only op
+    * log ([[TombstoneLog]]: D tombstones, R revives, latest seq per id
+    * wins; legacy one-column files read as (id, 0, D)) resolved per
+    * id, or None when nothing was ever deleted. */
   private def readDeletedSigs(spark: SparkSession,
-      storeDir: String): Option[DataFrame] = {
-    val p = new org.apache.hadoop.fs.Path(deletedSigsPath(storeDir))
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else try {
-      // _temporary-only debris (a delete crashed pre-commit) = no
-      // tombstone committed; see Similarity.readDeleted
-      val d = spark.read.parquet(p.toString)
-      d.schema
-      Some(d)
-    } catch {
-      case _: org.apache.spark.sql.AnalysisException => None
-    }
-  }
+      storeDir: String): Option[DataFrame] =
+    TombstoneLog.resolved(spark, deletedSigsPath(storeDir), "id")
 
   /** Exclude tombstoned ids (broadcast anti — the tombstone side is
     * takedown-sized, compaction reclaims it). */
@@ -284,6 +276,7 @@ object Dedup {
   def deleteSignatures(spark: SparkSession, ids: DataFrame,
       storeDir: String): Long = {
     import org.apache.spark.storage.StorageLevel
+    TombstoneLog.maybeFold(spark, deletedSigsPath(storeDir), "id")
     val want = ids.select(col(ids.columns.head).as("id")).distinct()
       .join(spark.read.parquet(storeDir).select("id"), Seq("id"),
         "left_semi")
@@ -294,10 +287,132 @@ object Dedup {
     try {
       val n = fresh.count()
       if (n > 0)
-        fresh.coalesce(1).write.mode("append")
-          .parquet(deletedSigsPath(storeDir))
+        TombstoneLog.append(spark, fresh, deletedSigsPath(storeDir),
+          "id", "D")
       n
     } finally fresh.unpersist(blocking = false)
+  }
+
+  /**
+   * Targeted physical reclaim for a DIRECTORY signature store — the
+   * signature-side twin of `Similarity.reclaimTombstones`, and the
+   * UPSERT enabler: removes exactly the given tombstoned ids' rows and
+   * re-opens those ids, leaving every other standing tombstone (rows
+   * and all) for [[compactSignatureStoreDir]]. The store is a flat
+   * parquet dir (no list partitions), so the unit of rewrite is the
+   * FILE: the files holding target rows are found via
+   * `input_file_name`, their surviving rows are re-appended through a
+   * staging dir, the old files are deleted, and R records land last.
+   *
+   * The survivor write double-anti-joins: against the target (the rows
+   * being reclaimed) AND — by id — against the rows in every OTHER
+   * store file. The second anti is what makes a crashed run heal
+   * without duplicating innocent rows: if a previous attempt appended
+   * the survivors and died before deleting the old files, the re-run
+   * finds the survivor copies already present and re-appends nothing
+   * (signatures are pure functions of the text, so an id's rows are
+   * identical wherever they live — dropping by id is exact). Crash
+   * windows, in order: survivors staged only — store untouched;
+   * survivors appended, old files present — transient duplicates that
+   * every admission absorbs (id-keyed anti/semi joins, distinct'd
+   * pairs) and the re-run collapses; some old files deleted — the
+   * target's remaining rows stay tombstoned, reads correct; all
+   * deleted, R not yet appended — tombstones stand over nothing, the
+   * re-run lands the revive. `_wide_meta` (underscore dir) is never
+   * touched — the draw family is a property of the hash config, not
+   * of which rows live. Single-writer, like every store mutation.
+   * Returns the number of ids reclaimed.
+   */
+  def reclaimSignatureTombstones(spark: SparkSession, ids: DataFrame,
+      storeDir: String): Long = {
+    import org.apache.spark.storage.StorageLevel
+    TombstoneLog.maybeFold(spark, deletedSigsPath(storeDir), "id")
+    val dead = readDeletedSigs(spark, storeDir).getOrElse(return 0L)
+    val target = ids.select(col(ids.columns.head).as("id")).distinct()
+      .join(dead, Seq("id"), "left_semi")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = target.count()
+      if (n == 0L) return 0L
+      val root = new org.apache.hadoop.fs.Path(storeDir)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val rows = spark.read.parquet(storeDir)
+        .withColumn("_f", input_file_name())
+      val affected = rows
+        .join(broadcast(target), Seq("id"), "left_semi")
+        .select("_f").distinct()
+        .collect().map(_.getString(0)) // bounded by the batch size
+      if (affected.nonEmpty) {
+        val staging = new org.apache.hadoop.fs.Path(
+          storeDir + "/_reclaim_staging")
+        val restIds = rows.filter(!col("_f").isin(affected: _*))
+          .select("id")
+        spark.read.parquet(affected: _*)
+          .join(broadcast(target), Seq("id"), "left_anti")
+          .join(restIds, Seq("id"), "left_anti")
+          .write.mode("overwrite").parquet(staging.toString)
+        fs.listStatus(staging)
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .foreach { f =>
+            require(fs.rename(f.getPath, new org.apache.hadoop.fs.Path(
+              root, "reclaimed-" + f.getPath.getName)),
+              s"reclaimSignatureTombstones: could not move " +
+                s"${f.getPath} into $root")
+          }
+        affected.foreach(u =>
+          fs.delete(new org.apache.hadoop.fs.Path(new java.net.URI(u)),
+            false))
+        fs.delete(staging, true)
+      }
+      // rows physically gone — re-open the ids LAST (a death anywhere
+      // above leaves the tombstones standing, which reads correctly)
+      TombstoneLog.append(spark, target, deletedSigsPath(storeDir),
+        "id", "R")
+      n
+    } finally target.unpersist(blocking = false)
+  }
+
+  /**
+   * REPLACE a batch of documents in a MinHash directory store — the
+   * mutable-id remedy [[mutatedRedeliveries]] audits for: until now,
+   * content mutated under a reused id could only re-enter history via
+   * a whole-store compaction (delete's "compact first" contract).
+   * Three idempotent steps (see `Similarity.upsertIntoIvfStore` for
+   * the shared crash/semantics reasoning): tombstone the ids' standing
+   * rows, physically reclaim and re-open exactly those ids, then admit
+   * the NEW content's signatures. An upsert is an explicit replacement
+   * and so revives a previously taken-down id by design; plain
+   * re-delivered appends still drop tombstoned ids (takedown wins).
+   * After the upsert the new content participates in
+   * [[minhashLshIncremental]] as history — the store signature IS the
+   * new text's signature. `numHashes`/`shingleN`/`portable` must match
+   * the store build, as for every admission call.
+   */
+  def upsertSignatures(spark: SparkSession, batch: DataFrame,
+      idCol: String, textCol: String, storeDir: String,
+      numHashes: Int = 64, shingleN: Int = 5,
+      portable: Boolean = false): Unit = {
+    val ids = batch.select(col(idCol).as("id"))
+    deleteSignatures(spark, ids, storeDir)
+    reclaimSignatureTombstones(spark, ids, storeDir)
+    appendSignatures(spark, batch, idCol, textCol, storeDir,
+      numHashes, shingleN, portable)
+  }
+
+  /** [[upsertSignatures]] for a [[buildWideSimhashStore]] dir — same
+    * protocol over the same dir layout ([[reclaimSignatureTombstones]]
+    * never touches `_wide_meta`: the draw family is a property of the
+    * hash config, not of which rows live), with the wide append's
+    * draw-family gate intact. */
+  def upsertWideSimhashSignatures(spark: SparkSession, batch: DataFrame,
+      idCol: String, textCol: String, storeDir: String,
+      portable: Boolean = false): Unit = {
+    requireWideDraws(spark, storeDir, portable, "upsertWideSimhashSignatures")
+    val ids = batch.select(col(idCol).as("id"))
+    deleteSignatures(spark, ids, storeDir)
+    reclaimSignatureTombstones(spark, ids, storeDir)
+    appendWideSimhashSignatures(spark, batch, idCol, textCol, storeDir,
+      portable)
   }
 
   /**
@@ -326,7 +441,17 @@ object Dedup {
     // preamble: debris of a previous crashed run
     fs.delete(tmp, true)
     fs.delete(old, true)
-    if (readDeletedSigs(spark, storeDir).isEmpty) return
+    val standing = readDeletedSigs(spark, storeDir)
+      .exists(d => !d.isEmpty)
+    if (!standing) {
+      // nothing tombstoned — but an op log of fully-revived churn
+      // (D…R pairs) may still stand as pure debris; clear it (the
+      // supersede-first clear — a bare delete could falsely tombstone
+      // a revived id) instead of paying the full rewrite-swap for no
+      // reclaimable row
+      TombstoneLog.clear(spark, deletedSigsPath(storeDir), "id")
+      return
+    }
     liveSigs(spark, storeDir).write.mode("overwrite").parquet(tmp.toString)
     val metaP = new org.apache.hadoop.fs.Path(storeDir + "/_wide_meta")
     if (fs.exists(metaP))

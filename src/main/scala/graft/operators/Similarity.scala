@@ -640,10 +640,9 @@ object Similarity {
     require(m == 0 || dim % m == 0, s"dim=$dim not divisible by m=$m")
     // a rebuild starts a fresh lifecycle: tombstones describe the OLD
     // corpus — left standing they would silently hide rebuilt rows
-    // that happen to share ids
-    new org.apache.hadoop.fs.Path(deletedPath(storeDir))
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .delete(new org.apache.hadoop.fs.Path(deletedPath(storeDir)), true)
+    // that happen to share ids (supersede-first clear: no partial
+    // state can falsely tombstone a revived id)
+    TombstoneLog.clear(spark, deletedPath(storeDir), "item_id")
     val subdim = if (m > 0) dim / m else 0
     val nl = if (nlist > 0) nlist else adaptiveIvfConfig(corpus.count())._1
     // ONE md5-ordered pick serves both quantizers (prefix property —
@@ -1131,74 +1130,17 @@ object Similarity {
 
   private def deletedPath(storeDir: String): String = storeDir + "/deleted"
 
-  /** The store's tombstone record as a RAW, normalized op log —
-    * (item_id, seq, op) with op ∈ {D, R} — or None when nothing was
-    * ever deleted. The record is APPEND-ONLY: deletes append D rows,
-    * [[reclaimTombstones]] appends R (revive) rows after the physical
-    * rewrite, and the latest seq per id wins. Append-only is what
-    * makes targeted reclaim crash-safe: there is never a window where
-    * the record is absent-but-meaningful (an absent record reads as
-    * "no tombstones", so any rewrite-in-place protocol would open a
-    * resurrection window for the ids it was KEEPING). Legacy stores
-    * (pre-op-log) hold one-column D-only files; their rows read as
-    * (item_id, 0, D) — `mergeSchema` fills the missing columns with
-    * nulls when old and new files coexist in one log.
-    *
-    * A dir holding only `_temporary` debris (a write that crashed
-    * before its job commit) reads as None — nothing COMMITTED, and
-    * the crashed batch is re-delivered idempotently; without this,
-    * the debris would poison every later search with a
-    * schema-inference error. */
-  private def readDeletedLog(spark: SparkSession,
-      storeDir: String): Option[DataFrame] = {
-    val p = new org.apache.hadoop.fs.Path(deletedPath(storeDir))
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else try {
-      val d = spark.read.option("mergeSchema", "true").parquet(p.toString)
-      d.schema // force schema inference while the read is still cheap
-      val withSeq =
-        if (d.columns.contains("seq"))
-          d.withColumn("seq", coalesce(col("seq"), lit(0L)))
-        else d.withColumn("seq", lit(0L))
-      Some(
-        if (withSeq.columns.contains("op"))
-          withSeq.withColumn("op", coalesce(col("op"), lit("D")))
-        else withSeq.withColumn("op", lit("D")))
-    } catch {
-      case _: org.apache.spark.sql.AnalysisException => None
-    }
-  }
-
   /** The store's EFFECTIVE tombstone set as a one-column (item_id)
-    * frame — the op log resolved latest-seq-wins per id, D rows kept —
-    * or None when nothing was ever deleted. Takedown-sized like the
-    * log itself (compaction clears it), so resolution is a broadcast-
-    * scale aggregation, never a corpus-side shuffle. A same-seq D/R
-    * tie resolves to R (struct max is lexicographic and 'R' > 'D') —
-    * unreachable under the single-writer contract, which increments
-    * the seq per append, but deterministic if it ever happens. */
+    * frame — the append-only op log ([[TombstoneLog]]: D tombstones,
+    * R revives, latest seq per id wins; legacy one-column files read
+    * as (id, 0, D)) resolved per id — or None when nothing was ever
+    * deleted. Takedown-sized like the log itself (compaction clears
+    * it, [[TombstoneLog.maybeFold]] bounds its file growth under
+    * churn-heavy upsert traffic), so resolution is a broadcast-scale
+    * aggregation, never a corpus-side shuffle. */
   private def readDeleted(spark: SparkSession,
       storeDir: String): Option[DataFrame] =
-    readDeletedLog(spark, storeDir).map { log =>
-      log.groupBy("item_id")
-        .agg(max(struct(col("seq"), col("op"))).as("last"))
-        .filter(col("last.op") === "D")
-        .select("item_id")
-    }
-
-  /** The next op-log sequence number — one past the log's max (0 on a
-    * fresh log). One aggregation over the takedown-sized log. */
-  private def nextTombstoneSeq(spark: SparkSession,
-      storeDir: String): Long =
-    readDeletedLog(spark, storeDir) match {
-      case None => 0L
-      case Some(log) =>
-        log.agg(max(col("seq"))).head() match {
-          case r if r.isNullAt(0) => 0L
-          case r => r.getLong(0) + 1L
-        }
-    }
+    TombstoneLog.resolved(spark, deletedPath(storeDir), "item_id")
 
   /** Exclude the store's tombstoned items from `df` (no-op when none
     * exist). The tombstone side is takedown-sized, never corpus-sized
@@ -1238,6 +1180,7 @@ object Similarity {
   def deleteFromIvfStore(spark: SparkSession, ids: DataFrame,
       storeDir: String): Long = {
     import org.apache.spark.storage.StorageLevel
+    TombstoneLog.maybeFold(spark, deletedPath(storeDir), "item_id")
     val want = ids.select(col(ids.columns.head).as("item_id")).distinct()
     val stored = spark.read.parquet(storeDir + "/encoded")
       .select("item_id")
@@ -1249,10 +1192,8 @@ object Similarity {
     try {
       val n = fresh.count()
       if (n > 0)
-        fresh.withColumn("seq", lit(nextTombstoneSeq(spark, storeDir)))
-          .withColumn("op", lit("D"))
-          .coalesce(1).write.mode("append")
-          .parquet(deletedPath(storeDir))
+        TombstoneLog.append(spark, fresh, deletedPath(storeDir),
+          "item_id", "D")
       n
     } finally fresh.unpersist(blocking = false)
   }
@@ -1285,6 +1226,7 @@ object Similarity {
   def reclaimTombstones(spark: SparkSession, ids: DataFrame,
       storeDir: String): Long = {
     import org.apache.spark.storage.StorageLevel
+    TombstoneLog.maybeFold(spark, deletedPath(storeDir), "item_id")
     val dead = readDeleted(spark, storeDir).getOrElse(return 0L)
     val idCol = ids.columns.head
     val target = ids.select(col(idCol).as("item_id")).distinct()
@@ -1333,10 +1275,8 @@ object Similarity {
       }
       // rows physically gone — re-open the ids LAST, so a death
       // anywhere above leaves the tombstones standing (reads correct)
-      target.withColumn("seq", lit(nextTombstoneSeq(spark, storeDir)))
-        .withColumn("op", lit("R"))
-        .coalesce(1).write.mode("append")
-        .parquet(deletedPath(storeDir))
+      TombstoneLog.append(spark, target, deletedPath(storeDir),
+        "item_id", "R")
       n
     } finally target.unpersist(blocking = false)
   }
@@ -1566,9 +1506,11 @@ object Similarity {
       }
     }
     // both tables physically clean — the tombstones have no referent
-    // left; clearing them re-opens the ids for future appends
-    rootFs.delete(
-      new org.apache.hadoop.fs.Path(deletedPath(storeDir)), true)
+    // left; clearing them re-opens the ids for future appends (the
+    // supersede-first clear: a bare recursive delete could drop an
+    // id's R file and keep its D file, falsely tombstoning a live
+    // revived row)
+    TombstoneLog.clear(spark, deletedPath(storeDir), "item_id")
   }
 
   // ---- Sharded IVF store (past the per-plan nlist cap) ----

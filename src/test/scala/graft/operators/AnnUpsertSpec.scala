@@ -225,4 +225,45 @@ class AnnUpsertSpec extends SparkSpec {
     assert(asSet(Similarity.searchIvfStore(spark, queries, dir, k = 5,
       nprobe = 4)) === asSet(Similarity.bruteForceTopK(net, queries, 5)))
   }
+
+  test("churn-heavy upsert traffic folds the op log: file count stays bounded, standing and revived tombstones resolve unchanged") {
+    val dir = tmpStore("annfold")
+    Similarity.buildIvfStore(emb.filter(col("vec_id") < 300), dir,
+      nlist = 4)
+    // one STANDING takedown that must survive every fold
+    Similarity.deleteFromIvfStore(spark, Seq(250L).toDF("vec_id"), dir)
+    spark.conf.set("spark.graft.tombstoneLogFoldFiles", "4")
+    try {
+      // each upsert appends a D file and an R file; with the threshold
+      // at 4 the log folds repeatedly instead of accumulating
+      (0 until 6).foreach { i =>
+        val id = 10L + i
+        Similarity.upsertIntoIvfStore(spark,
+          emb.filter(col("vec_id") === id)
+            .select(col("vec_id"), reverse(col("embedding"))
+              .as("embedding")), dir)
+      }
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val logFiles = fs.listStatus(
+          new org.apache.hadoop.fs.Path(dir + "/deleted"))
+        .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      assert(logFiles <= 6,
+        s"op log grew to $logFiles files despite the fold threshold")
+      // the standing takedown still stands; the churned ids are live
+      // with their replacements; ground truth over the net corpus
+      val net = emb.filter(col("vec_id") < 300 && col("vec_id") =!= 250)
+        .withColumn("embedding",
+          when(col("vec_id").between(10, 15),
+            reverse(col("embedding"))).otherwise(col("embedding")))
+      val queries = emb.filter(col("vec_id") < 3)
+      assert(asSet(Similarity.searchIvfStore(spark, queries, dir, k = 5,
+        nprobe = 4)) ===
+        asSet(Similarity.bruteForceTopK(net, queries, 5)))
+      val all = Similarity.searchIvfStore(spark, queries, dir,
+        k = 1000, nprobe = 4).select("item_id").as[Long].collect().toSet
+      assert(!all.contains(250L))
+      assert((10L to 15L).forall(all.contains))
+    } finally spark.conf.unset("spark.graft.tombstoneLogFoldFiles")
+  }
 }
