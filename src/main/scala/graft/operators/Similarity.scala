@@ -2042,7 +2042,26 @@ object Similarity {
     requireNoStagedSplit(spark, storeDir)
     val supers = readSuper(spark, storeDir)
     val sh = readShardCount(spark, storeDir)
-    appendStaged(spark, newVecs, storeDir, sh,
+    // takedown wins STORE-WIDE (r13 review of this seam): a tombstone
+    // lives in the shard that HELD the row, but a routed append files
+    // by the batch row's VECTOR — a late re-delivery of a taken-down
+    // id whose vector routes to a different shard (the upstream
+    // re-encoded it, or the router changed across a split/merge)
+    // would sail past that shard's per-shard exclusion and resurrect
+    // the item. Anti-join the batch against the UNION of every built
+    // shard's standing tombstones — takedown-sized per shard, so the
+    // union broadcasts. Hash-sharded appends don't need this: the id
+    // arithmetic files a re-delivery into exactly the shard holding
+    // its tombstone.
+    val batch = builtShardDirs(spark, storeDir)
+      .flatMap { case (_, d) => readDeleted(spark, d) }
+      .reduceOption(_ unionByName _) match {
+        case Some(dead) => newVecs.join(
+          broadcast(dead.select(col("item_id").as("vec_id"))),
+          Seq("vec_id"), "left_anti")
+        case None => newVecs
+      }
+    appendStaged(spark, batch, storeDir, sh,
       assignList(supers, V.unitVec(col("embedding"))))
   }
 

@@ -185,6 +185,46 @@ class AnnDeleteSpec extends SparkSpec {
     assert(allIds.size === allIds.distinct.size)
   }
 
+  test("takedown wins STORE-WIDE on a routed store: a re-delivered insert routing to a DIFFERENT shard than its tombstone still drops") {
+    val dir = tmpStore("anndelxshard")
+    val fixture = graft.tools.CrashWriter.splitFixture(spark)
+    val sh = Similarity.buildRoutedIvfStore(fixture, dir, shards = 2,
+      nlist = 2, dim = 8, superIters = 3)
+    // id 0 lives in cluster 0's shard; tombstone it there
+    assert(Similarity.deleteFromShardedIvfStore(spark,
+      Seq(0L).toDF("vec_id"), dir) === 1L)
+    // a late re-delivery of id 0 arrives with a DIFFERENT vector (the
+    // upstream re-encoded it) that routes to the OTHER shard — the
+    // per-shard tombstone cannot see it there; the append must still
+    // drop it (takedown wins is a store-wide contract, not a
+    // per-shard one)
+    val redelivered = fixture.filter(col("vec_id") === 1)
+      .select(lit(0L).as("vec_id"), col("embedding"))
+    Similarity.appendToRoutedIvfStore(spark, redelivered, dir)
+    val everywhere = (0 until sh).flatMap { i =>
+      val p = new java.io.File(s"$dir/shard=$i/encoded")
+      if (p.exists()) spark.read.parquet(p.toString)
+        .filter(col("item_id") === 0).select("item_id")
+        .as[Long].collect()
+      else Nil
+    }
+    assert(everywhere.size === 1,
+      "the re-delivered insert resurrected a taken-down id in another shard")
+    // and it stays invisible to searches
+    val found = Similarity.searchRoutedIvfStore(spark,
+        fixture.filter(col("vec_id") === 2), dir, k = 1000, nprobe = 2,
+        routeShards = sh)
+      .select("item_id").as[Long].collect().toSet
+    assert(!found.contains(0L))
+    // an EXPLICIT upsert still revives — the intentional path
+    Similarity.upsertIntoShardedIvfStore(spark, redelivered, dir)
+    val after = Similarity.searchRoutedIvfStore(spark,
+        fixture.filter(col("vec_id") === 2), dir, k = 1000, nprobe = 2,
+        routeShards = sh)
+      .select("item_id").as[Long].collect().toSet
+    assert(after.contains(0L))
+  }
+
   test("deletes refuse to run over a staged split — resume would resurrect them from the staging") {
     val dir = tmpStore("anndelstg")
     val fixture = graft.tools.CrashWriter.splitFixture(spark)
