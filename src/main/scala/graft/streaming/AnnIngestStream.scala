@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.operators.Similarity
@@ -287,6 +288,48 @@ object AnnIngestStream {
       // re-keys the router, maintenance-window work
       r.getAs[Boolean]("merge_advised"),
       r.getSeq[Int](r.fieldIndex("cold_shards")))
+  }
+
+  /**
+   * Bridge from the reference pipeline's CDC envelope stream to
+   * [[ingestCdc]]'s event rows: takes [[StreamingDemux.parseEnvelopes]]
+   * output (late-bound `data` JSON + metadata + event_ts), keeps this
+   * `table`'s DATA records (control records and other tables drop),
+   * parses the payload to (vec_id, embedding), and maps the envelope
+   * operations — `load`/`insert` → I, `update` → U, `delete` → D; any
+   * other operation value passes through verbatim so
+   * [[graft.operators.Similarity.applyCdcBatch]]'s op gate rejects it
+   * LOUDLY by name instead of this layer silently dropping data. `seq`
+   * is the envelope's microsecond timestamp — the transport's per-key
+   * order (the same per-key contract the demux sinks rely on), so
+   * latest-op-per-id resolution inside a micro-batch follows source
+   * time. With this, the reference's envelope stream maintains a
+   * SEARCHABLE vector store end to end: land → demux → applyCdcBatch,
+   * takedowns and replacements included.
+   */
+  def cdcEventsFromEnvelopes(envelopes: DataFrame,
+      table: String = "embeddings", idField: String = "vec_id",
+      vecField: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.types._
+    val dataSchema = StructType(Seq(
+      StructField(idField, LongType),
+      StructField(vecField, ArrayType(FloatType))))
+    envelopes
+      .filter(col("metadata.`table-name`") === table &&
+        col("metadata.`record-type`") ===
+          graft.model.DmsEnvelope.RecordTypeData)
+      .select(from_json(col("data"), dataSchema).as("d"),
+        col("metadata.operation").as("operation"), col("event_ts"))
+      .select(col(s"d.$idField").as("vec_id"),
+        col(s"d.$vecField").as("embedding"),
+        when(col("operation").isin(graft.model.DmsEnvelope.OpLoad,
+            graft.model.DmsEnvelope.OpInsert), lit("I"))
+          .when(col("operation") === graft.model.DmsEnvelope.OpUpdate,
+            lit("U"))
+          .when(col("operation") === graft.model.DmsEnvelope.OpDelete,
+            lit("D"))
+          .otherwise(col("operation")).as("op"),
+        unix_micros(col("event_ts")).as("seq"))
   }
 
   /**

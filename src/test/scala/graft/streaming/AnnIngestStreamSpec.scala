@@ -377,4 +377,65 @@ class AnnIngestStreamSpec extends SparkSpec {
     }
     assert(ids.size === ids.distinct.size)
   }
+
+  test("reference envelope stream maintains the vector store end to end: raw CDC lines → demux parse → op mapping → searchable store") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmp("annenv") + "/store"
+    Similarity.buildRoutedIvfStore(emb.filter(col("vec_id") % 5 =!= 4),
+      dir, shards = 2, nlist = 4, dim = 64)
+    def vecsOf(df: org.apache.spark.sql.DataFrame, rev: Boolean) =
+      df.select(col("vec_id"),
+          (if (rev) reverse(col("embedding")) else col("embedding"))
+            .as("embedding"))
+        .as[(Long, Array[Float])].collect()
+    def envLine(id: Long, v: Array[Float], op: String, us: Int,
+        table: String = "embeddings", rt: String = "data"): String =
+      s"""{"data": {"vec_id": $id, "embedding": [${v.mkString(",")}]}, """ +
+        s""""metadata": {"timestamp": "2019-11-13T10:00:00.${f"$us%06d"}Z", """ +
+        s""""record-type": "$rt", "operation": "$op", """ +
+        s""""partition-key-type": "primary-key", "schema-name": "dms_sample", """ +
+        s""""table-name": "$table"}}"""
+    // inserts (load AND insert spellings), updates (reversed vectors),
+    // deletes — per-id order carried by the envelope timestamp; plus a
+    // control record and an other-table record that must drop silently
+    val lines =
+      vecsOf(emb.filter(col("vec_id") % 5 === 4 &&
+        col("vec_id") % 2 === 0), rev = false)
+        .map { case (id, v) => envLine(id, v, "load", 1) } ++
+      vecsOf(emb.filter(col("vec_id") % 5 === 4 &&
+        col("vec_id") % 2 =!= 0), rev = false)
+        .map { case (id, v) => envLine(id, v, "insert", 1) } ++
+      vecsOf(emb.filter(col("vec_id") % 9 === 2), rev = true)
+        .map { case (id, v) => envLine(id, v, "update", 2) } ++
+      vecsOf(emb.filter(col("vec_id") % 7 === 1), rev = false)
+        .map { case (id, v) => envLine(id, v, "delete", 3) } ++
+      Seq(
+        envLine(9999L, Array(1f), "insert", 4, rt = "control"),
+        envLine(9998L, Array(1f), "insert", 4, table = "person"))
+    val mem = MemoryStream[String]
+    val q = AnnIngestStream.ingestCdc(
+      AnnIngestStream.cdcEventsFromEnvelopes(
+        StreamingDemux.parseEnvelopes(mem.toDF())),
+      dir, checkpoint = tmp("annenv-ckpt"),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    mem.addData(lines: _*)
+    q.processAllAvailable()
+    q.stop()
+    val net = emb
+      .filter(col("vec_id") % 7 =!= 1)
+      .withColumn("embedding", when(col("vec_id") % 9 === 2,
+        reverse(col("embedding"))).otherwise(col("embedding")))
+    val queries = emb.filter(col("vec_id") < 3)
+    val got = Similarity.searchRoutedIvfStore(spark, queries, dir,
+        k = 5, nprobe = 4, routeShards = 2)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(got === Similarity.bruteForceTopK(net, queries, k = 5)
+      .as[(Long, Long, Double, Int)].collect().toSet)
+    // the control and other-table records never reached the store
+    val ids = (0 until 2).flatMap { i =>
+      spark.read.parquet(s"$dir/shard=$i/encoded")
+        .select("item_id").as[Long].collect()
+    }
+    assert(!ids.contains(9999L) && !ids.contains(9998L))
+  }
 }
