@@ -2663,14 +2663,16 @@ object SparkEntry {
       val b1 = e.filter(col("vec_id") % 5 === 4)
           .select(col("vec_id"), col("embedding"),
             lit("I").as("op"), lit(1L).as("seq"))
-        .unionByName(e.filter(col("vec_id") % 9 === 2)
+        .unionByName(e.filter(col("vec_id") % 9 === 2 &&
+            col("vec_id") % 2 === 0)
           .select(col("vec_id"), reverse(col("embedding")).as("embedding"),
             lit("U").as("op"), lit(2L).as("seq")))
         .unionByName(e.filter(col("vec_id") % 7 === 1)
           .select(col("vec_id"), col("embedding"),
             lit("D").as("op"), lit(3L).as("seq")))
       Similarity.applyCdcBatch(s, b1, store)
-      val b2 = e.filter(col("vec_id") % 7 === 1 && col("vec_id") % 3 === 0)
+      val b2 = e.filter(col("vec_id") % 7 === 1 &&
+          col("vec_id") % 3 === 0 && col("vec_id") % 2 === 0)
           .select(col("vec_id"), col("embedding"),
             lit("U").as("op"), lit(10L).as("seq"))
         .unionByName(e.filter(col("vec_id") % 13 === 6)
@@ -4219,12 +4221,15 @@ object SparkEntry {
                   END AS nv
                 FROM e),
          lv AS (SELECT vec_id,
-                  CASE WHEN vec_id % 7 = 1 AND vec_id % 3 = 0 THEN v
-                       WHEN vec_id % 9 = 2 THEN list_reverse(v)
+                  CASE WHEN vec_id % 7 = 1 AND vec_id % 3 = 0
+                            AND vec_id % 2 = 0 THEN v
+                       WHEN vec_id % 9 = 2 AND vec_id % 2 = 0
+                            THEN list_reverse(v)
                        ELSE v END AS v
                 FROM e
                 WHERE vec_id % 13 != 6
-                  AND (vec_id % 7 != 1 OR vec_id % 3 = 0)),
+                  AND (vec_id % 7 != 1 OR
+                       (vec_id % 3 = 0 AND vec_id % 2 = 0))),
          ln AS (SELECT vec_id,
                   CASE WHEN list_inner_product(v, v) = 0 THEN v
                        ELSE list_transform(v, x -> x / sqrt(list_inner_product(v, v)))

@@ -1305,10 +1305,110 @@ object Similarity {
    */
   def upsertIntoIvfStore(spark: SparkSession, newVecs: DataFrame,
       storeDir: String): Unit = {
-    val ids = newVecs.select(newVecs.columns.head)
-    deleteFromIvfStore(spark, ids, storeDir)
-    reclaimTombstones(spark, ids, storeDir)
+    upsertPrepOne(spark, newVecs.select(newVecs.columns.head), storeDir)
     appendToIvfStore(spark, newVecs, storeDir)
+  }
+
+  /** The upsert's delete + reclaim against ONE store dir, fused around
+    * a single id-location pass: the semantics of
+    * [[deleteFromIvfStore]] followed by [[reclaimTombstones]], but
+    * where that composition pays ~3 full narrow scans per table
+    * (delete's semi join, reclaim's touched-list and surviving-list
+    * discoveries), this locates each id's (item_id, list_id) ONCE in
+    * the encoded table and drives everything else partition-pruned —
+    * the codes table shares the encoded table's list assignment by
+    * construction, so one location pass serves both. Measured at 1M ×
+    * 4 shards this is the difference between a micro-batch upsert
+    * costing MORE than a rebuild and costing a small fraction of one
+    * (SCALING.md r13). Crash windows are the composition's, unchanged:
+    * D records land first, physical rewrite next, R records last. */
+  private def upsertPrepOne(spark: SparkSession, ids: DataFrame,
+      storeDir: String): Unit = {
+    import org.apache.spark.storage.StorageLevel
+    TombstoneLog.maybeFold(spark, deletedPath(storeDir), "item_id")
+    val want = ids.select(col(ids.columns.head).as("item_id")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val located = spark.read.parquet(storeDir + "/encoded")
+      .select("item_id", "list_id")
+      .join(broadcast(want), Seq("item_id"), "left_semi")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dead0 = readDeleted(spark, storeDir)
+      // 1. tombstone the located rows not already dead (the delete).
+      //    EAGER localCheckpoint, not persist: the writes below
+      //    trigger Spark's refreshByPath on the log and data dirs,
+      //    which RECACHES any cached plan whose lineage reads those
+      //    paths — a persisted frame would silently recompute against
+      //    the post-write files (the revive set read back EMPTY from
+      //    the rewritten encoded table when this used persist).
+      //    Checkpointing severs the file lineage; the frames are
+      //    batch-sized.
+      val fresh = (dead0 match {
+        case Some(d) => located.select("item_id").distinct()
+          .join(d, Seq("item_id"), "left_anti")
+        case None => located.select("item_id").distinct()
+      }).localCheckpoint(true)
+      val nFresh = fresh.count()
+      if (nFresh > 0)
+        TombstoneLog.append(spark, fresh, deletedPath(storeDir),
+          "item_id", "D")
+      // 2. the revive set: everything this upsert must re-open —
+      //    previously tombstoned ids (rows present or already
+      //    reclaimed) plus the rows just tombstoned in step 1
+      val target = (dead0 match {
+        case Some(d) => want.join(d, Seq("item_id"), "left_semi")
+          .unionByName(fresh)
+        case None => fresh
+      }).distinct().localCheckpoint(true)
+      try {
+        if (target.isEmpty) return
+        // 3. physical rewrite, pruned to the LOCATED lists — rows of
+        //    other tombstoned ids survive (their tombstones stand)
+        val touched = located.select("list_id").distinct()
+          .collect().map(_.getInt(0)).toSet // bounded by the batch
+        if (touched.nonEmpty) {
+          val fs = new org.apache.hadoop.fs.Path(storeDir)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          Seq("encoded", "codes").foreach { t =>
+            val dir = new org.apache.hadoop.fs.Path(s"$storeDir/$t")
+            if (fs.exists(dir)) {
+              val alive = spark.read.parquet(dir.toString)
+                .filter(col("list_id").isin(touched.toSeq: _*))
+                .join(broadcast(target), Seq("item_id"), "left_anti")
+                .select("list_id").distinct()
+                .collect().map(_.getInt(0)).toSet
+              (touched -- alive).foreach(l => fs.delete(
+                new org.apache.hadoop.fs.Path(
+                  s"$storeDir/$t/list_id=$l"), true))
+              val rewrite = alive.toSeq.sorted
+                .map(l => s"$storeDir/$t/list_id=$l")
+              if (rewrite.nonEmpty) {
+                val mode = "spark.sql.sources.partitionOverwriteMode"
+                val saved = spark.conf.get(mode, "static")
+                spark.conf.set(mode, "dynamic")
+                try spark.read.option("basePath", s"$storeDir/$t")
+                  .parquet(rewrite: _*)
+                  .join(broadcast(target), Seq("item_id"), "left_anti")
+                  .repartition(rewrite.length, col("list_id"))
+                  .write.mode("overwrite").partitionBy("list_id")
+                  .parquet(s"$storeDir/$t")
+                finally spark.conf.set(mode, saved)
+              }
+            }
+          }
+        }
+        // 4. re-open the ids LAST (a death above leaves tombstones
+        //    standing — reads correct, the re-run completes)
+        TombstoneLog.append(spark, target, deletedPath(storeDir),
+          "item_id", "R")
+      } finally {
+        // localCheckpoint storage is reclaimed with the RDD on GC —
+        // nothing to unpersist here (df.unpersist does not reach it)
+      }
+    } finally {
+      located.unpersist(blocking = false)
+      want.unpersist(blocking = false)
+    }
   }
 
   /**
@@ -1352,13 +1452,22 @@ object Similarity {
    */
   def upsertIntoShardedIvfStore(spark: SparkSession, newVecs: DataFrame,
       storeDir: String): Unit = {
+    val sh = readShardCount(spark, storeDir)
+    val routed = isRoutedStore(spark, storeDir)
+    if (routed) requireNoStagedSplit(spark, storeDir)
     val ids = newVecs.select(newVecs.columns.head)
-    deleteFromShardedIvfStore(spark, ids, storeDir)
-    builtShardDirs(spark, storeDir).foreach { case (_, d) =>
-      reclaimTombstones(spark, ids, d)
+    val idCol = ids.columns.head
+    // per-shard fused delete+reclaim (ONE narrow id-location scan per
+    // shard, see upsertPrepOne — down from ~3 per table per shard as
+    // the delete+reclaim composition); hash shards see only their
+    // arithmetic slice, routed shards locate by actual membership
+    builtShardDirs(spark, storeDir).foreach { case (i, d) =>
+      val slice =
+        if (routed) ids
+        else ids.filter(shardOf(col(idCol), sh) === i)
+      upsertPrepOne(spark, slice, d)
     }
-    if (isRoutedStore(spark, storeDir))
-      appendToRoutedIvfStore(spark, newVecs, storeDir)
+    if (routed) appendToRoutedIvfStore(spark, newVecs, storeDir)
     else appendToShardedIvfStore(spark, newVecs, storeDir)
   }
 

@@ -78,10 +78,33 @@ object LifecycleCost {
         shards = shards, nlist = 0, iters = 0, dim = dim, superIters = 3))
       exhaustive(shards) // untimed warm-up: codegen + file listing
       val (_, searchBase) = exhaustive(shards)
-      // UPSERT a ~5% replacement batch (reversed vectors — the CDC U
+      // UPSERT cost ∝ the lists the batch touches — measured along a
+      // batch-size curve: ~0.01% (tiny), ~0.1% (the CDC micro-batch
+      // case the feature exists for), ~5% (bulk — the rebuild
+      // crossover). Each subset divides the next (%10000 ⊂ %1000 ⊂
+      // %20 for remainder 3), so later upserts re-replace the earlier
+      // ids and the final state stays exactly "%20==3 reversed".
+      val updTiny = cached.filter(col("vec_id") % 10000 === 3)
+        .select(col("vec_id"), reverse(col("embedding")).as("embedding"))
+      val (_, upsertTinySec) = time(
+        S.upsertIntoShardedIvfStore(spark, updTiny, store))
+      val updSmall = cached.filter(col("vec_id") % 1000 === 3)
+        .select(col("vec_id"), reverse(col("embedding")).as("embedding"))
+      val (_, upsertSmallSec) = time(
+        S.upsertIntoShardedIvfStore(spark, updSmall, store))
+      val smallEquiv = {
+        val updatedSmall = cached.withColumn("embedding",
+          when(col("vec_id") % 1000 === 3, reverse(col("embedding")))
+            .otherwise(col("embedding")))
+        exhaustive(shards)._1 == brute(updatedSmall)
+      }
+      // then a ~5% BULK replacement (reversed vectors — the CDC U
       // path: tombstone → targeted reclaim → re-file by the router);
       // the displaced rival is the same full rebuild the delete is
-      // measured against
+      // measured against. A uniformly-spread 5% batch touches nearly
+      // every list, so this is targeted reclaim's WORST case — the
+      // measurement that tells an operator where the rebuild crossover
+      // sits.
       val upd = cached.filter(col("vec_id") % 20 === 3)
         .select(col("vec_id"), reverse(col("embedding")).as("embedding"))
       val updated = cached.withColumn("embedding",
@@ -118,11 +141,14 @@ object LifecycleCost {
       cached.unpersist(blocking = false)
       println(s"""{"corpus":"$label","n":$n,"n_deleted":$nDel,""" +
         f""""build_sec":$buildSec%.2f,"search_base_sec":$searchBase%.2f,""" +
+        f""""upsert_tiny_sec":$upsertTinySec%.2f,""" +
+        f""""upsert_small_sec":$upsertSmallSec%.2f,""" +
         f""""upsert_sec":$upsertSec%.2f,"search_ups_sec":$searchUps%.2f,""" +
         f""""delete_sec":$deleteSec%.2f,"search_tomb_sec":$searchTomb%.2f,""" +
         f""""compact_sec":$compactSec%.2f,"search_clean_sec":$searchClean%.2f,""" +
         f""""rebuild_sec":$rebuildSec%.2f,"merge_sec":$mergeSec%.2f,""" +
-        s""""shards_end":$newSh,"ups_equiv":$upsEquiv,""" +
+        s""""shards_end":$newSh,"small_equiv":$smallEquiv,""" +
+        s""""ups_equiv":$upsEquiv,""" +
         s""""tomb_equiv":$tombEquiv,""" +
         s""""clean_equiv":$cleanEquiv,"merge_equiv":$mergeEquiv}""")
     }
