@@ -2714,6 +2714,47 @@ object SparkEntry {
           "doc_id", "text", store, numHashes = 64, bands = 8,
           shingleN = 5, threshold = 0.4, portable = true)
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // The BUCKETED-store upsert lifecycle (round 14) — q140's protocol
+    // on the write-time-bucketed layout, gated through the NET-STATE
+    // audit instead of a pair replay (the bucketed store's xxhash64
+    // band keys are deliberately not oracle-replayable; signatures are
+    // pure functions of the text, so mutated store ≡ from-scratch
+    // net-history exactly when every live id's stored signature and
+    // band rows equal the net text's, and no live id exists outside
+    // the net set — auditSignatureStoreBucketed). Build on %3≠0
+    // history, take %7=2 down (tombstones into the D/R op log), UPSERT
+    // token-reversed %5=1 content (targeted reclaim through
+    // Bucketing.compactTable's exclude hook; the overlap REVIVES),
+    // then audit against the net corpus: a resurrected takedown, a
+    // lost or doubled replacement, stale band rows from a torn
+    // reclaim, or old content kept under a mutated id each flip a row.
+    "q141_sigstore_upsert_bucketed" -> ((s, dir) => {
+      val table =
+        s"graft_sigupsb_${Integer.toHexString(dir.hashCode)}_$jvmToken"
+      val docs = t(s, dir, "documents")
+      val history = docs.filter(col("doc_id") % 3 =!= 0)
+      Dedup.buildSignatureStoreBucketed(history, "doc_id", "text",
+        table, buckets = 4, numHashes = 64, bands = 8, shingleN = 5)
+      Dedup.deleteSignaturesBucketed(s,
+        history.filter(col("doc_id") % 7 === 2).select("doc_id"), table)
+      val mutated = history.filter(col("doc_id") % 5 === 1)
+        .select(col("doc_id"),
+          concat_ws(" ", reverse(split(col("text"), "\\s+")))
+            .as("text"))
+      Dedup.upsertSignaturesBucketed(s, mutated, "doc_id", "text",
+        table, buckets = 4, numHashes = 64, bands = 8, shingleN = 5)
+      val net = history
+        .filter(col("doc_id") % 7 =!= 2 || col("doc_id") % 5 === 1)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 1,
+            concat_ws(" ", reverse(split(col("text"), "\\s+"))))
+            .otherwise(col("text")).as("text"))
+      Dedup.auditSignatureStoreBucketed(s, net, "doc_id", "text",
+          table, numHashes = 64, bands = 8, shingleN = 5)
+        .select(col("id").as("doc_id"), col("sig_ok"), col("bands_ok"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -3958,6 +3999,17 @@ object SparkEntry {
          SELECT oa AS id_a, ob AS id_b, est_jaccard FROM o
          WHERE NOT (oa % 3 <> 0 AND oa % 7 = 2 AND oa % 5 <> 1)
          ORDER BY id_a, id_b""",
+    // the bucketed upsert lifecycle gates through the NET-STATE audit:
+    // the engine must report every net-history id (%3≠0 kept unless a
+    // standing %7=2 takedown, which the %5=1 upsert revives) with its
+    // stored signature AND band rows equal to the net text's — the
+    // oracle is the net membership itself, all-true. A resurrected
+    // takedown or unexpected survivor adds a row; a lost id, kept old
+    // content, or stale band rows flips a boolean.
+    "q141_sigstore_upsert_bucketed" ->
+      """SELECT doc_id, true AS sig_ok, true AS bands_ok FROM documents
+         WHERE doc_id % 3 <> 0 AND (doc_id % 7 <> 2 OR doc_id % 5 = 1)
+         ORDER BY doc_id""",
     // the merge invariant is the split's, in reverse — same plain
     // brute-force oracle over the full corpus (q135's SQL, k=6).
     "q138_ann_merge" ->

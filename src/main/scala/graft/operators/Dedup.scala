@@ -277,18 +277,22 @@ object Dedup {
       storeDir: String): Long = {
     import org.apache.spark.storage.StorageLevel
     TombstoneLog.maybeFold(spark, deletedSigsPath(storeDir), "id")
+    // one log read serves the dead-set AND the append's seq
+    val (ops, seq0) = TombstoneLog.snapshot(spark,
+      deletedSigsPath(storeDir), "id")
     val want = ids.select(col(ids.columns.head).as("id")).distinct()
       .join(spark.read.parquet(storeDir).select("id"), Seq("id"),
         "left_semi")
-    val fresh = (readDeletedSigs(spark, storeDir) match {
-      case Some(d) => want.join(d, Seq("id"), "left_anti")
+    val fresh = (ops match {
+      case Some(o) => want.join(o.filter(col("op") === "D").select("id"),
+        Seq("id"), "left_anti")
       case None => want
     }).persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val n = fresh.count()
       if (n > 0)
         TombstoneLog.append(spark, fresh, deletedSigsPath(storeDir),
-          "id", "D")
+          "id", "D", seq0)
       n
     } finally fresh.unpersist(blocking = false)
   }
@@ -327,7 +331,11 @@ object Dedup {
       storeDir: String): Long = {
     import org.apache.spark.storage.StorageLevel
     TombstoneLog.maybeFold(spark, deletedSigsPath(storeDir), "id")
-    val dead = readDeletedSigs(spark, storeDir).getOrElse(return 0L)
+    // one log read serves the dead-set AND the revive append's seq
+    val (ops, seq0) = TombstoneLog.snapshot(spark,
+      deletedSigsPath(storeDir), "id")
+    val dead = ops.map(_.filter(col("op") === "D").select("id"))
+      .getOrElse(return 0L)
     val target = ids.select(col(ids.columns.head).as("id")).distinct()
       .join(dead, Seq("id"), "left_semi")
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -367,7 +375,7 @@ object Dedup {
       // rows physically gone — re-open the ids LAST (a death anywhere
       // above leaves the tombstones standing, which reads correctly)
       TombstoneLog.append(spark, target, deletedSigsPath(storeDir),
-        "id", "R")
+        "id", "R", seq0)
       n
     } finally target.unpersist(blocking = false)
   }
@@ -433,7 +441,7 @@ object Dedup {
    * maintenance writer, like every compaction in this repo.
    */
   def compactSignatureStoreDir(spark: SparkSession,
-      storeDir: String): Unit = {
+      storeDir: String, fileThreshold: Int = 8): Unit = {
     val root = new org.apache.hadoop.fs.Path(storeDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(storeDir + "__compact")
@@ -444,13 +452,18 @@ object Dedup {
     val standing = readDeletedSigs(spark, storeDir)
       .exists(d => !d.isEmpty)
     if (!standing) {
-      // nothing tombstoned — but an op log of fully-revived churn
-      // (D…R pairs) may still stand as pure debris; clear it (the
-      // supersede-first clear — a bare delete could falsely tombstone
-      // a revived id) instead of paying the full rewrite-swap for no
-      // reclaimable row
+      // nothing tombstoned — clear the op log of fully-revived churn
+      // (the supersede-first clear: a bare delete could falsely
+      // tombstone a revived id). But churn-heavy upsert traffic ALSO
+      // leaves reclaimed-* fragments and append debris with zero
+      // standing tombstones, so the rewrite-swap still runs once the
+      // store's committed data-file count passes `fileThreshold`
+      // (0 forces it) — otherwise fragmentation would grow unbounded
+      // between genuine takedowns.
       TombstoneLog.clear(spark, deletedSigsPath(storeDir), "id")
-      return
+      val dataFiles = fs.listStatus(root)
+        .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      if (dataFiles <= fileThreshold && fileThreshold > 0) return
     }
     liveSigs(spark, storeDir).write.mode("overwrite").parquet(tmp.toString)
     val metaP = new org.apache.hadoop.fs.Path(storeDir + "/_wide_meta")
@@ -576,6 +589,12 @@ object Dedup {
   def buildSignatureStoreBucketed(df: DataFrame, idCol: String,
       textCol: String, table: String, buckets: Int, numHashes: Int = 64,
       bands: Int = 8, shingleN: Int = 5): Unit = {
+    val spark = df.sparkSession
+    // a rebuild starts a fresh lifecycle: standing tombstones (op log
+    // or legacy table) describe the OLD store and would silently hide
+    // rebuilt rows that share ids — same contract as buildIvfStore
+    TombstoneLog.clear(spark, bucketedDlogPath(spark, table), "id")
+    spark.sql(s"DROP TABLE IF EXISTS ${deletedTable(table)}")
     val rows = bandRows(numHashes, bands)
     val sigs = minhashSignatures(df, idCol, textCol, numHashes, shingleN,
       portable = false).persist(StorageLevel.MEMORY_AND_DISK)
@@ -612,11 +631,40 @@ object Dedup {
 
   private def deletedTable(table: String): String = s"${table}_deleted"
 
+  /** The bucketed store's D/R op log — a [[TombstoneLog]] at a
+    * warehouse-SIBLING path, not a catalog table: revive (the upsert
+    * enabler) needs latest-seq-wins resolution, and a catalog table
+    * can only be "rewritten" through a drop window in which an absent
+    * tombstone record silently reads as "nothing deleted" — the exact
+    * resurrection window the op log exists to close. The path is
+    * deliberately OUTSIDE both store tables' dirs (a
+    * [[Bucketing.compactTable]] drop+rename must never take the log
+    * with it). */
+  private def bucketedDlogPath(spark: SparkSession, table: String): String =
+    spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/") +
+      s"/${table}__dlog"
+
+  /** Effective tombstones of a bucketed store: the op log resolved
+    * per id, with any LEGACY `<table>_deleted` rows (the pre-r14
+    * D-only table) folded in at seq -1 — superseded by any log record
+    * for the same id, exactly the one-column-file grace the dir
+    * stores' logs give. */
   private def readDeletedBucketed(spark: SparkSession,
-      table: String): Option[DataFrame] =
-    if (spark.catalog.tableExists(deletedTable(table)))
-      Some(spark.table(deletedTable(table)))
-    else None
+      table: String): Option[DataFrame] = {
+    val legacy =
+      if (spark.catalog.tableExists(deletedTable(table)))
+        Some(spark.table(deletedTable(table)).select("id")
+          .withColumn("seq", lit(-1L)).withColumn("op", lit("D")))
+      else None
+    val log = TombstoneLog.read(spark, bucketedDlogPath(spark, table), "id")
+    val all = (legacy, log) match {
+      case (Some(a), Some(b)) => Some(a.unionByName(b))
+      case (a, b) => a.orElse(b)
+    }
+    all.map(_.groupBy("id")
+        .agg(max(struct(col("seq"), col("op"))).as("last"))
+        .filter(col("last.op") === "D").select("id"))
+  }
 
   private def minusDeletedBucketed(spark: SparkSession, df: DataFrame,
       table: String): DataFrame =
@@ -627,14 +675,19 @@ object Dedup {
     }
 
   /** [[deleteSignatures]] for a [[buildSignatureStoreBucketed]] store:
-    * tombstones land in the plain `<table>_deleted` table (takedown-
-    * sized — never bucketed, always broadcast). Same contract: deleted
-    * docs stop matching immediately, appends drop them (takedown
-    * wins), [[compactSignatureStore]] physically reclaims both tables
-    * and drops the tombstone table. Returns the new tombstone count. */
+    * tombstones land in the store's op log (takedown-sized — never
+    * bucketed, always broadcast). Same contract: deleted docs stop
+    * matching immediately, appends drop them (takedown wins),
+    * [[compactSignatureStore]] physically reclaims both tables and
+    * clears the record, and [[upsertSignaturesBucketed]] re-admits a
+    * mutated id without the full compaction. Returns the new
+    * tombstone count. */
   def deleteSignaturesBucketed(spark: SparkSession, ids: DataFrame,
       table: String): Long = {
     import org.apache.spark.storage.StorageLevel
+    val dlog = bucketedDlogPath(spark, table)
+    TombstoneLog.maybeFold(spark, dlog, "id")
+    val seq0 = TombstoneLog.nextSeq(spark, dlog, "id")
     val want = ids.select(col(ids.columns.head).as("id")).distinct()
       .join(spark.table(s"${table}_sigs").select("id"), Seq("id"),
         "left_semi")
@@ -645,10 +698,109 @@ object Dedup {
     try {
       val n = fresh.count()
       if (n > 0)
-        fresh.coalesce(1).write.mode("append").format("parquet")
-          .saveAsTable(deletedTable(table))
+        TombstoneLog.append(spark, fresh, dlog, "id", "D", seq0)
       n
     } finally fresh.unpersist(blocking = false)
+  }
+
+  /** Targeted physical reclaim for a BUCKETED signature store — the
+    * [[reclaimSignatureTombstones]] twin, closing the upsert-parity
+    * gap: removes exactly the given tombstoned ids' rows from both
+    * standing tables and re-opens those ids, leaving every other
+    * tombstone standing. The rewrite rides
+    * [[Bucketing.compactTable]]'s exclude hook (one broadcast anti
+    * folded into a rewrite that preserves the catalog bucket spec and
+    * pays no store-side shuffle — the bucketed scan already satisfies
+    * the write distribution), so the reclaim doubles as the store's
+    * small-file compaction. Bands first, sigs second — removal order
+    * is correctness-neutral here (the standing tombstones hide the
+    * ids throughout; orphan band rows die at the verify join), so the
+    * order just mirrors the append's. A death between the rewrites
+    * heals on re-run; R records land LAST. Returns ids reclaimed. */
+  def reclaimSignatureTombstonesBucketed(spark: SparkSession,
+      ids: DataFrame, table: String): Long = {
+    import org.apache.spark.storage.StorageLevel
+    val dlog = bucketedDlogPath(spark, table)
+    TombstoneLog.maybeFold(spark, dlog, "id")
+    val seq0 = TombstoneLog.nextSeq(spark, dlog, "id")
+    val dead = readDeletedBucketed(spark, table).getOrElse(return 0L)
+    val target = ids.select(col(ids.columns.head).as("id")).distinct()
+      .join(dead, Seq("id"), "left_semi")
+      // the compactTable rewrites drop + recreate the tables the plan
+      // reads — sever the lineage (batch-sized), or the R append's
+      // re-evaluation races the swapped catalog entries
+      .localCheckpoint(true)
+    val n = target.count()
+    if (n == 0L) return 0L
+    Bucketing.compactTable(spark, s"${table}_bands", Some((target, "id")))
+    Bucketing.compactTable(spark, s"${table}_sigs", Some((target, "id")))
+    TombstoneLog.append(spark, target, dlog, "id", "R", seq0)
+    n
+  }
+
+  /** REPLACE a batch of documents in a BUCKETED MinHash store — the
+    * [[upsertSignatures]] twin over the [[buildSignatureStoreBucketed]]
+    * layout: tombstone the ids' standing rows, physically reclaim and
+    * re-open exactly those ids ([[reclaimSignatureTombstonesBucketed]]
+    * — other takedowns keep standing), then admit the NEW content's
+    * signatures through the bucketed append (both tables keep their
+    * write-time layout; the admission plan's exchanges stay
+    * batch-sized). Revives a previously taken-down id by design — an
+    * upsert is an explicit replacement; plain re-delivered appends
+    * still drop tombstoned ids. `numHashes`/`bands`/`shingleN` must
+    * match the store build, as for every admission call. */
+  def upsertSignaturesBucketed(spark: SparkSession, batch: DataFrame,
+      idCol: String, textCol: String, table: String, buckets: Int,
+      numHashes: Int = 64, bands: Int = 8, shingleN: Int = 5): Unit = {
+    val ids = batch.select(col(idCol).as("id"))
+    deleteSignaturesBucketed(spark, ids, table)
+    reclaimSignatureTombstonesBucketed(spark, ids, table)
+    appendSignaturesBucketed(spark, batch, idCol, textCol, table,
+      buckets, numHashes, bands, shingleN)
+  }
+
+  /** AUDIT a bucketed signature store's EFFECTIVE state against the
+    * corpus it should equal — the net-history check the upsert
+    * lifecycle is accountable to (the q141 gate): signatures are pure
+    * functions of the text, so "the mutated store ≡ a from-scratch
+    * store over the net corpus" holds exactly when, per expected doc,
+    * the live stored signature equals the net text's signature AND
+    * the live band rows equal that signature's banded index — and no
+    * live id exists outside the expectation. Returns one (id, sig_ok,
+    * bands_ok) row per expected doc, PLUS a (false, false) row for
+    * any unexpected live id: a takedown that resurrects, a lost or
+    * doubled replacement, stale band rows from a torn reclaim, or
+    * old content kept under a mutated id each flip some row. Cost:
+    * one batch-side signature pass over `expected` + both store
+    * scans in their bucket layout. */
+  def auditSignatureStoreBucketed(spark: SparkSession,
+      expected: DataFrame, idCol: String, textCol: String,
+      table: String, numHashes: Int = 64, bands: Int = 8,
+      shingleN: Int = 5): DataFrame = {
+    val rows = bandRows(numHashes, bands)
+    val net = minhashSignatures(expected, idCol, textCol, numHashes,
+      shingleN, portable = false)
+    val netBands = bandedIndex(net, bands, rows, portable = false)
+    val liveSig = minusDeletedBucketed(spark,
+      spark.table(s"${table}_sigs"), table)
+    val liveBands = minusDeletedBucketed(spark,
+      spark.table(s"${table}_bands"), table)
+    val sigCmp = net.select(col("id"), col("sig").as("net_sig"))
+      .join(liveSig.select(col("id"), col("sig").as("st_sig")),
+        Seq("id"), "full")
+      .select(col("id"),
+        coalesce(col("net_sig") === col("st_sig"), lit(false))
+          .as("sig_ok"))
+    val bandCmp = netBands.select("id", "band", "bucket")
+      .withColumn("_e", lit(1))
+      .join(liveBands.select("id", "band", "bucket")
+        .withColumn("_s", lit(1)), Seq("id", "band", "bucket"), "full")
+      .groupBy("id")
+      .agg(min(col("_e").isNotNull && col("_s").isNotNull)
+        .as("bands_ok"))
+    sigCmp.join(bandCmp, Seq("id"), "full")
+      .select(col("id"), coalesce(col("sig_ok"), lit(false)).as("sig_ok"),
+        coalesce(col("bands_ok"), lit(false)).as("bands_ok"))
   }
 
   /** Fold a day's admitted batch into a bucketed store: one anti join on
@@ -699,8 +851,15 @@ object Dedup {
     val dead = readDeletedBucketed(spark, table).map((_, "id"))
     Bucketing.compactTable(spark, s"${table}_bands", dead)
     Bucketing.compactTable(spark, s"${table}_sigs", dead)
-    if (dead.isDefined)
+    if (dead.isDefined) {
+      // legacy D-only table first, THEN the op log: the reverse order
+      // would open a window where a legacy D resurfaces over an id
+      // the log had revived (whose replacement rows are live) — this
+      // order's window only leaves log D's standing over rows the
+      // rewrites just removed, which reads correctly and re-runs clean
       spark.sql(s"DROP TABLE IF EXISTS ${deletedTable(table)}")
+      TombstoneLog.clear(spark, bucketedDlogPath(spark, table), "id")
+    }
   }
 
   /**

@@ -643,6 +643,11 @@ object Similarity {
     // that happen to share ids (supersede-first clear: no partial
     // state can falsely tombstone a revived id)
     TombstoneLog.clear(spark, deletedPath(storeDir), "item_id")
+    // same staleness logic for the location index: entries describe
+    // the OLD corpus's assignments, and a non-superset index is the
+    // one state lookups cannot absorb — drop FIRST (absent = full-scan
+    // fallback), rebuild fresh after the encoded table lands
+    AnnLocIndex.drop(spark, storeDir)
     val subdim = if (m > 0) dim / m else 0
     val nl = if (nlist > 0) nlist else adaptiveIvfConfig(corpus.count())._1
     // ONE md5-ordered pick serves both quantizers (prefix property —
@@ -682,6 +687,10 @@ object Similarity {
     }
     centers.toDF("lid", "cv").coalesce(1)
       .write.mode("overwrite").parquet(storeDir + "/centroids")
+    // the id→list location index — mutations locate in O(batch)
+    // instead of a narrow O(corpus) scan ([[AnnLocIndex]]); staged
+    // write, so a death here leaves an absent index = scan fallback
+    AnnLocIndex.rebuild(spark, storeDir)
   }
 
   /** Fold a day's new vectors into the store: assign and encode with
@@ -735,8 +744,20 @@ object Similarity {
             .filter(col("list_id").isin(touched: _*)).select("item_id"),
           Seq("item_id"), "left_anti")
       }
-      fresh("encoded")
+      // EAGER checkpoint (batch-sized): the set is written twice — to
+      // the location index FIRST, then the encoded table — and the
+      // second write must not recompute the anti join against a
+      // changed store (the refreshByPath recache hazard class)
+      val freshEnc = fresh("encoded")
         .select("item_id", "item_vec", "list_id")
+        .localCheckpoint(true)
+      // index BEFORE data — the AnnLocIndex superset invariant: a
+      // death between the writes leaves a stale entry (absorbed),
+      // never a missing one (unabsorbable). Re-delivery appends
+      // nothing here because freshEnc is already empty.
+      AnnLocIndex.append(spark,
+        freshEnc.select("item_id", "list_id"), storeDir)
+      freshEnc
         .write.mode("append").partitionBy("list_id")
         .parquet(storeDir + "/encoded")
       val booksPath = new org.apache.hadoop.fs.Path(storeDir + "/books")
@@ -1180,22 +1201,63 @@ object Similarity {
   def deleteFromIvfStore(spark: SparkSession, ids: DataFrame,
       storeDir: String): Long = {
     import org.apache.spark.storage.StorageLevel
-    TombstoneLog.maybeFold(spark, deletedPath(storeDir), "item_id")
     val want = ids.select(col(ids.columns.head).as("item_id")).distinct()
-    val stored = spark.read.parquet(storeDir + "/encoded")
-      .select("item_id")
-    val fresh0 = want.join(stored, Seq("item_id"), "left_semi")
-    val fresh = (readDeleted(spark, storeDir) match {
-      case Some(d) => fresh0.join(d, Seq("item_id"), "left_anti")
-      case None => fresh0
-    }).persist(StorageLevel.MEMORY_AND_DISK)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val n = fresh.count()
-      if (n > 0)
-        TombstoneLog.append(spark, fresh, deletedPath(storeDir),
-          "item_id", "D")
-      n
-    } finally fresh.unpersist(blocking = false)
+      // index lookup first — the cold-shard fast path: Some(empty)
+      // PROVES no batch id is stored (ids never stored are not
+      // tombstoned), before any log read or corpus-side job
+      val cands = AnnLocIndex.candidateLists(spark, storeDir, want)
+      if (cands.exists(_.isEmpty)) return 0L
+      TombstoneLog.maybeFold(spark, deletedPath(storeDir), "item_id")
+      // one log read serves the dead-set AND the append's seq (the
+      // routed CDC path runs this once per shard per micro-batch)
+      val (ops, seq0) = TombstoneLog.snapshot(spark,
+        deletedPath(storeDir), "item_id")
+      val fresh0 = want.join(
+        locateIds(spark, storeDir, want, cands).select("item_id"),
+        Seq("item_id"), "left_semi")
+      val fresh = (ops match {
+        case Some(o) => fresh0.join(o.filter(col("op") === "D")
+          .select("item_id"), Seq("item_id"), "left_anti")
+        case None => fresh0
+      }).persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        val n = fresh.count()
+        if (n > 0)
+          TombstoneLog.append(spark, fresh, deletedPath(storeDir),
+            "item_id", "D", seq0)
+        n
+      } finally fresh.unpersist(blocking = false)
+    } finally want.unpersist(blocking = false)
+  }
+
+  /** The TRUE current locations of a batch of ids — (item_id, list_id)
+    * rows from the encoded table, one per stored row of a batch id.
+    * This is THE id-location primitive every store mutation
+    * (delete/reclaim/upsert) drives from; the encoded table stays the
+    * single source of truth. `cands` is the caller's [[AnnLocIndex]]
+    * candidate lookup (the index is built by [[buildIvfStore]],
+    * rebuilt by [[compactIvfStore]]): when present, the scan is pruned
+    * to the CANDIDATE lists it names — O(batch) buckets read plus
+    * the touched lists, instead of a narrow O(corpus) scan per
+    * mutation per shard, the measured fixed-cost floor of every CDC
+    * micro-batch (SCALING.md r13). The index is a strict SUPERSET of
+    * live locations by protocol (entries land BEFORE their encoded
+    * rows; removals leave stale entries), so a stale or duplicated
+    * entry costs one extra pruned list read, never a missed row;
+    * stores without the index (legacy) fall back to the full narrow
+    * scan. */
+  private def locateIds(spark: SparkSession, storeDir: String,
+      want: DataFrame, cands: Option[Set[Int]]): DataFrame = {
+    val enc = spark.read.parquet(storeDir + "/encoded")
+      .select("item_id", "list_id")
+    val pruned = cands match {
+      case Some(c) => enc.filter(col("list_id")
+        .isin(c.toSeq.sorted.map(Integer.valueOf): _*))
+      case None => enc
+    }
+    pruned.join(broadcast(want), Seq("item_id"), "left_semi")
   }
 
   /**
@@ -1227,7 +1289,11 @@ object Similarity {
       storeDir: String): Long = {
     import org.apache.spark.storage.StorageLevel
     TombstoneLog.maybeFold(spark, deletedPath(storeDir), "item_id")
-    val dead = readDeleted(spark, storeDir).getOrElse(return 0L)
+    // one log read serves the dead-set AND both appends' seqs
+    val (ops, seq0) = TombstoneLog.snapshot(spark,
+      deletedPath(storeDir), "item_id")
+    val dead = ops.map(_.filter(col("op") === "D").select("item_id"))
+      .getOrElse(return 0L)
     val idCol = ids.columns.head
     val target = ids.select(col(idCol).as("item_id")).distinct()
       .join(dead, Seq("item_id"), "left_semi")
@@ -1235,50 +1301,78 @@ object Similarity {
     try {
       val n = target.count()
       if (n == 0L) return 0L
-      val fs = new org.apache.hadoop.fs.Path(storeDir)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      Seq("encoded", "codes").foreach { t =>
-        val dir = new org.apache.hadoop.fs.Path(s"$storeDir/$t")
-        if (fs.exists(dir)) {
-          val tbl = spark.read.parquet(dir.toString)
-          val touched = tbl
-            .join(broadcast(target), Seq("item_id"), "left_semi")
-            .select("list_id").distinct()
-            .collect().map(_.getInt(0)).toSet // bounded by batch size
-          if (touched.nonEmpty) {
-            // lists with at least one surviving row (rows of OTHER
-            // tombstoned ids survive — only the target is reclaimed)
-            val alive = tbl
-              .filter(col("list_id").isin(touched.toSeq: _*))
-              .join(broadcast(target), Seq("item_id"), "left_anti")
-              .select("list_id").distinct()
-              .collect().map(_.getInt(0)).toSet
-            (touched -- alive).foreach(l => fs.delete(
-              new org.apache.hadoop.fs.Path(s"$storeDir/$t/list_id=$l"),
-              true))
-            val rewrite = alive.toSeq.sorted
-              .map(l => s"$storeDir/$t/list_id=$l")
-            if (rewrite.nonEmpty) {
-              val mode = "spark.sql.sources.partitionOverwriteMode"
-              val saved = spark.conf.get(mode, "static")
-              spark.conf.set(mode, "dynamic")
-              try spark.read.option("basePath", s"$storeDir/$t")
-                .parquet(rewrite: _*)
-                .join(broadcast(target), Seq("item_id"), "left_anti")
-                .repartition(rewrite.length, col("list_id"))
-                .write.mode("overwrite").partitionBy("list_id")
-                .parquet(s"$storeDir/$t")
-              finally spark.conf.set(mode, saved)
-            }
-          }
-        }
-      }
+      // candidate lists from the location index: a tombstoned id's
+      // rows can only live in a list the index names for it (entries
+      // land before rows, removals leave them stale-but-present), so
+      // BOTH tables' discovery scans prune to these lists — per-table
+      // discovery stays (the codes table is scanned itself, so a
+      // re-run after a death between the two rewrites still finds the
+      // codes rows the first run never reclaimed)
+      val cands = AnnLocIndex.candidateLists(spark, storeDir, target)
+      rewriteWithoutTarget(spark, storeDir, target, cands)
       // rows physically gone — re-open the ids LAST, so a death
       // anywhere above leaves the tombstones standing (reads correct)
       TombstoneLog.append(spark, target, deletedPath(storeDir),
-        "item_id", "R")
+        "item_id", "R", seq0)
       n
     } finally target.unpersist(blocking = false)
+  }
+
+  /** The shared physical-rewrite core of [[reclaimTombstones]] and the
+    * fused upsert prep: remove exactly `target`'s rows from the
+    * encoded and codes tables, list-partition-pruned to `cands` when
+    * the location index supplied them (None = legacy full scan). Rows
+    * of OTHER tombstoned ids survive (their tombstones stand; the next
+    * full compaction reclaims them); lists whose every row is a target
+    * drop outright. Discovery runs PER TABLE — the one-scan shortcut
+    * of driving both tables off the encoded locations would leave a
+    * re-run blind to codes rows whose encoded twins a crashed first
+    * run already removed. */
+  private def rewriteWithoutTarget(spark: SparkSession, storeDir: String,
+      target: DataFrame, cands: Option[Set[Int]]): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(storeDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq("encoded", "codes").foreach { t =>
+      val dir = new org.apache.hadoop.fs.Path(s"$storeDir/$t")
+      if (fs.exists(dir)) {
+        val tbl0 = spark.read.parquet(dir.toString)
+        val tbl = cands match {
+          case Some(c) => tbl0.filter(col("list_id")
+            .isin(c.toSeq.sorted.map(Integer.valueOf): _*))
+          case None => tbl0
+        }
+        val touched = tbl
+          .join(broadcast(target), Seq("item_id"), "left_semi")
+          .select("list_id").distinct()
+          .collect().map(_.getInt(0)).toSet // bounded by batch size
+        if (touched.nonEmpty) {
+          // lists with at least one surviving row (rows of OTHER
+          // tombstoned ids survive — only the target is reclaimed)
+          val alive = tbl0
+            .filter(col("list_id").isin(touched.toSeq: _*))
+            .join(broadcast(target), Seq("item_id"), "left_anti")
+            .select("list_id").distinct()
+            .collect().map(_.getInt(0)).toSet
+          (touched -- alive).foreach(l => fs.delete(
+            new org.apache.hadoop.fs.Path(s"$storeDir/$t/list_id=$l"),
+            true))
+          val rewrite = alive.toSeq.sorted
+            .map(l => s"$storeDir/$t/list_id=$l")
+          if (rewrite.nonEmpty) {
+            val mode = "spark.sql.sources.partitionOverwriteMode"
+            val saved = spark.conf.get(mode, "static")
+            spark.conf.set(mode, "dynamic")
+            try spark.read.option("basePath", s"$storeDir/$t")
+              .parquet(rewrite: _*)
+              .join(broadcast(target), Seq("item_id"), "left_anti")
+              .repartition(rewrite.length, col("list_id"))
+              .write.mode("overwrite").partitionBy("list_id")
+              .parquet(s"$storeDir/$t")
+            finally spark.conf.set(mode, saved)
+          }
+        }
+      }
+    }
   }
 
   /**
@@ -1311,29 +1405,41 @@ object Similarity {
 
   /** The upsert's delete + reclaim against ONE store dir, fused around
     * a single id-location pass: the semantics of
-    * [[deleteFromIvfStore]] followed by [[reclaimTombstones]], but
-    * where that composition pays ~3 full narrow scans per table
-    * (delete's semi join, reclaim's touched-list and surviving-list
-    * discoveries), this locates each id's (item_id, list_id) ONCE in
-    * the encoded table and drives everything else partition-pruned —
-    * the codes table shares the encoded table's list assignment by
-    * construction, so one location pass serves both. Measured at 1M ×
-    * 4 shards this is the difference between a micro-batch upsert
-    * costing MORE than a rebuild and costing a small fraction of one
-    * (SCALING.md r13). Crash windows are the composition's, unchanged:
-    * D records land first, physical rewrite next, R records last. */
+    * [[deleteFromIvfStore]] followed by [[reclaimTombstones]], with
+    * the location coming from the [[AnnLocIndex]] candidate lookup
+    * when the store carries one — O(batch) bucket reads plus the
+    * touched lists, instead of the narrow O(corpus) encoded scan that
+    * was the measured fixed-cost floor of every CDC micro-batch
+    * (SCALING.md r13). On a COLD shard (no batch id stored, no op log
+    * standing) the prep is a provable no-op after the index lookup
+    * alone — the sharded CDC path's per-shard floor stops growing with
+    * corpus size. Crash windows are the delete+reclaim composition's,
+    * unchanged: D records land first (seq s), physical rewrite next,
+    * R records last (seq s+1) — one log read serves the dead-set and
+    * both seqs. */
   private def upsertPrepOne(spark: SparkSession, ids: DataFrame,
       storeDir: String): Unit = {
     import org.apache.spark.storage.StorageLevel
-    TombstoneLog.maybeFold(spark, deletedPath(storeDir), "item_id")
     val want = ids.select(col(ids.columns.head).as("item_id")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val located = spark.read.parquet(storeDir + "/encoded")
-      .select("item_id", "list_id")
-      .join(broadcast(want), Seq("item_id"), "left_semi")
-      .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val dead0 = readDeleted(spark, storeDir)
+      val cands = AnnLocIndex.candidateLists(spark, storeDir, want)
+      TombstoneLog.maybeFold(spark, deletedPath(storeDir), "item_id")
+      val (ops, seq0) = TombstoneLog.snapshot(spark,
+        deletedPath(storeDir), "item_id")
+      // cold-shard fast path: the index PROVES none of the batch is
+      // stored, and with no op log there is nothing to revive either
+      if (cands.exists(_.isEmpty) && ops.isEmpty) return
+      val dead0 = ops.map(_.filter(col("op") === "D").select("item_id"))
+      val located = {
+        val enc = spark.read.parquet(storeDir + "/encoded")
+          .select("item_id", "list_id")
+        (cands match {
+          case Some(c) => enc.filter(col("list_id")
+            .isin(c.toSeq.sorted.map(Integer.valueOf): _*))
+          case None => enc
+        }).join(broadcast(want), Seq("item_id"), "left_semi")
+      }
       // 1. tombstone the located rows not already dead (the delete).
       //    EAGER localCheckpoint, not persist: the writes below
       //    trigger Spark's refreshByPath on the log and data dirs,
@@ -1348,10 +1454,9 @@ object Similarity {
           .join(d, Seq("item_id"), "left_anti")
         case None => located.select("item_id").distinct()
       }).localCheckpoint(true)
-      val nFresh = fresh.count()
-      if (nFresh > 0)
+      if (fresh.count() > 0)
         TombstoneLog.append(spark, fresh, deletedPath(storeDir),
-          "item_id", "D")
+          "item_id", "D", seq0)
       // 2. the revive set: everything this upsert must re-open —
       //    previously tombstoned ids (rows present or already
       //    reclaimed) plus the rows just tombstoned in step 1
@@ -1360,55 +1465,17 @@ object Similarity {
           .unionByName(fresh)
         case None => fresh
       }).distinct().localCheckpoint(true)
-      try {
-        if (target.isEmpty) return
-        // 3. physical rewrite, pruned to the LOCATED lists — rows of
-        //    other tombstoned ids survive (their tombstones stand)
-        val touched = located.select("list_id").distinct()
-          .collect().map(_.getInt(0)).toSet // bounded by the batch
-        if (touched.nonEmpty) {
-          val fs = new org.apache.hadoop.fs.Path(storeDir)
-            .getFileSystem(spark.sparkContext.hadoopConfiguration)
-          Seq("encoded", "codes").foreach { t =>
-            val dir = new org.apache.hadoop.fs.Path(s"$storeDir/$t")
-            if (fs.exists(dir)) {
-              val alive = spark.read.parquet(dir.toString)
-                .filter(col("list_id").isin(touched.toSeq: _*))
-                .join(broadcast(target), Seq("item_id"), "left_anti")
-                .select("list_id").distinct()
-                .collect().map(_.getInt(0)).toSet
-              (touched -- alive).foreach(l => fs.delete(
-                new org.apache.hadoop.fs.Path(
-                  s"$storeDir/$t/list_id=$l"), true))
-              val rewrite = alive.toSeq.sorted
-                .map(l => s"$storeDir/$t/list_id=$l")
-              if (rewrite.nonEmpty) {
-                val mode = "spark.sql.sources.partitionOverwriteMode"
-                val saved = spark.conf.get(mode, "static")
-                spark.conf.set(mode, "dynamic")
-                try spark.read.option("basePath", s"$storeDir/$t")
-                  .parquet(rewrite: _*)
-                  .join(broadcast(target), Seq("item_id"), "left_anti")
-                  .repartition(rewrite.length, col("list_id"))
-                  .write.mode("overwrite").partitionBy("list_id")
-                  .parquet(s"$storeDir/$t")
-                finally spark.conf.set(mode, saved)
-              }
-            }
-          }
-        }
-        // 4. re-open the ids LAST (a death above leaves tombstones
-        //    standing — reads correct, the re-run completes)
-        TombstoneLog.append(spark, target, deletedPath(storeDir),
-          "item_id", "R")
-      } finally {
-        // localCheckpoint storage is reclaimed with the RDD on GC —
-        // nothing to unpersist here (df.unpersist does not reach it)
-      }
-    } finally {
-      located.unpersist(blocking = false)
-      want.unpersist(blocking = false)
-    }
+      if (target.isEmpty) return
+      // 3. physical rewrite — per-table discovery pruned to the
+      //    candidate lists (see rewriteWithoutTarget: per-table is
+      //    what keeps a re-run after a death between the encoded and
+      //    codes rewrites from leaving stale codes rows behind)
+      rewriteWithoutTarget(spark, storeDir, target, cands)
+      // 4. re-open the ids LAST (a death above leaves tombstones
+      //    standing — reads correct, the re-run completes)
+      TombstoneLog.append(spark, target, deletedPath(storeDir),
+        "item_id", "R", seq0 + 1)
+    } finally want.unpersist(blocking = false)
   }
 
   /**
@@ -1620,6 +1687,12 @@ object Similarity {
     // id's R file and keep its D file, falsely tombstoning a live
     // revived row)
     TombstoneLog.clear(spark, deletedPath(storeDir), "item_id")
+    // refresh the location index from the clean table: sheds the stale
+    // entries reclaims left behind (superset → exact again) and
+    // MIGRATES legacy index-less stores. Staged swap — a death leaves
+    // either the old index (still a valid superset: compaction never
+    // moves a row between lists) or none (scan fallback).
+    AnnLocIndex.rebuild(spark, storeDir)
   }
 
   // ---- Sharded IVF store (past the per-plan nlist cap) ----

@@ -76,11 +76,44 @@ private[graft] object TombstoneLog {
         }
     }
 
+  /** ONE committed read of the log serving a whole mutation:
+    * (resolved per-id latest ops — as [[resolvedOps]] — and the next
+    * free seq). A delete/reclaim/upsert needs both, and each of
+    * [[resolvedOps]] + per-append [[nextSeq]] re-reads every committed
+    * file — on a routed store that multiplies by the shard count per
+    * CDC micro-batch. The log frame is eagerly localCheckpoint'ed (it
+    * is takedown-sized): later appends in the same mutation refresh
+    * Spark's path cache for this dir, and a lazily-derived frame would
+    * silently recompute against the post-append files (the
+    * refreshByPath recache hazard class). */
+  def snapshot(spark: SparkSession, path: String,
+      idCol: String): (Option[DataFrame], Long) =
+    read(spark, path, idCol) match {
+      case None => (None, 0L)
+      case Some(log0) =>
+        val log = log0.localCheckpoint(true)
+        val ops = log.groupBy(idCol)
+          .agg(max(struct(col("seq"), col("op"))).as("last"))
+          .select(col(idCol), col("last.op").as("op"))
+        val mx = log.agg(max(col("seq"))).head()
+        (Some(ops), if (mx.isNullAt(0)) 0L else mx.getLong(0) + 1L)
+    }
+
   /** Append one op record per id in `ids` (a one-column frame named
     * idCol) at the next seq. */
   def append(spark: SparkSession, ids: DataFrame, path: String,
       idCol: String, op: String): Unit =
-    ids.withColumn("seq", lit(nextSeq(spark, path, idCol)))
+    append(spark, ids, path, idCol, op, nextSeq(spark, path, idCol))
+
+  /** [[append]] at an explicit seq — for mutations that already read
+    * the log once via [[snapshot]] and thread the seq through instead
+    * of paying a fresh full-log read per append (an upsert appends
+    * TWICE: D at `seq`, R at `seq + 1`). Single-writer discipline
+    * makes the pre-computed seq safe: nothing else appends between
+    * the snapshot and these writes. */
+  def append(spark: SparkSession, ids: DataFrame, path: String,
+      idCol: String, op: String, seq: Long): Unit =
+    ids.withColumn("seq", lit(seq))
       .withColumn("op", lit(op))
       .coalesce(1).write.mode("append").parquet(path)
 

@@ -319,8 +319,20 @@ object AnnIngestStream {
         col("metadata.`record-type`") ===
           graft.model.DmsEnvelope.RecordTypeData)
       .select(from_json(col("data"), dataSchema).as("d"),
+        col("data"),
         col("metadata.operation").as("operation"), col("event_ts"))
-      .select(col(s"d.$idField").as("vec_id"),
+      // the id guard, symmetric to the op gate below: `from_json`
+      // returns null on a corrupt payload, and a null id would sail
+      // into applyCdcBatch's lanes as a phantom row (only the op
+      // column is validated there) — fail by name instead. Null
+      // EMBEDDING stays legal: delete payloads may carry the id alone.
+      .select(
+        when(col(s"d.$idField").isNull,
+          raise_error(concat(
+            lit(s"cdcEventsFromEnvelopes: data record for table " +
+              s"'$table' parsed to a null $idField — malformed " +
+              "payload: "), col("data"))))
+          .otherwise(col(s"d.$idField")).as("vec_id"),
         col(s"d.$vecField").as("embedding"),
         when(col("operation").isin(graft.model.DmsEnvelope.OpLoad,
             graft.model.DmsEnvelope.OpInsert), lit("I"))

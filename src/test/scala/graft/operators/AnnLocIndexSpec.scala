@@ -1,0 +1,162 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.sources.Tables
+
+/** The id→list location index (round 14): store mutations locate a
+  * CDC batch's rows in O(batch) bucket reads instead of a narrow
+  * O(corpus) encoded scan per shard per micro-batch — the measured
+  * fixed-cost floor of the r13 lifecycle work. The index is an
+  * OPTIMIZATION over a superset invariant (entries land before rows,
+  * removals leave stale entries, lookups re-verify against the
+  * encoded table); these tests pin exactly the windows where that
+  * invariant is the only thing standing between a fast lookup and a
+  * silently-missed row: stale entries after reclaim, orphan entries
+  * from a death between the index and encoded writes, the absent-
+  * index fallback, and the rebuild-into-existing-dir drop. */
+class AnnLocIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val emb = Tables.load(spark, sf0001, "embeddings")
+
+  private def tmpStore(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString + "/store"
+
+  private def locDir(dir: String) = new java.io.File(dir + "/loc")
+
+  private def asSet(df: org.apache.spark.sql.DataFrame) =
+    df.select("query_id", "item_id", "cos", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+
+  test("build creates the index; lookups name the true lists; append maintains it; never-stored ids prove empty") {
+    val dir = tmpStore("annloc")
+    Similarity.buildIvfStore(emb.filter(col("vec_id") < 200), dir,
+      nlist = 8)
+    assert(locDir(dir).exists(), "buildIvfStore must create loc/")
+    // every stored id's true (item_id, list_id) is covered
+    val truth = spark.read.parquet(dir + "/encoded")
+      .select("item_id", "list_id").as[(Long, Int)].collect().toMap
+    val some = Seq(3L, 77L, 150L).toDF("item_id")
+    val cands = AnnLocIndex.candidateLists(spark, dir, some)
+    assert(cands.isDefined)
+    assert(Seq(3L, 77L, 150L).map(truth).toSet.subsetOf(cands.get),
+      "candidate lists must cover the true locations")
+    // ids never stored: the index PROVES absence (the cold-shard path)
+    assert(AnnLocIndex.candidateLists(spark, dir,
+      Seq(9999L, 8888L).toDF("item_id")) === Some(Set.empty[Int]))
+    assert(Similarity.deleteFromIvfStore(spark,
+      Seq(9999L).toDF("vec_id"), dir) === 0L)
+    // appends register their locations (index stays a superset)
+    Similarity.appendToIvfStore(spark,
+      emb.filter(col("vec_id") === 333), dir)
+    val newLoc = spark.read.parquet(dir + "/encoded")
+      .filter(col("item_id") === 333).select("list_id")
+      .as[Int].head()
+    assert(AnnLocIndex.candidateLists(spark, dir,
+      Seq(333L).toDF("item_id")).get.contains(newLoc))
+  }
+
+  test("stale entries after reclaim are absorbed (superset, never wrong); compact sheds them") {
+    val dir = tmpStore("annlocstale")
+    Similarity.buildIvfStore(emb.filter(col("vec_id") < 200), dir,
+      nlist = 8)
+    val oldList = spark.read.parquet(dir + "/encoded")
+      .filter(col("item_id") === 5).select("list_id").as[Int].head()
+    // replace id 5 with a reversed vector: the old row reclaims, the
+    // new one may file elsewhere — the index now holds BOTH entries
+    Similarity.upsertIntoIvfStore(spark,
+      emb.filter(col("vec_id") === 5)
+        .select(col("vec_id"), reverse(col("embedding")).as("embedding")),
+      dir)
+    val cands = AnnLocIndex.candidateLists(spark, dir,
+      Seq(5L).toDF("item_id")).get
+    assert(cands.contains(oldList), "stale entry expected (superset)")
+    // correctness through the staleness: delete locates the LIVE row
+    assert(Similarity.deleteFromIvfStore(spark, Seq(5L).toDF("vec_id"),
+      dir) === 1L)
+    val queries = emb.filter(col("vec_id") < 3)
+    val net = emb.filter(col("vec_id") < 200 && col("vec_id") =!= 5)
+    assert(asSet(Similarity.searchIvfStore(spark, queries, dir, k = 5,
+      nprobe = 8)) === asSet(Similarity.bruteForceTopK(net, queries, 5)))
+    // compaction rebuilds the index from the clean table: exact again
+    Similarity.compactIvfStore(spark, dir)
+    val after = AnnLocIndex.candidateLists(spark, dir,
+      Seq(5L).toDF("item_id")).get
+    assert(after === Set.empty[Int],
+      s"compact must shed the reclaimed id's entries, got $after")
+  }
+
+  test("orphan index entries (death between index and encoded writes) are absorbed; the missing-entry direction cannot occur by ordering") {
+    val dir = tmpStore("annlocorphan")
+    Similarity.buildIvfStore(emb.filter(col("vec_id") < 200), dir,
+      nlist = 8)
+    // simulate the one crash window the protocol permits: the index
+    // append committed, the encoded append did not — an ORPHAN entry
+    AnnLocIndex.append(spark, Seq((555L, 3)).toDF("item_id", "list_id"),
+      dir)
+    // lookups surface the orphan as a candidate…
+    assert(AnnLocIndex.candidateLists(spark, dir,
+      Seq(555L).toDF("item_id")).get.contains(3))
+    // …and every mutation re-verifies against the encoded truth:
+    // delete tombstones nothing, upsert files nothing for the orphan
+    assert(Similarity.deleteFromIvfStore(spark,
+      Seq(555L).toDF("vec_id"), dir) === 0L)
+    assert(Similarity.reclaimTombstones(spark,
+      Seq(555L).toDF("vec_id"), dir) === 0L)
+    // the healed re-run (appendToIvfStore of the same batch) lands the
+    // row; the duplicate index entry is harmless
+    Similarity.appendToIvfStore(spark,
+      emb.filter(col("vec_id") === 555), dir)
+    val queries = emb.filter(col("vec_id") < 3)
+    val net = emb.filter(col("vec_id") < 200 || col("vec_id") === 555)
+    assert(asSet(Similarity.searchIvfStore(spark, queries, dir, k = 5,
+      nprobe = 8)) === asSet(Similarity.bruteForceTopK(net, queries, 5)))
+  }
+
+  test("absent index = full-scan fallback (legacy store); compactIvfStore migrates it") {
+    val dir = tmpStore("annloclegacy")
+    Similarity.buildIvfStore(emb.filter(col("vec_id") < 200), dir,
+      nlist = 8)
+    // a legacy (pre-index) store: drop loc/ outright
+    AnnLocIndex.drop(spark, dir)
+    assert(!locDir(dir).exists())
+    assert(AnnLocIndex.candidateLists(spark, dir,
+      Seq(5L).toDF("item_id")).isEmpty, "absent index must read None")
+    // the whole mutation family still works off the fallback scan
+    Similarity.deleteFromIvfStore(spark, Seq(7L).toDF("vec_id"), dir)
+    Similarity.upsertIntoIvfStore(spark,
+      emb.filter(col("vec_id") === 9)
+        .select(col("vec_id"), reverse(col("embedding")).as("embedding")),
+      dir)
+    val queries = emb.filter(col("vec_id") < 3)
+    val net = emb.filter(col("vec_id") < 200 && col("vec_id") =!= 7)
+      .withColumn("embedding", when(col("vec_id") === 9,
+        reverse(col("embedding"))).otherwise(col("embedding")))
+    assert(asSet(Similarity.searchIvfStore(spark, queries, dir, k = 5,
+      nprobe = 8)) === asSet(Similarity.bruteForceTopK(net, queries, 5)))
+    // compaction migrates: the index exists again and is exact
+    Similarity.compactIvfStore(spark, dir)
+    assert(locDir(dir).exists(), "compact must rebuild loc/")
+    val loc9 = spark.read.parquet(dir + "/encoded")
+      .filter(col("item_id") === 9).select("list_id").as[Int].head()
+    assert(AnnLocIndex.candidateLists(spark, dir,
+      Seq(9L).toDF("item_id")).get === Set(loc9))
+  }
+
+  test("rebuild into an existing dir replaces the index — entries describe the NEW corpus only") {
+    val dir = tmpStore("annlocrebuild")
+    Similarity.buildIvfStore(emb.filter(col("vec_id") < 100), dir,
+      nlist = 4)
+    // second build, different corpus slice and quantizer size
+    Similarity.buildIvfStore(emb.filter(col("vec_id").between(100, 299)),
+      dir, nlist = 8)
+    // an old-corpus id proves absent; a new-corpus id locates exactly
+    assert(AnnLocIndex.candidateLists(spark, dir,
+      Seq(5L).toDF("item_id")).get === Set.empty[Int])
+    val loc150 = spark.read.parquet(dir + "/encoded")
+      .filter(col("item_id") === 150).select("list_id").as[Int].head()
+    assert(AnnLocIndex.candidateLists(spark, dir,
+      Seq(150L).toDF("item_id")).get === Set(loc150))
+  }
+}

@@ -133,4 +133,148 @@ class SigUpsertSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("draw"))
   }
+
+  test("bucketed store: upsert swaps history, targeted reclaim keeps other tombstones, admission plan stays batch-only-exchange") {
+    val table = "sigups_bucketed"
+    Seq(s"${table}_sigs", s"${table}_bands", s"${table}_deleted")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    Dedup.buildSignatureStoreBucketed(docs, "doc_id", "text", table,
+      buckets = 4, numHashes = 64, bands = 16, shingleN = 5)
+    try {
+      def bpairs(b: org.apache.spark.sql.DataFrame) =
+        Dedup.minhashLshIncrementalBucketed(spark, b, "doc_id", "text",
+            table, numHashes = 64, bands = 16, shingleN = 5,
+            threshold = 0.5)
+          .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val probe = Seq(
+        (10L, "the quick brown fox jumps over the lazy cat and runs far away home"),
+        (11L, "galaxies collide slowly over billions of patient dark years out there")
+      ).toDF("doc_id", "text")
+      val before = bpairs(probe)
+      assert(before.contains((0L, 10L)) && !before.exists(_._1 == 1L))
+      // a separate standing takedown that must SURVIVE the upsert —
+      // the targeted-reclaim discriminator
+      Dedup.deleteSignaturesBucketed(spark, Seq(2L).toDF("doc_id"), table)
+      val mutated = Seq(
+        (0L, "entirely new content that no longer resembles the fox sentence at all"),
+        (1L, "galaxies collide slowly over billions of patient dark years out here")
+      ).toDF("doc_id", "text")
+      Dedup.upsertSignaturesBucketed(spark, mutated, "doc_id", "text",
+        table, buckets = 4, numHashes = 64, bands = 16, shingleN = 5)
+      // exactly one physical sig row per upserted id — the
+      // replacement superseded, not doubled
+      assert(spark.table(s"${table}_sigs").filter(col("id") === 0)
+        .count() === 1)
+      assert(spark.table(s"${table}_sigs").filter(col("id") === 1)
+        .count() === 1)
+      // old content stopped matching, new content matches as history,
+      // and 2's takedown still stands
+      val after = bpairs(probe)
+      assert(!after.exists(p => p._1 == 0L || p._2 == 0L))
+      assert(after.contains((1L, 11L)))
+      assert(spark.table(s"${table}_sigs").filter(col("id") === 2)
+        .count() === 1, "2's physical row must survive the reclaim")
+      val probe2 = Seq(
+        (12L, "another fully distinct document mentioning parquet bucketing layout")
+      ).toDF("doc_id", "text")
+      assert(!bpairs(probe2).exists(_._1 == 2L),
+        "2's takedown must keep standing through the upsert")
+      // NET-HISTORY equivalence: a from-scratch store over the net
+      // corpus (docs 0,1 replaced; 2 taken down) admits identically
+      val net = Seq(
+        (0L, "entirely new content that no longer resembles the fox sentence at all"),
+        (1L, "galaxies collide slowly over billions of patient dark years out here"),
+        (3L, "yet another independent sentence about stream checkpoints and state")
+      ).toDF("doc_id", "text")
+      val dir = tmpDir("signet")
+      Dedup.buildSignatureStore(net, "doc_id", "text", dir,
+        numHashes = 64, shingleN = 5)
+      val fromScratch = Dedup.minhashLshIncremental(spark, probe,
+          "doc_id", "text", dir, numHashes = 64, bands = 16,
+          shingleN = 5, threshold = 0.5)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(after === fromScratch,
+        "upserted bucketed store must admit exactly like a from-scratch net-history store")
+      // the admission plan kept the bucketed layout: both store scans
+      // bucketed, strictly fewer exchanges than the plain-store plan
+      val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold",
+        "10485760")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val inc = Dedup.minhashLshIncrementalBucketed(spark, probe,
+          "doc_id", "text", table, numHashes = 64, bands = 16,
+          shingleN = 5, threshold = 0.5)
+        val p = inc.queryExecution.executedPlan.toString
+        assert("Bucketed: true".r.findAllIn(p).size >= 2,
+          s"store scans must reuse the bucket layout after upsert:\n$p")
+        val plain = Dedup.minhashLshIncremental(spark, probe, "doc_id",
+          "text", dir, numHashes = 64, bands = 16, shingleN = 5,
+          threshold = 0.5)
+        val ex = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+        val exPlain = plain.queryExecution.executedPlan.toString
+          .linesIterator.count(_.contains("Exchange hashpartitioning"))
+        assert(ex < exPlain, s"bucketed=$ex plain=$exPlain")
+      } finally
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      // replayed upsert converges; full compaction then reclaims 2
+      Dedup.upsertSignaturesBucketed(spark, mutated, "doc_id", "text",
+        table, buckets = 4, numHashes = 64, bands = 16, shingleN = 5)
+      assert(bpairs(probe) === after)
+      Dedup.compactSignatureStore(spark, table)
+      assert(spark.table(s"${table}_sigs").filter(col("id") === 2)
+        .count() === 0)
+      // post-compaction: 2 re-admits via the ordinary append
+      Dedup.appendSignaturesBucketed(spark,
+        docs.filter(col("doc_id") === 2), "doc_id", "text", table,
+        buckets = 4, numHashes = 64, bands = 16, shingleN = 5)
+      assert(spark.table(s"${table}_sigs").filter(col("id") === 2)
+        .count() === 1)
+    } finally Seq(s"${table}_sigs", s"${table}_bands", s"${table}_deleted")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  test("bucketed store: legacy D-only tombstone table reads as baseline and is superseded by the op log's revive") {
+    val table = "siglegacy_bucketed"
+    Seq(s"${table}_sigs", s"${table}_bands", s"${table}_deleted")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    Dedup.buildSignatureStoreBucketed(docs, "doc_id", "text", table,
+      buckets = 4, numHashes = 64, bands = 16, shingleN = 5)
+    try {
+      // a pre-r14 store: hand-write the legacy one-column table
+      Seq(0L, 2L).toDF("id").write.format("parquet")
+        .saveAsTable(s"${table}_deleted")
+      val probe = Seq(
+        (10L, "the quick brown fox jumps over the lazy cat and runs far away home")
+      ).toDF("doc_id", "text")
+      def bpairs() =
+        Dedup.minhashLshIncrementalBucketed(spark, probe, "doc_id",
+            "text", table, numHashes = 64, bands = 16, shingleN = 5,
+            threshold = 0.5)
+          .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(!bpairs().exists(_._1 == 0L),
+        "legacy tombstone must exclude doc 0")
+      // upsert doc 0 through the op log: the R supersedes the legacy D
+      val mutated = Seq(
+        (0L, "the quick brown fox jumps over the lazy dog and runs far away home")
+      ).toDF("doc_id", "text")
+      Dedup.upsertSignaturesBucketed(spark, mutated, "doc_id", "text",
+        table, buckets = 4, numHashes = 64, bands = 16, shingleN = 5)
+      assert(bpairs().contains((0L, 10L)),
+        "the op-log revive must supersede the legacy D")
+      // doc 2's legacy takedown still stands
+      val probe2 = Seq(
+        (12L, "another fully distinct document mentioning parquet bucketing layout")
+      ).toDF("doc_id", "text")
+      assert(!Dedup.minhashLshIncrementalBucketed(spark, probe2,
+          "doc_id", "text", table, numHashes = 64, bands = 16,
+          shingleN = 5, threshold = 0.5)
+        .select("id_a").as[Long].collect().toSet.contains(2L))
+      // full compaction drops BOTH records
+      Dedup.compactSignatureStore(spark, table)
+      assert(!spark.catalog.tableExists(s"${table}_deleted"))
+      assert(spark.table(s"${table}_sigs").filter(col("id") === 2)
+        .count() === 0)
+    } finally Seq(s"${table}_sigs", s"${table}_bands", s"${table}_deleted")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
 }
