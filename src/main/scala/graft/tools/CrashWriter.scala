@@ -34,6 +34,13 @@ import graft.operators.ManifestCommit
   *                       — routed-ANN-store splitHotShard death
   *                         windows; see the case comments and
   *                         SplitCrashSpec
+  *   mode = merge-seed / merge-die-staging / merge-die-postinvalidate /
+  *          merge-die-midrefile / merge-die-postrename /
+  *          merge-die-prerestore
+  *                       — mergeColdShards death windows, including
+  *                         the rename window where shard=hi holds the
+  *                         moved shard's ONLY copy; see
+  *                         RoutedMergeCrashSpec
   *   mode = occ-loop     — NOT a crash mode: a real concurrent-writer
   *                         process for the optimistic-concurrency spec.
   *                         args(2) = this writer's partition value,
@@ -181,6 +188,87 @@ object CrashWriter {
         Seq("sharding", "super_centroids", "routing", "routing_curve")
           .foreach(f => fs.delete(new Path(s"$dir/$f"), true))
         fs.delete(new Path(s"$dir/shard=$hot"), true)
+        Runtime.getRuntime.halt(137)
+      // ---- mergeColdShards death windows (RoutedMergeCrashSpec) --------
+      // The split modes' discipline applied to the merge, including the
+      // merge-specific POST-RENAME window: after shard=(sh-1) renames
+      // into shard=hi's slot, shard=hi holds the moved shard's ONLY
+      // copy — a resume that re-deleted it would be permanent loss
+      // (the `last_built` marker is what prevents exactly that).
+      case "merge-seed" =>
+        graft.operators.Similarity.buildRoutedIvfStore(
+          splitFixture(spark), dir, shards = 3, nlist = 2, dim = 8,
+          superIters = 3)
+        spark.stop()
+      case "merge-die-staging" =>
+        // die AFTER the items staging, BEFORE the meta marker: point of
+        // no return never crossed — store untouched, staging is debris
+        graft.operators.Similarity.stageMerge(spark, dir, 0, 1)
+        fs.delete(new Path(dir + "/_merge_staging/meta"), true)
+        Runtime.getRuntime.halt(137)
+      case "merge-die-postinvalidate" =>
+        // die between the record invalidation and the first dir delete
+        graft.operators.Similarity.stageMerge(spark, dir, 0, 1)
+        Seq("sharding", "super_centroids", "routing", "routing_curve")
+          .foreach(f => fs.delete(new Path(s"$dir/$f"), true))
+        Runtime.getRuntime.halt(137)
+      case "merge-die-midrefile" =>
+        // die after shard=lo's delete: the staging holds the only copy
+        // of lo's live vectors
+        graft.operators.Similarity.stageMerge(spark, dir, 0, 1)
+        val lo = spark.read.parquet(dir + "/_merge_staging/meta")
+          .collect().head.getAs[Int]("lo")
+        Seq("sharding", "super_centroids", "routing", "routing_curve")
+          .foreach(f => fs.delete(new Path(s"$dir/$f"), true))
+        fs.delete(new Path(s"$dir/shard=$lo"), true)
+        Runtime.getRuntime.halt(137)
+      case "merge-die-postrename" =>
+        // THE merge-specific window: both merged dirs deleted AND the
+        // last shard already renamed into the freed slot — shard=hi now
+        // holds the moved shard's ONLY copy (the staging has lo+hi
+        // items, not the last shard's); resume must NOT delete it again
+        graft.operators.Similarity.stageMerge(spark, dir, 0, 1)
+        val meta = spark.read.parquet(dir + "/_merge_staging/meta")
+          .collect().head
+        val (lo2, hi2, sh2) = (meta.getAs[Int]("lo"),
+          meta.getAs[Int]("hi"), meta.getAs[Int]("shards"))
+        require(meta.getAs[Boolean]("last_built"),
+          "fixture must leave the last shard built for the rename window")
+        Seq("sharding", "super_centroids", "routing", "routing_curve")
+          .foreach(f => fs.delete(new Path(s"$dir/$f"), true))
+        fs.delete(new Path(s"$dir/shard=$lo2"), true)
+        fs.delete(new Path(s"$dir/shard=$hi2"), true)
+        require(fs.rename(new Path(s"$dir/shard=${sh2 - 1}"),
+          new Path(s"$dir/shard=$hi2")))
+        Runtime.getRuntime.halt(137)
+      case "merge-die-prerestore" =>
+        // die after every slice is re-filed, BEFORE the records restore
+        val mStaging = dir + "/_merge_staging"
+        graft.operators.Similarity.stageMerge(spark, dir, 0, 1)
+        val meta = spark.read.parquet(mStaging + "/meta").collect().head
+        val (lo3, hi3, sh3) = (meta.getAs[Int]("lo"),
+          meta.getAs[Int]("hi"), meta.getAs[Int]("shards"))
+        Seq("sharding", "super_centroids", "routing", "routing_curve")
+          .foreach(f => fs.delete(new Path(s"$dir/$f"), true))
+        fs.delete(new Path(s"$dir/shard=$lo3"), true)
+        if (meta.getAs[Boolean]("last_built")) {
+          fs.delete(new Path(s"$dir/shard=$hi3"), true)
+          require(fs.rename(new Path(s"$dir/shard=${sh3 - 1}"),
+            new Path(s"$dir/shard=$hi3")))
+        } else fs.delete(new Path(s"$dir/shard=$hi3"), true)
+        (0 until sh3 - 1).foreach { j =>
+          val sp = new Path(s"$mStaging/items/shard=$j")
+          if (fs.exists(sp)) {
+            val slice = spark.read.parquet(sp.toString)
+            val sd = s"$dir/shard=$j"
+            if (fs.exists(new Path(sd + "/centroids")))
+              graft.operators.Similarity.appendToIvfStore(spark, slice, sd)
+            else graft.operators.Similarity.buildIvfStore(slice, sd,
+              meta.getAs[Int]("nlist"), meta.getAs[Int]("iters"),
+              meta.getAs[Int]("m"), meta.getAs[Int]("ksub"),
+              meta.getAs[Int]("dim"))
+          }
+        }
         Runtime.getRuntime.halt(137)
       case "split-die-prerestore" =>
         // die after every slice is re-filed but BEFORE the records are
