@@ -759,6 +759,62 @@ object Dedup {
       buckets, numHashes, bands, shingleN)
   }
 
+  /**
+   * Apply one CDC micro-batch — (id, text, op, seq) rows, op ∈
+   * {I, U, D} — to a DIRECTORY signature store: the dedup-side twin of
+   * `Similarity.applyCdcBatch`, closing the loop from the reference's
+   * envelope stream to a maintained dedup history. The batch resolves
+   * to ONE terminal op per id (latest seq wins; same-seq ties D > U >
+   * I — conservative takedown-wins), then deletes tombstone
+   * ([[deleteSignatures]] — a re-delivered D files nothing), updates
+   * REPLACE ([[upsertSignatures]] — revives by design, the mutable-id
+   * remedy), inserts append ([[appendSignatures]] — tombstoned ids
+   * drop, takedown wins over a late re-delivered I). Replaying the
+   * whole batch converges: signatures are pure functions of the text.
+   * `numHashes`/`shingleN`/`portable` must match the store build.
+   * Returns (inserted, updated, deleted) ids DISPATCHED per lane.
+   */
+  def applySigCdcBatch(spark: SparkSession, batch: DataFrame,
+      storeDir: String, idCol: String = "doc_id",
+      textCol: String = "text", opCol: String = "op",
+      seqCol: String = "seq", numHashes: Int = 64, shingleN: Int = 5,
+      portable: Boolean = false): (Long, Long, Long) = {
+    import org.apache.spark.storage.StorageLevel
+    val rank = when(col("op") === "D", 2)
+      .when(col("op") === "U", 1)
+      .when(col("op") === "I", 0)
+    val last = batch
+      .select(col(idCol).as("doc_id"), col(textCol).as("text"),
+        col(opCol).as("op"), col(seqCol).cast("long").as("seq"))
+      .withColumn("_r", rank)
+      .groupBy("doc_id")
+      .agg(max(struct(col("seq"), col("_r"), col("op"), col("text")))
+        .as("last"))
+      .select(col("doc_id"), col("last.text").as("text"),
+        col("last.op").as("op"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val badOps = last.filter(col("op").isNull ||
+        !col("op").isin("I", "U", "D"))
+      require(badOps.isEmpty, "applySigCdcBatch: ops must be I, U or " +
+        s"D — got ${badOps.select("op").distinct().collect().mkString(", ")}")
+      val counts = last.groupBy("op").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      def lane(op: String): DataFrame =
+        last.filter(col("op") === op).select("doc_id", "text")
+      if (counts.getOrElse("D", 0L) > 0)
+        deleteSignatures(spark, lane("D").select("doc_id"), storeDir)
+      if (counts.getOrElse("U", 0L) > 0)
+        upsertSignatures(spark, lane("U"), "doc_id", "text", storeDir,
+          numHashes, shingleN, portable)
+      if (counts.getOrElse("I", 0L) > 0)
+        appendSignatures(spark, lane("I"), "doc_id", "text", storeDir,
+          numHashes, shingleN, portable)
+      (counts.getOrElse("I", 0L), counts.getOrElse("U", 0L),
+        counts.getOrElse("D", 0L))
+    } finally last.unpersist(blocking = false)
+  }
+
   /** AUDIT a bucketed signature store's EFFECTIVE state against the
     * corpus it should equal — the net-history check the upsert
     * lifecycle is accountable to (the q141 gate): signatures are pure

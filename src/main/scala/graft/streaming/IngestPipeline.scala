@@ -30,7 +30,13 @@ import graft.operators.{Constraints, Merge, Rollup, StreamSplitter}
  *     image/image3.png, as STANDING STATE): per-(table, operation) row
  *     counts fold through [[RollupStream.foldBatch]]'s checkpoint-
  *     identity commit tags — exact under re-delivery, readable any
- *     time via [[opCounts]].
+ *     time via [[opCounts]];
+ *  5. optional STORE-MAINTENANCE lanes (r14): the same clean envelopes
+ *     keep a searchable ANN store and a dedup signature history
+ *     current — I/U/D dispatch through `applyCdcBatch` /
+ *     `applySigCdcBatch`, takedowns and replacements included — so
+ *     the reference's S2→S6 chain maintains the training-data stores
+ *     in the SAME single pass per micro-batch.
  *
  * Per-batch cost ∝ batch everywhere: the landing/quarantine writes and
  * rollup fold are batch-sized; the merge reads only the touched
@@ -56,6 +62,29 @@ object IngestPipeline {
   final case class TableSink(schemaName: String, tableName: String,
       dataSchema: StructType, key: String)
 
+  /** A SEARCHABLE vector store maintained from the stream's own CDC
+    * envelopes, inside the same per-micro-batch pass as the snapshots
+    * and counters: this table's I/U/D events dispatch through
+    * [[graft.operators.Similarity.applyCdcBatch]] against the store at
+    * `storeDir` (any layout — single dir, hash-sharded, routed),
+    * takedowns and replacements included. `compactEvery` is the
+    * in-stream maintenance cadence ([[AnnIngestStream.ingestCdc]]'s). */
+  final case class VectorStoreLane(storeDir: String,
+      table: String = "embeddings", idField: String = "vec_id",
+      vecField: String = "embedding", compactEvery: Int = 0)
+
+  /** A dedup HISTORY (directory signature store) maintained the same
+    * way: this table's I/U/D events dispatch through
+    * [[graft.operators.Dedup.applySigCdcBatch]] — inserts admit,
+    * updates replace the content whose signature is the store row
+    * (the mutable-id remedy), deletes tombstone. The hash config must
+    * match the store build. */
+  final case class SignatureStoreLane(storeDir: String,
+      table: String = "documents", idField: String = "doc_id",
+      textField: String = "text", numHashes: Int = 64,
+      shingleN: Int = 5, portable: Boolean = false,
+      compactEvery: Int = 0)
+
   final case class Config(
       landingDir: String,
       quarantineDir: String,
@@ -71,7 +100,17 @@ object IngestPipeline {
         * linearly in table count for no reason. The bounded pool (the
         * [[graft.operators.Merge.mergePartitioned]] write-pool pattern)
         * overlaps them; 1 restores the serial behavior. */
-      mergeParallelism: Int = 4)
+      mergeParallelism: Int = 4,
+      /** Store-maintenance lanes (r14): vector/signature stores kept
+        * current by the SAME stream that lands, quarantines, merges
+        * and counts — the reference's S2→S6 chain maintaining ANN +
+        * dedup state in one pass. The lanes run SERIALLY after the
+        * snapshot merges (each store family is single-writer by
+        * contract; the merges' thread pool must not overlap a store
+        * mutation with itself on retry). Clean envelopes only: a
+        * quarantined row never reaches a store. */
+      vectorStores: Seq[VectorStoreLane] = Nil,
+      signatureStores: Seq[SignatureStoreLane] = Nil)
 
   /** Per-batch instrumentation; the stage millis decompose `millis`
     * into the three sinks (landing+quarantine writes, the per-table
@@ -79,7 +118,8 @@ object IngestPipeline {
     * latency profile reads (tools/PipelineDemo prints their p50s). */
   final case class BatchMetric(batchId: Long, input: Long, clean: Long,
       quarantined: Long, millis: Long,
-      landMillis: Long = 0, mergeMillis: Long = 0, rollupMillis: Long = 0)
+      landMillis: Long = 0, mergeMillis: Long = 0, rollupMillis: Long = 0,
+      storeMillis: Long = 0)
 
   /** Standing per-(table, operation) counts: keys + `n` (long). */
   private[graft] val opsSpec =
@@ -183,6 +223,26 @@ object IngestPipeline {
           RollupStream.foldBatch(spark, ops, batchId, cfg.opsRollupDir,
             opsSpec, token)
           val tRoll = (System.nanoTime() - tRoll0) / 1000000
+          // 5. store-maintenance lanes (r14): the same clean envelopes
+          // keep the ANN and dedup stores current — serial, each store
+          // family is single-writer; replay-safe by each core's own
+          // protocol (see applyCdcBatch / applySigCdcBatch), so the
+          // idempotentBatch residual window re-applies harmlessly
+          val tStore0 = System.nanoTime()
+          cfg.vectorStores.foreach { v =>
+            AnnIngestStream.ingestCdcBatch(spark,
+              AnnIngestStream.cdcEventsFromEnvelopes(clean, v.table,
+                v.idField, v.vecField),
+              batchId, v.storeDir, v.compactEvery)
+          }
+          cfg.signatureStores.foreach { sg =>
+            NearDupStream.ingestCdcBatch(spark,
+              NearDupStream.cdcEventsFromEnvelopes(clean, sg.table,
+                sg.idField, sg.textField),
+              batchId, sg.storeDir, sg.numHashes, sg.shingleN,
+              sg.portable, sg.compactEvery)
+          }
+          val tStore = (System.nanoTime() - tStore0) / 1000000
           // one aggregate job for all three counters (input derives)
           val m = flagged.agg(
             count(lit(1)).as("n"),
@@ -194,7 +254,7 @@ object IngestPipeline {
             quarantined = m.getLong(1),
             millis = (System.nanoTime() - t0) / 1000000,
             landMillis = tLand, mergeMillis = tMerge,
-            rollupMillis = tRoll))
+            rollupMillis = tRoll, storeMillis = tStore))
         } finally { flagged.unpersist(); () }
       })
       .start()

@@ -177,4 +177,92 @@ object NearDupStream {
       } finally pairs.unpersist()
     } finally b.unpersist()
   }
+
+  /**
+   * Bridge from the reference pipeline's CDC envelope stream to
+   * [[graft.operators.Dedup.applySigCdcBatch]]'s event rows — the
+   * dedup-side twin of [[AnnIngestStream.cdcEventsFromEnvelopes]]:
+   * keeps this `table`'s DATA records, parses the payload to
+   * (doc_id, text), maps `load`/`insert` → I, `update` → U, `delete`
+   * → D (anything else passes through verbatim so the op gate rejects
+   * it LOUDLY by name), takes the envelope's microsecond timestamp as
+   * `seq`. A corrupt payload whose id parses null fails by name (the
+   * same guard as the ANN bridge); null TEXT stays legal — delete
+   * payloads may carry the id alone.
+   */
+  def cdcEventsFromEnvelopes(envelopes: DataFrame,
+      table: String = "documents", idField: String = "doc_id",
+      textField: String = "text"): DataFrame = {
+    import org.apache.spark.sql.types._
+    val dataSchema = StructType(Seq(
+      StructField(idField, LongType),
+      StructField(textField, StringType)))
+    envelopes
+      .filter(col("metadata.`table-name`") === table &&
+        col("metadata.`record-type`") ===
+          graft.model.DmsEnvelope.RecordTypeData)
+      .select(from_json(col("data"), dataSchema).as("d"),
+        col("data"),
+        col("metadata.operation").as("operation"), col("event_ts"))
+      .select(
+        when(col(s"d.$idField").isNull,
+          raise_error(concat(
+            lit(s"NearDupStream.cdcEventsFromEnvelopes: data record " +
+              s"for table '$table' parsed to a null $idField — " +
+              "malformed payload: "), col("data"))))
+          .otherwise(col(s"d.$idField")).as("doc_id"),
+        col(s"d.$textField").as("text"),
+        when(col("operation").isin(graft.model.DmsEnvelope.OpLoad,
+            graft.model.DmsEnvelope.OpInsert), lit("I"))
+          .when(col("operation") === graft.model.DmsEnvelope.OpUpdate,
+            lit("U"))
+          .when(col("operation") === graft.model.DmsEnvelope.OpDelete,
+            lit("D"))
+          .otherwise(col("operation")).as("op"),
+        unix_micros(col("event_ts")).as("seq"))
+  }
+
+  /**
+   * CDC-op-aware signature-store maintenance — the dedup twin of
+   * [[AnnIngestStream.ingestCdc]]: `events` carries (doc_id, text,
+   * op, seq) rows and each micro-batch applies
+   * [[graft.operators.Dedup.applySigCdcBatch]] against a DIRECTORY
+   * store — inserts admit as history (takedown wins over a late
+   * re-delivered I), updates REPLACE the content whose signature IS
+   * the store row (the mutable-id remedy, revives by design), deletes
+   * tombstone. `compactEvery` bounds both file fragmentation and the
+   * op log's churn growth ([[graft.operators.Dedup
+   * .compactSignatureStoreDir]] — which r14 also rewrites on
+   * file-count fragmentation alone). Replay-safe: signatures are pure
+   * functions of the text. `onBatch` surfaces the per-batch
+   * (inserted, updated, deleted) dispatch counts.
+   */
+  def ingestCdc(events: DataFrame, storeDir: String, checkpoint: String,
+      numHashes: Int = 64, shingleN: Int = 5, portable: Boolean = false,
+      compactEvery: Int = 0,
+      onBatch: (Long, (Long, Long, Long)) => Unit = (_, _) => (),
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val spark = events.sparkSession
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestCdcBatch(spark, batch, batchId, storeDir, numHashes,
+          shingleN, portable, compactEvery, onBatch)
+      }
+      .start()
+  }
+
+  private[streaming] def ingestCdcBatch(spark: SparkSession,
+      batch: DataFrame, batchId: Long, storeDir: String,
+      numHashes: Int = 64, shingleN: Int = 5, portable: Boolean = false,
+      compactEvery: Int = 0,
+      onBatch: (Long, (Long, Long, Long)) => Unit = (_, _) => ()): Unit = {
+    if (batch.isEmpty) return
+    onBatch(batchId, Dedup.applySigCdcBatch(spark, batch, storeDir,
+      numHashes = numHashes, shingleN = shingleN, portable = portable))
+    if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+      Dedup.compactSignatureStoreDir(spark, storeDir)
+  }
 }

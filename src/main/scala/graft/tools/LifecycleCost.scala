@@ -47,15 +47,21 @@ object LifecycleCost {
     }
 
     args.foreach { spec =>
-      val (label, corpus, dim) =
+      // synth:N:C[:S] — S = shard count (default 4), the r14 sweep
+      // axis: the cold-shard fast path should hold the per-batch
+      // FLOOR sub-linear in S (a shard holding none of the batch
+      // answers from its location-index bucket files alone)
+      val (label, corpus, dim, shards) =
         if (spec.startsWith("synth:")) {
-          val Array(_, n, c) = spec.split(":")
-          (spec, synth(n.toInt, c.toInt), 32)
-        } else (spec, graft.sources.Tables.load(spark, spec, "embeddings"), 64)
+          val parts = spec.split(":")
+          (spec, synth(parts(1).toInt, parts(2).toInt), 32,
+            if (parts.length > 3) parts(3).toInt else 4)
+        } else
+          (spec, graft.sources.Tables.load(spark, spec, "embeddings"),
+            64, 4)
       val cached = corpus.persist(
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val n = cached.count()
-      val shards = 4
       val store = java.nio.file.Files.createTempDirectory("lifecost")
         .toString + "/store"
       val S = graft.operators.Similarity
@@ -78,6 +84,14 @@ object LifecycleCost {
         shards = shards, nlist = 0, iters = 0, dim = dim, superIters = 3))
       exhaustive(shards) // untimed warm-up: codegen + file listing
       val (_, searchBase) = exhaustive(shards)
+      // the pure per-batch FLOOR (r14): a delete of 100 never-stored
+      // ids does zero useful work — every shard must prove absence;
+      // with the location index that proof is a bucket-file read per
+      // shard, without it a narrow corpus scan per shard. The number
+      // to watch across the :S sweep.
+      val novel = (0 until 100).map(i => n + i).toDF("vec_id")
+      val (_, floorSec) = time(
+        S.deleteFromShardedIvfStore(spark, novel, store))
       // UPSERT cost ∝ the lists the batch touches — measured along a
       // batch-size curve: ~0.01% (tiny), ~0.1% (the CDC micro-batch
       // case the feature exists for), ~5% (bulk — the rebuild
@@ -139,8 +153,10 @@ object LifecycleCost {
       val (mergedRows, _) = exhaustive(newSh)
       val mergeEquiv = mergedRows == bruteRemaining
       cached.unpersist(blocking = false)
-      println(s"""{"corpus":"$label","n":$n,"n_deleted":$nDel,""" +
+      println(s"""{"corpus":"$label","n":$n,"shards":$shards,""" +
+        s""""n_deleted":$nDel,""" +
         f""""build_sec":$buildSec%.2f,"search_base_sec":$searchBase%.2f,""" +
+        f""""floor_noop_sec":$floorSec%.2f,""" +
         f""""upsert_tiny_sec":$upsertTinySec%.2f,""" +
         f""""upsert_small_sec":$upsertSmallSec%.2f,""" +
         f""""upsert_sec":$upsertSec%.2f,"search_ups_sec":$searchUps%.2f,""" +

@@ -19,11 +19,20 @@ import graft.streaming.IngestPipeline
  *
  * Usage: runMain graft.tools.PipelineDemo
  *          [nRecords] [maxPerTrigger] [nTables] [mergeParallelism]
+ *          [withStores]
  *
  * `nTables` CDC sink tables (named after the reference's dms_sample
  * schema — 16 = the full reference layout, image/image3.png) share the
  * backlog; `mergeParallelism` sets the per-batch merge fan-out (1 =
  * the serial loop, for before/after latency comparison).
+ * `withStores` = 1 (r14) turns the STORE-MAINTENANCE lanes on: ~20% of
+ * the backlog becomes embeddings/documents CDC events (I/U/D), the
+ * pipeline maintains a pre-built ANN store and dedup signature history
+ * in the same per-batch pass, the store stage is timed
+ * (`stage_p50_ms.store`) and the net state is verified (`stores_ok`:
+ * ANN search ≡ brute force over the independently-folded net corpus;
+ * signature content ≡ the net documents via the mutated-redeliveries
+ * audit + a deleted doc stays excluded).
  *
  * Prints one JSON line:
  * `{"records":N,"tables":T,"merge_parallelism":M,"batches":B,
@@ -48,6 +57,7 @@ object PipelineDemo {
     val perTrigger = args.lift(1).map(_.toInt).getOrElse(2000)
     val nTables = args.lift(2).map(_.toInt).getOrElse(1)
     val mergePar = args.lift(3).map(_.toInt).getOrElse(4)
+    val withStores = args.lift(4).map(_.toInt).getOrElse(0) == 1
     require(nTables >= 1 && nTables <= refTables.size,
       s"nTables in 1..${refTables.size}")
     val sinkTables = refTables.take(nTables)
@@ -58,6 +68,8 @@ object PipelineDemo {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
 
     // --- backlog: person (keyed CDC with updates+deletes), seat
     // (insert-only), controls, and contract violations (~2%: negative
@@ -70,9 +82,50 @@ object PipelineDemo {
     val base = java.time.Instant.parse("2019-11-13T10:00:00Z")
     def ts(i: Int): String = base.plusSeconds(i.toLong).toString
       .replace("Z", ".000000Z")
+    // store-lane corpus + deterministic event classes (withStores):
+    // updates hit base ids ≡1 (mod 3), deletes ≡2 (mod 3), inserts mint
+    // fresh ids (1M + i) — disjoint classes keep the independent net
+    // fold simple (latest update per id wins; deletes stay down;
+    // inserts are unique) while still exercising all three CDC lanes.
+    def vecOf(seed: Int): Seq[Float] =
+      (0 until 8).map(d => ((seed * 7 + d * 3) % 16 + 1) / 16.0f)
+    def textOf(seed: Int): String =
+      s"pipeline demo document number $seed covering topic ${seed % 7} " +
+        s"with marker ${"m" * (seed % 9 + 3)} and some trailing words"
+    val nBaseVec = 500
+    val nBaseDoc = 100
+    def emb(i: Int): (String, String) = i % 3 match {
+      case 0 =>
+        val id = 3 * (i % (nBaseVec / 3)) + 1
+        ("update", s"""{"ID": $id, "vec_id": $id, "embedding": [${vecOf(id + i).mkString(", ")}]}""")
+      case 1 =>
+        val id = 3 * (i % (nBaseVec / 3)) + 2
+        ("delete", s"""{"ID": $id, "vec_id": $id}""")
+      case _ =>
+        val id = 1000000 + i
+        ("insert", s"""{"ID": $id, "vec_id": $id, "embedding": [${vecOf(i).mkString(", ")}]}""")
+    }
+    def doc(i: Int): (String, String) = i % 3 match {
+      case 0 =>
+        val id = 3 * (i % (nBaseDoc / 3)) + 1
+        ("update", s"""{"ID": $id, "doc_id": $id, "text": "${textOf(id + i)}"}""")
+      case 1 =>
+        val id = 3 * (i % (nBaseDoc / 3)) + 2
+        ("delete", s"""{"ID": $id, "doc_id": $id}""")
+      case _ =>
+        val id = 1000000 + i
+        ("insert", s"""{"ID": $id, "doc_id": $id, "text": "${textOf(i)}"}""")
+    }
     val persons = 0 until n
     val lines = persons.map { i =>
       val ctl = i % 97 == 0
+      val storeLine = withStores && !ctl && i % 10 >= 8 // ~20% of rows
+      if (storeLine) {
+        val toEmb = i % 10 == 8
+        val (op, data) = if (toEmb) emb(i) else doc(i)
+        val tbl = if (toEmb) "embeddings" else "documents"
+        s"""{"data": $data, "metadata": {"timestamp": "${ts(i)}", "record-type": "data", "operation": "$op", "partition-key-type": "primary-key", "schema-name": "dms_sample", "table-name": "$tbl"}}"""
+      } else {
       // 1/5 of rows go to "seat" (landed + counted, never a sink) —
       // the demux-miss path; the rest spread over the sink tables
       val tbl = if (i % 5 == 4) "seat" else sinkTables(i % sinkTables.size)
@@ -89,6 +142,7 @@ object PipelineDemo {
         if (ctl) "null"
         else s"""{"ID": $id, "val": "v$i", "bal": ${i % 1000}.5}"""
       s"""{"data": $data, "metadata": {"timestamp": "${ts(i)}", "record-type": "$rt", "operation": "$op", "partition-key-type": "primary-key", "schema-name": "dms_sample", "table-name": "$tbl"}}"""
+      }
     }
     val backlog = java.nio.file.Files.createTempFile("pipedemo", ".jsonl")
     java.nio.file.Files.write(backlog,
@@ -98,6 +152,19 @@ object PipelineDemo {
     val personSchema = StructType(Seq(
       StructField("ID", LongType), StructField("val", StringType),
       StructField("bal", DoubleType)))
+    // the standing stores the lanes maintain (pre-built, like any
+    // production store the stream keeps current)
+    val annDir = s"$root/annstore"
+    val sigDir = s"$root/sigstore"
+    if (withStores) {
+      graft.operators.Similarity.buildIvfStore(
+        (0 until nBaseVec).map(i => (i.toLong, vecOf(i)))
+          .toDF("vec_id", "embedding"), annDir, nlist = 16, dim = 8)
+      graft.operators.Dedup.buildSignatureStore(
+        (0 until nBaseDoc).map(i => (i.toLong, textOf(i)))
+          .toDF("doc_id", "text"), "doc_id", "text", sigDir,
+        numHashes = 64, shingleN = 5)
+    }
     val cfg = IngestPipeline.Config(
       landingDir = s"$root/landing",
       quarantineDir = s"$root/quarantine",
@@ -114,7 +181,11 @@ object PipelineDemo {
         "dms_sample", tb, personSchema, "ID")),
       opsRollupDir = s"$root/ops",
       checkpoint = s"$root/ckpt",
-      mergeParallelism = mergePar)
+      mergeParallelism = mergePar,
+      vectorStores = if (withStores)
+        Seq(IngestPipeline.VectorStoreLane(annDir)) else Nil,
+      signatureStores = if (withStores)
+        Seq(IngestPipeline.SignatureStoreLane(sigDir)) else Nil)
 
     val raw = spark.readStream.format("graft-kinesis-sim")
       .option("path", backlog.toString)
@@ -177,6 +248,71 @@ object PipelineDemo {
       .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
     val opsOk = opsGot == opsWantAll
 
+    // --- store-lane verification: net state folded INDEPENDENTLY from
+    // the generated event classes (latest update per id wins; deletes
+    // stay down; inserts unique), then ANN search ≡ brute force and
+    // signature content ≡ net docs
+    val storesOk = !withStores || {
+      val S = graft.operators.Similarity
+      val De = graft.operators.Dedup
+      val storeIdx = persons.filter(i => i % 97 != 0 && i % 10 >= 8)
+      val vUpd = scala.collection.mutable.Map.empty[Long, Seq[Float]]
+      val vDel = scala.collection.mutable.Set.empty[Long]
+      val vIns = scala.collection.mutable.Map.empty[Long, Seq[Float]]
+      val dUpd = scala.collection.mutable.Map.empty[Long, String]
+      val dDel = scala.collection.mutable.Set.empty[Long]
+      val dIns = scala.collection.mutable.Map.empty[Long, String]
+      storeIdx.foreach { i =>
+        if (i % 10 == 8) i % 3 match {
+          case 0 => val id = 3L * (i % (nBaseVec / 3)) + 1
+            vUpd(id) = vecOf(id.toInt + i)
+          case 1 => vDel += 3L * (i % (nBaseVec / 3)) + 2
+          case _ => vIns(1000000L + i) = vecOf(i)
+        } else i % 3 match {
+          case 0 => val id = 3L * (i % (nBaseDoc / 3)) + 1
+            dUpd(id) = textOf(id.toInt + i)
+          case 1 => dDel += 3L * (i % (nBaseDoc / 3)) + 2
+          case _ => dIns(1000000L + i) = textOf(i)
+        }
+      }
+      val netVecs = ((0 until nBaseVec).map(_.toLong)
+        .filterNot(vDel.contains)
+        .map(id => (id, vUpd.getOrElse(id, vecOf(id.toInt)))) ++
+        vIns.toSeq).toDF("vec_id", "embedding")
+      val queries = netVecs.filter(col("vec_id") < 3)
+      val annOk = {
+        val got = S.searchIvfStore(spark, queries, annDir, k = 5,
+            nprobe = 16)
+          .select("query_id", "item_id", "cos", "rank")
+          .collect().map(_.toSeq).toSet
+        val want = S.bruteForceTopK(netVecs, queries, 5)
+          .select("query_id", "item_id", "cos", "rank")
+          .collect().map(_.toSeq).toSet
+        got == want
+      }
+      val netDocs = ((0 until nBaseDoc).map(_.toLong)
+        .filterNot(dDel.contains)
+        .map(id => (id, dUpd.getOrElse(id, textOf(id.toInt)))) ++
+        dIns.toSeq).toDF("doc_id", "text")
+      // content of every live id matches the net text…
+      val mutatedOk = De.mutatedRedeliveries(netDocs, "doc_id", "text",
+        spark.read.parquet(sigDir), numHashes = 64, shingleN = 5).isEmpty
+      // …a deleted doc stays excluded, an inserted one matches as
+      // history
+      val delId = dDel.head
+      val insId = dIns.keys.head
+      val probe = Seq(
+        (9000001L, textOf(delId.toInt) + " tail"),
+        (9000002L, dIns(insId) + " tail")).toDF("doc_id", "text")
+      val pairs = De.minhashLshIncremental(spark, probe, "doc_id",
+          "text", sigDir, numHashes = 64, bands = 16, shingleN = 5,
+          threshold = 0.4)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      annOk && mutatedOk && !pairs.exists(_._1 == delId) &&
+        pairs.contains((insId, 9000002L))
+    }
+
     val ms = ms0.map(_.millis.toDouble).sorted
     def pct(p: Double) =
       if (ms.isEmpty) 0.0 else ms(((ms.size - 1) * p).toInt)
@@ -193,8 +329,10 @@ object PipelineDemo {
         f""""p95":${pct(0.95)}%.0f,"max":${if (ms.isEmpty) 0.0 else ms.last}%.0f},""" +
         f""""stage_p50_ms":{"land":${p50(ms0.map(_.landMillis))}%.0f,""" +
         f""""merge":${p50(ms0.map(_.mergeMillis))}%.0f,""" +
-        f""""rollup":${p50(ms0.map(_.rollupMillis))}%.0f},""" +
+        f""""rollup":${p50(ms0.map(_.rollupMillis))}%.0f,""" +
+        f""""store":${p50(ms0.map(_.storeMillis))}%.0f},""" +
         f""""clean":$clean,"quarantined":$bad,""" +
+        s""""with_stores":$withStores,"stores_ok":$storesOk,""" +
         s""""snapshot_ok":$snapshotOk,"ops_ok":$opsOk}""")
     spark.stop()
   }

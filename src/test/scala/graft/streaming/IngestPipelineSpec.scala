@@ -174,4 +174,149 @@ class IngestPipelineSpec extends SparkSpec {
       IngestPipeline.opCounts(spark, serial.opsRollupDir)
         .as[(String, String, Long)].collect().toSet)
   }
+
+  // ---- store-maintenance lanes across a multi-epoch reshard (r14) ----
+
+  private def env(i: Int, table: String, op: String, data: String): String = {
+    val ts = f"2019-11-13T10:00:${i / 60}%02d.${i % 60}%02d0000Z"
+    s"""{"data": $data, "metadata": {"timestamp": "$ts", "record-type": "data", "operation": "$op", "partition-key-type": "primary-key", "schema-name": "dms_sample", "table-name": "$table"}}"""
+  }
+
+  private def vecOf(i: Int): Seq[Float] =
+    (0 until 8).map(d => ((i * 7 + d * 3) % 16 + 1) / 16.0f)
+
+  private def vecJson(id: Long, v: Seq[Float]): String =
+    s"""{"vec_id": $id, "embedding": [${v.mkString(", ")}]}"""
+
+  private def textOf(i: Int): String =
+    s"document number $i speaks plainly about topic ${i % 3} " +
+      s"with unique marker ${"x" * (i + 3)} and trailing words"
+
+  test("store lanes: one stream maintains the ANN store AND the dedup history across a multi-epoch reshard — net state ≡ batch replay; restart changes nothing") {
+    val S = graft.operators.Similarity
+    val D = graft.operators.Dedup
+    val root = Files.createTempDirectory("pipelanes").toString
+    val annDir = s"$root/annstore"
+    val sigDir = s"$root/sigstore"
+
+    // the standing stores the stream will MAINTAIN
+    val baseVecs = (0 until 40).map(i => (i.toLong, vecOf(i)))
+      .toDF("vec_id", "embedding")
+    S.buildIvfStore(baseVecs, annDir, nlist = 4, dim = 8)
+    val baseDocs = (0 until 6).map(i => (i.toLong, textOf(i)))
+      .toDF("doc_id", "text")
+    D.buildSignatureStore(baseDocs, "doc_id", "text", sigDir,
+      numHashes = 64, shingleN = 5)
+
+    // the CDC tail: inserts, replacements (reversed vectors / mutated
+    // text under reused ids), takedowns — and a LATE RE-DELIVERED
+    // insert of a taken-down id in a later batch (takedown must win)
+    val lines = Seq(
+      env(0, "embeddings", "insert", vecJson(40L, vecOf(40))),
+      env(1, "embeddings", "insert", vecJson(41L, vecOf(41))),
+      env(2, "documents", "insert",
+        s"""{"doc_id": 6, "text": "${textOf(6)}"}"""),
+      env(3, "embeddings", "update", vecJson(3L, vecOf(3).reverse)),
+      env(4, "person", "load", """{"ID": 1, "val": "v4"}"""),
+      env(5, "embeddings", "delete", """{"vec_id": 5}"""),
+      env(6, "documents", "update",
+        s"""{"doc_id": 1, "text": "completely replaced content for doc one with marker zzz"}"""),
+      env(7, "embeddings", "update", vecJson(7L, vecOf(7).reverse)),
+      env(8, "documents", "delete", """{"doc_id": 3}"""),
+      env(9, "embeddings", "delete", """{"vec_id": 11}"""),
+      env(10, "embeddings", "insert", vecJson(42L, vecOf(42))),
+      env(11, "person", "update", """{"ID": 1, "val": "v11"}"""),
+      env(12, "embeddings", "insert", vecJson(5L, vecOf(5))), // late re-delivery: must NOT resurrect
+      env(13, "embeddings", "insert", vecJson(43L, vecOf(43))),
+      env(14, "documents", "insert",
+        s"""{"doc_id": 7, "text": "${textOf(7)}"}"""))
+    val backlog = Files.createTempFile("pipelanes", ".jsonl")
+    Files.write(backlog, lines.mkString("\n").getBytes("UTF-8"))
+
+    val cfg = IngestPipeline.Config(
+      landingDir = s"$root/landing",
+      quarantineDir = s"$root/quarantine",
+      checks = Seq(Constraints.Predicate("has_data",
+        col("data").isNotNull)),
+      snapshotRoot = s"$root/snapshots",
+      tables = Seq(IngestPipeline.TableSink(
+        "dms_sample", "person", personSchema, "ID")),
+      opsRollupDir = s"$root/ops",
+      checkpoint = s"$root/ckpt",
+      vectorStores = Seq(IngestPipeline.VectorStoreLane(annDir)),
+      signatureStores = Seq(IngestPipeline.SignatureStoreLane(sigDir)))
+    def runOnce(): Unit = {
+      val raw = spark.readStream.format("graft-kinesis-sim")
+        .option("path", backlog.toString).option("shards", "2")
+        .option("maxRecordsPerTrigger", "4") // several batches…
+        // …spanning a MULTI-EPOCH reshard: shard 0 splits, a CHILD
+        // of that split (epoch-1 shard 2) splits again
+        .option("reshards", "split@4:0;split@10:2")
+        .option("keyRegex", "\"(?:vec_id|doc_id|ID)\": (-?[0-9]+)")
+        .load()
+        .select(col("data").as("value"))
+      IngestPipeline.start(raw, cfg).awaitTermination(180000)
+      ()
+    }
+    runOnce()
+
+    // ---- ANN store: net state ≡ brute force over the net corpus ----
+    val netVecs = (0 until 44)
+      .filter(i => i != 5 && i != 11) // takedowns stay down
+      .map { i =>
+        val v = if (i == 3 || i == 7) vecOf(i).reverse else vecOf(i)
+        (i.toLong, v)
+      }.toDF("vec_id", "embedding")
+    val queries = netVecs.filter(col("vec_id") < 3)
+    def annSearch = S.searchIvfStore(spark, queries, annDir, k = 5,
+        nprobe = 4)
+      .select("query_id", "item_id", "cos", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val annTruth = S.bruteForceTopK(netVecs, queries, 5)
+      .select("query_id", "item_id", "cos", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(annSearch === annTruth)
+    val storedIds = S.searchIvfStore(spark, queries, annDir, k = 1000,
+        nprobe = 4).select("item_id").as[Long].collect().toSet
+    assert(!storedIds.contains(5L) && !storedIds.contains(11L),
+      "a takedown resurfaced — the late re-delivered insert must drop")
+    assert(Seq(40L, 41L, 42L, 43L).forall(storedIds.contains))
+
+    // ---- signature store: admission ≡ a from-scratch NET store ----
+    val netDocs = ((0 until 8).filter(_ != 3).map { i =>
+      val t = if (i == 1)
+        "completely replaced content for doc one with marker zzz"
+      else textOf(i)
+      (i.toLong, t)
+    }).toDF("doc_id", "text")
+    val scratch = Files.createTempDirectory("signet").toString + "/store"
+    D.buildSignatureStore(netDocs, "doc_id", "text", scratch,
+      numHashes = 64, shingleN = 5)
+    val probe = Seq(
+      (100L, textOf(6) + " tail"), // near-dups the streamed insert
+      (101L, "completely replaced content for doc one with marker zzy"),
+      (102L, textOf(3) + " tail")  // near-dups ONLY the deleted doc
+    ).toDF("doc_id", "text")
+    def pairsOf(dir: String) =
+      D.minhashLshIncremental(spark, probe, "doc_id", "text", dir,
+          numHashes = 64, bands = 16, shingleN = 5, threshold = 0.4)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val livePairs = pairsOf(sigDir)
+    assert(livePairs === pairsOf(scratch),
+      "stream-maintained history must admit exactly like a " +
+        "from-scratch store over the net corpus")
+    assert(livePairs.contains((6L, 100L)) && livePairs.contains((1L, 101L)))
+    assert(!livePairs.exists(p => p._1 == 3L || p._2 == 3L),
+      "the deleted doc still matches as a dup source")
+
+    // the snapshot lane ran in the same pass
+    assert(IngestPipeline.readSnapshot(spark, cfg, "person")
+      .select("ID", "val").as[(Long, String)].collect().toSet ===
+      Set((1L, "v11")))
+
+    // ---- restart on the drained checkpoint: stores unchanged ----
+    runOnce()
+    assert(annSearch === annTruth)
+    assert(pairsOf(sigDir) === livePairs)
+  }
 }
