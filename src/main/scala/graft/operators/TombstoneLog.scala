@@ -24,14 +24,24 @@ import org.apache.spark.sql.functions._
 private[graft] object TombstoneLog {
 
   /** The raw, normalized log — (idCol, seq, op) — or None when the
-    * dir is absent or holds only uncommitted debris. */
+    * dir is absent or holds only uncommitted debris. The read pins
+    * `ignoreMissingFiles = false` PER-READ (r14 review of the
+    * fold-vs-reader seam): [[maybeFold]] deletes superseded files
+    * after its checkpoint lands, and a reader that listed the old
+    * files pre-fold must fail LOUDLY if it reaches them post-delete —
+    * under a session-level `spark.sql.files.ignoreMissingFiles=true`
+    * it would instead silently resolve an EMPTY tombstone set, which
+    * is a resurrection, not an error. (A reader listing after the
+    * checkpoint append resolves correctly in every interleaving — the
+    * checkpoint supersedes whatever old files survive.) */
   def read(spark: SparkSession, path: String,
       idCol: String): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
     else try {
-      val d = spark.read.option("mergeSchema", "true").parquet(p.toString)
+      val d = spark.read.option("mergeSchema", "true")
+        .option("ignoreMissingFiles", "false").parquet(p.toString)
       d.schema // force schema inference while the read is still cheap
       val withSeq =
         if (d.columns.contains("seq"))

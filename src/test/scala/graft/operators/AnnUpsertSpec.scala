@@ -226,6 +226,50 @@ class AnnUpsertSpec extends SparkSpec {
       nprobe = 4)) === asSet(Similarity.bruteForceTopK(net, queries, 5)))
   }
 
+  test("applyCdcBatch over a staged rebalance: loud at the FIRST lane, nothing applied, and the retry after resume converges") {
+    val dir = tmpStore("anncdcstaged")
+    val fixture = graft.tools.CrashWriter.splitFixture(spark)
+    Similarity.buildRoutedIvfStore(fixture, dir, shards = 2, nlist = 2,
+      dim = 8, superIters = 3)
+    // a crashed split: staging present past its point of no return
+    Similarity.stageSplit(spark, dir)
+    val vec = fixture.filter(col("vec_id") === 0)
+      .select("embedding").as[Seq[Double]].head()
+    val batch = Seq(
+      (500L, vec, "I", 1L),
+      (3L, vec, "U", 2L),
+      (7L, vec, "D", 3L)).toDF("vec_id", "embedding", "op", "seq")
+    val logBefore = Seq(0, 1).flatMap { i =>
+      val d = new java.io.File(s"$dir/shard=$i/deleted")
+      if (d.exists()) d.listFiles().map(_.getName).toSeq else Nil
+    }
+    val e = intercept[IllegalArgumentException] {
+      Similarity.applyCdcBatch(spark, batch, dir)
+    }
+    assert(e.getMessage.contains("staged split"),
+      s"the refusal must name the staged rebalance, got: ${e.getMessage}")
+    // NOTHING was applied — no tombstone landed, no shard dir changed
+    val logAfter = Seq(0, 1).flatMap { i =>
+      val d = new java.io.File(s"$dir/shard=$i/deleted")
+      if (d.exists()) d.listFiles().map(_.getName).toSeq else Nil
+    }
+    assert(logAfter === logBefore,
+      "a refused CDC batch must not leave partial tombstones")
+    // the documented way forward: resume, then the SAME batch applies
+    val sh = Similarity.resumeSplitHotShard(spark, dir)
+    Similarity.applyCdcBatch(spark, batch, dir)
+    val net = fixture
+      .filter(col("vec_id") =!= 7)
+      .withColumn("embedding",
+        when(col("vec_id") === 3, typedlit(vec))
+          .otherwise(col("embedding")))
+      .unionByName(Seq((500L, vec)).toDF("vec_id", "embedding"))
+    val queries = fixture.filter(col("vec_id") < 3)
+    assert(asSet(Similarity.searchRoutedIvfStore(spark, queries, dir,
+      k = 5, nprobe = 64, routeShards = sh)) ===
+      asSet(Similarity.bruteForceTopK(net, queries, 5)))
+  }
+
   test("churn-heavy upsert traffic folds the op log: file count stays bounded, standing and revived tombstones resolve unchanged") {
     val dir = tmpStore("annfold")
     Similarity.buildIvfStore(emb.filter(col("vec_id") < 300), dir,

@@ -94,4 +94,30 @@ class TombstoneLogSpec extends SparkSpec {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(path)))
     assert(deadSet(path) === Set.empty)
   }
+
+  test("a reader racing a fold's file deletion fails LOUDLY even under session-level ignoreMissingFiles — silent-empty tombstones would be a resurrection") {
+    val path = tmpLog("tsrace")
+    TombstoneLog.append(spark, Seq(1L).toDF("id"), path, "id", "D")
+    TombstoneLog.append(spark, Seq(2L).toDF("id"), path, "id", "D")
+    // the hostile session default the per-read override must beat
+    spark.conf.set("spark.sql.files.ignoreMissingFiles", "true")
+    try {
+      // plan the read first (captures the 2-file listing), then a fold
+      // concurrently deletes one file out from under it
+      val resolved = TombstoneLog.resolved(spark, path, "id").get
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val files = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      fs.delete(files.head.getPath, false)
+      val e = intercept[Exception] { resolved.collect() }
+      def chain(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: chain(t.getCause)
+      assert(chain(e).exists(
+        _.isInstanceOf[java.io.FileNotFoundException]),
+        s"expected a loud FileNotFoundException, got $e")
+      // a FRESH read (post-fold interleaving) resolves correctly
+      assert(deadSet(path) === Set(2L))
+    } finally spark.conf.unset("spark.sql.files.ignoreMissingFiles")
+  }
 }
