@@ -17,26 +17,32 @@ import org.apache.spark.sql.functions._
   *    IDENTICAL to the source fixture — a join that was 1:4 at sf0.1 is
   *    still 1:4 at sf1, there are just 10x more keys.
   *  - **Near-dup pair density scales linearly.** Documents in copy i>0 get
-  *    a per-copy BIJECTIVE character rotation (a Caesar shift over one
-  *    case-distinct [a-zA-Z0-9] wheel, shift 1+(i-1)%(|wheel|-1) — never
-  *    zero). A bijection preserves every intra-copy shingle relationship
+  *    a per-copy BIJECTIVE character map (an AFFINE map x → a·x + b over a
+  *    case-distinct prime-sized 61-char wheel — never the identity; any
+  *    two distinct copies' maps agree on at most ONE wheel character).
+  *    A bijection preserves every intra-copy shingle relationship
   *    exactly (token- AND char-level), while cross-copy shared shingles
-  *    are limited to punctuation/whitespace grams — far below any working
-  *    threshold. The true near-dup pair count at factor k is exactly k
-  *    times the source count — if a pairs-finding query grows
-  *    super-linearly at sf1, that is the ALGORITHM's curvature, not an
-  *    artifact of the fixture quadratically inflating the answer.
-  *  - **Embedding geometry scales linearly.** Copy i>0 vectors are rotated
-  *    left by 1+(i-1)%(dim-1) positions — always non-zero, norm-preserving
-  *    — so cross-copy cosine is incidental (~random) and ANN/SemDeDup
-  *    cluster structure replicates per copy instead of collapsing into one
-  *    dense ball.
-  *  - **Factor bound.** Both per-copy transform families are finite: the
-  *    text shift cycles after |wheel|-1 = 61 distinct copies and the
-  *    embedding rotation after dim-1. [[scale]] REQUIRES k inside both
-  *    bounds — past them two distinct copies would get byte-identical
-  *    documents/embeddings, silently reinjecting exactly the cross-copy
-  *    duplicate pairs the fixture promises not to create.
+  *    are limited to punctuation/whitespace/fixed-'9' grams plus at most
+  *    one agreeing character — far below any working threshold. The true
+  *    near-dup pair count at factor k is exactly k times the source
+  *    count — if a pairs-finding query grows super-linearly at sf1,
+  *    that is the ALGORITHM's curvature, not an artifact of the fixture
+  *    quadratically inflating the answer.
+  *  - **Embedding geometry scales linearly.** Copy i>0 vectors get an
+  *    ORTHOGONAL per-copy transform: rotation by 1+(i-1)%(dim-1)
+  *    positions (always non-zero) composed with a sign-flip pattern
+  *    (i-1)/(dim-1) — norm- and intra-copy-inner-product-preserving, so
+  *    cross-copy cosine is incidental (~random) and ANN/SemDeDup
+  *    cluster structure replicates per copy instead of collapsing into
+  *    one dense ball.
+  *  - **Factor bound.** Both per-copy transform families are finite:
+  *    the affine text maps number P·(P−1) = 3660 over the prime
+  *    61-char wheel (r14 — was 61 plain shifts) and the embedding
+  *    rotation×sign-flip family (dim−1)·2¹⁶ (was dim−1 rotations).
+  *    [[scale]] REQUIRES k inside both bounds — past them two distinct
+  *    copies would get byte-identical documents/embeddings, silently
+  *    reinjecting exactly the cross-copy duplicate pairs the fixture
+  *    promises not to create.
   *  - **Stream density is preserved.** Events keep their timestamps but get
   *    fresh user_ids per copy, so per-user/per-minute densities (and thus
   *    sessionization and window costs per key) match the source.
@@ -82,31 +88,53 @@ object ScaleFixture {
     s
   }
 
-  /** One case-distinct [a-zA-Z0-9] wheel: the per-copy text transform is
-    * a Caesar shift over it. Case-distinct because a fold would not be
-    * injective (case-variant docs could collapse, inflating intra-copy
-    * pair counts). */
+  /** One case-distinct PRIME-SIZED character wheel (61 chars — '9' is
+    * deliberately left OUT, so it stays fixed in every copy): the
+    * per-copy text transform is an AFFINE map x → a·x + b over the
+    * wheel positions (r14 — the plain Caesar shift family capped the
+    * factor at 61 copies; the affine family over a prime wheel has
+    * 61·60 = 3660 members, and any two DISTINCT members agree on at
+    * most ONE wheel character — Δa ≠ 0 has exactly one fixed point
+    * mod a prime, Δa = 0 has none — so cross-copy shared shingles are
+    * limited to grams built from punctuation/whitespace, the fixed
+    * '9', and at most one agreeing character: far below any working
+    * threshold, the same caveat class as before). Case-distinct
+    * because a fold would not be injective (case-variant docs could
+    * collapse, inflating intra-copy pair counts). */
   private val wheel = "abcdefghijklmnopqrstuvwxyz" +
-    "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ012345678"
+  private val P = wheel.length // 61, prime
+
+  /** Copy i's affine map as a `translate` target string: position x of
+    * the wheel maps to wheel((a·x + b) mod P). idx = i enumerates
+    * (a, b) pairs b-major with the identity (a=1, b=0) skipped —
+    * copies 1..60 are the pure shifts b = 1..60 (the old family),
+    * later copies walk the multiplier classes. */
+  private[graft] def affineTarget(i: Int): String = {
+    val idx = i // i >= 1; idx 0 would be the identity
+    val a = 1 + (idx / P) % (P - 1)
+    val b = idx % P
+    (0 until P).map(x => wheel((a * x + b) % P)).mkString
+  }
 
   def scale(spark: SparkSession, src: String, dst: String, k: Int): Unit = {
     require(k >= 1, s"factor must be >= 1, got $k")
-    // transform-distinctness bounds, checked BEFORE any write: the text
-    // shift s = 1+(i-1)%(|wheel|-1) repeats every |wheel|-1 copies and
-    // the embedding rotation every dim-1 copies — k past either bound
-    // would hand two copies the SAME transform, i.e. byte-identical
-    // cross-copy documents/embeddings: exactly the duplicate injection
-    // this fixture promises not to make, and silently.
-    require(k <= wheel.length,
-      s"factor $k exceeds the ${wheel.length - 1} distinct text rotations " +
-        "(+ identity copy 0) this fixture can generate without cross-copy " +
-        "duplicates — enlarge the wheel or scale from a bigger source")
+    // transform-distinctness bounds, checked BEFORE any write: k past
+    // either bound would hand two copies the SAME transform, i.e.
+    // byte-identical cross-copy documents/embeddings — exactly the
+    // duplicate injection this fixture promises not to make, silently.
+    // r14: the affine text family (P·(P−1) members) and the
+    // rotation×sign-flip embedding family ((dim−1)·2¹⁶) raised both
+    // bounds far past any factor this repo will run.
+    require(k <= P * (P - 1),
+      s"factor $k exceeds the ${P * (P - 1) - 1} distinct affine text " +
+        "maps (+ identity copy 0) this fixture can generate without " +
+        "cross-copy duplicates — scale from a bigger source")
     val embDim = spark.read.parquet(s"$src/embeddings.parquet")
       .select(size(col("embedding")).as("d")).head.getInt(0)
-    require(k <= embDim,
-      s"factor $k exceeds the ${embDim - 1} distinct embedding rotations " +
-        s"(+ identity copy 0) available at dim=$embDim — two copies would " +
-        "get identical vectors, collapsing cross-copy cosine to 1.0")
+    require(k <= (embDim - 1) * 65536,
+      s"factor $k exceeds the ${(embDim - 1) * 65536 - 1} distinct " +
+        s"rotation×sign-flip embedding transforms at dim=$embDim")
 
     def rd(name: String) = spark.read.parquet(s"$src/$name.parquet")
     def wr(df: DataFrame, name: String, parts: Int): Unit =
@@ -184,14 +212,10 @@ object ScaleFixture {
     // upper and lower case are DISTINCT wheel positions (a case fold
     // would not be injective — two case-variant docs could collapse
     // into one, inflating intra-copy pair counts)
-    def shifted(i: Int): String = {
-      val s = 1 + (i - 1) % (wheel.length - 1) // non-zero shift always
-      wheel.drop(s) ++ wheel.take(s)
-    }
     val rotated = (1 until k).foldLeft(
         when(col("__copy") === 0, col("text"))) { (acc, i) =>
       acc.when(col("__copy") === i,
-        translate(col("text"), wheel, shifted(i)))
+        translate(col("text"), wheel, affineTarget(i)))
     }
     wr(replicate(documents, k)
       .withColumn("text", rotated)
@@ -199,21 +223,32 @@ object ScaleFixture {
         col("source"), length(col("text")).cast("long").as("n_chars")),
       "documents", k)
 
-    // embeddings: copy i rotated left by 1 + (i-1) % (dim-1) positions —
-    // always a NON-ZERO rotation (a bare `i % dim` degenerates for
-    // copies at multiples of dim: a zero-length second slice would emit
-    // the copy byte-identical to copy 0, cosine 1.0 across copies —
-    // exactly the cross-copy cluster collapse the fixture promises not
-    // to inject). |v| is unchanged, so normalized-cosine paths behave
-    // identically within a copy.
+    // embeddings: copy i applies rotation r = 1 + (i-1) % (dim-1)
+    // (always NON-ZERO — a bare `i % dim` degenerates at multiples of
+    // dim into byte-identical copies, cosine 1.0 cross-copy) composed
+    // with a per-copy SIGN-FLIP pattern f = (i-1) / (dim-1) (r14 —
+    // extends the family past dim-1 copies: coordinate d negates iff
+    // bit (d mod 16) of f is set; two copies sharing a rotation differ
+    // in some flip bit, so they differ on every coordinate class
+    // d ≡ β (mod 16) — identical vectors would need zeros across a
+    // whole class, which dense float embeddings never have). Both
+    // halves are ORTHOGONAL maps, so |v|, intra-copy inner products,
+    // and hence every cluster/ANN relationship replicate exactly;
+    // cross-copy cosine stays incidental.
     val dim = size(col("embedding"))
-    val shift = (col("__copy") - 1) % (dim - 1) + 1
+    val mCopy = col("__copy") - 1
+    val shift = mCopy % (dim - 1) + 1
+    val fpat = floor(mCopy / (dim - 1)).cast("double")
     val rot = concat(
       slice(col("embedding"), shift + 1, dim),
       slice(col("embedding"), lit(1), shift))
+    val rotFlipped = zip_with(rot, sequence(lit(0), dim - 1),
+      (x, d) => when(
+        pmod(floor(fpat / pow(lit(2.0), pmod(d, lit(16)).cast("double")))
+          .cast("long"), lit(2L)) === 1L, -x).otherwise(x))
     wr(replicate(embeddings, k)
       .withColumn("embedding",
-        when(col("__copy") === 0, col("embedding")).otherwise(rot))
+        when(col("__copy") === 0, col("embedding")).otherwise(rotFlipped))
       .select(remap("vec_id", vidS), col("embedding"), col("label")),
       "embeddings", math.max(1, k / 2))
 

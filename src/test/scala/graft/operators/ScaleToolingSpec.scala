@@ -34,24 +34,72 @@ class ScaleToolingSpec extends SparkSpec {
     assert(e2.getMessage.contains("__salt"))
   }
 
-  test("ScaleFixture rejects factors past its distinct-transform bounds") {
-    // text: the Caesar shift cycles after |wheel|-1 = 61 copies; k = 63
-    // would give copy 62 the same rotation as copy 1 — byte-identical
-    // cross-copy documents. Checked before any read or write.
+  test("ScaleFixture transform families (r14): bound still loud; affine maps pairwise near-disjoint; factors past the old caps keep copies distinct, norms intact, cross-copy shingles incidental") {
+    // the (much larger) affine bound still fails loudly, before any read
     val e = intercept[IllegalArgumentException] {
-      graft.tools.ScaleFixture.scale(spark, "/nonexistent", "/tmp/never", 63)
+      graft.tools.ScaleFixture.scale(spark, "/nonexistent", "/tmp/never",
+        3661)
     }
-    assert(e.getMessage.contains("text rotations"))
-    // embeddings: the rotation cycles after dim-1 copies; a dim-4 source
-    // caps the factor at 4 even though the text wheel allows more
-    val src = java.nio.file.Files.createTempDirectory("sfx").toString
-    Seq((1L, Seq(1.0f, 0.0f, 0.0f, 0.0f), "a"))
-      .toDF("vec_id", "embedding", "label")
-      .write.parquet(s"$src/embeddings.parquet")
-    val e2 = intercept[IllegalArgumentException] {
-      graft.tools.ScaleFixture.scale(spark, src, "/tmp/never", 10)
+    assert(e.getMessage.contains("affine text maps"))
+    // any two distinct copies' char maps agree on AT MOST ONE character
+    // (the prime-wheel affine property the linear-pair-density promise
+    // rests on), and none is the identity
+    val maps = (1 to 100).map(graft.tools.ScaleFixture.affineTarget)
+    assert(maps.distinct.size === 100)
+    val wheel61 = "abcdefghijklmnopqrstuvwxyz" +
+      "ABCDEFGHIJKLMNOPQRSTUVWXYZ012345678"
+    maps.foreach(m => assert(m !== wheel61))
+    for (pair <- maps.combinations(2)) {
+      val agree = pair(0).zip(pair(1)).count { case (a, b) => a == b }
+      assert(agree <= 1, s"two affine maps agree on $agree characters")
     }
-    assert(e2.getMessage.contains("embedding rotations"))
+    // a factor past BOTH old caps (61 text shifts, dim-1=63 rotations)
+    // now scales — and the copies stay genuinely distinct
+    val dst = java.nio.file.Files.createTempDirectory("sfx70").toString
+    graft.tools.ScaleFixture.scale(spark, sf0001, dst, 70)
+    val emb = spark.read.parquet(s"$dst/embeddings.parquet")
+    val srcEmb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val vid0 = srcEmb.select(min("vec_id")).head.getLong(0)
+    val stride = {
+      val mx = srcEmb.agg(max("vec_id")).head.getLong(0)
+      var s = 1L; while (s <= mx) s *= 10; s
+    }
+    val copies = (0 until 70).map { i =>
+      emb.filter(col("vec_id") === vid0 + i * stride)
+        .select("embedding").as[Seq[Float]].head()
+    }
+    assert(copies.map(_.toList).distinct.size === 70,
+      "two copies produced identical vectors")
+    val norm0 = math.sqrt(copies.head.map(x => x.toDouble * x).sum)
+    copies.foreach { v =>
+      val nv = math.sqrt(v.map(x => x.toDouble * x).sum)
+      assert(math.abs(nv - norm0) < 1e-4,
+        "per-copy transform must be norm-preserving")
+    }
+    // documents: one source doc's 70 copies are pairwise distinct and
+    // share only an incidental fraction of their 5-grams (punctuation/
+    // fixed-'9'/single-agreeing-char grams)
+    val docs = spark.read.parquet(s"$dst/documents.parquet")
+    val srcDocs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val did0 = srcDocs.select(min("doc_id")).head.getLong(0)
+    val dStride = {
+      val mx = srcDocs.agg(max("doc_id")).head.getLong(0)
+      var s = 1L; while (s <= mx) s *= 10; s
+    }
+    val texts = (0 until 70).map { i =>
+      docs.filter(col("doc_id") === did0 + i * dStride)
+        .select("text").as[String].head()
+    }
+    assert(texts.distinct.size === 70)
+    def grams(t: String): Set[String] =
+      t.sliding(5).toSet
+    val g0 = grams(texts(1))
+    (2 until 70).foreach { i =>
+      val shared = (g0 & grams(texts(i))).size.toDouble /
+        math.max(1, g0.size)
+      assert(shared < 0.10,
+        f"copies 1 and $i share $shared%.2f of their 5-grams")
+    }
   }
 
   test("bucketed tables join without a shuffle exchange") {
