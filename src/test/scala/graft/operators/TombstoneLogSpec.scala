@@ -109,7 +109,13 @@ class TombstoneLogSpec extends SparkSpec {
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       val files = fs.listStatus(new org.apache.hadoop.fs.Path(path))
         .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-      fs.delete(files.head.getPath, false)
+      // delete id 1's file specifically (listStatus order is not
+      // deterministic, and the post-race assertion below needs to
+      // know which id's record survived)
+      val id1File = files.find(f => spark.read
+        .parquet(f.getPath.toString)
+        .filter(col("id") === 1L).count() > 0).get
+      fs.delete(id1File.getPath, false)
       val e = intercept[Exception] { resolved.collect() }
       def chain(t: Throwable): Seq[Throwable] =
         if (t == null) Nil else t +: chain(t.getCause)
