@@ -744,17 +744,18 @@ object Similarity {
             .filter(col("list_id").isin(touched: _*)).select("item_id"),
           Seq("item_id"), "left_anti")
       }
-      // EAGER checkpoint (batch-sized): the set is written twice — to
-      // the location index FIRST, then the encoded table — and the
-      // second write must not recompute the anti join against a
-      // changed store (the refreshByPath recache hazard class)
-      val freshEnc = fresh("encoded")
+      // the fresh set is written twice — to the location index FIRST,
+      // then the encoded table (the AnnLocIndex superset invariant: a
+      // death between the writes leaves a stale entry, absorbed; never
+      // a missing one, unabsorbable) — and deliberately NOT
+      // checkpointed: between the two writes nothing mutates the paths
+      // its lineage reads (the cached batch + the encoded table's
+      // pre-append listing; the loc write refreshes only loc/), so
+      // both evaluations are identical by construction, and skipping
+      // the checkpoint saves one driver job per append — at toy scale
+      // the mutation floor IS job count (SCALING.md r14).
+      def freshEnc = fresh("encoded")
         .select("item_id", "item_vec", "list_id")
-        .localCheckpoint(true)
-      // index BEFORE data — the AnnLocIndex superset invariant: a
-      // death between the writes leaves a stale entry (absorbed),
-      // never a missing one (unabsorbable). Re-delivery appends
-      // nothing here because freshEnc is already empty.
       AnnLocIndex.append(spark,
         freshEnc.select("item_id", "list_id"), storeDir)
       freshEnc
@@ -1341,18 +1342,22 @@ object Similarity {
             .isin(c.toSeq.sorted.map(Integer.valueOf): _*))
           case None => tbl0
         }
-        val touched = tbl
-          .join(broadcast(target), Seq("item_id"), "left_semi")
-          .select("list_id").distinct()
-          .collect().map(_.getInt(0)).toSet // bounded by batch size
+        // ONE pruned job decides both sets (touched = lists with ≥1
+        // target row; alive = touched lists with ≥1 surviving row —
+        // rows of OTHER tombstoned ids survive, only the target is
+        // reclaimed): the separate semi/anti discovery jobs were pure
+        // per-batch floor (SCALING.md r14). Bounded by batch size.
+        val st = tbl
+          .join(broadcast(target.withColumn("_t", lit(1))),
+            Seq("item_id"), "left")
+          .groupBy("list_id")
+          .agg(max(col("_t")).as("has_t"),
+            max(when(col("_t").isNull, 1).otherwise(0)).as("has_alive"))
+          .filter(col("has_t") === 1)
+          .select("list_id", "has_alive").collect()
+        val touched = st.map(_.getInt(0)).toSet
         if (touched.nonEmpty) {
-          // lists with at least one surviving row (rows of OTHER
-          // tombstoned ids survive — only the target is reclaimed)
-          val alive = tbl0
-            .filter(col("list_id").isin(touched.toSeq: _*))
-            .join(broadcast(target), Seq("item_id"), "left_anti")
-            .select("list_id").distinct()
-            .collect().map(_.getInt(0)).toSet
+          val alive = st.filter(_.getInt(1) == 1).map(_.getInt(0)).toSet
           (touched -- alive).foreach(l => fs.delete(
             new org.apache.hadoop.fs.Path(s"$storeDir/$t/list_id=$l"),
             true))
@@ -1418,10 +1423,31 @@ object Similarity {
     * R records last (seq s+1) — one log read serves the dead-set and
     * both seqs. */
   private def upsertPrepOne(spark: SparkSession, ids: DataFrame,
-      storeDir: String): Unit = {
+      storeDir: String): Unit =
+    mutatePrepOne(spark, ids, None, storeDir)
+
+  /** The generalized per-store mutation prep [[upsertPrepOne]] and the
+    * CDC dispatch share — ONE location pass per shard per BATCH, not
+    * per lane (r14: applyCdcBatch previously ran the full per-shard
+    * machinery once for the D lane and again for the U lane; at toy
+    * scale the mutation floor is job count, and at any scale the
+    * location pass is the corpus-facing term). `upsertIds` get the
+    * full replace prep (tombstone → targeted reclaim → revive);
+    * `deleteIds` get the tombstone ONLY (their rows stay physically,
+    * hidden, until compaction — exactly [[deleteFromIvfStore]]'s
+    * semantics). Crash windows are unchanged from the composition: D
+    * records land first (seq s) covering BOTH lanes' located rows,
+    * the physical rewrite touches only the upsert ids' rows, R
+    * records land LAST (seq s+1) for the upsert ids alone. */
+  private def mutatePrepOne(spark: SparkSession, ids: DataFrame,
+      deleteIds: Option[DataFrame], storeDir: String): Unit = {
     import org.apache.spark.storage.StorageLevel
-    val want = ids.select(col(ids.columns.head).as("item_id")).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val wantU = ids.select(col(ids.columns.head).as("item_id")).distinct()
+    val want = (deleteIds match {
+      case Some(d) => wantU.unionByName(
+        d.select(col(d.columns.head).as("item_id"))).distinct()
+      case None => wantU
+    }).persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val cands = AnnLocIndex.candidateLists(spark, storeDir, want)
       TombstoneLog.maybeFold(spark, deletedPath(storeDir), "item_id")
@@ -1440,15 +1466,16 @@ object Similarity {
           case None => enc
         }).join(broadcast(want), Seq("item_id"), "left_semi")
       }
-      // 1. tombstone the located rows not already dead (the delete).
-      //    EAGER localCheckpoint, not persist: the writes below
-      //    trigger Spark's refreshByPath on the log and data dirs,
-      //    which RECACHES any cached plan whose lineage reads those
-      //    paths — a persisted frame would silently recompute against
-      //    the post-write files (the revive set read back EMPTY from
-      //    the rewritten encoded table when this used persist).
-      //    Checkpointing severs the file lineage; the frames are
-      //    batch-sized.
+      // 1. tombstone the located rows not already dead — BOTH lanes
+      //    (a delete id is done here; an upsert id is re-opened in
+      //    step 4). EAGER localCheckpoint, not persist: the writes
+      //    below trigger Spark's refreshByPath on the log and data
+      //    dirs, which RECACHES any cached plan whose lineage reads
+      //    those paths — a persisted frame would silently recompute
+      //    against the post-write files (the revive set read back
+      //    EMPTY from the rewritten encoded table when this used
+      //    persist). Checkpointing severs the file lineage; the
+      //    frames are batch-sized.
       val fresh = (dead0 match {
         case Some(d) => located.select("item_id").distinct()
           .join(d, Seq("item_id"), "left_anti")
@@ -1457,13 +1484,13 @@ object Similarity {
       if (fresh.count() > 0)
         TombstoneLog.append(spark, fresh, deletedPath(storeDir),
           "item_id", "D", seq0)
-      // 2. the revive set: everything this upsert must re-open —
-      //    previously tombstoned ids (rows present or already
-      //    reclaimed) plus the rows just tombstoned in step 1
+      // 2. the revive set — UPSERT ids only: previously tombstoned
+      //    ones (rows present or already reclaimed) plus those just
+      //    tombstoned in step 1
       val target = (dead0 match {
-        case Some(d) => want.join(d, Seq("item_id"), "left_semi")
-          .unionByName(fresh)
-        case None => fresh
+        case Some(d) => wantU.join(d, Seq("item_id"), "left_semi")
+          .unionByName(fresh.join(wantU, Seq("item_id"), "left_semi"))
+        case None => fresh.join(wantU, Seq("item_id"), "left_semi")
       }).distinct().localCheckpoint(true)
       if (target.isEmpty) return
       // 3. physical rewrite — per-table discovery pruned to the
@@ -1471,8 +1498,8 @@ object Similarity {
       //    what keeps a re-run after a death between the encoded and
       //    codes rewrites from leaving stale codes rows behind)
       rewriteWithoutTarget(spark, storeDir, target, cands)
-      // 4. re-open the ids LAST (a death above leaves tombstones
-      //    standing — reads correct, the re-run completes)
+      // 4. re-open the upsert ids LAST (a death above leaves
+      //    tombstones standing — reads correct, the re-run completes)
       TombstoneLog.append(spark, target, deletedPath(storeDir),
         "item_id", "R", seq0 + 1)
     } finally want.unpersist(blocking = false)
@@ -1545,13 +1572,14 @@ object Similarity {
    * [[graft.streaming.AnnIngestStream.ingestCdc]] dispatches to. The
    * batch first resolves to ONE terminal op per id (latest seq wins;
    * a same-seq tie resolves D > U > I — conservative takedown-wins),
-   * then applies deletes as tombstones ([[deleteFromIvfStore]] — a
-   * re-delivered D files nothing), updates as replacements
-   * ([[upsertIntoIvfStore]] — revives by design, see its scaladoc)
-   * and inserts as appends (tombstoned ids DROP — takedown wins over
-   * a late re-delivered I). Cross-id apply order is irrelevant after
-   * resolution (one op per id); the D→U→I order here just front-loads
-   * the cheap tombstone writes. Replaying the whole batch (a restart
+   * then applies deletes as tombstones (a re-delivered D files
+   * nothing), updates as replacements (revive by design — see
+   * [[upsertIntoIvfStore]]) and inserts as appends (tombstoned ids
+   * DROP — takedown wins over a late re-delivered I). Cross-id apply
+   * order is irrelevant after resolution (one op per id); the D and U
+   * lanes FUSE into one prep pass per store/shard (r14,
+   * `mutatePrepOne` — one location pass per shard per batch instead
+   * of per lane). Replaying the whole batch (a restart
    * of an uncommitted foreachBatch) converges to the same store
    * state: D and I re-apply to nothing, U re-replaces with the same
    * vector. Returns (inserted, updated, deleted) counts of ids
@@ -1590,16 +1618,37 @@ object Similarity {
       }
       def lane(op: String): DataFrame =
         last.filter(col("op") === op).select("vec_id", "embedding")
-      if (counts.getOrElse("D", 0L) > 0) {
-        val ids = lane("D").select("vec_id")
-        if (sharded) deleteFromShardedIvfStore(spark, ids, storeDir)
-        else deleteFromIvfStore(spark, ids, storeDir)
+      val (hasI, hasU, hasD) = (counts.getOrElse("I", 0L) > 0,
+        counts.getOrElse("U", 0L) > 0, counts.getOrElse("D", 0L) > 0)
+      // D and U share ONE fused prep pass per store/shard (r14 —
+      // mutatePrepOne: one location pass per shard per BATCH instead
+      // of per lane; the lanes are disjoint after terminal-op
+      // resolution, so D ids tombstone-only and U ids replace inside
+      // the same pass, with the same crash windows as the composition)
+      if (hasD || hasU) {
+        val dIds = if (hasD) Some(lane("D").select("vec_id")) else None
+        val uVecs = lane("U")
+        if (!sharded) {
+          mutatePrepOne(spark, uVecs.select("vec_id"), dIds, storeDir)
+          if (hasU) appendToIvfStore(spark, uVecs, storeDir)
+        } else {
+          val sh = readShardCount(spark, storeDir)
+          val routed = isRoutedStore(spark, storeDir)
+          if (routed) requireNoStagedSplit(spark, storeDir)
+          builtShardDirs(spark, storeDir).foreach { case (i, d) =>
+            def sl(df: DataFrame): DataFrame =
+              if (routed) df
+              else df.filter(shardOf(col(df.columns.head), sh) === i)
+            mutatePrepOne(spark, sl(uVecs.select("vec_id")),
+              dIds.map(sl), d)
+          }
+          if (hasU) {
+            if (routed) appendToRoutedIvfStore(spark, uVecs, storeDir)
+            else appendToShardedIvfStore(spark, uVecs, storeDir)
+          }
+        }
       }
-      if (counts.getOrElse("U", 0L) > 0) {
-        if (sharded) upsertIntoShardedIvfStore(spark, lane("U"), storeDir)
-        else upsertIntoIvfStore(spark, lane("U"), storeDir)
-      }
-      if (counts.getOrElse("I", 0L) > 0) {
+      if (hasI) {
         val ins = lane("I")
         if (!sharded) appendToIvfStore(spark, ins, storeDir)
         else if (isRoutedStore(spark, storeDir))
