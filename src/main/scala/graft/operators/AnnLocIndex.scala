@@ -131,6 +131,18 @@ private[graft] object AnnLocIndex {
         "by hand or re-run compactIvfStore")
   }
 
+  /** Build the index iff absent — LAZY creation at the first mutation
+    * (r14 second pass): building eagerly inside `buildIvfStore` taxed
+    * every store-construction query with a corpus shuffle whether or
+    * not the store would ever mutate (+60 s across the sf1 suite's
+    * construction-priced queries). The first mutation pays one
+    * corpus-narrow pass ≈ the full-scan fallback it replaces, and
+    * every later mutation answers from the bucket files — the
+    * production pattern (one build, a long CDC tail) pays once.
+    * Searches never call this. */
+  def ensure(spark: SparkSession, storeDir: String): Unit =
+    if (buckets(spark, storeDir).isEmpty) rebuild(spark, storeDir)
+
   /** Remove the index — the guard ahead of any whole-store rewrite
     * that would orphan the superset (a rebuild into an existing dir).
     * Absent index = full-scan fallback, always correct. */

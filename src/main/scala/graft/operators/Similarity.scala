@@ -687,10 +687,11 @@ object Similarity {
     }
     centers.toDF("lid", "cv").coalesce(1)
       .write.mode("overwrite").parquet(storeDir + "/centroids")
-    // the id→list location index — mutations locate in O(batch)
-    // instead of a narrow O(corpus) scan ([[AnnLocIndex]]); staged
-    // write, so a death here leaves an absent index = scan fallback
-    AnnLocIndex.rebuild(spark, storeDir)
+    // the id→list location index is NOT built here: creation is lazy,
+    // at the first mutation ([[AnnLocIndex.ensure]]) — an eager build
+    // taxed every construction with a corpus shuffle whether or not
+    // the store would ever mutate. The drop above is the load-bearing
+    // half (a stale index is the one state lookups cannot absorb).
   }
 
   /** Fold a day's new vectors into the store: assign and encode with
@@ -1207,7 +1208,10 @@ object Similarity {
     try {
       // index lookup first — the cold-shard fast path: Some(empty)
       // PROVES no batch id is stored (ids never stored are not
-      // tombstoned), before any log read or corpus-side job
+      // tombstoned), before any log read or corpus-side job. `ensure`
+      // lazily creates the index on the store's FIRST mutation (one
+      // corpus-narrow pass ≈ the fallback scan it replaces).
+      AnnLocIndex.ensure(spark, storeDir)
       val cands = AnnLocIndex.candidateLists(spark, storeDir, want)
       if (cands.exists(_.isEmpty)) return 0L
       TombstoneLog.maybeFold(spark, deletedPath(storeDir), "item_id")
@@ -1308,7 +1312,9 @@ object Similarity {
       // BOTH tables' discovery scans prune to these lists — per-table
       // discovery stays (the codes table is scanned itself, so a
       // re-run after a death between the two rewrites still finds the
-      // codes rows the first run never reclaimed)
+      // codes rows the first run never reclaimed). Lazily created on
+      // the store's first mutation.
+      AnnLocIndex.ensure(spark, storeDir)
       val cands = AnnLocIndex.candidateLists(spark, storeDir, target)
       rewriteWithoutTarget(spark, storeDir, target, cands)
       // rows physically gone — re-open the ids LAST, so a death
@@ -1449,6 +1455,9 @@ object Similarity {
       case None => wantU
     }).persist(StorageLevel.MEMORY_AND_DISK)
     try {
+      // lazily created on the store's first mutation (one
+      // corpus-narrow pass ≈ the fallback scan it replaces)
+      AnnLocIndex.ensure(spark, storeDir)
       val cands = AnnLocIndex.candidateLists(spark, storeDir, want)
       TombstoneLog.maybeFold(spark, deletedPath(storeDir), "item_id")
       val (ops, seq0) = TombstoneLog.snapshot(spark,

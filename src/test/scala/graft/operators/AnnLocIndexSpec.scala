@@ -29,11 +29,18 @@ class AnnLocIndexSpec extends SparkSpec {
     df.select("query_id", "item_id", "cos", "rank")
       .as[(Long, Long, Double, Int)].collect().toSet
 
-  test("build creates the index; lookups name the true lists; append maintains it; never-stored ids prove empty") {
+  test("lazy creation at first mutation; lookups name the true lists; append maintains it; never-stored ids prove empty") {
     val dir = tmpStore("annloc")
     Similarity.buildIvfStore(emb.filter(col("vec_id") < 200), dir,
       nlist = 8)
-    assert(locDir(dir).exists(), "buildIvfStore must create loc/")
+    // builds do NOT create the index (an eager build would tax every
+    // construction with a corpus pass whether or not the store ever
+    // mutates); the FIRST mutation does — even a no-op delete
+    assert(!locDir(dir).exists(), "build must not create loc/")
+    assert(Similarity.deleteFromIvfStore(spark,
+      Seq(9999L).toDF("vec_id"), dir) === 0L)
+    assert(locDir(dir).exists(),
+      "the first mutation must lazily create loc/")
     // every stored id's true (item_id, list_id) is covered
     val truth = spark.read.parquet(dir + "/encoded")
       .select("item_id", "list_id").as[(Long, Int)].collect().toMap
@@ -45,8 +52,6 @@ class AnnLocIndexSpec extends SparkSpec {
     // ids never stored: the index PROVES absence (the cold-shard path)
     assert(AnnLocIndex.candidateLists(spark, dir,
       Seq(9999L, 8888L).toDF("item_id")) === Some(Set.empty[Int]))
-    assert(Similarity.deleteFromIvfStore(spark,
-      Seq(9999L).toDF("vec_id"), dir) === 0L)
     // appends register their locations (index stays a superset)
     Similarity.appendToIvfStore(spark,
       emb.filter(col("vec_id") === 333), dir)
@@ -91,6 +96,7 @@ class AnnLocIndexSpec extends SparkSpec {
     val dir = tmpStore("annlocorphan")
     Similarity.buildIvfStore(emb.filter(col("vec_id") < 200), dir,
       nlist = 8)
+    AnnLocIndex.ensure(spark, dir) // lazy-create (appends no-op on an absent index)
     // simulate the one crash window the protocol permits: the index
     // append committed, the encoded append did not — an ORPHAN entry
     AnnLocIndex.append(spark, Seq((555L, 3)).toDF("item_id", "list_id"),
@@ -114,17 +120,22 @@ class AnnLocIndexSpec extends SparkSpec {
       nprobe = 8)) === asSet(Similarity.bruteForceTopK(net, queries, 5)))
   }
 
-  test("absent index = full-scan fallback (legacy store); compactIvfStore migrates it") {
+  test("dropped index (rebuild crash window / legacy store): lookups read None, the next mutation re-creates it, compact refreshes it") {
     val dir = tmpStore("annloclegacy")
     Similarity.buildIvfStore(emb.filter(col("vec_id") < 200), dir,
       nlist = 8)
-    // a legacy (pre-index) store: drop loc/ outright
+    AnnLocIndex.ensure(spark, dir)
+    assert(locDir(dir).exists())
+    // the rebuild-crash / legacy state: loc/ absent
     AnnLocIndex.drop(spark, dir)
     assert(!locDir(dir).exists())
     assert(AnnLocIndex.candidateLists(spark, dir,
       Seq(5L).toDF("item_id")).isEmpty, "absent index must read None")
-    // the whole mutation family still works off the fallback scan
+    // the whole mutation family keeps working — the first mutation
+    // re-creates the index from the encoded truth and proceeds pruned
     Similarity.deleteFromIvfStore(spark, Seq(7L).toDF("vec_id"), dir)
+    assert(locDir(dir).exists(),
+      "the first mutation after a drop must re-create loc/")
     Similarity.upsertIntoIvfStore(spark,
       emb.filter(col("vec_id") === 9)
         .select(col("vec_id"), reverse(col("embedding")).as("embedding")),
@@ -135,7 +146,7 @@ class AnnLocIndexSpec extends SparkSpec {
         reverse(col("embedding"))).otherwise(col("embedding")))
     assert(asSet(Similarity.searchIvfStore(spark, queries, dir, k = 5,
       nprobe = 8)) === asSet(Similarity.bruteForceTopK(net, queries, 5)))
-    // compaction migrates: the index exists again and is exact
+    // compaction refreshes (sheds stale entries)
     Similarity.compactIvfStore(spark, dir)
     assert(locDir(dir).exists(), "compact must rebuild loc/")
     val loc9 = spark.read.parquet(dir + "/encoded")
@@ -144,14 +155,22 @@ class AnnLocIndexSpec extends SparkSpec {
       Seq(9L).toDF("item_id")).get === Set(loc9))
   }
 
-  test("rebuild into an existing dir replaces the index — entries describe the NEW corpus only") {
+  test("rebuild into an existing dir drops the index — entries describe the NEW corpus only once re-created") {
     val dir = tmpStore("annlocrebuild")
     Similarity.buildIvfStore(emb.filter(col("vec_id") < 100), dir,
       nlist = 4)
-    // second build, different corpus slice and quantizer size
+    Similarity.deleteFromIvfStore(spark, Seq(9999L).toDF("vec_id"), dir)
+    assert(locDir(dir).exists())
+    // second build, different corpus slice and quantizer size: the
+    // OLD index would be a non-superset over the new assignments —
+    // the one state lookups cannot absorb — so the build DROPS it
     Similarity.buildIvfStore(emb.filter(col("vec_id").between(100, 299)),
       dir, nlist = 8)
-    // an old-corpus id proves absent; a new-corpus id locates exactly
+    assert(!locDir(dir).exists(),
+      "a rebuild into an existing dir must drop the stale index")
+    // first mutation re-creates from the NEW corpus: an old-corpus id
+    // proves absent; a new-corpus id locates exactly
+    Similarity.deleteFromIvfStore(spark, Seq(9999L).toDF("vec_id"), dir)
     assert(AnnLocIndex.candidateLists(spark, dir,
       Seq(5L).toDF("item_id")).get === Set.empty[Int])
     val loc150 = spark.read.parquet(dir + "/encoded")
