@@ -56,12 +56,37 @@ private[graft] object AnnLocIndex {
   private def defaultBuckets(spark: SparkSession): Int =
     spark.conf.get("spark.graft.annLocBuckets", "64").toInt
 
+  /** Bucket of an id — hashed through ONE canonical physical type:
+    * xxhash64 hashes equal VALUES of different datatypes differently
+    * (IntegerType 5 and LongType 5 land in different buckets), so a
+    * caller-supplied ids frame whose type differs from the stored
+    * item_id would read the wrong bucket partitions and silently
+    * return empty candidates — the mutation would then file nothing.
+    * Casting BOTH writer and reader to long makes the bucket a pure
+    * function of the value for every integral id type; non-integral
+    * ids that cast to null all share one bucket (degenerate but still
+    * correct — writers and readers agree, and the caller's verify
+    * join matches on the real values). */
   private def bucketOf(id: org.apache.spark.sql.Column, b: Int) =
-    pmod(xxhash64(id), lit(b.toLong)).cast("int")
+    pmod(xxhash64(id.cast("long")), lit(b.toLong)).cast("int")
 
   private def fs(spark: SparkSession, dir: String) =
     new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Any committed data file under `dir` (markers like _SUCCESS and
+    * hidden files don't count)? Drives the empty-table guard in
+    * [[rebuild]]. */
+  private def hasDataFiles(f: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Boolean = {
+    if (!f.exists(dir)) return false
+    val it = f.listFiles(dir, true)
+    while (it.hasNext) {
+      val n = it.next().getPath.getName
+      if (!n.startsWith("_") && !n.startsWith(".")) return true
+    }
+    false
+  }
 
   /** The index's bucket count, or None when the store has no index
     * (legacy dir, or a rebuild window — both read as "fall back to
@@ -111,6 +136,18 @@ private[graft] object AnnLocIndex {
       nBuckets: Int = 0): Unit = {
     val b = if (nBuckets > 0) nBuckets else defaultBuckets(spark)
     val f = fs(spark, storeDir)
+    // a compaction can reclaim EVERY row (all list_id dirs deleted,
+    // only _SUCCESS left) — reading that throws "unable to infer
+    // schema" AFTER the caller already cleared its tombstone log, so
+    // a fully-reclaimed store would fail its compaction here. An
+    // empty table has nothing to index: drop instead (absent index =
+    // full-scan fallback, always correct; the next non-empty rebuild
+    // re-creates it).
+    if (!hasDataFiles(f,
+        new org.apache.hadoop.fs.Path(storeDir + "/encoded"))) {
+      drop(spark, storeDir)
+      return
+    }
     val stage = new org.apache.hadoop.fs.Path(stagePath(storeDir))
     f.delete(stage, true) // debris of a crashed rebuild
     spark.read.parquet(storeDir + "/encoded")

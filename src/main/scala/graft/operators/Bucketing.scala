@@ -111,4 +111,86 @@ object Bucketing {
     spark.sql(s"DROP TABLE $table")
     spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
   }
+
+  /** Remove `target`'s `key` rows from a bucketed table by rewriting
+    * only the FILES that hold them — per-call cost O(batch ×
+    * store/buckets), not O(store). This is the per-mutation twin of
+    * [[compactTable]]'s exclude hook: the full rewrite doubles as
+    * small-file compaction and belongs on a maintenance cadence; a
+    * CDC upsert that paid it per micro-batch would reintroduce the
+    * whole-store-rewrite floor on the dedup side that the ANN
+    * location index was built to remove.
+    *
+    * Protocol — the directory store's move-in-then-delete
+    * ([[Dedup.reclaimSignatureTombstones]]), adapted to a catalog
+    * table: locate the affected files (one narrow scan of the key
+    * column; bounded collect — ≤ one file per touched bucket per
+    * standing append), rewrite their surviving rows MINUS any FULL
+    * ROW already present in unaffected files (the debris heal — a
+    * crashed-and-rerun reclaim converges without duplicating
+    * innocent rows), APPEND the survivors through the table's own
+    * bucket+sort
+    * spec (append preserves the catalog layout and lands ≤1 file per
+    * touched bucket — the admission appends' own debris profile, owed
+    * to the same compaction cadence), then delete the originals and
+    * refresh the relation's file listing. A death before the append
+    * changes nothing (tombstones stand); between append and delete a
+    * read sees duplicate survivor rows — the same window the dir
+    * store's protocol accepts (semi/anti joins are immune, candidate
+    * generation distincts) — and the re-run's double anti rewrites
+    * nothing and completes the delete. Single-writer, like every
+    * store mutation. Returns the number of files rewritten. */
+  def reclaimFromTable(spark: SparkSession, table: String,
+      target: DataFrame, key: String): Int = {
+    import org.apache.spark.sql.functions._
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
+      s"table $table is not bucketed — use a plain file-targeted " +
+        "rewrite instead"))
+    val want = broadcast(target.select(col(target.columns.head).as(key)))
+    val rows = spark.table(table)
+      .withColumn("_f", input_file_name())
+    val affected = rows.join(want, Seq(key), "left_semi")
+      .select("_f").distinct()
+      .collect().map(_.getString(0)) // bounded by batch × touched buckets
+    if (affected.isEmpty) return 0
+    val affRows = spark.read.parquet(affected.toIndexedSeq: _*)
+    val survivors0 = affRows.join(want, Seq(key), "left_anti")
+    // crash-debris heal — by FULL ROW equality, never by key: a table
+    // bucketed away from the reclaim key (the bands table holds one
+    // doc's rows across many bucket files) has keys that legitimately
+    // live in affected AND unaffected files, and a key-level anti
+    // here would destroy their innocent affected-file rows (the r15
+    // q141 find — green at toy scale only because every file was
+    // affected). A died earlier run may have already appended exactly
+    // these survivor rows (append-then-delete), so subtract rows
+    // already present in unaffected files: exceptAll is
+    // multiplicity-exact, and legitimate rows are unique by the
+    // admission appends' id anti-join, so a cross-file exact
+    // duplicate IS debris. The rest side is pre-pruned to the
+    // survivors' keys (broadcast semi, batch-× -touched-file-sized)
+    // so the row-equality shuffle never carries the whole store.
+    val affKeys = survivors0.select(key).distinct()
+    val rest = rows.filter(!col("_f").isin(affected.toSeq: _*))
+      .join(broadcast(affKeys), Seq(key), "left_semi")
+      .select(survivors0.columns.map(col).toIndexedSeq: _*)
+    // materialize BEFORE the table mutates: the plan reads the files
+    // this call is about to delete
+    val survivors = survivors0.exceptAll(rest)
+      .localCheckpoint(true)
+    val w = survivors.write.mode("append")
+      .format(meta.provider.getOrElse("parquet"))
+      .bucketBy(spec.numBuckets, spec.bucketColumnNames.head,
+        spec.bucketColumnNames.tail: _*)
+    (if (spec.sortColumnNames.nonEmpty)
+       w.sortBy(spec.sortColumnNames.head, spec.sortColumnNames.tail: _*)
+     else w).saveAsTable(table)
+    val fsys = new org.apache.hadoop.fs.Path(meta.location)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    affected.foreach(u => fsys.delete(
+      new org.apache.hadoop.fs.Path(new java.net.URI(u)), false))
+    spark.catalog.refreshTable(table) // listing cached pre-delete
+    affected.length
+  }
 }

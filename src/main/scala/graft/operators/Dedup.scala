@@ -707,16 +707,20 @@ object Dedup {
     * [[reclaimSignatureTombstones]] twin, closing the upsert-parity
     * gap: removes exactly the given tombstoned ids' rows from both
     * standing tables and re-opens those ids, leaving every other
-    * tombstone standing. The rewrite rides
-    * [[Bucketing.compactTable]]'s exclude hook (one broadcast anti
-    * folded into a rewrite that preserves the catalog bucket spec and
-    * pays no store-side shuffle — the bucketed scan already satisfies
-    * the write distribution), so the reclaim doubles as the store's
-    * small-file compaction. Bands first, sigs second — removal order
-    * is correctness-neutral here (the standing tombstones hide the
-    * ids throughout; orphan band rows die at the verify join), so the
-    * order just mirrors the append's. A death between the rewrites
-    * heals on re-run; R records land LAST. Returns ids reclaimed. */
+    * tombstone standing. The rewrite is FILE-TARGETED
+    * ([[Bucketing.reclaimFromTable]] — the dir store's
+    * move-in-then-delete adapted to the catalog layout): only the
+    * bucket files holding the ids rewrite, so a CDC-cadence upsert
+    * pays O(batch × store/buckets) per call, not the O(store) a
+    * [[Bucketing.compactTable]] ride would charge every micro-batch
+    * (whole-table compaction stays where it belongs, on
+    * [[compactSignatureStore]]'s maintenance cadence). Bands first,
+    * sigs second — removal order is correctness-neutral here (the
+    * standing tombstones hide the ids throughout; orphan band rows
+    * die at the verify join), so the order just mirrors the append's.
+    * A death between or inside the rewrites heals on re-run (the
+    * helper's double anti); R records land LAST. Returns ids
+    * reclaimed. */
   def reclaimSignatureTombstonesBucketed(spark: SparkSession,
       ids: DataFrame, table: String): Long = {
     import org.apache.spark.storage.StorageLevel
@@ -726,14 +730,14 @@ object Dedup {
     val dead = readDeletedBucketed(spark, table).getOrElse(return 0L)
     val target = ids.select(col(ids.columns.head).as("id")).distinct()
       .join(dead, Seq("id"), "left_semi")
-      // the compactTable rewrites drop + recreate the tables the plan
+      // the rewrites append to + delete files of the tables the plan
       // reads — sever the lineage (batch-sized), or the R append's
-      // re-evaluation races the swapped catalog entries
+      // re-evaluation races the mutated relations
       .localCheckpoint(true)
     val n = target.count()
     if (n == 0L) return 0L
-    Bucketing.compactTable(spark, s"${table}_bands", Some((target, "id")))
-    Bucketing.compactTable(spark, s"${table}_sigs", Some((target, "id")))
+    Bucketing.reclaimFromTable(spark, s"${table}_bands", target, "id")
+    Bucketing.reclaimFromTable(spark, s"${table}_sigs", target, "id")
     TombstoneLog.append(spark, target, dlog, "id", "R", seq0)
     n
   }

@@ -307,13 +307,37 @@ object AnnIngestStream {
    * SEARCHABLE vector store end to end: land → demux → applyCdcBatch,
    * takedowns and replacements included.
    */
+  /** The payload schema [[cdcEventsFromEnvelopes]] late-binds. */
+  private def laneSchema(idField: String, vecField: String) = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField(idField, LongType),
+      StructField(vecField, ArrayType(FloatType))))
+  }
+
+  /** TRUE for this lane's DATA-record envelopes whose payload parses
+    * to a null id — exactly the rows [[cdcEventsFromEnvelopes]]
+    * refuses by `raise_error`. The raise is the right guard for a
+    * direct caller (fail by name, never file a phantom row), but
+    * inside a continuous pipeline one malformed payload would fail
+    * the micro-batch deterministically on EVERY retry and wedge all
+    * lanes, snapshots included — so [[IngestPipeline]] pre-filters on
+    * this predicate into its quarantine sink (repair-and-replay, the
+    * same posture as the envelope contract checks). Kept next to the
+    * bridge so the two can never drift on what "malformed" means. */
+  def malformedPayload(table: String = "embeddings",
+      idField: String = "vec_id",
+      vecField: String = "embedding"): org.apache.spark.sql.Column =
+    col("metadata.`table-name`") === table &&
+      col("metadata.`record-type`") ===
+        graft.model.DmsEnvelope.RecordTypeData &&
+      from_json(col("data"), laneSchema(idField, vecField))
+        .getField(idField).isNull
+
   def cdcEventsFromEnvelopes(envelopes: DataFrame,
       table: String = "embeddings", idField: String = "vec_id",
       vecField: String = "embedding"): DataFrame = {
-    import org.apache.spark.sql.types._
-    val dataSchema = StructType(Seq(
-      StructField(idField, LongType),
-      StructField(vecField, ArrayType(FloatType))))
+    val dataSchema = laneSchema(idField, vecField)
     envelopes
       .filter(col("metadata.`table-name`") === table &&
         col("metadata.`record-type`") ===

@@ -108,7 +108,11 @@ object IngestPipeline {
         * snapshot merges (each store family is single-writer by
         * contract; the merges' thread pool must not overlap a store
         * mutation with itself on retry). Clean envelopes only: a
-        * quarantined row never reaches a store. */
+        * quarantined row never reaches a store — including rows whose
+        * PAYLOAD fails the lane's `from_json` (null id): those are
+        * flagged `payload_parse:<table>` and quarantined up front,
+        * because the bridges' raise_error guard would otherwise fail
+        * the batch on every retry and wedge the stream. */
       vectorStores: Seq[VectorStoreLane] = Nil,
       signatureStores: Seq[SignatureStoreLane] = Nil)
 
@@ -147,12 +151,35 @@ object IngestPipeline {
       .foreachBatch(StreamingDemux.idempotentBatch(
         cfg.checkpoint + "/graft_commits") { (batch, batchId) =>
         val t0 = System.nanoTime()
+        // store-lane PAYLOAD checks, folded into the same quarantine
+        // verdict as the envelope contract: the CDC bridges
+        // raise_error on a data record whose payload parses to a null
+        // id, which is right for a direct caller but would fail this
+        // batch deterministically on every retry — one malformed
+        // embeddings/documents payload would wedge the whole stream,
+        // snapshot lanes included. Flagging it here routes the row to
+        // the quarantine sink (repair-and-replay) and keeps it out of
+        // every lane below; the predicates live next to the bridges
+        // so "malformed" can never drift between flag and raise.
+        val payloadChecks: Seq[(String, org.apache.spark.sql.Column)] =
+          cfg.vectorStores.map(v => (s"payload_parse:${v.table}",
+            AnnIngestStream.malformedPayload(v.table, v.idField,
+              v.vecField))) ++
+          cfg.signatureStores.map(sg => (s"payload_parse:${sg.table}",
+            NearDupStream.malformedPayload(sg.table, sg.idField,
+              sg.textField)))
         // the batch fans out to 3+ sinks — persist the parsed+flagged
         // form once; every consumer below is a narrow filter over it
-        val flagged = Constraints.flagRows(
+        val envFlagged = Constraints.flagRows(
           StreamingDemux.parseEnvelopes(batch.select(col("value")))
             .withColumn("ingest_date", to_date(col("event_ts"))),
           cfg.checks)
+        val flagged = (if (payloadChecks.isEmpty) envFlagged
+          else envFlagged.withColumn("violated",
+            concat(col("violated"),
+              filter(array(payloadChecks.map { case (n, p) =>
+                when(coalesce(p, lit(false)), lit(n))
+              }: _*), x => x.isNotNull))))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           val clean = flagged.filter(size(col("violated")) === 0)

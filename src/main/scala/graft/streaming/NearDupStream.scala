@@ -190,13 +190,32 @@ object NearDupStream {
    * same guard as the ANN bridge); null TEXT stays legal — delete
    * payloads may carry the id alone.
    */
+  /** The payload schema [[cdcEventsFromEnvelopes]] late-binds. */
+  private def laneSchema(idField: String, textField: String) = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField(idField, LongType),
+      StructField(textField, StringType)))
+  }
+
+  /** TRUE for this lane's DATA-record envelopes whose payload parses
+    * to a null id — the rows [[cdcEventsFromEnvelopes]] refuses by
+    * `raise_error`. See [[AnnIngestStream.malformedPayload]] for why
+    * pipelines pre-filter on this into quarantine instead of letting
+    * the raise wedge the stream. */
+  def malformedPayload(table: String = "documents",
+      idField: String = "doc_id",
+      textField: String = "text"): org.apache.spark.sql.Column =
+    col("metadata.`table-name`") === table &&
+      col("metadata.`record-type`") ===
+        graft.model.DmsEnvelope.RecordTypeData &&
+      from_json(col("data"), laneSchema(idField, textField))
+        .getField(idField).isNull
+
   def cdcEventsFromEnvelopes(envelopes: DataFrame,
       table: String = "documents", idField: String = "doc_id",
       textField: String = "text"): DataFrame = {
-    import org.apache.spark.sql.types._
-    val dataSchema = StructType(Seq(
-      StructField(idField, LongType),
-      StructField(textField, StringType)))
+    val dataSchema = laneSchema(idField, textField)
     envelopes
       .filter(col("metadata.`table-name`") === table &&
         col("metadata.`record-type`") ===

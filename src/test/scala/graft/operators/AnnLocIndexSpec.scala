@@ -155,6 +155,53 @@ class AnnLocIndexSpec extends SparkSpec {
       Seq(9L).toDF("item_id")).get === Set(loc9))
   }
 
+  test("ids frames of a different integral type read the same buckets (hash canonicalization)") {
+    val dir = tmpStore("annloctype")
+    Similarity.buildIvfStore(emb.filter(col("vec_id") < 200), dir,
+      nlist = 8)
+    Similarity.deleteFromIvfStore(spark, Seq(9999L).toDF("vec_id"), dir)
+    // an INT-typed ids frame against the long-id store: xxhash64
+    // hashes int and long values differently, so without the
+    // canonical cast the lookup reads the WRONG buckets and proves
+    // (falsely) that the ids are absent — the delete then files
+    // nothing, silently
+    val intIds = Seq(5, 77).toDF("vec_id")
+      .select(col("vec_id").cast("int").as("vec_id"))
+    assert(intIds.schema.head.dataType ===
+      org.apache.spark.sql.types.IntegerType)
+    val truth = spark.read.parquet(dir + "/encoded")
+      .filter(col("item_id").isin(5L, 77L))
+      .select("item_id", "list_id").as[(Long, Int)].collect().toMap
+    val cands = AnnLocIndex.candidateLists(spark, dir,
+      intIds.select(col("vec_id").as("item_id"))).get
+    assert(Seq(5L, 77L).map(truth).toSet.subsetOf(cands),
+      s"int-typed lookup must cover the true lists, got $cands")
+    // and the public mutation API actually mutates through it
+    assert(Similarity.deleteFromIvfStore(spark, intIds, dir) === 2L)
+    val queries = emb.filter(col("vec_id") < 3)
+    val net = emb.filter(col("vec_id") < 200 &&
+      !col("vec_id").isin(5L, 77L))
+    assert(asSet(Similarity.searchIvfStore(spark, queries, dir, k = 5,
+      nprobe = 8)) === asSet(Similarity.bruteForceTopK(net, queries, 5)))
+  }
+
+  test("compacting a fully-reclaimed store drops the index instead of failing on the empty encoded table") {
+    val dir = tmpStore("annlocempty")
+    val tiny = emb.filter(col("vec_id") < 20)
+    Similarity.buildIvfStore(tiny, dir, nlist = 2)
+    assert(Similarity.deleteFromIvfStore(spark,
+      tiny.select("vec_id"), dir) === 20L)
+    // every row tombstoned: compaction reclaims them ALL — the index
+    // rebuild at the end must not throw on the now-empty encoded
+    // table (the tombstone log is already cleared by this point; a
+    // failure here would leave the store needing manual repair)
+    Similarity.compactIvfStore(spark, dir)
+    assert(!locDir(dir).exists(),
+      "an empty store has nothing to index — rebuild must drop loc/")
+    assert(AnnLocIndex.candidateLists(spark, dir,
+      Seq(5L).toDF("item_id")).isEmpty, "absent index must read None")
+  }
+
   test("rebuild into an existing dir drops the index — entries describe the NEW corpus only once re-created") {
     val dir = tmpStore("annlocrebuild")
     Similarity.buildIvfStore(emb.filter(col("vec_id") < 100), dir,

@@ -233,6 +233,109 @@ class SigUpsertSpec extends SparkSpec {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("bucketed reclaim is file-targeted: untouched files survive byte-identical; the append-done-delete-missed crash window heals on re-run") {
+    val table = "sigreclaim_targeted"
+    Seq(s"${table}_sigs", s"${table}_bands", s"${table}_deleted")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val many = (0L until 12L).map(i => (i,
+      s"document number $i talks at length about topic $i with unique " +
+        s"words alpha$i beta$i gamma$i delta$i epsilon$i zeta$i"))
+      .toDF("doc_id", "text")
+      // several write tasks → several files PER BUCKET (the real
+      // build profile: bucketed writes land one file per bucket per
+      // task) — the layout where a doc's band rows span files that a
+      // single-id reclaim touches AND files it doesn't, which is
+      // exactly what the full-row debris heal must survive
+      .repartition(2)
+    Dedup.buildSignatureStoreBucketed(many, "doc_id", "text", table,
+      buckets = 8, numHashes = 64, bands = 4, shingleN = 5)
+    try {
+      val sigs = s"${table}_sigs"
+      val loc = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(sigs)).location
+      val fsys = new org.apache.hadoop.fs.Path(loc)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def files(): Map[String, (Long, Long)] = fsys
+        .listStatus(new org.apache.hadoop.fs.Path(loc))
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .map(f => f.getPath.getName ->
+          (f.getLen, f.getModificationTime)).toMap
+      def filesOf(id: Long): Set[String] = spark.table(sigs)
+        .withColumn("_f", input_file_name())
+        .filter(col("id") === id).select("_f").distinct()
+        .as[String].collect()
+        .map(u => new org.apache.hadoop.fs.Path(
+          new java.net.URI(u)).getName).toSet
+      // --- file-targeted: only doc 0's bucket file rewrites ---
+      val affected0 = filesOf(0L)
+      val before = files()
+      Dedup.upsertSignaturesBucketed(spark,
+        Seq((0L, "totally new replacement content mentioning nothing " +
+          "from the original corpus at all")).toDF("doc_id", "text"),
+        "doc_id", "text", table, buckets = 8, numHashes = 64,
+        bands = 4, shingleN = 5)
+      val after = files()
+      before.filterNot { case (n, _) => affected0.contains(n) }
+        .foreach { case (n, stamp) =>
+          assert(after.get(n) === Some(stamp),
+            s"untouched sig file $n must survive byte-identical — " +
+              "the reclaim must not rewrite the whole table")
+        }
+      affected0.foreach(n => assert(!after.contains(n),
+        s"the affected file $n must be deleted by the reclaim"))
+      // INNOCENT rows sharing an affected file must survive — in the
+      // BANDS table a doc's rows span many bucket files, so its key
+      // legitimately lives in affected AND unaffected files; the heal
+      // must compare full rows, never keys (a key-level anti silently
+      // destroyed innocent band rows — the r15 q141 find). The audit
+      // checks every live id's stored sig AND band rows against the
+      // net corpus.
+      val net = many.withColumn("text", when(col("doc_id") === 0,
+        lit("totally new replacement content mentioning nothing " +
+          "from the original corpus at all")).otherwise(col("text")))
+      val audit = Dedup.auditSignatureStoreBucketed(spark, net,
+        "doc_id", "text", table, numHashes = 64, bands = 4,
+        shingleN = 5)
+      assert(audit.count() === 12)
+      assert(audit.filter(!col("sig_ok") || !col("bands_ok"))
+        .count() === 0,
+        "every live id's sig and band rows must equal the net corpus's")
+      // --- crash-window heal: survivors appended, originals kept ---
+      // pick a tombstone target that SHARES a file with a witness id
+      val byFile = spark.table(sigs)
+        .withColumn("_f", input_file_name())
+        .select(col("_f"), col("id")).as[(String, Long)].collect()
+        .groupBy(_._1).values.map(_.map(_._2).sorted.toSeq)
+        .filter(_.size >= 2).head
+      val target = byFile.head
+      val witness = byFile(1)
+      // the state a death between reclaimFromTable's append and its
+      // file deletes leaves behind: the affected file's NON-target
+      // rows exist twice (original file + appended survivor copy)
+      val survivorCopy = spark.table(sigs)
+        .withColumn("_f", input_file_name())
+        .filter(col("id").isin(byFile: _*) && col("id") =!= target)
+        .drop("_f").localCheckpoint(true)
+      survivorCopy.write.mode("append").format("parquet")
+        .bucketBy(8, "id").sortBy("id").saveAsTable(sigs)
+      assert(spark.table(sigs).filter(col("id") === witness).count() === 2,
+        "precondition: the crash window duplicates the witness row")
+      // the re-run: tombstone + targeted reclaim of the same target
+      Dedup.deleteSignaturesBucketed(spark,
+        Seq(target).toDF("doc_id"), table)
+      assert(Dedup.reclaimSignatureTombstonesBucketed(spark,
+        Seq(target).toDF("doc_id"), table) === 1L)
+      assert(spark.table(sigs).filter(col("id") === target).count() === 0,
+        "the target's rows must be physically gone")
+      assert(spark.table(sigs).filter(col("id") === witness).count() === 1,
+        "the double anti must heal the duplicated witness, not copy it again")
+      // every surviving id is single again (no collateral duplication)
+      assert(spark.table(sigs).groupBy("id").count()
+        .filter(col("count") > 1).count() === 0)
+    } finally Seq(s"${table}_sigs", s"${table}_bands", s"${table}_deleted")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("bucketed store: legacy D-only tombstone table reads as baseline and is superseded by the op log's revive") {
     val table = "siglegacy_bucketed"
     Seq(s"${table}_sigs", s"${table}_bands", s"${table}_deleted")

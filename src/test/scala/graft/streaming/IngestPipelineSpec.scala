@@ -319,4 +319,82 @@ class IngestPipelineSpec extends SparkSpec {
     assert(annSearch === annTruth)
     assert(pairsOf(sigDir) === livePairs)
   }
+
+  test("store lanes: a malformed lane payload quarantines instead of wedging the stream; the rest of the batch lands") {
+    val S = graft.operators.Similarity
+    val D = graft.operators.Dedup
+    val root = Files.createTempDirectory("pipemalformed").toString
+    val annDir = s"$root/annstore"
+    val sigDir = s"$root/sigstore"
+    S.buildIvfStore((0 until 20).map(i => (i.toLong, vecOf(i)))
+      .toDF("vec_id", "embedding"), annDir, nlist = 2, dim = 8)
+    D.buildSignatureStore((0 until 4).map(i => (i.toLong, textOf(i)))
+      .toDF("doc_id", "text"), "doc_id", "text", sigDir,
+      numHashes = 64, shingleN = 5)
+
+    // three poison shapes that all PASS the envelope contract
+    // (data is non-null) but fail the lane's payload parse — before
+    // the pre-filter, each deterministically failed the batch on
+    // every retry via the bridge's raise_error and wedged the stream:
+    // a wrong-fields payload, an outright non-JSON payload, and an
+    // explicit null id
+    val lines = Seq(
+      env(0, "embeddings", "insert", vecJson(20L, vecOf(20))),
+      env(1, "embeddings", "insert", """{"vec": "oops, no id field"}"""),
+      env(2, "documents", "insert", """"not json at all""""),
+      env(3, "documents", "update",
+        """{"doc_id": null, "text": "id-less update"}"""),
+      env(4, "person", "insert", """{"ID": 9, "val": "ok"}"""),
+      env(5, "embeddings", "delete", """{"vec_id": 7}"""),
+      env(6, "documents", "insert",
+        s"""{"doc_id": 4, "text": "${textOf(4)}"}"""))
+    val backlog = Files.createTempFile("pipemalformed", ".jsonl")
+    Files.write(backlog, lines.mkString("\n").getBytes("UTF-8"))
+
+    val cfg = IngestPipeline.Config(
+      landingDir = s"$root/landing",
+      quarantineDir = s"$root/quarantine",
+      checks = Seq(Constraints.Predicate("has_data",
+        col("data").isNotNull)),
+      snapshotRoot = s"$root/snapshots",
+      tables = Seq(IngestPipeline.TableSink(
+        "dms_sample", "person", personSchema, "ID")),
+      opsRollupDir = s"$root/ops",
+      checkpoint = s"$root/ckpt",
+      vectorStores = Seq(IngestPipeline.VectorStoreLane(annDir)),
+      signatureStores = Seq(IngestPipeline.SignatureStoreLane(sigDir)))
+    val raw = spark.readStream.format("graft-kinesis-sim")
+      .option("path", backlog.toString).option("shards", "1")
+      .option("keyRegex", "\"(?:vec_id|doc_id|ID)\": (-?[0-9]+)")
+      .load()
+      .select(col("data").as("value"))
+    // the stream must COMPLETE — with the raise_error reaching the
+    // sink this would fail the batch on every retry
+    IngestPipeline.start(raw, cfg).awaitTermination(180000)
+
+    // the three poison rows are in quarantine, named by their check
+    val q = spark.read.json(s"$root/quarantine")
+    val viols = q.select(explode(col("violated")).as("v"))
+      .as[String].collect().toSeq
+    assert(viols.count(_ == "payload_parse:embeddings") === 1, viols)
+    assert(viols.count(_ == "payload_parse:documents") === 2, viols)
+    assert(q.count() === 3)
+    // …and NOT in the clean landing
+    assert(spark.read.json(s"$root/landing").count() === 4L)
+    // every valid event applied: the insert, the takedown, the doc
+    val qv = (0 until 3).map(i => (i.toLong, vecOf(i)))
+      .toDF("vec_id", "embedding")
+    val stored = S.searchIvfStore(spark, qv, annDir, k = 1000,
+      nprobe = 2).select("item_id").as[Long].collect().toSet
+    assert(stored.contains(20L) && !stored.contains(7L))
+    val probe = Seq((100L, textOf(4) + " tail")).toDF("doc_id", "text")
+    assert(D.minhashLshIncremental(spark, probe, "doc_id", "text",
+        sigDir, numHashes = 64, bands = 16, shingleN = 5,
+        threshold = 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      .contains((4L, 100L)))
+    assert(IngestPipeline.readSnapshot(spark, cfg, "person")
+      .select("ID", "val").as[(Long, String)].collect().toSet ===
+      Set((9L, "ok")))
+  }
 }
