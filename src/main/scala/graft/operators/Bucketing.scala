@@ -112,6 +112,68 @@ object Bucketing {
     spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
   }
 
+  /** Read ONLY the table's files in the buckets that `bucketRows`'
+    * bucket-column values can inhabit — the bucketed layout used as
+    * its own LOCATION INDEX, the dedup-side answer to the ANN stores'
+    * [[AnnLocIndex]]: a mutation that knows its batch's bucket-key
+    * values never needs to scan the store to find its rows. Spark's
+    * native bucket pruning only fires for literal predicates on a
+    * single bucket column; the mutation paths need multi-column
+    * bucket keys (the bands table's (band, bucket)) and frame-shaped
+    * key sets, so this prunes by hand: bucket id =
+    * pmod(murmur3(bucket cols), n) — the same function the writer's
+    * HashPartitioning used (the [[compactTable]] parity note) — with
+    * each key column CAST to the table's column type first (xxhash64
+    * taught us: equal values of different types hash apart, and a
+    * caller's int ids against a long-id table would silently read the
+    * wrong buckets). The distinct bucket ids collect driver-side
+    * (bounded by min(buckets, key rows)), then a direct parquet read
+    * of just those buckets' files, bucket ids parsed from the
+    * writer's `_NNNNN` file-name component; any unparseable data file
+    * means a foreign layout — fall back to the full table scan,
+    * always correct. The result is a plain file read with NO bucketed
+    * outputPartitioning: location work only, never the admission
+    * query's colocated join. */
+  def prunedScan(spark: SparkSession, table: String,
+      bucketRows: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val spec = meta.bucketSpec.getOrElse(return spark.table(table))
+    val sch = spark.table(table).schema
+    val bexprs = spec.bucketColumnNames
+      .map(c => col(c).cast(sch(c).dataType))
+    val wanted = bucketRows
+      .select(pmod(hash(bexprs: _*), lit(spec.numBuckets)).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet // ≤ numBuckets
+    // selectivity guard (measured, r15): pruning only pays when the
+    // batch's buckets are a MINORITY share of the table's — a batch
+    // touching most buckets "prunes" to the whole table read
+    // file-by-file, paying the listing + fresh file index + per-file
+    // overhead for nothing (at 500k docs × 64 buckets × 500-id
+    // batches the unguarded prune measured 2-4× SLOWER than the
+    // catalog scan). Under the guard the catalog scan — shared cached
+    // listing, combined splits — serves the non-selective case, and
+    // the pruned read serves the regime it exists for: a huge store
+    // (buckets sized ∝ corpus) hit by a small CDC batch.
+    if (wanted.size * 2 >= spec.numBuckets) return spark.table(table)
+    val fsys = new org.apache.hadoop.fs.Path(meta.location)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bucketedName = """.*_(\d+)(?:\..*)?$""".r // the writer's _NNNNN
+    val parsed = fsys.listStatus(
+        new org.apache.hadoop.fs.Path(meta.location))
+      .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+        !f.getPath.getName.startsWith("."))
+      .map(f => f.getPath.getName match {
+        case bucketedName(b) => Some(f.getPath.toString -> b.toInt)
+        case _ => None
+      })
+    if (parsed.exists(_.isEmpty)) return spark.table(table)
+    val keep = parsed.flatten.collect { case (p, b) if wanted(b) => p }
+    if (keep.isEmpty) spark.table(table).limit(0)
+    else spark.read.schema(sch).parquet(keep.toIndexedSeq: _*)
+  }
+
   /** Remove `target`'s `key` rows from a bucketed table by rewriting
     * only the FILES that hold them — per-call cost O(batch ×
     * store/buckets), not O(store). This is the per-mutation twin of
@@ -123,9 +185,11 @@ object Bucketing {
     *
     * Protocol — the directory store's move-in-then-delete
     * ([[Dedup.reclaimSignatureTombstones]]), adapted to a catalog
-    * table: locate the affected files (one narrow scan of the key
-    * column; bounded collect — ≤ one file per touched bucket per
-    * standing append), rewrite their surviving rows MINUS any FULL
+    * table: locate the affected files (a [[prunedScan]] of only the
+    * batch's buckets when the key set is known — O(batch) reads, the
+    * r15 location lever; a narrow full scan otherwise; bounded
+    * collect — ≤ one file per touched bucket per standing append),
+    * rewrite their surviving rows MINUS any FULL
     * ROW already present in unaffected files (the debris heal — a
     * crashed-and-rerun reclaim converges without duplicating
     * innocent rows), APPEND the survivors through the table's own
@@ -141,7 +205,8 @@ object Bucketing {
     * nothing and completes the delete. Single-writer, like every
     * store mutation. Returns the number of files rewritten. */
   def reclaimFromTable(spark: SparkSession, table: String,
-      target: DataFrame, key: String): Int = {
+      target: DataFrame, key: String,
+      bucketRows: Option[DataFrame] = None): Int = {
     import org.apache.spark.sql.functions._
     val meta = spark.sessionState.catalog.getTableMetadata(
       org.apache.spark.sql.catalyst.TableIdentifier(table))
@@ -149,8 +214,25 @@ object Bucketing {
       s"table $table is not bucketed — use a plain file-targeted " +
         "rewrite instead"))
     val want = broadcast(target.select(col(target.columns.head).as(key)))
-    val rows = spark.table(table)
-      .withColumn("_f", input_file_name())
+    // location through the table's own bucket layout ([[prunedScan]]):
+    // when the reclaim key IS the bucket key, the target prunes
+    // directly (no contract to get wrong); otherwise the caller may
+    // pass `bucketRows` naming EVERY bucket-column value the target's
+    // rows can inhabit — an under-covering set would silently leave
+    // rows standing, so callers that derive it from stored state must
+    // verify coverage first (see Dedup.reclaimSignatureTombstones
+    // Bucketed's ≥-bands check) or pass None for the full scan. The
+    // pruned set also covers every debris copy of a survivor row (a
+    // copy shares its row's bucket values by definition), so the
+    // exceptAll heal below sees everything it needs.
+    val src = bucketRows match {
+      case Some(br) => prunedScan(spark, table, br)
+      case None if spec.bucketColumnNames == Seq(key) =>
+        prunedScan(spark, table,
+          target.select(col(target.columns.head).as(key)))
+      case None => spark.table(table)
+    }
+    val rows = src.withColumn("_f", input_file_name())
     val affected = rows.join(want, Seq(key), "left_semi")
       .select("_f").distinct()
       .collect().map(_.getString(0)) // bounded by batch × touched buckets

@@ -688,6 +688,13 @@ object Dedup {
     val dlog = bucketedDlogPath(spark, table)
     TombstoneLog.maybeFold(spark, dlog, "id")
     val seq0 = TombstoneLog.nextSeq(spark, dlog, "id")
+    // existence check via the CATALOG scan, deliberately: a
+    // bucket-pruned read was measured 2-3× slower here (r15,
+    // SCALING.md "bucketed sig-store location") — the check reads one
+    // column through the table's shared cached listing, which beats
+    // per-call file listing + index construction at every measured
+    // scale; pruning pays only where whole FILES must be located and
+    // rewritten (the reclaim)
     val want = ids.select(col(ids.columns.head).as("id")).distinct()
       .join(spark.table(s"${table}_sigs").select("id"), Seq("id"),
         "left_semi")
@@ -719,11 +726,27 @@ object Dedup {
     * standing tombstones hide the ids throughout; orphan band rows
     * die at the verify join), so the order just mirrors the append's.
     * A death between or inside the rewrites heals on re-run (the
-    * helper's double anti); R records land LAST. Returns ids
-    * reclaimed. */
+    * helper's full-row debris heal); R records land LAST.
+    *
+    * LOCATION is bucket-pruned end to end (the r15 lever; the
+    * dedup-side twin of the ANN stores' AnnLocIndex, with the table
+    * layout itself as the index): the sigs side prunes by the ids
+    * directly (id IS its bucket key — no configuration to get wrong),
+    * and the bands side recomputes the targets' (band, bucket) keys
+    * from their STORED signatures — a pure function of sig +
+    * `numHashes`/`bands`, which therefore must match the store build,
+    * the same contract as every admission call. Because a mismatch
+    * would name the WRONG buckets and silently leave rows standing,
+    * the recompute is VERIFIED before it is trusted: admission writes
+    * bands before sigs, so every live-sig id must locate ≥ `bands`
+    * band rows inside the pruned set — a shortfall (mismatched
+    * params, or a torn reclaim mid-heal) falls back to the unpruned
+    * full-scan location, always correct. Returns ids reclaimed. */
   def reclaimSignatureTombstonesBucketed(spark: SparkSession,
-      ids: DataFrame, table: String): Long = {
+      ids: DataFrame, table: String, numHashes: Int = 64,
+      bands: Int = 8): Long = {
     import org.apache.spark.storage.StorageLevel
+    val rows = bandRows(numHashes, bands)
     val dlog = bucketedDlogPath(spark, table)
     TombstoneLog.maybeFold(spark, dlog, "id")
     val seq0 = TombstoneLog.nextSeq(spark, dlog, "id")
@@ -736,7 +759,39 @@ object Dedup {
       .localCheckpoint(true)
     val n = target.count()
     if (n == 0L) return 0L
-    Bucketing.reclaimFromTable(spark, s"${table}_bands", target, "id")
+    // is a bands-side prune even possible? n×bands is an upper bound
+    // on the batch's distinct (band, bucket) keys — when twice that
+    // already reaches the bucket count, prunedScan's selectivity
+    // guard would reject the prune anyway, so skip the recompute and
+    // coverage jobs outright (they measured +15% on exactly the
+    // batch-≥-buckets regime they can't help)
+    val nBandBuckets = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst
+        .TableIdentifier(s"${table}_bands"))
+      .bucketSpec.map(_.numBuckets).getOrElse(0)
+    val bandHint = if (n * bands * 2 >= nBandBuckets) None else {
+      // the targets' stored sigs, read through the sigs table's
+      // buckets; checkpointed — the band rewrite below must not
+      // re-evaluate this against mutated files
+      val storedSigs = Bucketing
+        .prunedScan(spark, s"${table}_sigs", target)
+        .join(broadcast(target), Seq("id"), "left_semi")
+        .select("id", "sig").localCheckpoint(true)
+      val bandKeys = bandedIndex(storedSigs, bands, rows,
+        portable = false).select("band", "bucket")
+      // coverage check: ≥ bands located band rows per live-sig id, or
+      // the pruned location cannot be trusted (see scaladoc)
+      val located = Bucketing
+        .prunedScan(spark, s"${table}_bands", bandKeys)
+        .join(broadcast(target), Seq("id"), "left_semi")
+        .groupBy("id").agg(count(lit(1)).as("c"))
+      val short = storedSigs.select("id")
+        .join(located.filter(col("c") >= bands), Seq("id"), "left_anti")
+        .count()
+      if (short == 0L) Some(bandKeys) else None
+    }
+    Bucketing.reclaimFromTable(spark, s"${table}_bands", target, "id",
+      bandHint)
     Bucketing.reclaimFromTable(spark, s"${table}_sigs", target, "id")
     TombstoneLog.append(spark, target, dlog, "id", "R", seq0)
     n
@@ -758,7 +813,8 @@ object Dedup {
       numHashes: Int = 64, bands: Int = 8, shingleN: Int = 5): Unit = {
     val ids = batch.select(col(idCol).as("id"))
     deleteSignaturesBucketed(spark, ids, table)
-    reclaimSignatureTombstonesBucketed(spark, ids, table)
+    reclaimSignatureTombstonesBucketed(spark, ids, table, numHashes,
+      bands)
     appendSignaturesBucketed(spark, batch, idCol, textCol, table,
       buckets, numHashes, bands, shingleN)
   }
@@ -872,7 +928,10 @@ object Dedup {
       idCol: String, textCol: String, table: String, buckets: Int,
       numHashes: Int = 64, bands: Int = 8, shingleN: Int = 5): Unit = {
     val rows = bandRows(numHashes, bands)
-    // physical-id anti (re-delivery) + tombstone anti (takedown wins)
+    // physical-id anti (re-delivery) + tombstone anti (takedown wins).
+    // The anti reads the catalog table, not a bucket-pruned file set —
+    // the same measured reasoning as deleteSignaturesBucketed's
+    // existence check (narrow cached scan beats per-call listing).
     val fresh = minusDeletedBucketed(spark,
         minhashSignatures(admitted, idCol, textCol, numHashes,
           shingleN, portable = false)

@@ -75,6 +75,102 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("prunedScan: single-column key reads exactly the wanted buckets' files; empty and int-typed key sets behave") {
+    tablesReady
+    import spark.implicits._
+    // which bucket does each row live in? parse the writer's _NNNNN
+    val re = """.*_(\d+)(?:\..*)?$""".r
+    def bucketOfFile(u: String): Int = {
+      val n = new org.apache.hadoop.fs.Path(new java.net.URI(u)).getName
+      n match { case re(b) => b.toInt }
+    }
+    val keys = Seq(7L, 19L, 23L).toDF("o_custkey")
+    val pruned = Bucketing.prunedScan(spark, "bkt_orders", keys)
+    // exact rows: pruned ⊇ the true rows for the keys, and every
+    // pruned row's key hashes to a wanted bucket
+    val truth = spark.table("bkt_orders")
+      .filter(col("o_custkey").isin(7L, 19L, 23L))
+      .select("o_orderkey").as[Long].collect().toSet
+    val got = pruned.filter(col("o_custkey").isin(7L, 19L, 23L))
+      .select("o_orderkey").as[Long].collect().toSet
+    assert(got === truth, "pruned scan must cover every row of the keys")
+    // the read's file set is only the wanted buckets (≤3 of 8)
+    val wanted = keys
+      .select(pmod(hash(col("o_custkey")), lit(8)).as("b"))
+      .distinct().as[Int].collect().toSet
+    val readBuckets = pruned.select(input_file_name()).distinct()
+      .as[String].collect().map(bucketOfFile).toSet
+    assert(readBuckets.subsetOf(wanted),
+      s"read $readBuckets, wanted only $wanted")
+    assert(readBuckets.size < 8, "a pruned scan must not read all buckets")
+    // an INT-typed key frame prunes to the same buckets (values cast
+    // to the table's column type before hashing — the xxhash64 lesson)
+    val intKeys = Seq(7, 19, 23).toDF("o_custkey")
+    assert(Bucketing.prunedScan(spark, "bkt_orders", intKeys)
+      .filter(col("o_custkey").isin(7L, 19L, 23L))
+      .select("o_orderkey").as[Long].collect().toSet === truth)
+    // keys hashing to no existing file → empty frame, table schema
+    val none = Bucketing.prunedScan(spark, "bkt_orders",
+      spark.emptyDataFrame.select(lit(1L).as("o_custkey")).limit(0))
+    assert(none.schema === spark.table("bkt_orders").schema)
+    assert(none.count() === 0)
+  }
+
+  test("prunedScan: multi-column bucket key (bands-shaped) covers every row of the named key pairs") {
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS ps_multi")
+    try {
+      // (band, bucket) two-column bucket spec, several files per
+      // bucket (two appends), like the signature stores' bands table
+      val a = (0 until 400).map(i => (i % 8, (i * 2654435761L) % 97, i.toLong))
+        .toDF("band", "bucket", "id")
+      a.write.format("parquet").bucketBy(4, "band", "bucket")
+        .sortBy("band", "bucket").saveAsTable("ps_multi")
+      val b = (400 until 800).map(i => (i % 8, (i * 2654435761L) % 97, i.toLong))
+        .toDF("band", "bucket", "id")
+      b.write.mode("append").format("parquet").bucketBy(4, "band", "bucket")
+        .sortBy("band", "bucket").saveAsTable("ps_multi")
+      val keyPairs = spark.table("ps_multi")
+        .filter(col("id").isin(3L, 77L, 500L, 799L))
+        .select("band", "bucket").distinct()
+      val pruned = Bucketing.prunedScan(spark, "ps_multi", keyPairs)
+      val truth = spark.table("ps_multi")
+        .join(keyPairs, Seq("band", "bucket"), "left_semi")
+        .select("id").as[Long].collect().toSet
+      val got = pruned.join(keyPairs, Seq("band", "bucket"), "left_semi")
+        .select("id").as[Long].collect().toSet
+      assert(got === truth,
+        "multi-column pruning must cover every row of the named pairs")
+      assert(Seq(3L, 77L, 500L, 799L).toSet.subsetOf(got))
+    } finally spark.sql("DROP TABLE IF EXISTS ps_multi")
+  }
+
+  test("prunedScan: a foreign (unparseable) data file falls back to the full scan") {
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS ps_foreign")
+    try {
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.format("parquet")
+        .bucketBy(2, "id").saveAsTable("ps_foreign")
+      val loc = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier("ps_foreign")).location
+      // a hand-placed file with no bucket suffix: pruning cannot
+      // assign it a bucket, so the scan must degrade to ALL files
+      val stray = new org.apache.hadoop.fs.Path(loc.getPath, "strayfile.parquet")
+      Seq((3L, "c")).toDF("id", "v").coalesce(1)
+        .write.mode("overwrite").parquet("/tmp/ps_stray")
+      val fsys = stray.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val src = fsys.listStatus(new org.apache.hadoop.fs.Path("/tmp/ps_stray"))
+        .filter(_.getPath.getName.endsWith(".parquet")).head.getPath
+      fsys.rename(src, stray)
+      spark.catalog.refreshTable("ps_foreign")
+      val got = Bucketing.prunedScan(spark, "ps_foreign",
+          Seq(1L).toDF("id"))
+        .select("id").as[Long].collect().toSet
+      assert(got === Set(1L, 2L, 3L),
+        "foreign layout must read as the FULL table, never a wrong prune")
+    } finally spark.sql("DROP TABLE IF EXISTS ps_foreign")
+  }
+
   test("compactTable merges append debris to one file per bucket, keeps rows + layout") {
     import spark.implicits._
     val orders = Tables.load(spark, sf0001, "orders")

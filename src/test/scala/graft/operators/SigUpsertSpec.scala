@@ -336,6 +336,38 @@ class SigUpsertSpec extends SparkSpec {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("bucketed reclaim with mismatched band params falls back to the full-scan location and stays correct") {
+    val table = "sigreclaim_mismatch"
+    Seq(s"${table}_sigs", s"${table}_bands", s"${table}_deleted")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val many = (0L until 12L).map(i => (i,
+      s"mismatch document $i with its own distinct words " +
+        s"omega$i kappa$i lambda$i mu$i nu$i xi$i")).toDF("doc_id", "text")
+      .repartition(3)
+    Dedup.buildSignatureStoreBucketed(many, "doc_id", "text", table,
+      buckets = 8, numHashes = 64, bands = 4, shingleN = 5)
+    try {
+      Dedup.deleteSignaturesBucketed(spark, Seq(5L).toDF("doc_id"), table)
+      // bands=8 against a bands=4 build: the recomputed (band, bucket)
+      // keys name the WRONG buckets, the ≥-bands coverage check trips,
+      // and the reclaim must fall back to the unpruned location — the
+      // rows still physically reclaim, nothing is silently left
+      assert(Dedup.reclaimSignatureTombstonesBucketed(spark,
+        Seq(5L).toDF("doc_id"), table, numHashes = 64, bands = 8) === 1L)
+      assert(spark.table(s"${table}_sigs").filter(col("id") === 5)
+        .count() === 0, "sig row must be physically gone")
+      assert(spark.table(s"${table}_bands").filter(col("id") === 5)
+        .count() === 0, "band rows must be physically gone despite " +
+          "the mismatched prune hint")
+      // no collateral loss anywhere: every other id keeps its full
+      // sig + band complement (4 bands per doc at the build config)
+      assert(spark.table(s"${table}_sigs").count() === 11)
+      assert(spark.table(s"${table}_bands").groupBy("id").count()
+        .filter(col("count") =!= 4).count() === 0)
+    } finally Seq(s"${table}_sigs", s"${table}_bands", s"${table}_deleted")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("bucketed store: legacy D-only tombstone table reads as baseline and is superseded by the op log's revive") {
     val table = "siglegacy_bucketed"
     Seq(s"${table}_sigs", s"${table}_bands", s"${table}_deleted")
