@@ -2725,8 +2725,8 @@ object SparkEntry {
     // band rows equal the net text's, and no live id exists outside
     // the net set — auditSignatureStoreBucketed). Build on %3≠0
     // history, take %7=2 down (tombstones into the D/R op log), UPSERT
-    // token-reversed %5=1 content (targeted reclaim through
-    // Bucketing.compactTable's exclude hook; the overlap REVIVES),
+    // token-reversed %5=1 content (file-targeted reclaim through
+    // Bucketing.reclaimFromTable, r15; the overlap REVIVES),
     // then audit against the net corpus: a resurrected takedown, a
     // lost or doubled replacement, stale band rows from a torn
     // reclaim, or old content kept under a mutated id each flip a row.
@@ -2750,6 +2750,53 @@ object SparkEntry {
         .select(col("doc_id"),
           when(col("doc_id") % 5 === 1,
             concat_ws(" ", reverse(split(col("text"), "\\s+"))))
+            .otherwise(col("text")).as("text"))
+      Dedup.auditSignatureStoreBucketed(s, net, "doc_id", "text",
+          table, numHashes = 64, bands = 8, shingleN = 5)
+        .select(col("id").as("doc_id"), col("sig_ok"), col("bands_ok"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // The BUCKETED store maintained by CDC OPS (round 15) — the scale
+    // layout reaches stream parity with the dir stores: one
+    // applySigCdcBatchBucketed call dispatches I (the %3=0 docs,
+    // admitted fresh), U (%5=1 of history, token-reversed — the
+    // targeted file-level reclaim + revive path), D (%7=2 of history;
+    // a D at a later seq beats the overlap's U — latest-op
+    // resolution), then a SECOND batch late-re-delivers an I of a
+    // taken-down id (must stay down: takedown wins while the
+    // tombstone stands). Gated like q141 through the net-state audit:
+    // every live id's stored sig AND band rows ≡ the net text's, no
+    // live id outside the net set.
+    "q142_sigstore_cdc_bucketed" -> ((s, dir) => {
+      val table =
+        s"graft_sigcdcb_${Integer.toHexString(dir.hashCode)}_$jvmToken"
+      val docs = t(s, dir, "documents")
+      val history = docs.filter(col("doc_id") % 3 =!= 0)
+      Dedup.buildSignatureStoreBucketed(history, "doc_id", "text",
+        table, buckets = 4, numHashes = 64, bands = 8, shingleN = 5)
+      val rev = concat_ws(" ", reverse(split(col("text"), "\\s+")))
+      val b1 = docs.filter(col("doc_id") % 3 === 0)
+          .select(col("doc_id"), col("text"), lit("I").as("op"),
+            lit(1L).as("seq"))
+        .unionByName(history.filter(col("doc_id") % 5 === 1)
+          .select(col("doc_id"), rev.as("text"), lit("U").as("op"),
+            lit(2L).as("seq")))
+        .unionByName(history.filter(col("doc_id") % 7 === 2)
+          .select(col("doc_id"), lit(null).cast("string").as("text"),
+            lit("D").as("op"), lit(3L).as("seq")))
+      Dedup.applySigCdcBatchBucketed(s, b1, table, buckets = 4,
+        numHashes = 64, bands = 8, shingleN = 5)
+      val b2 = history
+        .filter(col("doc_id") % 7 === 2 && col("doc_id") % 5 === 3)
+        .select(col("doc_id"), col("text"), lit("I").as("op"),
+          lit(10L).as("seq"))
+      Dedup.applySigCdcBatchBucketed(s, b2, table, buckets = 4,
+        numHashes = 64, bands = 8, shingleN = 5)
+      val net = docs
+        .filter(col("doc_id") % 3 === 0 || col("doc_id") % 7 =!= 2)
+        .select(col("doc_id"),
+          when(col("doc_id") % 3 =!= 0 && col("doc_id") % 5 === 1, rev)
             .otherwise(col("text")).as("text"))
       Dedup.auditSignatureStoreBucketed(s, net, "doc_id", "text",
           table, numHashes = 64, bands = 8, shingleN = 5)
@@ -4009,6 +4056,14 @@ object SparkEntry {
     "q141_sigstore_upsert_bucketed" ->
       """SELECT doc_id, true AS sig_ok, true AS bands_ok FROM documents
          WHERE doc_id % 3 <> 0 AND (doc_id % 7 <> 2 OR doc_id % 5 = 1)
+         ORDER BY doc_id""",
+    // bucketed-store CDC (q142): same audit convention — the oracle
+    // is the net membership after I (%3=0 fresh), U (%5=1 replaced),
+    // D (%7=2 down — the later D beats the overlap's U), and a
+    // late re-delivered I of a taken-down id that must stay down.
+    "q142_sigstore_cdc_bucketed" ->
+      """SELECT doc_id, true AS sig_ok, true AS bands_ok FROM documents
+         WHERE doc_id % 3 = 0 OR doc_id % 7 <> 2
          ORDER BY doc_id""",
     // the merge invariant is the split's, in reverse — same plain
     // brute-force oracle over the full corpus (q135's SQL, k=6).

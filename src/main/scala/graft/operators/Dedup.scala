@@ -838,7 +838,48 @@ object Dedup {
       storeDir: String, idCol: String = "doc_id",
       textCol: String = "text", opCol: String = "op",
       seqCol: String = "seq", numHashes: Int = 64, shingleN: Int = 5,
-      portable: Boolean = false): (Long, Long, Long) = {
+      portable: Boolean = false): (Long, Long, Long) =
+    dispatchSigCdc(spark, batch, idCol, textCol, opCol, seqCol,
+      "applySigCdcBatch",
+      del = ids => deleteSignatures(spark, ids, storeDir),
+      ups = rows => upsertSignatures(spark, rows, "doc_id", "text",
+        storeDir, numHashes, shingleN, portable),
+      ins = rows => appendSignatures(spark, rows, "doc_id", "text",
+        storeDir, numHashes, shingleN, portable))
+
+  /** [[applySigCdcBatch]] for a BUCKETED store
+    * ([[buildSignatureStoreBucketed]]) — the same terminal-op
+    * resolution and lane semantics over the write-time-bucketed
+    * layout, closing the CDC-parity gap the r14 upsert work left: the
+    * SCALE layout could until now only be maintained by out-of-band
+    * delete/upsert calls, not from the envelope stream. D→
+    * [[deleteSignaturesBucketed]], U→[[upsertSignaturesBucketed]]
+    * (revives by design), I→[[appendSignaturesBucketed]] (takedown
+    * wins). Replaying the whole batch converges: signatures are pure
+    * functions of the text. `buckets`/`numHashes`/`bands`/`shingleN`
+    * must match the store build. Returns (inserted, updated, deleted)
+    * ids dispatched per lane. */
+  def applySigCdcBatchBucketed(spark: SparkSession, batch: DataFrame,
+      table: String, buckets: Int, idCol: String = "doc_id",
+      textCol: String = "text", opCol: String = "op",
+      seqCol: String = "seq", numHashes: Int = 64, bands: Int = 8,
+      shingleN: Int = 5): (Long, Long, Long) =
+    dispatchSigCdc(spark, batch, idCol, textCol, opCol, seqCol,
+      "applySigCdcBatchBucketed",
+      del = ids => deleteSignaturesBucketed(spark, ids, table),
+      ups = rows => upsertSignaturesBucketed(spark, rows, "doc_id",
+        "text", table, buckets, numHashes, bands, shingleN),
+      ins = rows => appendSignaturesBucketed(spark, rows, "doc_id",
+        "text", table, buckets, numHashes, bands, shingleN))
+
+  /** The shared CDC dispatch core: resolve ONE terminal op per id
+    * (latest seq wins; same-seq ties D > U > I — conservative
+    * takedown-wins), gate unknown ops LOUDLY by name, then run the
+    * store-layout-specific lanes D, U, I in that order. */
+  private def dispatchSigCdc(spark: SparkSession, batch: DataFrame,
+      idCol: String, textCol: String, opCol: String, seqCol: String,
+      caller: String, del: DataFrame => Unit, ups: DataFrame => Unit,
+      ins: DataFrame => Unit): (Long, Long, Long) = {
     import org.apache.spark.storage.StorageLevel
     val rank = when(col("op") === "D", 2)
       .when(col("op") === "U", 1)
@@ -856,20 +897,15 @@ object Dedup {
     try {
       val badOps = last.filter(col("op").isNull ||
         !col("op").isin("I", "U", "D"))
-      require(badOps.isEmpty, "applySigCdcBatch: ops must be I, U or " +
+      require(badOps.isEmpty, s"$caller: ops must be I, U or " +
         s"D — got ${badOps.select("op").distinct().collect().mkString(", ")}")
       val counts = last.groupBy("op").count().collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
       def lane(op: String): DataFrame =
         last.filter(col("op") === op).select("doc_id", "text")
-      if (counts.getOrElse("D", 0L) > 0)
-        deleteSignatures(spark, lane("D").select("doc_id"), storeDir)
-      if (counts.getOrElse("U", 0L) > 0)
-        upsertSignatures(spark, lane("U"), "doc_id", "text", storeDir,
-          numHashes, shingleN, portable)
-      if (counts.getOrElse("I", 0L) > 0)
-        appendSignatures(spark, lane("I"), "doc_id", "text", storeDir,
-          numHashes, shingleN, portable)
+      if (counts.getOrElse("D", 0L) > 0) del(lane("D").select("doc_id"))
+      if (counts.getOrElse("U", 0L) > 0) ups(lane("U"))
+      if (counts.getOrElse("I", 0L) > 0) ins(lane("I"))
       (counts.getOrElse("I", 0L), counts.getOrElse("U", 0L),
         counts.getOrElse("D", 0L))
     } finally last.unpersist(blocking = false)

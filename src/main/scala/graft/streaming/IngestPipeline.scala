@@ -85,6 +85,18 @@ object IngestPipeline {
       shingleN: Int = 5, portable: Boolean = false,
       compactEvery: Int = 0)
 
+  /** [[SignatureStoreLane]] against a BUCKETED store
+    * ([[graft.operators.Dedup.buildSignatureStoreBucketed]]) — the
+    * scale layout maintained from the same stream: this table's I/U/D
+    * events dispatch through
+    * [[graft.operators.Dedup.applySigCdcBatchBucketed]].
+    * `storeTable`/`buckets`/hash config must match the store build. */
+  final case class BucketedSignatureStoreLane(storeTable: String,
+      buckets: Int, table: String = "documents",
+      idField: String = "doc_id", textField: String = "text",
+      numHashes: Int = 64, bands: Int = 8, shingleN: Int = 5,
+      compactEvery: Int = 0)
+
   final case class Config(
       landingDir: String,
       quarantineDir: String,
@@ -114,7 +126,8 @@ object IngestPipeline {
         * because the bridges' raise_error guard would otherwise fail
         * the batch on every retry and wedge the stream. */
       vectorStores: Seq[VectorStoreLane] = Nil,
-      signatureStores: Seq[SignatureStoreLane] = Nil)
+      signatureStores: Seq[SignatureStoreLane] = Nil,
+      bucketedSignatureStores: Seq[BucketedSignatureStoreLane] = Nil)
 
   /** Per-batch instrumentation; the stage millis decompose `millis`
     * into the three sinks (landing+quarantine writes, the per-table
@@ -167,7 +180,11 @@ object IngestPipeline {
               v.vecField))) ++
           cfg.signatureStores.map(sg => (s"payload_parse:${sg.table}",
             NearDupStream.malformedPayload(sg.table, sg.idField,
-              sg.textField)))
+              sg.textField))) ++
+          cfg.bucketedSignatureStores.map(sg =>
+            (s"payload_parse:${sg.table}",
+              NearDupStream.malformedPayload(sg.table, sg.idField,
+                sg.textField)))
         // the batch fans out to 3+ sinks — persist the parsed+flagged
         // form once; every consumer below is a narrow filter over it
         val envFlagged = Constraints.flagRows(
@@ -268,6 +285,13 @@ object IngestPipeline {
                 sg.idField, sg.textField),
               batchId, sg.storeDir, sg.numHashes, sg.shingleN,
               sg.portable, sg.compactEvery)
+          }
+          cfg.bucketedSignatureStores.foreach { sg =>
+            NearDupStream.ingestCdcBatchBucketed(spark,
+              NearDupStream.cdcEventsFromEnvelopes(clean, sg.table,
+                sg.idField, sg.textField),
+              batchId, sg.storeTable, sg.buckets, sg.numHashes,
+              sg.bands, sg.shingleN, sg.compactEvery)
           }
           val tStore = (System.nanoTime() - tStore0) / 1000000
           // one aggregate job for all three counters (input derives)

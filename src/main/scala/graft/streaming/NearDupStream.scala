@@ -284,4 +284,43 @@ object NearDupStream {
     if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
       Dedup.compactSignatureStoreDir(spark, storeDir)
   }
+
+  /** [[ingestCdc]] against a BUCKETED signature store
+    * ([[graft.operators.Dedup.buildSignatureStoreBucketed]]) — the
+    * stream maintaining the SCALE layout: each micro-batch applies
+    * [[graft.operators.Dedup.applySigCdcBatchBucketed]], and
+    * `compactEvery` runs [[graft.operators.Dedup
+    * .compactSignatureStore]] (whole-table compaction + physical
+    * tombstone reclaim — the maintenance cadence the file-targeted
+    * per-batch reclaim deliberately leaves the small-file debt to).
+    * `buckets`/`numHashes`/`bands`/`shingleN` must match the build. */
+  def ingestCdcBucketed(events: DataFrame, table: String, buckets: Int,
+      checkpoint: String, numHashes: Int = 64, bands: Int = 8,
+      shingleN: Int = 5, compactEvery: Int = 0,
+      onBatch: (Long, (Long, Long, Long)) => Unit = (_, _) => (),
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val spark = events.sparkSession
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestCdcBatchBucketed(spark, batch, batchId, table, buckets,
+          numHashes, bands, shingleN, compactEvery, onBatch)
+      }
+      .start()
+  }
+
+  private[streaming] def ingestCdcBatchBucketed(spark: SparkSession,
+      batch: DataFrame, batchId: Long, table: String, buckets: Int,
+      numHashes: Int = 64, bands: Int = 8, shingleN: Int = 5,
+      compactEvery: Int = 0,
+      onBatch: (Long, (Long, Long, Long)) => Unit = (_, _) => ()): Unit = {
+    if (batch.isEmpty) return
+    onBatch(batchId, Dedup.applySigCdcBatchBucketed(spark, batch,
+      table, buckets, numHashes = numHashes, bands = bands,
+      shingleN = shingleN))
+    if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+      Dedup.compactSignatureStore(spark, table)
+  }
 }

@@ -136,6 +136,82 @@ class NearDupStreamSpec extends SparkSpec {
     }
   }
 
+  test("bucketed CDC ingest: streamed I/U/D maintains the scale layout — net state audits clean, takedown wins, compaction folds in, replay converges") {
+    implicit val sqlCtx = spark.sqlContext
+    val table = "nds_bktcdc_store"
+    Seq(s"${table}_sigs", s"${table}_bands", s"${table}_deleted")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    def txt(i: Long) = s"bucketed cdc document $i with its own " +
+      s"words rho$i sigma$i tau$i upsilon$i phi$i chi$i psi$i"
+    val base = (0L until 10L).map(i => (i, txt(i))).toDF("doc_id", "text")
+    Dedup.buildSignatureStoreBucketed(base, "doc_id", "text", table,
+      buckets = 4, numHashes = 64, bands = 8, shingleN = 5)
+    try {
+      // b1: insert 10/11; REPLACE 3 (reversed tokens); delete 5 and 7;
+      // a same-seq D/I tie on 8 (takedown must win the tie)
+      def rev(s: String) = s.split("\\s+").reverse.mkString(" ")
+      val b1 = Seq(
+        (10L, txt(10), "I", 1L), (11L, txt(11), "I", 2L),
+        (3L, rev(txt(3)), "U", 3L),
+        (5L, null.asInstanceOf[String], "D", 4L),
+        (7L, null.asInstanceOf[String], "D", 5L),
+        (8L, txt(8), "I", 6L), (8L, null.asInstanceOf[String], "D", 6L))
+      // b2: late re-delivered I of taken-down 5 (must NOT resurrect);
+      // revive 7 via an explicit U; delete 11
+      val b2 = Seq(
+        (5L, txt(5), "I", 10L),
+        (7L, rev(txt(7)), "U", 11L),
+        (11L, null.asInstanceOf[String], "D", 12L))
+      val counts = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, (Long, Long, Long))]
+      val mem = MemoryStream[(Long, String, String, Long)]
+      val q = NearDupStream.ingestCdcBucketed(
+        mem.toDF().toDF("doc_id", "text", "op", "seq"), table,
+        buckets = 4, checkpoint = tmp("nds-bktcdc-ckpt"),
+        numHashes = 64, bands = 8, shingleN = 5,
+        onBatch = (id, c) => counts += ((id, c)),
+        trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      q.stop()
+      assert(counts.size === 2)
+      assert(counts.head._2 === ((2L, 1L, 3L)),
+        "batch 1 dispatch: I=2 (10,11), U=1 (3), D=3 (5,7, and 8 — " +
+          "the same-seq tie resolves D over I)")
+      // net corpus: base minus 5 (takedown wins the late I), minus 8
+      // (the tie), minus 11 (b2 delete); 3 and 7 carry replacements
+      val net = ((0L until 10L).filter(i => i != 5 && i != 7 && i != 8)
+        .map(i => (i, if (i == 3) rev(txt(i)) else txt(i))) ++
+        Seq((7L, rev(txt(7))), (10L, txt(10))))
+        .toDF("doc_id", "text")
+      def auditNet(tag: String): Unit = {
+        val audit = Dedup.auditSignatureStoreBucketed(spark, net,
+          "doc_id", "text", table, numHashes = 64, bands = 8,
+          shingleN = 5)
+        assert(audit.count() === net.count(), tag)
+        assert(audit.filter(!col("sig_ok") || !col("bands_ok"))
+          .count() === 0, tag)
+      }
+      auditNet("stream-maintained bucketed store must equal the net corpus")
+      // replay the LAST batch in full (the streaming residual window —
+      // tombstones still STAND, which is exactly what makes the
+      // replayed late-I of 5 drop again): net state unchanged
+      NearDupStream.ingestCdcBatchBucketed(spark,
+        b2.toDF("doc_id", "text", "op", "seq"), 1L, table, buckets = 4,
+        numHashes = 64, bands = 8, shingleN = 5)
+      auditNet("a replayed batch must converge while tombstones stand")
+      // maintenance compaction: physical reclaim + op-log clear keeps
+      // the net state (and from here a NEW I of 5 would legitimately
+      // re-admit — the documented "compaction re-opens ids" contract,
+      // which is why replay convergence is checked BEFORE this)
+      Dedup.compactSignatureStore(spark, table)
+      auditNet("post-compaction state must still equal the net corpus")
+    } finally Seq(s"${table}_sigs", s"${table}_bands", s"${table}_deleted")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("wide-SimHash admission: incremental equals batch wide-pairs on a replayed day; re-delivery emits nothing") {
     val base = (0 until 12).map(i =>
       s"alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima token$i")
