@@ -899,6 +899,19 @@ object Dedup {
         !col("op").isin("I", "U", "D"))
       require(badOps.isEmpty, s"$caller: ops must be I, U or " +
         s"D — got ${badOps.select("op").distinct().collect().mkString(", ")}")
+      // body gate, symmetric to the op gate (r15): a null text is
+      // legal ONLY on D. Unguarded, a partial-payload UPDATE would
+      // reclaim the old signature and admit the signature OF NULL —
+      // the store row silently stops describing any content and
+      // near-dup-matches every other null/empty admission. Refuse by
+      // id instead (the pipeline quarantines these upstream — see
+      // NearDupStream.malformedPayload — so the loud path is for
+      // direct callers).
+      val bodiless = last.filter(col("op").isin("I", "U") &&
+        col("text").isNull)
+      require(bodiless.isEmpty, s"$caller: I/U events must carry text " +
+        "(only D may be id-only) — null for ids " +
+        bodiless.select("doc_id").limit(20).collect().mkString(", "))
       val counts = last.groupBy("op").count().collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
       def lane(op: String): DataFrame =

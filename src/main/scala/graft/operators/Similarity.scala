@@ -1619,6 +1619,17 @@ object Similarity {
         !col("op").isin("I", "U", "D"))
       require(badOps.isEmpty, "applyCdcBatch: ops must be I, U or D — " +
         s"got ${badOps.select("op").distinct().collect().mkString(", ")}")
+      // body gate, symmetric to the op gate (r15): a null embedding is
+      // legal ONLY on D (delete payloads carry the id alone). Unguarded,
+      // a partial-payload UPDATE would tombstone + reclaim the old row
+      // and then append NOTHING (the encode path drops the null row) —
+      // a replacement silently degraded to a delete; an I would admit
+      // nothing while reporting dispatch. Refuse by id instead.
+      val bodiless = last.filter(col("op").isin("I", "U") &&
+        col("embedding").isNull)
+      require(bodiless.isEmpty, "applyCdcBatch: I/U events must carry " +
+        "an embedding (only D may be id-only) — null for ids " +
+        bodiless.select("vec_id").limit(20).collect().mkString(", "))
       val counts = last.groupBy("op").count().collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
       val sharded = {

@@ -315,24 +315,37 @@ object AnnIngestStream {
       StructField(vecField, ArrayType(FloatType))))
   }
 
-  /** TRUE for this lane's DATA-record envelopes whose payload parses
-    * to a null id — exactly the rows [[cdcEventsFromEnvelopes]]
-    * refuses by `raise_error`. The raise is the right guard for a
-    * direct caller (fail by name, never file a phantom row), but
-    * inside a continuous pipeline one malformed payload would fail
-    * the micro-batch deterministically on EVERY retry and wedge all
-    * lanes, snapshots included — so [[IngestPipeline]] pre-filters on
-    * this predicate into its quarantine sink (repair-and-replay, the
-    * same posture as the envelope contract checks). Kept next to the
-    * bridge so the two can never drift on what "malformed" means. */
+  /** TRUE for this lane's DATA-record envelopes whose payload cannot
+    * legally enter the store: a null id (any op — the rows
+    * [[cdcEventsFromEnvelopes]] refuses by `raise_error`), or a null
+    * BODY on a non-delete (the rows
+    * [[graft.operators.Similarity.applyCdcBatch]]'s body gate refuses
+    * — delete payloads may carry the id alone, but a partial-payload
+    * insert/update has nothing to store). The raises are the right
+    * guard for a direct caller (fail by name, never file a phantom or
+    * degrade an update into a delete), but inside a continuous
+    * pipeline one malformed payload would fail the micro-batch
+    * deterministically on EVERY retry and wedge all lanes, snapshots
+    * included — so [[IngestPipeline]] pre-filters on this predicate
+    * into its quarantine sink (repair-and-replay, the same posture as
+    * the envelope contract checks). Kept next to the bridge so flag
+    * and raise can never drift on what "malformed" means. */
   def malformedPayload(table: String = "embeddings",
       idField: String = "vec_id",
-      vecField: String = "embedding"): org.apache.spark.sql.Column =
+      vecField: String = "embedding"): org.apache.spark.sql.Column = {
+    val d = from_json(col("data"), laneSchema(idField, vecField))
+    val E = graft.model.DmsEnvelope
+    // unknown/null operations count too: the bridge passes them
+    // through verbatim so the core's op gate can refuse them BY NAME
+    // — correct for a direct caller, a deterministic wedge in-stream
+    val knownOp = coalesce(col("metadata.operation").isin(
+      E.OpLoad, E.OpInsert, E.OpUpdate, E.OpDelete), lit(false))
     col("metadata.`table-name`") === table &&
-      col("metadata.`record-type`") ===
-        graft.model.DmsEnvelope.RecordTypeData &&
-      from_json(col("data"), laneSchema(idField, vecField))
-        .getField(idField).isNull
+      col("metadata.`record-type`") === E.RecordTypeData &&
+      (!knownOp || d.getField(idField).isNull ||
+        (col("metadata.operation") =!= E.OpDelete &&
+          d.getField(vecField).isNull))
+  }
 
   def cdcEventsFromEnvelopes(envelopes: DataFrame,
       table: String = "embeddings", idField: String = "vec_id",
@@ -349,7 +362,9 @@ object AnnIngestStream {
       // returns null on a corrupt payload, and a null id would sail
       // into applyCdcBatch's lanes as a phantom row (only the op
       // column is validated there) — fail by name instead. Null
-      // EMBEDDING stays legal: delete payloads may carry the id alone.
+      // EMBEDDING passes here only for DELETE payloads (id alone);
+      // applyCdcBatch's body gate refuses it on I/U, and pipelines
+      // quarantine such rows upstream via [[malformedPayload]].
       .select(
         when(col(s"d.$idField").isNull,
           raise_error(concat(

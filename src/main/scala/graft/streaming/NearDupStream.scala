@@ -187,8 +187,9 @@ object NearDupStream {
    * → D (anything else passes through verbatim so the op gate rejects
    * it LOUDLY by name), takes the envelope's microsecond timestamp as
    * `seq`. A corrupt payload whose id parses null fails by name (the
-   * same guard as the ANN bridge); null TEXT stays legal — delete
-   * payloads may carry the id alone.
+   * same guard as the ANN bridge); null TEXT passes only for delete
+   * payloads (id alone) — the CDC cores' body gate refuses it on I/U,
+   * and pipelines quarantine such rows upstream.
    */
   /** The payload schema [[cdcEventsFromEnvelopes]] late-binds. */
   private def laneSchema(idField: String, textField: String) = {
@@ -198,19 +199,29 @@ object NearDupStream {
       StructField(textField, StringType)))
   }
 
-  /** TRUE for this lane's DATA-record envelopes whose payload parses
-    * to a null id — the rows [[cdcEventsFromEnvelopes]] refuses by
-    * `raise_error`. See [[AnnIngestStream.malformedPayload]] for why
-    * pipelines pre-filter on this into quarantine instead of letting
-    * the raise wedge the stream. */
+  /** TRUE for this lane's DATA-record envelopes whose payload cannot
+    * legally enter the store: a null id (any op — refused by
+    * [[cdcEventsFromEnvelopes]]'s raise), or null TEXT on a
+    * non-delete (refused by the CDC cores' body gate — delete
+    * payloads may carry the id alone; a partial-payload insert/update
+    * has nothing to admit). See [[AnnIngestStream.malformedPayload]]
+    * for why pipelines pre-filter on this into quarantine instead of
+    * letting the raises wedge the stream. */
   def malformedPayload(table: String = "documents",
       idField: String = "doc_id",
-      textField: String = "text"): org.apache.spark.sql.Column =
+      textField: String = "text"): org.apache.spark.sql.Column = {
+    val d = from_json(col("data"), laneSchema(idField, textField))
+    val E = graft.model.DmsEnvelope
+    // unknown/null operations count too (the core's loud op gate
+    // would otherwise wedge the stream on them — see the ANN twin)
+    val knownOp = coalesce(col("metadata.operation").isin(
+      E.OpLoad, E.OpInsert, E.OpUpdate, E.OpDelete), lit(false))
     col("metadata.`table-name`") === table &&
-      col("metadata.`record-type`") ===
-        graft.model.DmsEnvelope.RecordTypeData &&
-      from_json(col("data"), laneSchema(idField, textField))
-        .getField(idField).isNull
+      col("metadata.`record-type`") === E.RecordTypeData &&
+      (!knownOp || d.getField(idField).isNull ||
+        (col("metadata.operation") =!= E.OpDelete &&
+          d.getField(textField).isNull))
+  }
 
   def cdcEventsFromEnvelopes(envelopes: DataFrame,
       table: String = "documents", idField: String = "doc_id",

@@ -196,6 +196,27 @@ class AnnUpsertSpec extends SparkSpec {
       Similarity.applyCdcBatch(spark, bad, dir)
     }
     assert(e.getMessage.contains("ops must be I, U or D"))
+    // the body gate (r15): a partial-payload U (null embedding) must
+    // refuse BY ID before any lane runs — unguarded it would tombstone
+    // + reclaim the old row and then append nothing, silently turning
+    // the update into a delete. Only D may be id-only.
+    val bodiless = Seq(
+      (5L, null.asInstanceOf[Seq[Float]], "U", 9L),
+      (9L, null.asInstanceOf[Seq[Float]], "D", 9L)) // D id-only: legal
+      .toDF("vec_id", "embedding", "op", "seq")
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.applyCdcBatch(spark, bodiless, dir)
+    }
+    assert(e2.getMessage.contains("must carry an embedding") &&
+      e2.getMessage.contains("5"))
+    // nothing applied: 5 still live with its replaced vector, 9 live
+    assert(asSet(Similarity.searchIvfStore(spark, queries, dir, k = 5,
+      nprobe = 4)) === asSet(Similarity.bruteForceTopK(net, queries, 5)))
+    // and an id-only DELETE alone passes the gate
+    val (i3, u3, d3) = Similarity.applyCdcBatch(spark,
+      Seq((9L, null.asInstanceOf[Seq[Float]], "D", 10L))
+        .toDF("vec_id", "embedding", "op", "seq"), dir)
+    assert((i3, u3, d3) === (0L, 0L, 1L))
   }
 
   test("upsert crash windows read correctly and the re-run heals — delete landed, reclaim landed, append missing") {

@@ -332,12 +332,12 @@ class IngestPipelineSpec extends SparkSpec {
       .toDF("doc_id", "text"), "doc_id", "text", sigDir,
       numHashes = 64, shingleN = 5)
 
-    // three poison shapes that all PASS the envelope contract
-    // (data is non-null) but fail the lane's payload parse — before
-    // the pre-filter, each deterministically failed the batch on
-    // every retry via the bridge's raise_error and wedged the stream:
-    // a wrong-fields payload, an outright non-JSON payload, and an
-    // explicit null id
+    // poison shapes that all PASS the envelope contract (data is
+    // non-null) but cannot legally enter a store lane — before the
+    // pre-filter, each deterministically failed the batch on every
+    // retry via a bridge/core raise and wedged the stream: a
+    // wrong-fields payload, an outright non-JSON payload, an explicit
+    // null id, a partial-payload update, an unknown operation
     val lines = Seq(
       env(0, "embeddings", "insert", vecJson(20L, vecOf(20))),
       env(1, "embeddings", "insert", """{"vec": "oops, no id field"}"""),
@@ -347,7 +347,13 @@ class IngestPipelineSpec extends SparkSpec {
       env(4, "person", "insert", """{"ID": 9, "val": "ok"}"""),
       env(5, "embeddings", "delete", """{"vec_id": 7}"""),
       env(6, "documents", "insert",
-        s"""{"doc_id": 4, "text": "${textOf(4)}"}"""))
+        s"""{"doc_id": 4, "text": "${textOf(4)}"}"""),
+      // two more poison shapes (r15): a PARTIAL-payload update (id but
+      // no body — the cores' body gate would refuse it loudly: only D
+      // may be id-only) and an unknown operation (the op gate's raise)
+      env(7, "embeddings", "update", """{"vec_id": 77}"""),
+      env(8, "documents", "reindex",
+        s"""{"doc_id": 9, "text": "${textOf(9)}"}"""))
     val backlog = Files.createTempFile("pipemalformed", ".jsonl")
     Files.write(backlog, lines.mkString("\n").getBytes("UTF-8"))
 
@@ -376,9 +382,9 @@ class IngestPipelineSpec extends SparkSpec {
     val q = spark.read.json(s"$root/quarantine")
     val viols = q.select(explode(col("violated")).as("v"))
       .as[String].collect().toSeq
-    assert(viols.count(_ == "payload_parse:embeddings") === 1, viols)
-    assert(viols.count(_ == "payload_parse:documents") === 2, viols)
-    assert(q.count() === 3)
+    assert(viols.count(_ == "payload_parse:embeddings") === 2, viols)
+    assert(viols.count(_ == "payload_parse:documents") === 3, viols)
+    assert(q.count() === 5)
     // …and NOT in the clean landing
     assert(spark.read.json(s"$root/landing").count() === 4L)
     // every valid event applied: the insert, the takedown, the doc

@@ -208,6 +208,18 @@ class NearDupStreamSpec extends SparkSpec {
       // which is why replay convergence is checked BEFORE this)
       Dedup.compactSignatureStore(spark, table)
       auditNet("post-compaction state must still equal the net corpus")
+      // the body gate (r15): a partial-payload U (null text) must
+      // refuse BY ID, not reclaim the old row and admit the signature
+      // of null — only D may be id-only
+      val e = intercept[IllegalArgumentException] {
+        Dedup.applySigCdcBatchBucketed(spark,
+          Seq((3L, null.asInstanceOf[String], "U", 20L))
+            .toDF("doc_id", "text", "op", "seq"),
+          table, buckets = 4, numHashes = 64, bands = 8, shingleN = 5)
+      }
+      assert(e.getMessage.contains("must carry text") &&
+        e.getMessage.contains("3"))
+      auditNet("a refused bodiless update must leave the store untouched")
     } finally Seq(s"${table}_sigs", s"${table}_bands", s"${table}_deleted")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
