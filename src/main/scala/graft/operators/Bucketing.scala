@@ -171,7 +171,12 @@ object Bucketing {
     if (parsed.exists(_.isEmpty)) return spark.table(table)
     val keep = parsed.flatten.collect { case (p, b) if wanted(b) => p }
     if (keep.isEmpty) spark.table(table).limit(0)
-    else spark.read.schema(sch).parquet(keep.toIndexedSeq: _*)
+    // read through the table's OWN format — the write side already
+    // honors meta.provider, and a parquet-hardcoded read would
+    // misread an ORC-provider table's files
+    else spark.read.schema(sch)
+      .format(meta.provider.getOrElse("parquet"))
+      .load(keep.toIndexedSeq: _*)
   }
 
   /** Remove `target`'s `key` rows from a bucketed table by rewriting
@@ -237,7 +242,10 @@ object Bucketing {
       .select("_f").distinct()
       .collect().map(_.getString(0)) // bounded by batch × touched buckets
     if (affected.isEmpty) return 0
-    val affRows = spark.read.parquet(affected.toIndexedSeq: _*)
+    val affRows = spark.read
+      .schema(spark.table(table).schema)
+      .format(meta.provider.getOrElse("parquet"))
+      .load(affected.toIndexedSeq: _*)
     val survivors0 = affRows.join(want, Seq(key), "left_anti")
     // crash-debris heal — by FULL ROW equality, never by key: a table
     // bucketed away from the reclaim key (the bands table holds one

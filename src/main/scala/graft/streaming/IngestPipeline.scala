@@ -164,7 +164,7 @@ object IngestPipeline {
       .foreachBatch(StreamingDemux.idempotentBatch(
         cfg.checkpoint + "/graft_commits") { (batch, batchId) =>
         val t0 = System.nanoTime()
-        // store-lane PAYLOAD checks, folded into the same quarantine
+        // lane PAYLOAD checks, folded into the same quarantine
         // verdict as the envelope contract: the CDC bridges
         // raise_error on a data record whose payload parses to a null
         // id, which is right for a direct caller but would fail this
@@ -175,6 +175,18 @@ object IngestPipeline {
         // every lane below; the predicates live next to the bridges
         // so "malformed" can never drift between flag and raise.
         val payloadChecks: Seq[(String, org.apache.spark.sql.Column)] =
+          // snapshot lanes: a data record whose payload parses to a
+          // NULL merge key cannot be upserted meaningfully — unguarded
+          // it lands a junk null-key row in the standing snapshot
+          // (poison-the-table, the exact thing the quarantine exists
+          // to prevent). Not a wedge (the merge has no raise), but the
+          // same repair-and-replay posture applies.
+          cfg.tables.map(t => (s"payload_key:${t.tableName}",
+            StreamSplitter.schemaNameCol === t.schemaName &&
+              StreamSplitter.tableNameCol === t.tableName &&
+              col("data").isNotNull &&
+              from_json(col("data"), t.dataSchema)
+                .getField(t.key).isNull)) ++
           cfg.vectorStores.map(v => (s"payload_parse:${v.table}",
             AnnIngestStream.malformedPayload(v.table, v.idField,
               v.vecField))) ++

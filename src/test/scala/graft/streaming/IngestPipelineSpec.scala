@@ -353,7 +353,11 @@ class IngestPipelineSpec extends SparkSpec {
       // may be id-only) and an unknown operation (the op gate's raise)
       env(7, "embeddings", "update", """{"vec_id": 77}"""),
       env(8, "documents", "reindex",
-        s"""{"doc_id": 9, "text": "${textOf(9)}"}"""))
+        s"""{"doc_id": 9, "text": "${textOf(9)}"}"""),
+      // and a SNAPSHOT-lane poison: a person row whose payload parses
+      // to a null merge key would land a junk null-key row in the
+      // standing snapshot — quarantined as payload_key:person instead
+      env(9, "person", "insert", """{"val": "row with no key"}"""))
     val backlog = Files.createTempFile("pipemalformed", ".jsonl")
     Files.write(backlog, lines.mkString("\n").getBytes("UTF-8"))
 
@@ -384,7 +388,8 @@ class IngestPipelineSpec extends SparkSpec {
       .as[String].collect().toSeq
     assert(viols.count(_ == "payload_parse:embeddings") === 2, viols)
     assert(viols.count(_ == "payload_parse:documents") === 3, viols)
-    assert(q.count() === 5)
+    assert(viols.count(_ == "payload_key:person") === 1, viols)
+    assert(q.count() === 6)
     // …and NOT in the clean landing
     assert(spark.read.json(s"$root/landing").count() === 4L)
     // every valid event applied: the insert, the takedown, the doc
