@@ -2,6 +2,7 @@ package graft.tools
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 
 import graft.operators.ManifestCommit
 
@@ -41,6 +42,15 @@ import graft.operators.ManifestCommit
   *                         the rename window where shard=hi holds the
   *                         moved shard's ONLY copy; see
   *                         RoutedMergeCrashSpec
+  *   mode = sigreclaim-die-postappend / sigreclaim-die-middelete /
+  *          sigreclaim-verify
+  *                       — bucketed-signature-store file-targeted
+  *                         reclaim death windows (append-then-delete:
+  *                         die with survivors appended and none/some
+  *                         originals deleted) + the fresh-process
+  *                         heal/audit; `dir` is a SHARED WAREHOUSE
+  *                         here, not a store dir; see
+  *                         SigReclaimCrashSpec
   *   mode = occ-loop     — NOT a crash mode: a real concurrent-writer
   *                         process for the optimistic-concurrency spec.
   *                         args(2) = this writer's partition value,
@@ -53,9 +63,16 @@ import graft.operators.ManifestCommit
 object CrashWriter {
   def main(args: Array[String]): Unit = {
     val Array(dir, mode) = args.take(2)
-    val spark = SparkSession.builder().master("local[4]")
+    val builder = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
+    // the sigreclaim modes operate on CATALOG tables: `dir` is the
+    // warehouse, shared across the seed/crash/verify processes (each
+    // process's in-memory catalog starts empty; the FILES carry the
+    // state, and the verify mode re-registers external tables over
+    // them)
+    val spark = (if (mode.startsWith("sigreclaim-"))
+      builder.config("spark.sql.warehouse.dir", dir) else builder)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // the split modes run Similarity paths, which use the registered
@@ -295,6 +312,73 @@ object CrashWriter {
           }
         }
         Runtime.getRuntime.halt(137)
+      // ---- bucketed-signature-store reclaim death windows -------------
+      // (SigReclaimCrashSpec) The file-targeted reclaim's protocol is
+      // append-then-delete; its two death windows are (a) survivors
+      // appended, NO original deleted (the store reads duplicate
+      // survivor rows; tombstones and the missing R record keep the
+      // targets hidden), and (b) survivors appended, SOME originals
+      // deleted. The heal in both: rerunning the reclaim — its
+      // full-row exceptAll subtracts the already-appended copies and
+      // completes the deletes. `dir` = the shared warehouse (see the
+      // builder note above); each crash mode seeds its own store
+      // in-process so a single real JVM carries seed → window → death.
+      case "sigreclaim-die-postappend" | "sigreclaim-die-middelete" =>
+        val table = "sigrc"
+        graft.operators.Dedup.buildSignatureStoreBucketed(
+          sigFixture(spark), "doc_id", "text", table, buckets = 8,
+          numHashes = 64, bands = 4, shingleN = 5)
+        graft.operators.Dedup.deleteSignaturesBucketed(spark,
+          sigTargets.toDF("doc_id"), table)
+        // the REAL reclaim completes on the bands table; the sigs
+        // table is then driven to the chosen window with the same
+        // plan/append/delete steps reclaimFromTable itself runs
+        val target = sigTargets.toDF("id")
+        graft.operators.Bucketing.reclaimFromTable(spark,
+          s"${table}_bands", target, "id")
+        val (affected, survivors) = graft.operators.Bucketing
+          .planReclaimForCrashFixture(spark, s"${table}_sigs", target,
+            "id")
+        graft.operators.Bucketing.appendSurvivors(spark,
+          s"${table}_sigs", survivors)
+        if (mode == "sigreclaim-die-middelete")
+          graft.operators.Bucketing.deleteOriginals(spark,
+            s"${table}_sigs", affected, limit = 1)
+        Runtime.getRuntime.halt(137)
+      case "sigreclaim-verify" =>
+        // a FRESH process over the crashed warehouse: re-register the
+        // surviving files as external bucketed tables (the in-memory
+        // catalog died with the process; the files are the state),
+        // re-run the reclaim (the heal), and audit the net store
+        val table = "sigrc"
+        def reg(t: String, bcols: String, scols: String): Unit = {
+          val sch = spark.read.parquet(s"$dir/$t").schema.toDDL
+          spark.sql(s"CREATE TABLE $t ($sch) USING parquet " +
+            s"CLUSTERED BY ($bcols) SORTED BY ($scols) INTO 8 BUCKETS " +
+            s"LOCATION '$dir/$t'")
+        }
+        reg(s"${table}_sigs", "id", "id")
+        reg(s"${table}_bands", "band, bucket", "band, bucket")
+        val healed = graft.operators.Dedup
+          .reclaimSignatureTombstonesBucketed(spark,
+            sigTargets.toDF("doc_id"), table, numHashes = 64, bands = 4)
+        val net = sigFixture(spark)
+          .filter(!col("doc_id").isin(sigTargets: _*))
+        val audit = graft.operators.Dedup.auditSignatureStoreBucketed(
+          spark, net, "doc_id", "text", table, numHashes = 64,
+          bands = 4, shingleN = 5)
+        val auditOk = audit.count() == net.count() &&
+          audit.filter(!col("sig_ok") || !col("bands_ok")).count() == 0
+        val dupSigs = spark.table(s"${table}_sigs").groupBy("id")
+          .count().filter(col("count") > 1).count()
+        val dupBands = spark.table(s"${table}_bands")
+          .groupBy("id", "band", "bucket").count()
+          .filter(col("count") > 1).count()
+        val out = s"""{"healed":$healed,"audit_ok":$auditOk,""" +
+          s""""dup_sigs":$dupSigs,"dup_bands":$dupBands}"""
+        val o = fs.create(new Path(dir, "verify.json"), true)
+        try o.write(out.getBytes("UTF-8")) finally o.close()
+        spark.stop()
     }
   }
 
@@ -302,6 +386,20 @@ object CrashWriter {
     * SplitCrashSpec's ground truth: 4 directions in dim 8, cluster 0
     * holding half the items so a 2-shard trained super leaves one
     * shard hot. No RNG — both JVMs must derive identical vectors. */
+  /** Deterministic doc fixture for the sigreclaim modes — several
+    * write tasks, so the bucketed tables land several files per bucket
+    * (the real admission profile the file-targeted reclaim navigates). */
+  def sigFixture(spark: SparkSession): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    (0L until 24L).map(i => (i,
+      s"crash fixture document $i with its own words " +
+        s"aa$i bb$i cc$i dd$i ee$i ff$i gg$i hh$i"))
+      .toDF("doc_id", "text").repartition(3)
+  }
+
+  /** The ids the sigreclaim modes tombstone and reclaim. */
+  val sigTargets: Seq[Long] = Seq(0L, 4L, 9L)
+
   def splitFixture(spark: SparkSession): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
     (0 until 200).map { i =>
