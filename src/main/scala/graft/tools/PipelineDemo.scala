@@ -57,7 +57,12 @@ object PipelineDemo {
     val perTrigger = args.lift(1).map(_.toInt).getOrElse(2000)
     val nTables = args.lift(2).map(_.toInt).getOrElse(1)
     val mergePar = args.lift(3).map(_.toInt).getOrElse(4)
-    val withStores = args.lift(4).map(_.toInt).getOrElse(0) == 1
+    // 0 = no store lanes; 1 = dir-store lanes (r14); 2 = the SCALE
+    // dedup layout — the signature lane runs against a BUCKETED store
+    // (r15: IngestPipeline.BucketedSignatureStoreLane)
+    val storesMode = args.lift(4).map(_.toInt).getOrElse(0)
+    val withStores = storesMode >= 1
+    val bucketedSig = storesMode == 2
     require(nTables >= 1 && nTables <= refTables.size,
       s"nTables in 1..${refTables.size}")
     val sinkTables = refTables.take(nTables)
@@ -156,14 +161,34 @@ object PipelineDemo {
     // production store the stream keeps current)
     val annDir = s"$root/annstore"
     val sigDir = s"$root/sigstore"
+    val sigTable = "pipedemo_sig"
     if (withStores) {
       graft.operators.Similarity.buildIvfStore(
         (0 until nBaseVec).map(i => (i.toLong, vecOf(i)))
           .toDF("vec_id", "embedding"), annDir, nlist = 16, dim = 8)
-      graft.operators.Dedup.buildSignatureStore(
-        (0 until nBaseDoc).map(i => (i.toLong, textOf(i)))
-          .toDF("doc_id", "text"), "doc_id", "text", sigDir,
-        numHashes = 64, shingleN = 5)
+      val baseDocs = (0 until nBaseDoc).map(i => (i.toLong, textOf(i)))
+        .toDF("doc_id", "text")
+      if (bucketedSig) {
+        // previous RUNS of this tool leave managed-table dirs in the
+        // warehouse that this process's fresh in-memory catalog does
+        // not know about — DROP is a no-op there and CREATE refuses
+        // the existing location, so clean the files too
+        val wh = spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/")
+        (Seq(s"${sigTable}_sigs", s"${sigTable}_bands",
+          s"${sigTable}_deleted").map(t => {
+            spark.sql(s"DROP TABLE IF EXISTS $t"); s"$wh/$t" }) :+
+          s"$wh/${sigTable}__dlog")
+          .foreach { d =>
+            val pth = new org.apache.hadoop.fs.Path(d)
+            pth.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              .delete(pth, true)
+          }
+        graft.operators.Dedup.buildSignatureStoreBucketed(baseDocs,
+          "doc_id", "text", sigTable, buckets = 8, numHashes = 64,
+          bands = 8, shingleN = 5)
+      } else
+        graft.operators.Dedup.buildSignatureStore(baseDocs,
+          "doc_id", "text", sigDir, numHashes = 64, shingleN = 5)
     }
     val cfg = IngestPipeline.Config(
       landingDir = s"$root/landing",
@@ -184,8 +209,11 @@ object PipelineDemo {
       mergeParallelism = mergePar,
       vectorStores = if (withStores)
         Seq(IngestPipeline.VectorStoreLane(annDir)) else Nil,
-      signatureStores = if (withStores)
-        Seq(IngestPipeline.SignatureStoreLane(sigDir)) else Nil)
+      signatureStores = if (withStores && !bucketedSig)
+        Seq(IngestPipeline.SignatureStoreLane(sigDir)) else Nil,
+      bucketedSignatureStores = if (bucketedSig)
+        Seq(IngestPipeline.BucketedSignatureStoreLane(sigTable,
+          buckets = 8)) else Nil)
 
     val raw = spark.readStream.format("graft-kinesis-sim")
       .option("path", backlog.toString)
@@ -295,8 +323,15 @@ object PipelineDemo {
         .map(id => (id, dUpd.getOrElse(id, textOf(id.toInt)))) ++
         dIns.toSeq).toDF("doc_id", "text")
       // content of every live id matches the net text…
-      val mutatedOk = De.mutatedRedeliveries(netDocs, "doc_id", "text",
-        spark.read.parquet(sigDir), numHashes = 64, shingleN = 5).isEmpty
+      val mutatedOk =
+        if (bucketedSig) {
+          val audit = De.auditSignatureStoreBucketed(spark, netDocs,
+            "doc_id", "text", sigTable, numHashes = 64, bands = 8,
+            shingleN = 5)
+          audit.count() == netDocs.count() &&
+            audit.filter(!col("sig_ok") || !col("bands_ok")).count() == 0
+        } else De.mutatedRedeliveries(netDocs, "doc_id", "text",
+          spark.read.parquet(sigDir), numHashes = 64, shingleN = 5).isEmpty
       // …a deleted doc stays excluded, an inserted one matches as
       // history
       val delId = dDel.head
@@ -304,9 +339,13 @@ object PipelineDemo {
       val probe = Seq(
         (9000001L, textOf(delId.toInt) + " tail"),
         (9000002L, dIns(insId) + " tail")).toDF("doc_id", "text")
-      val pairs = De.minhashLshIncremental(spark, probe, "doc_id",
+      val pairs = (if (bucketedSig)
+          De.minhashLshIncrementalBucketed(spark, probe, "doc_id",
+            "text", sigTable, numHashes = 64, bands = 8, shingleN = 5,
+            threshold = 0.4)
+        else De.minhashLshIncremental(spark, probe, "doc_id",
           "text", sigDir, numHashes = 64, bands = 16, shingleN = 5,
-          threshold = 0.4)
+          threshold = 0.4))
         .select("id_a", "id_b").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       annOk && mutatedOk && !pairs.exists(_._1 == delId) &&
@@ -332,7 +371,7 @@ object PipelineDemo {
         f""""rollup":${p50(ms0.map(_.rollupMillis))}%.0f,""" +
         f""""store":${p50(ms0.map(_.storeMillis))}%.0f},""" +
         f""""clean":$clean,"quarantined":$bad,""" +
-        s""""with_stores":$withStores,"stores_ok":$storesOk,""" +
+        s""""with_stores":$storesMode,"stores_ok":$storesOk,""" +
         s""""snapshot_ok":$snapshotOk,"ops_ok":$opsOk}""")
     spark.stop()
   }
