@@ -208,7 +208,14 @@ object Bucketing {
     * store's protocol accepts (semi/anti joins are immune, candidate
     * generation distincts) — and the re-run's double anti rewrites
     * nothing and completes the delete. Single-writer, like every
-    * store mutation. Returns the number of files rewritten. */
+    * store mutation — and that covers WRITERS; a concurrent reader
+    * that listed the table before the deletes fails loudly on the
+    * missing file (correct), unless its session runs
+    * `spark.sql.files.ignoreMissingFiles=true`, under which it would
+    * silently drop the deleted file's rows — the hazard class the
+    * TombstoneLog fold pins per-read (r14). Sessions querying a store
+    * under active maintenance must not set that conf. Returns the
+    * number of files rewritten. */
   def reclaimFromTable(spark: SparkSession, table: String,
       target: DataFrame, key: String,
       bucketRows: Option[DataFrame] = None): Int = {
