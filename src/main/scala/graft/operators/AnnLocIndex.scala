@@ -76,34 +76,63 @@ private[graft] object AnnLocIndex {
 
   /** Any committed data file under `dir` (markers like _SUCCESS and
     * hidden files don't count)? Drives the empty-table guard in
-    * [[rebuild]]. */
+    * [[rebuild]]. The recursive walk must test EVERY path component
+    * below `dir`, not just the leaf name: a crashed write leaves
+    * debris like `_temporary/0/task.../part-*.parquet`, whose leaf
+    * looks committed — counting it would send a genuinely empty store
+    * past the guard into the "unable to infer schema" failure the
+    * guard exists to prevent (ADVICE r15). */
   private def hasDataFiles(f: org.apache.hadoop.fs.FileSystem,
       dir: org.apache.hadoop.fs.Path): Boolean = {
     if (!f.exists(dir)) return false
+    def committed(p: org.apache.hadoop.fs.Path): Boolean = {
+      var cur = p
+      while (cur != null && cur.toUri.getPath != dir.toUri.getPath) {
+        val n = cur.getName
+        if (n.startsWith("_") || n.startsWith(".")) return false
+        cur = cur.getParent
+      }
+      true
+    }
     val it = f.listFiles(dir, true)
     while (it.hasNext) {
-      val n = it.next().getPath.getName
-      if (!n.startsWith("_") && !n.startsWith(".")) return true
+      if (committed(it.next().getPath)) return true
     }
     false
   }
 
-  /** The index's bucket count, or None when the store has no index
-    * (legacy dir, or a rebuild window — both read as "fall back to
-    * the full scan"). A raw one-line file, not parquet: this runs
-    * once per mutation per shard, and a driver-side open beats a
-    * schema-inferring read; the underscore name keeps it invisible
-    * to the partitioned read of `loc/` itself. */
+  /** The `_meta` content for the CURRENT hash scheme: version + scheme
+    * name + bucket count. The scheme is part of the marker because the
+    * bucket function changed once already (r15 cast every integral id
+    * through long before xxhash64) and an index file carrying only a
+    * count would be read with the NEW hash after such a change —
+    * pruning to the wrong buckets with no error, the exact
+    * silent-empty-candidates failure the cast fixed (ADVICE r15). An
+    * unrecognized or legacy marker reads as "no index" = full-scan
+    * fallback until the next [[rebuild]] migrates it. */
+  private val MetaScheme = "v2:xxh64-long:"
+
+  /** The index's bucket count, or None when the store has no USABLE
+    * index (legacy dir, an index written under an older hash scheme,
+    * or a rebuild window — all read as "fall back to the full scan";
+    * [[ensure]] rebuilds a schemeless index at the next mutation). A
+    * raw one-line file, not parquet: this runs once per mutation per
+    * shard, and a driver-side open beats a schema-inferring read; the
+    * underscore name keeps it invisible to the partitioned read of
+    * `loc/` itself. */
   def buckets(spark: SparkSession, storeDir: String): Option[Int] = {
     val p = new org.apache.hadoop.fs.Path(metaPath(storeDir))
     val f = fs(spark, storeDir)
     if (!f.exists(p)) None
     else {
       val in = f.open(p)
-      try Some(new String(
+      val txt = try new String(
         org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toInt)
+        java.nio.charset.StandardCharsets.UTF_8).trim
       finally in.close()
+      if (txt.startsWith(MetaScheme))
+        scala.util.Try(txt.stripPrefix(MetaScheme).toInt).toOption
+      else None
     }
   }
 
@@ -158,8 +187,8 @@ private[graft] object AnnLocIndex {
       .parquet(stage.toString)
     val metaOut = f.create(new org.apache.hadoop.fs.Path(
       stage, "_meta"), true)
-    try metaOut.write(
-      b.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try metaOut.write((MetaScheme + b.toString)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally metaOut.close()
     f.delete(new org.apache.hadoop.fs.Path(locPath(storeDir)), true)
     require(f.rename(stage, new org.apache.hadoop.fs.Path(locPath(storeDir))),

@@ -77,6 +77,16 @@ object Bucketing {
     val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
       s"table $table is not bucketed — nothing to preserve; compact " +
         "plain parquet dirs with a repartition+overwrite instead"))
+    // the drop+rename swap below does not carry a partitioned table's
+    // partition METADATA — the renamed table's catalog entries would
+    // go stale and read as empty. No built-in store partitions;
+    // refuse loudly rather than swap a standing table for a
+    // hollowed-out one (ADVICE r15 hazard class).
+    require(meta.partitionColumnNames.isEmpty,
+      s"compactTable: $table is partitioned " +
+        s"(${meta.partitionColumnNames.mkString(", ")}) — the " +
+        "drop+rename swap cannot carry partition metadata; rewrite " +
+        "partitioned tables partition-by-partition instead")
     val tmp = s"${table}__compacting"
     spark.sql(s"DROP TABLE IF EXISTS $tmp") // debris of a crashed compact
     val bcols = spec.bucketColumnNames
@@ -140,6 +150,12 @@ object Bucketing {
     val meta = spark.sessionState.catalog.getTableMetadata(
       org.apache.spark.sql.catalyst.TableIdentifier(table))
     val spec = meta.bucketSpec.getOrElse(return spark.table(table))
+    // partitioned+bucketed layouts keep their data files in partition
+    // SUBDIRS — the top-level listing below would parse to an empty
+    // file set and "prune" a standing table to nothing (ADVICE r15).
+    // None of the built-in stores partition, so the catalog scan is
+    // the correct fallback, not a refusal.
+    if (meta.partitionColumnNames.nonEmpty) return spark.table(table)
     val sch = spark.table(table).schema
     val bexprs = spec.bucketColumnNames
       .map(c => col(c).cast(sch(c).dataType))
@@ -168,7 +184,13 @@ object Bucketing {
         case bucketedName(b) => Some(f.getPath.toString -> b.toInt)
         case _ => None
       })
-    if (parsed.exists(_.isEmpty)) return spark.table(table)
+    // an EMPTY top-level listing is only a safe "no rows" verdict when
+    // the table truly has no data — any layout that hides files from
+    // this listing (a partition scheme the guard above missed, a
+    // symlinked dir) must degrade to the catalog scan, never to an
+    // empty result over standing rows
+    if (parsed.isEmpty || parsed.exists(_.isEmpty))
+      return spark.table(table)
     val keep = parsed.flatten.collect { case (p, b) if wanted(b) => p }
     if (keep.isEmpty) spark.table(table).limit(0)
     // read through the table's OWN format — the write side already
@@ -225,6 +247,16 @@ object Bucketing {
     val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
       s"table $table is not bucketed — use a plain file-targeted " +
         "rewrite instead"))
+    // a partitioned table's files carry their partition VALUES in the
+    // directory path, not the file: the direct affected-file read
+    // below would resurrect those columns as null and the survivor
+    // append would rewrite them wrong — refuse, loudly, rather than
+    // corrupt (ADVICE r15; no built-in store partitions)
+    require(meta.partitionColumnNames.isEmpty,
+      s"reclaimFromTable: $table is partitioned " +
+        s"(${meta.partitionColumnNames.mkString(", ")}) — the " +
+        "file-targeted rewrite reads data files directly and would " +
+        "lose the partition values; compact with an exclude instead")
     val want = broadcast(target.select(col(target.columns.head).as(key)))
     // location through the table's own bucket layout ([[prunedScan]]):
     // when the reclaim key IS the bucket key, the target prunes

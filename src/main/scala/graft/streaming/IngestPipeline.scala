@@ -181,9 +181,18 @@ object IngestPipeline {
           // (poison-the-table, the exact thing the quarantine exists
           // to prevent). Not a wedge (the merge has no raise), but the
           // same repair-and-replay posture applies.
+          // scoped to record-type=data, like the CDC lanes'
+          // malformedPayload predicates: a CONTROL record carrying
+          // non-null data (DDL info) is not an upsert candidate — it
+          // must land and count, not quarantine for lacking a merge
+          // key it was never meant to carry (ADVICE r15); the merge
+          // lane below filters the same way, so it can't reach the
+          // snapshot either
           cfg.tables.map(t => (s"payload_key:${t.tableName}",
             StreamSplitter.schemaNameCol === t.schemaName &&
               StreamSplitter.tableNameCol === t.tableName &&
+              col("metadata.`record-type`") ===
+                DmsEnvelope.RecordTypeData &&
               col("data").isNotNull &&
               from_json(col("data"), t.dataSchema)
                 .getField(t.key).isNull)) ++
@@ -251,8 +260,16 @@ object IngestPipeline {
             val settled = scala.concurrent.Await.result(
               scala.concurrent.Future.traverse(cfg.tables) { t =>
                 scala.concurrent.Future {
+                  // record-type=data only — demux's data-not-null leg
+                  // (the reference F1 surface, unchanged) admits a
+                  // control record that CARRIES data; with the
+                  // payload_key check now scoped past control records,
+                  // an unfiltered merge lane would upsert that DDL
+                  // payload as a junk row
                   val changes = StreamSplitter
                     .demux(clean, t.schemaName, t.tableName)
+                    .filter(col("metadata.`record-type`") ===
+                      DmsEnvelope.RecordTypeData)
                     .select(
                       from_json(col("data"), t.dataSchema).as("__d"),
                       mergeOp(col("metadata.operation")).as("op"),

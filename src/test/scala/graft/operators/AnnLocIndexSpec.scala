@@ -202,6 +202,58 @@ class AnnLocIndexSpec extends SparkSpec {
       Seq(5L).toDF("item_id")).isEmpty, "absent index must read None")
   }
 
+  test("a legacy _meta (bare bucket count, pre-scheme-marker) reads as NO index and migrates at the next mutation") {
+    val dir = tmpStore("annlocmarker")
+    Similarity.buildIvfStore(emb.filter(col("vec_id") < 200), dir,
+      nlist = 8)
+    Similarity.deleteFromIvfStore(spark, Seq(9999L).toDF("vec_id"), dir)
+    assert(AnnLocIndex.buckets(spark, dir).isDefined)
+    // rewrite _meta in the LEGACY format (a bare count, no scheme
+    // marker) — the on-disk state of an index built before the r15
+    // canonical-type hash fix. Reading it with the NEW hash would
+    // prune non-long integral ids to the wrong buckets with no error
+    // (the silent-empty-candidates failure mode), so it must read as
+    // "no index" until rebuilt
+    val metaFile = new org.apache.hadoop.fs.Path(dir + "/loc/_meta")
+    val f = metaFile.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = f.create(metaFile, true)
+    try out.write("64".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    assert(AnnLocIndex.buckets(spark, dir).isEmpty,
+      "a schemeless marker must read as no index (full-scan fallback)")
+    assert(AnnLocIndex.candidateLists(spark, dir,
+      Seq(5L).toDF("item_id")).isEmpty)
+    // the mutation family still works — location falls back to the
+    // full scan, and ensure() migrates the index to the new marker
+    assert(Similarity.deleteFromIvfStore(spark, Seq(7L).toDF("vec_id"),
+      dir) === 1L)
+    assert(AnnLocIndex.buckets(spark, dir).isDefined,
+      "the first mutation must rebuild a current-scheme index")
+    val queries = emb.filter(col("vec_id") < 3)
+    val net = emb.filter(col("vec_id") < 200 && col("vec_id") =!= 7)
+    assert(asSet(Similarity.searchIvfStore(spark, queries, dir, k = 5,
+      nprobe = 8)) === asSet(Similarity.bruteForceTopK(net, queries, 5)))
+  }
+
+  test("crashed-write debris under encoded/_temporary does not count as data — the empty-store rebuild still drops the index") {
+    val dir = tmpStore("annlocdebris")
+    val tiny = emb.filter(col("vec_id") < 20)
+    Similarity.buildIvfStore(tiny, dir, nlist = 2)
+    assert(Similarity.deleteFromIvfStore(spark,
+      tiny.select("vec_id"), dir) === 20L)
+    // a crashed write's debris: a committed-looking leaf under an
+    // underscore ancestor. The parquet read ignores _temporary
+    // entirely, so counting this as data would send the rebuild into
+    // the "unable to infer schema" failure the empty guard prevents
+    val debris = new org.apache.hadoop.fs.Path(
+      dir + "/encoded/_temporary/0/part-00000-dead.parquet")
+    val f = debris.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.create(debris, true).close()
+    Similarity.compactIvfStore(spark, dir)
+    assert(!locDir(dir).exists(),
+      "debris-only store is EMPTY — rebuild must drop loc/, not read it")
+  }
+
   test("rebuild into an existing dir drops the index — entries describe the NEW corpus only once re-created") {
     val dir = tmpStore("annlocrebuild")
     Similarity.buildIvfStore(emb.filter(col("vec_id") < 100), dir,

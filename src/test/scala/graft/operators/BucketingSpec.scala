@@ -171,6 +171,40 @@ class BucketingSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS ps_foreign")
   }
 
+  test("partitioned+bucketed layout: prunedScan falls back to the catalog scan; reclaim and compact refuse loudly") {
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS ps_part")
+    try {
+      val df = (0 until 300).map(i => (i.toLong, s"p${i % 3}", i * 2L))
+        .toDF("id", "part", "v")
+      df.write.format("parquet").partitionBy("part")
+        .bucketBy(4, "id").sortBy("id").saveAsTable("ps_part")
+      // data files live in partition SUBDIRS — the top-level listing
+      // sees none; pre-fix this "pruned" a standing table to an empty
+      // scan (and, through reclaimFromTable, to a cleared tombstone
+      // over standing rows — silent resurrection)
+      val got = Bucketing.prunedScan(spark, "ps_part", Seq(7L).toDF("id"))
+      assert(got.filter(col("id") === 7L).count() === 1L,
+        "prunedScan on a partitioned table must fall back, never empty")
+      assert(got.count() === 300L)
+      // the file-targeted reclaim reads data files directly and would
+      // resurrect partition values as null — refuse, loudly
+      val e = intercept[IllegalArgumentException] {
+        Bucketing.reclaimFromTable(spark, "ps_part",
+          Seq(7L).toDF("id"), "id")
+      }
+      assert(e.getMessage.contains("partitioned"), e.getMessage)
+      // the compaction swap cannot carry partition metadata — loud
+      // refusal beats swapping a standing table for a hollow one
+      val e2 = intercept[IllegalArgumentException] {
+        Bucketing.compactTable(spark, "ps_part")
+      }
+      assert(e2.getMessage.contains("partitioned"), e2.getMessage)
+      assert(spark.table("ps_part").count() === 300L,
+        "the refused calls must leave the table standing")
+    } finally spark.sql("DROP TABLE IF EXISTS ps_part")
+  }
+
   test("compactTable merges append debris to one file per bucket, keeps rows + layout") {
     import spark.implicits._
     val orders = Tables.load(spark, sf0001, "orders")

@@ -120,6 +120,60 @@ class IngestPipelineSpec extends SparkSpec {
       .as[(String, String, Long)].collect().toSet === got)
   }
 
+  test("a control record CARRYING data (DDL payload, no merge key) lands and counts — never quarantined, never merged") {
+    // the demux surface (reference F1) admits any record with non-null
+    // data; a DMS control record can carry DDL info there. It has no
+    // merge key BY DESIGN, so the payload_key quarantine must not
+    // claim it (ADVICE r15 — the check is scoped to record-type=data),
+    // and the merge lane must not upsert its payload as a junk row
+    val ctl = """{"data": {"ddl": "alter table person add column x"}, """ +
+      """"metadata": {"timestamp": "2019-11-13T10:00:09.0000Z", """ +
+      """"record-type": "control", "operation": "add-column", """ +
+      """"partition-key-type": "schema-table", """ +
+      """"schema-name": "dms_sample", "table-name": "person"}}"""
+    val ls = Seq(line(0, "person", "load", 1L), ctl,
+      line(2, "person", "insert", 3L))
+    val backlog = Files.createTempFile("pipectl", ".jsonl")
+    Files.write(backlog, ls.mkString("\n").getBytes("UTF-8"))
+    val root = Files.createTempDirectory("pipectl").toString
+    val metrics = ArrayBuffer.empty[IngestPipeline.BatchMetric]
+    val cfg = IngestPipeline.Config(
+      landingDir = s"$root/landing",
+      quarantineDir = s"$root/quarantine",
+      // the envelope contract itself scopes to data records — a DDL
+      // payload legitimately has no ID field
+      checks = Seq(Constraints.Predicate("valid_id",
+        col("metadata.`record-type`") =!= "data" ||
+          col("data").isNull ||
+          coalesce(get_json_object(col("data"), "$.ID").cast("long") >= 0,
+            lit(false)))),
+      snapshotRoot = s"$root/snapshots",
+      tables = Seq(IngestPipeline.TableSink(
+        "dms_sample", "person", personSchema, "ID")),
+      opsRollupDir = s"$root/ops",
+      checkpoint = s"$root/ckpt")
+    val raw = spark.readStream.format("graft-kinesis-sim")
+      .option("path", backlog.toString).option("shards", "1")
+      .option("keyRegex", "\"ID\": (-?[0-9]+)")
+      .load()
+      .select(col("data").as("value"))
+    IngestPipeline.start(raw, cfg,
+      onBatch = m => { metrics += m; () }).awaitTermination(120000)
+    // clean all the way through: landed + counted, nothing quarantined
+    assert(metrics.map(_.quarantined).sum === 0L,
+      "a control record is not an upsert candidate — it must not " +
+        "quarantine for lacking a merge key it was never meant to carry")
+    assert(spark.read.json(cfg.landingDir).count() === 3L)
+    assert(IngestPipeline.opCounts(spark, cfg.opsRollupDir)
+      .as[(String, String, Long)].collect().toSet === Set(
+        ("person", "load", 1L), ("person", "add-column", 1L),
+        ("person", "insert", 1L)))
+    // and the snapshot holds only the DATA rows — no junk null-key row
+    assert(IngestPipeline.readSnapshot(spark, cfg, "person")
+      .select("ID", "val").as[(Long, String)].collect().toSet ===
+      Set((1L, "v0"), (3L, "v2")))
+  }
+
   test("concurrent per-table merges ≡ the serial loop (multi-table batch)") {
     // 4 tables, interleaved I/U/D ops in one backlog: the bounded-pool
     // merge fan-out must land byte-equivalent snapshots and counters
