@@ -895,32 +895,43 @@ object Dedup {
         col("last.op").as("op"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val badOps = last.filter(col("op").isNull ||
-        !col("op").isin("I", "U", "D"))
-      require(badOps.isEmpty, s"$caller: ops must be I, U or " +
-        s"D — got ${badOps.select("op").distinct().collect().mkString(", ")}")
-      // body gate, symmetric to the op gate (r15): a null text is
-      // legal ONLY on D. Unguarded, a partial-payload UPDATE would
+      // BOTH gates and the per-op counts in ONE driver action (r15
+      // verdict: the three separate jobs here were the fixed
+      // per-micro-batch floor pricing the CDC-heaviest bench queries;
+      // every lane below already runs its own jobs, so the gates
+      // should not add three more). The op gate refuses unknown/null
+      // ops BY NAME; the body gate is symmetric (r15): a null text is
+      // legal ONLY on D — unguarded, a partial-payload UPDATE would
       // reclaim the old signature and admit the signature OF NULL —
-      // the store row silently stops describing any content and
-      // near-dup-matches every other null/empty admission. Refuse by
-      // id instead (the pipeline quarantines these upstream — see
-      // NearDupStream.malformedPayload — so the loud path is for
-      // direct callers).
-      val bodiless = last.filter(col("op").isin("I", "U") &&
-        col("text").isNull)
-      require(bodiless.isEmpty, s"$caller: I/U events must carry text " +
-        "(only D may be id-only) — null for ids " +
-        bodiless.select("doc_id").limit(20).collect().mkString(", "))
-      val counts = last.groupBy("op").count().collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // refused BY ID instead. The pipeline quarantines both shapes
+      // upstream (NearDupStream.malformedPayload), so the loud path
+      // is for direct callers; sampled sort_array'd collect_sets keep
+      // the messages deterministic and batch-bounded.
+      val isBad = col("op").isNull || !col("op").isin("I", "U", "D")
+      val isBodiless = col("op").isin("I", "U") && col("text").isNull
+      val g = last.agg(
+        count(when(col("op") === "I", 1)),
+        count(when(col("op") === "U", 1)),
+        count(when(col("op") === "D", 1)),
+        count(when(isBad, 1)),
+        slice(sort_array(collect_set(
+          when(isBad, coalesce(col("op"), lit("<null>"))))), 1, 10),
+        count(when(isBodiless, 1)),
+        slice(sort_array(collect_set(
+          when(isBodiless, col("doc_id").cast("string")))), 1, 20)
+      ).head()
+      require(g.getLong(3) == 0L, s"$caller: ops must be I, U or " +
+        s"D — got ${g.getSeq[String](4).mkString(", ")}")
+      require(g.getLong(5) == 0L, s"$caller: I/U events must carry " +
+        "text (only D may be id-only) — null for ids " +
+        g.getSeq[String](6).mkString(", "))
+      val (nI, nU, nD) = (g.getLong(0), g.getLong(1), g.getLong(2))
       def lane(op: String): DataFrame =
         last.filter(col("op") === op).select("doc_id", "text")
-      if (counts.getOrElse("D", 0L) > 0) del(lane("D").select("doc_id"))
-      if (counts.getOrElse("U", 0L) > 0) ups(lane("U"))
-      if (counts.getOrElse("I", 0L) > 0) ins(lane("I"))
-      (counts.getOrElse("I", 0L), counts.getOrElse("U", 0L),
-        counts.getOrElse("D", 0L))
+      if (nD > 0) del(lane("D").select("doc_id"))
+      if (nU > 0) ups(lane("U"))
+      if (nI > 0) ins(lane("I"))
+      (nI, nU, nD)
     } finally last.unpersist(blocking = false)
   }
 

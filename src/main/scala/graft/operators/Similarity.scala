@@ -1615,23 +1615,38 @@ object Similarity {
         col("last.op").as("op"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val badOps = last.filter(col("op").isNull ||
-        !col("op").isin("I", "U", "D"))
-      require(badOps.isEmpty, "applyCdcBatch: ops must be I, U or D — " +
-        s"got ${badOps.select("op").distinct().collect().mkString(", ")}")
-      // body gate, symmetric to the op gate (r15): a null embedding is
-      // legal ONLY on D (delete payloads carry the id alone). Unguarded,
-      // a partial-payload UPDATE would tombstone + reclaim the old row
-      // and then append NOTHING (the encode path drops the null row) —
-      // a replacement silently degraded to a delete; an I would admit
-      // nothing while reporting dispatch. Refuse by id instead.
-      val bodiless = last.filter(col("op").isin("I", "U") &&
-        col("embedding").isNull)
-      require(bodiless.isEmpty, "applyCdcBatch: I/U events must carry " +
-        "an embedding (only D may be id-only) — null for ids " +
-        bodiless.select("vec_id").limit(20).collect().mkString(", "))
-      val counts = last.groupBy("op").count().collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // BOTH gates and the per-op counts in ONE driver action (r15
+      // verdict: three separate gate jobs per micro-batch were the
+      // fixed floor pricing the CDC-heaviest bench queries). The op
+      // gate refuses unknown/null ops BY NAME. The body gate is
+      // symmetric (r15): a null embedding is legal ONLY on D (delete
+      // payloads carry the id alone) — unguarded, a partial-payload
+      // UPDATE would tombstone + reclaim the old row and then append
+      // NOTHING (the encode path drops the null row), a replacement
+      // silently degraded to a delete; refused BY ID instead. Sampled
+      // sort_array'd collect_sets keep the messages deterministic and
+      // batch-bounded.
+      val isBad = col("op").isNull || !col("op").isin("I", "U", "D")
+      val isBodiless = col("op").isin("I", "U") &&
+        col("embedding").isNull
+      val g = last.agg(
+        count(when(col("op") === "I", 1)),
+        count(when(col("op") === "U", 1)),
+        count(when(col("op") === "D", 1)),
+        count(when(isBad, 1)),
+        slice(sort_array(collect_set(
+          when(isBad, coalesce(col("op"), lit("<null>"))))), 1, 10),
+        count(when(isBodiless, 1)),
+        slice(sort_array(collect_set(
+          when(isBodiless, col("vec_id").cast("string")))), 1, 20)
+      ).head()
+      require(g.getLong(3) == 0L, "applyCdcBatch: ops must be I, U or " +
+        s"D — got ${g.getSeq[String](4).mkString(", ")}")
+      require(g.getLong(5) == 0L, "applyCdcBatch: I/U events must " +
+        "carry an embedding (only D may be id-only) — null for ids " +
+        g.getSeq[String](6).mkString(", "))
+      val counts = Map("I" -> g.getLong(0), "U" -> g.getLong(1),
+        "D" -> g.getLong(2))
       val sharded = {
         val p = new org.apache.hadoop.fs.Path(storeDir + "/sharding")
         p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
