@@ -33,6 +33,27 @@ import org.apache.spark.sql.functions.col
  */
 object Bucketing {
 
+  /** Refuse to MUTATE under `spark.sql.files.ignoreMissingFiles=true`
+    * — the documented reader hazard on the reclaim's delete window
+    * turned from a footnote into a named error (r15 verdict item):
+    * under that conf the mutation's OWN table reads (the located
+    * affected files, the survivor heal, the compaction source) would
+    * silently drop any concurrently-missing file's rows and rewrite
+    * the store from the truncated view — data loss with no failure
+    * anywhere. Catalog-table reads cannot pin the conf per-read the
+    * way [[TombstoneLog]]'s path reads do, so the mutation entry
+    * points check-and-refuse instead (one conf read; queries remain
+    * the caller's business). */
+  private[graft] def requireStrictFileReads(spark: SparkSession,
+      caller: String): Unit =
+    require(!spark.conf.get("spark.sql.files.ignoreMissingFiles",
+        "false").toBoolean,
+      s"$caller: refusing to mutate with " +
+        "spark.sql.files.ignoreMissingFiles=true — this session would " +
+        "silently drop rows of any file missing mid-read and rewrite " +
+        "the table from the truncated view; unset the conf for " +
+        "mutation sessions")
+
   /** Write `df` as a bucketed (+optionally sorted) managed table. */
   def writeBucketed(df: DataFrame, table: String, key: String,
       buckets: Int, sorted: Boolean = true): Unit = {
@@ -72,6 +93,7 @@ object Bucketing {
     * signature stores' tombstone reclaim rides this). */
   def compactTable(spark: SparkSession, table: String,
       exclude: Option[(DataFrame, String)] = None): Unit = {
+    requireStrictFileReads(spark, "compactTable")
     val meta = spark.sessionState.catalog.getTableMetadata(
       org.apache.spark.sql.catalyst.TableIdentifier(table))
     val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
@@ -242,6 +264,7 @@ object Bucketing {
       target: DataFrame, key: String,
       bucketRows: Option[DataFrame] = None): Int = {
     import org.apache.spark.sql.functions._
+    requireStrictFileReads(spark, "reclaimFromTable")
     val meta = spark.sessionState.catalog.getTableMetadata(
       org.apache.spark.sql.catalyst.TableIdentifier(table))
     val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(

@@ -685,6 +685,7 @@ object Dedup {
   def deleteSignaturesBucketed(spark: SparkSession, ids: DataFrame,
       table: String): Long = {
     import org.apache.spark.storage.StorageLevel
+    Bucketing.requireStrictFileReads(spark, "deleteSignaturesBucketed")
     val dlog = bucketedDlogPath(spark, table)
     TombstoneLog.maybeFold(spark, dlog, "id")
     val seq0 = TombstoneLog.nextSeq(spark, dlog, "id")
@@ -746,6 +747,8 @@ object Dedup {
       ids: DataFrame, table: String, numHashes: Int = 64,
       bands: Int = 8): Long = {
     import org.apache.spark.storage.StorageLevel
+    Bucketing.requireStrictFileReads(spark,
+      "reclaimSignatureTombstonesBucketed")
     val rows = bandRows(numHashes, bands)
     val dlog = bucketedDlogPath(spark, table)
     TombstoneLog.maybeFold(spark, dlog, "id")
@@ -987,6 +990,7 @@ object Dedup {
   def appendSignaturesBucketed(spark: SparkSession, admitted: DataFrame,
       idCol: String, textCol: String, table: String, buckets: Int,
       numHashes: Int = 64, bands: Int = 8, shingleN: Int = 5): Unit = {
+    Bucketing.requireStrictFileReads(spark, "appendSignaturesBucketed")
     val rows = bandRows(numHashes, bands)
     // physical-id anti (re-delivery) + tombstone anti (takedown wins).
     // The anti reads the catalog table, not a bucket-pruned file set —

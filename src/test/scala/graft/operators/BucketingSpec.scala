@@ -205,6 +205,38 @@ class BucketingSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS ps_part")
   }
 
+  test("every bucketed mutation refuses under spark.sql.files.ignoreMissingFiles=true — the silent-row-drop hazard is a named error") {
+    tablesReady
+    import spark.implicits._
+    // under this conf a mutation's own table reads silently drop any
+    // concurrently-missing file's rows and rewrite the store from the
+    // truncated view; the entry points must refuse BEFORE touching
+    // anything (so even a nonexistent table name never reaches I/O)
+    spark.conf.set("spark.sql.files.ignoreMissingFiles", "true")
+    try {
+      val calls: Seq[(String, () => Any)] = Seq(
+        ("compactTable", () => Bucketing.compactTable(spark, "bkt_orders")),
+        ("reclaimFromTable", () => Bucketing.reclaimFromTable(spark,
+          "bkt_orders", Seq(1L).toDF("o_custkey"), "o_custkey")),
+        ("deleteSignaturesBucketed", () => Dedup.deleteSignaturesBucketed(
+          spark, Seq(1L).toDF("id"), "no_such_store")),
+        ("appendSignaturesBucketed", () => Dedup.appendSignaturesBucketed(
+          spark, Seq((1L, "x")).toDF("doc_id", "text"),
+          "doc_id", "text", "no_such_store", buckets = 4)),
+        ("reclaimSignatureTombstonesBucketed",
+          () => Dedup.reclaimSignatureTombstonesBucketed(spark,
+            Seq(1L).toDF("id"), "no_such_store")))
+      calls.foreach { case (name, f) =>
+        val e = intercept[IllegalArgumentException](f())
+        assert(e.getMessage.contains("ignoreMissingFiles"),
+          s"$name: ${e.getMessage}")
+      }
+    } finally spark.conf.unset("spark.sql.files.ignoreMissingFiles")
+    // with the conf unset the same entry points proceed past the guard
+    assert(Bucketing.reclaimFromTable(spark, "bkt_orders",
+      Seq(-1L).toDF("o_custkey"), "o_custkey") === 0)
+  }
+
   test("compactTable merges append debris to one file per bucket, keeps rows + layout") {
     import spark.implicits._
     val orders = Tables.load(spark, sf0001, "orders")
