@@ -2802,6 +2802,51 @@ object SparkEntry {
           table, numHashes = 64, bands = 8, shingleN = 5)
         .select(col("id").as("doc_id"), col("sig_ok"), col("bands_ok"))
         .orderBy(col("doc_id"))
+    }),
+
+    // The BUCKETED WIDE-SimHash store's CDC lifecycle (round 16) —
+    // the w=128 family's scale layout reaches the same stream parity
+    // as q142's MinHash twin, with one structural simplification: no
+    // bands table (chunk keys are bit-slices of the stored signature,
+    // computed at query time), so the file-targeted reclaim has no
+    // second table and no coverage check. Same protocol: I (%3=0
+    // fresh), U (%5=1 token-reversed — reclaim + revive), D (%7=2
+    // down; the later D beats the overlap's U), a late re-delivered I
+    // of a taken-down id that must stay down, then the net-state
+    // audit (live stored (sig0, sig1) ≡ the net text's, membership
+    // exact).
+    "q143_widesim_cdc_bucketed" -> ((s, dir) => {
+      val table =
+        s"graft_widecdcb_${Integer.toHexString(dir.hashCode)}_$jvmToken"
+      val docs = t(s, dir, "documents")
+      val history = docs.filter(col("doc_id") % 3 =!= 0)
+      Dedup.buildWideSimhashStoreBucketed(history, "doc_id", "text",
+        table, buckets = 4)
+      val rev = concat_ws(" ", reverse(split(col("text"), "\\s+")))
+      val b1 = docs.filter(col("doc_id") % 3 === 0)
+          .select(col("doc_id"), col("text"), lit("I").as("op"),
+            lit(1L).as("seq"))
+        .unionByName(history.filter(col("doc_id") % 5 === 1)
+          .select(col("doc_id"), rev.as("text"), lit("U").as("op"),
+            lit(2L).as("seq")))
+        .unionByName(history.filter(col("doc_id") % 7 === 2)
+          .select(col("doc_id"), lit(null).cast("string").as("text"),
+            lit("D").as("op"), lit(3L).as("seq")))
+      Dedup.applyWideSimhashCdcBatchBucketed(s, b1, table, buckets = 4)
+      val b2 = history
+        .filter(col("doc_id") % 7 === 2 && col("doc_id") % 5 === 3)
+        .select(col("doc_id"), col("text"), lit("I").as("op"),
+          lit(10L).as("seq"))
+      Dedup.applyWideSimhashCdcBatchBucketed(s, b2, table, buckets = 4)
+      val net = docs
+        .filter(col("doc_id") % 3 === 0 || col("doc_id") % 7 =!= 2)
+        .select(col("doc_id"),
+          when(col("doc_id") % 3 =!= 0 && col("doc_id") % 5 === 1, rev)
+            .otherwise(col("text")).as("text"))
+      Dedup.auditWideSimhashStoreBucketed(s, net, "doc_id", "text",
+          table)
+        .select(col("id").as("doc_id"), col("sig_ok"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -4063,6 +4108,14 @@ object SparkEntry {
     // late re-delivered I of a taken-down id that must stay down.
     "q142_sigstore_cdc_bucketed" ->
       """SELECT doc_id, true AS sig_ok, true AS bands_ok FROM documents
+         WHERE doc_id % 3 = 0 OR doc_id % 7 <> 2
+         ORDER BY doc_id""",
+    // the bucketed WIDE-SimHash CDC lifecycle (q143): q142's audit
+    // convention minus the bands leg — the oracle is the net
+    // membership after I/U/D and the late re-delivered I that must
+    // stay down, all-true on the one signature boolean.
+    "q143_widesim_cdc_bucketed" ->
+      """SELECT doc_id, true AS sig_ok FROM documents
          WHERE doc_id % 3 = 0 OR doc_id % 7 <> 2
          ORDER BY doc_id""",
     // the merge invariant is the split's, in reverse — same plain

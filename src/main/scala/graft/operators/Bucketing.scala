@@ -165,9 +165,29 @@ object Bucketing {
     * means a foreign layout — fall back to the full table scan,
     * always correct. The result is a plain file read with NO bucketed
     * outputPartitioning: location work only, never the admission
-    * query's colocated join. */
+    * query's colocated join.
+    *
+    * Reader-vs-writer seam (r16 review): the returned plan pins the
+    * LISTING-TIME file set — a file a concurrent append commits after
+    * this call is simply not in the list (commit is a rename, so a
+    * half-written file is never visible), and the reader sees a
+    * consistent committed snapshot as of the call, the same contract
+    * a catalog scan's cached listing gives (spec-pinned). A file a
+    * concurrent MUTATION deletes mid-read fails loudly under the
+    * strict-reads contract every mutation enforces
+    * ([[requireStrictFileReads]]); mutations themselves are
+    * single-writer, so their own prunedScans never race a writer. */
   def prunedScan(spark: SparkSession, table: String,
-      bucketRows: DataFrame): DataFrame = {
+      bucketRows: DataFrame): DataFrame =
+    prunedScanImpl(spark, table, bucketRows, guard = true)
+
+  /** [[prunedScan]] with the selectivity guard optionally bypassed —
+    * measurement access for `tools/SigStoreCost`'s location
+    * head-to-head (the guard encodes a measured boundary; the tool
+    * must be able to time the raw mechanism on BOTH sides of it).
+    * Production callers use [[prunedScan]]. */
+  private[graft] def prunedScanImpl(spark: SparkSession, table: String,
+      bucketRows: DataFrame, guard: Boolean): DataFrame = {
     import org.apache.spark.sql.functions._
     val meta = spark.sessionState.catalog.getTableMetadata(
       org.apache.spark.sql.catalyst.TableIdentifier(table))
@@ -184,17 +204,23 @@ object Bucketing {
     val wanted = bucketRows
       .select(pmod(hash(bexprs: _*), lit(spec.numBuckets)).as("b"))
       .distinct().collect().map(_.getInt(0)).toSet // ≤ numBuckets
-    // selectivity guard (measured, r15): pruning only pays when the
-    // batch's buckets are a MINORITY share of the table's — a batch
-    // touching most buckets "prunes" to the whole table read
+    // selectivity guard (measured r15, re-measured at 10M×2048 in
+    // r16 — SCALING.md "location crossover"): pruning only pays when
+    // the batch's buckets are a MINORITY share of the table's — a
+    // batch touching most buckets "prunes" to the whole table read
     // file-by-file, paying the listing + fresh file index + per-file
-    // overhead for nothing (at 500k docs × 64 buckets × 500-id
-    // batches the unguarded prune measured 2-4× SLOWER than the
-    // catalog scan). Under the guard the catalog scan — shared cached
-    // listing, combined splits — serves the non-selective case, and
-    // the pruned read serves the regime it exists for: a huge store
-    // (buckets sized ∝ corpus) hit by a small CDC batch.
-    if (wanted.size * 2 >= spec.numBuckets) return spark.table(table)
+    // overhead for nothing (forced majority-share prunes measured
+    // 1.7-5.8× slower than the catalog scan at every point from
+    // 100k×64 to 10M×2048). Under the guard the catalog scan —
+    // shared cached listing, combined splits — serves the
+    // non-selective case, and the pruned read serves the regime it
+    // exists for: a huge store (buckets sized ∝ corpus) hit by a
+    // small CDC batch, where it wins 1.5× at 1M docs and 2.2× at 10M
+    // with the gap growing in the corpus while the pruned term stays
+    // batch-proportional. The half-the-buckets boundary separated
+    // win from loss at every measured point.
+    if (guard && wanted.size * 2 >= spec.numBuckets)
+      return spark.table(table)
     val fsys = new org.apache.hadoop.fs.Path(meta.location)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bucketedName = """.*_(\d+)(?:\..*)?$""".r // the writer's _NNNNN
@@ -250,7 +276,14 @@ object Bucketing {
     * changes nothing (tombstones stand); between append and delete a
     * read sees duplicate survivor rows — the same window the dir
     * store's protocol accepts (semi/anti joins are immune, candidate
-    * generation distincts) — and the re-run's double anti rewrites
+    * generation distincts), and a bucketed COLOCATED-JOIN reader
+    * stays exchange-free and row-correct through it: with >1 file in
+    * a bucket Spark keeps trusting the bucketed distribution but
+    * drops the per-file sort claim (the concatenation of two sorted
+    * files is not sorted), so the SMJ re-sorts instead of silently
+    * mis-merging — the only artifact is the duplicate multiplicity
+    * itself (r16 review, spec-pinned in BucketingSpec) — and the
+    * re-run's double anti rewrites
     * nothing and completes the delete. Single-writer, like every
     * store mutation — and that covers WRITERS; a concurrent reader
     * that listed the table before the deletes fails loudly on the

@@ -689,16 +689,22 @@ object Dedup {
     val dlog = bucketedDlogPath(spark, table)
     TombstoneLog.maybeFold(spark, dlog, "id")
     val seq0 = TombstoneLog.nextSeq(spark, dlog, "id")
-    // existence check via the CATALOG scan, deliberately: a
-    // bucket-pruned read was measured 2-3× slower here (r15,
-    // SCALING.md "bucketed sig-store location") — the check reads one
-    // column through the table's shared cached listing, which beats
-    // per-call file listing + index construction at every measured
-    // scale; pruning pays only where whole FILES must be located and
-    // rewritten (the reclaim)
-    val want = ids.select(col(ids.columns.head).as("id")).distinct()
-      .join(spark.table(s"${table}_sigs").select("id"), Seq("id"),
-        "left_semi")
+    // existence check through the GUARDED bucket-pruned read (r16,
+    // SCALING.md "location crossover"): the narrow catalog scan was
+    // this path's last corpus-proportional term, and the 10M-doc ×
+    // 2048-bucket measurement the r15 verdict asked for shows the
+    // pruned location overtaking it from ~1M docs up (0.73 s vs
+    // 1.11 s at 1M×512 with a 100-id batch; 1.64 s vs 3.53 s at
+    // 10M×2048 with a 500-id batch — and the catalog term keeps
+    // growing with the corpus while the pruned term stays batch-
+    // proportional). prunedScan's selectivity guard separated win
+    // from loss at EVERY measured point, so the non-selective case
+    // (toy stores, huge batches) still reads the catalog's shared
+    // cached listing, now plus one batch-sized bucket-distinct job.
+    val want0 = ids.select(col(ids.columns.head).as("id")).distinct()
+    val want = want0
+      .join(Bucketing.prunedScan(spark, s"${table}_sigs", want0)
+        .select("id"), Seq("id"), "left_semi")
     val fresh = (readDeletedBucketed(spark, table) match {
       case Some(d) => want.join(d, Seq("id"), "left_anti")
       case None => want
@@ -878,7 +884,17 @@ object Dedup {
   /** The shared CDC dispatch core: resolve ONE terminal op per id
     * (latest seq wins; same-seq ties D > U > I — conservative
     * takedown-wins), gate unknown ops LOUDLY by name, then run the
-    * store-layout-specific lanes D, U, I in that order. */
+    * store-layout-specific lanes D, U, I in that order. The op gate
+    * sees EVERY op in the batch, not just the terminal frame (r16):
+    * an unknown op superseded by a later legit op for the same id is
+    * still producer corruption — it may stand for semantics this
+    * dispatch doesn't implement (a truncate, a schema op), and
+    * letting terminal-op resolution mask it would silently apply the
+    * batch as if the event never happened. The raw-level flag rides
+    * the terminal groupBy as one extra agg column, so the gate stays
+    * a single driver action; the pipeline quarantines unknown-op rows
+    * per envelope upstream, so the loud path is for direct callers
+    * and cannot wedge a stream. */
   private def dispatchSigCdc(spark: SparkSession, batch: DataFrame,
       idCol: String, textCol: String, opCol: String, seqCol: String,
       caller: String, del: DataFrame => Unit, ups: DataFrame => Unit,
@@ -887,15 +903,18 @@ object Dedup {
     val rank = when(col("op") === "D", 2)
       .when(col("op") === "U", 1)
       .when(col("op") === "I", 0)
+    val badRaw = when(col("op").isNull || !col("op").isin("I", "U", "D"),
+      coalesce(col("op"), lit("<null>")))
     val last = batch
       .select(col(idCol).as("doc_id"), col(textCol).as("text"),
         col(opCol).as("op"), col(seqCol).cast("long").as("seq"))
       .withColumn("_r", rank)
+      .withColumn("_bad", badRaw)
       .groupBy("doc_id")
       .agg(max(struct(col("seq"), col("_r"), col("op"), col("text")))
-        .as("last"))
+        .as("last"), max(col("_bad")).as("bad_op"))
       .select(col("doc_id"), col("last.text").as("text"),
-        col("last.op").as("op"))
+        col("last.op").as("op"), col("bad_op"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       // BOTH gates and the per-op counts in ONE driver action (r15
@@ -903,22 +922,22 @@ object Dedup {
       // per-micro-batch floor pricing the CDC-heaviest bench queries;
       // every lane below already runs its own jobs, so the gates
       // should not add three more). The op gate refuses unknown/null
-      // ops BY NAME; the body gate is symmetric (r15): a null text is
-      // legal ONLY on D — unguarded, a partial-payload UPDATE would
-      // reclaim the old signature and admit the signature OF NULL —
-      // refused BY ID instead. The pipeline quarantines both shapes
-      // upstream (NearDupStream.malformedPayload), so the loud path
-      // is for direct callers; sampled sort_array'd collect_sets keep
-      // the messages deterministic and batch-bounded.
-      val isBad = col("op").isNull || !col("op").isin("I", "U", "D")
+      // ops BY NAME, anywhere in the batch — superseded ops included
+      // (see the dispatch scaladoc); the body gate is symmetric
+      // (r15): a null text is legal ONLY on D — unguarded, a
+      // partial-payload UPDATE would reclaim the old signature and
+      // admit the signature OF NULL — refused BY ID instead. The
+      // pipeline quarantines both shapes upstream
+      // (NearDupStream.malformedPayload), so the loud path is for
+      // direct callers; sampled sort_array'd collect_sets keep the
+      // messages deterministic and batch-bounded.
       val isBodiless = col("op").isin("I", "U") && col("text").isNull
       val g = last.agg(
         count(when(col("op") === "I", 1)),
         count(when(col("op") === "U", 1)),
         count(when(col("op") === "D", 1)),
-        count(when(isBad, 1)),
-        slice(sort_array(collect_set(
-          when(isBad, coalesce(col("op"), lit("<null>"))))), 1, 10),
+        count(col("bad_op")),
+        slice(sort_array(collect_set(col("bad_op"))), 1, 10),
         count(when(isBodiless, 1)),
         slice(sort_array(collect_set(
           when(isBodiless, col("doc_id").cast("string")))), 1, 20)
@@ -993,22 +1012,30 @@ object Dedup {
     Bucketing.requireStrictFileReads(spark, "appendSignaturesBucketed")
     val rows = bandRows(numHashes, bands)
     // physical-id anti (re-delivery) + tombstone anti (takedown wins).
-    // The anti reads the catalog table, not a bucket-pruned file set —
-    // the same measured reasoning as deleteSignaturesBucketed's
-    // existence check (narrow cached scan beats per-call listing).
+    // The anti reads the GUARDED bucket-pruned file set (r16) — the
+    // same measured crossover as deleteSignaturesBucketed's existence
+    // check: the batch's ids name their own buckets, so on a big
+    // store the anti's store side shrinks from the corpus to
+    // O(batch × store/buckets) while the selectivity guard keeps the
+    // catalog scan for the non-selective case.
     val fresh = minusDeletedBucketed(spark,
         minhashSignatures(admitted, idCol, textCol, numHashes,
           shingleN, portable = false)
-          .join(spark.table(s"${table}_sigs").select(col("id")),
+          .join(Bucketing.prunedScan(spark, s"${table}_sigs",
+              admitted.select(col(idCol).as("id"))).select(col("id")),
             Seq("id"), "left_anti"),
         table)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      // bands BEFORE sigs, load-bearing both ways: (a) appending to
-      // `_sigs` invalidates `fresh`'s cache (the anti join READS that
-      // table), so a later bands write would recompute the anti join
-      // against the already-appended sigs and append nothing — a silent
-      // candidate loss; (b) a crash between the writes leaves duplicate
+      // bands BEFORE sigs, load-bearing both ways: (a) a cache-lost
+      // recompute of `fresh` after a sigs write must not see its own
+      // append — the pruned anti pins the listing-time file set, and
+      // the guard's catalog fallback resolves the pre-append relation,
+      // but only this order makes the property independent of which
+      // path the guard took (a bands write after the sigs append
+      // would otherwise recompute the anti against the already-
+      // appended sigs and append nothing — a silent candidate loss);
+      // (b) a crash between the writes leaves duplicate
       // band rows on re-delivery, which the admission query's distinct
       // absorbs, whereas the reverse order would leave PERMANENTLY
       // missing band rows (sigs present ⇒ anti join drops the docs).
@@ -1018,6 +1045,20 @@ object Dedup {
         .saveAsTable(s"${table}_bands")
       fresh.write.mode("append").format("parquet")
         .bucketBy(buckets, "id").sortBy("id").saveAsTable(s"${table}_sigs")
+      // make the appends visible to the CALLER's session explicitly
+      // (r16): the inserts execute through `fresh`'s OWN session — in
+      // a foreachBatch that is the stream's cloned session — and
+      // their post-write refresh lands there, not here. The old
+      // catalog-relation anti happened to keep this session's cached
+      // listing fresh as a side effect of its own resolution; with
+      // the bucket-pruned anti (direct file reads) nothing touches
+      // this session's relation cache, and a same-session reader
+      // right after the call (the audit, the spec's assertions) would
+      // read the pre-append listing — found by the streamed bucketed
+      // CDC spec the moment the anti was routed. Same lesson
+      // deleteOriginals already encodes for the delete side.
+      spark.catalog.refreshTable(s"${table}_bands")
+      spark.catalog.refreshTable(s"${table}_sigs")
     } finally fresh.unpersist()
   }
 
@@ -1358,9 +1399,19 @@ object Dedup {
       s"simhashWideIncremental needs maxHamming >= 1 (got $maxHamming); " +
         "radius 0 is exact-signature equality — use Dedup.exact")
     requireWideDraws(spark, storeDir, portable, "simhashWideIncremental")
-    val loBits = if (portable) 60 else 64
     // LIVE rows only — see minhashLshIncremental
-    val ssig = liveSigs(spark, storeDir)
+    simhashWideIncrementalCore(batch, idCol, textCol,
+      liveSigs(spark, storeDir), maxHamming, portable)
+  }
+
+  /** The wide-incremental admission core over an explicit live store
+    * frame — shared by the dir ([[simhashWideIncremental]]) and
+    * bucketed ([[simhashWideIncrementalBucketed]]) layouts; the pair
+    * semantics are the layout-independent part. */
+  private def simhashWideIncrementalCore(batch: DataFrame,
+      idCol: String, textCol: String, ssig: DataFrame,
+      maxHamming: Int, portable: Boolean): DataFrame = {
+    val loBits = if (portable) 60 else 64
     val bsig = Caches.releaseAfterUse(restrictToNew(
       simhashSignatures128(batch, idCol, textCol, portable), ssig))
     val chunkExprs = simhashChunkBounds(2 * loBits, maxHamming).map {
@@ -1396,6 +1447,212 @@ object Dedup {
     // the other) and candidates are distinct per arm, so no final
     // min-hamming grouping is needed
     verify(candSB, ssig, bsig).unionByName(verify(candBB, bsig, bsig))
+  }
+
+  // ---- bucketed wide-SimHash store (r16) ------------------------------
+  //
+  // The w = 128 family's SCALE layout — the r15 verdict's open
+  // decision, resolved as CODE rather than a deferral because the
+  // wide store is precisely the store that exists FOR huge corpora
+  // (the 21-24× candidate-volume lever matters exactly when history
+  // is large), and its dir layout's only corpus-proportional mutation
+  // term — the reclaim's full-scan location of an id's rows — is the
+  // term the bucketed layout removes (id IS the bucket key, so
+  // Bucketing.prunedScan locates a CDC batch's files in O(batch)
+  // reads, and Bucketing.reclaimFromTable rewrites only those). The
+  // q141/q142 conventions transfer directly: the same D/R op log
+  // (deleteSignaturesBucketed works unchanged — it reads only
+  // `<table>_sigs` + the log), the same file-targeted reclaim, the
+  // same terminal-op CDC dispatch, and a net-state audit as the
+  // oracle surface. One structural simplification vs MinHash: there
+  // is NO bands table — the chunk keys are pure bit-slices of the
+  // stored signature, computed at query time — so the reclaim has no
+  // second table, no band-key recompute, and no coverage check.
+
+  private def wideMetaTable(table: String): String = s"${table}_meta"
+
+  /** [[requireWideDraws]] for the bucketed layout: the draw family
+    * lives in a one-row catalog table (`<table>_meta`) instead of the
+    * dir store's `_wide_meta` file. A missing table falls through to
+    * the documented contract (pre-meta grace, matching the dir
+    * store); an EMPTY one is a torn rebuild — refuse, rebuild. */
+  private def requireWideDrawsBucketed(spark: SparkSession,
+      table: String, portable: Boolean, who: String): Unit =
+    if (spark.catalog.tableExists(wideMetaTable(table))) {
+      val built = spark.table(wideMetaTable(table)).collect().headOption
+        .getOrElse(throw new IllegalStateException(
+          s"$who: store $table has an empty ${wideMetaTable(table)} " +
+            "(a torn rebuild) — the draw family can no longer be " +
+            "verified; rebuild the store"))
+        .getAs[Boolean]("portable")
+      require(built == portable,
+        s"$who: store $table was built with portable=$built but this " +
+          s"call passes portable=$portable — the two draw families " +
+          "are bit-incompatible, so every hamming distance would be " +
+          "silently meaningless; pass the build's flag or rebuild")
+    }
+
+  /** [[buildWideSimhashStore]] on the write-time-bucketed catalog
+    * layout: `(id, sig0, sig1)` lands bucketed+sorted by id into
+    * `<table>_sigs` (16 signature bytes per doc — mutation scans and
+    * admission antis read a narrow bucketed table, never the text),
+    * and the draw family pins itself in `<table>_meta`. A rebuild
+    * starts a fresh lifecycle (op log + legacy tombstones cleared,
+    * same contract as [[buildSignatureStoreBucketed]]). */
+  def buildWideSimhashStoreBucketed(df: DataFrame, idCol: String,
+      textCol: String, table: String, buckets: Int,
+      portable: Boolean = false): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    TombstoneLog.clear(spark, bucketedDlogPath(spark, table), "id")
+    spark.sql(s"DROP TABLE IF EXISTS ${deletedTable(table)}")
+    Bucketing.writeBucketed(
+      simhashSignatures128(df, idCol, textCol, portable),
+      s"${table}_sigs", "id", buckets)
+    // meta LAST: a build that dies before this point leaves either no
+    // store or a sigs table with no meta — and a missing meta reads
+    // as the documented-contract grace, never as the WRONG family
+    Seq((portable, if (portable) 60 else 64)).toDF("portable", "lo_bits")
+      .coalesce(1).write.mode("overwrite")
+      .saveAsTable(wideMetaTable(table))
+  }
+
+  /** Targeted physical reclaim for the bucketed WIDE store — the
+    * [[reclaimSignatureTombstonesBucketed]] protocol minus the bands
+    * side (no second table, no band-key recompute, no coverage
+    * check): the tombstoned ids' rows leave `<table>_sigs` through
+    * [[Bucketing.reclaimFromTable]] (id is the bucket key, so
+    * location prunes directly), then R records re-open the ids.
+    * Returns ids reclaimed. */
+  def reclaimWideSimhashTombstonesBucketed(spark: SparkSession,
+      ids: DataFrame, table: String): Long = {
+    Bucketing.requireStrictFileReads(spark,
+      "reclaimWideSimhashTombstonesBucketed")
+    val dlog = bucketedDlogPath(spark, table)
+    TombstoneLog.maybeFold(spark, dlog, "id")
+    val seq0 = TombstoneLog.nextSeq(spark, dlog, "id")
+    val dead = readDeletedBucketed(spark, table).getOrElse(return 0L)
+    val target = ids.select(col(ids.columns.head).as("id")).distinct()
+      .join(dead, Seq("id"), "left_semi")
+      .localCheckpoint(true) // the rewrite mutates the table the plan reads
+    val n = target.count()
+    if (n == 0L) return 0L
+    Bucketing.reclaimFromTable(spark, s"${table}_sigs", target, "id")
+    TombstoneLog.append(spark, target, dlog, "id", "R", seq0)
+    n
+  }
+
+  /** [[appendWideSimhashSignatures]] for the bucketed layout: one
+    * narrow anti join on the catalog table (re-delivery safe) + the
+    * tombstone anti (takedown wins), then the admitted signatures
+    * append in the write-time bucket layout — ≤1 new file per touched
+    * bucket, compaction owed on the usual cadence
+    * ([[compactWideSimhashStoreBucketed]]). */
+  def appendWideSimhashSignaturesBucketed(spark: SparkSession,
+      admitted: DataFrame, idCol: String, textCol: String,
+      table: String, buckets: Int, portable: Boolean = false): Unit = {
+    requireWideDrawsBucketed(spark, table, portable,
+      "appendWideSimhashSignaturesBucketed")
+    Bucketing.requireStrictFileReads(spark,
+      "appendWideSimhashSignaturesBucketed")
+    // guarded bucket-pruned anti — the r16 location crossover, same
+    // as appendSignaturesBucketed
+    minusDeletedBucketed(spark,
+        simhashSignatures128(admitted, idCol, textCol, portable)
+          .join(Bucketing.prunedScan(spark, s"${table}_sigs",
+              admitted.select(col(idCol).as("id"))).select(col("id")),
+            Seq("id"), "left_anti"),
+        table)
+      .write.mode("append").format("parquet")
+      .bucketBy(buckets, "id").sortBy("id")
+      .saveAsTable(s"${table}_sigs")
+    // explicit caller-session visibility — see appendSignaturesBucketed
+    spark.catalog.refreshTable(s"${table}_sigs")
+  }
+
+  /** REPLACE a batch in the bucketed wide store — tombstone, reclaim
+    * exactly those ids' files, re-admit the new content (revives a
+    * taken-down id by design; see [[upsertSignaturesBucketed]]). */
+  def upsertWideSimhashSignaturesBucketed(spark: SparkSession,
+      batch: DataFrame, idCol: String, textCol: String, table: String,
+      buckets: Int, portable: Boolean = false): Unit = {
+    requireWideDrawsBucketed(spark, table, portable,
+      "upsertWideSimhashSignaturesBucketed")
+    val ids = batch.select(col(idCol).as("id"))
+    deleteSignaturesBucketed(spark, ids, table)
+    reclaimWideSimhashTombstonesBucketed(spark, ids, table)
+    appendWideSimhashSignaturesBucketed(spark, batch, idCol, textCol,
+      table, buckets, portable)
+  }
+
+  /** [[applySigCdcBatchBucketed]] for the bucketed WIDE store: the
+    * same terminal-op dispatch core (one-action gates, raw-batch op
+    * gate) over the wide lanes. Returns (inserted, updated, deleted)
+    * ids dispatched per lane. */
+  def applyWideSimhashCdcBatchBucketed(spark: SparkSession,
+      batch: DataFrame, table: String, buckets: Int,
+      idCol: String = "doc_id", textCol: String = "text",
+      opCol: String = "op", seqCol: String = "seq",
+      portable: Boolean = false): (Long, Long, Long) =
+    dispatchSigCdc(spark, batch, idCol, textCol, opCol, seqCol,
+      "applyWideSimhashCdcBatchBucketed",
+      del = ids => deleteSignaturesBucketed(spark, ids, table),
+      ups = rows => upsertWideSimhashSignaturesBucketed(spark, rows,
+        "doc_id", "text", table, buckets, portable),
+      ins = rows => appendWideSimhashSignaturesBucketed(spark, rows,
+        "doc_id", "text", table, buckets, portable))
+
+  /** [[simhashWideIncremental]] against the bucketed store: identical
+    * pair semantics; the store side reads its write-time bucket
+    * layout and the tombstone anti broadcasts (batch-sized). */
+  def simhashWideIncrementalBucketed(spark: SparkSession,
+      batch: DataFrame, idCol: String, textCol: String, table: String,
+      maxHamming: Int = 6, portable: Boolean = false): DataFrame = {
+    require(maxHamming >= 1,
+      s"simhashWideIncrementalBucketed needs maxHamming >= 1 (got " +
+        s"$maxHamming); radius 0 is exact-signature equality — use " +
+        "Dedup.exact")
+    requireWideDrawsBucketed(spark, table, portable,
+      "simhashWideIncrementalBucketed")
+    simhashWideIncrementalCore(batch, idCol, textCol,
+      minusDeletedBucketed(spark, spark.table(s"${table}_sigs"), table),
+      maxHamming, portable)
+  }
+
+  /** AUDIT the bucketed wide store's effective state against the
+    * corpus it should equal — the q141 convention minus the bands leg
+    * (signatures are pure functions of the text; there is no second
+    * table): one (id, sig_ok) row per expected doc, sig_ok ⇔ the live
+    * stored (sig0, sig1) equals the net text's, PLUS a false row for
+    * any unexpected live id. */
+  def auditWideSimhashStoreBucketed(spark: SparkSession,
+      expected: DataFrame, idCol: String, textCol: String,
+      table: String, portable: Boolean = false): DataFrame = {
+    val net = simhashSignatures128(expected, idCol, textCol, portable)
+    val live = minusDeletedBucketed(spark,
+      spark.table(s"${table}_sigs"), table)
+    net.select(col("id"), col("sig0").as("n0"), col("sig1").as("n1"))
+      .join(live.select(col("id"), col("sig0").as("s0"),
+        col("sig1").as("s1")), Seq("id"), "full")
+      .select(col("id"),
+        coalesce(col("n0") === col("s0") && col("n1") === col("s1"),
+          lit(false)).as("sig_ok"))
+  }
+
+  /** Small-file + tombstone maintenance for the bucketed wide store:
+    * compact `<table>_sigs` to one file per bucket, physically
+    * reclaim standing tombstones, clear the record — the
+    * [[compactSignatureStore]] contract minus the bands table.
+    * `<table>_meta` is untouched: the draw family is a property of
+    * the hash config, not of which rows live. */
+  def compactWideSimhashStoreBucketed(spark: SparkSession,
+      table: String): Unit = {
+    val dead = readDeletedBucketed(spark, table).map((_, "id"))
+    Bucketing.compactTable(spark, s"${table}_sigs", dead)
+    if (dead.isDefined) {
+      spark.sql(s"DROP TABLE IF EXISTS ${deletedTable(table)}")
+      TombstoneLog.clear(spark, bucketedDlogPath(spark, table), "id")
+    }
   }
 
   /** Pre-verify candidate volume of the two banding widths on the

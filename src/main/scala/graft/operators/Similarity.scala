@@ -1604,21 +1604,30 @@ object Similarity {
     val rank = when(col("op") === "D", 2)
       .when(col("op") === "U", 1)
       .when(col("op") === "I", 0)
+    // raw-level bad-op flag, rides the terminal groupBy as one extra
+    // agg column (r16): an unknown op superseded by a later legit op
+    // for the same id is still producer corruption — it may stand for
+    // semantics this dispatch doesn't implement, and terminal-op
+    // resolution must not mask it (see Dedup.dispatchSigCdc)
+    val badRaw = when(col("op").isNull || !col("op").isin("I", "U", "D"),
+      coalesce(col("op"), lit("<null>")))
     val last = batch
       .select(col(idCol).as("vec_id"), col(vecCol).as("embedding"),
         col(opCol).as("op"), col(seqCol).cast("long").as("seq"))
       .withColumn("_r", rank)
+      .withColumn("_bad", badRaw)
       .groupBy("vec_id")
       .agg(max(struct(col("seq"), col("_r"), col("op"),
-        col("embedding"))).as("last"))
+        col("embedding"))).as("last"), max(col("_bad")).as("bad_op"))
       .select(col("vec_id"), col("last.embedding").as("embedding"),
-        col("last.op").as("op"))
+        col("last.op").as("op"), col("bad_op"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       // BOTH gates and the per-op counts in ONE driver action (r15
       // verdict: three separate gate jobs per micro-batch were the
       // fixed floor pricing the CDC-heaviest bench queries). The op
-      // gate refuses unknown/null ops BY NAME. The body gate is
+      // gate refuses unknown/null ops BY NAME, anywhere in the batch —
+      // superseded ops included (see badRaw above). The body gate is
       // symmetric (r15): a null embedding is legal ONLY on D (delete
       // payloads carry the id alone) — unguarded, a partial-payload
       // UPDATE would tombstone + reclaim the old row and then append
@@ -1626,16 +1635,14 @@ object Similarity {
       // silently degraded to a delete; refused BY ID instead. Sampled
       // sort_array'd collect_sets keep the messages deterministic and
       // batch-bounded.
-      val isBad = col("op").isNull || !col("op").isin("I", "U", "D")
       val isBodiless = col("op").isin("I", "U") &&
         col("embedding").isNull
       val g = last.agg(
         count(when(col("op") === "I", 1)),
         count(when(col("op") === "U", 1)),
         count(when(col("op") === "D", 1)),
-        count(when(isBad, 1)),
-        slice(sort_array(collect_set(
-          when(isBad, coalesce(col("op"), lit("<null>"))))), 1, 10),
+        count(col("bad_op")),
+        slice(sort_array(collect_set(col("bad_op"))), 1, 10),
         count(when(isBodiless, 1)),
         slice(sort_array(collect_set(
           when(isBodiless, col("vec_id").cast("string")))), 1, 20)

@@ -23,6 +23,21 @@ import org.apache.spark.sql.functions._
   *    the run is only reported if the audit is clean.
   *
   * One JSON line per spec.
+  *
+  * `loc:N:B:K` specs run the r16 LOCATION head-to-head instead: the
+  * per-batch corpus-proportional term the r15 verdict named — the
+  * delete existence check's / append anti-join's narrow CATALOG scan
+  * (`Dedup.deleteSignaturesBucketed`, `appendSignaturesBucketed`) —
+  * timed against the bucket-PRUNED file read of the same table, with
+  * the selectivity guard both respected and force-bypassed, so the
+  * guard's boundary is measured on both sides at every scale point.
+  * The table is a synthetic sigs-table TWIN (id + 64-long array,
+  * bucketed+sorted by id, compacted one-file-per-bucket steady
+  * state): the scans under test read ONLY the id column, so the
+  * minhash content is irrelevant to their cost while the row width
+  * and file layout stay honest — which is what makes a 10M-doc point
+  * affordable to build. Three sweeps per strategy, alternating order;
+  * report all sweeps, read the min.
   */
 object SigStoreCost {
   def main(args: Array[String]): Unit = {
@@ -55,7 +70,66 @@ object SigStoreCost {
       (r, (System.nanoTime() - t0) / 1e9)
     }
 
+    // ---- loc:N:B:K — location-strategy head-to-head (r16) ----
+    def runLoc(n: Long, buckets: Int, k: Int, spec: String): Unit = {
+      import graft.operators.Bucketing
+      val table = s"sigloc_${n}_$buckets"
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      // sigs-table twin: id + 64-long sig, one file per bucket (the
+      // compacted steady state every maintenance cadence returns to)
+      val (_, tBuild) = timed {
+        spark.range(n)
+          .select(col("id"), array((0 until 64).map(h =>
+            pmod(col("id") * 1103515245L + h * 12345L,
+              lit(1000003L))): _*).as("sig"))
+          .repartition(buckets, col("id"))
+          .write.format("parquet").bucketBy(buckets, "id").sortBy("id")
+          .saveAsTable(table)
+      }
+      // K stored ids spread evenly — K distinct buckets in the worst
+      // case, the CDC-batch shape the mutation paths see
+      val batch = spark.range(k)
+        .select((col("id") * (n / k).max(1L)).as("id"))
+        .localCheckpoint(true)
+      val nBuck = batch
+        .select(pmod(hash(col("id")), lit(buckets)).as("b"))
+        .distinct().count()
+      val admits = nBuck * 2 < buckets
+      def semiCount(scan: DataFrame): Long =
+        batch.join(scan.select("id"), Seq("id"), "left_semi").count()
+      // the three strategies, 3 sweeps each, order alternating so no
+      // strategy always pays the cold footer/listing caches
+      val strategies = Seq[(String, () => Long)](
+        ("cat", () => semiCount(spark.table(table))),
+        ("pruned", () => semiCount(
+          Bucketing.prunedScan(spark, table, batch))),
+        ("forced", () => semiCount(Bucketing.prunedScanImpl(
+          spark, table, batch, guard = false))))
+      val times = scala.collection.mutable.Map[String,
+        List[Double]]().withDefaultValue(Nil)
+      (0 until 3).foreach { s =>
+        val order = if (s % 2 == 0) strategies else strategies.reverse
+        order.foreach { case (name, f) =>
+          val (c, t) = timed(f())
+          require(c == batch.count(),
+            s"$name located $c of ${batch.count()} batch ids")
+          times(name) = times(name) :+ t
+        }
+      }
+      def fmt(name: String): String =
+        times(name).map(t => f"$t%.2f").mkString("[", ",", "]")
+      println(s"""{"spec":"$spec","n":$n,"buckets":$buckets,"k":$k,""" +
+        s""""build_s":${f"$tBuild%.1f"},"batch_buckets":$nBuck,""" +
+        s""""guard_admits":$admits,"cat_s":${fmt("cat")},""" +
+        s""""pruned_s":${fmt("pruned")},"forced_s":${fmt("forced")}}""")
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+    }
+
     args.foreach { spec =>
+      if (spec.startsWith("loc:")) {
+        val Array(_, nS, bS, kS) = spec.split(":")
+        runLoc(nS.toLong, bS.toInt, kS.toInt, spec)
+      } else {
       val Array(_, nS, bS, kS) = spec.split(":")
       val (n, buckets, k) = (nS.toInt, bS.toInt, kS.toInt)
       val table = s"sigcost_${n}_$buckets"
@@ -109,6 +183,7 @@ object SigStoreCost {
         s""""audit_ok":$auditOk}""")
       Seq(s"${table}_sigs", s"${table}_bands", s"${table}_deleted")
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      }
     }
     spark.stop()
   }

@@ -217,6 +217,19 @@ class AnnUpsertSpec extends SparkSpec {
       Seq((9L, null.asInstanceOf[Seq[Float]], "D", 10L))
         .toDF("vec_id", "embedding", "op", "seq"), dir)
     assert((i3, u3, d3) === (0L, 0L, 1L))
+    // the op gate sees the RAW batch (r16): an unknown op superseded
+    // by a later legit op for the same id must still refuse — it may
+    // stand for semantics the dispatch doesn't implement, and
+    // terminal-op resolution must not silently mask it
+    val superseded = Seq(
+      (7L, vecOf, "TRUNCATE", 1L),
+      (7L, vecOf, "I", 2L)) // legit terminal op for the same id
+      .toDF("vec_id", "embedding", "op", "seq")
+    val e3 = intercept[IllegalArgumentException] {
+      Similarity.applyCdcBatch(spark, superseded, dir)
+    }
+    assert(e3.getMessage.contains("ops must be I, U or D") &&
+      e3.getMessage.contains("TRUNCATE"))
   }
 
   test("upsert crash windows read correctly and the re-run heals — delete landed, reclaim landed, append missing") {

@@ -313,4 +313,81 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS sig_compact_bands")
     }
   }
+
+  // ---- r16 review-rotation probes: the reclaim window vs readers ----
+
+  test("reclaim's append-then-delete window: a colocated-join reader stays exchange-free and right up to duplicate survivor rows; completing the delete restores exactness") {
+    import spark.implicits._
+    val a = (0L until 64L).map(i => (i, s"a$i")).toDF("k", "va")
+    val b = (0L until 64L).map(i => (i, s"b$i")).toDF("k", "vb")
+    Bucketing.writeBucketed(a, "win_a", "k", 4)
+    Bucketing.writeBucketed(b, "win_b", "k", 4)
+    try {
+      val target = Seq(3L, 17L).toDF("k")
+      // drive win_a into the MID-WINDOW state: survivors appended,
+      // originals not yet deleted (the crash fixture's split steps —
+      // exactly the state a reader can observe between reclaim's two
+      // mutations)
+      val (affected, survivors) =
+        Bucketing.planReclaimForCrashFixture(spark, "win_a", target, "k")
+      Bucketing.appendSurvivors(spark, "win_a", survivors)
+      spark.catalog.refreshTable("win_a")
+      // which keys now stand twice: the affected buckets' rows minus
+      // the targets (their original copy + the appended survivor copy)
+      val dupKeys = spark.read.parquet(affected.toIndexedSeq: _*)
+        .select("k").as[Long].collect().toSet -- Set(3L, 17L)
+      withSmj {
+        val j = Bucketing.colocatedJoin(spark, "win_a", "win_b", "k")
+        // >1 file per bucket: Spark must keep trusting the bucketed
+        // DISTRIBUTION (no exchange) but drop the per-file SORT claim
+        // (the concatenation of two sorted files is not sorted) — a
+        // plan that still claimed the sort would make the SMJ silently
+        // wrong, which the row-level equality below would catch
+        val p = j.queryExecution.executedPlan.toString
+        assert(p.contains("SortMergeJoin") && !p.contains("Exchange"), p)
+        val counts = j.groupBy("k").count().as[(Long, Long)]
+          .collect().toMap
+        // every key still joins; duplicate multiplicity ONLY on the
+        // affected buckets' survivor keys — the documented window
+        assert(counts.keySet === (0L until 64L).toSet)
+        counts.foreach { case (k, c) =>
+          assert(c === (if (dupKeys(k)) 2L else 1L),
+            s"key $k joined $c times (dup expected: ${dupKeys(k)})")
+        }
+      }
+      // the delete completes the reclaim: the join is exact, targets gone
+      Bucketing.deleteOriginals(spark, "win_a", affected)
+      withSmj {
+        val j = Bucketing.colocatedJoin(spark, "win_a", "win_b", "k")
+        assert(!j.queryExecution.executedPlan.toString.contains("Exchange"))
+        assert(j.groupBy("k").count().as[(Long, Long)].collect().toMap ===
+          (0L until 64L).filterNot(Set(3L, 17L)).map(_ -> 1L).toMap)
+      }
+    } finally Seq("win_a", "win_b")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  test("prunedScan: a standing plan pins the listing-time snapshot — files appended after the call are invisible to it and visible to a fresh call") {
+    import spark.implicits._
+    val rows = (0L until 32L).map(i => (i, i * 10)).toDF("id", "v")
+    Bucketing.writeBucketed(rows, "snap_t", "id", 8)
+    try {
+      val keys = Seq(1L).toDF("id") // 1 of 8 buckets — the guard admits
+      val scan = Bucketing.prunedScan(spark, "snap_t", keys)
+      assert(scan.filter(col("id") === 1L).count() === 1L)
+      // a WRITER appends mid-read (single-writer covers writers; this
+      // is the reader-mid-append seam): commit is a rename into the
+      // table dir, so the reader's pinned file list never sees a
+      // half-written file — only "not yet there"
+      Seq((1L, 999L)).toDF("id", "v")
+        .write.mode("append").format("parquet")
+        .bucketBy(8, "id").sortBy("id").saveAsTable("snap_t")
+      // the standing plan reads its listing-time snapshot — committed
+      // rows as of the call, never a torn in-between
+      assert(scan.filter(col("id") === 1L).count() === 1L)
+      // a fresh location sees the committed append
+      assert(Bucketing.prunedScan(spark, "snap_t", keys)
+        .filter(col("id") === 1L).count() === 2L)
+    } finally spark.sql("DROP TABLE IF EXISTS snap_t")
+  }
 }

@@ -134,6 +134,79 @@ class SigUpsertSpec extends SparkSpec {
     assert(e.getMessage.contains("draw"))
   }
 
+  test("bucketed wide store: CDC lifecycle over the file-targeted reclaim — admission parity with the dir twin, takedown wins a late I, audit clean through compaction, draw gate loud") {
+    val table = "wideb_spec"
+    val dir = tmpDir("widebdir")
+    Seq(s"${table}_sigs", s"${table}_meta", s"${table}_deleted")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    try {
+      Dedup.buildWideSimhashStoreBucketed(docs, "doc_id", "text",
+        table, buckets = 4, portable = true)
+      Dedup.buildWideSimhashStore(docs, "doc_id", "text", dir,
+        portable = true)
+      def wpairs(b: org.apache.spark.sql.DataFrame) =
+        Dedup.simhashWideIncrementalBucketed(spark, b, "doc_id",
+            "text", table, maxHamming = 16, portable = true)
+          .select("id_a", "id_b", "hamming")
+          .as[(Long, Long, Int)].collect().toSet
+      val probe = Seq(
+        (10L, "the quick brown fox jumps over the lazy dog and runs far away house"),
+        (11L, "galaxies collide slowly over billions of patient dark years out there")
+      ).toDF("doc_id", "text")
+      // admission parity: same pairs AND hamming as the dir twin
+      assert(wpairs(probe) ===
+        Dedup.simhashWideIncremental(spark, probe, "doc_id", "text",
+            dir, maxHamming = 16, portable = true)
+          .select("id_a", "id_b", "hamming")
+          .as[(Long, Long, Int)].collect().toSet)
+      assert(wpairs(probe).exists(p => p._1 == 0L && p._2 == 10L))
+      // one CDC batch: I a fresh doc, U doc 0 (replacement), D doc 2
+      val b1 = Seq(
+        (4L, "a brand new document arriving through the stream with fresh words", "I", 1L),
+        (0L, "entirely new content that no longer resembles the fox sentence at all", "U", 2L),
+        (2L, null.asInstanceOf[String], "D", 3L))
+        .toDF("doc_id", "text", "op", "seq")
+      assert(Dedup.applyWideSimhashCdcBatchBucketed(spark, b1, table,
+        buckets = 4, portable = true) === ((1L, 1L, 1L)))
+      // late re-delivered I of the taken-down id: must stay down
+      val b2 = Seq((2L,
+        "another fully distinct document mentioning parquet bucketing layouts",
+        "I", 10L)).toDF("doc_id", "text", "op", "seq")
+      Dedup.applyWideSimhashCdcBatchBucketed(spark, b2, table,
+        buckets = 4, portable = true)
+      val net = Seq(
+        (0L, "entirely new content that no longer resembles the fox sentence at all"),
+        (1L, "completely unrelated text about spark catalyst optimizer internals"),
+        (3L, "yet another independent sentence about stream checkpoints and state"),
+        (4L, "a brand new document arriving through the stream with fresh words")
+      ).toDF("doc_id", "text")
+      def auditNet(tag: String): Unit = {
+        val a = Dedup.auditWideSimhashStoreBucketed(spark, net,
+          "doc_id", "text", table, portable = true)
+        assert(a.count() === 4L, tag)
+        assert(a.filter(!col("sig_ok")).count() === 0L, tag)
+      }
+      auditNet("net state after I/U/D + late I")
+      // old content of 0 stopped matching; 2 no longer matches
+      val after = wpairs(probe)
+      assert(!after.exists(p => p._1 == 0L || p._2 == 0L))
+      assert(!after.exists(p => p._1 == 2L || p._2 == 2L))
+      // compaction physically reclaims and clears the record; the
+      // meta (and its gate) survive — audit still clean after
+      Dedup.compactWideSimhashStoreBucketed(spark, table)
+      auditNet("post-compaction state")
+      assert(spark.table(s"${table}_sigs").filter(col("id") === 2)
+        .count() === 0, "compaction must remove the tombstoned row")
+      val e = intercept[IllegalArgumentException] {
+        Dedup.appendWideSimhashSignaturesBucketed(spark, net, "doc_id",
+          "text", table, buckets = 4, portable = false)
+      }
+      assert(e.getMessage.contains("portable=true"))
+    } finally Seq(s"${table}_sigs", s"${table}_meta",
+      s"${table}_deleted")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("bucketed store: upsert swaps history, targeted reclaim keeps other tombstones, admission plan stays batch-only-exchange") {
     val table = "sigups_bucketed"
     Seq(s"${table}_sigs", s"${table}_bands", s"${table}_deleted")

@@ -374,6 +374,106 @@ class IngestPipelineSpec extends SparkSpec {
     assert(pairsOf(sigDir) === livePairs)
   }
 
+  test("bucketed store lane: the SCALE layout maintained across the multi-epoch reshard — audits clean vs the net corpus, a late re-delivered I of a taken-down id stays down, restart and full replay change nothing") {
+    val D = graft.operators.Dedup
+    val root = Files.createTempDirectory("pipebucketed").toString
+    val table = "pipelanes_bucketed"
+    try {
+      // the standing BUCKETED store (the 100 TB configuration) the
+      // stream will maintain — until now its only pipeline-level
+      // evidence was a tool measurement (r15 verdict item 2)
+      val baseDocs = (0 until 6).map(i => (i.toLong, textOf(i)))
+        .toDF("doc_id", "text")
+      D.buildSignatureStoreBucketed(baseDocs, "doc_id", "text", table,
+        buckets = 4, numHashes = 64, bands = 8, shingleN = 5)
+
+      val replaced =
+        "completely replaced content for doc one with marker zzz"
+      // inserts, a replacement, takedowns — and the LATE RE-DELIVERED
+      // insert of taken-down doc 5 lands in a later batch, across the
+      // second reshard boundary (takedown must win there too)
+      val lines = Seq(
+        env(0, "documents", "insert",
+          s"""{"doc_id": 6, "text": "${textOf(6)}"}"""),
+        env(1, "person", "load", """{"ID": 1, "val": "v1"}"""),
+        env(2, "documents", "update",
+          s"""{"doc_id": 1, "text": "$replaced"}"""),
+        env(3, "documents", "delete", """{"doc_id": 3}"""),
+        env(4, "documents", "delete", """{"doc_id": 5}"""),
+        env(5, "person", "update", """{"ID": 1, "val": "v5"}"""),
+        env(6, "documents", "insert",
+          s"""{"doc_id": 7, "text": "${textOf(7)}"}"""),
+        env(7, "person", "update", """{"ID": 1, "val": "v7"}"""),
+        env(8, "documents", "insert", // late re-delivery of a takedown
+          s"""{"doc_id": 5, "text": "${textOf(5)}"}"""),
+        env(9, "documents", "insert",
+          s"""{"doc_id": 8, "text": "${textOf(8)}"}"""))
+      val backlog = Files.createTempFile("pipebucketed", ".jsonl")
+      Files.write(backlog, lines.mkString("\n").getBytes("UTF-8"))
+
+      val cfg = IngestPipeline.Config(
+        landingDir = s"$root/landing",
+        quarantineDir = s"$root/quarantine",
+        checks = Seq(Constraints.Predicate("has_data",
+          col("data").isNotNull)),
+        snapshotRoot = s"$root/snapshots",
+        tables = Seq(IngestPipeline.TableSink(
+          "dms_sample", "person", personSchema, "ID")),
+        opsRollupDir = s"$root/ops",
+        checkpoint = s"$root/ckpt",
+        bucketedSignatureStores = Seq(
+          IngestPipeline.BucketedSignatureStoreLane(table, buckets = 4)))
+      def runOnce(checkpoint: String): Unit = {
+        val raw = spark.readStream.format("graft-kinesis-sim")
+          .option("path", backlog.toString).option("shards", "2")
+          .option("maxRecordsPerTrigger", "4") // several batches…
+          // …spanning the same MULTI-EPOCH reshard as the dir-store
+          // soak: shard 0 splits, a child of that split splits again
+          .option("reshards", "split@4:0;split@10:2")
+          .option("keyRegex", "\"(?:doc_id|ID)\": (-?[0-9]+)")
+          .load()
+          .select(col("data").as("value"))
+        IngestPipeline.start(raw, cfg.copy(checkpoint = checkpoint))
+          .awaitTermination(180000)
+        ()
+      }
+      runOnce(cfg.checkpoint)
+
+      // net corpus: 3 and 5 down (the late re-delivered I of 5 must
+      // NOT resurrect it), 1 replaced, 6/7/8 admitted
+      val netDocs = ((0 until 9).filter(i => i != 3 && i != 5).map { i =>
+        (i.toLong, if (i == 1) replaced else textOf(i))
+      }).toDF("doc_id", "text")
+      def auditNet(tag: String): Unit = {
+        val audit = D.auditSignatureStoreBucketed(spark, netDocs,
+          "doc_id", "text", table, numHashes = 64, bands = 8,
+          shingleN = 5)
+        assert(audit.count() === netDocs.count(), tag)
+        assert(audit.filter(!col("sig_ok") || !col("bands_ok"))
+          .count() === 0, tag)
+      }
+      auditNet("stream-maintained bucketed store must equal the net corpus")
+      // the snapshot lane ran in the same pass
+      assert(IngestPipeline.readSnapshot(spark, cfg, "person")
+        .select("ID", "val").as[(Long, String)].collect().toSet ===
+        Set((1L, "v7")))
+
+      // restart on the drained checkpoint: nothing re-applies
+      runOnce(cfg.checkpoint)
+      auditNet("a restart on the drained checkpoint must change nothing")
+
+      // full REPLAY on a fresh checkpoint: every batch re-applies
+      // against the maintained store — appends drop as re-deliveries,
+      // the upsert re-replaces with identical content, deletes file
+      // nothing, and the late I of 5 drops again because its
+      // tombstone still stands. The net state must converge.
+      runOnce(s"$root/ckpt_replay")
+      auditNet("a full replay against the maintained store must converge")
+    } finally Seq(s"${table}_sigs", s"${table}_bands",
+      s"${table}_deleted")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("store lanes: a malformed lane payload quarantines instead of wedging the stream; the rest of the batch lands") {
     val S = graft.operators.Similarity
     val D = graft.operators.Dedup

@@ -220,6 +220,19 @@ class NearDupStreamSpec extends SparkSpec {
       assert(e.getMessage.contains("must carry text") &&
         e.getMessage.contains("3"))
       auditNet("a refused bodiless update must leave the store untouched")
+      // the op gate sees the RAW batch (r16): an unknown op superseded
+      // by a later legit op for the same id must still refuse —
+      // terminal-op resolution must not mask producer corruption
+      val e2 = intercept[IllegalArgumentException] {
+        Dedup.applySigCdcBatchBucketed(spark,
+          Seq((4L, "some text", "REINDEX", 21L),
+              (4L, rev(txt(4)), "U", 22L))
+            .toDF("doc_id", "text", "op", "seq"),
+          table, buckets = 4, numHashes = 64, bands = 8, shingleN = 5)
+      }
+      assert(e2.getMessage.contains("ops must be I, U or D") &&
+        e2.getMessage.contains("REINDEX"))
+      auditNet("a refused superseded-bad-op batch must leave the store untouched")
     } finally Seq(s"${table}_sigs", s"${table}_bands", s"${table}_deleted")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
