@@ -851,9 +851,8 @@ object Dedup {
     dispatchSigCdc(spark, batch, idCol, textCol, opCol, seqCol,
       "applySigCdcBatch",
       del = ids => deleteSignatures(spark, ids, storeDir),
-      ups = rows => upsertSignatures(spark, rows, "doc_id", "text",
-        storeDir, numHashes, shingleN, portable),
-      ins = rows => appendSignatures(spark, rows, "doc_id", "text",
+      reclaim = ids => reclaimSignatureTombstones(spark, ids, storeDir),
+      append = rows => appendSignatures(spark, rows, "doc_id", "text",
         storeDir, numHashes, shingleN, portable))
 
   /** [[applySigCdcBatch]] for a BUCKETED store
@@ -876,15 +875,15 @@ object Dedup {
     dispatchSigCdc(spark, batch, idCol, textCol, opCol, seqCol,
       "applySigCdcBatchBucketed",
       del = ids => deleteSignaturesBucketed(spark, ids, table),
-      ups = rows => upsertSignaturesBucketed(spark, rows, "doc_id",
-        "text", table, buckets, numHashes, bands, shingleN),
-      ins = rows => appendSignaturesBucketed(spark, rows, "doc_id",
+      reclaim = ids => reclaimSignatureTombstonesBucketed(spark, ids,
+        table, numHashes, bands),
+      append = rows => appendSignaturesBucketed(spark, rows, "doc_id",
         "text", table, buckets, numHashes, bands, shingleN))
 
   /** The shared CDC dispatch core: resolve ONE terminal op per id
     * (latest seq wins; same-seq ties D > U > I — conservative
     * takedown-wins), gate unknown ops LOUDLY by name, then run the
-    * store-layout-specific lanes D, U, I in that order. The op gate
+    * store-layout-specific lanes. The op gate
     * sees EVERY op in the batch, not just the terminal frame (r16):
     * an unknown op superseded by a later legit op for the same id is
     * still producer corruption — it may stand for semantics this
@@ -894,11 +893,37 @@ object Dedup {
     * the terminal groupBy as one extra agg column, so the gate stays
     * a single driver action; the pipeline quarantines unknown-op rows
     * per envelope upstream, so the loud path is for direct callers
-    * and cannot wedge a stream. */
+    * and cannot wedge a stream.
+    *
+    * LANE FUSION (r16 optimization): the lanes run as
+    * delete(D ∪ U) → reclaim(U) → append(U ∪ I), not as the
+    * per-lane composition D→delete, U→(delete+reclaim+append),
+    * I→append. The fused form is id-for-id equivalent — lanes are
+    * disjoint after terminal-op resolution and every step is
+    * per-id — but pays ONE delete pass (one op-log read + existence
+    * check + D append instead of two) and ONE admission pass (one
+    * signature computation + store anti + table append instead of
+    * two) per micro-batch: at CDC cadence the mutation floor is
+    * job count, and the U lane's delete/append legs were exact
+    * duplicates of the D/I lanes' machinery. Equivalence argument,
+    * per id: a D id is tombstoned either way and never appended; a
+    * U id is tombstoned (D@s), reclaimed and revived (R@s+1), then
+    * admitted — after the revive, the fused append's tombstone anti
+    * passes it exactly as the upsert's own append leg did; an I id
+    * never enters the delete/reclaim legs, and the fused append
+    * drops it iff a tombstone stands (takedown wins), as before.
+    * The op-log resolution is unchanged: D ids end at D, U ids at
+    * R (their D and R now land one seq apart instead of two).
+    * `gateIU` runs BEFORE any mutation when the batch carries I or U
+    * rows — the wide store's draw-family check used to run inside
+    * the upsert, i.e. after the D lane but before any U-id
+    * tombstoning; hoisting it keeps "refuse before mutating the ids
+    * the refusal protects" while the fused delete covers both lanes. */
   private def dispatchSigCdc(spark: SparkSession, batch: DataFrame,
       idCol: String, textCol: String, opCol: String, seqCol: String,
-      caller: String, del: DataFrame => Unit, ups: DataFrame => Unit,
-      ins: DataFrame => Unit): (Long, Long, Long) = {
+      caller: String, del: DataFrame => Unit, reclaim: DataFrame => Unit,
+      append: DataFrame => Unit,
+      gateIU: () => Unit = () => ()): (Long, Long, Long) = {
     import org.apache.spark.storage.StorageLevel
     val rank = when(col("op") === "D", 2)
       .when(col("op") === "U", 1)
@@ -948,11 +973,14 @@ object Dedup {
         "text (only D may be id-only) — null for ids " +
         g.getSeq[String](6).mkString(", "))
       val (nI, nU, nD) = (g.getLong(0), g.getLong(1), g.getLong(2))
-      def lane(op: String): DataFrame =
-        last.filter(col("op") === op).select("doc_id", "text")
-      if (nD > 0) del(lane("D").select("doc_id"))
-      if (nU > 0) ups(lane("U"))
-      if (nI > 0) ins(lane("I"))
+      if (nI + nU > 0) gateIU()
+      if (nD + nU > 0)
+        del(last.filter(col("op").isin("D", "U")).select("doc_id"))
+      if (nU > 0)
+        reclaim(last.filter(col("op") === "U").select("doc_id"))
+      if (nI + nU > 0)
+        append(last.filter(col("op").isin("I", "U"))
+          .select("doc_id", "text"))
       (nI, nU, nD)
     } finally last.unpersist(blocking = false)
   }
@@ -1597,10 +1625,16 @@ object Dedup {
     dispatchSigCdc(spark, batch, idCol, textCol, opCol, seqCol,
       "applyWideSimhashCdcBatchBucketed",
       del = ids => deleteSignaturesBucketed(spark, ids, table),
-      ups = rows => upsertWideSimhashSignaturesBucketed(spark, rows,
+      reclaim = ids =>
+        reclaimWideSimhashTombstonesBucketed(spark, ids, table),
+      append = rows => appendWideSimhashSignaturesBucketed(spark, rows,
         "doc_id", "text", table, buckets, portable),
-      ins = rows => appendWideSimhashSignaturesBucketed(spark, rows,
-        "doc_id", "text", table, buckets, portable))
+      // the upsert's draw-family refusal, hoisted ahead of the fused
+      // delete (see dispatchSigCdc: refuse before tombstoning the U
+      // ids the refusal protects). D-only batches stay ungated — a
+      // takedown's validity does not depend on the hash config.
+      gateIU = () => requireWideDrawsBucketed(spark, table, portable,
+        "applyWideSimhashCdcBatchBucketed"))
 
   /** [[simhashWideIncremental]] against the bucketed store: identical
     * pair semantics; the store side reads its write-time bucket

@@ -1339,7 +1339,11 @@ object Similarity {
       target: DataFrame, cands: Option[Set[Int]]): Unit = {
     val fs = new org.apache.hadoop.fs.Path(storeDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    Seq("encoded", "codes").foreach { t =>
+    // the two tables rewrite CONCURRENTLY (r16): discovery stays per
+    // table (the crashed-re-run argument above is order-independent —
+    // each leg scans the table it rewrites), the legs touch disjoint
+    // dirs, and the dynamic overwrite is a per-write option
+    perShardPar(spark, Seq("encoded", "codes")) { t =>
       val dir = new org.apache.hadoop.fs.Path(s"$storeDir/$t")
       if (fs.exists(dir)) {
         val tbl0 = spark.read.parquet(dir.toString)
@@ -1370,16 +1374,20 @@ object Similarity {
           val rewrite = alive.toSeq.sorted
             .map(l => s"$storeDir/$t/list_id=$l")
           if (rewrite.nonEmpty) {
-            val mode = "spark.sql.sources.partitionOverwriteMode"
-            val saved = spark.conf.get(mode, "static")
-            spark.conf.set(mode, "dynamic")
-            try spark.read.option("basePath", s"$storeDir/$t")
+            // dynamic overwrite as a PER-WRITE option, not the
+            // session-conf set/restore this used to be (r16): the
+            // writer option overrides the conf for exactly this write,
+            // so a concurrently-running sibling shard's rewrite (the
+            // parallel per-shard mutation loops) can never observe a
+            // half-restored session toggle
+            spark.read.option("basePath", s"$storeDir/$t")
               .parquet(rewrite: _*)
               .join(broadcast(target), Seq("item_id"), "left_anti")
               .repartition(rewrite.length, col("list_id"))
-              .write.mode("overwrite").partitionBy("list_id")
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("list_id")
               .parquet(s"$storeDir/$t")
-            finally spark.conf.set(mode, saved)
           }
         }
       }
@@ -1475,33 +1483,52 @@ object Similarity {
           case None => enc
         }).join(broadcast(want), Seq("item_id"), "left_semi")
       }
+      // BOTH lane sets decided by ONE flagged frame and ONE driver
+      // action (r16: the separate fresh-lc/count/target-lc/isEmpty
+      // chain was 4 jobs per shard per batch of pure fixed floor):
+      //   _fresh  — located rows not already dead → tombstone (D)
+      //   _target — upsert ids previously dead OR freshly tombstoned
+      //             → physically reclaim + revive (R)
+      // identical, per id, to the old fresh/target derivation.
+      // EAGER localCheckpoint, not persist: the writes below trigger
+      // Spark's refreshByPath on the log and data dirs, which
+      // RECACHES any cached plan whose lineage reads those paths — a
+      // persisted frame would silently recompute against the
+      // post-write files (the revive set read back EMPTY from the
+      // rewritten encoded table when this used persist).
+      // Checkpointing severs the file lineage; the frame is
+      // batch-sized.
+      val locFlag = located.select("item_id").distinct()
+        .withColumn("_loc", lit(true))
+      val deadFlag = dead0.map(_.distinct().withColumn("_dead", lit(true)))
+      val uFlag = wantU.withColumn("_u", lit(true))
+      val flagged0 = want.select("item_id")
+        .join(uFlag, Seq("item_id"), "left")
+        .join(locFlag, Seq("item_id"), "left")
+      val flagged = (deadFlag match {
+        case Some(d) => flagged0.join(d, Seq("item_id"), "left")
+        case None => flagged0.withColumn("_dead", lit(null).cast("boolean"))
+      }).select(col("item_id"),
+          (coalesce(col("_loc"), lit(false)) &&
+            !coalesce(col("_dead"), lit(false))).as("_fresh"),
+          coalesce(col("_u"), lit(false)).as("_u"),
+          coalesce(col("_dead"), lit(false)).as("_dead"))
+        .select(col("item_id"), col("_fresh"),
+          (col("_u") && (col("_dead") || col("_fresh"))).as("_target"))
+        .localCheckpoint(true)
+      val c = flagged.agg(
+        count(when(col("_fresh"), 1)), count(when(col("_target"), 1))
+      ).head()
+      val (nFresh, nTarget) = (c.getLong(0), c.getLong(1))
       // 1. tombstone the located rows not already dead — BOTH lanes
       //    (a delete id is done here; an upsert id is re-opened in
-      //    step 4). EAGER localCheckpoint, not persist: the writes
-      //    below trigger Spark's refreshByPath on the log and data
-      //    dirs, which RECACHES any cached plan whose lineage reads
-      //    those paths — a persisted frame would silently recompute
-      //    against the post-write files (the revive set read back
-      //    EMPTY from the rewritten encoded table when this used
-      //    persist). Checkpointing severs the file lineage; the
-      //    frames are batch-sized.
-      val fresh = (dead0 match {
-        case Some(d) => located.select("item_id").distinct()
-          .join(d, Seq("item_id"), "left_anti")
-        case None => located.select("item_id").distinct()
-      }).localCheckpoint(true)
-      if (fresh.count() > 0)
-        TombstoneLog.append(spark, fresh, deletedPath(storeDir),
-          "item_id", "D", seq0)
-      // 2. the revive set — UPSERT ids only: previously tombstoned
-      //    ones (rows present or already reclaimed) plus those just
-      //    tombstoned in step 1
-      val target = (dead0 match {
-        case Some(d) => wantU.join(d, Seq("item_id"), "left_semi")
-          .unionByName(fresh.join(wantU, Seq("item_id"), "left_semi"))
-        case None => fresh.join(wantU, Seq("item_id"), "left_semi")
-      }).distinct().localCheckpoint(true)
-      if (target.isEmpty) return
+      //    step 4)
+      if (nFresh > 0)
+        TombstoneLog.append(spark,
+          flagged.filter(col("_fresh")).select("item_id"),
+          deletedPath(storeDir), "item_id", "D", seq0)
+      if (nTarget == 0) return
+      val target = flagged.filter(col("_target")).select("item_id")
       // 3. physical rewrite — per-table discovery pruned to the
       //    candidate lists (see rewriteWithoutTarget: per-table is
       //    what keeps a re-run after a death between the encoded and
@@ -1531,7 +1558,9 @@ object Similarity {
     val routed = isRoutedStore(spark, storeDir)
     if (routed) requireNoStagedSplit(spark, storeDir)
     val idCol = ids.columns.head
-    builtShardDirs(spark, storeDir).map { case (i, d) =>
+    // per-shard deletes run CONCURRENTLY (r16) — disjoint shard dirs
+    // and logs, see perShardPar; the sum is order-independent
+    perShardPar(spark, builtShardDirs(spark, storeDir)) { case (i, d) =>
       val slice =
         if (routed) ids
         else ids.filter(shardOf(col(idCol), sh) === i)
@@ -1563,8 +1592,9 @@ object Similarity {
     // per-shard fused delete+reclaim (ONE narrow id-location scan per
     // shard, see upsertPrepOne — down from ~3 per table per shard as
     // the delete+reclaim composition); hash shards see only their
-    // arithmetic slice, routed shards locate by actual membership
-    builtShardDirs(spark, storeDir).foreach { case (i, d) =>
+    // arithmetic slice, routed shards locate by actual membership.
+    // Shards prep CONCURRENTLY (r16) — disjoint dirs, see perShardPar.
+    perShardPar(spark, builtShardDirs(spark, storeDir)) { case (i, d) =>
       val slice =
         if (routed) ids
         else ids.filter(shardOf(col(idCol), sh) === i)
@@ -1669,33 +1699,44 @@ object Similarity {
       // the same pass, with the same crash windows as the composition)
       if (hasD || hasU) {
         val dIds = if (hasD) Some(lane("D").select("vec_id")) else None
-        val uVecs = lane("U")
+        val uIds = lane("U").select("vec_id")
         if (!sharded) {
-          mutatePrepOne(spark, uVecs.select("vec_id"), dIds, storeDir)
-          if (hasU) appendToIvfStore(spark, uVecs, storeDir)
+          mutatePrepOne(spark, uIds, dIds, storeDir)
         } else {
           val sh = readShardCount(spark, storeDir)
           val routed = isRoutedStore(spark, storeDir)
           if (routed) requireNoStagedSplit(spark, storeDir)
-          builtShardDirs(spark, storeDir).foreach { case (i, d) =>
-            def sl(df: DataFrame): DataFrame =
-              if (routed) df
-              else df.filter(shardOf(col(df.columns.head), sh) === i)
-            mutatePrepOne(spark, sl(uVecs.select("vec_id")),
-              dIds.map(sl), d)
-          }
-          if (hasU) {
-            if (routed) appendToRoutedIvfStore(spark, uVecs, storeDir)
-            else appendToShardedIvfStore(spark, uVecs, storeDir)
+          // shards prep CONCURRENTLY (r16) — disjoint shard dirs, see
+          // perShardPar: the serial loop made every CDC micro-batch
+          // pay O(shards) × the per-shard tiny-job chain in wall time
+          perShardPar(spark, builtShardDirs(spark, storeDir)) {
+            case (i, d) =>
+              def sl(df: DataFrame): DataFrame =
+                if (routed) df
+                else df.filter(shardOf(col(df.columns.head), sh) === i)
+              mutatePrepOne(spark, sl(uIds), dIds.map(sl), d)
           }
         }
       }
-      if (hasI) {
-        val ins = lane("I")
-        if (!sharded) appendToIvfStore(spark, ins, storeDir)
+      // U and I share ONE admission pass (r16 optimization): after the
+      // prep above, the U ids are physically reclaimed and revived, so
+      // the append's tombstone anti passes them exactly as the
+      // separate U-lane append did, while the I ids keep the
+      // takedown-wins drop — the lanes are disjoint after terminal-op
+      // resolution and every append-side decision is per-id, so one
+      // call on the union is row-for-row the two sequential calls at
+      // HALF the per-batch append machinery (the routed append's
+      // per-shard tombstone-union read, the staged assignment pass,
+      // and each touched shard's anti-join ran TWICE per batch when
+      // both lanes were present — pure fixed-floor duplication at CDC
+      // cadence).
+      if (hasU || hasI) {
+        val rows = last.filter(col("op").isin("U", "I"))
+          .select("vec_id", "embedding")
+        if (!sharded) appendToIvfStore(spark, rows, storeDir)
         else if (isRoutedStore(spark, storeDir))
-          appendToRoutedIvfStore(spark, ins, storeDir)
-        else appendToShardedIvfStore(spark, ins, storeDir)
+          appendToRoutedIvfStore(spark, rows, storeDir)
+        else appendToShardedIvfStore(spark, rows, storeDir)
       }
       (counts.getOrElse("I", 0L), counts.getOrElse("U", 0L),
         counts.getOrElse("D", 0L))
@@ -1722,7 +1763,12 @@ object Similarity {
     val rootFs = new org.apache.hadoop.fs.Path(storeDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dead = readDeleted(spark, storeDir)
-    Seq("encoded", "codes").foreach { t =>
+    // the two tables rewrite CONCURRENTLY (r16): each leg reads and
+    // writes only its own dir, `dead` is a shared read-only frame,
+    // and the tombstone clear still runs strictly AFTER both legs —
+    // the crash protocol ("a crash anywhere earlier leaves the
+    // tombstones standing") is window-for-window the serial loop's
+    perShardPar(spark, Seq("encoded", "codes")) { t =>
       val dir = new org.apache.hadoop.fs.Path(s"$storeDir/$t")
       val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(dir)) {
@@ -1756,19 +1802,20 @@ object Similarity {
         val rewrite = ((fragmented ++ aliveDead) -- fullyDead)
           .toSeq.sorted.map(l => s"$storeDir/$t/list_id=$l")
         if (rewrite.nonEmpty) {
-          val mode = "spark.sql.sources.partitionOverwriteMode"
-          val saved = spark.conf.get(mode, "static")
-          spark.conf.set(mode, "dynamic")
           // self-overwrite is safe here: dynamic overwrite stages the
           // rewritten files and deletes the matched partition dirs only
-          // at commit, after the read side of the job has finished
-          try minusDeleted(spark,
+          // at commit, after the read side of the job has finished.
+          // Dynamic mode rides a PER-WRITE option (r16) — see
+          // rewriteWithoutTarget: no session-conf set/restore window
+          // for a concurrent sibling mutation to race.
+          minusDeleted(spark,
             spark.read.option("basePath", s"$storeDir/$t")
               .parquet(rewrite: _*), storeDir, "item_id")
             .repartition(rewrite.length, col("list_id"))
-            .write.mode("overwrite").partitionBy("list_id")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("list_id")
             .parquet(s"$storeDir/$t")
-          finally spark.conf.set(mode, saved)
         }
       }
     }
@@ -1849,7 +1896,10 @@ object Similarity {
         shardOf(col("vec_id"), sh).as("shard"))
       .write.mode("overwrite").partitionBy("shard").parquet(staging)
     try {
-      (0 until sh).foreach { i =>
+      // per-shard builds run CONCURRENTLY (r16) — each reads only its
+      // own staging partition and writes only its own shard dir; see
+      // perShardPar for the disjointness/safety argument
+      perShardPar(spark, (0 until sh).toSeq) { i =>
         val p = new org.apache.hadoop.fs.Path(s"$staging/shard=$i")
         if (fs.exists(p))
           buildIvfStore(spark.read.parquet(p.toString),
@@ -1915,15 +1965,29 @@ object Similarity {
     * extra threads only contend on the scheduler. */
   private val PerShardPrepThreads = 16
 
-  /** Run the per-shard candidate constructions CONCURRENTLY: each one
-    * is driver-side prep — a centroids read, a calibration read, a
-    * probed-list collect, all SMALL Spark jobs — and running them
-    * back to back serializes 2-3 tiny jobs per shard into the
-    * query's critical path (at 10+ shards, most of a search's fixed
-    * latency). Concurrent actions on one SparkSession are a
-    * supported Spark pattern; result order is preserved, so the
-    * union — and therefore the ranking and the oracle hash — is
+  /** Run per-shard work CONCURRENTLY — the candidate constructions
+    * (a centroids read, a calibration read, a probed-list collect)
+    * and, since r16, the per-shard MUTATION legs (prep, build,
+    * append): each body is a chain of SMALL Spark jobs over ONE
+    * shard's own dirs, and running the shards back to back
+    * serializes those tiny jobs into the call's critical path — at
+    * toy/CDC scale the mutation floor IS that job count, and at N
+    * shards a serial loop makes every micro-batch O(N) fixed cost.
+    * Concurrent actions on one SparkSession are a supported Spark
+    * pattern; result ORDER is preserved (futures join in input
+    * order), so unions/sums — and therefore the oracle hash — are
     * byte-identical to the sequential form (spec-asserted).
+    *
+    * Safe for the mutation legs because shard dirs are DISJOINT
+    * (each shard owns its encoded/codes tables, tombstone log and
+    * loc index; nothing cross-shard is written inside a leg) and the
+    * one session-global toggle the loops used to share — the
+    * dynamic-partition-overwrite conf — became a per-write option in
+    * r16 (see rewriteWithoutTarget). The single-writer contract is
+    * unchanged: this is one writer driving its independent per-shard
+    * protocols concurrently, each with its own documented crash
+    * windows; a failed shard leaves exactly the states a re-run
+    * heals, as in the serial loop.
     *
     * Runs on a DEDICATED bounded pool, not the JVM-global
     * ExecutionContext (r11 advice): the bodies BLOCK on Spark
@@ -1933,8 +1997,8 @@ object Similarity {
     * so one hung shard's FS call fails the query loudly instead of
     * wedging it forever, and the pool's shutdownNow on that failure
     * interrupts the in-flight siblings. */
-  private def perShardCand[A](spark: SparkSession, shards: Seq[A])(
-      f: A => DataFrame): Seq[DataFrame] =
+  private def perShardPar[A, B](spark: SparkSession, shards: Seq[A])(
+      f: A => B): Seq[B] =
     if (shards.size <= 1) shards.map(f)
     else {
       import scala.concurrent.{Await, ExecutionContext, Future}
@@ -1952,6 +2016,9 @@ object Similarity {
         scala.concurrent.duration.Duration(timeoutSec, "s"))
       finally es.shutdownNow()
     }
+
+  private def perShardCand[A](spark: SparkSession, shards: Seq[A])(
+      f: A => DataFrame): Seq[DataFrame] = perShardPar(spark, shards)(f)
 
   /**
    * Search a sharded store: every shard is probed independently
@@ -2033,14 +2100,24 @@ object Similarity {
       // batch touches at all (the per-row routing stays distributed)
       val present = assigned.select("shard").distinct()
         .collect().map(_.getInt(0)).sorted
+      // the no-quantizer check runs for EVERY touched shard BEFORE any
+      // append starts: the serial loop refused before appending to any
+      // shard past the bad one, the parallel form refuses before
+      // touching any shard at all — strictly no-worse mutation state
+      // on the failure path
       present.foreach { i =>
-        val dir = s"$storeDir/shard=$i"
-        require(fs.exists(
-          new org.apache.hadoop.fs.Path(dir + "/centroids")),
+        require(fs.exists(new org.apache.hadoop.fs.Path(
+          s"$storeDir/shard=$i/centroids")),
           s"store $storeDir: batch routes rows to shard $i, which " +
             "the build left empty (no quantizer) — rebuild the store")
+      }
+      // per-shard appends run CONCURRENTLY (r16) — disjoint shard
+      // dirs, all slices filter the one persisted assignment; see
+      // perShardPar
+      perShardPar(spark, present.toSeq) { i =>
         appendToIvfStore(spark,
-          assigned.filter(col("shard") === i).drop("shard"), dir)
+          assigned.filter(col("shard") === i).drop("shard"),
+          s"$storeDir/shard=$i")
       }
     } finally assigned.unpersist(blocking = false)
   }
@@ -2163,7 +2240,9 @@ object Similarity {
         assignList(supers, V.unitVec(col("embedding"))).as("shard"))
       .write.mode("overwrite").partitionBy("shard").parquet(staging)
     try {
-      (0 until sh).foreach { i =>
+      // per-shard builds run CONCURRENTLY (r16) — see
+      // buildShardedIvfStore / perShardPar
+      perShardPar(spark, (0 until sh).toSeq) { i =>
         val p = new org.apache.hadoop.fs.Path(s"$staging/shard=$i")
         if (fs.exists(p))
           buildIvfStore(spark.read.parquet(p.toString),

@@ -30,6 +30,13 @@ object Profile {
     // for a dev tool)
     val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
     val outputBytes = new java.util.concurrent.atomic.AtomicLong
+    // PROFILE_JOBS=1: per-job wall time + description — the job-FLOOR
+    // readout for the lifecycle queries, whose cost is #driver-actions
+    // × (schedule + tiny-stage) rather than data volume.
+    val traceJobs = sys.env.contains("PROFILE_JOBS")
+    val jobStart =
+      new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]
+    val jobCount = new java.util.concurrent.atomic.AtomicLong
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onTaskEnd(
@@ -38,6 +45,30 @@ object Profile {
           if (m != null) {
             shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
             outputBytes.addAndGet(m.outputMetrics.bytesWritten)
+          }
+          ()
+        }
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobCount.incrementAndGet()
+          if (traceJobs) {
+            val desc = Option(js.properties)
+              .flatMap(p => Option(p.getProperty(
+                "spark.job.description"))).getOrElse("")
+            val call = Option(js.properties)
+              .flatMap(p => Option(p.getProperty("callSite.short")))
+              .getOrElse("")
+            jobStart.put(js.jobId,
+              (System.nanoTime(), if (desc.nonEmpty) desc else call))
+          }
+          ()
+        }
+        override def onJobEnd(
+            je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          if (traceJobs) Option(jobStart.remove(je.jobId)).foreach {
+            case (t0, what) =>
+              val ms = (System.nanoTime() - t0) / 1e6
+              println(f"    job ${je.jobId}%4d ${ms}%9.1f ms  $what")
           }
           ()
         }
@@ -50,13 +81,17 @@ object Profile {
         val t0 = System.nanoTime()
         val s0 = shuffleBytes.get()
         val o0 = outputBytes.get()
+        val j0 = jobCount.get()
         val d = if (fresh) SparkEntry.queries(name)(spark, dir) else df
+        val tBuild = (System.nanoTime() - t0) / 1e9
         d.write.format("noop").mode("overwrite").save()
         val t = (System.nanoTime() - t0) / 1e9
         Thread.sleep(500) // let the listener bus drain
         val sb = (shuffleBytes.get() - s0) / 1e6
         val ob = (outputBytes.get() - o0) / 1e6
-        println(f"$name run$i: $t%8.2f s  shuffle-write $sb%10.2f MB" +
+        val jn = jobCount.get() - j0
+        println(f"$name run$i: $t%8.2f s (build $tBuild%.2f)" +
+          f"  jobs $jn%4d  shuffle-write $sb%10.2f MB" +
           f"  output-write $ob%10.2f MB")
       }
     }
