@@ -274,7 +274,7 @@ object Dedup {
    * tombstoned) file nothing. Returns the number of new tombstones.
    */
   def deleteSignatures(spark: SparkSession, ids: DataFrame,
-      storeDir: String): Long = {
+      storeDir: String): Long = ControlPlane(spark) {
     import org.apache.spark.storage.StorageLevel
     TombstoneLog.maybeFold(spark, deletedSigsPath(storeDir), "id")
     // one log read serves the dead-set AND the append's seq
@@ -328,7 +328,7 @@ object Dedup {
    * Returns the number of ids reclaimed.
    */
   def reclaimSignatureTombstones(spark: SparkSession, ids: DataFrame,
-      storeDir: String): Long = {
+      storeDir: String): Long = ControlPlane(spark) {
     import org.apache.spark.storage.StorageLevel
     TombstoneLog.maybeFold(spark, deletedSigsPath(storeDir), "id")
     // one log read serves the dead-set AND the revive append's seq
@@ -399,7 +399,7 @@ object Dedup {
   def upsertSignatures(spark: SparkSession, batch: DataFrame,
       idCol: String, textCol: String, storeDir: String,
       numHashes: Int = 64, shingleN: Int = 5,
-      portable: Boolean = false): Unit = {
+      portable: Boolean = false): Unit = ControlPlane(spark) {
     val ids = batch.select(col(idCol).as("id"))
     deleteSignatures(spark, ids, storeDir)
     reclaimSignatureTombstones(spark, ids, storeDir)
@@ -414,7 +414,7 @@ object Dedup {
     * draw-family gate intact. */
   def upsertWideSimhashSignatures(spark: SparkSession, batch: DataFrame,
       idCol: String, textCol: String, storeDir: String,
-      portable: Boolean = false): Unit = {
+      portable: Boolean = false): Unit = ControlPlane(spark) {
     requireWideDraws(spark, storeDir, portable, "upsertWideSimhashSignatures")
     val ids = batch.select(col(idCol).as("id"))
     deleteSignatures(spark, ids, storeDir)
@@ -441,7 +441,8 @@ object Dedup {
    * maintenance writer, like every compaction in this repo.
    */
   def compactSignatureStoreDir(spark: SparkSession,
-      storeDir: String, fileThreshold: Int = 8): Unit = {
+      storeDir: String, fileThreshold: Int = 8): Unit =
+      ControlPlane(spark) {
     val root = new org.apache.hadoop.fs.Path(storeDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(storeDir + "__compact")
@@ -683,7 +684,7 @@ object Dedup {
     * mutated id without the full compaction. Returns the new
     * tombstone count. */
   def deleteSignaturesBucketed(spark: SparkSession, ids: DataFrame,
-      table: String): Long = {
+      table: String): Long = ControlPlane(spark) {
     import org.apache.spark.storage.StorageLevel
     Bucketing.requireStrictFileReads(spark, "deleteSignaturesBucketed")
     val dlog = bucketedDlogPath(spark, table)
@@ -751,7 +752,7 @@ object Dedup {
     * full-scan location, always correct. Returns ids reclaimed. */
   def reclaimSignatureTombstonesBucketed(spark: SparkSession,
       ids: DataFrame, table: String, numHashes: Int = 64,
-      bands: Int = 8): Long = {
+      bands: Int = 8): Long = ControlPlane(spark) {
     import org.apache.spark.storage.StorageLevel
     Bucketing.requireStrictFileReads(spark,
       "reclaimSignatureTombstonesBucketed")
@@ -799,9 +800,16 @@ object Dedup {
         .count()
       if (short == 0L) Some(bandKeys) else None
     }
-    Bucketing.reclaimFromTable(spark, s"${table}_bands", target, "id",
-      bandHint)
-    Bucketing.reclaimFromTable(spark, s"${table}_sigs", target, "id")
+    // the two table reclaims run CONCURRENTLY (r16): removal order is
+    // correctness-neutral (scaladoc above — tombstones hide the ids
+    // throughout, orphan band rows die at the verify join), each leg
+    // touches only its own table, and the bandHint's stored-sig read
+    // is already eagerly checkpointed above, so the sigs rewrite
+    // cannot race it
+    ControlPlane.par2(spark)(
+      Bucketing.reclaimFromTable(spark, s"${table}_bands", target, "id",
+        bandHint),
+      Bucketing.reclaimFromTable(spark, s"${table}_sigs", target, "id"))
     TombstoneLog.append(spark, target, dlog, "id", "R", seq0)
     n
   }
@@ -819,7 +827,8 @@ object Dedup {
     * match the store build, as for every admission call. */
   def upsertSignaturesBucketed(spark: SparkSession, batch: DataFrame,
       idCol: String, textCol: String, table: String, buckets: Int,
-      numHashes: Int = 64, bands: Int = 8, shingleN: Int = 5): Unit = {
+      numHashes: Int = 64, bands: Int = 8,
+      shingleN: Int = 5): Unit = ControlPlane(spark) {
     val ids = batch.select(col(idCol).as("id"))
     deleteSignaturesBucketed(spark, ids, table)
     reclaimSignatureTombstonesBucketed(spark, ids, table, numHashes,
@@ -923,7 +932,8 @@ object Dedup {
       idCol: String, textCol: String, opCol: String, seqCol: String,
       caller: String, del: DataFrame => Unit, reclaim: DataFrame => Unit,
       append: DataFrame => Unit,
-      gateIU: () => Unit = () => ()): (Long, Long, Long) = {
+      gateIU: () => Unit = () => ()): (Long, Long, Long) =
+      ControlPlane(spark) {
     import org.apache.spark.storage.StorageLevel
     val rank = when(col("op") === "D", 2)
       .when(col("op") === "U", 1)
@@ -1099,7 +1109,8 @@ object Dedup {
     * tombstones standing over already-reclaimed rows — reads stay
     * correct, a re-run completes the reclaim). Run from the
     * maintenance writer, not concurrently with an admission append. */
-  def compactSignatureStore(spark: SparkSession, table: String): Unit = {
+  def compactSignatureStore(spark: SparkSession, table: String): Unit =
+      ControlPlane(spark) {
     val dead = readDeletedBucketed(spark, table).map((_, "id"))
     Bucketing.compactTable(spark, s"${table}_bands", dead)
     Bucketing.compactTable(spark, s"${table}_sigs", dead)
@@ -1553,7 +1564,7 @@ object Dedup {
     * location prunes directly), then R records re-open the ids.
     * Returns ids reclaimed. */
   def reclaimWideSimhashTombstonesBucketed(spark: SparkSession,
-      ids: DataFrame, table: String): Long = {
+      ids: DataFrame, table: String): Long = ControlPlane(spark) {
     Bucketing.requireStrictFileReads(spark,
       "reclaimWideSimhashTombstonesBucketed")
     val dlog = bucketedDlogPath(spark, table)
@@ -1603,7 +1614,8 @@ object Dedup {
     * taken-down id by design; see [[upsertSignaturesBucketed]]). */
   def upsertWideSimhashSignaturesBucketed(spark: SparkSession,
       batch: DataFrame, idCol: String, textCol: String, table: String,
-      buckets: Int, portable: Boolean = false): Unit = {
+      buckets: Int, portable: Boolean = false): Unit =
+      ControlPlane(spark) {
     requireWideDrawsBucketed(spark, table, portable,
       "upsertWideSimhashSignaturesBucketed")
     val ids = batch.select(col(idCol).as("id"))
@@ -1680,7 +1692,7 @@ object Dedup {
     * `<table>_meta` is untouched: the draw family is a property of
     * the hash config, not of which rows live. */
   def compactWideSimhashStoreBucketed(spark: SparkSession,
-      table: String): Unit = {
+      table: String): Unit = ControlPlane(spark) {
     val dead = readDeletedBucketed(spark, table).map((_, "id"))
     Bucketing.compactTable(spark, s"${table}_sigs", dead)
     if (dead.isDefined) {

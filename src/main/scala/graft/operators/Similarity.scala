@@ -1201,7 +1201,7 @@ object Similarity {
    * NEW tombstones filed.
    */
   def deleteFromIvfStore(spark: SparkSession, ids: DataFrame,
-      storeDir: String): Long = {
+      storeDir: String): Long = ControlPlane(spark) {
     import org.apache.spark.storage.StorageLevel
     val want = ids.select(col(ids.columns.head).as("item_id")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -1291,7 +1291,7 @@ object Similarity {
    * without a standing D would be meaningless and is never written).
    */
   def reclaimTombstones(spark: SparkSession, ids: DataFrame,
-      storeDir: String): Long = {
+      storeDir: String): Long = ControlPlane(spark) {
     import org.apache.spark.storage.StorageLevel
     TombstoneLog.maybeFold(spark, deletedPath(storeDir), "item_id")
     // one log read serves the dead-set AND both appends' seqs
@@ -1417,7 +1417,7 @@ object Similarity {
    * ([[applyCdcBatch]] does exactly that).
    */
   def upsertIntoIvfStore(spark: SparkSession, newVecs: DataFrame,
-      storeDir: String): Unit = {
+      storeDir: String): Unit = ControlPlane(spark) {
     upsertPrepOne(spark, newVecs.select(newVecs.columns.head), storeDir)
     appendToIvfStore(spark, newVecs, storeDir)
   }
@@ -1553,7 +1553,7 @@ object Similarity {
    * there in between. Returns the number of new tombstones.
    */
   def deleteFromShardedIvfStore(spark: SparkSession, ids: DataFrame,
-      storeDir: String): Long = {
+      storeDir: String): Long = ControlPlane(spark) {
     val sh = readShardCount(spark, storeDir)
     val routed = isRoutedStore(spark, storeDir)
     if (routed) requireNoStagedSplit(spark, storeDir)
@@ -1583,7 +1583,7 @@ object Similarity {
    * writer, like every store mutation.
    */
   def upsertIntoShardedIvfStore(spark: SparkSession, newVecs: DataFrame,
-      storeDir: String): Unit = {
+      storeDir: String): Unit = ControlPlane(spark) {
     val sh = readShardCount(spark, storeDir)
     val routed = isRoutedStore(spark, storeDir)
     if (routed) requireNoStagedSplit(spark, storeDir)
@@ -1628,7 +1628,8 @@ object Similarity {
   def applyCdcBatch(spark: SparkSession, batch: DataFrame,
       storeDir: String, idCol: String = "vec_id",
       vecCol: String = "embedding", opCol: String = "op",
-      seqCol: String = "seq"): (Long, Long, Long) = {
+      seqCol: String = "seq"): (Long, Long, Long) =
+      ControlPlane(spark) {
     import org.apache.spark.storage.StorageLevel
     // op rank breaks same-seq ties: D > U > I
     val rank = when(col("op") === "D", 2)
@@ -1759,7 +1760,8 @@ object Similarity {
    * yet-to-be-reclaimed) rows, which reads correctly either way, and a
    * re-run completes the reclaim.
    */
-  def compactIvfStore(spark: SparkSession, storeDir: String): Unit = {
+  def compactIvfStore(spark: SparkSession, storeDir: String): Unit =
+      ControlPlane(spark) {
     val rootFs = new org.apache.hadoop.fs.Path(storeDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dead = readDeleted(spark, storeDir)

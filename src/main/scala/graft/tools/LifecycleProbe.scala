@@ -13,33 +13,71 @@ object LifecycleProbe {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("PROBE_AQE", "true"))
       .config("spark.sql.codegen.hugeMethodLimit", "8000")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val jobs = new java.util.concurrent.atomic.AtomicLong
+    // PROBE_CALLSITES=1: per-phase histogram of job call sites (count
+    // + summed wall ms) — which driver actions the per-batch job
+    // floor is made of, and which of them the wall clock actually
+    // goes to (jobs overlap across the prep threads, so the sum can
+    // exceed the phase wall; it still ranks the offenders)
+    val sites =
+      new java.util.concurrent.ConcurrentHashMap[String, (Int, Double)]
+    val started =
+      new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onJobStart(
             js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-          jobs.incrementAndGet(); ()
+          jobs.incrementAndGet()
+          if (sys.env.contains("PROBE_CALLSITES")) {
+            // the result stage's name IS the action's short call site
+            val call = js.stageInfos.lastOption.map(_.name).getOrElse("?")
+            started.put(js.jobId, (System.nanoTime(), call))
+          }
+          ()
+        }
+        override def onJobEnd(
+            je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          Option(started.remove(je.jobId)).foreach { case (t0, call) =>
+            val ms = (System.nanoTime() - t0) / 1e6
+            sites.merge(call, (1, ms),
+              (a, b) => (a._1 + b._1, a._2 + b._2))
+          }
+          ()
         }
       })
     def phase[A](name: String)(f: => A): A = {
       Thread.sleep(200)
+      sites.clear()
       val j0 = jobs.get(); val t0 = System.nanoTime()
       val r = f
       Thread.sleep(200)
       println(f"  $name%-28s ${(System.nanoTime() - t0) / 1e9}%7.2f s  " +
         f"jobs ${jobs.get() - j0}%4d")
+      if (sys.env.contains("PROBE_CALLSITES")) {
+        import scala.jdk.CollectionConverters._
+        sites.asScala.toSeq.sortBy(-_._2._2).foreach {
+          case (k, (n, ms)) => println(f"      $n%4d  ${ms}%8.0f ms  $k")
+        }
+      }
       r
     }
     def t(s: SparkSession, d: String, n: String) =
       graft.sources.Tables.load(s, d, n)
     val which = args.headOption.getOrElse("q139")
 
+    // PROBE_REPEAT=n: run the lifecycle n times in one JVM — pass 1
+    // pays codegen/plan warmup (the bench's pass-1 shape), later
+    // passes are the steady state the bench's min-of-3 reports
+    val repeats = sys.env.get("PROBE_REPEAT").map(_.toInt).getOrElse(1)
+    for (it <- 1 to repeats) {
+    println(s"  -- pass $it --")
     which match {
       case "q139" =>
         val store = new java.io.File(sys.props("java.io.tmpdir"),
@@ -146,6 +184,8 @@ object LifecycleProbe {
             .write.format("noop").mode("overwrite").save()
         }
       case other => sys.error(s"unknown probe $other")
+    }
+    spark.catalog.clearCache()
     }
     spark.stop()
   }
