@@ -26,51 +26,180 @@ import org.apache.spark.sql.SparkSession
  * cadence at 100 TB, while AQE's benefits on these steps are ~nil
  * (nothing to coalesce or re-join on a batch-sized exchange).
  *
- * Scoping: the toggle is session-level (Spark has no per-action
- * conf), so entry points set it ONCE at their single-threaded entry
- * and restore on exit; the per-shard worker threads inside the scope
- * only READ the conf. Nesting is a no-op (an inner scope sees the
- * flag already off and leaves it alone), so composed mutations —
- * upsert = delete + reclaim + append — pay one toggle. Data-plane
- * work (builds, searches, audits, admission queries) runs OUTSIDE
- * the scope and keeps AQE. A concurrent data-plane query on the SAME
- * session during a mutation's scope would read the flag off — a
- * perf-only effect (AQE never changes results), and the store
- * family's single-writer maintenance-window contract already keeps
- * mutation scopes quiet.
+ * Scoping (r17): the toggle is session-level (Spark has no per-action
+ * conf), guarded by a REENTRANT COUNTED scope per session — the first
+ * entry saves and clears the flag, the LAST exit restores it, and the
+ * count makes concurrent top-level scopes from different threads of
+ * one session compose instead of racing the get/set/restore (the r16
+ * form was safe only by the single-writer convention; the counted
+ * guard turns it into an invariant, spec-pinned). Nesting on one
+ * thread costs one increment. Data-plane work (builds, searches,
+ * audits, admission queries) runs OUTSIDE the scope and keeps AQE. A
+ * concurrent data-plane query on the SAME session during a mutation's
+ * scope still reads the flag off — a perf-only effect (AQE never
+ * changes results), inherent to the session-level conf.
  */
 private[graft] object ControlPlane {
 
   private val Key = "spark.sql.adaptive.enabled"
 
+  /** Per-session reentrant scope state. Weak keys: foreachBatch hands
+    * mutation entry points per-batch session CLONES — a strong map
+    * would pin every clone for the process lifetime. */
+  private final class Scope { var depth = 0; var saved = "true" }
+  private val scopes =
+    new java.util.WeakHashMap[SparkSession, Scope]
+
+  private def scopeOf(spark: SparkSession): Scope = scopes.synchronized {
+    val cur = scopes.get(spark)
+    if (cur != null) cur
+    else { val n = new Scope; scopes.put(spark, n); n }
+  }
+
   def apply[A](spark: SparkSession)(f: => A): A = {
-    val saved = spark.conf.get(Key, "true")
-    if (saved == "false") f
-    else {
-      spark.conf.set(Key, "false")
-      try f finally spark.conf.set(Key, saved)
+    val s = scopeOf(spark)
+    s.synchronized {
+      if (s.depth == 0) {
+        s.saved = spark.conf.get(Key, "true")
+        if (s.saved != "false") spark.conf.set(Key, "false")
+      }
+      s.depth += 1
+    }
+    try f
+    finally s.synchronized {
+      s.depth -= 1
+      if (s.depth == 0 && s.saved != "false") spark.conf.set(Key, s.saved)
     }
   }
+
+  /** Await bound for the SEARCH-path per-shard candidate preps — tiny
+    * metadata reads and bounded collects, where a shard wedged past
+    * this is a fault, not progress. */
+  private[graft] def prepTimeoutSec(spark: SparkSession): Long = spark.conf
+    .getOption("graft.ann.prepTimeoutSec").map(_.toLong).getOrElse(900L)
+
+  /** Await bound for MUTATION/BUILD legs — corpus-proportional work
+    * (per-shard store builds, compaction rewrites, reclaims) where a
+    * legitimately progressing leg can run for hours at production
+    * scale; the r16 single 900 s bound spuriously killed exactly those
+    * (r16 advice). Still finite so a genuinely wedged FS call fails
+    * the mutation loudly (healable per the crash protocols) instead of
+    * hanging the caller forever. */
+  private[graft] def mutationTimeoutSec(spark: SparkSession): Long =
+    spark.conf.getOption("graft.ann.mutationTimeoutSec")
+      .map(_.toLong).getOrElse(86400L)
+
+  /**
+   * Run independent legs CONCURRENTLY on a dedicated bounded pool and
+   * JOIN THEM ALL before returning — the one shared leg-runner under
+   * [[graft.operators.Similarity]]'s per-shard loops and [[par2]].
+   *
+   * Guarantees (r17, closing the r16 orphaned-leg advisory):
+   *  - every leg runs under its own per-call Spark job group with
+   *    interrupt-on-cancel, and the FIRST leg failure cancels the
+   *    group (current AND future jobs), so blocked siblings fail fast
+   *    instead of running to completion against a mutated store;
+   *  - the call returns (or throws) only after EVERY leg has finished
+   *    — no leg outlives the await to race a later query or session
+   *    teardown (`shutdownNow` alone only interrupts the thread; a
+   *    submitted Spark job would keep executing);
+   *  - on timeout the group is cancelled and the legs are given a
+   *    bounded grace to unwind; a leg wedged in a non-interruptible
+   *    non-Spark call past that is the one residual orphan case, and
+   *    the loud TimeoutException names it;
+   *  - result ORDER is input order, and the first failure (in input
+   *    order) rethrows — unions/sums and the oracle hash are
+   *    byte-identical to the sequential form (spec-asserted).
+   *
+   * Dedicated pool, not the JVM-global ExecutionContext (r11 advice):
+   * legs BLOCK on Spark actions, and blocking futures on the shared
+   * fork-join default can starve every other library using it. Job
+   * group/description properties are saved and restored around each
+   * leg so nested parLegs (a routed build inside a CDC batch) cannot
+   * erase the outer call's group on a reused pool thread.
+   */
+  private[graft] def parLegs[A, B](spark: SparkSession, items: Seq[A],
+      maxThreads: Int, timeoutSec: Long, what: String)(f: A => B): Seq[B] =
+    if (items.size <= 1) items.map(f)
+    else {
+      import scala.concurrent.{Await, ExecutionContext, Future, TimeoutException}
+      import scala.concurrent.duration.Duration
+      import scala.util.Try
+      val sc = spark.sparkContext
+      val group = s"graft-$what-${java.util.UUID.randomUUID()}"
+      // the FIRST leg failure (the one that cancelled the group) — the
+      // root cause to rethrow; siblings that then die of the
+      // cancellation itself must not mask it
+      val firstFailure =
+        new java.util.concurrent.atomic.AtomicReference[Throwable](null)
+      val es = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(items.size, maxThreads),
+        (r: Runnable) => {
+          val t = new Thread(r, s"graft-$what-leg")
+          t.setDaemon(true); t
+        })
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(es)
+      try {
+        val legs = items.map { a =>
+          Future {
+            val prevGroup = sc.getLocalProperty("spark.jobGroup.id")
+            val prevDesc = sc.getLocalProperty("spark.job.description")
+            val prevIoc = sc.getLocalProperty("spark.job.interruptOnCancel")
+            sc.setJobGroup(group, s"graft $what leg",
+              interruptOnCancel = true)
+            val r = Try(f(a))
+            sc.setLocalProperty("spark.jobGroup.id", prevGroup)
+            sc.setLocalProperty("spark.job.description", prevDesc)
+            sc.setLocalProperty("spark.job.interruptOnCancel", prevIoc)
+            r.failed.foreach { t =>
+              if (firstFailure.compareAndSet(null, t))
+                sc.cancelJobGroupAndFutureJobs(group)
+            }
+            r
+          }
+        }
+        // lifted to Try: this sequence completes only when EVERY leg
+        // has finished, success or failure — the no-orphan join. The
+        // await POLLS so the group cancel can be re-swept: AQE
+        // materializes shuffle stages through submitMapStage, which
+        // the cancelled-group registry does not intercept at
+        // submission (only handleJobSubmitted checks it — measured in
+        // ControlPlaneSpec: a one-shot cancel let a sibling's AQE map
+        // stage run to completion), so each poll round re-cancels to
+        // catch stage jobs that became active since the last sweep.
+        val seq = Future.sequence(legs)
+        val deadlineNs = System.nanoTime() + timeoutSec * 1000000000L
+        var done = false
+        while (!done && System.nanoTime() < deadlineNs) {
+          if (firstFailure.get() != null)
+            sc.cancelJobGroupAndFutureJobs(group)
+          done = Try(Await.ready(seq, Duration(250L, "ms"))).isSuccess
+        }
+        if (!done) {
+          sc.cancelJobGroupAndFutureJobs(group)
+          Try(Await.ready(seq, Duration(30L, "s")))
+          throw new TimeoutException(
+            s"graft $what legs did not finish within $timeoutSec s")
+        }
+        val all = seq.value.get.get
+        Option(firstFailure.get()).foreach(throw _)
+        all.map(_.get)
+      } finally es.shutdownNow()
+    }
 
   /** Run two INDEPENDENT mutation legs concurrently — the dedup-side
     * analog of Similarity's per-shard pool, for the bands/sigs table
     * pair whose rewrites are documented order-neutral (the standing
     * tombstones hide the ids throughout; each leg reads and writes
-    * only its own table). Bounded two-thread pool per call — the legs
-    * BLOCK on Spark actions, so the shared fork-join default is off
-    * limits (the r11 advice that shaped Similarity.perShardPar). */
+    * only its own table). Rides [[parLegs]]: first failure cancels
+    * the sibling's jobs (r16 advice: Future.zip surfaced leg B's
+    * failure only after leg A completed), and the await honors the
+    * MUTATION timeout conf — the legs are table reclaims, data-sized
+    * work the fixed 900 s bound could spuriously kill. */
   def par2[A, B](spark: SparkSession)(fa: => A, fb: => B): (A, B) = {
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    val es = java.util.concurrent.Executors.newFixedThreadPool(2,
-      (r: Runnable) => {
-        val t = new Thread(r, "graft-table-leg")
-        t.setDaemon(true); t
-      })
-    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(es)
-    try {
-      val a = Future(fa); val b = Future(fb)
-      Await.result(a.zip(b),
-        scala.concurrent.duration.Duration(900L, "s"))
-    } finally es.shutdownNow()
+    val r = parLegs[() => Any, Any](spark,
+      Seq(() => fa, () => fb), 2, mutationTimeoutSec(spark),
+      "table-leg")(g => g())
+    (r(0).asInstanceOf[A], r(1).asInstanceOf[B])
   }
 }

@@ -1991,36 +1991,32 @@ object Similarity {
     * windows; a failed shard leaves exactly the states a re-run
     * heals, as in the serial loop.
     *
-    * Runs on a DEDICATED bounded pool, not the JVM-global
-    * ExecutionContext (r11 advice): the bodies BLOCK on Spark
-    * actions, and blocking futures on the shared fork-join default
-    * can starve every other library using it at high shard counts.
-    * The await is finite (`graft.ann.prepTimeoutSec`, default 900 s)
-    * so one hung shard's FS call fails the query loudly instead of
-    * wedging it forever, and the pool's shutdownNow on that failure
-    * interrupts the in-flight siblings. */
+    * Execution rides [[ControlPlane.parLegs]] (r17): dedicated
+    * bounded pool (r11 advice — the bodies BLOCK on Spark actions),
+    * per-call Spark job group with interrupt-on-cancel so the first
+    * failing leg CANCELS its in-flight siblings' jobs (shutdownNow
+    * alone only interrupted the threads; the submitted jobs kept
+    * running — the r16 orphaned-leg advisory), and an all-legs join
+    * before return so no leg outlives the call to race a later query
+    * or session teardown. The await bound is the MUTATION timeout
+    * (`graft.ann.mutationTimeoutSec`, default 24 h): these legs are
+    * corpus-proportional builds/rewrites, which the old 900 s prep
+    * bound could spuriously kill mid-mutation at production scale
+    * (r16 advice); the search-path preps keep the short bound via
+    * [[perShardCand]]. */
   private def perShardPar[A, B](spark: SparkSession, shards: Seq[A])(
       f: A => B): Seq[B] =
-    if (shards.size <= 1) shards.map(f)
-    else {
-      import scala.concurrent.{Await, ExecutionContext, Future}
-      val timeoutSec = spark.conf
-        .getOption("graft.ann.prepTimeoutSec").map(_.toLong).getOrElse(900L)
-      val es = java.util.concurrent.Executors.newFixedThreadPool(
-        math.min(shards.size, PerShardPrepThreads),
-        (r: Runnable) => {
-          val t = new Thread(r, "graft-shard-prep")
-          t.setDaemon(true); t
-        })
-      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(es)
-      try Await.result(
-        Future.sequence(shards.map(a => Future(f(a)))),
-        scala.concurrent.duration.Duration(timeoutSec, "s"))
-      finally es.shutdownNow()
-    }
+    ControlPlane.parLegs(spark, shards, PerShardPrepThreads,
+      ControlPlane.mutationTimeoutSec(spark), "shard-mut")(f)
 
+  /** Search-path per-shard candidate prep: tiny metadata reads and
+    * bounded collects, awaited under the short prep bound
+    * (`graft.ann.prepTimeoutSec`, default 900 s) — a shard wedged
+    * past that is a fault, not progress. */
   private def perShardCand[A](spark: SparkSession, shards: Seq[A])(
-      f: A => DataFrame): Seq[DataFrame] = perShardPar(spark, shards)(f)
+      f: A => DataFrame): Seq[DataFrame] =
+    ControlPlane.parLegs(spark, shards, PerShardPrepThreads,
+      ControlPlane.prepTimeoutSec(spark), "shard-prep")(f)
 
   /**
    * Search a sharded store: every shard is probed independently

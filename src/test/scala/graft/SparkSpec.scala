@@ -29,4 +29,15 @@ object SparkSpec {
 trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSpec.spark
   val sf0001 = "/root/testdata/sf0.001"
+
+  /** Await a self-terminating stream, and on timeout STOP it before
+    * failing: a discarded `awaitTermination(ms) == false` leaks a live
+    * query that keeps running micro-batches under later suites and
+    * races session teardown (the r16 flaky-test class). */
+  def awaitDrained(q: org.apache.spark.sql.streaming.StreamingQuery,
+      timeoutMs: Long): Unit =
+    if (!q.awaitTermination(timeoutMs)) {
+      q.stop()
+      fail(s"streaming query did not terminate within $timeoutMs ms")
+    }
 }

@@ -30,7 +30,7 @@ class CdcUpsertStreamSpec extends SparkSpec {
     val q = CdcUpsertStream.latestByKey(mem.toDS(), watermark = "10 minutes")
       .writeStream.format("memory").queryName("upserts")
       .outputMode("update").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(60000)
+    awaitDrained(q, 60000)
 
     // final stream answer: last emission per key, tombstones dropped
     val streamFinal = spark.table("upserts")
@@ -133,7 +133,7 @@ class CdcUpsertStreamSpec extends SparkSpec {
     val q = CdcUpsertStream.latestByKeyV2(mem.toDS(), watermark = "10 minutes")
       .writeStream.format("memory").queryName("upserts_v2")
       .outputMode("update").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(60000)
+    awaitDrained(q, 60000)
     val v2Final = spark.table("upserts_v2")
       .withColumn("__rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("key")

@@ -67,7 +67,7 @@ class IngestPipelineSpec extends SparkSpec {
       .select(col("data").as("value"))
     val q = IngestPipeline.start(raw, cfg,
       onBatch = m => { metrics += m; () })
-    q.awaitTermination(120000)
+    awaitDrained(q, 120000)
     cfg
   }
 
@@ -157,8 +157,8 @@ class IngestPipelineSpec extends SparkSpec {
       .option("keyRegex", "\"ID\": (-?[0-9]+)")
       .load()
       .select(col("data").as("value"))
-    IngestPipeline.start(raw, cfg,
-      onBatch = m => { metrics += m; () }).awaitTermination(120000)
+    awaitDrained(IngestPipeline.start(raw, cfg,
+      onBatch = m => { metrics += m; () }), 120000)
     // clean all the way through: landed + counted, nothing quarantined
     assert(metrics.map(_.quarantined).sum === 0L,
       "a control record is not an upsert candidate — it must not " +
@@ -210,7 +210,7 @@ class IngestPipelineSpec extends SparkSpec {
         .load()
         .select(col("data").as("value"))
       val q = IngestPipeline.start(raw, cfg)
-      q.awaitTermination(120000)
+      awaitDrained(q, 120000)
       (root, cfg)
     }
     val (_, serial) = runWith(1)
@@ -309,7 +309,7 @@ class IngestPipelineSpec extends SparkSpec {
         .option("keyRegex", "\"(?:vec_id|doc_id|ID)\": (-?[0-9]+)")
         .load()
         .select(col("data").as("value"))
-      IngestPipeline.start(raw, cfg).awaitTermination(180000)
+      awaitDrained(IngestPipeline.start(raw, cfg), 180000)
       ()
     }
     runOnce()
@@ -433,8 +433,9 @@ class IngestPipelineSpec extends SparkSpec {
           .option("keyRegex", "\"(?:doc_id|ID)\": (-?[0-9]+)")
           .load()
           .select(col("data").as("value"))
-        IngestPipeline.start(raw, cfg.copy(checkpoint = checkpoint))
-          .awaitTermination(180000)
+        awaitDrained(
+          IngestPipeline.start(raw, cfg.copy(checkpoint = checkpoint)),
+          180000)
         ()
       }
       runOnce(cfg.checkpoint)
@@ -534,7 +535,7 @@ class IngestPipelineSpec extends SparkSpec {
       .select(col("data").as("value"))
     // the stream must COMPLETE — with the raise_error reaching the
     // sink this would fail the batch on every retry
-    IngestPipeline.start(raw, cfg).awaitTermination(180000)
+    awaitDrained(IngestPipeline.start(raw, cfg), 180000)
 
     // the three poison rows are in quarantine, named by their check
     val q = spark.read.json(s"$root/quarantine")

@@ -21,7 +21,7 @@ class StreamJoinsSpec extends SparkSpec {
       idCols = Seq("id"))
     val q = deduped.writeStream.format("memory").queryName("dedup")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(60000)
+    awaitDrained(q, 60000)
     val ids = spark.table("dedup").select("id").as[Long].collect().sorted
     assert(ids === Array(1L, 2L))
   }
@@ -44,7 +44,7 @@ class StreamJoinsSpec extends SparkSpec {
       keys = Seq("user_id"), maxDelay = "10 minutes", watermark = "1 hour")
     val q = joined.writeStream.format("memory").queryName("ijoin")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(60000)
+    awaitDrained(q, 60000)
     val pairs = spark.table("ijoin").select("click_id", "buy_id")
       .as[(Long, Long)].collect().toSet
     assert(pairs === Set((100L, 200L)))

@@ -32,7 +32,7 @@ class StreamingDemuxSpec extends SparkSpec {
     val q = StreamingDemux.splitStream(
       StreamingDemux.parseEnvelopes(mem.toDF()), out, ckpt,
       trigger = Trigger.AvailableNow())
-    q.awaitTermination(60000)
+    awaitDrained(q, 60000)
     val split = spark.read.parquet(out)
     assert(split.count() === 3) // control dropped
     assert(split.filter(col("table_name") === "person").count() === 2)
@@ -51,7 +51,7 @@ class StreamingDemuxSpec extends SparkSpec {
       envJson("seat", 3, "2019-11-13T10:31:10.000000Z"))
     val q = counts.writeStream.format("memory").queryName("opcounts")
       .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(60000)
+    awaitDrained(q, 60000)
     val res = spark.table("opcounts")
       .select("table_name", "n").as[(String, Long)].collect().toMap
     assert(res === Map("person" -> 2L, "seat" -> 1L))
@@ -70,7 +70,7 @@ class StreamingDemuxSpec extends SparkSpec {
     val ckpt = java.nio.file.Files.createTempDirectory("errckpt").toString
     val q = StreamingDemux.splitStreamWithErrors(mem.toDF(), out, err, ckpt,
       trigger = Trigger.AvailableNow())
-    q.awaitTermination(60000)
+    awaitDrained(q, 60000)
     assert(spark.read.parquet(out).count() === 2)
     val errors = spark.read.text(err).collect().map(_.getString(0)).toSet
     assert(errors === Set("""{"this is": "not an envelope"}""", "total garbage {{{"))
@@ -89,7 +89,7 @@ class StreamingDemuxSpec extends SparkSpec {
         StreamingDemux.parseEnvelopes(mem.toDF()), gap = "30 minutes")
       .writeStream.format("memory").queryName("sessions")
       .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(60000)
+    awaitDrained(q, 60000)
     val sessions = spark.table("sessions")
       .select("table_name", "n").as[(String, Long)].collect()
       .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
@@ -107,7 +107,7 @@ class StreamingDemuxSpec extends SparkSpec {
     val q = StreamingDemux.landToJson(
       StreamingDemux.parseEnvelopes(mem.toDF()), landing, ckpt,
       trigger = Trigger.AvailableNow()).start()
-    q.awaitTermination(60000)
+    awaitDrained(q, 60000)
     // date-templated prefix (reference README.md:76) + gzip (README.md:82)
     assert(new java.io.File(s"$landing/ingest_date=2019-11-13").exists())
     assert(new java.io.File(s"$landing/ingest_date=2019-11-14").exists())
@@ -137,7 +137,7 @@ class StreamingDemuxSpec extends SparkSpec {
     val q = StreamingDemux.landWithContract(
       StreamingDemux.parseEnvelopes(mem.toDF()), landing, quarantine,
       checks, ckpt, trigger = Trigger.AvailableNow())
-    q.awaitTermination(60000)
+    awaitDrained(q, 60000)
 
     val clean = spark.read.json(landing)
     assert(clean.count() === 3)
@@ -164,7 +164,7 @@ class StreamingDemuxSpec extends SparkSpec {
         StreamingDemux.parseEnvelopes(mem.toDF()), "10 minutes", "10 minutes")
       .writeStream.format("memory").queryName("parity")
       .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(60000)
+    awaitDrained(q, 60000)
     val streamed = spark.table("parity")
       .select(col("window.start").cast("string"), col("table_name"), col("n"))
       .as[(String, String, Long)].collect().toSet
