@@ -41,12 +41,34 @@ import org.apache.spark.sql.SparkSession
  */
 private[graft] object ControlPlane {
 
-  private val Key = "spark.sql.adaptive.enabled"
+  private val AqeKey = "spark.sql.adaptive.enabled"
+  private val ListKey = "spark.sql.sources.parallelPartitionDiscovery.threshold"
+
+  /** Listing threshold inside a mutation scope (default 128, conf
+    * `graft.mutation.listingThreshold`): a mutation's multi-path reads
+    * are PRUNED by construction — loc-index bucket dirs (B, default
+    * 64), sig-store bucket files, `list_id IN` partitions (≤ nlist) —
+    * and Spark's default threshold (32) turns each such read's leaf
+    * listing into a DISTRIBUTED JOB: one more scheduler round-trip per
+    * read per shard per micro-batch (measured ~280 ms per loc lookup
+    * on the r17 CDC trace) to list a few dozen directories the driver
+    * can page through in milliseconds. Raised only INSIDE the scope:
+    * data-plane scans of genuinely wide layouts keep the distributed
+    * listing. Stores bucketed wider than this threshold fall back to
+    * the distributed listing automatically — the conf exists so a
+    * deployment with such stores (or slow object-store metadata) can
+    * tune the crossover. */
+  private def listingThreshold(spark: SparkSession): String =
+    spark.conf.getOption("graft.mutation.listingThreshold")
+      .getOrElse("128")
 
   /** Per-session reentrant scope state. Weak keys: foreachBatch hands
     * mutation entry points per-batch session CLONES — a strong map
     * would pin every clone for the process lifetime. */
-  private final class Scope { var depth = 0; var saved = "true" }
+  private final class Scope {
+    var depth = 0
+    var saved: Seq[(String, Option[String])] = Nil
+  }
   private val scopes =
     new java.util.WeakHashMap[SparkSession, Scope]
 
@@ -60,15 +82,29 @@ private[graft] object ControlPlane {
     val s = scopeOf(spark)
     s.synchronized {
       if (s.depth == 0) {
-        s.saved = spark.conf.get(Key, "true")
-        if (s.saved != "false") spark.conf.set(Key, "false")
+        val wanted = Seq(AqeKey -> "false",
+          ListKey -> listingThreshold(spark))
+        s.saved = Nil
+        wanted.foreach { case (k, v) =>
+          val prev = spark.conf.getOption(k)
+          if (!prev.contains(v)) {
+            s.saved = s.saved :+ (k -> prev)
+            spark.conf.set(k, v)
+          }
+        }
       }
       s.depth += 1
     }
     try f
     finally s.synchronized {
       s.depth -= 1
-      if (s.depth == 0 && s.saved != "false") spark.conf.set(Key, s.saved)
+      if (s.depth == 0) {
+        s.saved.foreach {
+          case (k, Some(v)) => spark.conf.set(k, v)
+          case (k, None) => spark.conf.unset(k)
+        }
+        s.saved = Nil
+      }
     }
   }
 

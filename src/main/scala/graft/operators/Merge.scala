@@ -596,33 +596,54 @@ object Merge {
     * the merged snapshot once into an immutable generation dir at its
     * final path, then flip the commit pointer ([[ManifestCommit]]). */
   def mergeWholeManifest(spark: SparkSession, snapshotDir: String,
-      changes0: DataFrame, key: String, opCol: String = "op"): Unit = {
-    // guard + merge both evaluate the change set — cache it for the
-    // duration unless the caller already did (same discipline as
-    // mergePartitioned; a fold whose lineage is a join should not pay
-    // it twice)
+      changes0: DataFrame, key: String,
+      opCol: String = "op"): Unit = {
+    // NO ControlPlane scope here, deliberately (r17 A/B): unlike the
+    // id-set mutation paths, the merge's full-outer join and the
+    // generation write ARE the data plane of this store family — AQE's
+    // runtime coalescing sizes the written generation's files from the
+    // actual merged bytes, and turning it off measurably inflated the
+    // file count and the write (q123: jobs 41→20 but wall +40% and
+    // +3 MB written). The change set is evaluated once, by the
+    // generation write — no separate guard action; cache it only for
+    // callers that were already sharing it (the old guard+merge
+    // double-evaluation is gone, r17).
     val cachedHere =
       changes0.storageLevel == org.apache.spark.storage.StorageLevel.NONE
     val changes = if (cachedHere)
       changes0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else changes0
+    val guardMsg =
+      s"changes carry multiple non-D rows for one '$key' — compact the " +
+        "batch to at most one surviving change per key " +
+        "(CdcMaterializer.latestSnapshot) before merging"
     try {
       // at most one SURVIVING copy per key (mergeBatch's documented
-      // contract, enforced here where a store commit makes the
-      // corruption durable): two non-D rows for one key would fan the
-      // full-outer join out into a duplicate-keyed snapshot — the
-      // silent failure mode of a dim delta delivered twice or an
-      // uncompacted CDC tail. A D+I pair stays legal (delete-then-
-      // reinsert collapses to one surviving row).
-      val multiNonD = changes.filter(col(opCol) =!= "D")
-        .groupBy(col(key)).agg(count(lit(1)).as("__n"))
-        .filter(col("__n") > 1).limit(1).collect()
-      require(multiNonD.isEmpty,
-        s"changes carry multiple non-D rows for one '$key' — compact the " +
-          "batch to at most one surviving change per key " +
-          "(CdcMaterializer.latestSnapshot) before merging")
+      // contract, enforced where a store commit makes the corruption
+      // durable): two non-D rows for one key would fan the full-outer
+      // join out into a duplicate-keyed snapshot — the silent failure
+      // mode of a dim delta delivered twice or an uncompacted CDC
+      // tail. A D+I pair stays legal (delete-then-reinsert collapses
+      // to one surviving row). The guard RIDES THE GENERATION WRITE
+      // (r17): a per-key non-D count windowed over the change side —
+      // co-partitioned with the merge join, so no extra exchange —
+      // raises from the write job on the first violation, replacing
+      // the separate pre-commit guard action that cost one driver
+      // round-trip per commit (guide §1.2). The pointer flips only
+      // after a fully successful write, so a refused batch leaves the
+      // store untouched exactly as before; the partial staged
+      // generation is ordinary debris the next preamble GC clears.
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col(key))
+      val guarded = changes
+        .withColumn("__nnd",
+          sum(when(col(opCol) =!= "D", 1L).otherwise(0L)).over(w))
+        .withColumn(opCol, when(col("__nnd") > 1,
+          raise_error(lit(guardMsg))).otherwise(col(opCol)))
+        .drop("__nnd")
       var pinnedTombs: Array[org.apache.hadoop.fs.Path] = Array.empty
-      commitWholeGeneration(spark, snapshotDir) { (genPath, st) =>
+      var stagedGen: String = null
+      try commitWholeGeneration(spark, snapshotDir) { (genPath, st) =>
+        stagedGen = genPath
         val data = ManifestCommit.dataDir(new Path(snapshotDir))
         val target0 = st.filter(_.live.nonEmpty)
           .map(s => spark.read.parquet(new Path(data, s.live.head).toString))
@@ -636,13 +657,44 @@ object Merge {
         val (target, pinned) =
           DeletionVectors.foldInto(spark, snapshotDir, target0)
         pinnedTombs = pinned
-        mergeBatch(target, changes, key, opCol)
+        mergeBatch(target, guarded, key, opCol)
           .write.mode("overwrite").parquet(genPath)
+      } catch {
+        // surface the riding guard as the same pre-commit refusal it
+        // always was (spec-pinned type + message), unwrapped from the
+        // write job's failure chain — and remove OUR partial staged
+        // generation first: a deterministic refusal is not a crash,
+        // and leaving the dir would trip the next commit's concurrent-
+        // writer guard until the staging grace expires (best-effort;
+        // if the delete itself fails, the store is in exactly the
+        // state a died writer leaves and heals the same way)
+        case e: Throwable if guardTripped(e) =>
+          if (stagedGen != null) {
+            val fs = new Path(snapshotDir)
+              .getFileSystem(spark.sessionState.newHadoopConf())
+            try { fs.delete(new Path(stagedGen), true); () }
+            catch { case _: Throwable => () }
+          }
+          throw new IllegalArgumentException(
+            s"requirement failed: $guardMsg")
       }
       // post-flip: the folded sidecar files are inert (version rule) —
       // best-effort removal; a crash here is healed by the next fold
       DeletionVectors.clearPinned(spark, snapshotDir, pinnedTombs)
     } finally if (cachedHere) { changes.unpersist(); () }
+  }
+
+  /** Does this failure chain carry the riding multi-non-D guard? */
+  private def guardTripped(t: Throwable): Boolean = {
+    var cur = t
+    var depth = 0
+    while (cur != null && depth < 20) {
+      if (Option(cur.getMessage)
+          .exists(_.contains("multiple non-D rows"))) return true
+      cur = cur.getCause
+      depth += 1
+    }
+    false
   }
 
   /** The whole-snapshot manifest-commit tail — gc → read → layout

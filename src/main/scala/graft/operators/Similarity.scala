@@ -803,8 +803,16 @@ object Similarity {
         explode(slice(reverse(array_sort(centScores(centers, col("query_vec")))), 1, np))
           .as("probe"))
       .select(col("query_id"), col("query_vec"), col("probe.lid").as("list_id"))
-    val probedLists = probes.select("list_id").distinct()
-      .collect().map(_.getInt(0)).toSeq
+    // EXHAUSTIVE probe (np covers the whole quantizer — the routed
+    // lifecycle searches do this): every query probes every list, so
+    // the probed set is the center list itself — skip the per-store
+    // distinct-collect job (one driver action per shard per search of
+    // pure fixed floor, guide §1.2); partial probes still collect the
+    // union (bounded by nlist)
+    val probedLists =
+      if (np >= centers.size) centers.map(_._1).sorted
+      else probes.select("list_id").distinct()
+        .collect().map(_.getInt(0)).toSeq
     minusDeleted(spark,
       spark.read.parquet(storeDir + "/encoded")
         .filter(col("list_id").isin(probedLists: _*)),
@@ -866,8 +874,12 @@ object Similarity {
           .as(s"qtab$j")): _*)
       .select(col("query_id") +: col("probe.lid").as("list_id") +:
         (0 until m).map(j => col(s"qtab$j")): _*)
-    val probedLists = probes.select("list_id").distinct()
-      .collect().map(_.getInt(0)).toSeq
+    // exhaustive probe skips the distinct-collect job — see
+    // storeProbeCand
+    val probedLists =
+      if (np >= centers.size) centers.map(_._1).sorted
+      else probes.select("list_id").distinct()
+        .collect().map(_.getInt(0)).toSeq
     // tombstones excluded BEFORE the shortlist so a deleted item can
     // never consume a candN slot (nor rank, trivially)
     val cand = minusDeleted(spark,
@@ -1781,22 +1793,24 @@ object Similarity {
           .map(_.getPath.getName.stripPrefix("list_id=").toInt).toSet
         // lists holding tombstoned rows, split into still-alive (live
         // rows remain -> rewrite) and fully-dead (drop the dir) — both
-        // bounded by nlist
+        // bounded by nlist. ONE pruned job decides both sets (the
+        // rewriteWithoutTarget pattern, r17): the semi-then-anti pair
+        // was two driver actions AND two full table scans per compact
+        // per table — pure fixed floor at maintenance cadence, and a
+        // doubled corpus read at any scale.
         val (aliveDead, fullyDead) = dead match {
           case Some(d) =>
-            val touched = spark.read.parquet(dir.toString)
-              .join(broadcast(d), Seq("item_id"), "left_semi")
-              .select("list_id").distinct()
-              .collect().map(_.getInt(0)).toSet
-            if (touched.isEmpty) (Set.empty[Int], Set.empty[Int])
-            else {
-              val alive = spark.read.parquet(dir.toString)
-                .filter(col("list_id").isin(touched.toSeq: _*))
-                .join(broadcast(d), Seq("item_id"), "left_anti")
-                .select("list_id").distinct()
-                .collect().map(_.getInt(0)).toSet
-              (alive, touched -- alive)
-            }
+            val st = spark.read.parquet(dir.toString)
+              .join(broadcast(d.withColumn("_t", lit(1))),
+                Seq("item_id"), "left")
+              .groupBy("list_id")
+              .agg(max(col("_t")).as("has_dead"),
+                max(when(col("_t").isNull, 1).otherwise(0)).as("has_alive"))
+              .filter(col("has_dead") === 1)
+              .select("list_id", "has_alive").collect()
+            val touched = st.map(_.getInt(0)).toSet
+            val alive = st.filter(_.getInt(1) == 1).map(_.getInt(0)).toSet
+            (alive, touched -- alive)
           case None => (Set.empty[Int], Set.empty[Int])
         }
         fullyDead.foreach(l => fs.delete(
@@ -1961,6 +1975,25 @@ object Similarity {
   private def builtShards(spark: SparkSession,
       storeDir: String): Seq[String] =
     builtShardDirs(spark, storeDir).map(_._2)
+
+  /** Raw encoded-row count per built shard in ONE scheduler job — the
+    * split/merge shard pickers ran a per-shard count() chain, O(shards)
+    * driver actions of pure fixed floor (guide §1.2). Each dir reads
+    * under its own literal shard tag (a multi-root read would trip
+    * partition discovery on the shard=/list_id= layers); a built shard
+    * whose encoded table holds zero rows yields no group and reports
+    * 0, exactly as its count() did. */
+  private def shardEncodedCounts(spark: SparkSession,
+      dirs: Seq[(Int, String)]): Seq[(Long, Int)] = {
+    val counted =
+      if (dirs.isEmpty) Map.empty[Int, Long]
+      else dirs.map { case (i, d) =>
+          spark.read.parquet(d + "/encoded").select(lit(i).as("_shard"))
+        }.reduce(_ unionByName _)
+        .groupBy("_shard").agg(count(lit(1)).as("_n"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    dirs.map { case (i, _) => (counted.getOrElse(i, 0L), i) }
+  }
 
   /** Upper bound on concurrent per-shard prep threads — the prep jobs
     * are tiny (metadata reads + bounded collects), so past this width
@@ -2488,12 +2521,28 @@ object Similarity {
    */
   def splitHotShard(spark: SparkSession, storeDir: String,
       shard: Int = -1, splitIters: Int = 4, nlist: Int = 0,
-      iters: Int = 0): Int = {
-    stageSplit(spark, storeDir, shard, splitIters, nlist, iters)
+      iters: Int = 0): Int = ControlPlane(spark) {
+    // inside the mutation scope (r17): the split's joins are
+    // broadcast-pinned (tombstone antis, re-delivery antis) and its
+    // aggregates are hot-shard-bounded — AQE's per-stage
+    // materialization is pure driver latency here, the same argument
+    // and measurement as the CDC scopes (ControlPlane scaladoc)
+    val staged = stageSplit(spark, storeDir, shard, splitIters, nlist, iters)
     val fs = new org.apache.hadoop.fs.Path(storeDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    applySplitStaging(spark, storeDir, fs)
+    applySplitStaging(spark, storeDir, fs, Some(staged))
   }
+
+  /** What a staged split/merge recorded — returned by the stage halves
+    * so the DIRECT path can hand it to the apply half without
+    * re-collecting the meta and supers it just wrote (two driver
+    * actions per rebalance of pure fixed floor, guide §1.2); the
+    * RESUME path still reads everything from the staging, which stays
+    * the single source of truth after a crash. */
+  private[graft] final case class StagedRebalance(
+      a: Int, b: Int, shards: Int, m: Int, ksub: Int, dim: Int,
+      nlist: Int, iters: Int, lastBuilt: Boolean,
+      supers: Seq[(Int, Seq[Double])])
 
   /** The split's fallible-compute half: train, stage the
     * re-assignment, stage the new super set, land the `meta` marker —
@@ -2502,7 +2551,7 @@ object Similarity {
     * death modes) can drive the mutation to a precise window. */
   private[graft] def stageSplit(spark: SparkSession, storeDir: String,
       shard: Int = -1, splitIters: Int = 4, nlist: Int = 0,
-      iters: Int = 0): Unit = {
+      iters: Int = 0): StagedRebalance = {
     import spark.implicits._
     requireNoStagedSplit(spark, storeDir)
     val supers = readSuper(spark, storeDir)
@@ -2511,8 +2560,7 @@ object Similarity {
     require(dirs.nonEmpty, s"routed store $storeDir has no built shards")
     val hot =
       if (shard >= 0) shard
-      else dirs.map { case (i, d) =>
-        (spark.read.parquet(d + "/encoded").count(), i) }.max._2
+      else shardEncodedCounts(spark, dirs).max._2
     val hotDir = dirs.toMap.getOrElse(hot, throw new IllegalArgumentException(
       s"routed store $storeDir: shard $hot is not built — nothing to split"))
     val fs = new org.apache.hadoop.fs.Path(storeDir)
@@ -2525,37 +2573,51 @@ object Similarity {
       } else (0, 8, 64)
     // LIVE items only: tombstoned rows neither train the children nor
     // re-file — the split doubles as the hot shard's physical reclaim
-    // (the hot dir is replaced wholesale, its tombstones die with it)
+    // (the hot dir is replaced wholesale, its tombstones die with it).
+    // PERSISTED for the stage's lifetime (guide §5): the gate count,
+    // the 2-means init pick, every Lloyd round and the staged items
+    // write all evaluate this frame — unpersisted, each one re-ran the
+    // encoded scan plus the tombstone anti-join (nothing mutates the
+    // store during staging, so the cached plan can never go stale).
     val hotItems = minusDeleted(spark,
       spark.read.parquet(hotDir + "/encoded"), hotDir, "item_id")
       .select("item_id", "item_vec")
-    require(hotItems.count() >= 2,
-      s"routed store $storeDir: shard $hot holds fewer than 2 items — " +
-        "nothing to split")
-    // ---- fallible compute first: store stays fully live through it ----
-    val children = trainCentroids(hotItems,
-      hashPickCentroids(hotItems, 2), math.max(1, splitIters))
-    val newSupers = supers.map { case (lid, cv) =>
-      if (lid == hot) (hot, children(0)._2) else (lid, cv)
-    } :+ (sh, children(1)._2)
-    val staging = splitStagingDir(storeDir)
-    hotItems
-      .select(col("item_id").as("vec_id"), col("item_vec").as("embedding"),
-        assignList(newSupers, col("item_vec")).as("shard"))
-      .write.mode("overwrite").partitionBy("shard").parquet(staging + "/items")
-    newSupers.toDF("lid", "cv").coalesce(1)
-      .write.mode("overwrite").parquet(staging + "/supers")
-    // meta lands LAST: its presence is the completeness marker AND the
-    // point of no return — everything the mutation needs (which shard
-    // is hot, the old shard count, the store's PQ layout, the rebuild
-    // knobs) is now derivable from the staging alone, so a crash
-    // anywhere past this line is recovered by re-running the mutation
-    // from the staging ([[resumeSplitHotShard]]), never by discarding
-    // it: once the hot dir is deleted the staging holds the ONLY copy
-    // of the hot shard's vectors.
-    Seq((hot, sh, m, ksub, dim, nlist, iters))
-      .toDF("hot", "shards", "m", "ksub", "dim", "nlist", "iters")
-      .coalesce(1).write.mode("overwrite").parquet(staging + "/meta")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // ---- fallible compute first: store stays fully live through it ----
+      // the 2-means init pick doubles as the ≥2-items gate (one driver
+      // action instead of a count + pick pair): limit(2) returns
+      // exactly min(2, live rows) picks
+      val init = hashPickCentroids(hotItems, 2)
+      require(init.size >= 2,
+        s"routed store $storeDir: shard $hot holds fewer than 2 items — " +
+          "nothing to split")
+      val children = trainCentroids(hotItems, init, math.max(1, splitIters))
+      val newSupers = supers.map { case (lid, cv) =>
+        if (lid == hot) (hot, children(0)._2) else (lid, cv)
+      } :+ (sh, children(1)._2)
+      val staging = splitStagingDir(storeDir)
+      hotItems
+        .select(col("item_id").as("vec_id"), col("item_vec").as("embedding"),
+          assignList(newSupers, col("item_vec")).as("shard"))
+        .write.mode("overwrite").partitionBy("shard")
+        .parquet(staging + "/items")
+      newSupers.toDF("lid", "cv").coalesce(1)
+        .write.mode("overwrite").parquet(staging + "/supers")
+      // meta lands LAST: its presence is the completeness marker AND
+      // the point of no return — everything the mutation needs (which
+      // shard is hot, the old shard count, the store's PQ layout, the
+      // rebuild knobs) is now derivable from the staging alone, so a
+      // crash anywhere past this line is recovered by re-running the
+      // mutation from the staging ([[resumeSplitHotShard]]), never by
+      // discarding it: once the hot dir is deleted the staging holds
+      // the ONLY copy of the hot shard's vectors.
+      Seq((hot, sh, m, ksub, dim, nlist, iters))
+        .toDF("hot", "shards", "m", "ksub", "dim", "nlist", "iters")
+        .coalesce(1).write.mode("overwrite").parquet(staging + "/meta")
+      StagedRebalance(hot, -1, sh, m, ksub, dim, nlist, iters,
+        lastBuilt = false, supers = newSupers.sortBy(_._1))
+    } finally hotItems.unpersist(blocking = false)
   }
 
   private def splitStagingDir(storeDir: String): String =
@@ -2600,22 +2662,38 @@ object Similarity {
     * idempotent, so the recovery action for a death in any window is
     * simply to run it again. */
   private[graft] def applySplitStaging(spark: SparkSession, storeDir: String,
-      fs: org.apache.hadoop.fs.FileSystem): Int = {
+      fs: org.apache.hadoop.fs.FileSystem,
+      staged: Option[StagedRebalance] = None): Int = {
     import spark.implicits._
     val staging = splitStagingDir(storeDir)
-    val meta = spark.read.parquet(staging + "/meta").collect().head
-    val (hot, sh) = (meta.getAs[Int]("hot"), meta.getAs[Int]("shards"))
-    val (m, ksub, dim) = (meta.getAs[Int]("m"), meta.getAs[Int]("ksub"),
-      meta.getAs[Int]("dim"))
-    val (nlist, iters) = (meta.getAs[Int]("nlist"), meta.getAs[Int]("iters"))
-    val newSupers = spark.read.parquet(staging + "/supers").collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+    // direct path: the caller just wrote the staging and hands its
+    // content over; resume path: the staging on disk is the only
+    // source of truth, read it back
+    val st = staged.getOrElse {
+      val meta = spark.read.parquet(staging + "/meta").collect().head
+      StagedRebalance(meta.getAs[Int]("hot"), -1,
+        meta.getAs[Int]("shards"), meta.getAs[Int]("m"),
+        meta.getAs[Int]("ksub"), meta.getAs[Int]("dim"),
+        meta.getAs[Int]("nlist"), meta.getAs[Int]("iters"),
+        lastBuilt = false,
+        supers = spark.read.parquet(staging + "/supers").collect()
+          .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq)
+    }
+    val (hot, sh) = (st.a, st.shards)
+    val (m, ksub, dim) = (st.m, st.ksub, st.dim)
+    val (nlist, iters) = (st.nlist, st.iters)
+    val newSupers = st.supers
     // ---- invalidate-first, mutate, restore-last ----
     Seq("sharding", "super_centroids", "routing", "routing_curve")
       .foreach(f => fs.delete(
         new org.apache.hadoop.fs.Path(s"$storeDir/$f"), true))
     fs.delete(new org.apache.hadoop.fs.Path(s"$storeDir/shard=$hot"), true)
-    (0 until sh + 1).foreach { j =>
+    // the staged slices re-file CONCURRENTLY (r17): each leg reads its
+    // own staged shard=j slice and writes only $storeDir/shard=j —
+    // disjoint dirs, the perShardPar safety argument; the serial loop
+    // put O(new shards) × the per-shard build/append job chain on the
+    // split's critical path (guide §2.6)
+    perShardPar(spark, (0 until sh + 1).toSeq) { j =>
       val p = new org.apache.hadoop.fs.Path(s"$staging/items/shard=$j")
       if (fs.exists(p)) {
         val slice = spark.read.parquet(p.toString)
@@ -2651,7 +2729,8 @@ object Similarity {
     * calibrations invalidated (recalibrate after, as for any split).
     * Safe to call repeatedly; each death window lands in one of the
     * two cases. Real-process death coverage: SplitCrashSpec. */
-  def resumeSplitHotShard(spark: SparkSession, storeDir: String): Int = {
+  def resumeSplitHotShard(spark: SparkSession,
+      storeDir: String): Int = ControlPlane(spark) {
     val fs = new org.apache.hadoop.fs.Path(storeDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val staging = splitStagingDir(storeDir)
@@ -2701,11 +2780,13 @@ object Similarity {
    * [[calibrateRoutedIvfStore]] after. Returns the new shard count.
    */
   def mergeColdShards(spark: SparkSession, storeDir: String,
-      a: Int = -1, b: Int = -1, nlist: Int = 0, iters: Int = 0): Int = {
-    stageMerge(spark, storeDir, a, b, nlist, iters)
+      a: Int = -1, b: Int = -1, nlist: Int = 0,
+      iters: Int = 0): Int = ControlPlane(spark) {
+    // mutation scope: same argument as splitHotShard
+    val staged = stageMerge(spark, storeDir, a, b, nlist, iters)
     val fs = new org.apache.hadoop.fs.Path(storeDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    applyMergeStaging(spark, storeDir, fs)
+    applyMergeStaging(spark, storeDir, fs, Some(staged))
   }
 
   /** The merge's fallible-compute half (see [[stageSplit]]): pick the
@@ -2713,7 +2794,8 @@ object Similarity {
     * the new dense super set, land the `meta` marker. Store untouched
     * and fully live throughout. */
   private[graft] def stageMerge(spark: SparkSession, storeDir: String,
-      a: Int = -1, b: Int = -1, nlist: Int = 0, iters: Int = 0): Unit = {
+      a: Int = -1, b: Int = -1, nlist: Int = 0,
+      iters: Int = 0): StagedRebalance = {
     import spark.implicits._
     requireNoStagedSplit(spark, storeDir)
     val supers = readSuper(spark, storeDir)
@@ -2731,8 +2813,7 @@ object Similarity {
             s"in [0, $sh)")
         (math.min(a, b), math.max(a, b))
       } else {
-        val bySize = dirs.map { case (i, d) =>
-          (spark.read.parquet(d + "/encoded").count(), i) }.sorted
+        val bySize = shardEncodedCounts(spark, dirs).sorted
         (math.min(bySize(0)._2, bySize(1)._2),
           math.max(bySize(0)._2, bySize(1)._2))
       }
@@ -2746,42 +2827,54 @@ object Similarity {
         val books = readBooks(spark, dirMap(lo))
         (books.size, books.head.size, books.size * books.head.head.size)
       } else (0, 8, 64)
-    // LIVE items of both shards — tombstones reclaimed with the dirs
+    // LIVE items of both shards — tombstones reclaimed with the dirs.
+    // Persisted like the split's hotItems: the gate count, the
+    // merged-centroid mean and the staged items write all evaluate
+    // this union, and nothing mutates the store during staging.
     val union = Seq(lo, hi).map { i =>
       minusDeleted(spark, spark.read.parquet(dirMap(i) + "/encoded"),
         dirMap(i), "item_id").select("item_id", "item_vec")
     }.reduce(_ unionByName _)
-    require(union.count() >= 1,
-      s"mergeColdShards: shards $lo+$hi hold no live items — delete " +
-        "the dirs and rebuild instead")
-    // merged centroid = measured mean of the union's unit vectors
-    // (one Lloyd round with a single centroid IS that mean)
-    val merged = trainCentroids(union,
-      hashPickCentroids(union, 1), 1).head._2
-    // dense new super set: merged centroid at lo, the LAST shard's
-    // super moves into hi's slot (its dir renames the same way)
-    val newSupers = supers
-      .filter { case (lid, _) => lid != hi && lid != sh - 1 }
-      .map { case (lid, cv) => if (lid == lo) (lo, merged) else (lid, cv) } ++
-      (if (hi == sh - 1) Nil
-       else Seq((hi, supers.find(_._1 == sh - 1).get._2)))
-    val staging = mergeStagingDir(storeDir)
-    union
-      .select(col("item_id").as("vec_id"), col("item_vec").as("embedding"),
-        assignList(newSupers.sortBy(_._1), col("item_vec")).as("shard"))
-      .write.mode("overwrite").partitionBy("shard").parquet(staging + "/items")
-    newSupers.sortBy(_._1).toDF("lid", "cv").coalesce(1)
-      .write.mode("overwrite").parquet(staging + "/supers")
-    // whether the LAST shard is built decides the rename step — and,
-    // on resume, whether an absent shard=(sh-1) means "rename already
-    // happened, shard=hi now holds its data, do NOT delete it" or
-    // simply "never existed"
-    val lastBuilt = hi != sh - 1 && dirMap.contains(sh - 1)
-    // meta lands LAST — the point of no return (see stageSplit)
-    Seq((lo, hi, sh, m, ksub, dim, nlist, iters, lastBuilt))
-      .toDF("lo", "hi", "shards", "m", "ksub", "dim", "nlist", "iters",
-        "last_built")
-      .coalesce(1).write.mode("overwrite").parquet(staging + "/meta")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // the 1-centroid init pick doubles as the ≥1-item gate (one
+      // driver action instead of a count + pick pair)
+      val init = hashPickCentroids(union, 1)
+      require(init.nonEmpty,
+        s"mergeColdShards: shards $lo+$hi hold no live items — delete " +
+          "the dirs and rebuild instead")
+      // merged centroid = measured mean of the union's unit vectors
+      // (one Lloyd round with a single centroid IS that mean)
+      val merged = trainCentroids(union, init, 1).head._2
+      // dense new super set: merged centroid at lo, the LAST shard's
+      // super moves into hi's slot (its dir renames the same way)
+      val newSupers = supers
+        .filter { case (lid, _) => lid != hi && lid != sh - 1 }
+        .map { case (lid, cv) =>
+          if (lid == lo) (lo, merged) else (lid, cv) } ++
+        (if (hi == sh - 1) Nil
+         else Seq((hi, supers.find(_._1 == sh - 1).get._2)))
+      val staging = mergeStagingDir(storeDir)
+      union
+        .select(col("item_id").as("vec_id"), col("item_vec").as("embedding"),
+          assignList(newSupers.sortBy(_._1), col("item_vec")).as("shard"))
+        .write.mode("overwrite").partitionBy("shard")
+        .parquet(staging + "/items")
+      newSupers.sortBy(_._1).toDF("lid", "cv").coalesce(1)
+        .write.mode("overwrite").parquet(staging + "/supers")
+      // whether the LAST shard is built decides the rename step — and,
+      // on resume, whether an absent shard=(sh-1) means "rename already
+      // happened, shard=hi now holds its data, do NOT delete it" or
+      // simply "never existed"
+      val lastBuilt = hi != sh - 1 && dirMap.contains(sh - 1)
+      // meta lands LAST — the point of no return (see stageSplit)
+      Seq((lo, hi, sh, m, ksub, dim, nlist, iters, lastBuilt))
+        .toDF("lo", "hi", "shards", "m", "ksub", "dim", "nlist", "iters",
+          "last_built")
+        .coalesce(1).write.mode("overwrite").parquet(staging + "/meta")
+      StagedRebalance(lo, hi, sh, m, ksub, dim, nlist, iters, lastBuilt,
+        supers = newSupers.sortBy(_._1))
+    } finally union.unpersist(blocking = false)
   }
 
   /** The merge's point-of-no-return block, idempotent end to end (see
@@ -2790,18 +2883,26 @@ object Similarity {
     * already done — a resume must not rename twice), re-file every
     * staged slice, restore records, reclaim staging on success only. */
   private[graft] def applyMergeStaging(spark: SparkSession, storeDir: String,
-      fs: org.apache.hadoop.fs.FileSystem): Int = {
+      fs: org.apache.hadoop.fs.FileSystem,
+      staged: Option[StagedRebalance] = None): Int = {
     import spark.implicits._
     val staging = mergeStagingDir(storeDir)
-    val meta = spark.read.parquet(staging + "/meta").collect().head
-    val (lo, hi, sh) = (meta.getAs[Int]("lo"), meta.getAs[Int]("hi"),
-      meta.getAs[Int]("shards"))
-    val (m, ksub, dim) = (meta.getAs[Int]("m"), meta.getAs[Int]("ksub"),
-      meta.getAs[Int]("dim"))
-    val (nlist, iters) = (meta.getAs[Int]("nlist"), meta.getAs[Int]("iters"))
-    val newSupers = spark.read.parquet(staging + "/supers").collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
-    val lastBuilt = meta.getAs[Boolean]("last_built")
+    // direct vs resume path — see applySplitStaging
+    val st = staged.getOrElse {
+      val meta = spark.read.parquet(staging + "/meta").collect().head
+      StagedRebalance(meta.getAs[Int]("lo"), meta.getAs[Int]("hi"),
+        meta.getAs[Int]("shards"), meta.getAs[Int]("m"),
+        meta.getAs[Int]("ksub"), meta.getAs[Int]("dim"),
+        meta.getAs[Int]("nlist"), meta.getAs[Int]("iters"),
+        meta.getAs[Boolean]("last_built"),
+        supers = spark.read.parquet(staging + "/supers").collect()
+          .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq)
+    }
+    val (lo, hi, sh) = (st.a, st.b, st.shards)
+    val (m, ksub, dim) = (st.m, st.ksub, st.dim)
+    val (nlist, iters) = (st.nlist, st.iters)
+    val newSupers = st.supers
+    val lastBuilt = st.lastBuilt
     Seq("sharding", "super_centroids", "routing", "routing_curve")
       .foreach(f => fs.delete(
         new org.apache.hadoop.fs.Path(s"$storeDir/$f"), true))
@@ -2825,7 +2926,8 @@ object Similarity {
       } // else: resume after the rename — shard=hi is the moved shard
     } else
       fs.delete(new org.apache.hadoop.fs.Path(s"$storeDir/shard=$hi"), true)
-    (0 until sh - 1).foreach { j =>
+    // staged slices re-file CONCURRENTLY — see applySplitStaging
+    perShardPar(spark, (0 until sh - 1).toSeq) { j =>
       val p = new org.apache.hadoop.fs.Path(s"$staging/items/shard=$j")
       if (fs.exists(p)) {
         val slice = spark.read.parquet(p.toString)
@@ -2848,7 +2950,8 @@ object Similarity {
     * analog of [[resumeSplitHotShard]]: no `meta` marker means the
     * store was never touched (debris removed, re-run the merge); with
     * the marker, [[applyMergeStaging]] re-applies idempotently. */
-  def resumeMergeColdShards(spark: SparkSession, storeDir: String): Int = {
+  def resumeMergeColdShards(spark: SparkSession,
+      storeDir: String): Int = ControlPlane(spark) {
     val fs = new org.apache.hadoop.fs.Path(storeDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val staging = mergeStagingDir(storeDir)

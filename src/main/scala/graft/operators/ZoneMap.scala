@@ -209,16 +209,23 @@ object ZoneMap {
       df.select(regexp_replace(col("file"), SchemeRe, "").as("__n"))
     val listing = norm(dataFiles(spark, dataDir).toDF("file"))
     val known = norm(spark.read.parquet(statsDir).select("file"))
-    val unknown = listing.join(known, Seq("__n"), "left_anti")
-      .limit(1).as[String].collect()
-    require(unknown.isEmpty,
+    // BOTH directions in ONE driver action (r17; guide §1.2): a full
+    // outer join tags each path by which side is missing it, and one
+    // aggregate returns an example from each — the two anti-join
+    // limit-1 probes were two scheduler jobs per skip-scan of pure
+    // fixed floor. Still fully distributed (never collects the file
+    // list), and min() keeps the reported example deterministic.
+    val st = listing.withColumn("_d", lit(1))
+      .join(known.withColumn("_s", lit(1)), Seq("__n"), "full_outer")
+      .agg(min(when(col("_s").isNull, col("__n"))).as("unknown"),
+        min(when(col("_d").isNull, col("__n"))).as("dead"))
+      .head()
+    require(st.isNullAt(0),
       s"$what at $statsDir is stale: unindexed data file " +
-        s"${unknown.headOption.getOrElse("")}; run append()")
-    val dead = known.join(listing, Seq("__n"), "left_anti")
-      .limit(1).as[String].collect()
-    require(dead.isEmpty,
+        s"${st.getString(0)}; run append()")
+    require(st.isNullAt(1),
       s"$what at $statsDir references a deleted data file " +
-        s"${dead.headOption.getOrElse("")} — the data dir was " +
+        s"${st.getString(1)} — the data dir was " +
         "rewritten (compaction? manual delete?); rebuild with build()")
   }
 

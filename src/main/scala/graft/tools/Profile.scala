@@ -74,9 +74,19 @@ object Profile {
         }
       })
     args.foreach { name =>
-      val df = SparkEntry.queries(name)(spark, dir)
+      // in FRESH mode construct lazily inside each run (Bench's exact
+      // shape): a pre-constructed lifecycle query leaves cached plan
+      // fragments whose files the fresh re-run's own lifecycle
+      // rebuilds/swaps — CacheManager plan-matching then feeds the new
+      // plan dead file listings (FILE_NOT_EXIST on the sig-store
+      // compact swap; Bench never holds two constructions at once)
+      val wantInspect = sys.env.contains("PROFILE_EXPLAIN") ||
+        sys.env.contains("PROFILE_SHOW")
+      val df = if (fresh && !wantInspect) null
+        else SparkEntry.queries(name)(spark, dir)
       if (sys.env.contains("PROFILE_EXPLAIN")) df.explain("formatted")
       if (sys.env.contains("PROFILE_SHOW")) df.show(50, truncate = false)
+      if (fresh && wantInspect) spark.catalog.clearCache()
       (1 to 2).foreach { i =>
         val t0 = System.nanoTime()
         val s0 = shuffleBytes.get()
@@ -86,6 +96,10 @@ object Profile {
         val tBuild = (System.nanoTime() - t0) / 1e9
         d.write.format("noop").mode("overwrite").save()
         val t = (System.nanoTime() - t0) / 1e9
+        // match Bench's per-run cache discipline: a lifecycle query
+        // re-run in one JVM otherwise reads a prior run's listings
+        // against its rename-swapped store (FILE_NOT_EXIST)
+        spark.catalog.clearCache()
         Thread.sleep(500) // let the listener bus drain
         val sb = (shuffleBytes.get() - s0) / 1e6
         val ob = (outputBytes.get() - o0) / 1e6
